@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs after `graft.Verify` has dumped query results: for every query dir in
+OUT and entry in oracle_sql.json, executes the oracle SQL in DuckDB over the
+same sf parquet tables and compares (schema-insensitively: columns sorted by
+name, rows sorted, exact value match with float bit-compare + tolerance
+report).
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def load_spark(outdir: Path, name: str):
+    d = outdir / name
+    files = sorted(d.glob("*.parquet"))
+    if not files:
+        return None
+    t = pq.read_table(d)
+    return t
+
+
+def main():
+    sfdir, outdir = Path(sys.argv[1]), Path(sys.argv[2])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sfdir / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((outdir / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_t = load_spark(outdir, name)
+        if spark_t is None:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            duck_t = con.sql(sql).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        ok, msg = compare(spark_t, duck_t)
+        if ok:
+            n_pass += 1
+            print(f"PASS {name} ({spark_t.num_rows} rows){(' ' + msg) if msg else ''}")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: {msg}")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+def norm(t):
+    cols = sorted(t.column_names)
+    rows = []
+    for i in range(t.num_rows):
+        rows.append(tuple(t.column(c)[i].as_py() for c in cols))
+    return cols, sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
+
+
+def compare(a, b):
+    ca, ra = norm(a)
+    cb, rb = norm(b)
+    if ca != cb:
+        return False, f"columns differ: spark={ca} duck={cb}"
+    if len(ra) != len(rb):
+        return False, f"row count differs: spark={len(ra)} duck={len(rb)}"
+    max_rel = 0.0
+    for i, (x, y) in enumerate(zip(ra, rb)):
+        for c, (u, v) in zip(ca, zip(x, y)):
+            if u == v:
+                continue
+            if isinstance(u, float) and isinstance(v, float):
+                if math.isnan(u) and math.isnan(v):
+                    continue
+                rel = abs(u - v) / max(abs(u), abs(v), 1e-300)
+                max_rel = max(max_rel, rel)
+                if rel > 1e-9:
+                    return False, f"row {i} col {c}: spark={u!r} duck={v!r} rel={rel:.2e}"
+                continue
+            return False, f"row {i} col {c}: spark={u!r} duck={v!r}"
+    msg = f"[max float rel diff {max_rel:.1e}]" if max_rel else ""
+    return True, msg
+
+
+if __name__ == "__main__":
+    main()
