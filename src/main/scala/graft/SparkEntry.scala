@@ -6,7 +6,8 @@ import graft.analytics._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** All registered correctness-gate queries. */
-  def allDefs: Seq[QueryDef] = RelQueries.defs
+  def allDefs: Seq[QueryDef] =
+    RelQueries.defs ++ AggQueries.defs ++ TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,314 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Det, Tables}
+
+/** Statistics, windowing, set-ops, JSON and calendar coverage (SURVEY §2.4,
+  * §2.5, §2.7): quantiles, z-score (the reference's F10 normalize with the
+  * scalable agg-then-broadcast pattern, not a global window), per-group mode
+  * with pandas tie-breaking, correlation via exact power sums, rollup,
+  * pivot-style conditional aggregation, JSON extraction, limit/offset.
+  */
+object AggQueries {
+  import Det.{dsum, davg, sqlSum, sqlAvg}
+
+  // Mirrors sklearn StandardScaler (population stddev, SURVEY §2.4 A10):
+  // stats come from one aggregate job and re-enter the row-level plan as a
+  // broadcast 1-row frame — no global window, so it scales to any row count.
+  private val S = 6
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- A7/A9 exact percentiles (pandas-median parity: linear interpolation)
+    QueryDef(
+      "q11_quantiles",
+      Some("""
+        SELECT quantile_cont(l_quantity, 0.25) AS qty_q1,
+               quantile_cont(l_quantity, 0.50) AS qty_med,
+               quantile_cont(l_quantity, 0.75) AS qty_q3,
+               quantile_cont(l_extendedprice, 0.50) AS price_med
+        FROM lineitem"""),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        expr("percentile(l_quantity, 0.25)").as("qty_q1"),
+        expr("percentile(l_quantity, 0.50)").as("qty_med"),
+        expr("percentile(l_quantity, 0.75)").as("qty_q3"),
+        expr("percentile(l_extendedprice, 0.50)").as("price_med"))
+    },
+
+    // ---- F1 binning (pd.cut right-closed intervals) as CASE chain
+    QueryDef(
+      "q12_price_bands",
+      Some("""
+        SELECT CASE WHEN o_totalprice <= 100000 THEN 'low'
+                    WHEN o_totalprice <= 250000 THEN 'mid'
+                    WHEN o_totalprice <= 400000 THEN 'high'
+                    ELSE 'very_high' END AS band,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1 ORDER BY band"""),
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("band",
+          when(col("o_totalprice") <= 100000, "low")
+            .when(col("o_totalprice") <= 250000, "mid")
+            .when(col("o_totalprice") <= 400000, "high")
+            .otherwise("very_high"))
+        .groupBy("band").agg(count(lit(1)).as("n_orders"))
+        .orderBy("band")
+    },
+
+    // ---- F10 z-score normalization, agg-then-broadcast (no global window)
+    QueryDef(
+      "q13_zscore_acctbal",
+      Some(s"""
+        SELECT c_custkey,
+               (c_acctbal - m) / sqrt(sq / n - m * m) AS bal_z
+        FROM customer CROSS JOIN (
+          SELECT ${sqlSum("c_acctbal")} / COUNT(c_acctbal) AS m,
+                 ${sqlSum("c_acctbal * c_acctbal")} AS sq,
+                 COUNT(c_acctbal) AS n
+          FROM customer)
+        ORDER BY c_custkey"""),
+    ) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val stats = cust.agg(
+        davg(col("c_acctbal")).as("m"),
+        dsum(col("c_acctbal") * col("c_acctbal")).as("sq"),
+        count(col("c_acctbal")).as("n"))
+      cust.crossJoin(broadcast(stats))
+        .select(col("c_custkey"),
+          ((col("c_acctbal") - col("m")) /
+            sqrt(col("sq") / col("n") - col("m") * col("m"))).as("bal_z"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- A8 mode per group with pandas tie-break (count desc, value asc)
+    QueryDef(
+      "q14_user_top_event",
+      Some("""
+        SELECT user_id, event_type AS top_event, cnt FROM (
+          SELECT user_id, event_type, COUNT(*) AS cnt,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY COUNT(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type)
+        WHERE rn = 1 ORDER BY user_id"""),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(desc("cnt"), asc("event_type"))
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("top_event"), col("cnt"))
+        .orderBy("user_id")
+    },
+
+    // ---- A12 Pearson correlation via exact power sums (deterministic)
+    QueryDef(
+      "q15_corr_qty_price",
+      Some(s"""
+        SELECT (sxy - sx * sy / n) /
+               (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+        FROM (
+          SELECT COUNT(*) AS n,
+                 ${sqlSum("l_quantity")} AS sx,
+                 ${sqlSum("l_extendedprice")} AS sy,
+                 ${sqlSum("l_quantity * l_quantity")} AS sxx,
+                 ${sqlSum("l_extendedprice * l_extendedprice")} AS syy,
+                 ${sqlSum("l_quantity * l_extendedprice")} AS sxy
+          FROM lineitem)"""),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(Det.dcorr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"))
+    },
+
+    // ---- temporal bucketing: daily event rollup (cast to DATE both sides)
+    QueryDef(
+      "q16_events_daily",
+      Some(s"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n_events,
+               ${sqlSum("value")} AS sum_value,
+               ${sqlAvg("value")} AS avg_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY day, event_type"""),
+    ) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          davg(col("value")).as("avg_value"))
+        .orderBy("day", "event_type")
+    },
+
+    // ---- ROLLUP hierarchy totals (free from Spark; NULLS FIRST on both sides)
+    QueryDef(
+      "q17_revenue_rollup",
+      Some(s"""
+        SELECT r_name, n_name, ${sqlSum("o_totalprice")} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""),
+    ) { (s, dir) =>
+      // Via spark.sql: the DataFrame rollup path trips the ambiguous-self-
+      // join check on Expand's duplicated attribute IDs; SQL GROUPING SETS
+      // analysis does not. Plan (Expand + partial/final hash agg) is the same.
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      Tables.region(s, dir).createOrReplaceTempView("region")
+      s.sql(s"""
+        SELECT r_name, n_name, ${sqlSum("o_totalprice")} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+    },
+
+    // ---- calendar functions: orders by year/month
+    QueryDef(
+      "q18_orders_by_month",
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+               COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue
+        FROM orders GROUP BY 1, 2 ORDER BY yr, mo"""),
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("yr", "mo")
+    },
+
+    // ---- set op: INTERSECT of order-placing customers and event users
+    QueryDef(
+      "q19_active_buyers",
+      Some("""
+        SELECT id FROM (
+          SELECT o_custkey AS id FROM orders
+          INTERSECT
+          SELECT user_id AS id FROM events)
+        ORDER BY id"""),
+    ) { (s, dir) =>
+      Tables.orders(s, dir).select(col("o_custkey").as("id"))
+        .intersect(Tables.events(s, dir).select(col("user_id").as("id")))
+        .orderBy("id")
+    },
+
+    // ---- P5 LIMIT/OFFSET pagination (deterministic via unique tiebreak)
+    QueryDef(
+      "q20_page_two",
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20"""),
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(20).limit(10)
+    },
+
+    // ---- W3/W4 top-k per group via ranked window
+    QueryDef(
+      "q21_top_orders_per_status",
+      Some("""
+        SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_orderstatus, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= 3 ORDER BY o_orderstatus, rn"""),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderstatus", "rn")
+    },
+
+    // ---- F13-style pivot: conditional aggregation per event type
+    QueryDef(
+      "q22_user_event_pivot",
+      Some(s"""
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+               ${sqlSum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+    ) { (s, dir) =>
+      def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0))
+      Tables.events(s, dir).groupBy("user_id").agg(
+        cnt("click").as("n_click"),
+        cnt("view").as("n_view"),
+        cnt("purchase").as("n_purchase"),
+        cnt("signup").as("n_signup"),
+        cnt("error").as("n_error"),
+        dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+          .as("purchase_value"))
+        .orderBy("user_id")
+    },
+
+    // ---- JSON extraction from the props payload column
+    QueryDef(
+      "q23_json_props",
+      Some(s"""
+        SELECT event_type,
+               ${sqlAvg("CAST(props->>'" + "$.k' AS BIGINT)")} AS avg_k,
+               MIN(CAST(props->>'$$.k' AS BIGINT)) AS min_k,
+               MAX(CAST(props->>'$$.k' AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+    ) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      Tables.events(s, dir)
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(davg(col("k")).as("avg_k"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // ---- string functions over part
+    QueryDef(
+      "q24_part_strings",
+      Some("""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_u,
+               length(p_name) AS name_len,
+               CAST(p_name LIKE '%green%' AS INT) AS has_green,
+               replace(p_type, ' ', '_') AS type_id
+        FROM part ORDER BY p_partkey"""),
+    ) { (s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        col("p_name").contains("green").cast("int").as("has_green"),
+        regexp_replace(col("p_type"), " ", "_").as("type_id"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- F2 zero-guarded ratio (the reference's x / y.replace(0,1) idiom)
+    QueryDef(
+      "q25_unit_price",
+      Some(s"""
+        SELECT l_returnflag,
+               ${sqlSum("l_extendedprice / (CASE WHEN l_quantity = 0 THEN 1 ELSE l_quantity END)")} AS sum_unit_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_extendedprice") /
+          when(col("l_quantity") === 0, 1).otherwise(col("l_quantity")))
+          .as("sum_unit_price"))
+        .orderBy("l_returnflag")
+    },
+  )
+}

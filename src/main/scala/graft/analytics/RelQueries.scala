@@ -187,17 +187,24 @@ object RelQueries {
         countDistinct(col("l_suppkey")).as("n_supps"))
     },
 
-    // ---- semi/anti joins (J-menu): customers with no orders
+    // ---- semi + anti joins (J-menu): per-customer big-spender flag
     QueryDef(
-      "q09_customers_no_orders",
+      "q09_big_order_customers",
       Some("""
-        SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        SELECT c_custkey, c_name, 1 AS has_big_order FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        UNION ALL
+        SELECT c_custkey, c_name, 0 AS has_big_order FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
         ORDER BY c_custkey"""),
     ) { (s, dir) =>
-      Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name")
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      val cust = Tables.customer(s, dir)
+      cust.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), lit(1).as("has_big_order"))
+        .unionAll(
+          cust.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+            .select(col("c_custkey"), col("c_name"), lit(0).as("has_big_order")))
         .orderBy("c_custkey")
     },
 
