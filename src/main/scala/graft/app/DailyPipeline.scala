@@ -1,0 +1,63 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.clean.Cleaning
+import graft.features.Features
+import graft.ingest.CsvIngest
+import graft.normalize.ZScore
+import graft.quality.QualityAudit
+import graft.validate.SchemaValidator
+
+/** The reference's daily Airflow DAG as ONE Spark application (SURVEY §3.1):
+  * ingest → validate(warn) → quality report → clean → features → normalize
+  * → metadata → Silver. Each stage is a pure DataFrame => DataFrame; the
+  * whole chain is one lazy plan — only the stat-dependent steps (medians,
+  * quantile fences, q80, z-score fit, encoder levels) force small agg jobs
+  * whose scalars re-enter the plan as literals.
+  *
+  * Where the reference materializes ~6 full pandas copies
+  * (etl_pipeline.py:84-128 `df.copy()` per stage), Spark materializes
+  * nothing until the Silver write, and the quality/validation reports
+  * share the cached cleaned frame.
+  */
+object DailyPipeline {
+
+  final case class RunReport(
+      validation: SchemaValidator.ValidationReport,
+      quality: QualityAudit.AuditReport,
+      rowsOut: Long,
+      colsOut: Int)
+
+  def transform(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val cleaned = Cleaning.clean(df, exact = exact)
+    val featured = Features.engineer(cleaned, exact = exact)
+    ZScore.fitTransform(featured)
+      .withColumn("_processing_timestamp", current_timestamp())
+      .withColumn("_processing_version", lit("1.0.0"))
+  }
+
+  /** End-to-end run. `silverPath` gets a snappy parquet of the processed
+    * frame (date-partitionable by caller convention `.../dt=YYYYMMDD/`).
+    */
+  def run(
+      spark: SparkSession,
+      csvPath: String,
+      bronzePath: Option[String] = None,
+      silverPath: Option[String] = None,
+      exact: Boolean = true): RunReport = {
+    val bronze = CsvIngest.ingest(spark, csvPath, bronzePath)
+    bronze.persist()
+    try {
+      val validation = SchemaValidator.validate(bronze)
+      val quality = QualityAudit.audit(bronze.drop("_violations"))
+      val silver = transform(bronze)
+      silver.persist()
+      val rows = silver.count()
+      silverPath.foreach { p =>
+        silver.write.mode("overwrite").option("compression", "snappy").parquet(p)
+      }
+      RunReport(validation, quality, rows, silver.columns.length)
+    } finally bronze.unpersist()
+  }
+}
