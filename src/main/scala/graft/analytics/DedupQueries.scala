@@ -1,0 +1,62 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.TextDedup
+
+/** Deduplication operator coverage over `documents` (SURVEY north-star
+  * extensions): exact-Jaccard near-dup pairs (oracle-checked brute force
+  * with language blocking), exact fingerprint dedup survivors
+  * (oracle-checked), and the scale-path MinHash-LSH / SimHash variants
+  * (not SQL-expressible in the oracle — registered rows-only).
+  */
+object DedupQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- exact n-gram (token-set) Jaccard near-dup pairs, lang-blocked
+    QueryDef(
+      "q36_jaccard_neardups",
+      Some("""
+        WITH t AS (SELECT doc_id, lang,
+                     list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(a.toks || b.toks)) AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(a.toks || b.toks)) >= 0.5
+        ORDER BY id_a, id_b"""),
+    ) { (s, dir) =>
+      TextDedup.jaccardPairs(Tables.documents(s, dir), "text", "doc_id", "lang", 0.5)
+        .withColumnRenamed("id_a", "id_a")
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- exact fingerprint dedup: lowest doc_id survives per fingerprint
+    QueryDef(
+      "q37_exact_dedup_survivors",
+      Some("""
+        SELECT min(doc_id) AS doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+        GROUP BY 2 ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      TextDedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), TextDedup.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ---- MinHash+LSH near-dups (scale path; no SQL oracle -> rows check)
+    QueryDef("q38_minhash_neardups", None) { (s, dir) =>
+      TextDedup.minhashNearDups(Tables.documents(s, dir), "text", "doc_id",
+        threshold = 0.5).orderBy("id_a", "id_b")
+    },
+
+    // ---- SimHash near-dups (rows check)
+    QueryDef("q39_simhash_neardups", None) { (s, dir) =>
+      TextDedup.simhashNearDups(Tables.documents(s, dir), "text", "doc_id",
+        maxHamming = 3).orderBy("id_a", "id_b")
+    },
+  )
+}

@@ -1,0 +1,59 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.VectorSim
+
+/** Similarity-search coverage over `embeddings` (array<float>, 64-dim):
+  * exact brute-force cosine top-k (oracle-checked bit-for-bit via decimal
+  * dot products) and the LSH-bucketed approximate variants (rows-only).
+  */
+object VectorQueries {
+
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+        s"CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- exact cosine kNN: top-3 neighbors for the first 8 vectors
+    // Output is the neighbor ranking only: raw cosine doubles differ
+    // between engines at ~1e-10 (double->decimal rounding-mode of the
+    // per-element products), while ranking gaps are ~1e-3 — the ranking is
+    // the deterministic, hash-safe contract.
+    QueryDef(
+      "q40_cosine_knn",
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY ${cosSql("q.qv", "e.embedding")} DESC, e.vec_id) AS rank
+          FROM q, embeddings e WHERE e.vec_id != q.query_id)
+        WHERE rank <= 3
+        ORDER BY query_id, rank"""),
+    ) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSim.cosineTopK(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- LSH-bucketed approximate kNN (scale path; rows check)
+    QueryDef("q41_cosine_knn_lsh", None) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSim.cosineTopKLsh(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- embedding near-dup pairs above cosine threshold (rows check)
+    QueryDef("q42_embedding_neardups", None) { (s, dir) =>
+      VectorSim.cosineNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.25).orderBy("id_a", "id_b")
+    },
+  )
+}

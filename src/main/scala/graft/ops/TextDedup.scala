@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale text deduplication operators (the training-data-pipeline
+  * surface): exact fingerprint dedup, exact pairwise Jaccard with blocking,
+  * MinHash+LSH near-dup at scale, and SimHash.
+  *
+  * Everything is built from codegen'd Catalyst expressions (split/
+  * transform/aggregate/xxhash64) — no UDFs, no driver-side loops. The LSH
+  * path is the 100 TB design: candidate generation is a band-bucket
+  * shuffle (linear in corpus + bucket joins), never an O(n²) cross join;
+  * the exact-Jaccard verify only touches candidate pairs.
+  */
+object TextDedup {
+
+  /** Distinct whitespace tokens of the text column. */
+  def tokens(text: Column): Column = array_distinct(split(trim(text), "\\s+"))
+
+  /** Word n-gram shingles (n consecutive tokens joined by space). Falls
+    * back to whole-text single shingle when the doc is shorter than n.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Whitespace-normalized lowercase md5 fingerprint (exact dedup key). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Exact dedup: keep the lowest-id row per fingerprint. One shuffle on
+    * the fingerprint (same plan at any scale; AQE handles skewed dup
+    * groups).
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exact pairwise token-Jaccard within blocking groups. Blocking keeps
+    * the join from being a full cross product — at 100 TB the blocking key
+    * (language, length band, shard) bounds each group.
+    */
+  def jaccardPairs(
+      df: DataFrame, textCol: String, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val t = df.select(
+      col(idCol).as("id"), col(blockCol).as("block"),
+      tokens(col(textCol)).as("toks"))
+    val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
+    val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      // sound prefilter: J <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
+      // sizes are too disparate can never reach the threshold — skips the
+      // expensive intersections without changing the result
+      .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double") /
+        greatest(size(col("toks_a")), size(col("toks_b"))) >= threshold)
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_distinct(concat(col("toks_a"), col("toks_b")))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: k independent hash functions h_i(s) =
+    * xxhash64(s, salt=i) minimized over the shingle set. One projection,
+    * no shuffle.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** LSH banding: split a k-signature into `bands` bands and hash each;
+    * docs sharing any band hash become candidates.
+    */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows)), lit(b)).as("bh"))
+    }: _*)
+
+  /** Full MinHash-LSH near-dup pipeline: signature → band buckets →
+    * candidate pairs (bucket self-join) → exact-Jaccard verification.
+    * Returns verified pairs (id_a < id_b, jaccard >= threshold).
+    *
+    * Scale notes: the only shuffles are the band-bucket exchange and the
+    * candidate join; bucket skew (a viral duplicate cluster) is the known
+    * hot spot — AQE skew-join handles moderate skew, and a bucket-size cap
+    * (`maxBucket`) bounds the quadratic pair blowup exactly like
+    * production dedup pipelines cap cluster size.
+    */
+  def minhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, shingleLen: Int = 1,
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    // signature and verification use the SAME set (shingleLen-gram set);
+    // mixing measures (e.g. 3-shingle signature, token verify) silently
+    // destroys recall because the bands then model a different similarity
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks",
+        if (shingleLen <= 1) tokens(col("text"))
+        else array_distinct(shingles(col("text"), shingleLen)))
+      .withColumn("sig", minhashSignature(col("toks"), numHashes))
+
+    docs.persist()
+
+    // band buckets carry ONLY (band, bh, id): the token arrays would
+    // otherwise be shuffled 'bands' times and again through the pair
+    // dedup — ids are a few bytes, toks are the whole document
+    val buckets = docs
+      .select(col("id"), explode(bandHashes(col("sig"), bands, rows)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+    // cap pathological buckets before the quadratic pair join
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bh").orderBy("id")
+    val capped = buckets.withColumn("_brn", row_number().over(wb))
+      .filter(col("_brn") <= maxBucket).drop("_brn")
+
+    val l = capped.select(col("band"), col("bh"), col("id").as("id_a"))
+    val r = capped.select(col("band"), col("bh"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+
+    // verify once per distinct pair: join tokens back, size-ratio
+    // prefilter (J <= min/max size) before the exact intersection
+    val ta = docs.select(col("id").as("id_a"), col("toks").as("toks_a"))
+    val tb = docs.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    candidates.join(ta, "id_a").join(tb, "id_b")
+      .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double") /
+        greatest(size(col("toks_a")), size(col("toks_b"))) >= threshold)
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_distinct(concat(col("toks_a"), col("toks_b")))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash from the token set: bit j of the hash is set when the
+    * sum of ±1 contributions (per-token xxhash64 bit j) is positive.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    // statically unrolled over the 64 bit positions (shift amounts must be
+    // compile-time ints for codegen'd shiftright/shiftleft)
+    (0 until 64).map { j =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
+    * (any pair within Hamming distance <= maxHamming and uniform bit error
+    * collides on >= 1 chunk with high probability), verified with exact
+    * popcount of the XOR.
+    */
+  def simhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunks = base.select(col("id"), col("sh"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as("ch"))
+      }: _*)).as("c"))
+      .select(col("id"), col("sh"), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
+    val l = chunks.select(col("chunk"), col("ch"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = chunks.select(col("chunk"), col("ch"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "ch"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import scala.util.Random
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force exact cosine top-k is the baseline (a broadcast join of the
+  * query set against the corpus — linear in corpus size, embarrassingly
+  * parallel). The scale path is random-hyperplane LSH: a 100 TB corpus is
+  * bucketed by sign-pattern once (one projection + one shuffle on the
+  * bucket key), and each query only scans its own bucket (plus optional
+  * multi-probe neighbors).
+  *
+  * Dot products accumulate in fixed-scale decimals (graft.core.Det
+  * rationale) so results are deterministic across partitionings and match
+  * a single-threaded oracle bit-for-bit.
+  */
+object VectorSim {
+
+  /** Exact dot product of two float-array columns, decimal-accumulated. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DecimalType(38, 12))),
+      lit(0).cast(DecimalType(38, 12)),
+      (acc, v) => (acc + v).cast(DecimalType(38, 12))).cast("double")
+
+  /** Exact squared L2 norm, decimal-accumulated. */
+  def normSqExact(a: Column): Column =
+    aggregate(
+      transform(a, x => (x.cast("double") * x.cast("double")).cast(DecimalType(38, 12))),
+      lit(0).cast(DecimalType(38, 12)),
+      (acc, v) => (acc + v).cast(DecimalType(38, 12))).cast("double")
+
+  def cosineExact(a: Column, b: Column): Column =
+    dotExact(a, b) / (sqrt(normSqExact(a)) * sqrt(normSqExact(b)))
+
+  /** Exact brute-force cosine top-k: every query row against the whole
+    * corpus. Queries are broadcast (the small side by construction).
+    */
+  def cosineTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineExact(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic random hyperplanes (seeded) as a literal nested array —
+    * generated once on the driver, folded into codegen as constants.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val rnd = new Random(seed)
+    array((0 until numPlanes).map { _ =>
+      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+    }: _*)
+  }
+
+  /** Sign-pattern LSH bucket id: bit p set when v · plane_p > 0
+    * (statically unrolled over planes; each dot is a codegen'd fold).
+    */
+  def lshBucket(vec: Column, planes: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, element_at(planes, p + 1), (x, h) => x.cast("double") * h),
+        lit(0.0), (a, v) => a + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed approximate cosine top-k: corpus and queries are hashed
+    * to sign-pattern buckets; each query joins only its bucket, then exact
+    * cosine ranks within the candidates. Recall < 1 by construction; at
+    * scale this replaces the cross join with a bucket-equi-join.
+    */
+  def cosineTopKLsh(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes, numPlanes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, numPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineExact(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * LSH-blocked (the embedding analog of MinHash dedup).
+    */
+  def cosineNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, numPlanes))
+    val a = t.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = t.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineExact(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

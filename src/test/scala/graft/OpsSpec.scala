@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextDedup, VectorSim}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different words appear here instead"),
+    (3L, "the  quick   brown fox jumps over the lazy dog"), // ws-normalized dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized fingerprint") {
+    val out = TextDedup.exactDedup(docs, "text", "doc_id")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("jaccard pairs finds the near-dup above threshold") {
+    val pairs = TextDedup.jaccardPairs(
+      docs.withColumn("blk", lit(1)), "text", "doc_id", "blk", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j > 0.7 })
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 3L && j == 1.0 })
+    assert(!pairs.exists { case (a, b, _) => b == 2L || a == 2L })
+  }
+
+  test("minhash LSH finds near-dups and exact dups, skips unrelated") {
+    val got = TextDedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((0L, 3L)) && got.contains((1L, 3L)))
+    assert(!got.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash: whitespace variants collide at hamming 0, near-dups close") {
+    val pairs = TextDedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 3L && h == 0 })
+  }
+
+  test("minhash signature has k entries and is deterministic") {
+    val sig = docs.select(TextDedup.minhashSignature(
+      TextDedup.tokens(col("text")), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.forall(_.size == 16))
+    val sig2 = docs.select(TextDedup.minhashSignature(
+      TextDedup.tokens(col("text")), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.toSeq == sig2.toSeq)
+  }
+}
+
+class VectorSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by true cosine") {
+    val out = VectorSim.cosineTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(out(0).getAs[Double]("cosine") - 0.9 / math.sqrt(0.82)) < 1e-9)
+    assert(out(2).getAs[Double]("cosine") == -1.0)
+  }
+
+  test("identical vectors land in the same LSH bucket") {
+    val dup = Seq((10L, Array(0.5f, -0.2f, 0.3f, 0.9f)),
+      (11L, Array(0.5f, -0.2f, 0.3f, 0.9f))).toDF("vec_id", "embedding")
+    val buckets = dup.select(VectorSim.lshBucket(
+      col("embedding"), VectorSim.hyperplanes(8, 4), 8).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets(0) == buckets(1))
+  }
+
+  test("cosineNearDups finds the identical pair via LSH blocking") {
+    val dup = Seq((10L, Array(0.5f, -0.2f, 0.3f, 0.9f)),
+      (11L, Array(0.5f, -0.2f, 0.3f, 0.9f)),
+      (12L, Array(-0.5f, 0.2f, -0.3f, -0.9f))).toDF("vec_id", "embedding")
+    val got = VectorSim.cosineNearDups(dup, "vec_id", "embedding", 0.99,
+      numPlanes = 8, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 11L)))
+  }
+}
