@@ -29,7 +29,21 @@ object PipelineDemo {
     val t0 = System.nanoTime()
     val report = DailyPipeline.run(spark, csvDir,
       bronzePath = Some(s"$work/bronze"), silverPath = Some(s"$work/silver"))
-    val secs = (System.nanoTime() - t0) / 1e9
+    val etlSecs = (System.nanoTime() - t0) / 1e9
+
+    // ML stage (M1-M10): train on Silver, enforce the deploy gate, score,
+    // land the scored gold partition, resolve it back (S8)
+    val t1 = System.nanoTime()
+    val silver = spark.read.parquet(s"$work/silver")
+    val result = graft.ml.ChurnModel.train(silver, graft.ml.ChurnModel.Config(maxIter = 20))
+    val gate = result.test.passesGate
+    val scored = graft.ml.ChurnModel.score(result.model, silver)
+      .select("user_id", "churn_probability", "confidence", "churn_prediction")
+    graft.warehouse.Sinks.writeGold(scored, s"$work/gold/model_predictions", "20260812")
+    val latest = graft.warehouse.Sinks.readLatestGold(spark, s"$work/gold/model_predictions")
+    val mlSecs = (System.nanoTime() - t1) / 1e9
+    val topFeatures = graft.ml.ChurnModel.featureImportances(result, 5)
+      .map { case (c, v) => f"$c=$v%.3f" }.mkString(", ")
 
     println(f"""
       |== graft pipeline demo ==
@@ -39,9 +53,15 @@ object PipelineDemo {
       |  completeness=${report.quality.completenessScore}%.3f uniqueness=${report.quality.uniquenessScore}%.3f
       |  validity=${report.quality.validityScore}%.3f consistency=${report.quality.consistencyScore}%.3f
       |silver shape:      ${report.rowsOut} rows x ${report.colsOut} cols
-      |wall time:         $secs%.1f s
-      |silver at:         $work/silver
+      |etl wall time:     $etlSecs%.1f s
+      |-- ml --
+      |test metrics:      acc=${result.test.accuracy}%.3f auc=${result.test.rocAuc}%.3f f1=${result.test.f1}%.3f
+      |deploy gate:       ${if (gate) "PASS" else "FAIL"} (acc>=0.75 && auc>=0.80)
+      |top features:      $topFeatures
+      |scored gold rows:  ${latest.count()} (latest dt partition)
+      |ml wall time:      $mlSecs%.1f s
       |""".stripMargin)
+    if (!gate) sys.exit(2)
     spark.stop()
   }
 }

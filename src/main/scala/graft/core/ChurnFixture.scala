@@ -10,6 +10,22 @@ import scala.util.Random
   */
 object ChurnFixture {
 
+  /** Churn with real signal (low activity, staleness, refunds) plus noise,
+    * so ML eval gates (accuracy >= 0.75, AUC >= 0.80) are meaningful.
+    * Base rate lands around 10-15%.
+    */
+  private def churnLabel(
+      rnd: Random, sessions30: Int, orders30: Int,
+      daysSinceLast: Int, refundRate: Double): Int = {
+    val z = -2.8 +
+      (if (sessions30 == 0) 1.6 else -0.012 * sessions30) +
+      (if (orders30 == 0) 0.9 else -0.08 * orders30) +
+      0.009 * daysSinceLast +
+      4.0 * refundRate +
+      0.8 * rnd.nextGaussian()
+    if (1.0 / (1.0 + math.exp(-z)) > 0.5) 1 else 0
+  }
+
   def validRows(n: Int, seed: Long = 42L): Seq[Row] = {
     val rnd = new Random(seed)
     (0 until n).map { i =>
@@ -20,6 +36,8 @@ object ChurnFixture {
       val orders2024 = orders90 + rnd.nextInt(50)
       val aov = math.rint((10 + rnd.nextDouble() * 190) * 100) / 100
       val gmv = math.rint(aov * orders2024 * 100) / 100
+      val daysSinceLast = rnd.nextInt(366)
+      val refundRate = math.rint(rnd.nextDouble() * 0.3 * 100) / 100
       Row(
         f"U$i%05d", // user_id
         13 + rnd.nextInt(88), // age
@@ -36,10 +54,10 @@ object ChurnFixture {
         orders30, orders90, orders2024,
         aov, gmv,
         rnd.nextInt(15), // category_diversity_2024
-        rnd.nextInt(366), // days_since_last_order
+        daysSinceLast, // days_since_last_order
         math.rint(rnd.nextDouble() * 100) / 100, // discount_rate_2024
         rnd.nextInt(5), // refunds_count_2024
-        math.rint(rnd.nextDouble() * 0.3 * 100) / 100, // refund_rate_2024
+        refundRate, // refund_rate_2024
         rnd.nextInt(10), // support_tickets_2024
         math.rint((1 + rnd.nextDouble() * 4) * 100) / 100, // avg_csat_2024
         math.rint(rnd.nextDouble() * 100) / 100, // emails_open_rate_90d
@@ -49,7 +67,7 @@ object ChurnFixture {
         rnd.nextInt(366), // rfm_recency
         rnd.nextInt(100), // rfm_frequency
         math.rint(rnd.nextDouble() * 10000 * 100) / 100, // rfm_monetary
-        if (rnd.nextDouble() < 0.09) 1 else 0, // churn_label ~9%
+        churnLabel(rnd, sessions30, orders30, daysSinceLast, refundRate),
       )
     }
   }

@@ -174,7 +174,12 @@ object Features {
       val levels = d.select(col(c)).filter(col(c).isNotNull)
         .distinct().collect().map(_.get(0).toString).sorted
       val withDummies = levels.foldLeft(d) { (dd, v) =>
-        dd.withColumn(s"${c}_$v", (col(c) === v).cast("int"))
+        // sanitize level values: dots/spaces in generated column names
+        // break every dotted-path resolver downstream (na.fill,
+        // VectorAssembler) — divergence from pandas' verbatim names,
+        // documented
+        val safe = v.replaceAll("[^A-Za-z0-9_]", "_")
+        dd.withColumn(s"${c}_$safe", (col(c) === v).cast("int"))
       }
       withDummies.drop(c)
     }

@@ -1,0 +1,133 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{GBTClassifier, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** ML stage (SURVEY §2.10 M1-M10) as a spark.ml Pipeline.
+  *
+  * The reference trains XGBoost on the processed frame
+  * (reference: src/ml/model_trainer.py:58-428); the Spark mapping is
+  * GBTClassifier (or RandomForest) with metric-gate equivalence — the
+  * deploy gate (accuracy >= 0.75 AND AUC >= 0.80,
+  * dags/churn_prediction_pipeline.py:179-186) replaces bit-parity.
+  *
+  * Feature assembly mirrors the reference: every numeric column minus
+  * metadata (`_` prefix), ids, and the target (model_trainer.py:75-91).
+  * The VectorAssembler + classifier live in ONE PipelineModel so the
+  * fitted bundle carries its own feature list (M8's model+scaler+columns
+  * bundle, natively).
+  */
+object ChurnModel {
+
+  final case class Config(
+      algorithm: String = "gbt",
+      maxIter: Int = 40,
+      maxDepth: Int = 6,
+      stepSize: Double = 0.1,
+      subsamplingRate: Double = 0.8,
+      seed: Long = 42L,
+      labelCol: String = "churn_label")
+
+  final case class Metrics(
+      accuracy: Double, precision: Double, recall: Double, f1: Double,
+      rocAuc: Double) {
+    /** M10 deploy gate. */
+    def passesGate: Boolean = accuracy >= 0.75 && rocAuc >= 0.80
+  }
+
+  final case class TrainResult(
+      model: PipelineModel,
+      featureCols: Seq[String],
+      validation: Metrics,
+      test: Metrics)
+
+  /** M1: numeric feature columns minus metadata/id/target. */
+  def featureColumns(df: DataFrame, labelCol: String = "churn_label"): Seq[String] =
+    df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType])
+      .map(_.name)
+      .filterNot(n => n.startsWith("_") || n == labelCol || n == "user_id").toSeq
+
+  /** M2: stratified 60/20/20 split — per-stratum randomSplit keeps class
+    * balance in every split at any scale (one pass, no collect).
+    */
+  def stratifiedSplit(
+      df: DataFrame, labelCol: String, seed: Long,
+      weights: Array[Double] = Array(0.6, 0.2, 0.2)): Seq[DataFrame] = {
+    val byClass = Seq(0, 1).map(v => df.filter(col(labelCol) === v).randomSplit(weights, seed))
+    weights.indices.map(i => byClass.map(_(i)).reduce(_ unionAll _))
+  }
+
+  def buildPipeline(features: Seq[String], cfg: Config): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features")
+      .setHandleInvalid("keep")
+    val clf = cfg.algorithm match {
+      case "rf" => new RandomForestClassifier()
+        .setLabelCol(cfg.labelCol).setFeaturesCol("features")
+        .setNumTrees(cfg.maxIter).setMaxDepth(cfg.maxDepth)
+        .setSubsamplingRate(cfg.subsamplingRate).setSeed(cfg.seed)
+      case _ => new GBTClassifier()
+        .setLabelCol(cfg.labelCol).setFeaturesCol("features")
+        .setMaxIter(cfg.maxIter).setMaxDepth(cfg.maxDepth)
+        .setStepSize(cfg.stepSize).setSubsamplingRate(cfg.subsamplingRate)
+        .setSeed(cfg.seed)
+    }
+    new Pipeline().setStages(Array(assembler, clf))
+  }
+
+  /** M4: accuracy / weighted P-R-F1 / ROC-AUC on a scored frame. */
+  def evaluate(scored: DataFrame, labelCol: String = "churn_label"): Metrics = {
+    def mc(metric: String) = new MulticlassClassificationEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction")
+      .setMetricName(metric).evaluate(scored)
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol(labelCol).setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(scored)
+    Metrics(mc("accuracy"), mc("weightedPrecision"), mc("weightedRecall"),
+      mc("f1"), auc)
+  }
+
+  /** M1-M4 end to end: assemble, stratified split, fit on train, evaluate
+    * on validation and test.
+    */
+  def train(df: DataFrame, cfg: Config = Config()): TrainResult = {
+    val features = featureColumns(df, cfg.labelCol)
+    val prepared = df
+      .withColumn(cfg.labelCol, col(cfg.labelCol).cast("double"))
+      .na.fill(features.map(_ -> 0.0).toMap) // median-impute upstream; 0 safety net
+    val Seq(train, valid, test) = stratifiedSplit(prepared, cfg.labelCol, cfg.seed)
+    val model = buildPipeline(features, cfg).fit(train)
+    TrainResult(model, features,
+      evaluate(model.transform(valid), cfg.labelCol),
+      evaluate(model.transform(test), cfg.labelCol))
+  }
+
+  /** M7: top-k feature importances from the fitted tree ensemble. */
+  def featureImportances(result: TrainResult, k: Int = 20): Seq[(String, Double)] = {
+    val imp = result.model.stages.last match {
+      case m: org.apache.spark.ml.classification.GBTClassificationModel => m.featureImportances
+      case m: org.apache.spark.ml.classification.RandomForestClassificationModel => m.featureImportances
+    }
+    result.featureCols.zip(imp.toArray).sortBy(-_._2).take(k)
+  }
+
+  /** M9: batch scoring with churn probability and confidence=max(proba). */
+  def score(model: PipelineModel, df: DataFrame): DataFrame =
+    model.transform(df)
+      .withColumn("churn_probability", element_at(vector_to_array(col("probability")), 2))
+      .withColumn("confidence", array_max(vector_to_array(col("probability"))))
+      .withColumn("churn_prediction", col("prediction").cast("int"))
+      .drop("features", "rawPrediction", "probability", "prediction")
+
+  /** M8: persistence — PipelineModel bundles stages + feature metadata. */
+  def save(result: TrainResult, path: String): Unit =
+    result.model.write.overwrite().save(path)
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+}

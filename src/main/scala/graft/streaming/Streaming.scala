@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.core.ChurnSchema
+
+/** Structured Streaming extension (SURVEY §2.11 / §7 step 9): the
+  * reference is batch-only with a daily Airflow cadence; its own docs
+  * sketch Kafka → streaming → feature store as the next step. This module
+  * provides that shape with Spark-native pieces:
+  *  - file-source ingest over the raw landing dir, reusing the SAME batch
+  *    transform stages via foreachBatch (one code path for batch+stream);
+  *  - watermarked sliding-window event aggregation;
+  *  - stateful per-user session tracking with flatMapGroupsWithState.
+  */
+object Streaming {
+
+  /** Streaming ingest of churn CSVs landing in `rawDir`; every micro-batch
+    * runs the supplied batch transform (the daily pipeline's stages) and
+    * appends to the Silver path. Checkpointing makes it exactly-once into
+    * the file sink.
+    */
+  def ingestStream(
+      spark: SparkSession, rawDir: String, silverDir: String, checkpoint: String,
+      transform: DataFrame => DataFrame,
+      schema: StructType = ChurnSchema.schema): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 16)
+      .csv(rawDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        transform(batch)
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("append").option("compression", "snappy").parquet(silverDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Watermarked tumbling-window aggregation over an events stream
+    * (ts, user_id, event_type, value): counts + sum(value) per window and
+    * event type. Late data beyond the watermark is dropped — state stays
+    * bounded no matter how long the stream runs.
+    */
+  def windowedEventCounts(events: DataFrame,
+      watermark: String = "10 minutes", window: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  // ---- stateful sessionization -------------------------------------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionState(count: Long, sumValue: Double, lastTs: Long)
+  final case class SessionUpdate(user_id: Long, events: Long, sum_value: Double, closed: Boolean)
+
+  /** Per-user running session: accumulates events, emits a closed session
+    * after `gapMillis` of inactivity (processing-time timeout). The
+    * KeyValueGroupedDataset state machine is the engine-level primitive
+    * the reference's "session_30d"-style precomputed columns come from.
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long = 30 * 60 * 1000L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.count, s.sumValue, closed = true))
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val next = SessionState(
+              prev.count + evs.size,
+              prev.sumValue + evs.map(_.value).sum,
+              math.max(prev.lastTs, evs.map(_.ts.getTime).max))
+            state.update(next)
+            state.setTimeoutDuration(gapMillis)
+            Iterator(SessionUpdate(userId, next.count, next.sumValue, closed = false))
+          }
+      }
+  }
+}

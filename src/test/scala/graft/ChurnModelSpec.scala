@@ -1,0 +1,57 @@
+package graft
+
+import graft.core.ChurnFixture
+import graft.ml.ChurnModel
+
+class ChurnModelSpec extends SparkSpec {
+
+  lazy val result = ChurnModel.train(
+    ChurnFixture.df(spark, 4000),
+    ChurnModel.Config(maxIter = 20))
+
+  test("trained model passes the reference deploy gate on test split") {
+    assert(result.test.passesGate,
+      s"accuracy=${result.test.accuracy} auc=${result.test.rocAuc}")
+    assert(result.validation.passesGate)
+  }
+
+  test("feature importances rank the injected signal columns highly") {
+    val top = ChurnModel.featureImportances(result, 8).map(_._1)
+    // churn was generated from staleness/activity/refunds
+    assert(top.exists(Set("days_since_last_order", "sessions_30d",
+      "orders_30d", "refund_rate_2024")))
+  }
+
+  test("scoring emits probability, confidence and int prediction") {
+    val scored = ChurnModel.score(result.model, ChurnFixture.df(spark, 100))
+    val row = scored.select("churn_probability", "confidence", "churn_prediction")
+      .collect()(0)
+    assert(row.getDouble(0) >= 0 && row.getDouble(0) <= 1)
+    assert(row.getDouble(1) >= 0.5 && row.getDouble(1) <= 1)
+    assert(Set(0, 1).contains(row.getInt(2)))
+  }
+
+  test("save/load round-trips the pipeline bundle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    ChurnModel.save(result, dir)
+    val loaded = ChurnModel.load(dir)
+    val a = ChurnModel.score(result.model, ChurnFixture.df(spark, 50))
+      .select("churn_probability").collect().map(_.getDouble(0))
+    val b = ChurnModel.score(loaded, ChurnFixture.df(spark, 50))
+      .select("churn_probability").collect().map(_.getDouble(0))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("stratified split keeps class proportions within 3pp") {
+    val df = ChurnFixture.df(spark, 4000)
+    val overall = df.filter(org.apache.spark.sql.functions.col("churn_label") === 1)
+      .count().toDouble / 4000
+    val splits = ChurnModel.stratifiedSplit(df, "churn_label", 42L)
+    splits.foreach { s =>
+      val n = s.count().toDouble
+      val rate = s.filter(org.apache.spark.sql.functions.col("churn_label") === 1)
+        .count() / n
+      assert(math.abs(rate - overall) < 0.03, s"rate=$rate overall=$overall")
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{ChurnFixture, StageCache}
+import graft.ingest.RestIngest
+import graft.streaming.Streaming
+import graft.warehouse.{Sinks, StarSchema}
+
+class RestIngestSpec extends SparkSpec {
+  test("pagination stops on short page; rows land with lineage") {
+    // fake API: 250 rows, page_size 100 -> pages of 100/100/50
+    val fetcher: RestIngest.Fetcher = (page, size) => {
+      val start = (page - 1) * size
+      (start until math.min(start + size, 250)).map(i => s"""{"id":$i,"v":"x$i"}""")
+    }
+    val rows = RestIngest.fetchAll(fetcher, pageSize = 100)
+    assert(rows.size == 250)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val df = RestIngest.toDataFrame(spark, rows, schema, "https://api/users")
+    assert(df.count() == 250)
+    assert(df.columns.contains("_source_endpoint"))
+  }
+
+  test("rate limiter enforces the sliding window without wall-clock sleeps") {
+    var now = 0L
+    var slept = 0L
+    val rl = new RestIngest.RateLimiter(maxRequests = 3, windowMillis = 1000L,
+      clock = () => now, sleep = ms => { slept += ms; now += ms })
+    (1 to 3).foreach(_ => rl.acquire())
+    assert(slept == 0L)
+    rl.acquire() // 4th within the window must wait for the 1st to expire
+    assert(slept == 1000L)
+  }
+
+  test("partitioned backfill fetches every page across executors") {
+    val fetcher: RestIngest.Fetcher = (page, size) =>
+      (0 until size).map(i => s"""{"p":$page,"i":$i}""")
+    val ds = RestIngest.fetchPartitioned(spark, totalPages = 10, pageSize = 5, fetcher)
+    assert(ds.count() == 50)
+  }
+}
+
+class SinksSpec extends SparkSpec {
+  test("gold partitioned write + latest-partition read") {
+    val base = java.nio.file.Files.createTempDirectory("graft_gold").toString
+    val df = ChurnFixture.df(spark, 50)
+    Sinks.writeGold(df, base, "20260810")
+    Sinks.writeGold(df.limit(20), base, "20260811", org.apache.spark.sql.SaveMode.Append)
+    val latest = Sinks.readLatestGold(spark, base)
+    assert(latest.count() == 20)
+    assert(latest.select("dt").distinct().collect()(0).getString(0) == "20260811")
+  }
+
+  test("star schema: fact joins dims; broadcast plan on the dim side") {
+    val star = StarSchema.build(spark, "/root/testdata/sf0.001")
+    val fact = star("fact_orders"); val dim = star("dim_customer")
+    val joined = fact.join(broadcast(dim), "customer_key")
+      .groupBy("region").agg(count(lit(1)).as("n"))
+    assert(joined.count() == 5)
+    assert(fact.columns.toSet ==
+      Set("order_key", "customer_key", "date_key", "status", "priority", "total_price"))
+  }
+
+  test("stage cache: miss computes, hit reuses, invalidate clears") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cache").toString
+    val key = StageCache.key("features", "sig123", "v1")
+    var computes = 0
+    def compute = { computes += 1; ChurnFixture.df(spark, 30) }
+    val a = StageCache.cached(spark, base, key)(compute)
+    val b = StageCache.cached(spark, base, key)(compute)
+    assert(computes == 1 && a.count() == 30 && b.count() == 30)
+    assert(StageCache.invalidate(spark, base, key))
+    StageCache.cached(spark, base, key)(compute)
+    assert(computes == 2)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  test("file-source ingest stream reuses batch transform exactly-once") {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val raw = s"$work/raw"; val silver = s"$work/silver"; val ckpt = s"$work/ckpt"
+    ChurnFixture.df(spark, 200).write.option("header", "true").csv(raw)
+    val q = Streaming.ingestStream(spark, raw, silver, ckpt,
+      transform = df => df.withColumn("flag", lit(1)))
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(silver)
+    assert(out.count() == 200)
+    assert(out.columns.contains("flag") && out.columns.contains("_batch_id"))
+    // restart with no new files: exactly-once means no duplicates
+    val q2 = Streaming.ingestStream(spark, raw, silver, ckpt,
+      transform = df => df.withColumn("flag", lit(1)))
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(silver).count() == 200)
+  }
+
+  test("watermarked window aggregation over an event stream") {
+    import spark.implicits._
+    val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event](
+      spark, 1)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    events.addData((0 until 100).map(i =>
+      Streaming.Event(i % 5, new java.sql.Timestamp(t0.getTime + i * 1000L), "click", 1.0)))
+    val agg = Streaming.windowedEventCounts(events.toDF(), "1 minute", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT sum(n_events) FROM win_agg").collect()
+    assert(rows(0).getLong(0) == 100)
+  }
+}
