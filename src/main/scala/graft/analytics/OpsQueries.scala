@@ -1,0 +1,176 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.core.{Det, Tables}
+import graft.ops.{AsofJoin, Multimodal, Sessionize}
+
+/** Coverage for the composed operators: gap sessionization, as-of join,
+  * deterministic sampling, one-hot reconstruct, CUBE, language-ID
+  * heuristic, multimodal feature plumbing, approximate distinct.
+  */
+object OpsQueries {
+  import Det.{sqlSum, dsum}
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- gap-and-island sessionization (30-min gap) over events
+    QueryDef(
+      "q43_event_sessions",
+      Some(s"""
+        WITH s AS (
+          SELECT user_id, value, ts,
+                 SUM(CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts) - 1 AS session_id
+          FROM (SELECT user_id, value, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events))
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+               ${sqlSum("value")} AS sum_value
+        FROM s GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""),
+    ) { (s, dir) =>
+      Sessionize.sessionStats(Tables.events(s, dir), "user_id", "ts", "value", 1800L)
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---- as-of join: latest click at-or-before each purchase, per user
+    QueryDef(
+      "q44_asof_click_before_purchase",
+      Some("""
+        SELECT p.event_id, p.user_id,
+               epoch_us(c.ts) AS asof_click_us, c.value AS asof_click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id"""),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("click_us"))
+      AsofJoin.asofBackward(purchases, clicks,
+        keyCol = "user_id", leftTimeCol = "ts", rightTimeCol = "ts",
+        valueCols = Seq("click_us", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_us"), col("asof_value").as("asof_click_value"))
+        .orderBy("event_id")
+    },
+
+    // ---- D3 deterministic systematic sample (hash/keyed sampling)
+    QueryDef(
+      "q45_systematic_sample",
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_orderkey % 20 = 0
+        ORDER BY l_orderkey, l_linenumber"""),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(20)) === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- F13+F15 round trip: one-hot encode then reconstruct the category
+    QueryDef(
+      "q46_onehot_reconstruct",
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN s_F = 1 THEN 'F' WHEN s_O = 1 THEN 'O' ELSE 'P' END AS status_rt
+        FROM (SELECT o_orderkey,
+                     CAST(o_orderstatus = 'F' AS INT) AS s_F,
+                     CAST(o_orderstatus = 'O' AS INT) AS s_O,
+                     CAST(o_orderstatus = 'P' AS INT) AS s_P
+              FROM orders)
+        ORDER BY o_orderkey"""),
+    ) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          (col("o_orderstatus") === "F").cast("int").as("s_F"),
+          (col("o_orderstatus") === "O").cast("int").as("s_O"),
+          (col("o_orderstatus") === "P").cast("int").as("s_P"))
+        .select(col("o_orderkey"),
+          when(col("s_F") === 1, "F").when(col("s_O") === 1, "O").otherwise("P")
+            .as("status_rt"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- CUBE over region x order status
+    QueryDef(
+      "q47_revenue_cube",
+      Some(s"""
+        SELECT r_name, o_orderstatus, ${sqlSum("o_totalprice")} AS revenue,
+               COUNT(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, o_orderstatus)
+        ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST"""),
+    ) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      Tables.region(s, dir).createOrReplaceTempView("region")
+      s.sql(s"""
+        SELECT r_name, o_orderstatus, ${sqlSum("o_totalprice")} AS revenue,
+               COUNT(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, o_orderstatus)
+        ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST""")
+    },
+
+    // ---- dictionary language-ID heuristic (argmax of stopword hits)
+    QueryDef(
+      "q48_langid_heuristic",
+      Some("""
+        SELECT doc_id, lang,
+               CASE WHEN s_a >= s_b AND s_a >= s_c THEN 'lang_a'
+                    WHEN s_b >= s_c THEN 'lang_b'
+                    ELSE 'lang_c' END AS predicted
+        FROM (SELECT doc_id, lang,
+                len(list_intersect(string_split_regex(trim(text), '\s+'),
+                    ['table','row','column','scan'])) AS s_a,
+                len(list_intersect(string_split_regex(trim(text), '\s+'),
+                    ['spark','batch','query','join'])) AS s_b,
+                len(list_intersect(string_split_regex(trim(text), '\s+'),
+                    ['fast','slow','big','small'])) AS s_c
+              FROM documents)
+        ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      def hits(words: Seq[String]) = size(array_intersect(
+        split(trim(col("text")), "\\s+"),
+        array(words.map(lit): _*)))
+      Tables.documents(s, dir)
+        .withColumn("s_a", hits(Seq("table", "row", "column", "scan")))
+        .withColumn("s_b", hits(Seq("spark", "batch", "query", "join")))
+        .withColumn("s_c", hits(Seq("fast", "slow", "big", "small")))
+        .select(col("doc_id"), col("lang"),
+          when(col("s_a") >= col("s_b") && col("s_a") >= col("s_c"), "lang_a")
+            .when(col("s_b") >= col("s_c"), "lang_b")
+            .otherwise("lang_c").as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal feature extraction plumbing (stub codec; rows check)
+    QueryDef("q49_media_features", None) { (s, dir) =>
+      Multimodal.featureStats(
+        Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 1000)))
+    },
+
+    // ---- A6 scale variant: HLL approximate distinct vs exact (rows check)
+    QueryDef("q50_approx_distinct", None) { (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    },
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AsofJoin, Multimodal, Sessionize}
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backward asof picks latest right row at-or-before left time") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")),
+      (2L, 10L, ts("2026-01-01 12:00:00")),
+      (3L, 20L, ts("2026-01-01 09:00:00")), // no prior right row
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, ts("2026-01-01 09:30:00"), "a"),
+      (10L, ts("2026-01-01 10:00:00"), "b"), // exactly at left #1 time
+      (10L, ts("2026-01-01 11:00:00"), "c"),
+      (20L, ts("2026-01-01 11:00:00"), "d"), // after left #3
+    ).toDF("k", "ts", "v")
+    val out = AsofJoin.asofBackward(left, right, "k", "ts", "ts", Seq("v"))
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[String]("asof_v")).toSeq == Seq("b", "c", null))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessions split at the inactivity gap, ids are 0-based per user") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(t0), 1.0),
+      (1L, new java.sql.Timestamp(t0 + 60 * 1000), 2.0), // same session
+      (1L, new java.sql.Timestamp(t0 + 3 * 3600 * 1000), 3.0), // new session
+      (2L, new java.sql.Timestamp(t0), 4.0),
+    ).toDF("user_id", "ts", "value")
+    val stats = Sessionize.sessionStats(ev, "user_id", "ts", "value", gapSeconds = 1800)
+      .orderBy("user_id", "session_id").collect()
+    assert(stats.length == 3)
+    assert(stats(0).getAs[Long]("n_events") == 2 && stats(0).getAs[Double]("sum_value") == 3.0)
+    assert(stats(1).getAs[Long]("session_id") == 1 && stats(1).getAs[Long]("n_events") == 1)
+    assert(stats(2).getAs[Long]("user_id") == 2 && stats(2).getAs[Long]("session_id") == 0)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("stub codec features are deterministic and batch plumbing works") {
+    val a = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 200))
+      .collect().sortBy(_.media_id)
+    val b = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 200))
+      .collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(f => f.brightness >= 0 && f.brightness <= 1))
+    assert(a.forall(f => f.byte_len >= 64 && f.byte_len < 256))
+    // video sampling uses duration; image samples exactly one frame
+    assert(a.filter(_.kind == "image").forall(_.n_frames_sampled == 1))
+    assert(a.filter(_.kind == "video").forall(_.n_frames_sampled >= 1))
+  }
+
+  test("a custom codec drops into the same plumbing") {
+    val custom = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(spark, 10),
+      row => Multimodal.MediaCodec.decode(row).copy(brightness = 0.5))
+    assert(custom.collect().forall(_.brightness == 0.5))
+  }
+}
