@@ -48,17 +48,27 @@ object Cleaning {
   }
 
   /** Per-column modes, ties broken by ascending value (pandas `mode()[0]`
-    * sorts ascending; reference etl_pipeline.py:177). One job per column but
-    * over tiny distinct sets; `Unknown` when a column is entirely null.
+    * sorts ascending; reference etl_pipeline.py:177). ONE job for all
+    * columns: rows are stacked to (column, value) pairs, counted in one
+    * shuffle, and ranked per column — versus the reference's (and the
+    * naive port's) one full pass per column. `Unknown` when a column is
+    * entirely null.
     */
-  def modes(df: DataFrame, cols: Seq[String]): Map[String, String] =
-    cols.map { c =>
-      val top = df.filter(qcol(c).isNotNull)
-        .groupBy(qcol(c)).count()
-        .orderBy(desc("count"), asc(c))
-        .limit(1).collect()
-      c -> (if (top.isEmpty) "Unknown" else top(0).get(0).toString)
-    }.toMap
+  def modes(df: DataFrame, cols: Seq[String]): Map[String, String] = {
+    if (cols.isEmpty) return Map.empty
+    import org.apache.spark.sql.expressions.Window
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"), qcol(c).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("kv.c").as("c"), col("kv.v").as("v"))
+      .filter(col("v").isNotNull)
+    val w = Window.partitionBy("c").orderBy(desc("count"), asc("v"))
+    val top = stacked.groupBy("c", "v").count()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("c", "v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cols.map(c => c -> top.getOrElse(c, "Unknown")).toMap
+  }
 
   /** F9 impute: numeric → median, categorical → mode/"Unknown"
     * (reference etl_pipeline.py:156-187). `drop` strategy = na.drop on the

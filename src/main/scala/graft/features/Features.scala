@@ -49,8 +49,10 @@ object Features {
     */
   def quantileBucket(
       df: DataFrame, c: String, tiebreak: String,
-      q: Int, labels: Seq[Int], ascending: Boolean): Column = {
-    val distinct = df.select(c).filter(col(c).isNotNull).distinct().count()
+      q: Int, labels: Seq[Int], ascending: Boolean,
+      distinctCount: Option[Long] = None): Column = {
+    val distinct = distinctCount.getOrElse(
+      df.select(c).filter(col(c).isNotNull).distinct().count())
     val effQ = math.min(q, distinct).toInt
     if (effQ < 2) lit(if (ascending) labels.head else labels.last)
     else {
@@ -68,9 +70,17 @@ object Features {
     * weighted score, score category.
     */
   def rfm(df: DataFrame, tiebreak: String = "user_id"): DataFrame = {
-    val r = quantileBucket(df, "rfm_recency", tiebreak, 5, Seq(5, 4, 3, 2, 1), ascending = false)
-    val f = quantileBucket(df, "rfm_frequency", tiebreak, 5, Seq(1, 2, 3, 4, 5), ascending = true)
-    val m = quantileBucket(df, "rfm_monetary", tiebreak, 5, Seq(1, 2, 3, 4, 5), ascending = true)
+    // one agg job for all three cardinality checks (vs one job each)
+    val dc = df.agg(
+      countDistinct(col("rfm_recency")).as("r"),
+      countDistinct(col("rfm_frequency")).as("f"),
+      countDistinct(col("rfm_monetary")).as("m")).collect()(0)
+    val r = quantileBucket(df, "rfm_recency", tiebreak, 5, Seq(5, 4, 3, 2, 1),
+      ascending = false, Some(dc.getAs[Long]("r")))
+    val f = quantileBucket(df, "rfm_frequency", tiebreak, 5, Seq(1, 2, 3, 4, 5),
+      ascending = true, Some(dc.getAs[Long]("f")))
+    val m = quantileBucket(df, "rfm_monetary", tiebreak, 5, Seq(1, 2, 3, 4, 5),
+      ascending = true, Some(dc.getAs[Long]("m")))
     df.withColumn("rfm_segment",
         concat(r.cast("string"), f.cast("string"), m.cast("string")))
       .withColumn("rfm_score",
@@ -148,32 +158,49 @@ object Features {
   val nominalCols: Seq[String] =
     Seq("country", "city", "marketing_source", "app_version_major", "rfm_segment")
 
+  /** Distinct levels of every categorical column in ONE job: stack to
+    * (column, value) pairs, one distinct shuffle, group on the driver.
+    * Null appears as the sentinel "nan" (matching `astype(str)`).
+    */
+  def distinctLevels(df: DataFrame, cols: Seq[String]): Map[String, Seq[String]] = {
+    if (cols.isEmpty) return Map.empty
+    val stacked = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"), coalesce(col(c).cast("string"), lit("nan")).as("v"))): _*)).as("kv"))
+      .select(col("kv.c").as("c"), col("kv.v").as("v"))
+      .distinct().collect()
+    val grouped = stacked.groupBy(_.getString(0))
+    cols.map(c => c -> grouped.getOrElse(c, Array.empty)
+      .map(_.getString(1)).toSeq.sorted).toMap
+  }
+
   /** F14 ordinal encode with sklearn LabelEncoder parity: codes assigned by
     * lexicographic order of the distinct string values, nulls encoded as
-    * the literal "null" bucket like `astype(str)` turns NaN into "nan".
-    * Implemented as a collected sorted-level when-chain (no StringIndexer —
-    * its frequency ordering diverges, SURVEY §4 pitfall F14).
+    * the literal "nan" bucket like `astype(str)` turns NaN into "nan".
+    * Implemented as a sorted-level when-chain (no StringIndexer — its
+    * frequency ordering diverges, SURVEY §4 pitfall F14).
     */
-  def labelEncode(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
-      val levels = d.select(coalesce(col(c).cast("string"), lit("nan")).as(c))
-        .distinct().collect().map(_.getString(0)).sorted
-      val enc = levels.zipWithIndex.foldLeft(lit(null).cast("int")) {
+  def labelEncode(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val present = cols.filter(df.columns.contains)
+    val levels = distinctLevels(df, present)
+    present.foldLeft(df) { (d, c) =>
+      val enc = levels(c).zipWithIndex.foldLeft(lit(null).cast("int")) {
         case (acc, (v, i)) =>
           when(coalesce(col(c).cast("string"), lit("nan")) === v, i).otherwise(acc)
       }
       d.withColumn(s"${c}_encoded", enc).drop(c)
     }
+  }
 
-  /** F13 one-hot encode, keep-all-levels variant (features path): distinct
-    * levels collected once, sorted for deterministic column order, each
-    * level a codegen'd `(col === v).cast(int)` — no join, no shuffle.
+  /** F13 one-hot encode, keep-all-levels variant (features path): level
+    * discovery for all columns fused into one job, sorted for
+    * deterministic column order, each level a codegen'd
+    * `(col === v).cast(int)` — no join, no shuffle in the encode itself.
     */
-  def oneHotEncode(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
-      val levels = d.select(col(c)).filter(col(c).isNotNull)
-        .distinct().collect().map(_.get(0).toString).sorted
-      val withDummies = levels.foldLeft(d) { (dd, v) =>
+  def oneHotEncode(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val present = cols.filter(df.columns.contains)
+    val levels = distinctLevels(df, present)
+    present.foldLeft(df) { (d, c) =>
+      val withDummies = levels(c).filterNot(_ == "nan").foldLeft(d) { (dd, v) =>
         // sanitize level values: dots/spaces in generated column names
         // break every dotted-path resolver downstream (na.fill,
         // VectorAssembler) — divergence from pandas' verbatim names,
@@ -183,10 +210,29 @@ object Features {
       }
       withDummies.drop(c)
     }
+  }
 
-  /** Block 6 — encode (reference :240-263). */
-  def encode(df: DataFrame): DataFrame =
-    oneHotEncode(labelEncode(df, ordinalCols), nominalCols)
+  /** Block 6 — encode (reference :240-263). Level discovery for ordinal
+    * AND nominal columns happens in one job up front (the two encoders
+    * touch disjoint columns, so both can read from the pre-encode frame).
+    */
+  def encode(df: DataFrame): DataFrame = {
+    val present = (ordinalCols ++ nominalCols).filter(df.columns.contains)
+    val levels = distinctLevels(df, present)
+    val labeled = ordinalCols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      val enc = levels(c).zipWithIndex.foldLeft(lit(null).cast("int")) {
+        case (acc, (v, i)) =>
+          when(coalesce(col(c).cast("string"), lit("nan")) === v, i).otherwise(acc)
+      }
+      d.withColumn(s"${c}_encoded", enc).drop(c)
+    }
+    nominalCols.filter(labeled.columns.contains).foldLeft(labeled) { (d, c) =>
+      levels(c).filterNot(_ == "nan").foldLeft(d) { (dd, v) =>
+        val safe = v.replaceAll("[^A-Za-z0-9_]", "_")
+        dd.withColumn(s"${c}_$safe", (col(c) === v).cast("int"))
+      }.drop(c)
+    }
+  }
 
   /** Full feature stage in reference order (adds ~30 scalar features, then
     * encoding expands categoricals).

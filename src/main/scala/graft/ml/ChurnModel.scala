@@ -84,14 +84,18 @@ object ChurnModel {
 
   /** M4: accuracy / weighted P-R-F1 / ROC-AUC on a scored frame. */
   def evaluate(scored: DataFrame, labelCol: String = "churn_label"): Metrics = {
-    def mc(metric: String) = new MulticlassClassificationEvaluator()
-      .setLabelCol(labelCol).setPredictionCol("prediction")
-      .setMetricName(metric).evaluate(scored)
-    val auc = new BinaryClassificationEvaluator()
-      .setLabelCol(labelCol).setRawPredictionCol("rawPrediction")
-      .setMetricName("areaUnderROC").evaluate(scored)
-    Metrics(mc("accuracy"), mc("weightedPrecision"), mc("weightedRecall"),
-      mc("f1"), auc)
+    // five evaluator passes read the same scored frame — materialize once
+    val cached = scored.select(labelCol, "prediction", "rawPrediction").persist()
+    try {
+      def mc(metric: String) = new MulticlassClassificationEvaluator()
+        .setLabelCol(labelCol).setPredictionCol("prediction")
+        .setMetricName(metric).evaluate(cached)
+      val auc = new BinaryClassificationEvaluator()
+        .setLabelCol(labelCol).setRawPredictionCol("rawPrediction")
+        .setMetricName("areaUnderROC").evaluate(cached)
+      Metrics(mc("accuracy"), mc("weightedPrecision"), mc("weightedRecall"),
+        mc("f1"), auc)
+    } finally { cached.unpersist(); () }
   }
 
   /** M1-M4 end to end: assemble, stratified split, fit on train, evaluate
@@ -102,11 +106,14 @@ object ChurnModel {
     val prepared = df
       .withColumn(cfg.labelCol, col(cfg.labelCol).cast("double"))
       .na.fill(features.map(_ -> 0.0).toMap) // median-impute upstream; 0 safety net
-    val Seq(train, valid, test) = stratifiedSplit(prepared, cfg.labelCol, cfg.seed)
-    val model = buildPipeline(features, cfg).fit(train)
-    TrainResult(model, features,
-      evaluate(model.transform(valid), cfg.labelCol),
-      evaluate(model.transform(test), cfg.labelCol))
+      .persist() // split + iterative fit + two evals all re-read this frame
+    try {
+      val Seq(train, valid, test) = stratifiedSplit(prepared, cfg.labelCol, cfg.seed)
+      val model = buildPipeline(features, cfg).fit(train)
+      TrainResult(model, features,
+        evaluate(model.transform(valid), cfg.labelCol),
+        evaluate(model.transform(test), cfg.labelCol))
+    } finally { prepared.unpersist(); () }
   }
 
   /** M7: top-k feature importances from the fitted tree ensemble. */

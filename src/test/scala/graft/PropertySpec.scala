@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import org.apache.spark.sql.functions._
+import graft.clean.Cleaning
+import graft.core.Det
+import graft.features.Features
+
+/** Property-based invariants (SURVEY §5.2.3): the runtime checks the
+  * reference performs become generated-input properties.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each trial runs Spark jobs; keep tight
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val doubles = Gen.listOfN(40, Gen.chooseNum(-1e6, 1e6))
+    .suchThat(_.nonEmpty)
+
+  property("dsum equals BigDecimal-exact sum of 6dp-rounded values") =
+    forAll(doubles) { xs =>
+      val rounded = xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      val expected = rounded.sum.toDouble
+      val got = xs.toDF("v").agg(Det.dsum(col("v"))).collect()(0).getDouble(0)
+      got == expected
+    }
+
+  property("IQR clip output stays within computed fences") =
+    forAll(doubles) { xs =>
+      val df = xs.toDF("v")
+      val clipped = Cleaning.clipOutliersIqr(df, exclude = Nil)
+      val qs = df.agg(expr("percentile(v, 0.25)"), expr("percentile(v, 0.75)"))
+        .collect()(0)
+      val (q1, q3) = (qs.getDouble(0), qs.getDouble(1))
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      val mm = clipped.agg(min("v"), max("v")).collect()(0)
+      mm.getDouble(0) >= lo - 1e-9 && mm.getDouble(1) <= hi + 1e-9
+    }
+
+  property("impute leaves no nulls") =
+    forAll(Gen.listOfN(30, Gen.option(Gen.chooseNum(-100.0, 100.0)))) { xs =>
+      xs.exists(_.isDefined) ==> {
+        val imputed = Cleaning.imputeNulls(xs.toDF("v"))
+        imputed.filter(col("v").isNull).count() == 0
+      }
+    }
+
+  property("ntile bucket sizes differ by at most 1") =
+    forAll(Gen.chooseNum(10, 80), Gen.long) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val df = (0 until n).map(i => (f"U$i%05d", rnd.nextInt(1000)))
+        .toDF("user_id", "rfm_frequency")
+      val bucket = Features.quantileBucket(df, "rfm_frequency", "user_id",
+        5, Seq(1, 2, 3, 4, 5), ascending = true)
+      val sizes = df.select(bucket.as("b")).groupBy("b").count()
+        .collect().map(_.getLong(1))
+      sizes.max - sizes.min <= 1
+    }
+
+  property("pd.cut: values at bin edges fall in the right-closed bin") =
+    forAll(Gen.chooseNum(1, 999)) { x =>
+      val got = Seq(x).toDF("v")
+        .select(Features.cut(col("v"), Seq(0, 250, 500, 750, 1000),
+          Seq("a", "b", "c", "d")).as("c"))
+        .collect()(0).getString(0)
+      val expected =
+        if (x <= 250) "a" else if (x <= 500) "b" else if (x <= 750) "c" else "d"
+      got == expected
+    }
+}
