@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `sorted_intersect_size(a, b)`: size of the intersection of two SORTED
+  * string arrays via a single merge scan.
+  *
+  * Rationale (SURVEY §2 custom-op preference (b)): `array_intersect`
+  * builds a hash set per row — on a pair-verification join evaluating
+  * millions of candidate pairs (MinHash/Jaccard dedup), that allocation
+  * dominates. Sortedness is established once per document
+  * (`array_sort` at tokenize time), then every pairwise intersection is a
+  * linear merge with zero allocation. Codegen'd (`doGenCode`), so the
+  * loop inlines into the whole-stage-generated join consumer.
+  *
+  * Contract: both inputs ascending-sorted, distinct, non-null elements
+  * (token sets satisfy this by construction).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      s"""
+        int $i = 0; int $j = 0; int $c = 0;
+        final int $nx = $a.numElements();
+        final int $ny = $b.numElements();
+        while ($i < $nx && $j < $ny) {
+          final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+          if ($cmp == 0) { $c++; $i++; $j++; }
+          else if ($cmp < 0) { $i++; } else { $j++; }
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSize {
+  /** Column API. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      SortedIntersectSize(
+        org.apache.spark.sql.GraftShim.expression(a),
+        org.apache.spark.sql.GraftShim.expression(b)))
+
+  /** SQL registration: `SELECT sorted_intersect_size(a, b)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
+}

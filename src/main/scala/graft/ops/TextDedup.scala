@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.SortedIntersectSize.sortedIntersectSize
 
 /** Large-scale text deduplication operators (the training-data-pipeline
   * surface): exact fingerprint dedup, exact pairwise Jaccard with blocking,
@@ -15,8 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** Distinct whitespace tokens of the text column. */
-  def tokens(text: Column): Column = array_distinct(split(trim(text), "\\s+"))
+  /** Distinct whitespace tokens of the text column, SORTED — sortedness
+    * is established once per document so pairwise intersections can use
+    * the codegen'd merge-scan [[graft.functions.SortedIntersectSize]]
+    * instead of per-pair hash sets.
+    */
+  def tokens(text: Column): Column =
+    array_sort(array_distinct(split(trim(text), "\\s+")))
 
   /** Word n-gram shingles (n consecutive tokens joined by space). Falls
     * back to whole-text single shingle when the doc is shorter than n.
@@ -63,9 +69,12 @@ object TextDedup {
       // expensive intersections without changing the result
       .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double") /
         greatest(size(col("toks_a")), size(col("toks_b"))) >= threshold)
+      // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: one set op per pair
+      // instead of building the union array
+      .withColumn("_i", sortedIntersectSize(col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_distinct(concat(col("toks_a"), col("toks_b")))))
+        col("_i").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -141,9 +150,10 @@ object TextDedup {
     candidates.join(ta, "id_a").join(tb, "id_b")
       .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double") /
         greatest(size(col("toks_a")), size(col("toks_b"))) >= threshold)
+      .withColumn("_i", sortedIntersectSize(col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_distinct(concat(col("toks_a"), col("toks_b")))))
+        col("_i").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -151,16 +161,20 @@ object TextDedup {
   /** 64-bit SimHash from the token set: bit j of the hash is set when the
     * sum of ±1 contributions (per-token xxhash64 bit j) is positive.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
-    // statically unrolled over the 64 bit positions (shift amounts must be
-    // compile-time ints for codegen'd shiftright/shiftleft)
+  /** SimHash over a PRE-MATERIALIZED per-token hash array. The 64 bit
+    * expressions each reference the same input column, so token hashing
+    * happens once per row, not 64 times (subexpression elimination does
+    * not reach into independent lambda trees).
+    */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { j =>
       val bitSum = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-  }
+
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
     * (any pair within Hamming distance <= maxHamming and uniform bit error
@@ -170,7 +184,10 @@ object TextDedup {
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val base = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val base = df
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => xxhash64(t)).as("_h"))
+      .select(col("id"), simhashFromHashes(col("_h")).as("sh"))
     val chunks = base.select(col("id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
