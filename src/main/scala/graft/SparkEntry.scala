@@ -8,7 +8,8 @@ object SparkEntry {
   /** All registered correctness-gate queries. */
   def allDefs: Seq[QueryDef] =
     RelQueries.defs ++ AggQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ VectorQueries.defs ++ OpsQueries.defs
+      DedupQueries.defs ++ VectorQueries.defs ++ OpsQueries.defs ++
+      WindowQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
