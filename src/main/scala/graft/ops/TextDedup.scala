@@ -62,7 +62,13 @@ object TextDedup {
       tokens(col(textCol)).as("toks"))
     val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
     val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
-    a.join(b, Seq("block"))
+    // the block key is low-cardinality (5 languages): a shuffle join would
+    // collapse parallelism to #blocks and skew; broadcasting the right
+    // side keeps pair enumeration at full input parallelism. (At corpus
+    // sizes past broadcast limits, use minhashNearDups — that IS the
+    // scale path; this operator is the exact small/medium-corpus twin.)
+    a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(b), Seq("block"))
       .filter(col("id_a") < col("id_b"))
       // sound prefilter: J <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
       // sizes are too disparate can never reach the threshold — skips the

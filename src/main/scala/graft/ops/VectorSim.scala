@@ -44,11 +44,15 @@ object VectorSim {
   def cosineTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    // norms computed ONCE per row, not per pair: the pairwise work drops
+    // to a single dot product (same final values — identical arithmetic)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(normSqExact(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(normSqExact(col("cv"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineExact(col("qv"), col("cv")))
+      .withColumn("cosine", dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -87,11 +91,13 @@ object VectorSim {
     val planes = hyperplanes(numPlanes, dim, seed)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), planes, numPlanes))
+      .withColumn("qn", sqrt(normSqExact(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes, numPlanes))
+      .withColumn("cn", sqrt(normSqExact(col("cv"))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineExact(col("qv"), col("cv")))
+      .withColumn("cosine", dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -107,11 +113,12 @@ object VectorSim {
     val planes = hyperplanes(numPlanes, dim, seed)
     val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, numPlanes))
-    val a = t.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = t.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+      .withColumn("n", sqrt(normSqExact(col("v"))))
+    val a = t.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = t.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineExact(col("va"), col("vb")))
+      .withColumn("cosine", dotExact(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
