@@ -13,6 +13,10 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // operators may persist intermediates (LSH docs, CC labels); drop
+      // them so queries are timed independently, not under accumulated
+      // cache/GC pressure from earlier ones
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

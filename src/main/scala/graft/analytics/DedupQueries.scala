@@ -58,5 +58,12 @@ object DedupQueries {
       TextDedup.simhashNearDups(Tables.documents(s, dir), "text", "doc_id",
         maxHamming = 3).orderBy("id_a", "id_b")
     },
+
+    // ---- MinHash dedup CLUSTERING: the linear-cost 100 TB dedup shape
+    // (star edges + label propagation, no quadratic pair listing)
+    QueryDef("q55_minhash_dedup_clusters", None) { (s, dir) =>
+      TextDedup.minhashDedupClusters(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("id")
+    },
   )
 }

@@ -138,9 +138,12 @@ object Cleaning {
       .foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
   }
 
-  /** Full cleaning stage in reference order. */
+  /** Full cleaning stage in reference order. The dedup step here skips
+    * the removed-count bookkeeping (two extra full-count jobs) — use
+    * `dropDuplicates(df)` directly when the count is needed for logging.
+    */
   def clean(df: DataFrame, imputeStrategy: String = "impute", exact: Boolean = true): DataFrame = {
-    val (deduped, _) = dropDuplicates(df)
+    val deduped = df.dropDuplicates()
     val imputed = imputeStrategy match {
       case "drop" => dropNullRows(deduped)
       case _ => imputeNulls(deduped, exact)

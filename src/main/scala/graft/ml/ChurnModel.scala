@@ -116,6 +116,36 @@ object ChurnModel {
     } finally { prepared.unpersist(); () }
   }
 
+  /** M5/M6: k-fold cross-validation over a small hyperparameter grid
+    * (reference: 5-fold StratifiedKFold + Optuna TPE search,
+    * model_trainer.py:376-498; Spark maps to CrossValidator +
+    * ParamGridBuilder — grid/random search, TPE out of scope, documented).
+    * Returns (bestModel, mean AUC per grid point).
+    */
+  def crossValidate(
+      df: DataFrame, cfg: Config = Config(), numFolds: Int = 5,
+      maxDepthGrid: Seq[Int] = Seq(4, 6)): (org.apache.spark.ml.Model[_], Seq[Double]) = {
+    val features = featureColumns(df, cfg.labelCol)
+    val prepared = df.withColumn(cfg.labelCol, col(cfg.labelCol).cast("double"))
+      .na.fill(features.map(_ -> 0.0).toMap)
+    val pipeline = buildPipeline(features, cfg)
+    val clf = pipeline.getStages.last.asInstanceOf[GBTClassifier]
+    val grid = new org.apache.spark.ml.tuning.ParamGridBuilder()
+      .addGrid(clf.maxDepth, maxDepthGrid)
+      .build()
+    val cv = new org.apache.spark.ml.tuning.CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol(cfg.labelCol).setRawPredictionCol("rawPrediction")
+        .setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds)
+      .setSeed(cfg.seed)
+      .setParallelism(2)
+    val model = cv.fit(prepared)
+    (model.bestModel, model.avgMetrics.toSeq)
+  }
+
   /** M7: top-k feature importances from the fitted tree ensemble. */
   def featureImportances(result: TrainResult, k: Int = 20): Seq[(String, Double)] = {
     val imp = result.model.stages.last match {

@@ -164,6 +164,73 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** MinHash-LSH duplicate CLUSTERING — the form a 100 TB dedup actually
+    * runs. Listing all near-dup pairs is quadratic in cluster size (a
+    * 10k-copy boilerplate cluster is 50M pairs); for dedup you only need
+    * a representative per cluster. Each LSH bucket contributes a STAR
+    * (bucket-min id <- member), linear in bucket size, and iterated
+    * min-label propagation over the star edges converges to connected
+    * components. Returns (id, cluster_rep); keep rows where
+    * id == cluster_rep.
+    *
+    * Note: candidates are LSH-level (no Jaccard verification) — exactly
+    * how production near-dedup treats band collisions; tune bands/rows
+    * for the target threshold.
+    */
+  def minhashDedupClusters(
+      df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 32,
+      maxIterations: Int = 10): DataFrame = {
+    val rows = numHashes / bands
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sig", minhashSignature(col("toks"), numHashes))
+    val buckets = docs
+      .select(col("id"), explode(bandHashes(col("sig"), bands, rows)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+    // star edges: every member points at its bucket's minimum id;
+    // symmetrized so labels flow both member->rep and rep->member
+    // (otherwise two buckets linked through a shared member never merge)
+    val bucketMin = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val stars = buckets
+      .withColumn("rep", min(col("id")).over(bucketMin))
+      .filter(col("id") =!= col("rep"))
+      .select(col("id"), col("rep")).dropDuplicates()
+    val edges = stars
+      .unionAll(stars.select(col("rep").as("id"), col("id").as("rep")))
+      .persist()
+
+    // min-label propagation until fixpoint (iterations ~ cluster
+    // diameter). Labels only ever decrease, so an unchanged label sum IS
+    // the fixpoint — one cheap aggregate per round instead of a join-diff.
+    var labels = docs.select(col("id"), col("id").as("cluster_rep")).persist()
+    var prevSum = labels.agg(sum("cluster_rep")).collect()(0).getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // re-label each id with the minimum label among {its own} U
+      // {labels of its neighbors}
+      val viaEdges = edges
+        .join(labels.select(col("id").as("rep"), col("cluster_rep").as("rep_label")),
+          Seq("rep"))
+        .groupBy("id").agg(min(col("rep_label")).as("edge_label"))
+      val next = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_rep"), coalesce(col("edge_label"), col("cluster_rep")))
+            .as("cluster_rep"))
+        .persist()
+      val nextSum = next.agg(sum("cluster_rep")).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash from the token set: bit j of the hash is set when the
     * sum of ±1 contributions (per-token xxhash64 bit j) is positive.
     */

@@ -55,3 +55,19 @@ class ChurnModelSpec extends SparkSpec {
     }
   }
 }
+
+class CrossValidationSpec extends SparkSpec {
+  test("5-fold CV returns a metric per grid point, best model usable") {
+    val (best, metrics) = graft.ml.ChurnModel.crossValidate(
+      graft.core.ChurnFixture.df(spark, 1500),
+      graft.ml.ChurnModel.Config(maxIter = 5),
+      numFolds = 3, maxDepthGrid = Seq(3, 5))
+    assert(metrics.length == 2)
+    assert(metrics.forall(m => m > 0.5 && m <= 1.0), metrics.toString)
+    val scored = best.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      .transform(graft.core.ChurnFixture.df(spark, 100)
+        .withColumn("churn_label",
+          org.apache.spark.sql.functions.col("churn_label").cast("double")))
+    assert(scored.count() == 100)
+  }
+}

@@ -90,3 +90,33 @@ class VectorSimSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 11L)))
   }
 }
+
+class DedupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash clustering finds transitive components and keeps min rep") {
+    // 0,1,3 near-identical (one cluster via transitivity); 2 unrelated
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "completely different content with other words entirely"),
+    ).toDF("doc_id", "text")
+    val clusters = graft.ops.TextDedup.minhashDedupClusters(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(0L) == 0L && clusters(1L) == 0L && clusters(3L) == 0L)
+    assert(clusters(2L) == 2L)
+    // dedup keep-list = rows where id == rep
+    assert(clusters.count { case (id, rep) => id == rep } == 2)
+  }
+
+  test("clustering at corpus scale agrees with pair connectivity") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val clusters = graft.ops.TextDedup.minhashDedupClusters(docs, "text", "doc_id")
+    val n = clusters.count()
+    assert(n == 500) // every doc labeled exactly once
+    val reps = clusters.filter(org.apache.spark.sql.functions
+      .col("id") === org.apache.spark.sql.functions.col("cluster_rep")).count()
+    assert(reps > 0 && reps < 500) // dense corpus: real clustering happened
+  }
+}
