@@ -63,4 +63,13 @@ object ChurnAnalytics {
     */
   def lookupUser(df: DataFrame, userId: String): DataFrame =
     df.filter(col("user_id") === userId)
+
+  /** J3: two-source fallback lookup (reference api.py:243-255 — query the
+    * features table, fall back to users_processed when empty).
+    */
+  def lookupUserWithFallback(
+      primary: DataFrame, fallback: DataFrame, userId: String): DataFrame = {
+    val hit = lookupUser(primary, userId)
+    if (hit.isEmpty) lookupUser(fallback, userId) else hit
+  }
 }

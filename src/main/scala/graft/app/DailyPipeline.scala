@@ -27,7 +27,9 @@ object DailyPipeline {
       validation: SchemaValidator.ValidationReport,
       quality: QualityAudit.AuditReport,
       rowsOut: Long,
-      colsOut: Int)
+      colsOut: Int,
+      columnsAdded: Seq[String] = Nil, // D2: raw -> processed schema diff
+      columnsRemoved: Seq[String] = Nil)
 
   def transform(df: DataFrame, exact: Boolean = true): DataFrame = {
     val cleaned = Cleaning.clean(df, exact = exact)
@@ -57,7 +59,9 @@ object DailyPipeline {
       silverPath.foreach { p =>
         silver.write.mode("overwrite").option("compression", "snappy").parquet(p)
       }
-      RunReport(validation, quality, rows, silver.columns.length)
+      RunReport(validation, quality, rows, silver.columns.length,
+        columnsAdded = (silver.columns.toSet -- bronze.columns.toSet).toSeq.sorted,
+        columnsRemoved = (bronze.columns.toSet -- silver.columns.toSet).toSeq.sorted)
     } finally bronze.unpersist()
   }
 }

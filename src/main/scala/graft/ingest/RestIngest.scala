@@ -38,6 +38,15 @@ object RestIngest {
 
   type Fetcher = (Int, Int) => Seq[String] // (page, pageSize) => JSON rows
 
+  /** Incremental pull (reference api_ingestion.py:77-78 `updated_since`):
+    * the watermark is pushed to the API as a fetcher parameter; the
+    * returned fetcher pages only records updated at/after it. Callers
+    * persist the max ingestion timestamp per run and pass it back on the
+    * next (the streaming-free CDC pattern).
+    */
+  def incremental(fetcherFor: String => Fetcher, updatedSince: String): Fetcher =
+    fetcherFor(updatedSince)
+
   /** Driver-side paginated fetch: stops on an empty or short page
     * (reference :120-140). Returns raw JSON rows.
     */

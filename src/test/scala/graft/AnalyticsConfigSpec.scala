@@ -82,3 +82,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == 2)
   }
 }
+
+class FallbackAndIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-source fallback lookup: primary hit wins, else fallback") {
+    val primary = Seq(("U00001", "from_features")).toDF("user_id", "src")
+    val fallback = Seq(("U00001", "from_processed"), ("U00002", "from_processed"))
+      .toDF("user_id", "src")
+    val hit = graft.analytics.ChurnAnalytics
+      .lookupUserWithFallback(primary, fallback, "U00001").collect()
+    assert(hit(0).getString(1) == "from_features")
+    val fb = graft.analytics.ChurnAnalytics
+      .lookupUserWithFallback(primary, fallback, "U00002").collect()
+    assert(fb(0).getString(1) == "from_processed")
+  }
+
+  test("incremental fetcher passes the watermark through to the API") {
+    val fetcherFor: String => graft.ingest.RestIngest.Fetcher = since =>
+      (page, size) => if (page == 1) Seq(s"""{"since":"$since"}""") else Nil
+    val rows = graft.ingest.RestIngest.fetchAll(
+      graft.ingest.RestIngest.incremental(fetcherFor, "2026-08-01T00:00:00"),
+      pageSize = 100)
+    assert(rows == Seq("""{"since":"2026-08-01T00:00:00"}"""))
+  }
+
+  test("approx stats path (exact=false) produces the same pipeline shape") {
+    val df = graft.core.ChurnFixture.df(spark, 400)
+    val exact = graft.app.DailyPipeline.transform(df, exact = true)
+    val approx = graft.app.DailyPipeline.transform(df, exact = false)
+    assert(exact.columns.sorted.toSeq == approx.columns.sorted.toSeq)
+    assert(approx.count() == 400)
+  }
+}
