@@ -74,6 +74,52 @@ object WindowQueries {
         .orderBy("c_custkey")
     },
 
+    // ---- TPC-H Q3 shape: selective join + group + top-k by revenue
+    QueryDef(
+      "q56_shipping_priority",
+      Some(s"""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+          col("o_orderpriority"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey")).limit(10)
+    },
+
+    // ---- BETWEEN date-range scan with row-group skipping
+    QueryDef(
+      "q57_quarter_revenue",
+      Some(s"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                             AND TIMESTAMP '1997-03-31 00:00:00'"""),
+    ) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between(
+          lit("1997-01-01").cast("timestamp"), lit("1997-03-31").cast("timestamp")))
+        .agg(decSum(col("l_extendedprice")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
     // ---- ordered string aggregation (listagg) of statuses per customer
     QueryDef(
       "q54_status_history",
