@@ -39,6 +39,25 @@ object DailyPipeline {
       .withColumn("_processing_version", lit("1.0.0"))
   }
 
+  /** `transform` with the reference's feature-stage caching
+    * (etl_pipeline.py:110-119, TTL 24 h): the cleaned+engineered frame is
+    * materialized in the parquet stage cache keyed by (rows, schema,
+    * options) and reused across runs on identical input; only the cheap
+    * normalize/metadata tail re-runs.
+    */
+  def transformCached(
+      spark: org.apache.spark.sql.SparkSession, df: DataFrame, cacheBase: String,
+      exact: Boolean = true, ttlMillis: Long = 24L * 3600 * 1000): DataFrame = {
+    val signature = s"${df.count()}|${df.schema.catalogString}"
+    val key = graft.core.StageCache.key("features", signature, s"exact=$exact")
+    val featured = graft.core.StageCache.cached(spark, cacheBase, key, ttlMillis) {
+      Features.engineer(Cleaning.clean(df, exact = exact), exact = exact)
+    }
+    ZScore.fitTransform(featured)
+      .withColumn("_processing_timestamp", current_timestamp())
+      .withColumn("_processing_version", lit("1.0.0"))
+  }
+
   /** End-to-end run. `silverPath` gets a snappy parquet of the processed
     * frame (date-partitionable by caller convention `.../dt=YYYYMMDD/`).
     */

@@ -31,6 +31,17 @@ object PipelineDemo {
       bronzePath = Some(s"$work/bronze"), silverPath = Some(s"$work/silver"))
     val etlSecs = (System.nanoTime() - t0) / 1e9
 
+    // optional feature-stage cache demo (GRAFT_CACHE_BASE=dir): re-running
+    // with identical input should hit the parquet stage cache
+    sys.env.get("GRAFT_CACHE_BASE").foreach { base =>
+      val tC = System.nanoTime()
+      val cached = DailyPipeline.transformCached(spark,
+        spark.read.parquet(s"$work/bronze"), base)
+      val nC = cached.count()
+      println(f"cached transform:  $nC rows in ${(System.nanoTime() - tC) / 1e9}%.1f s " +
+        s"(hits=${graft.core.StageCache.stats.hits} misses=${graft.core.StageCache.stats.misses})")
+    }
+
     // ML stage (M1-M10): train on Silver, enforce the deploy gate, score,
     // land the scored gold partition, resolve it back (S8)
     val t1 = System.nanoTime()

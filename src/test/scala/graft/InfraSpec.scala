@@ -110,3 +110,19 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getLong(0) == 100)
   }
 }
+
+class TransformCacheSpec extends SparkSpec {
+  test("cached transform: second run reuses the feature-stage parquet") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tc").toString
+    val df = graft.core.ChurnFixture.df(spark, 200)
+    val m0 = graft.core.StageCache.stats.misses
+    val a = graft.app.DailyPipeline.transformCached(spark, df, base)
+    assert(a.count() == 200)
+    assert(graft.core.StageCache.stats.misses == m0 + 1)
+    val h0 = graft.core.StageCache.stats.hits
+    val b = graft.app.DailyPipeline.transformCached(spark, df, base)
+    assert(b.count() == 200)
+    assert(graft.core.StageCache.stats.hits == h0 + 1)
+    assert(a.columns.sorted.toSeq == b.columns.sorted.toSeq)
+  }
+}
