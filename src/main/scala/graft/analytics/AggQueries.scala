@@ -237,11 +237,11 @@ object AggQueries {
       "q22_user_event_pivot",
       Some(s"""
         SELECT user_id,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
                ${sqlSum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value
         FROM events GROUP BY user_id ORDER BY user_id"""),
     ) { (s, dir) =>
@@ -295,19 +295,27 @@ object AggQueries {
         .orderBy("p_partkey")
     },
 
-    // ---- F2 zero-guarded ratio (the reference's x / y.replace(0,1) idiom)
+    // ---- F2 zero-guarded ratio (the reference's x / y.replace(0,1) idiom).
+    // The per-row quotient is summed as floor(q * 1e4) in BIGINT: double
+    // multiply/divide/floor are IEEE-identical in Spark and DuckDB, and the
+    // integer sum is exact, so the result is bit-deterministic under any
+    // partitioning — summing raw double quotients (even via a decimal cast)
+    // trips engine-specific rounding of the cast at the 6th decimal.
     QueryDef(
       "q25_unit_price",
-      Some(s"""
+      Some("""
         SELECT l_returnflag,
-               ${sqlSum("l_extendedprice / (CASE WHEN l_quantity = 0 THEN 1 ELSE l_quantity END)")} AS sum_unit_price
+               CAST(SUM(CAST(floor(l_extendedprice * 10000 /
+                 (CASE WHEN l_quantity = 0 THEN 1 ELSE l_quantity END)) AS BIGINT)) AS BIGINT)
+                 AS sum_unit_price_e4
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     ) { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(dsum(col("l_extendedprice") /
+        .agg(sum(floor(col("l_extendedprice") * 10000 /
           when(col("l_quantity") === 0, 1).otherwise(col("l_quantity")))
-          .as("sum_unit_price"))
+          .cast("long"))
+          .as("sum_unit_price_e4"))
         .orderBy("l_returnflag")
     },
   )

@@ -25,7 +25,7 @@ object OpsQueries {
           FROM (SELECT user_id, value, ts,
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                 FROM events))
-        SELECT user_id, session_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
                epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
                ${sqlSum("value")} AS sum_value
         FROM s GROUP BY user_id, session_id

@@ -3,9 +3,11 @@
 
 Runs after `graft.Verify` has dumped query results: for every query dir in
 OUT and entry in oracle_sql.json, executes the oracle SQL in DuckDB over the
-same sf parquet tables and compares (schema-insensitively: columns sorted by
-name, rows sorted, exact value match with float bit-compare + tolerance
-report).
+same sf parquet tables and compares STRICTLY, mirroring the driver's hash
+gate: columns sorted by name, rows sorted, arrow value types must agree
+(a DuckDB int128/decimal vs Spark int64 is a FAIL even when values are
+numerically equal — the driver hashes typed values), and floats must be
+bit-identical (nan==nan allowed).
 
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
@@ -69,29 +71,47 @@ def norm(t):
     return cols, sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
 
 
+def type_class(t):
+    """Coarse type class mirroring the driver's hash behavior: integer
+    widths are interchangeable (round-1 evidence: int32 vs int64 columns
+    hash-matched), but decimal128 (DuckDB hugeint, e.g. from SUM(int)) vs
+    int64 hash-MISmatched — flag that."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    return str(t)
+
+
 def compare(a, b):
+    ta = {f.name: type_class(f.type) for f in a.schema}
+    tb = {f.name: type_class(f.type) for f in b.schema}
+    if ta != tb:
+        diff = {c: (ta.get(c), tb.get(c)) for c in set(ta) | set(tb)
+                if ta.get(c) != tb.get(c)}
+        return False, f"value types differ (driver hashes typed values): {diff}"
     ca, ra = norm(a)
     cb, rb = norm(b)
     if ca != cb:
         return False, f"columns differ: spark={ca} duck={cb}"
     if len(ra) != len(rb):
         return False, f"row count differs: spark={len(ra)} duck={len(rb)}"
-    max_rel = 0.0
     for i, (x, y) in enumerate(zip(ra, rb)):
         for c, (u, v) in zip(ca, zip(x, y)):
-            if u == v:
-                continue
             if isinstance(u, float) and isinstance(v, float):
                 if math.isnan(u) and math.isnan(v):
                     continue
-                rel = abs(u - v) / max(abs(u), abs(v), 1e-300)
-                max_rel = max(max_rel, rel)
-                if rel > 1e-9:
-                    return False, f"row {i} col {c}: spark={u!r} duck={v!r} rel={rel:.2e}"
+                if u != v or math.copysign(1, u) != math.copysign(1, v):
+                    rel = abs(u - v) / max(abs(u), abs(v), 1e-300)
+                    return False, (f"row {i} col {c}: spark={u!r} duck={v!r} "
+                                   f"rel={rel:.2e} (bit-exact required)")
                 continue
-            return False, f"row {i} col {c}: spark={u!r} duck={v!r}"
-    msg = f"[max float rel diff {max_rel:.1e}]" if max_rel else ""
-    return True, msg
+            if u != v:
+                return False, f"row {i} col {c}: spark={u!r} duck={v!r}"
+    return True, ""
 
 
 if __name__ == "__main__":
