@@ -4,11 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `sorted_intersect_size(a, b)`: size of the intersection of two SORTED
-  * string arrays via a single merge scan.
+  * arrays (string or long elements) via a single merge scan.
   *
   * Rationale (SURVEY §2 custom-op preference (b)): `array_intersect`
   * builds a hash set per row — on a pair-verification join evaluating
@@ -16,10 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * dominates. Sortedness is established once per document
   * (`array_sort` at tokenize time), then every pairwise intersection is a
   * linear merge with zero allocation. Codegen'd (`doGenCode`), so the
-  * loop inlines into the whole-stage-generated join consumer.
+  * loop inlines into the whole-stage-generated join consumer. The long
+  * variant (pre-hashed token sets) compares primitives — no UTF8String
+  * dereference — and is the dedup-verification hot path.
   *
   * Contract: both inputs ascending-sorted, distinct, non-null elements
-  * (token sets satisfy this by construction).
+  * (token/hash sets satisfy this by construction), same element type.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -27,16 +29,28 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
 
+  private lazy val isLongElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val nx = x.numElements(); val ny = y.numElements()
-    while (i < nx && j < ny) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (isLongElems) {
+      while (i < nx && j < ny) {
+        val u = x.getLong(i); val v = y.getLong(j)
+        if (u == v) { c += 1; i += 1; j += 1 }
+        else if (u < v) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -44,16 +58,30 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val c = ctx.freshName("c")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val body = if (isLongElems) {
+        val u = ctx.freshName("u"); val v = ctx.freshName("v")
+        s"""
+          final long $u = $a.getLong($i);
+          final long $v = $b.getLong($j);
+          if ($u == $v) { $c++; $i++; $j++; }
+          else if ($u < $v) { $i++; } else { $j++; }
+        """
+      } else {
+        val cmp = ctx.freshName("cmp")
+        s"""
+          final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+          if ($cmp == 0) { $c++; $i++; $j++; }
+          else if ($cmp < 0) { $i++; } else { $j++; }
+        """
+      }
       s"""
         int $i = 0; int $j = 0; int $c = 0;
         final int $nx = $a.numElements();
         final int $ny = $b.numElements();
         while ($i < $nx && $j < $ny) {
-          final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-          if ($cmp == 0) { $c++; $i++; $j++; }
-          else if ($cmp < 0) { $i++; } else { $j++; }
+          $body
         }
         ${ev.value} = $c;
       """

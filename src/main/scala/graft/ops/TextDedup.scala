@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.SortedIntersectSize.sortedIntersectSize
+import graft.functions.MinHashExprs.{firstEqualIndex, minhashBandHashes, simhash64}
 
 /** Large-scale text deduplication operators (the training-data-pipeline
   * surface): exact fingerprint dedup, exact pairwise Jaccard with blocking,
@@ -34,6 +35,20 @@ object TextDedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Distinct tokens (or n-gram shingles) hashed once to sorted 64-bit
+    * values. Jaccard over the hashed set equals Jaccard over the strings
+    * (xxhash64 is injective for any realistic corpus slice), and every
+    * downstream pass — k minhash functions, pairwise intersections —
+    * touches fixed-width longs instead of re-reading string bytes. This is
+    * the representation all scale-path dedup operators run on.
+    */
+  def hashedTokenSet(text: Column, shingleLen: Int = 1): Column = {
+    val set =
+      if (shingleLen <= 1) array_distinct(split(trim(text), "\\s+"))
+      else array_distinct(shingles(text, shingleLen))
+    array_sort(transform(set, t => xxhash64(t)))
+  }
+
   /** Whitespace-normalized lowercase md5 fingerprint (exact dedup key). */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
@@ -57,9 +72,11 @@ object TextDedup {
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String, blockCol: String,
       threshold: Double): DataFrame = {
+    // token sets pre-hashed to sorted longs: Jaccard is unchanged, the
+    // per-pair merge scan compares primitives instead of UTF8 strings
     val t = df.select(
       col(idCol).as("id"), col(blockCol).as("block"),
-      tokens(col(textCol)).as("toks"))
+      hashedTokenSet(col(textCol)).as("toks"))
     val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
     val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
     // the block key is low-cardinality (5 languages): a shuffle join would
@@ -102,64 +119,85 @@ object TextDedup {
         xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows)), lit(b)).as("bh"))
     }: _*)
 
-  /** Full MinHash-LSH near-dup pipeline: signature → band buckets →
+  /** Full MinHash-LSH near-dup pipeline: hashed token set → band hashes →
     * candidate pairs (bucket self-join) → exact-Jaccard verification.
     * Returns verified pairs (id_a < id_b, jaccard >= threshold).
     *
-    * Scale notes: the only shuffles are the band-bucket exchange and the
-    * candidate join; bucket skew (a viral duplicate cluster) is the known
-    * hot spot — AQE skew-join handles moderate skew, and a bucket-size cap
-    * (`maxBucket`) bounds the quadratic pair blowup exactly like
-    * production dedup pipelines cap cluster size.
+    * Scale design:
+    * - Signature + banding is ONE codegen'd projection
+    *   ([[graft.functions.MinHashBandHashes]]); tokens are hashed to longs
+    *   once, so the k hash functions cost k fixed-width rehashes.
+    * - NO pair dedup shuffle. A pair colliding in m of the `bands` buckets
+    *   would classically be produced m times and deduplicated with a
+    *   pairs-sized `dropDuplicates`; instead each bucket row carries the
+    *   doc's full band-hash array and the join keeps a pair only in its
+    *   FIRST colliding band (`first_equal_index` = band) — a per-row
+    *   filter that exits on the first comparison, deduplicating without
+    *   any shuffle of the (quadratic) candidate set.
+    * - Verification data (the hashed token set) rides along on the bucket
+    *   rows, so verification happens inside the candidate join's stage —
+    *   no join back to the corpus. Bucket rows are docs×bands, i.e. linear.
+    * - Bucket skew (a viral duplicate cluster): `maxBucket` caps members
+    *   per bucket BEFORE pair generation, exactly like production dedup
+    *   caps cluster size; the cap is applied to the carried band-hash
+    *   arrays too (capped entries nulled), so first-collision semantics
+    *   stay exact under capping. AQE skew-join splits what remains.
     */
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, shingleLen: Int = 1,
       numHashes: Int = 128, bands: Int = 32,
       maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
     // signature and verification use the SAME set (shingleLen-gram set);
     // mixing measures (e.g. 3-shingle signature, token verify) silently
     // destroys recall because the bands then model a different similarity
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("toks",
-        if (shingleLen <= 1) tokens(col("text"))
-        else array_distinct(shingles(col("text"), shingleLen)))
-      .withColumn("sig", minhashSignature(col("toks"), numHashes))
+    val docs = df.select(col(idCol).as("id"),
+      hashedTokenSet(col(textCol), shingleLen).as("hs"))
+      .withColumn("bhs", minhashBandHashes(col("hs"), numHashes, bands))
+    docs.persist() // read 2× below; linear in corpus, spills to disk at scale
 
-    docs.persist()
-
-    // band buckets carry ONLY (band, bh, id): the token arrays would
-    // otherwise be shuffled 'bands' times and again through the pair
-    // dedup — ids are a few bytes, toks are the whole document
-    val buckets = docs
-      .select(col("id"), explode(bandHashes(col("sig"), bands, rows)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-
-    // cap pathological buckets before the quadratic pair join
+    // bucket membership surviving the per-bucket cap (rank by id)
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bh").orderBy("id")
-    val capped = buckets.withColumn("_brn", row_number().over(wb))
+    val surviving = docs
+      .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+      .withColumn("_brn", row_number().over(wb))
       .filter(col("_brn") <= maxBucket).drop("_brn")
 
-    val l = capped.select(col("band"), col("bh"), col("id").as("id_a"))
-    val r = capped.select(col("band"), col("bh"), col("id").as("id_b"))
+    // effective band-hash array: null where the doc was capped out, so
+    // first_equal_index only matches bands where BOTH docs are present
+    val eff = surviving.groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("band"), col("bh")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(bands - 1)), b => col("m")(b)).as("ebhs"))
+
+    // bucket rows stay LEAN (band, bh, id, ebhs): the bucket self-join
+    // evaluates |bucket|² rows per bucket, so every byte carried there is
+    // copied quadratically many times — token sets are joined back only
+    // for the surviving (deduplicated) candidates
+    val entries = surviving.join(eff, "id")
+    val l = entries.select(col("band"), col("bh"), col("id").as("id_a"),
+      col("ebhs").as("ebhs_a"))
+    val r = entries.select(col("band"), col("bh"), col("id").as("id_b"),
+      col("ebhs").as("ebhs_b"))
     val candidates = l.join(r, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstEqualIndex(col("ebhs_a"), col("ebhs_b")) === col("band"))
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
 
-    // verify once per distinct pair: join tokens back, size-ratio
-    // prefilter (J <= min/max size) before the exact intersection
-    val ta = docs.select(col("id").as("id_a"), col("toks").as("toks_a"))
-    val tb = docs.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    // verify once per candidate: two equi-joins against the corpus hash
+    // sets (Catalyst broadcasts while the corpus side is small; sort-merge
+    // at scale), size-ratio prefilter (J <= min/max size, sound) before
+    // the exact merge-scan intersection
+    val ta = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val tb = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
     candidates.join(ta, "id_a").join(tb, "id_b")
-      .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double") /
-        greatest(size(col("toks_a")), size(col("toks_b"))) >= threshold)
-      .withColumn("_i", sortedIntersectSize(col("toks_a"), col("toks_b")))
+      .filter(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
+        greatest(size(col("hs_a")), size(col("hs_b"))) >= threshold)
+      .withColumn("_i", sortedIntersectSize(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
         col("_i").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("_i")))
+          (size(col("hs_a")) + size(col("hs_b")) - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -181,44 +219,50 @@ object TextDedup {
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32,
       maxIterations: Int = 10): DataFrame = {
-    val rows = numHashes / bands
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("sig", minhashSignature(col("toks"), numHashes))
+    val docs = df.select(col(idCol).as("id"),
+      minhashBandHashes(hashedTokenSet(col(textCol)), numHashes, bands).as("bhs"))
     val buckets = docs
-      .select(col("id"), explode(bandHashes(col("sig"), bands, rows)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
 
     // star edges: every member points at its bucket's minimum id;
-    // symmetrized so labels flow both member->rep and rep->member
-    // (otherwise two buckets linked through a shared member never merge)
+    // symmetrized (one explode, not a self-recomputing union) so labels
+    // flow both member->rep and rep->member — otherwise two buckets
+    // linked through a shared member never merge
     val bucketMin = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    val stars = buckets
+    val edges = buckets
       .withColumn("rep", min(col("id")).over(bucketMin))
       .filter(col("id") =!= col("rep"))
       .select(col("id"), col("rep")).dropDuplicates()
-    val edges = stars
-      .unionAll(stars.select(col("rep").as("id"), col("id").as("rep")))
+      .select(explode(array(
+        struct(col("id"), col("rep")),
+        struct(col("rep").as("id"), col("id").as("rep")))).as("e"))
+      .select(col("e.id").as("id"), col("e.rep").as("rep"))
       .persist()
 
-    // min-label propagation until fixpoint (iterations ~ cluster
-    // diameter). Labels only ever decrease, so an unchanged label sum IS
-    // the fixpoint — one cheap aggregate per round instead of a join-diff.
+    // min-label propagation with POINTER JUMPING: each round takes the
+    // min label over neighbors, then replaces every label by its label's
+    // label (path halving), so convergence is O(log diameter) rounds
+    // instead of O(diameter). Labels only ever decrease, so an unchanged
+    // label sum IS the fixpoint — one cheap aggregate per round.
     var labels = docs.select(col("id"), col("id").as("cluster_rep")).persist()
     var prevSum = labels.agg(sum("cluster_rep")).collect()(0).getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // re-label each id with the minimum label among {its own} U
-      // {labels of its neighbors}
+      // min label among {own} U {labels of neighbors}
       val viaEdges = edges
         .join(labels.select(col("id").as("rep"), col("cluster_rep").as("rep_label")),
           Seq("rep"))
         .groupBy("id").agg(min(col("rep_label")).as("edge_label"))
-      val next = labels.join(viaEdges, Seq("id"), "left")
+      val hop = labels.join(viaEdges, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_rep"), coalesce(col("edge_label"), col("cluster_rep")))
             .as("cluster_rep"))
+      // pointer jump: cluster_rep <- label(cluster_rep)
+      val next = hop
+        .join(hop.select(col("id").as("cluster_rep"), col("cluster_rep").as("jump")),
+          Seq("cluster_rep"), "left")
+        .select(col("id"), coalesce(col("jump"), col("cluster_rep")).as("cluster_rep"))
         .persist()
       val nextSum = next.agg(sum("cluster_rep")).collect()(0).getLong(0)
       labels.unpersist()
@@ -231,23 +275,14 @@ object TextDedup {
     labels
   }
 
-  /** 64-bit SimHash from the token set: bit j of the hash is set when the
-    * sum of ±1 contributions (per-token xxhash64 bit j) is positive.
+  /** 64-bit SimHash from a per-token hash array: bit j of the hash is set
+    * when the sum of ±1 contributions (per-token hash bit j) is positive.
+    * One codegen'd pass ([[graft.functions.SimHash64]]) — the equivalent
+    * `aggregate()` formulation evaluates 64 interpreted lambdas per token.
     */
-  /** SimHash over a PRE-MATERIALIZED per-token hash array. The 64 bit
-    * expressions each reference the same input column, so token hashing
-    * happens once per row, not 64 times (subexpression elimination does
-    * not reach into independent lambda trees).
-    */
-  def simhashFromHashes(hashes: Column): Column =
-    (0 until 64).map { j =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  def simhashFromHashes(hashes: Column): Column = simhash64(hashes)
 
-  def simhash(text: Column): Column =
-    simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
+  def simhash(text: Column): Column = simhash64(hashedTokenSet(text))
 
   /** SimHash near-dup pairs: candidates share one of four 16-bit chunks
     * (any pair within Hamming distance <= maxHamming and uniform bit error
@@ -258,9 +293,7 @@ object TextDedup {
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val base = df
-      .select(col(idCol).as("id"),
-        transform(tokens(col(textCol)), t => xxhash64(t)).as("_h"))
-      .select(col("id"), simhashFromHashes(col("_h")).as("sh"))
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val chunks = base.select(col("id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
