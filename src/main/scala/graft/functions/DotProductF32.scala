@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** `dot_f32(a, b)`: dot product of two `array<float>` embedding columns,
+  * accumulated in double, element order.
+  *
+  * This is per-row work — no cross-row aggregation — so the left-to-right
+  * IEEE accumulation is deterministic under any partitioning or AQE
+  * re-plan; no decimal detour is needed for reproducibility. Codegen'd:
+  * the loop reads packed floats straight out of the UnsafeArrayData,
+  * versus the `aggregate(zip_with(...))` formulation which is
+  * CodegenFallback and boxes every element.
+  *
+  * Contract: both arrays non-null, equal length (embedding columns by
+  * construction).
+  */
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductF32 {
+  def dotF32(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      DotProductF32(
+        org.apache.spark.sql.GraftShim.expression(a),
+        org.apache.spark.sql.GraftShim.expression(b)))
+}

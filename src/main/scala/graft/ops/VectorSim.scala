@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
+import graft.functions.DotProductF32.dotF32
 import scala.util.Random
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -15,28 +15,22 @@ import scala.util.Random
   * bucket key), and each query only scans its own bucket (plus optional
   * multi-probe neighbors).
   *
-  * Dot products accumulate in fixed-scale decimals (graft.core.Det
-  * rationale) so results are deterministic across partitionings and match
-  * a single-threaded oracle bit-for-bit.
+  * Dot products are per-row sequential double accumulation (codegen'd
+  * [[graft.functions.DotProductF32]]): there is no cross-row aggregation
+  * in a dot product, so the result is deterministic under any partitioning
+  * — the oracle contract for kNN is the RANKING, whose margins (~1e-3)
+  * dwarf double rounding (~1e-15).
   */
 object VectorSim {
 
-  /** Exact dot product of two float-array columns, decimal-accumulated. */
-  def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DecimalType(38, 12))),
-      lit(0).cast(DecimalType(38, 12)),
-      (acc, v) => (acc + v).cast(DecimalType(38, 12))).cast("double")
+  /** Dot product of two float-array columns (codegen'd, deterministic). */
+  def dot(a: Column, b: Column): Column = dotF32(a, b)
 
-  /** Exact squared L2 norm, decimal-accumulated. */
-  def normSqExact(a: Column): Column =
-    aggregate(
-      transform(a, x => (x.cast("double") * x.cast("double")).cast(DecimalType(38, 12))),
-      lit(0).cast(DecimalType(38, 12)),
-      (acc, v) => (acc + v).cast(DecimalType(38, 12))).cast("double")
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column = dotF32(a, a)
 
-  def cosineExact(a: Column, b: Column): Column =
-    dotExact(a, b) / (sqrt(normSqExact(a)) * sqrt(normSqExact(b)))
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
   /** Exact brute-force cosine top-k: every query row against the whole
     * corpus. Queries are broadcast (the small side by construction).
@@ -47,37 +41,38 @@ object VectorSim {
     // norms computed ONCE per row, not per pair: the pairwise work drops
     // to a single dot product (same final values — identical arithmetic)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", sqrt(normSqExact(col("qv"))))
+      .withColumn("qn", sqrt(normSq(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cn", sqrt(normSqExact(col("cv"))))
+      .withColumn("cn", sqrt(normSq(col("cv"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic random hyperplanes (seeded) as a literal nested array —
-    * generated once on the driver, folded into codegen as constants.
+  /** Deterministic random hyperplanes (seeded) as a literal nested
+    * `array<array<float>>` — generated once on the driver, folded into
+    * codegen as constants (float so the per-plane dot runs on the same
+    * codegen'd kernel as the pairwise scoring).
     */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val rnd = new Random(seed)
     array((0 until numPlanes).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+      array((0 until dim).map(_ => lit(rnd.nextGaussian().toFloat)): _*)
     }: _*)
   }
 
   /** Sign-pattern LSH bucket id: bit p set when v · plane_p > 0
-    * (statically unrolled over planes; each dot is a codegen'd fold).
+    * (statically unrolled over planes; `element_at` on the literal plane
+    * array constant-folds, each dot is one codegen'd loop).
     */
   def lshBucket(vec: Column, planes: Column, numPlanes: Int): Column =
     (0 until numPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(vec, element_at(planes, p + 1), (x, h) => x.cast("double") * h),
-        lit(0.0), (a, v) => a + v)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotF32(vec, element_at(planes, p + 1)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   /** LSH-bucketed approximate cosine top-k: corpus and queries are hashed
@@ -91,13 +86,13 @@ object VectorSim {
     val planes = hyperplanes(numPlanes, dim, seed)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), planes, numPlanes))
-      .withColumn("qn", sqrt(normSqExact(col("qv"))))
+      .withColumn("qn", sqrt(normSq(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes, numPlanes))
-      .withColumn("cn", sqrt(normSqExact(col("cv"))))
+      .withColumn("cn", sqrt(normSq(col("cv"))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -113,12 +108,12 @@ object VectorSim {
     val planes = hyperplanes(numPlanes, dim, seed)
     val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, numPlanes))
-      .withColumn("n", sqrt(normSqExact(col("v"))))
+      .withColumn("n", sqrt(normSq(col("v"))))
     val a = t.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = t.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", dotExact(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
