@@ -47,6 +47,34 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---- exact word-TRIGRAM Jaccard near-dups: the n-gram variant —
+    // order-sensitive shingles separate reordered-but-same-vocabulary docs
+    // that token-set Jaccard (q36) conflates
+    QueryDef(
+      "q58_trigram_jaccard_neardups",
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 END AS sh
+          FROM (SELECT doc_id, lang,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)) AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)) >= 0.35
+        ORDER BY id_a, id_b"""),
+    ) { (s, dir) =>
+      TextDedup.jaccardPairs(Tables.documents(s, dir), "text", "doc_id", "lang",
+        threshold = 0.35, shingleLen = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- MinHash+LSH near-dups (scale path; no SQL oracle -> rows check)
     QueryDef("q38_minhash_neardups", None) { (s, dir) =>
       TextDedup.minhashNearDups(Tables.documents(s, dir), "text", "doc_id",

@@ -164,13 +164,31 @@ object OpsQueries {
         Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 1000)))
     },
 
-    // ---- A6 scale variant: HLL approximate distinct vs exact (rows check)
-    QueryDef("q50_approx_distinct", None) { (s, dir) =>
+    // ---- A6 scale variant: HLL approximate distinct vs exact. The raw
+    // sketch estimate is engine-specific (Spark HLL++ vs DuckDB HLL), so
+    // the oracle-checkable contract is: exact counts + "the 2%-rsd sketch
+    // landed within 5% of exact" flags (oracle side: literal TRUE).
+    QueryDef(
+      "q50_approx_distinct",
+      Some("""
+        SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS approx_parts_ok,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS approx_orders_ok
+        FROM lineitem"""),
+    ) { (s, dir) =>
+      def ok(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        abs(approx.cast("double") - exact) <= exact * 0.05
       Tables.lineitem(s, dir).agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .select(
+          col("exact_parts"),
+          ok(col("approx_parts"), col("exact_parts")).as("approx_parts_ok"),
+          col("exact_orders"),
+          ok(col("approx_orders"), col("exact_orders")).as("approx_orders_ok"))
     },
   )
 }

@@ -65,18 +65,19 @@ object TextDedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Exact pairwise token-Jaccard within blocking groups. Blocking keeps
-    * the join from being a full cross product — at 100 TB the blocking key
-    * (language, length band, shard) bounds each group.
+  /** Exact pairwise n-gram Jaccard within blocking groups (`shingleLen` 1
+    * = token sets, >1 = word shingles). Blocking keeps the join from being
+    * a full cross product — at 100 TB the blocking key (language, length
+    * band, shard) bounds each group.
     */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
-    // token sets pre-hashed to sorted longs: Jaccard is unchanged, the
+      threshold: Double, shingleLen: Int = 1): DataFrame = {
+    // shingle sets pre-hashed to sorted longs: Jaccard is unchanged, the
     // per-pair merge scan compares primitives instead of UTF8 strings
     val t = df.select(
       col(idCol).as("id"), col(blockCol).as("block"),
-      hashedTokenSet(col(textCol)).as("toks"))
+      hashedTokenSet(col(textCol), shingleLen).as("toks"))
     val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
     val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
     // the block key is low-cardinality (5 languages): a shuffle join would
