@@ -43,19 +43,29 @@ object Features {
     *
     * Degenerate cardinality (< 2 distinct) → constant labels.head for
     * ascending, labels.last for descending (reference
-    * feature_engineering.py:90-98). NOTE: a global ntile forces a single-
-    * partition sort; at 100 TB replace with quantile-edge assignment
-    * (`approxQuantile` fences + CASE) behind this same signature.
+    * feature_engineering.py:90-98).
+    *
+    * Two execution strategies behind one signature:
+    *   - `exact = true` (pandas-parity): global `ntile` — exact equal-count
+    *     buckets, but the window has no partitionBy so Spark sorts the whole
+    *     table in ONE partition. Fine up to millions of rows; wrong at 100 TB.
+    *   - `exact = false` (scale path): `approxQuantile` inner edges computed
+    *     in one distributed pass (Greenwald-Khanna sketch, map-side merged),
+    *     then bucket assignment is a pure codegen'd CASE projection — no
+    *     shuffle, no sort, no window. Bucket sizes match the ntile path to
+    *     within the sketch's rank error (exact when relativeError*n < 1).
     */
   def quantileBucket(
       df: DataFrame, c: String, tiebreak: String,
       q: Int, labels: Seq[Int], ascending: Boolean,
-      distinctCount: Option[Long] = None): Column = {
+      distinctCount: Option[Long] = None,
+      exact: Boolean = true,
+      relativeError: Double = 1e-4): Column = {
     val distinct = distinctCount.getOrElse(
       df.select(c).filter(col(c).isNotNull).distinct().count())
     val effQ = math.min(q, distinct).toInt
     if (effQ < 2) lit(if (ascending) labels.head else labels.last)
-    else {
+    else if (exact) {
       val ord = if (ascending) col(c).asc else col(c).desc
       val tb = if (ascending) col(tiebreak).asc else col(tiebreak).desc
       val bucket = ntile(effQ).over(Window.orderBy(ord, tb))
@@ -63,24 +73,43 @@ object Features {
       labels.take(effQ).zipWithIndex.foldLeft(lit(null).cast("int")) {
         case (acc, (lbl, i)) => when(bucket === i + 1, lbl).otherwise(acc)
       }
+    } else {
+      // inner fences at k/effQ for k = 1..effQ-1, ascending value order
+      val probes = (1 until effQ).map(_.toDouble / effQ).toArray
+      val edges = df.select(col(c).cast("double").as(c))
+        .stat.approxQuantile(c, probes, relativeError)
+      val v = col(c).cast("double")
+      // ascending 1-based bucket index: first fence the value fits under
+      val idxAsc = edges.zipWithIndex.reverse
+        .foldLeft(lit(effQ).cast("int")) {
+          case (acc, (e, i)) => when(v <= e, i + 1).otherwise(acc)
+        }
+      // descending order flips the bucket index, not the edges
+      val idx = if (ascending) idxAsc else lit(effQ + 1) - idxAsc
+      val lbl = labels.take(effQ).zipWithIndex
+        .foldLeft(lit(null).cast("int")) {
+          case (acc, (l, i)) => when(idx === i + 1, l).otherwise(acc)
+        }
+      when(v.isNull, lit(null).cast("int")).otherwise(lbl)
     }
   }
 
   /** Block 1 — RFM (reference :53-98): quintile segment "RFM" string,
     * weighted score, score category.
     */
-  def rfm(df: DataFrame, tiebreak: String = "user_id"): DataFrame = {
+  def rfm(df: DataFrame, tiebreak: String = "user_id",
+          exact: Boolean = true): DataFrame = {
     // one agg job for all three cardinality checks (vs one job each)
     val dc = df.agg(
       countDistinct(col("rfm_recency")).as("r"),
       countDistinct(col("rfm_frequency")).as("f"),
       countDistinct(col("rfm_monetary")).as("m")).collect()(0)
     val r = quantileBucket(df, "rfm_recency", tiebreak, 5, Seq(5, 4, 3, 2, 1),
-      ascending = false, Some(dc.getAs[Long]("r")))
+      ascending = false, Some(dc.getAs[Long]("r")), exact)
     val f = quantileBucket(df, "rfm_frequency", tiebreak, 5, Seq(1, 2, 3, 4, 5),
-      ascending = true, Some(dc.getAs[Long]("f")))
+      ascending = true, Some(dc.getAs[Long]("f")), exact)
     val m = quantileBucket(df, "rfm_monetary", tiebreak, 5, Seq(1, 2, 3, 4, 5),
-      ascending = true, Some(dc.getAs[Long]("m")))
+      ascending = true, Some(dc.getAs[Long]("m")), exact)
     df.withColumn("rfm_segment",
         concat(r.cast("string"), f.cast("string"), m.cast("string")))
       .withColumn("rfm_score",
@@ -238,5 +267,6 @@ object Features {
     * encoding expands categoricals).
     */
   def engineer(df: DataFrame, exact: Boolean = true): DataFrame =
-    encode(domain(interaction(temporal(behavioral(rfm(df)))), exact))
+    encode(domain(interaction(temporal(behavioral(
+      rfm(df, exact = exact)))), exact))
 }

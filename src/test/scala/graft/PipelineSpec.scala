@@ -142,6 +142,39 @@ class FeatureSpec extends SparkSpec {
     val got = df.select(c.as("b")).collect().map(_.getInt(0)).toSet
     assert(got == Set(1))
   }
+
+  test("edge-path quantile bucket: sizes within 1 of ntile, no window in plan") {
+    import spark.implicits._
+    // 1000 distinct values, shuffled insertion order
+    val rnd = new scala.util.Random(7)
+    val df = rnd.shuffle((1 to 1000).toList)
+      .map(i => (i * 3 + 0.5, f"U$i%05d")).toDF("rfm_monetary", "user_id")
+    val c = Features.quantileBucket(df, "rfm_monetary", "user_id",
+      5, Seq(1, 2, 3, 4, 5), ascending = true, exact = false)
+    val out = df.select(c.as("b"))
+    // scale contract: assignment is a pure projection — no Window node
+    assert(!out.queryExecution.optimizedPlan.toString.contains("windowspecdefinition"))
+    val sizes = out.groupBy("b").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4, 5), s"$sizes")
+    assert(sizes.values.forall(n => math.abs(n - 200L) <= 1), s"$sizes")
+  }
+
+  test("edge-path bucket agrees with exact ntile path on distinct values") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, f"U$i%03d"))
+      .toDF("rfm_recency", "user_id")
+    for (asc <- Seq(true, false)) {
+      val labels = if (asc) Seq(1, 2, 3, 4, 5) else Seq(5, 4, 3, 2, 1)
+      val ex = Features.quantileBucket(df, "rfm_recency", "user_id",
+        5, labels, ascending = asc)
+      val ap = Features.quantileBucket(df, "rfm_recency", "user_id",
+        5, labels, ascending = asc, exact = false)
+      val diff = df.select(ex.as("ex"), ap.as("ap"))
+        .filter(col("ex") =!= col("ap")).count()
+      assert(diff == 0, s"asc=$asc: $diff rows disagree")
+    }
+  }
 }
 
 class ZScoreSpec extends SparkSpec {
