@@ -16,7 +16,6 @@ object AggQueries {
   // Mirrors sklearn StandardScaler (population stddev, SURVEY §2.4 A10):
   // stats come from one aggregate job and re-enter the row-level plan as a
   // broadcast 1-row frame — no global window, so it scales to any row count.
-  private val S = 6
 
   val defs: Seq[QueryDef] = Seq(
     // ---- A7/A9 exact percentiles (pandas-median parity: linear interpolation)
@@ -301,12 +300,16 @@ object AggQueries {
     // integer sum is exact, so the result is bit-deterministic under any
     // partitioning — summing raw double quotients (even via a decimal cast)
     // trips engine-specific rounding of the cast at the 6th decimal.
+    // The per-pair floored values are ~3e8, so the SUM runs in
+    // DECIMAL(38,0) on both engines (a BIGINT sum would silently wrap in
+    // non-ANSI Spark around sf~1e3 while DuckDB promotes to hugeint);
+    // only the final total is cast back to BIGINT.
     QueryDef(
       "q25_unit_price",
       Some("""
         SELECT l_returnflag,
                CAST(SUM(CAST(floor(l_extendedprice * 10000 /
-                 (CASE WHEN l_quantity = 0 THEN 1 ELSE l_quantity END)) AS BIGINT)) AS BIGINT)
+                 (CASE WHEN l_quantity = 0 THEN 1 ELSE l_quantity END)) AS DECIMAL(38,0))) AS BIGINT)
                  AS sum_unit_price_e4
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     ) { (s, dir) =>
@@ -314,7 +317,8 @@ object AggQueries {
         .groupBy("l_returnflag")
         .agg(sum(floor(col("l_extendedprice") * 10000 /
           when(col("l_quantity") === 0, 1).otherwise(col("l_quantity")))
-          .cast("long"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long")
           .as("sum_unit_price_e4"))
         .orderBy("l_returnflag")
     },

@@ -29,7 +29,6 @@ object DedupQueries {
         ORDER BY id_a, id_b"""),
     ) { (s, dir) =>
       TextDedup.jaccardPairs(Tables.documents(s, dir), "text", "doc_id", "lang", 0.5)
-        .withColumnRenamed("id_a", "id_a")
         .orderBy("id_a", "id_b")
     },
 

@@ -22,8 +22,11 @@ object BenchOne {
       graft.SparkEntry.queries.get(name) match {
         case Some(fn) =>
           val t0 = System.nanoTime()
-          val n = try fn(spark, sfDir).count() catch { case e: Throwable =>
-            System.err.println(s"$name FAILED: ${e.getMessage}"); -1L }
+          // NonFatal only: a fatal JVM error (OOM, codegen Error) must
+          // propagate, not degrade into misleading timings for later queries
+          val n = try fn(spark, sfDir).count() catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"$name FAILED: ${e.getMessage}"); -1L }
           spark.catalog.clearCache()
           println(f"$name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
         case None => System.err.println(s"unknown query: $name")

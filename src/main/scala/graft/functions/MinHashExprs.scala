@@ -2,10 +2,26 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Shared type check: getLong on a non-long array silently reads garbage
+  * bytes, so every kernel over pre-hashed `array<long>` token sets rejects
+  * other element types at analysis time.
+  */
+private[functions] object LongArrayCheck {
+  def check(name: String, types: Seq[DataType]): TypeCheckResult =
+    if (types.forall {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<bigint> inputs, got " +
+        types.map(_.simpleString).mkString("(", ", ", ")"))
+}
 
 /** Codegen'd MinHash/SimHash kernels.
   *
@@ -59,6 +75,9 @@ case class MinHashBandHashes(child: Expression, numHashes: Int, bands: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    LongArrayCheck.check(prettyName, Seq(child.dataType))
 
   private val rowsPerBand = numHashes / bands
 
@@ -131,6 +150,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    LongArrayCheck.check(prettyName, Seq(child.dataType))
+
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
@@ -182,6 +204,9 @@ case class FirstEqualIndex(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "first_equal_index"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    LongArrayCheck.check(prettyName, Seq(left.dataType, right.dataType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `sorted_intersect_size(a, b)`: size of the intersection of two SORTED
@@ -28,6 +29,20 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
+
+  // the merge scan dispatches on the LEFT element type; require both sides
+  // to be the same supported array type so a mismatch fails analysis
+  // instead of reading garbage via getLong on a non-long array
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size requires two array<bigint> or two " +
+          s"array<string> inputs, got (${l.simpleString}, ${r.simpleString})")
+    }
 
   private lazy val isLongElems: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == LongType

@@ -65,14 +65,42 @@ object TextDedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Exact-Jaccard verification of already-joined (toks_a, toks_b) pairs:
+    * sound size-ratio prefilter (J <= min/max size), then one codegen'd
+    * merge-scan intersection per surviving pair
+    * (|A∪B| = |A|+|B|-|A∩B| for distinct arrays — no union array built).
+    */
+  private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double") /
+        greatest(size(col("toks_a")), size(col("toks_b"))) >= threshold)
+      .withColumn("_i", sortedIntersectSize(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        col("_i").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
   /** Exact pairwise n-gram Jaccard within blocking groups (`shingleLen` 1
     * = token sets, >1 = word shingles). Blocking keeps the join from being
     * a full cross product — at 100 TB the blocking key (language, length
     * band, shard) bounds each group.
+    *
+    * Join strategy is size-guarded: below `broadcastMaxRows` the right
+    * side is broadcast (the block key is low-cardinality, so a plain
+    * shuffle join would collapse parallelism to #blocks and skew); above
+    * it the broadcast would OOM the driver, so the join switches to a
+    * SALTED repartition join — the left side is hashed into `salts`
+    * buckets, the right side replicated across them, restoring #blocks ×
+    * salts parallelism with bounded per-task input. Same pairs either way.
+    * (For truly web-scale corpora route to [[minhashNearDups]] — this
+    * operator is the exact twin.)
     */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String, blockCol: String,
-      threshold: Double, shingleLen: Int = 1): DataFrame = {
+      threshold: Double, shingleLen: Int = 1,
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
     // shingle sets pre-hashed to sorted longs: Jaccard is unchanged, the
     // per-pair merge scan compares primitives instead of UTF8 strings
     val t = df.select(
@@ -80,27 +108,21 @@ object TextDedup {
       hashedTokenSet(col(textCol), shingleLen).as("toks"))
     val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
     val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
-    // the block key is low-cardinality (5 languages): a shuffle join would
-    // collapse parallelism to #blocks and skew; broadcasting the right
-    // side keeps pair enumeration at full input parallelism. (At corpus
-    // sizes past broadcast limits, use minhashNearDups — that IS the
-    // scale path; this operator is the exact small/medium-corpus twin.)
-    a.repartition(a.sparkSession.sparkContext.defaultParallelism)
-      .join(broadcast(b), Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      // sound prefilter: J <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
-      // sizes are too disparate can never reach the threshold — skips the
-      // expensive intersections without changing the result
-      .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double") /
-        greatest(size(col("toks_a")), size(col("toks_b"))) >= threshold)
-      // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: one set op per pair
-      // instead of building the union array
-      .withColumn("_i", sortedIntersectSize(col("toks_a"), col("toks_b")))
-      .withColumn("jaccard",
-        col("_i").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("_i")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // one count job decides the strategy; Catalyst prunes the tokenizer
+    // projection under count(*), so this is a near-free metadata scan
+    val n = df.count()
+    val joined =
+      if (n <= broadcastMaxRows)
+        a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+          .join(broadcast(b), Seq("block"))
+      else {
+        val salts = math.max(a.sparkSession.sparkContext.defaultParallelism, 8)
+        a.withColumn("_salt", pmod(xxhash64(col("id_a")), lit(salts.toLong)))
+          .join(b.withColumn("_salt",
+            explode(sequence(lit(0L), lit(salts - 1L)))), Seq("block", "_salt"))
+          .drop("_salt")
+      }
+    verifyJaccard(joined, threshold)
   }
 
   /** MinHash signature: k independent hash functions h_i(s) =
@@ -155,15 +177,19 @@ object TextDedup {
     val docs = df.select(col(idCol).as("id"),
       hashedTokenSet(col(textCol), shingleLen).as("hs"))
       .withColumn("bhs", minhashBandHashes(col("hs"), numHashes, bands))
-    docs.persist() // read 2× below; linear in corpus, spills to disk at scale
+    docs.persist() // read 3× below; linear in corpus, spills to disk at scale
 
-    // bucket membership surviving the per-bucket cap (rank by id)
+    // bucket membership surviving the per-bucket cap (rank by id);
+    // persisted because it feeds BOTH the effective-band-hash agg and the
+    // bucket entries — without the persist the cap window's shuffle+sort
+    // runs twice
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "bh").orderBy("id")
     val surviving = docs
       .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
       .withColumn("_brn", row_number().over(wb))
       .filter(col("_brn") <= maxBucket).drop("_brn")
+      .persist()
 
     // effective band-hash array: null where the doc was capped out, so
     // first_equal_index only matches bands where BOTH docs are present
@@ -188,19 +214,19 @@ object TextDedup {
 
     // verify once per candidate: two equi-joins against the corpus hash
     // sets (Catalyst broadcasts while the corpus side is small; sort-merge
-    // at scale), size-ratio prefilter (J <= min/max size, sound) before
-    // the exact merge-scan intersection
-    val ta = docs.select(col("id").as("id_a"), col("hs").as("hs_a"))
-    val tb = docs.select(col("id").as("id_b"), col("hs").as("hs_b"))
-    candidates.join(ta, "id_a").join(tb, "id_b")
-      .filter(least(size(col("hs_a")), size(col("hs_b"))).cast("double") /
-        greatest(size(col("hs_a")), size(col("hs_b"))) >= threshold)
-      .withColumn("_i", sortedIntersectSize(col("hs_a"), col("hs_b")))
-      .withColumn("jaccard",
-        col("_i").cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("_i")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // at scale), then the shared size-prefilter + merge-scan verification
+    val ta = docs.select(col("id").as("id_a"), col("hs").as("toks_a"))
+    val tb = docs.select(col("id").as("id_b"), col("hs").as("toks_b"))
+    val pairs = verifyJaccard(candidates.join(ta, "id_a").join(tb, "id_b"), threshold)
+
+    // materialize (lineage-truncating local checkpoint, cleaned by the
+    // ContextCleaner when the result is GC'd) so the two corpus-sized
+    // caches can be dropped HERE instead of leaking across queries in a
+    // long-lived session; the checkpointed result is just the pairs
+    val out = pairs.localCheckpoint(true)
+    docs.unpersist(false)
+    surviving.unpersist(false)
+    out
   }
 
   /** MinHash-LSH duplicate CLUSTERING — the form a 100 TB dedup actually
@@ -273,7 +299,12 @@ object TextDedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // hand back an unpersisted, lineage-free copy: the label frame is
+    // already materialized in the cache, so the local checkpoint is one
+    // cheap copy pass, and the per-round persists stop leaking
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(false)
+    out
   }
 
   /** 64-bit SimHash from a per-token hash array: bit j of the hash is set
@@ -289,6 +320,12 @@ object TextDedup {
     * (any pair within Hamming distance <= maxHamming and uniform bit error
     * collides on >= 1 chunk with high probability), verified with exact
     * popcount of the XOR.
+    *
+    * A pair colliding on m chunks is produced m times by the chunk join;
+    * instead of a pairs-sized `dropDuplicates` shuffle, each copy checks
+    * whether ITS chunk is the pair's FIRST colliding chunk — computable
+    * per-row from the two full hashes — so exactly one copy survives.
+    * Same trick as the MinHash path's first-colliding-band filter.
     */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
@@ -303,9 +340,15 @@ object TextDedup {
       .select(col("id"), col("sh"), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
     val l = chunks.select(col("chunk"), col("ch"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = chunks.select(col("chunk"), col("ch"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // smallest chunk index where the two hashes agree on all 16 bits
+    val firstCollidingChunk = (0 until 4).reverse
+      .foldLeft(lit(-1)) { (acc, c) =>
+        when(shiftright(col("sh_a"), c * 16).bitwiseAND(0xFFFFL) ===
+          shiftright(col("sh_b"), c * 16).bitwiseAND(0xFFFFL), c).otherwise(acc)
+      }
     l.join(r, Seq("chunk", "ch"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .filter(col("chunk") === firstCollidingChunk)
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

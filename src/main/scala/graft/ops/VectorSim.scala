@@ -2,8 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.DotProductF32.dotF32
+import graft.functions.TopKPairs
 import scala.util.Random
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -32,6 +32,21 @@ object VectorSim {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
+  /** Rank scored (query_id, neighbor_id, cosine) rows to per-query top-k
+    * with the bounded [[graft.functions.TopKPairs]] aggregate: map-side
+    * partials keep k pairs per query per partition, so the one shuffle
+    * carries O(partitions × queries × k) bytes — unlike the
+    * `row_number().over(partitionBy(query))` window, which shuffles every
+    * scored row into #queries tasks and sorts corpus-sized partitions.
+    * Ranking contract preserved: (cosine DESC, neighbor_id ASC), rank 1-k.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKPairs.topK(col("cosine"), col("neighbor_id"), k).as("nb"))
+      .select(col("query_id"), posexplode(col("nb")).as(Seq("_i", "_s")))
+      .select(col("query_id"), col("_s.id").as("neighbor_id"),
+        col("_s.score").as("cosine"), (col("_i") + 1).as("rank"))
+
   /** Exact brute-force cosine top-k: every query row against the whole
     * corpus. Queries are broadcast (the small side by construction).
     */
@@ -47,10 +62,7 @@ object VectorSim {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes (seeded) as a literal nested
@@ -93,10 +105,7 @@ object VectorSim {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,

@@ -53,3 +53,37 @@ class FunctionsSpec extends SparkSpec {
     assert(got.isNullAt(0))
   }
 }
+
+class TopKPairsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TopKPairs
+
+  test("bounded top-k agg matches window row_number ranking") {
+    val rnd = new scala.util.Random(11)
+    // 40 queries x 500 scored rows, duplicate scores to exercise id tiebreak
+    val rows = for (q <- 0 until 40; i <- 0 until 500)
+      yield (q.toLong, i.toLong, math.floor(rnd.nextDouble() * 50) / 50.0)
+    val df = rows.toDF("query_id", "neighbor_id", "cosine").repartition(7)
+    val viaAgg = df.groupBy("query_id")
+      .agg(TopKPairs.topK(col("cosine"), col("neighbor_id"), 10).as("nb"))
+      .select(col("query_id"), posexplode(col("nb")).as(Seq("i", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cosine"), (col("i") + 1).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("top-k agg rejects mistyped inputs at analysis time") {
+    val df = Seq(("a", 1L)).toDF("s", "id")
+    val ex = intercept[Exception] {
+      df.groupBy("id").agg(TopKPairs.topK(col("s"), col("id"), 3)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("topk_pairs") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}

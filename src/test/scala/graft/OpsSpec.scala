@@ -27,6 +27,24 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 2L || a == 2L })
   }
 
+  test("jaccard salted repartition path returns the same pairs as broadcast") {
+    // forcing broadcastMaxRows below the corpus size exercises the
+    // salt-replicated join the operator auto-switches to at scale
+    val blocked = docs.withColumn("blk", lit(1))
+    val bcast = TextDedup.jaccardPairs(blocked, "text", "doc_id", "blk", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = TextDedup.jaccardPairs(blocked, "text", "doc_id", "blk", 0.5,
+      broadcastMaxRows = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == bcast && salted.nonEmpty)
+  }
+
+  test("simhash pairs are emitted exactly once (no duplicate chunk copies)") {
+    val pairs = TextDedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.size == pairs.size)
+  }
+
   test("minhash LSH finds near-dups and exact dups, skips unrelated") {
     val got = TextDedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
