@@ -68,10 +68,23 @@ object OpsQueries {
         WHERE l_orderkey % 20 = 0
         ORDER BY l_orderkey, l_linenumber"""),
     ) { (s, dir) =>
-      Tables.lineitem(s, dir)
-        .filter(pmod(col("l_orderkey"), lit(20)) === 0)
+      graft.ops.Sampling.systematic(Tables.lineitem(s, dir), "l_orderkey", 20)
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- D3 exact-size seeded random sample (pandas sample(n, seed)
+    // parity): n smallest seeded multiplicative-hash ranks — identical
+    // arithmetic on both engines, TakeOrderedAndProject on Spark
+    QueryDef(
+      "q59_seeded_sample",
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY ((c_custkey % 100000007 + 42) * 2654435761) % 4294967296, c_custkey
+        LIMIT 200"""),
+    ) { (s, dir) =>
+      graft.ops.Sampling.sampleExact(Tables.customer(s, dir), "c_custkey", 200, 42L)
+        .select("c_custkey", "c_name", "c_acctbal")
     },
 
     // ---- F13+F15 round trip: one-hot encode then reconstruct the category

@@ -116,18 +116,44 @@ object ChurnModel {
     } finally { prepared.unpersist(); () }
   }
 
+  /** M5: stratified fold assignment (StratifiedKFold parity,
+    * model_trainer.py:376-392): every fold carries the same class mix as
+    * the input, up to a bounded remainder. Two-level design so it scales:
+    * rows are first sharded within each class (`shards` buckets from the
+    * same seeded uniform), then folds go round-robin within each
+    * (class, shard) group — per-class per-fold counts deviate by at most
+    * `shards` rows, and the window runs #classes × shards tasks instead
+    * of one giant sorted partition per class.
+    */
+  def withStratifiedFolds(
+      df: DataFrame, labelCol: String, numFolds: Int, seed: Long,
+      shards: Int = 32, foldCol: String = "fold"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol), col("_shard")).orderBy(col("_r"))
+    df.withColumn("_r", rand(seed))
+      .withColumn("_shard", (col("_r") * shards).cast("int"))
+      .withColumn(foldCol, pmod(row_number().over(w), lit(numFolds)))
+      .drop("_r", "_shard")
+  }
+
   /** M5/M6: k-fold cross-validation over a small hyperparameter grid
     * (reference: 5-fold StratifiedKFold + Optuna TPE search,
     * model_trainer.py:376-498; Spark maps to CrossValidator +
     * ParamGridBuilder — grid/random search, TPE out of scope, documented).
-    * Returns (bestModel, mean AUC per grid point).
+    * Folds are stratified per class via [[withStratifiedFolds]] + the
+    * CrossValidator `foldCol` (set `stratified = false` for plain random
+    * folds). Returns (bestModel, mean AUC per grid point).
     */
   def crossValidate(
       df: DataFrame, cfg: Config = Config(), numFolds: Int = 5,
-      maxDepthGrid: Seq[Int] = Seq(4, 6)): (org.apache.spark.ml.Model[_], Seq[Double]) = {
+      maxDepthGrid: Seq[Int] = Seq(4, 6),
+      stratified: Boolean = true): (org.apache.spark.ml.Model[_], Seq[Double]) = {
     val features = featureColumns(df, cfg.labelCol)
-    val prepared = df.withColumn(cfg.labelCol, col(cfg.labelCol).cast("double"))
+    val base = df.withColumn(cfg.labelCol, col(cfg.labelCol).cast("double"))
       .na.fill(features.map(_ -> 0.0).toMap)
+    val prepared =
+      if (stratified) withStratifiedFolds(base, cfg.labelCol, numFolds, cfg.seed)
+      else base
     val pipeline = buildPipeline(features, cfg)
     val clf = pipeline.getStages.last.asInstanceOf[GBTClassifier]
     val grid = new org.apache.spark.ml.tuning.ParamGridBuilder()
@@ -142,6 +168,7 @@ object ChurnModel {
       .setNumFolds(numFolds)
       .setSeed(cfg.seed)
       .setParallelism(2)
+    if (stratified) cv.setFoldCol("fold")
     val model = cv.fit(prepared)
     (model.bestModel, model.avgMetrics.toSeq)
   }

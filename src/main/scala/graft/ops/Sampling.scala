@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling operators (SURVEY §2.6 D3).
+  *
+  * The reference draws an exact-size seeded random sample for its
+  * dashboard (`df.sample(min(5000, n), random_state=42)`, reference
+  * src/dashboard/pages.py:118). pandas shuffles indices on one machine;
+  * the distributed analog ranks rows by a seeded multiplicative hash of a
+  * key column and takes the n smallest:
+  *
+  *  - exact size n, deterministic for a given (key set, seed) — same rows
+  *    on every run, every partitioning, every cluster size;
+  *  - `orderBy(rank).limit(n)` compiles to TakeOrderedAndProject: each
+  *    partition keeps a bounded top-n heap and the driver merges — no
+  *    global sort, no shuffle of the full table;
+  *  - the hash is plain modular arithmetic (Knuth multiplicative), so the
+  *    DuckDB oracle can compute the identical rank in ANSI SQL.
+  */
+object Sampling {
+
+  /** Seeded pseudo-random rank of a non-negative integral key. The seed is
+    * folded in BEFORE the multiplication (adding it after would only shift
+    * every rank by a constant, leaving the order unchanged). The key is
+    * first reduced mod a prime so the product stays far from Long overflow
+    * (which would silently wrap in Spark but error in DuckDB).
+    */
+  def seededRank(key: Column, seed: Long): Column =
+    pmod((pmod(key, lit(100000007L)) + lit(seed % 100000007L)) * lit(2654435761L),
+      lit(4294967296L))
+
+  /** Exact-size seeded sample: the n rows with the smallest seeded rank of
+    * `keyCol` (ties broken by the key itself — pass a unique key for a
+    * total order).
+    */
+  def sampleExact(df: DataFrame, keyCol: String, n: Int, seed: Long = 42L): DataFrame =
+    df.withColumn("_srank", seededRank(col(keyCol), seed))
+      .orderBy(col("_srank"), col(keyCol))
+      .limit(n)
+      .drop("_srank")
+
+  /** Systematic keyed sample: every row whose key is divisible by
+    * `interval` (deterministic, join-stable across tables sharing the
+    * key).
+    */
+  def systematic(df: DataFrame, keyCol: String, interval: Int): DataFrame =
+    df.filter(pmod(col(keyCol), lit(interval)) === 0)
+}

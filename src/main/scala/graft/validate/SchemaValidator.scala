@@ -89,6 +89,44 @@ object SchemaValidator {
       rules.map(r => r.name -> row.getAs[Long](r.name)).toMap.filter(_._2 > 0))
   }
 
+  final case class TypeReport(isValid: Boolean, errors: Seq[String]) {
+    def errorCount: Int = errors.size
+  }
+
+  /** Spark type → the reference's JSON-schema type vocabulary (the pandas
+    * dtype mapping at data_validation.py:92-99: int64→integer,
+    * float64→number, object→string, bool→boolean, datetime64→datetime).
+    */
+  def typeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integer"
+      case FloatType | DoubleType | _: DecimalType => "number"
+      case StringType => "string"
+      case BooleanType => "boolean"
+      case TimestampType | DateType => "datetime"
+      case other => other.simpleString
+    }
+  }
+
+  /** Dtype-conformance report (data_validation.py:80-111): per-column
+    * declared-vs-actual type check. Pure schema metadata — no data scan,
+    * so it costs the same at 100 TB as at 100 rows. `expected` is ordered
+    * so the error list is deterministic like the reference's dict walk.
+    */
+  def validateDataTypes(df: DataFrame, expected: Seq[(String, String)]): TypeReport = {
+    val actual = df.schema.fields.map(f => f.name -> typeName(f.dataType)).toMap
+    val errors = expected.flatMap { case (column, want) =>
+      actual.get(column) match {
+        case None => Some(s"Column '$column' not found")
+        case Some(got) if got != want =>
+          Some(s"Column '$column': expected $want, got $got")
+        case _ => None
+      }
+    }
+    TypeReport(errors.isEmpty, errors)
+  }
+
   /** Ingest-mode gate: throw on any invalid row (reference fails hard at
     * ingest, csv_ingestion.py:59-65; ETL only warns, etl_pipeline.py:93-99).
     */

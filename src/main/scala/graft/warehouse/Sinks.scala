@@ -19,13 +19,15 @@ object Sinks {
       user: String,
       password: String,
       batchSize: Int = 10000,
-      numPartitions: Int = 8)
+      numPartitions: Int = 8,
+      driver: String = "")
 
   private def props(cfg: JdbcConfig): java.util.Properties = {
     val p = new java.util.Properties()
     p.setProperty("user", cfg.user)
     p.setProperty("password", cfg.password)
     p.setProperty("batchsize", cfg.batchSize.toString)
+    if (cfg.driver.nonEmpty) p.setProperty("driver", cfg.driver)
     p
   }
 

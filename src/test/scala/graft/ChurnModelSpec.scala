@@ -57,6 +57,26 @@ class ChurnModelSpec extends SparkSpec {
 }
 
 class CrossValidationSpec extends SparkSpec {
+  test("stratified folds: every fold holds the class mix, deviation <= shards") {
+    import org.apache.spark.sql.functions.col
+    val df = ChurnFixture.df(spark, 4000)
+    val folded = graft.ml.ChurnModel.withStratifiedFolds(
+      df, "churn_label", numFolds = 5, seed = 42L, shards = 4)
+    val counts = folded.groupBy("fold", "churn_label").count().collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(counts.keys.map(_._1).toSet == Set(0, 1, 2, 3, 4))
+    for (label <- Seq(0, 1)) {
+      val perFold = (0 until 5).map(f => counts.getOrElse((f, label), 0L))
+      assert(perFold.max - perFold.min <= 4,
+        s"label=$label per-fold counts $perFold deviate beyond the shard bound")
+    }
+    // fold is driven by the seed: same seed, same assignment
+    val again = graft.ml.ChurnModel.withStratifiedFolds(
+      df, "churn_label", numFolds = 5, seed = 42L, shards = 4)
+    assert(folded.groupBy("fold").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      again.groupBy("fold").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+  }
+
   test("5-fold CV returns a metric per grid point, best model usable") {
     val (best, metrics) = graft.ml.ChurnModel.crossValidate(
       graft.core.ChurnFixture.df(spark, 1500),

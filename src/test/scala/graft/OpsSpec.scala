@@ -103,7 +103,7 @@ class VectorSimSpec extends SparkSpec {
       (11L, Array(0.5f, -0.2f, 0.3f, 0.9f)),
       (12L, Array(-0.5f, 0.2f, -0.3f, -0.9f))).toDF("vec_id", "embedding")
     val got = VectorSim.cosineNearDups(dup, "vec_id", "embedding", 0.99,
-      numPlanes = 8, dim = 4)
+      numTables = 4, planesPerTable = 2, dim = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((10L, 11L)))
   }
@@ -136,5 +136,29 @@ class DedupClusterSpec extends SparkSpec {
     val reps = clusters.filter(org.apache.spark.sql.functions
       .col("id") === org.apache.spark.sql.functions.col("cluster_rep")).count()
     assert(reps > 0 && reps < 500) // dense corpus: real clustering happened
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Sampling
+
+  lazy val cust = graft.core.Tables.customer(spark, "/root/testdata/sf0.001")
+
+  test("seeded exact sample: exact size, deterministic, seed-sensitive") {
+    val a = Sampling.sampleExact(cust, "c_custkey", 100, 42L)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleExact(cust, "c_custkey", 100, 42L)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val c = Sampling.sampleExact(cust, "c_custkey", 100, 7L)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(a.size == 100 && a == b)
+    assert(a != c) // a different seed draws a different set
+  }
+
+  test("seeded exact sample compiles to bounded TakeOrderedAndProject") {
+    val plan = Sampling.sampleExact(cust, "c_custkey", 100, 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 }

@@ -14,6 +14,22 @@ class ValidatorSpec extends SparkSpec {
     assert(r.invalid == 0 && r.total == 200 && r.perRule.isEmpty)
   }
 
+  test("dtype conformance: mistyped and missing columns reported, clean frame passes") {
+    import spark.implicits._
+    // age arrives as string, score as double, ts missing entirely
+    val df = Seq(("U00001", "19", 0.5)).toDF("user_id", "age", "score")
+    val report = SchemaValidator.validateDataTypes(df, Seq(
+      "user_id" -> "string", "age" -> "integer",
+      "score" -> "number", "signup_ts" -> "datetime"))
+    assert(!report.isValid && report.errorCount == 2)
+    assert(report.errors == Seq(
+      "Column 'age': expected integer, got string",
+      "Column 'signup_ts' not found"))
+    val ok = SchemaValidator.validateDataTypes(df, Seq(
+      "user_id" -> "string", "age" -> "string", "score" -> "number"))
+    assert(ok.isValid && ok.errors.isEmpty)
+  }
+
   test("dirty fixture: per-rule violations counted, hard gate throws") {
     val r = SchemaValidator.validate(ChurnFixture.dirtyDf(spark, 100))
     assert(r.invalid == 2) // the bad row + the all-null row

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{TextDedup, VectorSim}
+
+/** Corpus-scale recall contracts for the approximate (no-SQL-oracle)
+  * operators: each one is checked against its exact twin on the driver
+  * testdata, so the LSH/banding parameters carry measured guarantees
+  * rather than vibes. (VERDICT r2 item 4.)
+  */
+class RecallContractSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q38 contract: minhash pairs are exact-verified and recall >= 0.9 vs brute force") {
+    val docs = Tables.documents(spark, sf001)
+    // ground truth: exact Jaccard over ALL pairs (single blocking group)
+    val truth = pairSet(TextDedup.jaccardPairs(
+      docs.withColumn("blk", lit(1)), "text", "doc_id", "blk", 0.5))
+    val got = pairSet(TextDedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5))
+    // soundness: the verify stage re-checks exact Jaccard, so every
+    // emitted pair must be in the brute-force set
+    assert(got.subsetOf(truth), s"${(got -- truth).take(5)} not exact-verified")
+    val recall = got.size.toDouble / truth.size
+    info(f"q38 minhash recall vs exact Jaccard@0.5: $recall%.4f (${got.size}/${truth.size})")
+    assert(recall >= 0.9, f"recall $recall%.4f below contract 0.9")
+  }
+
+  test("q39 contract: 4-chunk blocking is EXACT for hamming <= 3 (pigeonhole)") {
+    val docs = Tables.documents(spark, sf001)
+    val base = docs.select(col("doc_id").as("id"),
+      TextDedup.simhash(col("text")).as("sh"))
+    val a = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+    val truthSet = pairSet(truth)
+    val got = pairSet(TextDedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 3))
+    // <= 3 differing bits can touch at most 3 of the 4 chunks, so at least
+    // one chunk always collides: the blocked result must EQUAL brute force
+    assert(got == truthSet,
+      s"missed=${(truthSet -- got).take(5)} extra=${(got -- truthSet).take(5)}")
+    info(s"q39 simhash blocked pairs = brute force: ${got.size} pairs")
+  }
+
+  test("q41 contract: LSH kNN is rank-contiguous and recovers exact neighbors") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = VectorSim.cosineTopK(q, emb, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorSim.cosineTopKLsh(q, emb, "vec_id", "embedding", 3)
+    val rows = lsh.collect()
+    // structural contract: <= k rows per query, ranks contiguous from 1
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (qid, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"query $qid ranks $ranks not contiguous")
+      assert(ranks.size <= 3)
+    }
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"q41 LSH kNN recall vs exact top-3: $recall%.4f ((${(got & exact).size}/${exact.size}))")
+    // 8 sign-planes = 256 buckets over 500 vectors: the bucket equi-join
+    // prunes ~99.6% of candidates; recall is necessarily partial. The
+    // contract is a measured floor, not perfection.
+    assert(recall >= 0.25, f"recall $recall%.4f collapsed below floor 0.25")
+  }
+
+  test("q55 contract: every verified q38 near-dup pair lands in one cluster (sf0.01)") {
+    val docs = Tables.documents(spark, sf01)
+    val labels = TextDedup.minhashDedupClusters(docs, "text", "doc_id")
+    val pairs = TextDedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+    val la = labels.select(col("id").as("id_a"), col("cluster_rep").as("rep_a"))
+    val lb = labels.select(col("id").as("id_b"), col("cluster_rep").as("rep_b"))
+    val split = pairs.join(la, "id_a").join(lb, "id_b")
+      .filter(col("rep_a") =!= col("rep_b")).count()
+    assert(split == 0L,
+      s"$split verified near-dup pairs straddle two clusters")
+    // and clustering labels every document exactly once
+    assert(labels.count() == docs.count())
+  }
+}
