@@ -179,30 +179,44 @@ object TextDedup {
       .withColumn("bhs", minhashBandHashes(col("hs"), numHashes, bands))
     docs.persist() // read 3× below; linear in corpus, spills to disk at scale
 
-    // bucket membership surviving the per-bucket cap (rank by id);
-    // persisted because it feeds BOTH the effective-band-hash agg and the
-    // bucket entries — without the persist the cap window's shuffle+sort
-    // runs twice
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "bh").orderBy("id")
-    val surviving = docs
-      .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
-      .withColumn("_brn", row_number().over(wb))
-      .filter(col("_brn") <= maxBucket).drop("_brn")
-      .persist()
-
-    // effective band-hash array: null where the doc was capped out, so
-    // first_equal_index only matches bands where BOTH docs are present
-    val eff = surviving.groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("band"), col("bh")))).as("m"))
-      .select(col("id"),
-        transform(sequence(lit(0), lit(bands - 1)), b => col("m")(b)).as("ebhs"))
+    // cap gate: ONE cheap max-of-counts aggregate over (band, bh) —
+    // partial-aggregated map-side, so it shuffles one count per distinct
+    // bucket, not the membership rows. Only when some bucket actually
+    // exceeds `maxBucket` (a viral duplicate cluster) do we pay the cap
+    // window's shuffle+sort, the per-doc effective-band agg, and the
+    // membership join; in the common uncapped case the doc's own `bhs`
+    // IS its effective band-hash array.
+    val bucketed = docs.select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+    val maxBucketSize = bucketed.groupBy("band", "bh")
+      .agg(count(lit(1)).as("_c")).agg(max(col("_c"))).first().getLong(0)
 
     // bucket rows stay LEAN (band, bh, id, ebhs): the bucket self-join
     // evaluates |bucket|² rows per bucket, so every byte carried there is
     // copied quadratically many times — token sets are joined back only
     // for the surviving (deduplicated) candidates
-    val entries = surviving.join(eff, "id")
+    val (entries, capCache) = if (maxBucketSize <= maxBucket) {
+      (docs.select(col("id"), col("bhs").as("ebhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh"))), None)
+    } else {
+      // bucket membership surviving the per-bucket cap (rank by id);
+      // persisted because it feeds BOTH the effective-band-hash agg and
+      // the bucket entries — without the persist the cap window's
+      // shuffle+sort runs twice
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bh").orderBy("id")
+      val surviving = bucketed
+        .withColumn("_brn", row_number().over(wb))
+        .filter(col("_brn") <= maxBucket).drop("_brn")
+        .persist()
+
+      // effective band-hash array: null where the doc was capped out, so
+      // first_equal_index only matches bands where BOTH docs are present
+      val eff = surviving.groupBy("id")
+        .agg(map_from_entries(collect_list(struct(col("band"), col("bh")))).as("m"))
+        .select(col("id"),
+          transform(sequence(lit(0), lit(bands - 1)), b => col("m")(b)).as("ebhs"))
+      (surviving.join(eff, "id"), Some(surviving))
+    }
     val l = entries.select(col("band"), col("bh"), col("id").as("id_a"),
       col("ebhs").as("ebhs_a"))
     val r = entries.select(col("band"), col("bh"), col("id").as("id_b"),
@@ -225,7 +239,7 @@ object TextDedup {
     // long-lived session; the checkpointed result is just the pairs
     val out = pairs.localCheckpoint(true)
     docs.unpersist(false)
-    surviving.unpersist(false)
+    capCache.foreach(_.unpersist(false))
     out
   }
 

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.DotProductF32.dotF32
-import graft.functions.TopKPairs
+import graft.functions.{LshExprs, TopKPairs}
 import scala.util.Random
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -12,14 +12,23 @@ import scala.util.Random
   * query set against the corpus — linear in corpus size, embarrassingly
   * parallel). The scale path is random-hyperplane LSH: a 100 TB corpus is
   * bucketed by sign-pattern once (one projection + one shuffle on the
-  * bucket key), and each query only scans its own bucket (plus optional
-  * multi-probe neighbors).
+  * bucket key), and each query only scans its own bucket plus its
+  * single-bit-flip neighbors (multi-probe).
   *
-  * Dot products are per-row sequential double accumulation (codegen'd
-  * [[graft.functions.DotProductF32]]): there is no cross-row aggregation
-  * in a dot product, so the result is deterministic under any partitioning
-  * — the oracle contract for kNN is the RANKING, whose margins (~1e-3)
-  * dwarf double rounding (~1e-15).
+  * LSH signatures are computed by the codegen'd
+  * [[graft.functions.LshSignBuckets]] — ONE expression whose plane matrix
+  * rides along as a reference object — instead of `numTables ×
+  * planesPerTable` unrolled `dot/element_at` trees over a literal array.
+  * Both formulations accumulate the plane dots in double over float
+  * elements in index order, so buckets are bit-identical (agreement is
+  * asserted in OpsSpec); the legacy unrolled form is kept below only as
+  * the test oracle.
+  *
+  * Pairwise dot products are per-row sequential double accumulation
+  * (codegen'd [[graft.functions.DotProductF32]]): there is no cross-row
+  * aggregation in a dot product, so the result is deterministic under any
+  * partitioning — the oracle contract for kNN is the RANKING, whose
+  * margins (~1e-3) dwarf double rounding (~1e-15).
   */
 object VectorSim {
 
@@ -66,9 +75,10 @@ object VectorSim {
   }
 
   /** Deterministic random hyperplanes (seeded) as a literal nested
-    * `array<array<float>>` — generated once on the driver, folded into
-    * codegen as constants (float so the per-plane dot runs on the same
-    * codegen'd kernel as the pairwise scoring).
+    * `array<array<float>>`. LEGACY — only the unrolled test oracle
+    * [[lshTableBuckets]] consumes this; production signatures use
+    * [[graft.functions.LshExprs.lshSignBuckets]], whose
+    * `planeMatrix(n, dim, seed)` draws the identical gaussian sequence.
     */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val rnd = new Random(seed)
@@ -87,9 +97,12 @@ object VectorSim {
         .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** Per-table sign-pattern buckets: `numTables` independent hash tables of
-    * `planesPerTable` hyperplanes each, as one `array<long>` column. A pair
-    * is a candidate when it collides in ANY table (classic OR
+  /** LEGACY unrolled per-table sign-pattern buckets — superseded in the
+    * operators by the single-expression [[graft.functions.LshSignBuckets]]
+    * and retained ONLY as the bit-identity oracle in OpsSpec ("new = old"
+    * agreement test). Semantics: `numTables` independent hash tables of
+    * `planesPerTable` hyperplanes each, as one `array<long>` column; a
+    * pair is a candidate when it collides in ANY table (classic OR
     * amplification) — a single table of p planes has collision probability
     * (1-θ/π)^p, which collapses for moderately-similar neighbors; L tables
     * lift it to 1-(1-(1-θ/π)^p)^L while each table still prunes ~2^p-fold.
@@ -104,34 +117,67 @@ object VectorSim {
       }.reduce(_.bitwiseOR(_))
     }: _*)
 
+  /** Explode an `array<long>` bucket-signature column to one row per
+    * (table, probe bucket): the table's own bucket plus, when
+    * `probeBits = 1`, its `planesPerTable` single-bit flips — the
+    * multi-probe candidate set. Probes of one table are all distinct, so
+    * a (query, neighbor) pair matches AT MOST ONCE per table; cross-table
+    * dedup is the caller's `first_close_index(...) === table` filter.
+    */
+  private def explodeProbes(
+      df: DataFrame, sigCol: String, planesPerTable: Int,
+      probeBits: Int): DataFrame = {
+    require(probeBits == 0 || probeBits == 1, "probeBits must be 0 or 1")
+    val base = df.select(col("*"), posexplode(col(sigCol)).as(Seq("table", "_b0")))
+    if (probeBits == 0) base.withColumnRenamed("_b0", "bucket")
+    else base.select(col("*"),
+        explode(array(col("_b0") +: (0 until planesPerTable).map(p =>
+          col("_b0").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+      .drop("_b0")
+  }
+
   /** LSH-bucketed approximate cosine top-k: corpus and queries are hashed
-    * into `numTables` sign-pattern tables; each query joins its bucket in
-    * each table, then exact cosine ranks the union of candidates. A pair
-    * colliding in several tables is kept only in its FIRST shared table
-    * (`first_equal_index` over the two bucket arrays — per-row filter, no
-    * dedup shuffle; same trick as the MinHash band join). Recall < 1 by
-    * construction; at scale this replaces the cross join with bucket
-    * equi-joins carrying corpus×numTables lean rows.
+    * into `numTables` sign-pattern tables; each query probes its own
+    * bucket AND every single-bit flip of it (multi-probe, `probeBits = 1`
+    * default), then exact cosine ranks the union of candidates. A pair
+    * close in several tables is kept only in its FIRST close table
+    * (`first_close_index` over the two signature arrays — per-row filter,
+    * no dedup shuffle; the popcount(qb[t] XOR cb[t]) <= probeBits test is
+    * exactly "some probe of table t hits the neighbor's bucket").
+    *
+    * Shuffle hygiene for 100 TB: bucket rows carry ONLY
+    * (table, bucket, id, signature) — the 64-float vectors and norms are
+    * joined back for the (pruned) candidate set afterwards, so the
+    * equi-join never copies vector payload per candidate pair. Queries are
+    * broadcast (small side by construction); the corpus join-back is a
+    * shuffle join on id at scale.
     */
   def cosineTopKLsh(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, numTables: Int = 8, planesPerTable: Int = 4,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numTables * planesPerTable, dim, seed)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qb", lshTableBuckets(col("qv"), planes, numTables, planesPerTable))
-      .withColumn("qn", sqrt(normSq(col("qv"))))
-      .select(col("query_id"), col("qv"), col("qn"), col("qb"),
-        posexplode(col("qb")).as(Seq("table", "bucket")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cb", lshTableBuckets(col("cv"), planes, numTables, planesPerTable))
-      .withColumn("cn", sqrt(normSq(col("cv"))))
-      .select(col("neighbor_id"), col("cv"), col("cn"), col("cb"),
-        posexplode(col("cb")).as(Seq("table", "bucket")))
-    val scored = c.join(broadcast(q), Seq("table", "bucket"))
+      dim: Int = 64, seed: Long = 42L, probeBits: Int = 1): DataFrame = {
+    def sig(v: Column) = LshExprs.lshSignBuckets(v, numTables, planesPerTable, dim, seed)
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qb", sig(col("qv")))
+    val cBase = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cb", sig(col("cv")))
+    // lean bucket rows; probes explode on the (tiny, broadcast) query side
+    val q = explodeProbes(qBase.select(col("query_id"), col("qb")),
+      "qb", planesPerTable, probeBits)
+    val c = cBase.select(col("neighbor_id"), col("cb"),
+      posexplode(col("cb")).as(Seq("table", "bucket")))
+    val cands = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .filter(graft.functions.MinHashExprs.firstEqualIndex(col("qb"), col("cb")) ===
+      .filter(LshExprs.firstCloseIndex(col("qb"), col("cb"), probeBits) ===
         col("table"))
+      .select("query_id", "neighbor_id")
+    // vectors join back ONLY for surviving candidates (MinHash design:
+    // TextDedup.minhashNearDups keeps bucket rows lean the same way)
+    val qv = qBase.select(col("query_id"), col("qv"),
+      sqrt(normSq(col("qv"))).as("qn"))
+    val cv = cBase.select(col("neighbor_id"), col("cv"),
+      sqrt(normSq(col("cv"))).as("cn"))
+    val scored = cands.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     rankTopK(scored, k)
   }
@@ -140,28 +186,49 @@ object VectorSim {
     * multi-table LSH-blocked (the embedding analog of MinHash dedup).
     * Defaults favor the realistic near-dup regime (cosine >= ~0.8):
     * 8 tables × 6 planes give ~98% recall at cosine 0.9 while each table
-    * prunes 64-fold.
+    * prunes 64-fold. `probeBits = 1` additionally probes single-bit-flip
+    * buckets (one side of the self-join explodes planesPerTable+1 probes),
+    * lifting per-table collision probability from p^6 to
+    * p^6 + 6·p^5(1-p) — e.g. at cosine 0.5 overall recall rises from
+    * ~0.52 to ~0.97 — at ~7× candidate-join fan-in; the measured recall
+    * contract lives in RecallContractSpec.
+    *
+    * Scale shape: the bucket self-join carries ONLY
+    * (table, bucket, id, signature) — vector payload joins back for the
+    * deduplicated candidates (same lean-row design as
+    * TextDedup.minhashNearDups).
     */
   def cosineNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numTables: Int = 8, planesPerTable: Int = 6,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numTables * planesPerTable, dim, seed)
-    val t = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("tb", lshTableBuckets(col("v"), planes, numTables, planesPerTable))
-      .withColumn("n", sqrt(normSq(col("v"))))
-      .select(col("id"), col("v"), col("n"), col("tb"),
-        posexplode(col("tb")).as(Seq("table", "bucket")))
-    val a = t.select(col("table"), col("bucket"), col("id").as("id_a"),
-      col("v").as("va"), col("n").as("na"), col("tb").as("tb_a"))
-    val b = t.select(col("table"), col("bucket"), col("id").as("id_b"),
-      col("v").as("vb"), col("n").as("nb"), col("tb").as("tb_b"))
-    a.join(b, Seq("table", "bucket"))
+      dim: Int = 64, seed: Long = 42L, probeBits: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("tb",
+        LshExprs.lshSignBuckets(col("v"), numTables, planesPerTable, dim, seed))
+    base.persist() // read 3× below (bucket rows + two vector join-backs)
+    val lean = base.select(col("id"), col("tb"))
+    val a = explodeProbes(lean, "tb", planesPerTable, probeBits)
+      .select(col("table"), col("bucket"), col("id").as("id_a"),
+        col("tb").as("tb_a"))
+    val b = lean.select(col("id").as("id_b"), col("tb").as("tb_b"),
+      posexplode(col("tb")).as(Seq("table", "bucket")))
+    val cands = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(graft.functions.MinHashExprs.firstEqualIndex(col("tb_a"), col("tb_b")) ===
+      .filter(LshExprs.firstCloseIndex(col("tb_a"), col("tb_b"), probeBits) ===
         col("table"))
+      .select("id_a", "id_b")
+    val va = base.select(col("id").as("id_a"), col("v").as("va"),
+      sqrt(normSq(col("v"))).as("na"))
+    val vb = base.select(col("id").as("id_b"), col("v").as("vb"),
+      sqrt(normSq(col("v"))).as("nb"))
+    val pairs = cands.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    // materialize (lineage-truncating local checkpoint) so the corpus
+    // cache can be dropped HERE instead of leaking across queries
+    val out = pairs.localCheckpoint(true)
+    base.unpersist(false)
+    out
   }
 }

@@ -54,6 +54,94 @@ class FunctionsSpec extends SparkSpec {
   }
 }
 
+class LshExprsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.LshExprs
+  import graft.functions.MinHashExprs.firstEqualIndex
+  import graft.ops.VectorSim
+
+  private val numTables = 8
+  private val planesPerTable = 6
+  private val dim = 64
+  private val seed = 42L
+
+  lazy val vecs: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(7)
+    (0 until 50).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "v")
+  }
+
+  private def sigs(c: org.apache.spark.sql.Column): Seq[Seq[Long]] =
+    vecs.select(col("id"), c.as("b")).orderBy("id")
+      .collect().map(_.getSeq[Long](1).toSeq).toSeq
+
+  test("lsh_sign_buckets is bit-identical to the legacy unrolled formulation") {
+    // same seed must draw the same gaussian sequence, same index-order
+    // double accumulation — buckets must agree EXACTLY, which is what lets
+    // the operators swap formulations without changing q40/q41/q42 output
+    val legacy = sigs(VectorSim.lshTableBuckets(col("v"),
+      VectorSim.hyperplanes(numTables * planesPerTable, dim, seed),
+      numTables, planesPerTable))
+    val fused = sigs(LshExprs.lshSignBuckets(col("v"), numTables, planesPerTable, dim, seed))
+    assert(fused == legacy)
+    assert(fused.forall(_.size == numTables))
+  }
+
+  test("lsh_sign_buckets interpreted path agrees with codegen path") {
+    val expr = LshExprs.lshSignBuckets(col("v"), numTables, planesPerTable, dim, seed)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try sigs(expr) finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(sigs(expr) == interp)
+  }
+
+  lazy val sigPairs = Seq(
+    (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),   // equal at 0
+    (Seq(1L, 2L, 3L), Seq(5L, 2L, 3L)),   // 1^5=4: 1 bit -> close at 0
+    (Seq(1L, 8L, 3L), Seq(2L, 8L, 0L)),   // equal at 1; 1^2=3: 2 bits
+    (Seq(7L, 1L, 0L), Seq(0L, 2L, 5L)),   // 3,2,2 bits apart: none <= 1
+  ).toDF("a", "b")
+
+  test("first_close_index finds the first table within maxBits; -1 otherwise") {
+    val got = sigPairs.select(LshExprs.firstCloseIndex(col("a"), col("b"), 1))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 0, 1, -1))
+  }
+
+  test("first_close_index at maxBits=0 degenerates to first_equal_index") {
+    val got = sigPairs.select(
+      LshExprs.firstCloseIndex(col("a"), col("b"), 0).as("close0"),
+      firstEqualIndex(col("a"), col("b")).as("eq")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("first_close_index interpreted path agrees with codegen path") {
+    val expected = Seq(0, 0, 1, -1)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = sigPairs.select(LshExprs.firstCloseIndex(col("a"), col("b"), 1))
+        .collect().map(_.getInt(0)).toSeq
+      assert(interp == expected)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("lsh_sign_buckets rejects non-float-array input at analysis time") {
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v") // array<double>
+    val ex = intercept[Exception] {
+      df.select(LshExprs.lshSignBuckets(col("v"), 2, 2, 2, 1L)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("lsh_sign_buckets") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
+
 class TopKPairsSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TopKPairs

@@ -58,6 +58,20 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 0L && b == 3L && h == 0 })
   }
 
+  test("forced bucket cap (maxBucket=2) keeps exact-verified pairs, never invents") {
+    // docs 0/1/3 share every band bucket; capping at 2 members (rank by
+    // id) keeps 0,1 and evicts 3 everywhere — the capped result must be a
+    // subset of the uncapped pairs and still contain the surviving pair
+    val uncapped = TextDedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = TextDedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5,
+      maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((0L, 1L)))
+    assert(!capped.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
   test("minhash signature has k entries and is deterministic") {
     val sig = docs.select(TextDedup.minhashSignature(
       TextDedup.tokens(col("text")), 16).as("sig"))
@@ -106,6 +120,34 @@ class VectorSimSpec extends SparkSpec {
       numTables = 4, planesPerTable = 2, dim = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((10L, 11L)))
+  }
+
+  test("multi-probe near-dups emit each pair exactly once and never lose pairs") {
+    val dup = Seq((10L, Array(0.5f, -0.2f, 0.3f, 0.9f)),
+      (11L, Array(0.5f, -0.2f, 0.3f, 0.9f)),
+      (13L, Array(0.48f, -0.21f, 0.33f, 0.88f)), // near 10/11
+      (12L, Array(-0.5f, 0.2f, -0.3f, -0.9f))).toDF("vec_id", "embedding")
+    def pairs(probe: Int) = VectorSim.cosineNearDups(dup, "vec_id", "embedding",
+      0.9, numTables = 4, planesPerTable = 2, dim = 4, probeBits = probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = pairs(0)
+    val probed = pairs(1)
+    // first_close_index dedup: probing must not duplicate any pair...
+    assert(probed.distinct.size == probed.size)
+    // ...and the probed candidate set is a superset of the exact-bucket one
+    assert(exact.toSet.subsetOf(probed.toSet))
+    assert(probed.toSet.contains((10L, 11L)))
+  }
+
+  test("multi-probe kNN keeps ranks contiguous with no duplicate neighbors") {
+    val out = VectorSim.cosineTopKLsh(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 3,
+      numTables = 4, planesPerTable = 2, dim = 4, probeBits = 1)
+      .orderBy("rank").collect()
+    val nbs = out.map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(nbs.distinct.size == nbs.size)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+    assert(!nbs.contains(0L))
   }
 }
 
