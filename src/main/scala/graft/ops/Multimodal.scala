@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * iterator batches (the Scala analog of arrow-batched Python UDFs —
   * same batch shape, no per-row overhead).
   *
-  * The actual codec calls are STUBBED behind `MediaCodec` with a
-  * deterministic fake (no image/audio libraries in this environment); the
-  * Spark-side contract — schema, partitioning, batch iteration, output
-  * shape — is real and tested, and a production codec drops in without
-  * touching the plumbing.
+  * `MediaCodec` is a REAL pure-JVM container-header codec: it parses
+  * PNG/BMP dimensions, WAV duration, and MP4 (mvhd) duration straight
+  * from the payload bytes and cross-checks them against the declared
+  * metadata columns (`meta_consistent`). Only pixel/sample decode — which
+  * genuinely needs image/audio libraries absent from this environment —
+  * is approximated: `brightness` is a deterministic byte-level proxy,
+  * clearly documented as such. A full pixel decoder drops in via the
+  * `decode` parameter of `extractFeatures` without touching the plumbing.
   */
 object Multimodal {
 
@@ -31,26 +34,169 @@ object Multimodal {
       kind: String,
       byte_len: Int,
       payload_hash: Long,
-      brightness: Double, // stub: derived deterministically from bytes
+      parsed_width: Int, // -1 when the container has no/unparseable dims
+      parsed_height: Int,
+      parsed_duration_ms: Long, // -1 when no duration in the container
+      meta_consistent: Boolean, // parsed header agrees with declared columns
+      brightness: Double, // byte-level proxy (pixel decode needs a codec lib)
       n_frames_sampled: Int)
 
-  /** STUB codec: a real implementation decodes pixels/samples; this one
-    * derives deterministic features from the raw bytes so the pipeline is
-    * testable end-to-end. Swap via the `decode` parameter of
-    * `extractFeatures`.
+  /** Pure-JVM container-header codec. Parses the format headers bit-exactly
+    * per the public specs (PNG: ISO/IEC 15948 §5.2/11.2.2; BMP:
+    * BITMAPINFOHEADER; WAV: RIFF/fmt/data chunks; MP4: ISO 14496-12 mvhd).
+    * Truncated or corrupt payloads parse to None — features fall back to
+    * -1 dims and `meta_consistent = false`, never throw (a 100 TB corpus
+    * WILL contain garbage rows; the codec must be total).
     */
   object MediaCodec {
+
+    private def beInt(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+        ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+    private def leInt(b: Array[Byte], off: Int): Long =
+      ((b(off + 3) & 0xFFL) << 24) | ((b(off + 2) & 0xFFL) << 16) |
+        ((b(off + 1) & 0xFFL) << 8) | (b(off) & 0xFFL)
+
+    private def tag(b: Array[Byte], off: Int): String =
+      if (off + 4 > b.length) ""
+      else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private val pngSig =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (length + "IHDR"), whose
+      * first 8 data bytes are width/height as big-endian u32.
+      */
+    def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 && b.take(8).sameElements(pngSig) && tag(b, 12) == "IHDR")
+        Some((beInt(b, 16).toInt, beInt(b, 20).toInt))
+      else None
+
+    /** BMP: "BM" magic; BITMAPINFOHEADER width/height are little-endian
+      * i32 at offsets 18/22 (height may be negative = top-down rows).
+      */
+    def parseBmp(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+        Some((leInt(b, 18).toInt, math.abs(leInt(b, 22).toInt)))
+      else None
+
+    /** Canonical WAV: RIFF/WAVE, "fmt " chunk with byte-rate at its
+      * offset 8, then chunk-walk to "data"; duration = dataLen/byteRate.
+      */
+    def parseWavMs(b: Array[Byte]): Option[Long] = {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var off = 12
+      var byteRate = 0L
+      while (off + 8 <= b.length) {
+        val id = tag(b, off)
+        val len = leInt(b, off + 4)
+        if (id == "fmt " && off + 16 + 4 <= b.length) byteRate = leInt(b, off + 16)
+        else if (id == "data" && byteRate > 0) return Some(len * 1000L / byteRate)
+        off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      }
+      None
+    }
+
+    /** MP4/ISO-BMFF: walk top-level boxes to "moov", then its children to
+      * "mvhd" (version 0: timescale/duration at payload offsets 12/16).
+      */
+    def parseMp4Ms(b: Array[Byte]): Option[Long] = {
+      def findBox(name: String, from: Int, until: Int): Option[Int] = {
+        var off = from
+        while (off + 8 <= until) {
+          val size = beInt(b, off)
+          if (tag(b, off + 4) == name) return Some(off)
+          if (size < 8) return None // corrupt: would loop forever
+          off += size.toInt
+        }
+        None
+      }
+      for {
+        moov <- findBox("moov", 0, b.length)
+        moovEnd = math.min(b.length, moov + beInt(b, moov).toInt)
+        mvhd <- findBox("mvhd", moov + 8, moovEnd)
+        if mvhd + 28 <= b.length && b(mvhd + 8) == 0 // version 0 only
+        timescale = beInt(b, mvhd + 20)
+        if timescale > 0
+      } yield beInt(b, mvhd + 24) * 1000L / timescale
+    }
+
     def decode(row: MediaRow): MediaFeatures = {
-      val h = row.payload.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
+      val b = row.payload
+      val h = b.foldLeft(1125899906842597L)((acc, x) => 31 * acc + x)
+      val dims = row.kind match {
+        case "image" => parsePng(b).orElse(parseBmp(b))
+        case _ => None
+      }
+      val durMs = row.kind match {
+        case "audio" => parseWavMs(b)
+        case "video" => parseMp4Ms(b)
+        case _ => None
+      }
+      val consistent = row.kind match {
+        case "image" => dims.contains((row.width, row.height))
+        case _ => durMs.contains(row.duration_ms)
+      }
       MediaFeatures(
         media_id = row.media_id,
         kind = row.kind,
-        byte_len = row.payload.length,
+        byte_len = b.length,
         payload_hash = h,
+        parsed_width = dims.map(_._1).getOrElse(-1),
+        parsed_height = dims.map(_._2).getOrElse(-1),
+        parsed_duration_ms = durMs.getOrElse(-1L),
+        meta_consistent = consistent,
         brightness =
-          if (row.payload.isEmpty) 0.0
-          else row.payload.map(b => (b & 0xFF).toDouble).sum / row.payload.length / 255.0,
-        n_frames_sampled = if (row.kind == "video") math.max(1, (row.duration_ms / 1000).toInt) else 1)
+          if (b.isEmpty) 0.0
+          else b.map(x => (x & 0xFF).toDouble).sum / b.length / 255.0,
+        n_frames_sampled =
+          if (row.kind == "video")
+            math.max(1, (durMs.getOrElse(row.duration_ms) / 1000).toInt)
+          else 1)
+    }
+  }
+
+  /** Hand-rolled header builders — used by [[syntheticMedia]] so the test
+    * corpus exercises the REAL parsers, and by unit tests as fixtures.
+    */
+  object MediaHeaders {
+    private def be(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    private def le(v: Long): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    /** Signature + IHDR (crc left zero — parsers here don't verify crc). */
+    def png(w: Int, h: Int): Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        be(13) ++ ascii("IHDR") ++ be(w) ++ be(h) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ be(0)
+
+    def bmp(w: Int, h: Int): Array[Byte] =
+      ascii("BM") ++ le(54) ++ le(0) ++ le(54) ++ le(40) ++ le(w) ++ le(h) ++
+        Array.fill[Byte](26)(0)
+
+    /** 44-byte canonical header; data length chosen so duration is exact
+      * at byteRate 16000 (8 kHz mono 16-bit).
+      */
+    def wav(durationMs: Long): Array[Byte] = {
+      val byteRate = 16000L
+      val dataLen = durationMs * byteRate / 1000L
+      ascii("RIFF") ++ le(36 + dataLen) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le(16) ++
+        Array[Byte](1, 0, 1, 0) ++ le(8000) ++ le(byteRate) ++
+        Array[Byte](2, 0, 16, 0) ++
+        ascii("data") ++ le(dataLen)
+    }
+
+    /** ftyp + moov(mvhd v0) with timescale 1000 → duration field is ms. */
+    def mp4(durationMs: Long): Array[Byte] = {
+      val mvhd = be(8 + 96) ++ ascii("mvhd") ++
+        Array[Byte](0, 0, 0, 0) ++ be(0) ++ be(0) ++
+        be(1000) ++ be(durationMs) ++ Array.fill[Byte](96 - 20)(0)
+      val moov = be(8 + mvhd.length) ++ ascii("moov") ++ mvhd
+      be(16) ++ ascii("ftyp") ++ ascii("isom") ++ be(512) ++ moov
     }
   }
 
@@ -63,27 +209,35 @@ object Multimodal {
       decode: MediaRow => MediaFeatures = MediaCodec.decode): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // a real codec would init its native context here, once per partition
+      // a real pixel codec would init its native context here, per partition
       rows.map(decode)
     }
   }
 
-  /** Deterministic synthetic media table for tests/demo: payload bytes are
-    * seeded per id, so features are reproducible.
+  /** Deterministic synthetic media table for tests/demo: payloads carry
+    * REAL container headers (PNG/WAV/MP4) encoding the declared metadata,
+    * followed by seeded filler bytes standing in for the pixel/sample
+    * body — so the header codec above is exercised end-to-end.
     */
   def syntheticMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val rnd = new scala.util.Random(seed + i)
       val kind = Seq("image", "audio", "video")(rnd.nextInt(3))
-      val payload = Array.fill(64 + rnd.nextInt(192))(rnd.nextInt(256).toByte)
-      MediaRow(i, kind, payload,
+      val width = if (kind == "image" || kind == "video") 64 + rnd.nextInt(1024) else 0
+      val height = if (kind == "image" || kind == "video") 64 + rnd.nextInt(1024) else 0
+      val durationMs = if (kind != "image") 1000L + rnd.nextInt(30000) else 0L
+      val header = kind match {
+        case "image" => MediaHeaders.png(width, height)
+        case "audio" => MediaHeaders.wav(durationMs)
+        case _ => MediaHeaders.mp4(durationMs)
+      }
+      val body = Array.fill(64 + rnd.nextInt(192))(rnd.nextInt(256).toByte)
+      MediaRow(i, kind, header ++ body,
         mime = kind match {
           case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/mp4"
         },
-        width = if (kind == "image" || kind == "video") 64 + rnd.nextInt(1024) else 0,
-        height = if (kind == "image" || kind == "video") 64 + rnd.nextInt(1024) else 0,
-        duration_ms = if (kind != "image") 1000L + rnd.nextInt(30000) else 0L)
+        width = width, height = height, duration_ms = durationMs)
     }
   }
 
@@ -93,6 +247,7 @@ object Multimodal {
       count(lit(1)).as("n"),
       avg("byte_len").as("avg_bytes"),
       avg("brightness").as("avg_brightness"),
-      sum("n_frames_sampled").as("total_frames"))
+      sum("n_frames_sampled").as("total_frames"),
+      sum(when(col("meta_consistent"), 1L).otherwise(0L)).as("n_meta_consistent"))
       .orderBy("kind")
 }

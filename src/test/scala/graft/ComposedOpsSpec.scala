@@ -46,17 +46,59 @@ class SessionizeSpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
-  test("stub codec features are deterministic and batch plumbing works") {
+  import graft.ops.Multimodal.{MediaCodec, MediaHeaders}
+
+  test("codec features are deterministic and batch plumbing works") {
     val a = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 200))
       .collect().sortBy(_.media_id)
     val b = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 200))
       .collect().sortBy(_.media_id)
     assert(a.toSeq == b.toSeq)
     assert(a.forall(f => f.brightness >= 0 && f.brightness <= 1))
-    assert(a.forall(f => f.byte_len >= 64 && f.byte_len < 256))
+    assert(a.forall(f => f.byte_len >= 64 && f.byte_len < 512))
     // video sampling uses duration; image samples exactly one frame
     assert(a.filter(_.kind == "image").forall(_.n_frames_sampled == 1))
     assert(a.filter(_.kind == "video").forall(_.n_frames_sampled >= 1))
+  }
+
+  test("header codec parses real PNG/WAV/MP4 headers and matches metadata") {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 200))
+      .collect()
+    // every synthetic payload carries a genuine container header encoding
+    // its declared metadata — the parser must recover it for ALL rows
+    assert(feats.forall(_.meta_consistent), feats.filterNot(_.meta_consistent).take(3).toSeq)
+    assert(feats.filter(_.kind == "image").forall(f =>
+      f.parsed_width >= 64 && f.parsed_height >= 64))
+    assert(feats.filter(_.kind != "image").forall(f => f.parsed_duration_ms >= 1000))
+    assert(feats.filter(_.kind == "audio").forall(f => f.parsed_width == -1))
+  }
+
+  test("PNG parser: hand-built header round-trips; corrupt bytes parse to None") {
+    assert(MediaCodec.parsePng(MediaHeaders.png(640, 480)).contains((640, 480)))
+    assert(MediaCodec.parsePng(MediaHeaders.png(1, 1)).contains((1, 1)))
+    assert(MediaCodec.parsePng(MediaHeaders.bmp(640, 480)).isEmpty) // wrong magic
+    assert(MediaCodec.parsePng(MediaHeaders.png(640, 480).take(20)).isEmpty) // truncated
+    assert(MediaCodec.parsePng(Array.empty[Byte]).isEmpty)
+  }
+
+  test("BMP parser: little-endian dims, top-down (negative height) normalized") {
+    assert(MediaCodec.parseBmp(MediaHeaders.bmp(800, 600)).contains((800, 600)))
+    val topDown = MediaHeaders.bmp(800, -600)
+    assert(MediaCodec.parseBmp(topDown).contains((800, 600)))
+    assert(MediaCodec.parseBmp(MediaHeaders.png(8, 8)).isEmpty)
+  }
+
+  test("WAV/MP4 parsers recover duration; garbage payloads never throw") {
+    assert(MediaCodec.parseWavMs(MediaHeaders.wav(12345L)).contains(12345L))
+    assert(MediaCodec.parseMp4Ms(MediaHeaders.mp4(30999L)).contains(30999L))
+    val junk = Array.tabulate(300)(i => (i * 37).toByte)
+    assert(MediaCodec.parseWavMs(junk).isEmpty)
+    assert(MediaCodec.parseMp4Ms(junk).isEmpty)
+    assert(MediaCodec.parseMp4Ms(MediaHeaders.mp4(5000L).take(30)).isEmpty)
+    // a corrupt row must still decode (total function), flagged inconsistent
+    val bad = Multimodal.MediaRow(9L, "image", junk, "image/png", 10, 10, 0L)
+    val f = MediaCodec.decode(bad)
+    assert(!f.meta_consistent && f.parsed_width == -1 && f.byte_len == 300)
   }
 
   test("a custom codec drops into the same plumbing") {
