@@ -55,5 +55,15 @@ object VectorQueries {
       VectorSim.cosineNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.25).orderBy("id_a", "id_b")
     },
+
+    // ---- IVF-partitioned approximate kNN (inverted-file scale path;
+    // rows check — the recall contract vs exact top-k lives in
+    // RecallContractSpec)
+    QueryDef("q60_cosine_knn_ivf", None) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSim.cosineTopKIvf(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")
+    },
   )
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.DotProductF32.dotF32
-import graft.functions.{LshExprs, TopKPairs}
+import graft.functions.{IvfExprs, LshExprs, TopKPairs}
 import scala.util.Random
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -70,6 +70,92 @@ object VectorSim {
       .withColumn("cn", sqrt(normSq(col("cv"))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(scored, k)
+  }
+
+  /** Spherical k-means coarse quantizer for the IVF index: Lloyd's
+    * iterations over a BOUNDED deterministic sample, driver-side — the
+    * standard IVF build (FAISS trains its quantizer on a sample too).
+    * The sample read is `orderBy(id).limit(n)`, which Spark executes as
+    * `TakeOrderedAndProject`: a per-partition top-n + driver merge, no
+    * full sort/shuffle — O(sampleN) driver memory at any corpus size.
+    * Centroids are L2-normalized so dot order is cosine order downstream.
+    * Deterministic end-to-end: strided init over the id-ordered sample,
+    * argmax ties to the lower index, fixed iteration count.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, numCells: Int,
+      sampleN: Int = 4096, iters: Int = 10): Array[Array[Float]] = {
+    val rows = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleN).collect()
+    val sample = rows.iterator.map(_.getSeq[Float](1).toArray)
+      .map { v =>
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        if (n == 0.0) v.map(_ => 0.0) else v.map(_ / n)
+      }.toArray
+    require(sample.length >= numCells,
+      s"need >= $numCells sample vectors to train, got ${sample.length}")
+    val dim = sample.head.length
+    var cents = Array.tabulate(numCells)(c =>
+      sample((c.toLong * sample.length / numCells).toInt).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(numCells)(new Array[Double](dim))
+      val counts = new Array[Int](numCells)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < numCells) {
+          var acc = 0.0; var i = 0
+          while (i < dim) { acc += v(i) * cents(c)(i); i += 1 }
+          if (acc > bestDot) { bestDot = acc; best = c }
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(numCells) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its old centroid
+        else {
+          val s = sums(c)
+          val n = math.sqrt(s.foldLeft(0.0)((a, x) => a + x * x))
+          if (n == 0.0) cents(c) else s.map(_ / n)
+        }
+      }
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  /** IVF-partitioned approximate cosine top-k — the inverted-file scale
+    * path alongside [[cosineTopKLsh]]. The corpus is assigned to its ONE
+    * nearest coarse centroid (at 100 TB this `cell` column is the
+    * bucketing/partition key the index is written with, so a probe reads
+    * only nprobe/numCells of the data); each query probes its `nprobe`
+    * nearest cells and exact cosine re-ranks the union.
+    *
+    * Shuffle hygiene matches the LSH path: the cell join carries only
+    * (cell, id) — vectors join back for surviving candidates. A corpus row
+    * lives in exactly one cell and a query's probe cells are distinct, so
+    * no candidate pair is ever produced twice — no dedup step at all.
+    */
+  def cosineTopKIvf(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, numCells: Int = 16, nprobe: Int = 8,
+      sampleN: Int = 4096, iters: Int = 10): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, numCells, sampleN, iters)
+    val cBase = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val cCells = cBase.select(col("neighbor_id"),
+      element_at(IvfExprs.nearestCentroids(col("cv"), centroids, 1), 1).as("cell"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qCells = qBase.select(col("query_id"),
+      explode(IvfExprs.nearestCentroids(col("qv"), centroids, nprobe)).as("cell"))
+    val cands = cCells.join(broadcast(qCells), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val qv = qBase.withColumn("qn", sqrt(normSq(col("qv"))))
+    val cv = cBase.withColumn("cn", sqrt(normSq(col("cv"))))
+    val scored = cands.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     rankTopK(scored, k)
   }

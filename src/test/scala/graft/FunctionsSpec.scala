@@ -142,6 +142,53 @@ class LshExprsSpec extends SparkSpec {
   }
 }
 
+class IvfExprsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.IvfExprs
+
+  // unit-norm centroids along the first three axes
+  private val cents = Array(
+    Array(1.0f, 0.0f, 0.0f, 0.0f),
+    Array(0.0f, 1.0f, 0.0f, 0.0f),
+    Array(0.0f, 0.0f, 1.0f, 0.0f))
+
+  lazy val vs = Seq(
+    (0L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // nearest 0, then 1
+    (1L, Array(0.1f, 0.8f, 0.2f, 0.0f)),  // nearest 1, then 2
+    (2L, Array(0.0f, 0.0f, -1.0f, 0.0f)), // all dots <= 0; argmax ties
+  ).toDF("id", "v")
+
+  test("nearest_centroids returns descending-dot probe lists, ties to lower index") {
+    val got = vs.select(col("id"), IvfExprs.nearestCentroids(col("v"), cents, 2).as("p"))
+      .orderBy("id").collect().map(_.getSeq[Int](1).toSeq).toSeq
+    // row 2: dots are (0, 0, -1) — the 0.0 tie must resolve to centroid 0 then 1
+    assert(got == Seq(Seq(0, 1), Seq(1, 2), Seq(0, 1)))
+  }
+
+  test("nearest_centroids interpreted path agrees with codegen path") {
+    val expr = IvfExprs.nearestCentroids(col("v"), cents, 3)
+    def run(): Seq[Seq[Int]] = vs.select(col("id"), expr.as("p")).orderBy("id")
+      .collect().map(_.getSeq[Int](1).toSeq).toSeq
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(gen == interp)
+  }
+
+  test("nearest_centroids rejects non-float-array input at analysis time") {
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "v") // array<double>
+    val ex = intercept[Exception] {
+      df.select(IvfExprs.nearestCentroids(col("v"), cents, 1)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("nearest_centroids") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
+
 class TopKPairsSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TopKPairs

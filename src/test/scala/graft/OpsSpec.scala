@@ -139,6 +139,28 @@ class VectorSimSpec extends SparkSpec {
     assert(probed.toSet.contains((10L, 11L)))
   }
 
+  test("IVF kNN finds the true neighbor and keeps ranks contiguous") {
+    // 12 vectors in 3 tight axis-aligned groups: every cell boundary the
+    // quantizer can draw keeps each group together, so nprobe=1 already
+    // recovers the within-group exact neighbors
+    val rnd = new scala.util.Random(5)
+    val grouped = (0 until 12).map { i =>
+      val axis = i % 3
+      val base = Array.fill(4)(0.02f * rnd.nextGaussian().toFloat)
+      base(axis) = 1.0f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val out = VectorSim.cosineTopKIvf(
+      grouped.filter($"vec_id" === 0), grouped, "vec_id", "embedding", 3,
+      numCells = 3, nprobe = 1, sampleN = 12, iters = 5)
+      .orderBy("rank").collect()
+    val nbs = out.map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(nbs.distinct.size == nbs.size && !nbs.contains(0L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+    // all returned neighbors share query 0's axis group (ids ≡ 0 mod 3)
+    assert(nbs.forall(_ % 3 == 0), nbs)
+  }
+
   test("multi-probe kNN keeps ranks contiguous with no duplicate neighbors") {
     val out = VectorSim.cosineTopKLsh(
       vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 3,
