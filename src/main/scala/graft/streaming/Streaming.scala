@@ -57,6 +57,24 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup on the normalized text fingerprint — the
+    * ingest-time twin of the batch [[graft.ops.TextDedup.exactDedup]]
+    * (same md5-of-normalized-text key, so batch and stream agree on what
+    * a duplicate is). Built on `dropDuplicatesWithinWatermark`: keyed
+    * fingerprint state lives in the state store and is EXPIRED by the
+    * event-time watermark, so state stays bounded on an unbounded stream
+    * (a plain streaming `dropDuplicates` would grow keyed state forever —
+    * a leak at 100 TB/day). Duplicates arriving within the watermark
+    * horizon are suppressed; the first arrival wins.
+    */
+  def dedupDocStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("_fp", graft.ops.TextDedup.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

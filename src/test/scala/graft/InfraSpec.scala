@@ -146,6 +146,40 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.sql("SELECT sum(n_events) FROM win_agg").collect()
     assert(rows(0).getLong(0) == 100)
   }
+
+  test("streaming dedup suppresses fingerprint duplicates within and across batches") {
+    import spark.implicits._
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)](
+      spark, 1)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // batch 1: "alpha" twice (whitespace variant = same fingerprint)
+    docs.addData(Seq(
+      (1L, "alpha  beta", ts(0)),
+      (2L, "alpha beta", ts(1)), // dup of 1 after normalization
+      (3L, "gamma", ts(2))))
+    val out = Streaming.dedupDocStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+    // one checkpoint across both runs: offsets AND fingerprint state resume,
+    // so run 2 sees only batch 2 but still remembers batch 1's fingerprints
+    val work = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    def run(): Unit = {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$work/out").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    // batch 2: another "gamma" dup (within the 1h watermark horizon) + new
+    docs.addData(Seq((4L, "GAMMA", ts(3)), (5L, "delta", ts(4))))
+    run()
+    val all = spark.read.parquet(s"$work/out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(all.contains(3L) && all.contains(5L))
+    assert(!all.contains(4L), "cross-batch duplicate must be suppressed by state")
+    assert((all & Set(1L, 2L)).size == 1, "exactly one of the in-batch dup pair survives")
+  }
 }
 
 class TransformCacheSpec extends SparkSpec {
