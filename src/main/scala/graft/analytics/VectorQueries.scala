@@ -51,9 +51,11 @@ object VectorQueries {
     },
 
     // ---- embedding near-dup pairs above cosine threshold (rows check)
+    // probeBits = 1: the multi-probe operating point whose >= 0.9 recall
+    // the RecallContractSpec planted-pair contract actually measures
     QueryDef("q42_embedding_neardups", None) { (s, dir) =>
       VectorSim.cosineNearDups(Tables.embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.25).orderBy("id_a", "id_b")
+        threshold = 0.25, probeBits = 1).orderBy("id_a", "id_b")
     },
 
     // ---- IVF-partitioned approximate kNN (inverted-file scale path;
