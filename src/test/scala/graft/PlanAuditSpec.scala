@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan contracts for the scale-critical queries: the properties
+  * that make these plans survive a 100 TB corpus are asserted, not just
+  * printed by `app/ExplainAudit` — a refactor that silently reintroduces
+  * a cartesian product or drops a broadcast fails HERE, not in
+  * production.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("LSH/IVF kNN plans broadcast the query side and never go cartesian") {
+    Seq("q41_cosine_knn_lsh", "q60_cosine_knn_ivf").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast join")
+      assert(!p.contains("CartesianProduct"), s"$name degraded to a cartesian product")
+      // the candidate join must be a hash equi-join, not a nested loop
+      // re-scanning the corpus per query row
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name fell back to nested-loop")
+    }
+  }
+
+  test("embedding near-dup self-join is an equi-join on (table, bucket)") {
+    val p = plan("q42_embedding_neardups")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bucket self-join must stay a hash/sort-merge equi-join")
+  }
+
+  test("relational scans keep pushdown and pruned read schemas") {
+    val p = plan("q05_filter_project")
+    val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p)
+      .filterNot(_.contains("[]")).toSeq
+    assert(pushed.nonEmpty, "q05 filter no longer reaches the parquet scan")
+    // projection + filter columns = 5 of lineitem's 16; the scan must stay
+    // pruned to that, not read the whole table
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.exists(_.split(",").length <= 6),
+      s"q05 scan reads more columns than the projection needs: $read")
+  }
+
+  test("star-schema revenue query broadcasts its dimension joins") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "q02 must broadcast both small dims (customer->nation joins)")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
