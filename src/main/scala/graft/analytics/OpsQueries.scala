@@ -171,10 +171,21 @@ object OpsQueries {
         .orderBy("doc_id")
     },
 
-    // ---- multimodal feature extraction plumbing (stub codec; rows check)
+    // ---- multimodal feature extraction plumbing (header codec; rows check)
     QueryDef("q49_media_features", None) { (s, dir) =>
       Multimodal.featureStats(
         Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 1000)))
+    },
+
+    // ---- video frame sampling: bounded fan-out per video at 1 fps from
+    // the parsed mvhd duration (stub frame grab; rows check)
+    QueryDef("q61_frame_sample", None) { (s, dir) =>
+      import org.apache.spark.sql.functions.{count => fcount}
+      Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 1000))
+        .groupBy("media_id")
+        .agg(fcount(lit(1)).as("n_frames"),
+          max(col("ts_ms")).as("last_ts_ms"))
+        .orderBy("media_id")
     },
 
     // ---- A6 scale variant: HLL approximate distinct vs exact. The raw

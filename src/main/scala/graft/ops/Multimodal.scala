@@ -241,6 +241,83 @@ object Multimodal {
     }
   }
 
+  final case class FrameRow(
+      media_id: Long,
+      frame_idx: Int,
+      ts_ms: Long,
+      frame_payload: Array[Byte]) // stub: deterministic slice of the source bytes
+
+  /** Frame sampling for videos: one output row per sampled timestamp at
+    * `everyMs` intervals across the PARSED (header) duration, capped at
+    * `maxFrames` per video so a 10-hour outlier cannot fan a single input
+    * row into unbounded output. The iterator-based flatMap keeps memory
+    * constant per task; only the actual frame decode is stubbed (a
+    * deterministic byte slice stands in for the decoded frame — a real
+    * codec drops into `grabFrame` without touching the fan-out plumbing).
+    * Non-video rows and rows whose container fails to parse emit nothing.
+    */
+  def sampleFrames(
+      media: Dataset[MediaRow], everyMs: Long = 1000L, maxFrames: Int = 64,
+      grabFrame: (MediaRow, Long) => Array[Byte] = (row, ts) => {
+        // stub grab: a rolling 16-byte window indexed by timestamp
+        val off = if (row.payload.length <= 16) 0
+          else (ts % math.max(1, row.payload.length - 16)).toInt
+        java.util.Arrays.copyOfRange(row.payload, off, math.min(off + 16, row.payload.length))
+      }): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    require(everyMs > 0 && maxFrames > 0)
+    media.mapPartitions { rows =>
+      rows.flatMap { row =>
+        if (row.kind != "video") Iterator.empty
+        else MediaCodec.parseMp4Ms(row.payload) match {
+          case None => Iterator.empty
+          case Some(dur) =>
+            val n = math.min(maxFrames.toLong, dur / everyMs + 1).toInt
+            (0 until n).iterator.map { i =>
+              FrameRow(row.media_id, i, i * everyMs, grabFrame(row, i * everyMs))
+            }
+        }
+      }
+    }
+  }
+
+  /** Image resize: the PNG/BMP container header is REWRITTEN in place to
+    * the target dimensions (byte-exact per the specs — big-endian IHDR
+    * fields / little-endian BITMAPINFOHEADER fields) and the declared
+    * metadata columns follow, so the parsed/declared consistency contract
+    * survives the transform. Pixel resampling is the stubbed part: the
+    * body bytes pass through unchanged (a real scaler plugs into
+    * `resampleBody`). Non-image rows and unparseable payloads pass
+    * through untouched.
+    */
+  def resizeImages(
+      media: Dataset[MediaRow], targetW: Int, targetH: Int,
+      resampleBody: Array[Byte] => Array[Byte] = identity): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    def be(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+      b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+    }
+    def le(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        if (row.kind != "image") row
+        else {
+          val b = row.payload.clone()
+          val patched =
+            if (MediaCodec.parsePng(b).isDefined) { be(b, 16, targetW); be(b, 20, targetH); true }
+            else if (MediaCodec.parseBmp(b).isDefined) { le(b, 18, targetW); le(b, 22, targetH); true }
+            else false
+          if (!patched) row
+          else row.copy(payload = resampleBody(b), width = targetW, height = targetH)
+        }
+      }
+    }
+  }
+
   /** Feature summary per media kind — the downstream analytical shape. */
   def featureStats(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF().groupBy("kind").agg(

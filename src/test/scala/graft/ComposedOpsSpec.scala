@@ -101,6 +101,35 @@ class MultimodalSpec extends SparkSpec {
     assert(!f.meta_consistent && f.parsed_width == -1 && f.byte_len == 300)
   }
 
+  test("frame sampling fans out one row per second of parsed duration, capped") {
+    val media = Multimodal.syntheticMedia(spark, 100)
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L, maxFrames = 8)
+      .collect().groupBy(_.media_id)
+    val videos = media.collect().filter(_.kind == "video").map(r => r.media_id -> r.duration_ms).toMap
+    assert(frames.keySet == videos.keySet, "exactly the video rows emit frames")
+    frames.foreach { case (id, fs) =>
+      val expect = math.min(8L, videos(id) / 1000L + 1).toInt
+      assert(fs.length == expect, s"media $id: ${fs.length} frames, want $expect")
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until expect))
+      assert(fs.forall(f => f.ts_ms == f.frame_idx * 1000L && f.frame_payload.nonEmpty))
+    }
+  }
+
+  test("image resize rewrites the container header; parsed dims follow") {
+    val resized = Multimodal.resizeImages(
+      Multimodal.syntheticMedia(spark, 100), 32, 24)
+    val feats = Multimodal.extractFeatures(resized).collect()
+    val images = feats.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    // header rewrite is real: the parser recovers the TARGET dims, and the
+    // declared metadata was updated in lockstep, so consistency holds
+    assert(images.forall(f => f.parsed_width == 32 && f.parsed_height == 24),
+      images.filterNot(f => f.parsed_width == 32).take(3).toSeq)
+    assert(feats.forall(_.meta_consistent))
+    // non-images pass through untouched
+    assert(feats.filter(_.kind == "audio").forall(_.parsed_duration_ms >= 1000))
+  }
+
   test("a custom codec drops into the same plumbing") {
     val custom = Multimodal.extractFeatures(
       Multimodal.syntheticMedia(spark, 10),
