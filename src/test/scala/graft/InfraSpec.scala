@@ -114,6 +114,48 @@ class SinksSpec extends SparkSpec {
   }
 }
 
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.warehouse.Bucketing
+
+  test("co-bucketed tables join with zero exchanges and correct rows") {
+    val orders = (0L until 400L).map(i => (i, s"o$i", (i % 7).toInt)).toDF("okey", "tag", "pri")
+    val items = (0L until 1200L).map(i => (i % 400, i, (i % 5) * 1.5)).toDF("okey", "item", "amt")
+    Bucketing.writeBucketed(orders, "bkt_orders", "okey", 4)
+    Bucketing.writeBucketed(items, "bkt_items", "okey", 4)
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "bkt_orders", "bkt_items", "okey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-location contract: the sort-merge join consumes the bucketed
+      // layout directly — no Exchange on either side
+      assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(5).mkString("\n"))
+      assert(!plan.contains("Exchange"),
+        "bucketed join re-shuffled:\n" + plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(joined.count() == 1200)
+      val amt = joined.filter($"okey" === 3).agg(org.apache.spark.sql.functions.sum("amt"))
+        .first().getDouble(0)
+      val expect = (0L until 1200L).filter(_ % 400 == 3).map(i => (i % 5) * 1.5).sum
+      assert(math.abs(amt - expect) < 1e-9)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_items")
+    }
+  }
+
+  test("mismatched bucket counts still join correctly (co-location forfeited)") {
+    val a = (0L until 100L).map(i => (i, i * 2)).toDF("k", "va")
+    val b = (0L until 100L).map(i => (i, i * 3)).toDF("k", "vb")
+    Bucketing.writeBucketed(a, "bkt_a", "k", 4)
+    Bucketing.writeBucketed(b, "bkt_b", "k", 3)
+    try {
+      assert(Bucketing.bucketedJoin(spark, "bkt_a", "bkt_b", "k").count() == 100)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
+
 class StreamingSpec extends SparkSpec {
   test("file-source ingest stream reuses batch transform exactly-once") {
     val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
