@@ -15,6 +15,35 @@ object TextQueries {
   /** Whitespace tokens of trimmed text (same regex both engines). */
   private val toks = split(trim(col("text")), "\\s+")
 
+  /** BPE-ish pre-tokenization: disjoint runs of letters / digits /
+    * other-non-space. RE2- and Java-compatible (no lookarounds).
+    */
+  private val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** Rolling char `k`-gram hashes of a text column; docs shorter than
+    * `k` hash as one whole-text gram so they still participate in dedup.
+    * Step 1 of winnowing — bind the result to a real column before
+    * windowing with [[winnowFromGrams]], or the lambda in step 2 would
+    * re-evaluate the whole gram array once per window position.
+    */
+  def charGramHashes(text: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column =
+    when(length(text) < k, array(xxhash64(text)))
+      .otherwise(transform(sequence(lit(1), length(text) - lit(k - 1)),
+        i => xxhash64(text.substr(i, lit(k)))))
+
+  /** Winnowing step 2 (Schleimer/Wilkerson/Aiken): the de-duplicated
+    * minima of each sliding window of `w` gram hashes. Two docs sharing
+    * a substring of >= w+k-1 chars are guaranteed to share a fingerprint.
+    * O(n·w) per doc, pure codegen'd Catalyst, no shuffle.
+    */
+  def winnowFromGrams(grams: org.apache.spark.sql.Column,
+      w: Int): org.apache.spark.sql.Column =
+    when(size(grams) < w, array(array_min(grams)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(grams) - lit(w - 1)),
+        j => array_min(slice(grams, j, lit(w))))))
+
   private val stopwords = Seq("the", "a", "of", "to", "in", "and", "is")
 
   val defs: Seq[QueryDef] = Seq(
@@ -28,6 +57,48 @@ object TextQueries {
     ) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), size(toks).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ---- BPE-style subword-ish token counting: letter runs, digit runs,
+    // and punctuation runs are separate tokens, whitespace is not a token
+    // (the pre-tokenization split every BPE vocabulary is trained over).
+    // The alternatives are disjoint character classes, so Java-regex and
+    // RE2 leftmost-greedy semantics agree match-for-match — oracle-safe.
+    QueryDef(
+      "q62_bpe_token_counts",
+      Some(s"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '$bpeTokenPattern')) AS n_bpe_tokens,
+               len(regexp_extract_all(text, '[0-9]+')) AS n_number_runs
+        FROM documents ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(bpeTokenPattern), lit(0)))
+            .as("n_bpe_tokens"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .as("n_number_runs"))
+        .orderBy("doc_id")
+    },
+
+    // ---- winnowing fingerprints (ref fingerprint surface is exact-dup
+    // only; this is the rolling-hash document fingerprint of the
+    // Schleimer/Wilkerson/Aiken winnowing scheme): hash every char
+    // k-gram, keep the minimum of each sliding window of w hashes.
+    // Guarantee: documents sharing a substring of >= w+k-1 chars share a
+    // fingerprint (asserted in TextWinnowSpec). Pure Catalyst
+    // (sequence/transform/slice/array_min) — codegen'd, linear per doc,
+    // no shuffle until the final aggregate. Rows-only here; the oracle
+    // contract is the sbt guarantee test.
+    QueryDef("q63_winnow_fingerprints", None) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), charGramHashes(col("text"), 5).as("_g"))
+        .select(col("doc_id"), winnowFromGrams(col("_g"), 8).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+          // a stable digest of the fingerprint set for drift visibility
+          xxhash64(concat_ws(",", transform(col("fps"), h => h.cast("string"))))
+            .as("fp_digest"))
         .orderBy("doc_id")
     },
 

@@ -3,6 +3,42 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops.{TextDedup, VectorSim}
 
+class TextWinnowSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.analytics.TextQueries
+
+  private def fps(texts: Seq[String], k: Int = 5, w: Int = 8): Map[Long, Set[Long]] =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), TextQueries.charGramHashes(col("text"), k).as("_g"))
+      .select(col("id"), TextQueries.winnowFromGrams(col("_g"), w).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+  test("winnowing guarantee: docs sharing a substring >= w+k-1 chars share a fingerprint") {
+    val shared = "the quick brown fox jumps over the lazy dog" // 43 >= 12 chars
+    // the negative control shares NO 5-gram with the others (no spaces, no
+    // common 5-char substring) — winnowing only guarantees the POSITIVE
+    // direction, so the control must be gram-disjoint, not merely unrelated
+    val m = fps(Seq(
+      s"PREFIX AAA $shared SUFFIX one",
+      s"completely different lead-in text $shared and a different tail",
+      "zebraquartzlighthousevixenglyph"))
+    assert((m(0) & m(1)).nonEmpty, "shared-substring docs must share a fingerprint")
+    assert((m(0) & m(2)).isEmpty && (m(1) & m(2)).isEmpty,
+      "gram-disjoint doc must not share fingerprints")
+  }
+
+  test("winnowing is deterministic and short docs still fingerprint") {
+    val a = fps(Seq("tiny", "just-over-k!", "x"))
+    val b = fps(Seq("tiny", "just-over-k!", "x"))
+    assert(a == b)
+    assert(a.values.forall(_.nonEmpty))
+    // identical short docs get identical (whole-text) fingerprints
+    val c = fps(Seq("tiny", "tiny"))
+    assert(c(0) == c(1))
+  }
+}
+
 class TextDedupSpec extends SparkSpec {
   import spark.implicits._
 
