@@ -160,6 +160,73 @@ object VectorSim {
     rankTopK(scored, k)
   }
 
+  /** Persist an IVF index: the corpus written `partitionBy("cell")` so a
+    * probe of `nprobe` cells is a PARTITION-PRUNED read — at 100 TB each
+    * query touches nprobe/numCells of the files and the rest are never
+    * opened (the pruning is visible as PartitionFilters in the scan).
+    * Returns the trained centroids; they are also persisted alongside the
+    * data (`_centroids` subdir) so readers need only the path.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      numCells: Int = 16, sampleN: Int = 4096,
+      iters: Int = 10): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, numCells, sampleN, iters)
+    corpus
+      .withColumn("cell",
+        element_at(IvfExprs.nearestCentroids(col(vecCol), centroids, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    centroids
+  }
+
+  /** Load the centroid matrix persisted by [[writeIvfIndex]]. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] =
+    spark.read.parquet(s"$path/_centroids").orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Approximate cosine top-k against a persisted IVF index: the probe
+    * cells of all queries are computed first (small side, collected), the
+    * index is read with `cell IN (probes)` — partition pruning, not a
+    * full scan — and exact cosine re-ranks the candidates. The probe-cell
+    * collect is bounded by queries×nprobe; queries are the small side by
+    * contract (same as every kNN entry point here).
+    */
+  def cosineTopKIvfIndexed(
+      queries: DataFrame, indexPath: String, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = readIvfCentroids(spark, indexPath)
+    require(nprobe <= centroids.length)
+    // queries are small by contract: no persist/checkpoint needed, the
+    // probe projection just computes twice (and the plan stays inspectable
+    // down to the pruned scan)
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probes",
+        IvfExprs.nearestCentroids(col("qv"), centroids, nprobe))
+    val probeCells = qBase.select(explode(col("probes")).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val qCells = qBase.select(col("query_id"), explode(col("probes")).as("cell"))
+    // the isin filter lands on the partition column -> pruned file listing
+    val c = spark.read.parquet(s"$indexPath/data")
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val cands = c.join(broadcast(qCells), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cv"))
+    val qv = qBase.select(col("query_id"), col("qv"),
+      sqrt(normSq(col("qv"))).as("qn"))
+    val scored = cands.join(broadcast(qv), "query_id")
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / (col("qn") * sqrt(normSq(col("cv")))))
+    rankTopK(scored, k)
+  }
+
   /** Deterministic random hyperplanes (seeded) as a literal nested
     * `array<array<float>>`. LEGACY — only the unrolled test oracle
     * [[lshTableBuckets]] consumes this; production signatures use

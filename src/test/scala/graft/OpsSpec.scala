@@ -175,6 +175,29 @@ class VectorSimSpec extends SparkSpec {
     assert(probed.toSet.contains((10L, 11L)))
   }
 
+  test("persisted IVF index: pruned probe reads reproduce the in-memory result") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    VectorSim.writeIvfIndex(emb, "vec_id", "embedding", path, numCells = 16)
+    val indexed = VectorSim.cosineTopKIvfIndexed(
+      queries, path, "vec_id", "embedding", 3, nprobe = 8)
+    // same deterministic quantizer -> identical cells, probes, and ranking
+    val direct = VectorSim.cosineTopKIvf(
+      queries, emb, "vec_id", "embedding", 3, numCells = 16, nprobe = 8)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))
+    assert(indexed.collect().map(key).sorted.toSeq ==
+      direct.collect().map(key).sorted.toSeq)
+    // the probe filter must land on the partition column: a pruned file
+    // listing, not a full-index scan
+    val plan = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "probe read lost partition pruning:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("IVF kNN finds the true neighbor and keeps ranks contiguous") {
     // 12 vectors in 3 tight axis-aligned groups: every cell boundary the
     // quantizer can draw keeps each group together, so nprobe=1 already
