@@ -16,9 +16,12 @@ object TextQueries {
   private val toks = split(trim(col("text")), "\\s+")
 
   /** BPE-ish pre-tokenization: disjoint runs of letters / digits /
-    * other-non-space. RE2- and Java-compatible (no lookarounds).
+    * other-non-space. RE2- and Java-compatible: no lookarounds, and the
+    * whitespace class is spelled out because Java's `\s` includes
+    * vertical tab (U+000B) while RE2's does not — `\s` here would make
+    * the Spark and DuckDB token counts diverge on such documents.
     */
-  private val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+  private val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]+"
 
   /** Rolling char `k`-gram hashes of a text column; docs shorter than
     * `k` hash as one whole-text gram so they still participate in dedup.

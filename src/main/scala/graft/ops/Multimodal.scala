@@ -86,14 +86,18 @@ object Multimodal {
       */
     def parseWavMs(b: Array[Byte]): Option[Long] = {
       if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-      var off = 12
+      // offsets stay Long: a corrupt u32 chunk length near 2^32 must walk
+      // off the end and return None, not wrap negative via toInt and
+      // loop forever / throw (the codec is total on garbage)
+      var off = 12L
       var byteRate = 0L
       while (off + 8 <= b.length) {
-        val id = tag(b, off)
-        val len = leInt(b, off + 4)
-        if (id == "fmt " && off + 16 + 4 <= b.length) byteRate = leInt(b, off + 16)
+        val o = off.toInt // bounded by b.length here, safe
+        val id = tag(b, o)
+        val len = leInt(b, o + 4)
+        if (id == "fmt " && off + 16 + 4 <= b.length) byteRate = leInt(b, o + 16)
         else if (id == "data" && byteRate > 0) return Some(len * 1000L / byteRate)
-        off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        off += 8L + len + (len & 1L) // chunks are word-aligned
       }
       None
     }
@@ -102,20 +106,24 @@ object Multimodal {
       * "mvhd" (version 0: timescale/duration at payload offsets 12/16).
       */
     def parseMp4Ms(b: Array[Byte]): Option[Long] = {
-      def findBox(name: String, from: Int, until: Int): Option[Int] = {
+      // Long offsets throughout: a u32 box size in [2^31, 2^32) passes a
+      // `size < 8` check but wraps negative via toInt — corrupt sizes must
+      // walk off the end and return None, never index negative or loop
+      def findBox(name: String, from: Long, until: Long): Option[Int] = {
         var off = from
         while (off + 8 <= until) {
-          val size = beInt(b, off)
-          if (tag(b, off + 4) == name) return Some(off)
+          val o = off.toInt // bounded by until <= b.length, safe
+          val size = beInt(b, o)
+          if (tag(b, o + 4) == name) return Some(o)
           if (size < 8) return None // corrupt: would loop forever
-          off += size.toInt
+          off += size
         }
         None
       }
       for {
-        moov <- findBox("moov", 0, b.length)
-        moovEnd = math.min(b.length, moov + beInt(b, moov).toInt)
-        mvhd <- findBox("mvhd", moov + 8, moovEnd)
+        moov <- findBox("moov", 0L, b.length.toLong)
+        moovEnd = math.min(b.length.toLong, moov + beInt(b, moov))
+        mvhd <- findBox("mvhd", moov + 8L, moovEnd)
         if mvhd + 28 <= b.length && b(mvhd + 8) == 0 // version 0 only
         timescale = beInt(b, mvhd + 20)
         if timescale > 0

@@ -187,8 +187,11 @@ object TextDedup {
     // membership join; in the common uncapped case the doc's own `bhs`
     // IS its effective band-hash array.
     val bucketed = docs.select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
-    val maxBucketSize = bucketed.groupBy("band", "bh")
-      .agg(count(lit(1)).as("_c")).agg(max(col("_c"))).first().getLong(0)
+    // global max over ZERO buckets (empty corpus slice, or all-null text
+    // dropped by posexplode) aggregates to a null row — treat as uncapped
+    val maxRow = bucketed.groupBy("band", "bh")
+      .agg(count(lit(1)).as("_c")).agg(max(col("_c"))).first()
+    val maxBucketSize = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
 
     // bucket rows stay LEAN (band, bh, id, ebhs): the bucket self-join
     // evaluates |bucket|² rows per bucket, so every byte carried there is

@@ -354,11 +354,13 @@ object VectorSim {
   def cosineNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numTables: Int = 8, planesPerTable: Int = 6,
-      dim: Int = 64, seed: Long = 42L, probeBits: Int = 0): DataFrame = {
+      dim: Int = 64, seed: Long = 42L, probeBits: Int = 0,
+      materialize: Boolean = true): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("tb",
         LshExprs.lshSignBuckets(col("v"), numTables, planesPerTable, dim, seed))
-    base.persist() // read 3× below (bucket rows + two vector join-backs)
+    if (materialize)
+      base.persist() // read 3× below (bucket rows + two vector join-backs)
     val lean = base.select(col("id"), col("tb"))
     val a = explodeProbes(lean, "tb", planesPerTable, probeBits)
       .select(col("table"), col("bucket"), col("id").as("id_a"),
@@ -379,9 +381,14 @@ object VectorSim {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
     // materialize (lineage-truncating local checkpoint) so the corpus
-    // cache can be dropped HERE instead of leaking across queries
-    val out = pairs.localCheckpoint(true)
-    base.unpersist(false)
-    out
+    // cache can be dropped HERE instead of leaking across queries;
+    // materialize = false returns the LAZY plan (plan-inspection tests —
+    // a checkpointed frame explains as an opaque LogicalRDD)
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint(true)
+      base.unpersist(false)
+      out
+    }
   }
 }

@@ -88,6 +88,21 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.parseBmp(MediaHeaders.png(8, 8)).isEmpty)
   }
 
+  test("corrupt u32 length fields near 2^32 neither hang nor throw") {
+    def le(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    // WAV chunk length 0xFFFFFFF8: as Int that's -8, which once made the
+    // chunk walk advance by zero and spin forever
+    val evilWav = ascii("RIFF") ++ le(36) ++ ascii("WAVE") ++
+      ascii("JUNK") ++ le(0xFFFFFFF8L) ++ Array.fill[Byte](24)(0)
+    assert(MediaCodec.parseWavMs(evilWav).isEmpty)
+    // MP4 box size 0xFFFFFFF0 passes a Long `< 8` check but wraps negative
+    // via toInt — must walk off the end, not index negative
+    val evilMp4 = Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xF0.toByte) ++
+      ascii("xxxx") ++ Array.fill[Byte](40)(0x78)
+    assert(MediaCodec.parseMp4Ms(evilMp4).isEmpty)
+  }
+
   test("WAV/MP4 parsers recover duration; garbage payloads never throw") {
     assert(MediaCodec.parseWavMs(MediaHeaders.wav(12345L)).contains(12345L))
     assert(MediaCodec.parseMp4Ms(MediaHeaders.mp4(30999L)).contains(30999L))

@@ -210,7 +210,9 @@ class StreamingSpec extends SparkSpec {
         .option("path", s"$work/out").outputMode("append")
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      // a timed-out (still running) query would read partial output below
+      // and contend on the checkpoint with the next run
+      assert(q.awaitTermination(120000), "streaming batch did not finish in time")
     }
     run()
     // batch 2: another "gamma" dup (within the 1h watermark horizon) + new

@@ -108,6 +108,13 @@ class TextDedupSpec extends SparkSpec {
     assert(!capped.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("minhash near-dups on an empty corpus slice returns empty, not NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextDedup.minhashNearDups(empty, "text", "doc_id", threshold = 0.5)
+      .collect().isEmpty)
+  }
+
   test("minhash signature has k entries and is deterministic") {
     val sig = docs.select(TextDedup.minhashSignature(
       TextDedup.tokens(col("text")), 16).as("sig"))

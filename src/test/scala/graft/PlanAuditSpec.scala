@@ -26,7 +26,15 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("embedding near-dup self-join is an equi-join on (table, bucket)") {
-    val p = plan("q42_embedding_neardups")
+    // materialize = false: the production entry point checkpoints eagerly,
+    // which would explain as an opaque LogicalRDD and make this vacuous —
+    // inspect the LAZY plan of the same operator configuration as q42
+    val df = graft.ops.VectorSim.cosineNearDups(
+      graft.core.Tables.embeddings(spark, sf001), "vec_id", "embedding",
+      threshold = 0.25, probeBits = 1, materialize = false)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("Join"), "expected the bucket self-join in the lazy plan")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "bucket self-join must stay a hash/sort-merge equi-join")
   }
