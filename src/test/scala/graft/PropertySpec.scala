@@ -71,4 +71,37 @@ object GraftProps extends Properties("graft") {
         if (x <= 250) "a" else if (x <= 500) "b" else if (x <= 750) "c" else "d"
       got == expected
     }
+
+  private val floatVecs = Gen.listOfN(12,
+    Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))).suchThat(_.nonEmpty)
+
+  property("nearest_centroids: valid distinct indices matching a scala argmax") =
+    forAll(floatVecs, Gen.chooseNum(1, 4)) { (vs, nprobe) =>
+      val cents = Array.tabulate(4, 8)((c, i) => if (i % 4 == c) 1.0f else 0.1f)
+      val got = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "v")
+        .select(col("id"),
+          graft.functions.IvfExprs.nearestCentroids(col("v"), cents, nprobe).as("p"))
+        .orderBy("id").collect().map(_.getSeq[Int](1).toSeq)
+      got.zip(vs).forall { case (probes, v) =>
+        val dots = cents.map(_.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+        val expected = dots.zipWithIndex
+          .sortBy { case (d, i) => (-d, i) }.map(_._2).take(nprobe).toSeq
+        probes == expected && probes.distinct.size == probes.size
+      }
+    }
+
+  property("winnowing fingerprints are a subset of the doc's gram hashes") =
+    forAll(Gen.listOfN(3, Gen.alphaNumStr.suchThat(_.length >= 1))) { texts =>
+      import graft.analytics.TextQueries
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(col("id"), TextQueries.charGramHashes(col("text"), 5).as("_g"))
+        .select(col("id"), col("_g"),
+          TextQueries.winnowFromGrams(col("_g"), 8).as("fps"))
+      df.collect().forall { r =>
+        val grams = r.getSeq[Long](1).toSet
+        val fps = r.getSeq[Long](2).toSet
+        fps.nonEmpty && fps.subsetOf(grams)
+      }
+    }
 }
