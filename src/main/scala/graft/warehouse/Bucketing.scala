@@ -38,4 +38,25 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).hint("merge").join(spark.table(right), key)
+
+  /** Compact a parquet directory's small files into `ceil(bytes/target)`
+    * files at `outPath`. Small files are the silent killer of a 100 TB
+    * lake: every scan pays per-file open/footer costs and the driver pays
+    * listing, so streaming/incremental sinks (which land one file per
+    * micro-batch per partition) need periodic compaction. Sizing uses the
+    * ACTUAL on-disk bytes (FileSystem listing), not row counts, so skewed
+    * row widths still land near the target. Returns the output file count.
+    */
+  def compactTo(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0)
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").option("compression", "snappy").parquet(outPath)
+    nFiles
+  }
 }

@@ -156,6 +156,61 @@ class BucketingSpec extends SparkSpec {
   }
 }
 
+class JsonlIngestSpec extends SparkSpec {
+  import graft.ingest.JsonlIngest
+  import org.apache.spark.sql.types._
+
+  test("jsonl split: schema-conformant rows pass, corrupt lines quarantine with raw text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    java.nio.file.Files.write(dir.resolve("part1.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "hello world"}""",
+      """{"doc_id": 2, "text": "second doc"}""",
+      """{broken json line""",
+      """{"doc_id": 3, "text": "third"}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val split = JsonlIngest.readJsonl(spark, dir.toString, schema)
+    val good = split.good.collect()
+    assert(good.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(split.good.columns.toSeq == Seq("doc_id", "text"))
+    val bad = split.quarantined.collect()
+    assert(bad.length == 1 && bad(0).getString(0).startsWith("{broken"))
+    assert(bad(0).getAs[String]("_input_file").contains("part1.jsonl"))
+  }
+
+  test("jsonl schema enforcement: wrong-typed field quarantines the row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl2")
+    java.nio.file.Files.write(dir.resolve("d.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": "not-a-number", "text": "x"}""",
+      """{"doc_id": 7, "text": "ok"}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val split = JsonlIngest.readJsonl(spark, dir.toString, schema)
+    assert(split.good.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(split.quarantined.count() == 1)
+  }
+}
+
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction merges a many-file table to the size-derived file count") {
+    val work = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (0 until 5000).map(i => (i.toLong, s"row-$i", i * 1.5)).toDF("id", "s", "v")
+    df.repartition(20).write.parquet(s"$work/in")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$work/in") == 20)
+    val n = graft.warehouse.Bucketing.compactTo(spark, s"$work/in", s"$work/out",
+      targetFileBytes = 1L << 40) // huge target -> everything in one file
+    assert(n == 1 && parquetFiles(s"$work/out") == 1)
+    // content preserved exactly
+    val a = spark.read.parquet(s"$work/in").collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = spark.read.parquet(s"$work/out").collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+}
+
 class StreamingSpec extends SparkSpec {
   test("file-source ingest stream reuses batch transform exactly-once") {
     val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
