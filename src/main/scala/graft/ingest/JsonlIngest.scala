@@ -14,7 +14,13 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 object JsonlIngest {
 
-  final case class JsonlSplit(good: DataFrame, quarantined: DataFrame)
+  final case class JsonlSplit(good: DataFrame, quarantined: DataFrame,
+      private val parsed: DataFrame) {
+    /** Drop the shared parsed-scan cache once both sides are consumed
+      * (written/counted) — otherwise it lingers for the session.
+      */
+    def unpersist(): Unit = { parsed.unpersist(false); () }
+  }
 
   /** Read `path` as JSONL against `schema`. Returns the clean rows (schema
     * columns only) and the quarantine (raw line + input file) — the split
@@ -38,6 +44,6 @@ object JsonlIngest {
       .select(schema.fieldNames.map(col).toSeq: _*)
     val quarantined = parsed.filter(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw_line"), col("_input_file"))
-    JsonlSplit(good, quarantined)
+    JsonlSplit(good, quarantined, parsed)
   }
 }

@@ -176,6 +176,7 @@ class JsonlIngestSpec extends SparkSpec {
     val bad = split.quarantined.collect()
     assert(bad.length == 1 && bad(0).getString(0).startsWith("{broken"))
     assert(bad(0).getAs[String]("_input_file").contains("part1.jsonl"))
+    split.unpersist()
   }
 
   test("jsonl schema enforcement: wrong-typed field quarantines the row") {
