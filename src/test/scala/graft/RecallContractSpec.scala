@@ -112,6 +112,29 @@ class RecallContractSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.4f collapsed below floor 0.7")
   }
 
+  test("q60 contract: IVF recall >= 0.9 on clustered embeddings at 1/8 scan fraction") {
+    // the flip side of the isotropic worst case above: on CLUSTERED data —
+    // the regime real embedding corpora live in — cell locality is strong
+    // and small probe counts recover almost everything. 20 tight clusters,
+    // nprobe 2 of 16 cells (each query scans ~1/8 of the corpus).
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val centers = Array.fill(20)(Array.fill(64)(rnd.nextGaussian()))
+    val corpus = (0 until 800).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val exact = VectorSim.cosineTopK(queries, corpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = VectorSim.cosineTopKIvf(queries, corpus, "vec_id", "embedding", 5,
+      numCells = 16, nprobe = 2, sampleN = 800)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"q60 IVF recall on clustered corpus (nprobe 2/16): $recall%.4f")
+    assert(recall >= 0.9, f"clustered-regime recall $recall%.4f below 0.9")
+  }
+
   test("q42 contract: emitted pairs are exact-verified and recall >= 0.9 at cosine 0.5") {
     // the driver embeddings have NO true near-dups (max pairwise cosine
     // 0.48 at sf0.001 — measured via brute force), so the contract corpus
