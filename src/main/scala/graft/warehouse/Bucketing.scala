@@ -50,6 +50,9 @@ object Bucketing {
   def compactTo(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0)
+    require(new org.apache.hadoop.fs.Path(inPath) !=
+      new org.apache.hadoop.fs.Path(outPath),
+      "compactTo overwrites outPath — compacting a directory onto itself would destroy it")
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hPath).getLength
