@@ -38,7 +38,10 @@ object TextQueries {
   /** Winnowing step 2 (Schleimer/Wilkerson/Aiken): the de-duplicated
     * minima of each sliding window of `w` gram hashes. Two docs sharing
     * a substring of >= w+k-1 chars are guaranteed to share a fingerprint.
-    * O(n·w) per doc, pure codegen'd Catalyst, no shuffle.
+    * O(n·w) built-in formulation — production (q63) runs the O(n)
+    * monotonic-deque kernel [[graft.functions.WinnowMins]]; this form is
+    * its bit-identity oracle in TextWinnowSpec (same convention as the
+    * legacy LSH formulation in VectorSim).
     */
   def winnowFromGrams(grams: org.apache.spark.sql.Column,
       w: Int): org.apache.spark.sql.Column =
@@ -97,7 +100,8 @@ object TextQueries {
     QueryDef("q63_winnow_fingerprints", None) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), charGramHashes(col("text"), 5).as("_g"))
-        .select(col("doc_id"), winnowFromGrams(col("_g"), 8).as("fps"))
+        .select(col("doc_id"),
+          graft.functions.WinnowExprs.winnowMins(col("_g"), 8).as("fps"))
         .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
           // a stable digest of the fingerprint set for drift visibility
           xxhash64(concat_ws(",", transform(col("fps"), h => h.cast("string"))))

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd winnowing window-minima kernel. The built-in formulation in
+  * `analytics.TextQueries.winnowFromGrams` (transform + slice + array_min)
+  * is O(n·w) with a fresh array allocation per window; this kernel is the
+  * classic monotonic-deque sliding minimum — O(n) per document, zero
+  * allocation beyond the output — with first-occurrence de-duplication
+  * fused in. The built-in form is retained as the agreement oracle
+  * (same convention as the legacy LSH formulation in VectorSim).
+  */
+object WinnowExprs {
+
+  /** `winnow_mins(grams)`: de-duplicated minima of each sliding window of
+    * `w` entries, in first-occurrence order — bit-identical to
+    * `winnowFromGrams`. Arrays shorter than `w` yield their single
+    * global minimum.
+    */
+  def winnowMins(grams: Column, w: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      WinnowMins(org.apache.spark.sql.GraftShim.expression(grams), w))
+}
+
+case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_mins"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = new java.util.HashSet[Long]()
+    if (n < w) {
+      var m = a.getLong(0)
+      var i = 1
+      while (i < n) { val v = a.getLong(i); if (v < m) m = v; i += 1 }
+      out += m
+    } else {
+      // monotonic deque of indices with increasing values
+      val dq = new Array[Int](n)
+      var head = 0; var tail = 0 // [head, tail)
+      var j = 0
+      while (j < n) {
+        while (tail > head && a.getLong(dq(tail - 1)) >= a.getLong(j)) tail -= 1
+        dq(tail) = j; tail += 1
+        if (dq(head) <= j - w) head += 1
+        if (j >= w - 1) {
+          val m = a.getLong(dq(head))
+          if (seen.add(m)) out += m
+        }
+        j += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val uad = classOf[UnsafeArrayData].getName
+      val n = ctx.freshName("n"); val outBuf = ctx.freshName("outBuf")
+      val outLen = ctx.freshName("outLen"); val seen = ctx.freshName("seen")
+      val dq = ctx.freshName("dq"); val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail"); val j = ctx.freshName("j")
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val res = ctx.freshName("res")
+      s"""
+        final int $n = $a.numElements();
+        long[] $outBuf = new long[$n == 0 ? 1 : $n];
+        int $outLen = 0;
+        if ($n > 0 && $n < $w) {
+          long $m = $a.getLong(0);
+          for (int $i = 1; $i < $n; $i++) {
+            if ($a.getLong($i) < $m) $m = $a.getLong($i);
+          }
+          $outBuf[$outLen++] = $m;
+        } else if ($n > 0) {
+          final java.util.HashSet<Long> $seen = new java.util.HashSet<Long>();
+          final int[] $dq = new int[$n];
+          int $head = 0, $tail = 0;
+          for (int $j = 0; $j < $n; $j++) {
+            while ($tail > $head && $a.getLong($dq[$tail - 1]) >= $a.getLong($j)) $tail--;
+            $dq[$tail++] = $j;
+            if ($dq[$head] <= $j - $w) $head++;
+            if ($j >= $w - 1) {
+              final long $m = $a.getLong($dq[$head]);
+              if ($seen.add($m)) $outBuf[$outLen++] = $m;
+            }
+          }
+        }
+        final long[] $res = new long[$outLen];
+        System.arraycopy($outBuf, 0, $res, 0, $outLen);
+        ${ev.value} = $uad.fromPrimitiveArray($res);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}

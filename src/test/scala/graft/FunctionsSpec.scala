@@ -142,6 +142,57 @@ class LshExprsSpec extends SparkSpec {
   }
 }
 
+class WinnowMinsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.WinnowExprs.winnowMins
+
+  lazy val arrays = Seq(
+    Seq(5L, 3L, 8L, 3L, 9L, 1L, 7L, 2L), // dup minima within + across windows
+    Seq(4L, 4L, 4L, 4L),                 // all-equal: one fingerprint
+    Seq(9L, 8L, 7L, 6L, 5L),             // strictly decreasing: new min each slide
+    Seq(1L, 2L),                         // shorter than w: global minimum
+    Seq(42L),                            // single element
+  ).map(Tuple1(_)).toDF("g")
+
+  private def run(w: Int): Seq[Seq[Long]] =
+    arrays.select(winnowMins(col("g"), w)).collect()
+      .map(_.getSeq[Long](0).toSeq).toSeq
+
+  test("window minima are deduplicated in first-occurrence order") {
+    assert(run(3) == Seq(
+      Seq(3L, 1L),            // windows: 3,3,3,3,1,1 -> dedup
+      Seq(4L),
+      Seq(7L, 6L, 5L),
+      Seq(1L),                // n < w fallback
+      Seq(42L)))
+  }
+
+  test("interpreted path (codegen off) agrees with codegen path") {
+    val gen = run(3)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run(3) finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(interp == gen)
+  }
+
+  test("rejects non-long-array input at analysis time") {
+    val df = Seq(Tuple1(Seq(1, 2, 3))).toDF("g") // array<int>
+    val ex = intercept[Exception] {
+      df.select(winnowMins(col("g"), 3)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("winnow_mins") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  test("null array input yields null") {
+    val df = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("g")
+    assert(df.select(winnowMins(col("g"), 3)).collect()(0).isNullAt(0))
+  }
+}
+
 class IvfExprsSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.IvfExprs

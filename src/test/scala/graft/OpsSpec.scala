@@ -37,6 +37,29 @@ class TextWinnowSpec extends SparkSpec {
     val c = fps(Seq("tiny", "tiny"))
     assert(c(0) == c(1))
   }
+
+  test("WinnowMins kernel is bit-identical to the built-in formulation") {
+    // the production q63 path runs the O(n) deque kernel; this is its
+    // agreement oracle: same minima, same first-occurrence order, same
+    // short-doc (n < w) whole-array-minimum fallback
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcdefg hij"
+    val texts = (0 until 60).map { i =>
+      val len = i % 3 match {
+        case 0 => 1 + rnd.nextInt(4)   // below k: whole-text gram
+        case 1 => 5 + rnd.nextInt(8)   // grams present but fewer than w
+        case _ => 20 + rnd.nextInt(80) // full deque path
+      }
+      (i.toLong, Array.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val grams = texts.toDF("id", "text")
+      .select(col("id"), TextQueries.charGramHashes(col("text"), 5).as("_g"))
+    def run(c: org.apache.spark.sql.Column): Seq[Seq[Long]] =
+      grams.select(col("id"), c.as("fps")).orderBy("id")
+        .collect().map(_.getSeq[Long](1).toSeq).toSeq
+    assert(run(graft.functions.WinnowExprs.winnowMins(col("_g"), 8)) ==
+      run(TextQueries.winnowFromGrams(col("_g"), 8)))
+  }
 }
 
 class TextDedupSpec extends SparkSpec {
