@@ -67,5 +67,16 @@ object VectorQueries {
         emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")
     },
+
+    // ---- IVF+PQ approximate kNN (IVFADC: m-byte codes through the probe
+    // join, per-query ADC lookup table, exact re-rank of the bounded
+    // shortlist; rows check — the recall and ADC-reconstruction contracts
+    // live in RecallContractSpec / PqExprsSpec)
+    QueryDef("q64_cosine_knn_pq", None) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSim.cosineTopKPq(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
+        .orderBy("query_id", "rank")
+    },
   )
 }

@@ -160,6 +160,105 @@ object VectorSim {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector is
+    * split into `m` subspaces of `dsub` dims and each subspace gets its
+    * own `ksub`-centroid L2 k-means codebook, trained on the same bounded
+    * deterministic sample as [[trainIvfCentroids]] (normalized first, so
+    * codes quantize DIRECTION — the cosine-relevant part). Returns the
+    * `[m][ksub][dsub]` tensor consumed by [[graft.functions.PqExprs]].
+    * Deterministic: strided init over the id-ordered sample, argmin ties
+    * to the lower index, fixed iteration count, empty cells keep their
+    * old centroid.
+    */
+  def trainPqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 64, sampleN: Int = 4096,
+      iters: Int = 10): Array[Array[Array[Float]]] = {
+    val rows = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(sampleN).collect()
+    val sample = rows.iterator.map(_.getSeq[Float](1).toArray).map { v =>
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+      if (n == 0.0) v.map(_ => 0.0) else v.map(_ / n)
+    }.toArray
+    require(sample.length >= ksub,
+      s"need >= $ksub sample vectors to train, got ${sample.length}")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var cents = Array.tabulate(ksub)(c =>
+        subs((c.toLong * subs.length / ksub).toInt).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val x = v(i) - cents(c)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val t = sums(best); var i = 0
+          while (i < dsub) { t(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents.map(_.map(_.toFloat))
+    }
+  }
+
+  /** IVF+PQ approximate cosine top-k (the FAISS "IVFADC" shape) — the
+    * memory/IO scale path beyond [[cosineTopKIvf]]: the index rows carried
+    * through the probe join are (cell, id, `m`-byte code) — for 64-float
+    * embeddings that is a 32x smaller index than the vectors themselves,
+    * which at 100 TB is the difference between an index that fits hot
+    * storage and one that doesn't. Each query computes ONE `m*ksub` ADC
+    * lookup table; scoring a candidate is `m` array lookups (no dot
+    * product). The ADC top-`refine*k` shortlist per query — a bounded
+    * [[graft.functions.TopKPairs]] aggregate, partial map-side like every
+    * rankTopK here — then joins the TRUE vectors back for exact cosine
+    * re-ranking, so PQ quantization error affects only shortlist
+    * membership, never the final ranking.
+    */
+  def cosineTopKPq(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, numCells: Int = 16, nprobe: Int = 8, m: Int = 8,
+      ksub: Int = 64, refine: Int = 4, sampleN: Int = 4096,
+      iters: Int = 10): DataFrame = {
+    import graft.functions.PqExprs
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, numCells, sampleN, iters)
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, sampleN, iters)
+    val cBase = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // the index shape: cell + code, NO vector payload through the probe join
+    val cIndex = cBase.select(col("neighbor_id"),
+      element_at(IvfExprs.nearestCentroids(col("cv"), centroids, 1), 1).as("cell"),
+      PqExprs.pqEncode(col("cv"), books).as("code"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // LUT computed once per query row, duplicated per probe by the explode
+    val qProbes = qBase
+      .withColumn("lut", PqExprs.pqLut(col("qv"), books))
+      .select(col("query_id"), col("lut"),
+        explode(IvfExprs.nearestCentroids(col("qv"), centroids, nprobe)).as("cell"))
+    val shortlist = cIndex.join(broadcast(qProbes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", PqExprs.pqAdcDot(col("lut"), col("code"), ksub))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("adc"), col("neighbor_id"), refine * k).as("nb"))
+      .select(col("query_id"), explode(col("nb")).as("_s"))
+      .select(col("query_id"), col("_s.id").as("neighbor_id"))
+    // exact re-rank: true vectors join back ONLY for the bounded shortlist
+    val qv = qBase.withColumn("qn", sqrt(normSq(col("qv"))))
+    val cv = cBase.withColumn("cn", sqrt(normSq(col("cv"))))
+    val scored = shortlist.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(scored, k)
+  }
+
   /** Persist an IVF index: the corpus written `partitionBy("cell")` so a
     * probe of `nprobe` cells is a PARTITION-PRUNED read — at 100 TB each
     * query touches nprobe/numCells of the files and the rest are never

@@ -240,6 +240,104 @@ class IvfExprsSpec extends SparkSpec {
   }
 }
 
+class PqExprsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.PqExprs
+  import graft.ops.VectorSim
+
+  private val m = 4
+  private val ksub = 16
+  private val dsub = 4 // dim 16
+
+  lazy val corpus: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(31)
+    (0 until 120).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "v")
+  }
+
+  lazy val books: Array[Array[Array[Float]]] =
+    VectorSim.trainPqCodebooks(corpus, "id", "v", m, ksub, sampleN = 120)
+
+  test("codebook tensor has the declared shape and is deterministic") {
+    assert(books.length == m && books.forall(_.length == ksub) &&
+      books.forall(_.forall(_.length == dsub)))
+    val again = VectorSim.trainPqCodebooks(corpus, "id", "v", m, ksub, sampleN = 120)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq == again.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("codes are m bytes and ADC equals the reconstruction dot product") {
+    // THE PQ contract: pq_adc_dot(lut(q), encode(x)) must equal
+    // dot(normalize(q), reconstruction(encode(x))) — ADC is not a fuzzy
+    // estimate of that quantity, it IS that quantity (up to the one
+    // float rounding each LUT entry takes)
+    val rows = corpus.limit(20)
+      .select(col("id"), col("v"), PqExprs.pqEncode(col("v"), books).as("code"))
+      .collect()
+    val q = corpus.filter(col("id") === 0L).select("v")
+      .collect()(0).getSeq[Float](0).toArray
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val qHat = q.map(_ / qn)
+    val lutScored = corpus.filter(col("id") === 0L)
+      .select(PqExprs.pqLut(col("v"), books).as("lut"))
+      .crossJoin(corpus.limit(20).select(col("id"),
+        PqExprs.pqEncode(col("v"), books).as("code")))
+      .select(col("id"), PqExprs.pqAdcDot(col("lut"), col("code"), ksub).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val code = r.getAs[Array[Byte]]("code")
+      assert(code.length == m)
+      val recon = code.zipWithIndex.flatMap { case (b, s) => books(s)(b & 0xFF) }
+      val expected = qHat.zip(recon).map { case (a, b) => a * b.toDouble }.sum
+      assert(math.abs(lutScored(r.getLong(0)) - expected) < 1e-5,
+        s"id ${r.getLong(0)}: adc=${lutScored(r.getLong(0))} recon-dot=$expected")
+    }
+  }
+
+  test("interpreted path agrees with codegen path for encode, lut, and adc") {
+    def run(): Seq[(Seq[Byte], Double)] = {
+      val qLut = corpus.filter(col("id") === 1L)
+        .select(PqExprs.pqLut(col("v"), books).as("lut"))
+      corpus.limit(30).select(col("id"), PqExprs.pqEncode(col("v"), books).as("code"))
+        .crossJoin(qLut)
+        .select(col("id"), col("code"),
+          PqExprs.pqAdcDot(col("lut"), col("code"), ksub).as("adc"))
+        .orderBy("id").collect()
+        .map(r => (r.getAs[Array[Byte]]("code").toSeq, r.getDouble(2))).toSeq
+    }
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(gen == interp)
+  }
+
+  test("zero vector encodes deterministically and scores 0") {
+    val z = Seq((0L, Array.fill(16)(0.0f))).toDF("id", "v")
+    val r = z.select(PqExprs.pqEncode(col("v"), books).as("code"),
+      PqExprs.pqAdcDot(PqExprs.pqLut(col("v"), books),
+        PqExprs.pqEncode(col("v"), books), ksub).as("adc")).collect()(0)
+    assert(r.getAs[Array[Byte]]("code").length == m)
+    assert(r.getDouble(1) == 0.0) // zero LUT: every entry is dot(0, c)
+  }
+
+  test("kernels reject mistyped input at analysis time") {
+    val bad = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v") // array<double>
+    val ex = intercept[Exception] {
+      bad.select(PqExprs.pqEncode(col("v"), books)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("pq_encode") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"))
+    val ex2 = intercept[Exception] {
+      corpus.select(PqExprs.pqAdcDot(col("v"), col("v"), ksub)).collect()
+    }
+    assert(ex2.getMessage.toLowerCase.contains("pq_adc_dot") ||
+      ex2.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
+
 class TopKPairsSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TopKPairs
