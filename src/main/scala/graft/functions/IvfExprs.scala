@@ -68,7 +68,8 @@ case class NearestCentroids(
         i += 1
       }
       // insertion into the descending top-nprobe; strict > keeps the
-      // earlier (lower) index on ties
+      // earlier (lower) index on ties; a NaN dot compares false and is
+      // skipped outright
       if (acc > bestDot(nprobe - 1)) {
         var j = nprobe - 1
         while (j > 0 && bestDot(j - 1) < acc) {
@@ -78,7 +79,33 @@ case class NearestCentroids(
       }
       c += 1
     }
+    fillUnusedTail(bestIdx, bestDot)
     UnsafeArrayData.fromPrimitiveArray(bestIdx)
+  }
+
+  /** Slots no insert ever reached (all-NaN vector, or fewer than `nprobe`
+    * comparable dots) keep `-inf` and sink to the tail; fill them with the
+    * lowest centroid indices not already present so the probe list is
+    * ALWAYS distinct — duplicate cells would break the documented
+    * no-candidate-pair-produced-twice invariant in cosineTopKIvf/Pq.
+    */
+  private def fillUnusedTail(bestIdx: Array[Int], bestDot: Array[Double]): Unit = {
+    var k = 0
+    while (k < nprobe && bestDot(k) > Double.NegativeInfinity) k += 1
+    if (k < nprobe) {
+      var next = 0
+      var j = k
+      while (j < nprobe) {
+        var dup = true
+        while (dup) {
+          dup = false
+          var t = 0
+          while (t < k) { if (bestIdx(t) == next) dup = true; t += 1 }
+          if (dup) next += 1
+        }
+        bestIdx(j) = next; next += 1; j += 1
+      }
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -89,6 +116,8 @@ case class NearestCentroids(
       val bd = ctx.freshName("bestDot"); val c = ctx.freshName("c")
       val off = ctx.freshName("off"); val acc = ctx.freshName("acc")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val nx = ctx.freshName("next")
+      val dup = ctx.freshName("dup"); val t = ctx.freshName("t")
       s"""
         final int $n = java.lang.Math.min($vec.numElements(), $dim);
         final int[] $bi = new int[$nprobe];
@@ -107,6 +136,19 @@ case class NearestCentroids(
             }
             $bd[$j] = $acc; $bi[$j] = $c;
           }
+        }
+        // NaN-dot slots never inserted keep -inf at the tail; refill with
+        // the lowest unused indices so the probe list stays distinct
+        int $k = 0;
+        while ($k < $nprobe && $bd[$k] > Double.NEGATIVE_INFINITY) $k++;
+        for (int $j = $k, $nx = 0; $j < $nprobe; $j++, $nx++) {
+          boolean $dup = true;
+          while ($dup) {
+            $dup = false;
+            for (int $t = 0; $t < $k; $t++) { if ($bi[$t] == $nx) $dup = true; }
+            if ($dup) $nx++;
+          }
+          $bi[$j] = $nx;
         }
         ${ev.value} = $uad.fromPrimitiveArray($bi);
       """

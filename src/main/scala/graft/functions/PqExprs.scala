@@ -259,6 +259,12 @@ case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
   override def nullSafeEval(lut: Any, code: Any): Any = {
     val l = lut.asInstanceOf[ArrayData]
     val cd = code.asInstanceOf[Array[Byte]]
+    // A code/LUT pair built from different codebooks (mismatched m or ksub)
+    // would otherwise index past the LUT and return garbage scores.
+    if (cd.length.toLong * ksub != l.numElements())
+      throw new IllegalArgumentException(
+        s"pq_adc_dot: code has ${cd.length} subspaces but LUT has " +
+          s"${l.numElements()} entries (expected ${cd.length.toLong * ksub} for ksub=$ksub)")
     var acc = 0.0; var s = 0
     while (s < cd.length) {
       acc += l.getFloat(s * ksub + (cd(s) & 0xFF)).toDouble
@@ -271,6 +277,12 @@ case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
     nullSafeCodeGen(ctx, ev, (lut, code) => {
       val acc = ctx.freshName("acc"); val s = ctx.freshName("s")
       s"""
+        if ((long) $code.length * $ksub != $lut.numElements()) {
+          throw new IllegalArgumentException(
+            "pq_adc_dot: code has " + $code.length + " subspaces but LUT has " +
+            $lut.numElements() + " entries (expected " +
+            ((long) $code.length * $ksub) + " for ksub=" + $ksub + ")");
+        }
         double $acc = 0.0;
         for (int $s = 0; $s < $code.length; $s++) {
           $acc += (double) $lut.getFloat($s * $ksub + ($code[$s] & 0xFF));

@@ -50,11 +50,16 @@ object Bucketing {
   def compactTo(spark: SparkSession, inPath: String, outPath: String,
       targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes > 0)
-    require(new org.apache.hadoop.fs.Path(inPath) !=
-      new org.apache.hadoop.fs.Path(outPath),
-      "compactTo overwrites outPath — compacting a directory onto itself would destroy it")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val hPath = new org.apache.hadoop.fs.Path(inPath)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = hPath.getFileSystem(hadoopConf)
+    val outHPath = new org.apache.hadoop.fs.Path(outPath)
+    val outFs = outHPath.getFileSystem(hadoopConf)
+    // Qualify against each path's own FileSystem + working dir so equivalent
+    // spellings (file:/x vs /x, relative vs absolute) can't slip past the
+    // guard: write.mode(overwrite) deletes outPath before the lazy read runs.
+    require(fs.makeQualified(hPath) != outFs.makeQualified(outHPath),
+      "compactTo overwrites outPath — compacting a directory onto itself would destroy it")
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inPath)

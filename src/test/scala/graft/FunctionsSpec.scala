@@ -230,6 +230,31 @@ class IvfExprsSpec extends SparkSpec {
     assert(gen == interp)
   }
 
+  test("nearest_centroids yields a distinct probe list even for NaN vectors") {
+    // every dot against a NaN vector is NaN, so no insert ever fires; the
+    // tail-fill must still produce distinct cells or downstream IVF/PQ
+    // candidate generation emits duplicate pairs
+    val nan = Seq(
+      (0L, Array(Float.NaN, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, Float.NaN, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f))).toDF("id", "v")
+    def run(): Seq[Seq[Int]] = nan
+      .select(col("id"), IvfExprs.nearestCentroids(col("v"), cents, 2).as("p"))
+      .orderBy("id").collect().map(_.getSeq[Int](1).toSeq).toSeq
+    val gen = run()
+    // NaN rows fall back to the lowest distinct indices; the clean row is
+    // unaffected
+    assert(gen == Seq(Seq(0, 1), Seq(0, 1), Seq(0, 1)))
+    assert(gen.forall(p => p.distinct.length == p.length))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(gen == interp)
+  }
+
   test("nearest_centroids rejects non-float-array input at analysis time") {
     val df = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "v") // array<double>
     val ex = intercept[Exception] {
@@ -321,6 +346,35 @@ class PqExprsSpec extends SparkSpec {
         PqExprs.pqEncode(col("v"), books), ksub).as("adc")).collect()(0)
     assert(r.getAs[Array[Byte]]("code").length == m)
     assert(r.getDouble(1) == 0.0) // zero LUT: every entry is dot(0, c)
+  }
+
+  test("adc raises on a code/LUT pair from mismatched codebooks") {
+    // a 4-subspace code scored against a 2-subspace LUT must fail loudly,
+    // not index past the LUT and return a garbage score
+    val badBooks = books.take(2) // m=2 -> LUT has 2*ksub entries
+    def run(codegen: Boolean): Exception = {
+      if (!codegen) {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      }
+      try intercept[Exception] {
+        corpus.limit(5)
+          .select(PqExprs.pqAdcDot(
+            PqExprs.pqLut(col("v"), badBooks),
+            PqExprs.pqEncode(col("v"), books), ksub).as("adc"))
+          .collect()
+      } finally if (!codegen) {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    Seq(true, false).foreach { cg =>
+      val msg = chain(run(cg))
+      assert(msg.contains("pq_adc_dot") && msg.contains("subspaces"), s"codegen=$cg: $msg")
+    }
   }
 
   test("kernels reject mistyped input at analysis time") {

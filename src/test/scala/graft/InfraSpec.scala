@@ -210,6 +210,19 @@ class CompactionSpec extends SparkSpec {
     val b = spark.read.parquet(s"$work/out").collect().map(_.toSeq).sortBy(_.head.toString)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("self-overwrite guard fires on equivalent spellings of the same directory") {
+    val work = java.nio.file.Files.createTempDirectory("graft_compact_guard").toString
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$work/in")
+    // file:-scheme vs bare path resolve to the same qualified location;
+    // letting this through would delete the input before the lazy read runs
+    val ex = intercept[IllegalArgumentException] {
+      graft.warehouse.Bucketing.compactTo(spark, s"$work/in", s"file:$work/in")
+    }
+    assert(ex.getMessage.contains("compacting a directory onto itself"))
+    // data untouched
+    assert(spark.read.parquet(s"$work/in").count() == 1)
+  }
 }
 
 class StreamingSpec extends SparkSpec {
