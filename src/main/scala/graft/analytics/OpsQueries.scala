@@ -60,6 +60,36 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // ---- key-less range join: clicks inside the 30-min window after any
+    // high-value purchase (market-wide, so NO equi key — naive Spark is a
+    // nested-loop join; RangeJoin bins it into one shuffle hash join)
+    QueryDef(
+      "q65_range_join_click_windows",
+      Some("""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.value AS click_value, p.value AS purchase_value
+        FROM events c JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.value >= 250
+         AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, purchase_id"""),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("value").as("click_value"),
+          unix_micros(col("ts")).as("click_us"))
+      val windows = ev.filter(col("event_type") === "purchase" && col("value") >= 250)
+        .select(col("event_id").as("purchase_id"), col("value").as("purchase_value"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + 30L * 60 * 1000000).as("w_end"))
+      graft.ops.RangeJoin.pointInInterval(
+        clicks, windows,
+        pointCol = "click_us", startCol = "w_start", endCol = "w_end",
+        binWidth = 30L * 60 * 1000000)
+        .select("click_id", "purchase_id", "click_value", "purchase_value")
+        .orderBy("click_id", "purchase_id")
+    },
+
     // ---- D3 deterministic systematic sample (hash/keyed sampling)
     QueryDef(
       "q45_systematic_sample",

@@ -25,6 +25,63 @@ class AsofJoinSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.RangeJoin
+
+  private lazy val points = Seq(
+    (1L, 5L), (2L, 10L), (3L, 15L), (4L, 100L), (5L, 1999L), (6L, 2000L),
+  ).toDF("pid", "t")
+  private lazy val intervals = Seq(
+    (10L, 0L, 10L),      // [0,10): catches 5
+    (11L, 10L, 20L),     // [10,20): catches 10, 15
+    (12L, 0L, 2000L),    // long interval spanning many bins: 5..1999
+    (13L, 50L, 50L),     // empty for exclusive end
+    (14L, 30L, 20L),     // inverted — must match nothing, not explode
+  ).toDF("iid", "s", "e")
+
+  private def naive(endInclusive: Boolean) = {
+    val exact = if (endInclusive) $"t" >= $"s" && $"t" <= $"e"
+                else $"t" >= $"s" && $"t" < $"e"
+    points.join(intervals, exact)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+  }
+
+  test("binned join equals the naive cross-filter join at several bin widths") {
+    for (w <- Seq(1L, 3L, 7L, 64L, 10000L)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", binWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"w=$w produced duplicate pairs")
+      assert(got.toSet == naive(endInclusive = false), s"w=$w")
+    }
+  }
+
+  test("inclusive end admits the boundary point and the degenerate interval") {
+    val got = RangeJoin.pointInInterval(points, intervals, "t", "s", "e",
+      binWidth = 8L, endInclusive = true)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == naive(endInclusive = true))
+    // spot-check semantics: t=10 now matches [0,10] and t=2000 matches [0,2000]
+    assert(got.contains((2L, 10L)) && got.contains((6L, 12L)))
+  }
+
+  test("equi-keys prune cross-key candidates") {
+    val p = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("pid", "pk", "t")
+    val iv = Seq((10L, "a", 0L, 10L)).toDF("iid", "ik", "s", "e")
+    val got = RangeJoin.pointInInterval(p, iv, "t", "s", "e", binWidth = 4L,
+      keys = Seq(("pk", "ik")))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("overlapping column names are rejected up front") {
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, points, "t", "t", "t", binWidth = 1L)
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+}
+
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 

@@ -39,6 +39,19 @@ class PlanAuditSpec extends SparkSpec {
       "bucket self-join must stay a hash/sort-merge equi-join")
   }
 
+  test("key-less range join stays an equi-join on the bin, never nested-loop") {
+    // q65's only natural predicates are range comparisons — without the
+    // bin decomposition Catalyst has no equi-key and plans
+    // BroadcastNestedLoopJoin, which is O(points x intervals) at scale
+    val p = plan("q65_range_join_click_windows")
+    assert(p.contains("Join") &&
+      (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin")),
+      "range join must execute as a hash/sort-merge equi-join on the bin")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to nested-loop/cartesian")
+  }
+
   test("relational scans keep pushdown and pruned read schemas") {
     val p = plan("q05_filter_project")
     val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(p)
