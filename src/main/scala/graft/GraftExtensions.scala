@@ -6,10 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.SortedIntersectSize
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * functions at session build time, so any session started with
+  * functions AND optimizer rules at session build time, so any session
+  * started with
   *   --conf spark.sql.extensions=graft.GraftExtensions
-  * gets `sorted_intersect_size` (and future native expressions) in SQL
-  * and DataFrame scope without per-session registration calls.
+  * gets `sorted_intersect_size` / `dot_f32` in SQL scope and the
+  * [[graft.plans.BinnedRangeJoin]] range-join rewrite (armed by
+  * `spark.graft.rangeJoin.binWidth`) without per-session registration
+  * calls.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -17,5 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[graft.functions.DotProductF32].getName, "dot_f32"),
+      (exprs: Seq[Expression]) => graft.functions.DotProductF32(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoin)
   }
 }
