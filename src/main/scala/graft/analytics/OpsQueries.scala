@@ -90,6 +90,32 @@ object OpsQueries {
         .orderBy("click_id", "purchase_id")
     },
 
+    // ---- interval-overlap join: concurrent 2-hour spending windows
+    // (pairs of high-value purchases whose windows overlap; key-less)
+    QueryDef(
+      "q66_overlap_spend_windows",
+      Some("""
+        WITH w AS (SELECT event_id, ts AS s, ts + INTERVAL 120 MINUTE AS e
+                   FROM events WHERE event_type = 'purchase' AND value >= 150)
+        SELECT a.event_id AS a_id, b.event_id AS b_id
+        FROM w a JOIN w b
+          ON a.event_id < b.event_id AND a.s < b.e AND b.s < a.e
+        ORDER BY a_id, b_id"""),
+    ) { (s, dir) =>
+      val win = 120L * 60 * 1000000
+      val w = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("value") >= 150)
+        .select(col("event_id"), unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + win)
+      val a = w.select(col("event_id").as("a_id"), col("s").as("a_s"), col("e").as("a_e"))
+      val b = w.select(col("event_id").as("b_id"), col("s").as("b_s"), col("e").as("b_e"))
+      graft.ops.RangeJoin.intervalOverlap(a, b,
+        "a_s", "a_e", "b_s", "b_e", binWidth = win)
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- D3 deterministic systematic sample (hash/keyed sampling)
     QueryDef(
       "q45_systematic_sample",

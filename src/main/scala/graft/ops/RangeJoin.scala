@@ -80,4 +80,51 @@ object RangeJoin {
 
     p.join(iv, cond).drop("_bin")
   }
+
+  /** Join every left interval to every right interval it overlaps
+    * (`lStart < rEnd && rStart < lEnd`, or `<=` when `endInclusive`),
+    * plus any equi-`keys`. Same bin decomposition as
+    * [[pointInInterval]], but BOTH sides explode to their covered bins,
+    * so an overlapping pair can share many bins — exactly-once output
+    * comes from keeping only the FIRST shared bin, which is always the
+    * bin of the later-starting interval (`_bin === greatest(bin(lStart),
+    * bin(rStart))`), a filter instead of a dedup shuffle.
+    *
+    * Bound columns must be LongType on a shared scale (caller converts
+    * timestamps via `unix_micros`); column names must be disjoint.
+    */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lStartCol: String, lEndCol: String,
+      rStartCol: String, rEndCol: String,
+      binWidth: Long,
+      keys: Seq[(String, String)] = Nil,
+      endInclusive: Boolean = false): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"left/right column names must be disjoint, both have: ${overlapCols.mkString(", ")}")
+
+    def bin(c: Column): Column = floor(c / binWidth)
+
+    def explodeBins(df: DataFrame, sCol: String, eCol: String): DataFrame = {
+      val lastPoint = if (endInclusive) col(eCol) else col(eCol) - 1L
+      df.filter(lastPoint >= col(sCol))
+        .withColumn("_bin", explode(sequence(bin(col(sCol)), bin(lastPoint))))
+    }
+
+    val l = explodeBins(left, lStartCol, lEndCol)
+    val r = explodeBins(right, rStartCol, rEndCol)
+
+    val overlapPred =
+      if (endInclusive) col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol)
+      else col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol)
+    val firstSharedBin =
+      l("_bin") === greatest(bin(col(lStartCol)), bin(col(rStartCol)))
+    val keyConds = keys.map { case (lk, rk) => l(lk) === r(rk) }
+    val cond = (Seq(l("_bin") === r("_bin"), overlapPred, firstSharedBin) ++ keyConds)
+      .reduce(_ && _)
+
+    l.join(r, cond).drop("_bin")
+  }
 }

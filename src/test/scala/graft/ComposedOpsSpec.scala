@@ -80,6 +80,32 @@ class RangeJoinSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("disjoint"))
   }
+
+  test("interval overlap equals the naive join, exactly once, at several widths") {
+    val a = Seq(
+      (1L, 0L, 10L), (2L, 5L, 50L), (3L, 100L, 101L), (4L, 40L, 40L),
+      (5L, 60L, 55L), // inverted
+    ).toDF("aid", "as", "ae")
+    val b = Seq(
+      (10L, 9L, 12L), (11L, 45L, 200L), (12L, 0L, 1000L), (13L, 10L, 10L),
+    ).toDF("bid", "bs", "be")
+    for (inclusive <- Seq(false, true)) {
+      val pred = if (inclusive) $"as" <= $"be" && $"bs" <= $"ae"
+                 else $"as" < $"be" && $"bs" < $"ae"
+      val nonEmpty = if (inclusive) $"ae" >= $"as" && $"be" >= $"bs"
+                     else $"ae" > $"as" && $"be" > $"bs"
+      val expected = a.join(b, pred && nonEmpty)
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      for (w <- Seq(1L, 7L, 64L, 5000L)) {
+        val got = RangeJoin.intervalOverlap(a, b, "as", "ae", "bs", "be",
+          binWidth = w, endInclusive = inclusive)
+          .select("aid", "bid").as[(Long, Long)].collect()
+        assert(got.length == got.toSet.size,
+          s"w=$w inclusive=$inclusive: pair emitted more than once")
+        assert(got.toSet == expected, s"w=$w inclusive=$inclusive")
+      }
+    }
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
