@@ -116,6 +116,32 @@ object OpsQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- heavy hitters: top-5 words per language via the Misra-Gries
+    // sketch (capacity 64 > the 31-word vocab, so counts are exact and
+    // hash-match the oracle; at real vocabulary scale the same plan
+    // ships fixed-size partials instead of the whole vocabulary)
+    QueryDef(
+      "q67_heavy_hitters",
+      Some("""
+        WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+                   FROM documents),
+        c AS (SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        r AS (SELECT lang, word, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rank
+              FROM c)
+        SELECT lang, rank, word, cnt FROM r WHERE rank <= 5
+        ORDER BY lang, rank"""),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy("lang")
+        .agg(graft.functions.FreqSketch.freqSketch(col("w"), 64).as("sk"))
+        .select(col("lang"), posexplode(slice(col("sk"), 1, 5)))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.item").as("word"), col("col.cnt").as("cnt"))
+        .orderBy("lang", "rank")
+    },
+
     // ---- D3 deterministic systematic sample (hash/keyed sampling)
     QueryDef(
       "q45_systematic_sample",

@@ -392,6 +392,59 @@ class PqExprsSpec extends SparkSpec {
   }
 }
 
+class FreqSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.FreqSketch
+
+  private def sketch(df: org.apache.spark.sql.DataFrame, cap: Int): Seq[(String, Long)] =
+    df.agg(FreqSketch.freqSketch(col("w"), cap).as("sk"))
+      .select(explode(col("sk"))).select("col.item", "col.cnt")
+      .as[(String, Long)].collect().toSeq
+
+  test("capacity >= distinct items gives exact counts in deterministic order") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val rows = (0 until 5000).map(_ => words(rnd.nextInt(words.length)))
+    val df = rows.toDF("w").repartition(8) // force multi-partition merges
+    val exact = rows.groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }
+    assert(sketch(df, 64) == exact)
+    assert(sketch(df, words.length) == exact) // capacity exactly = distinct
+  }
+
+  test("under pressure, every true heavy hitter survives with bounded undercount") {
+    // zipfish stream: item i appears ~n/(i+1) times; capacity 8 on ~40
+    // distinct items forces constant decrements and merge shrinkage
+    val rows = (for (i <- 0 until 40; _ <- 0 until (4000 / (i + 1))) yield s"w$i")
+    val n = rows.length.toLong
+    val cap = 8
+    val bound = n / (cap + 1)
+    val truth = rows.groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+    val got = sketch(rows.toDF("w").repartition(8), cap).toMap
+    truth.foreach { case (w, c) =>
+      if (c > bound)
+        assert(got.contains(w), s"heavy hitter $w (true count $c > $bound) evicted")
+    }
+    got.foreach { case (w, c) =>
+      assert(c <= truth(w), s"$w over-counted: $c > ${truth(w)}")
+      assert(c >= truth(w) - bound, s"$w undercount beyond the n/(cap+1) bound")
+    }
+  }
+
+  test("partitioning does not change the exact-regime result") {
+    val rows = (0 until 2000).map(i => s"w${i % 30}")
+    val one = sketch(rows.toDF("w").repartition(1), 64)
+    val many = sketch(rows.toDF("w").repartition(16), 64)
+    assert(one == many)
+  }
+
+  test("nulls are skipped, empty input yields an empty summary") {
+    val df = Seq(Some("a"), None, Some("a"), None).toDF("w")
+    assert(sketch(df, 4) == Seq(("a", 2L)))
+    assert(sketch(Seq.empty[String].toDF("w"), 4).isEmpty)
+  }
+}
+
 class TopKPairsSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TopKPairs
