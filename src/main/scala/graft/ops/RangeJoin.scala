@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal, Pmod, Subtract}
 import org.apache.spark.sql.functions._
 
 /** Range (point-in-interval) join — an operator Spark lacks natively
@@ -36,6 +37,33 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Reserved temp column carrying the bin id through the equi-join. */
+  private val BinCol = "_bin"
+
+  /** `floorDiv(c, w)` in exact long arithmetic — the same shape as
+    * [[graft.plans.BinnedRangeJoin.bin]]: `pmod` is non-negative, so
+    * `c - pmod(c, w)` is the floor multiple and the integral divide is
+    * exact. Spark's `floor(c / w)` would divide as doubles, collapsing
+    * adjacent bins above 2^53 (one bucket per 512 values at 2^62 —
+    * needless fan-out and candidate skew at extreme magnitudes).
+    * Assumes |c| stays clear of Long.MaxValue - w, like any real
+    * time/measure scale.
+    */
+  private def bin(c: Column, w: Long): Column = {
+    val x = GraftShim.expression(c.cast("long"))
+    GraftShim.column(IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w)))
+  }
+
+  private def requireDisjointAndBinFree(a: DataFrame, b: DataFrame,
+      aName: String, bName: String): Unit = {
+    val overlap = a.columns.toSet.intersect(b.columns.toSet)
+    require(overlap.isEmpty,
+      s"$aName/$bName column names must be disjoint, both have: ${overlap.mkString(", ")}")
+    val taken = (a.columns ++ b.columns).filter(_ == BinCol)
+    require(taken.isEmpty,
+      s"$BinCol is reserved by RangeJoin as a temp column; rename it on the input")
+  }
+
   /** Join each point row to every interval row whose `[start, end)` (or
     * `[start, end]` when `endInclusive`) contains the point, matching
     * any equi-`keys` too. Point/start/end columns must be LongType on a
@@ -56,13 +84,9 @@ object RangeJoin {
       keys: Seq[(String, String)] = Nil,
       endInclusive: Boolean = false): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
-    require(overlap.isEmpty,
-      s"points/intervals column names must be disjoint, both have: ${overlap.mkString(", ")}")
+    requireDisjointAndBinFree(points, intervals, "points", "intervals")
 
-    def bin(c: Column): Column = floor(c / binWidth)
-
-    val p = points.withColumn("_bin", bin(col(pointCol)))
+    val p = points.withColumn(BinCol, bin(col(pointCol), binWidth))
     // Last covered bin: for an exclusive end the interval's max point is
     // end-1. Empty intervals (end <= start exclusive, end < start
     // inclusive) are dropped up front — Spark's `sequence(a, b)` runs
@@ -70,15 +94,16 @@ object RangeJoin {
     val lastPoint = if (endInclusive) col(endCol) else col(endCol) - 1L
     val iv = intervals
       .filter(lastPoint >= col(startCol))
-      .withColumn("_bin", explode(sequence(bin(col(startCol)), bin(lastPoint))))
+      .withColumn(BinCol,
+        explode(sequence(bin(col(startCol), binWidth), bin(lastPoint, binWidth))))
 
     val exact =
       if (endInclusive) col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
       else col(pointCol) >= col(startCol) && col(pointCol) < col(endCol)
     val keyConds = keys.map { case (pk, ik) => p(pk) === iv(ik) }
-    val cond = (Seq(p("_bin") === iv("_bin"), exact) ++ keyConds).reduce(_ && _)
+    val cond = (Seq(p(BinCol) === iv(BinCol), exact) ++ keyConds).reduce(_ && _)
 
-    p.join(iv, cond).drop("_bin")
+    p.join(iv, cond).drop(BinCol)
   }
 
   /** Join every left interval to every right interval it overlaps
@@ -101,16 +126,13 @@ object RangeJoin {
       keys: Seq[(String, String)] = Nil,
       endInclusive: Boolean = false): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
-    require(overlapCols.isEmpty,
-      s"left/right column names must be disjoint, both have: ${overlapCols.mkString(", ")}")
-
-    def bin(c: Column): Column = floor(c / binWidth)
+    requireDisjointAndBinFree(left, right, "left", "right")
 
     def explodeBins(df: DataFrame, sCol: String, eCol: String): DataFrame = {
       val lastPoint = if (endInclusive) col(eCol) else col(eCol) - 1L
       df.filter(lastPoint >= col(sCol))
-        .withColumn("_bin", explode(sequence(bin(col(sCol)), bin(lastPoint))))
+        .withColumn(BinCol,
+          explode(sequence(bin(col(sCol), binWidth), bin(lastPoint, binWidth))))
     }
 
     val l = explodeBins(left, lStartCol, lEndCol)
@@ -120,11 +142,11 @@ object RangeJoin {
       if (endInclusive) col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol)
       else col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol)
     val firstSharedBin =
-      l("_bin") === greatest(bin(col(lStartCol)), bin(col(rStartCol)))
+      l(BinCol) === greatest(bin(col(lStartCol), binWidth), bin(col(rStartCol), binWidth))
     val keyConds = keys.map { case (lk, rk) => l(lk) === r(rk) }
-    val cond = (Seq(l("_bin") === r("_bin"), overlapPred, firstSharedBin) ++ keyConds)
+    val cond = (Seq(l(BinCol) === r(BinCol), overlapPred, firstSharedBin) ++ keyConds)
       .reduce(_ && _)
 
-    l.join(r, cond).drop("_bin")
+    l.join(r, cond).drop(BinCol)
   }
 }

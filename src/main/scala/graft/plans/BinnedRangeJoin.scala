@@ -44,7 +44,9 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
   val WidthKey = "spark.graft.rangeJoin.binWidth"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = SQLConf.get.getConfString(WidthKey, "0").toLong
+    // A malformed width must not throw from inside the optimizer batch
+    // (that would fail every query in the session); treat it as unset.
+    val w = SQLConf.get.getConfString(WidthKey, "0").toLongOption.getOrElse(0L)
     if (w <= 0) plan
     else plan.transformUp {
       case j: Join => rewrite(j, w).getOrElse(j)
@@ -72,9 +74,15 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
       def crossSide(a: Expression, b: Expression): Boolean =
         (canEvaluate(a, left) && canEvaluate(b, right)) ||
           (canEvaluate(a, right) && canEvaluate(b, left))
+      // Only a genuinely cross-side equality (attributes on BOTH sides)
+      // counts as an equi key: a literal canEvaluate on either side, so
+      // a leftover one-side conjunct like `p.kind = 'click'` must not
+      // suppress the rewrite.
+      def attrEquality(a: Expression, b: Expression): Boolean =
+        a.references.nonEmpty && b.references.nonEmpty && crossSide(a, b)
       val hasEqui = conjuncts.exists {
-        case EqualTo(a, b) => crossSide(a, b)
-        case EqualNullSafe(a, b) => crossSide(a, b)
+        case EqualTo(a, b) => attrEquality(a, b)
+        case EqualNullSafe(a, b) => attrEquality(a, b)
         case _ => false
       }
       if (hasEqui) return None
@@ -93,6 +101,11 @@ object BinnedRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         (p2, e) <- ineqs
         if p1.semanticEquals(p2) && integral(p1) && integral(s) && integral(e)
         if p1.deterministic && s.deterministic && e.deterministic
+        // the point must be a real column and at least one bound must
+        // come from the other side's attributes — otherwise the "range
+        // join" is a single-side filter over a cross join, and binning
+        // it would shuffle everything onto a handful of constant bins
+        if p1.references.nonEmpty && (s.references.nonEmpty || e.references.nonEmpty)
         pointsOnLeft = canEvaluate(p1, left)
         if (pointsOnLeft && canEvaluate(s, right) && canEvaluate(e, right)) ||
           (!pointsOnLeft && canEvaluate(p1, right) &&

@@ -97,6 +97,52 @@ class BinnedRangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("a malformed binWidth conf is ignored instead of failing every query") {
+    val expected = pairs(naiveJoin)
+    spark.conf.set(Width, "not-a-number")
+    try {
+      val df = naiveJoin
+      assert(planOf(df).contains("BroadcastNestedLoopJoin"),
+        "malformed width must disarm the rule, not arm or break it")
+      assert(pairs(df) == expected)
+    } finally spark.conf.unset(Width)
+  }
+
+  test("a one-side literal equality does not suppress the rewrite") {
+    // Pushdown usually strips `kind = 'click'` before the rule runs, so
+    // exercise the rule directly on the analyzed (pre-pushdown) plan: a
+    // literal canEvaluate on either side and must not count as an equi key.
+    withWidth(8L) {
+      val p = Seq((1L, "click", 5L), (2L, "view", 5L)).toDF("pid", "kind", "t")
+      val iv = Seq((10L, 0L, 10L)).toDF("iid", "s", "e")
+      val j = p.join(iv,
+        p("kind") === lit("click") && p("t") >= iv("s") && p("t") < iv("e"))
+      val rewritten = graft.plans.BinnedRangeJoin(j.queryExecution.analyzed)
+      val generates = rewritten.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      assert(generates.nonEmpty,
+        s"literal equality suppressed the rewrite:\n$rewritten")
+      assert(j.select("pid", "iid").as[(Long, Long)].collect().toSet ==
+        Set((1L, 10L)))
+    }
+  }
+
+  test("a join whose only range bounds are literals is left untouched") {
+    // `p.t >= 5 AND p.t < 10` over a cross join has no interval side —
+    // binning it would shuffle everything onto a few constant bins.
+    withWidth(4L) {
+      val p = Seq((1L, 6L), (2L, 20L)).toDF("pid", "t")
+      val other = Seq(Tuple1(10L), Tuple1(11L)).toDF("oid")
+      val j = p.join(other, p("t") >= lit(5L) && p("t") < lit(10L))
+      val rewritten = graft.plans.BinnedRangeJoin(j.queryExecution.analyzed)
+      val generates = rewritten.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      assert(generates.isEmpty, s"constant-bound filter was binned:\n$rewritten")
+    }
+  }
+
   test("SQL-registered kernels resolve through the extension") {
     val r = spark.sql(
       "SELECT dot_f32(array(cast(1.0 as float), cast(2.0 as float)), " +

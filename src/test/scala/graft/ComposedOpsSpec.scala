@@ -81,6 +81,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("disjoint"))
   }
 
+  test("inputs carrying the reserved _bin column are rejected") {
+    val p = points.withColumn("_bin", lit(0L))
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, intervals, "t", "s", "e", binWidth = 4L)
+    }
+    assert(ex.getMessage.contains("_bin"))
+  }
+
+  test("binning stays exact at magnitudes beyond 2^53") {
+    // floor(c / w) in doubles collapses adjacent bins up here (one ulp at
+    // 2^62 is 512); the exact long floor-div must keep every pair and
+    // emit it exactly once, positive and negative.
+    val base = 1L << 62
+    val p = Seq((1L, base + 5L), (2L, base + 1000L), (3L, -base - 7L)).toDF("pid", "t")
+    val iv = Seq(
+      (10L, base, base + 10L),
+      (11L, base + 999L, base + 1001L),
+      (12L, -base - 10L, -base - 1L),
+    ).toDF("iid", "s", "e")
+    val expected = p.join(iv, $"t" >= $"s" && $"t" < $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(expected == Set((1L, 10L), (2L, 11L), (3L, 12L)))
+    for (w <- Seq(1L, 512L, 4096L)) {
+      val got = RangeJoin.pointInInterval(p, iv, "t", "s", "e", binWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"w=$w produced duplicate pairs")
+      assert(got.toSet == expected, s"w=$w")
+    }
+  }
+
   test("interval overlap equals the naive join, exactly once, at several widths") {
     val a = Seq(
       (1L, 0L, 10L), (2L, 5L, 50L), (3L, 100L, 101L), (4L, 40L, 40L),
