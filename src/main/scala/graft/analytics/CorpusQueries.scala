@@ -1,0 +1,165 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.CorpusOps
+
+/** Corpus-preparation operators over `documents` (SURVEY §2.14): benchmark
+  * decontamination, sequence packing, repetition quality stats, weighted
+  * mixture sampling, and the compiled quality filter. All five are
+  * oracle-checked — the semantics are plain enough for ANSI SQL even
+  * though the Spark plans are shaped for 100 TB (broadcast eval grams,
+  * per-shard packing windows, single-agg top-bigram).
+  */
+object CorpusQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- benchmark decontamination: train docs sharing any word 4-gram
+    // with the eval split (doc_id % 50 == 0 here; a real pipeline feeds
+    // the benchmark suite). 4-grams suit this synthetic 31-word
+    // vocabulary; natural-text pipelines use 8-13 (the operator's n is a
+    // parameter). Survivors = train ANTI JOIN this result.
+    QueryDef(
+      "q68_decontamination",
+      Some(raw"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                     i -> array_to_string(t[i:i+3], ' '))) AS gram
+              FROM toks WHERE len(t) >= 4),
+        e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+        FROM g JOIN e USING (gram)
+        WHERE g.doc_id % 50 <> 0
+        GROUP BY g.doc_id ORDER BY g.doc_id"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      CorpusOps.contamination(
+        train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        idCol = "doc_id", textCol = "text", n = 4)
+        .orderBy("doc_id")
+    },
+
+    // ---- concat-and-chunk sequence packing: docs laid end-to-end per
+    // source shard, 128-token context windows; each doc gets its token
+    // offset, first chunk, and chunk span. Window is per-source (parallel
+    // across shards), arithmetic is exact long div on both engines.
+    QueryDef(
+      "q69_sequence_packing",
+      Some(raw"""
+        WITH s AS (SELECT doc_id, source,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+                CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS tok_start
+              FROM s)
+        SELECT doc_id, source, n_tokens, tok_start,
+               tok_start // 128 AS chunk_first,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (tok_start + n_tokens - 1) // 128 - tok_start // 128 + 1
+               END AS n_chunks
+        FROM c ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val withTok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      CorpusOps.packSequences(withTok, "source", "doc_id", "n_tokens", 128L)
+        .orderBy("doc_id")
+    },
+
+    // ---- Gopher-style repetition stats: duplication ratio + top bigram
+    // (count and overlapping coverage fraction), ties to the smallest
+    // bigram. The oracle takes the row_number formulation; the Spark plan
+    // is the single-aggregate min(struct(-cnt, gram)) — same semantics.
+    QueryDef(
+      "q70_repetition_stats",
+      Some(raw"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        s AS (SELECT doc_id, len(t) AS n_tokens,
+                     len(list_distinct(t)) AS n_distinct_tokens FROM toks),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS g
+               FROM toks WHERE len(t) >= 2),
+        c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+        r AS (SELECT doc_id, g, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, g) AS rk
+              FROM c)
+        SELECT s.doc_id, s.n_tokens, s.n_distinct_tokens,
+               1.0 - CAST(s.n_distinct_tokens AS DOUBLE) / s.n_tokens
+                 AS dup_token_ratio,
+               r.g AS top_bigram, r.cnt AS top_bigram_cnt,
+               CAST(r.cnt AS DOUBLE) * 2 / s.n_tokens AS top_bigram_frac
+        FROM s LEFT JOIN (SELECT * FROM r WHERE rk = 1) r USING (doc_id)
+        ORDER BY s.doc_id"""),
+    ) { (s, dir) =>
+      CorpusOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- weighted source-mixture sampling: src0-3 full, src4-9 half,
+    // rest quarter — deterministic seeded-hash membership (same
+    // multiplicative-hash arithmetic as q59), so the oracle reproduces
+    // the exact row set.
+    QueryDef(
+      "q71_mixture_sample",
+      Some("""
+        SELECT doc_id, source FROM documents
+        WHERE ((doc_id % 100000007 + 42) * 2654435761) % 4294967296 <
+              CASE WHEN source IN ('src0','src1','src2','src3')
+                     THEN 4294967296
+                   WHEN source IN ('src4','src5','src6','src7','src8','src9')
+                     THEN 2147483648
+                   ELSE 1073741824 END
+        ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val full = Seq("src0", "src1", "src2", "src3").map(_ -> 1.0)
+      val half = Seq("src4", "src5", "src6", "src7", "src8", "src9").map(_ -> 0.5)
+      CorpusOps.mixtureSample(Tables.documents(s, dir), "doc_id", "source",
+        rates = (full ++ half).toMap, defaultRate = 0.25, seed = 42L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // ---- compiled quality filter with audit trail: keep + the names of
+    // the failed rules, all in one projection (same design as the §2.9
+    // validator). Thresholds split this corpus 295 keep / 205 drop.
+    QueryDef(
+      "q72_quality_filter",
+      Some(raw"""
+        WITH s AS (SELECT doc_id,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     len(list_distinct(string_split_regex(trim(text), '\s+')))
+                       AS n_distinct
+                   FROM documents),
+        f AS (SELECT doc_id,
+                n_tokens >= 30 AS ok_len_min,
+                n_tokens <= 90 AS ok_len_max,
+                1.0 - CAST(n_distinct AS DOUBLE) / n_tokens <= 0.65 AS ok_rep
+              FROM s)
+        SELECT doc_id, ok_len_min AND ok_len_max AND ok_rep AS keep,
+               concat_ws(',',
+                 CASE WHEN NOT ok_len_min THEN 'too_short' END,
+                 CASE WHEN NOT ok_len_max THEN 'too_long' END,
+                 CASE WHEN NOT ok_rep THEN 'repetitive' END) AS drop_reasons
+        FROM f ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val toks = split(trim(col("text")), "\\s+")
+      val stats = Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"))
+      CorpusOps.qualityFilter(stats, Seq(
+        "too_short" -> (col("n_tokens") >= 30),
+        "too_long" -> (col("n_tokens") <= 90),
+        "repetitive" ->
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens") <= 0.65),
+      ))
+        .select("doc_id", "keep", "drop_reasons")
+        .orderBy("doc_id")
+    },
+  )
+}

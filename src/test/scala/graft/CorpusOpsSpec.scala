@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordGrams emits all n-grams in order; short docs yield empty") {
+    val df = Seq("a b c d", "a b", "a").toDF("text")
+      .select(CorpusOps.wordGrams(split(col("text"), " "), 3).as("g"))
+    val out = out3(df)
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+  private def out3(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.getSeq[String](0).toSeq).toSeq
+
+  test("contamination flags only docs sharing an n-gram with the eval set") {
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma delta y"),         // shares "alpha beta gamma delta"
+      (2L, "delta gamma beta alpha"),             // same words, scrambled: clean
+      (3L, "completely different tokens here now"), // clean
+      (4L, "alpha beta gamma delta epsilon"),     // exact copy: shares all
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.contamination(train, evalSet, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (4L, 2L)))
+  }
+
+  test("packSequences: contiguous offsets per group, exact chunk spans") {
+    val df = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 50L), ("s1", 3L, 200L), ("s1", 4L, 0L),
+      ("s2", 1L, 300L),
+    ).toDF("src", "id", "n_tok")
+    val out = CorpusOps.packSequences(df, "src", "id", "n_tok", 128L)
+      .orderBy("src", "id")
+      .select("src", "id", "tok_start", "chunk_first", "n_chunks")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("s1", 1L, 0L, 0L, 1L),    // tokens [0,100) in chunk 0
+      ("s1", 2L, 100L, 0L, 2L),  // [100,150) spans chunks 0-1
+      ("s1", 3L, 150L, 1L, 2L),  // [150,350) spans chunks 1-2
+      ("s1", 4L, 350L, 2L, 0L),  // empty doc spans nothing
+      ("s2", 1L, 0L, 0L, 3L),    // independent group: [0,300) chunks 0-2
+    ))
+  }
+
+  test("repetitionStats: dup ratio and top bigram with lexicographic ties") {
+    val docs = Seq(
+      (1L, "a a a a"),          // dup 0.75; "a a" x3, frac 1.5 (overlapping)
+      (2L, "b c b c"),          // "b c" x2 beats "c b" x1
+      (3L, "z y"),              // all bigrams unique: tie -> smallest "y"... "y z"? no: "z y"
+      (4L, "solo"),             // <2 tokens: null bigram
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("top_bigram_cnt") == 3L &&
+      r1.getAs[String]("top_bigram") == "a a" &&
+      r1.getAs[Double]("dup_token_ratio") == 0.75 &&
+      r1.getAs[Double]("top_bigram_frac") == 1.5)
+    assert(out(1).getAs[String]("top_bigram") == "b c")
+    assert(out(2).getAs[String]("top_bigram") == "z y" &&
+      out(2).getAs[Long]("top_bigram_cnt") == 1L)
+    assert(out(3).isNullAt(out(3).fieldIndex("top_bigram")))
+  }
+
+  test("mixtureSample: rate 1 keeps all, 0 keeps none, membership is monotone in rate") {
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val all = CorpusOps.mixtureSample(df, "id", "src", Map("a" -> 1.0), 0.0)
+    assert(all.count() == 100 && all.filter(col("src") === "b").count() == 0)
+    val half = CorpusOps.mixtureSample(df, "id", "src", Map("a" -> 0.5), 0.0)
+      .select("id").as[Long].collect().toSet
+    val most = CorpusOps.mixtureSample(df, "id", "src", Map("a" -> 0.8), 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(half.subsetOf(most), "raising a rate must only add rows")
+    assert(half.nonEmpty && half.size < most.size && most.size < 100)
+    // deterministic across runs
+    val again = CorpusOps.mixtureSample(df, "id", "src", Map("a" -> 0.5), 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(again == half)
+  }
+
+  test("qualityFilter: keep iff all rules hold; reasons list the failures in order") {
+    val df = Seq((1L, 10, 2), (2L, 50, 50), (3L, 200, 10)).toDF("id", "n", "d")
+    val out = CorpusOps.qualityFilter(df, Seq(
+      "too_short" -> (col("n") >= 30),
+      "too_long" -> (col("n") <= 100),
+      "low_div" -> (col("d") * 2 >= col("n")),
+    )).orderBy("id").select("keep", "drop_reasons").collect()
+    assert(out.map(r => (r.getBoolean(0), r.getString(1))).toSeq == Seq(
+      (false, "too_short,low_div"),
+      (true, ""),
+      (false, "too_long,low_div"),
+    ))
+  }
+}
