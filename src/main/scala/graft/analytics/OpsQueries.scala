@@ -169,6 +169,26 @@ object OpsQueries {
         .select("c_custkey", "c_name", "c_acctbal")
     },
 
+    // ---- D3 stratified exact-n-per-stratum sample: 5 docs per source,
+    // smallest seeded multiplicative-hash ranks within each stratum (the
+    // same q59 arithmetic, windowed per source — no global sort)
+    QueryDef(
+      "q74_stratified_sample",
+      Some("""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY ((doc_id % 100000007 + 42) * 2654435761) % 4294967296,
+                            doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 5 ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      graft.ops.Sampling.stratifiedExact(
+        Tables.documents(s, dir), "source", "doc_id", 5, 42L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // ---- F13+F15 round trip: one-hot encode then reconstruct the category
     QueryDef(
       "q46_onehot_reconstruct",

@@ -58,6 +58,21 @@ object VectorQueries {
         threshold = 0.25, probeBits = 1).orderBy("id_a", "id_b")
     },
 
+    // ---- embedding near-dup CLUSTERING: connected components over the
+    // LSH candidate pairs (the form a 100 TB embedding dedup actually
+    // runs — representative per cluster, never the quadratic pair list).
+    // Rows check here; the pair-consistency contract (every emitted
+    // near-dup pair lands in one cluster) is in CorpusOpsSpec.
+    QueryDef("q73_embedding_dedup_clusters", None) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = VectorSim.cosineNearDups(emb, "vec_id", "embedding",
+        threshold = 0.25, probeBits = 1)
+      graft.ops.Components.connectedComponents(
+        emb.select(col("vec_id").as("id")),
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .orderBy("id")
+    },
+
     // ---- IVF-partitioned approximate kNN (inverted-file scale path;
     // rows check — the recall contract vs exact top-k lives in
     // RecallContractSpec)

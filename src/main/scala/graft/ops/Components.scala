@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterated min-label propagation
+  * with pointer jumping — the clustering core shared by every near-dup
+  * family (MinHash text clusters, embedding clusters, any candidate-pair
+  * generator).
+  *
+  * Why not pairwise output: listing all near-dup pairs is quadratic in
+  * cluster size (a 10k-copy boilerplate cluster is 50M pairs); dedup only
+  * needs a representative per cluster, and label propagation over the
+  * candidate EDGES is linear in edge count.
+  *
+  * Convergence: each round takes the min label over neighbors, then
+  * replaces every label by its label's label (path halving), so rounds
+  * needed are O(log diameter) instead of O(diameter). Labels only ever
+  * decrease, so an unchanged label sum IS the fixpoint — one cheap
+  * aggregate per round. Per round: two equi-joins keyed by id/label, no
+  * driver-side state beyond the convergence scalar.
+  */
+object Components {
+
+  /** Connected components of the undirected graph over `nodes` ("id"
+    * column) with `edges` ("src", "dst" columns; symmetrized here, so
+    * callers pass each pair once in either direction). Returns
+    * (id, cluster_rep) with cluster_rep = min id of the component; keep
+    * rows where id == cluster_rep for one representative per cluster.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIterations: Int = 10): DataFrame = {
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").as("id"), col("dst").as("rep")),
+        struct(col("dst").as("id"), col("src").as("rep")))).as("e"))
+      .select(col("e.id").as("id"), col("e.rep").as("rep"))
+      .filter(col("id") =!= col("rep"))
+      .dropDuplicates()
+      .persist()
+
+    var labels = nodes.select(col("id"), col("id").as("cluster_rep")).persist()
+    var prevSum = labels.agg(sum("cluster_rep")).collect()(0).getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // min label among {own} U {labels of neighbors}
+      val viaEdges = sym
+        .join(labels.select(col("id").as("rep"), col("cluster_rep").as("rep_label")),
+          Seq("rep"))
+        .groupBy("id").agg(min(col("rep_label")).as("edge_label"))
+      val hop = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_rep"), coalesce(col("edge_label"), col("cluster_rep")))
+            .as("cluster_rep"))
+      // pointer jump: cluster_rep <- label(cluster_rep)
+      val next = hop
+        .join(hop.select(col("id").as("cluster_rep"), col("cluster_rep").as("jump")),
+          Seq("cluster_rep"), "left")
+        .select(col("id"), coalesce(col("jump"), col("cluster_rep")).as("cluster_rep"))
+        .persist()
+      val nextSum = next.agg(sum("cluster_rep")).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    sym.unpersist()
+    // hand back an unpersisted, lineage-free copy: the label frame is
+    // already materialized in the cache, so the local checkpoint is one
+    // cheap copy pass, and the per-round persists stop leaking
+    val out = labels.localCheckpoint(true)
+    labels.unpersist(false)
+    out
+  }
+}

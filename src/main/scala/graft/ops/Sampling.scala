@@ -47,4 +47,21 @@ object Sampling {
     */
   def systematic(df: DataFrame, keyCol: String, interval: Int): DataFrame =
     df.filter(pmod(col(keyCol), lit(interval)) === 0)
+
+  /** Exact-size-per-stratum seeded sample: within each stratum, the `n`
+    * rows with the smallest seeded rank (ties by key). One shuffle keyed
+    * by the stratum; the window sorts within each stratum only, so
+    * parallelism = number of strata and no global sort exists. Strata
+    * smaller than `n` are kept whole.
+    */
+  def stratifiedExact(df: DataFrame, strataCol: String, keyCol: String,
+      n: Int, seed: Long = 42L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(seededRank(col(keyCol), seed), col(keyCol))
+    df.withColumn("_srn", row_number().over(w))
+      .filter(col("_srn") <= n)
+      .drop("_srn")
+  }
 }

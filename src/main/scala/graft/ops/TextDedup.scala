@@ -268,60 +268,17 @@ object TextDedup {
     val buckets = docs
       .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
 
-    // star edges: every member points at its bucket's minimum id;
-    // symmetrized (one explode, not a self-recomputing union) so labels
-    // flow both member->rep and rep->member — otherwise two buckets
-    // linked through a shared member never merge
+    // star edges: every member points at its bucket's minimum id — linear
+    // in bucket size (Components symmetrizes them so labels flow both
+    // member->rep and rep->member; otherwise two buckets linked through a
+    // shared member never merge)
     val bucketMin = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
     val edges = buckets
       .withColumn("rep", min(col("id")).over(bucketMin))
       .filter(col("id") =!= col("rep"))
-      .select(col("id"), col("rep")).dropDuplicates()
-      .select(explode(array(
-        struct(col("id"), col("rep")),
-        struct(col("rep").as("id"), col("id").as("rep")))).as("e"))
-      .select(col("e.id").as("id"), col("e.rep").as("rep"))
-      .persist()
+      .select(col("id").as("src"), col("rep").as("dst")).dropDuplicates()
 
-    // min-label propagation with POINTER JUMPING: each round takes the
-    // min label over neighbors, then replaces every label by its label's
-    // label (path halving), so convergence is O(log diameter) rounds
-    // instead of O(diameter). Labels only ever decrease, so an unchanged
-    // label sum IS the fixpoint — one cheap aggregate per round.
-    var labels = docs.select(col("id"), col("id").as("cluster_rep")).persist()
-    var prevSum = labels.agg(sum("cluster_rep")).collect()(0).getLong(0)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIterations) {
-      // min label among {own} U {labels of neighbors}
-      val viaEdges = edges
-        .join(labels.select(col("id").as("rep"), col("cluster_rep").as("rep_label")),
-          Seq("rep"))
-        .groupBy("id").agg(min(col("rep_label")).as("edge_label"))
-      val hop = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_rep"), coalesce(col("edge_label"), col("cluster_rep")))
-            .as("cluster_rep"))
-      // pointer jump: cluster_rep <- label(cluster_rep)
-      val next = hop
-        .join(hop.select(col("id").as("cluster_rep"), col("cluster_rep").as("jump")),
-          Seq("cluster_rep"), "left")
-        .select(col("id"), coalesce(col("jump"), col("cluster_rep")).as("cluster_rep"))
-        .persist()
-      val nextSum = next.agg(sum("cluster_rep")).collect()(0).getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      iter += 1
-    }
-    edges.unpersist()
-    // hand back an unpersisted, lineage-free copy: the label frame is
-    // already materialized in the cache, so the local checkpoint is one
-    // cheap copy pass, and the per-round persists stop leaking
-    val out = labels.localCheckpoint(true)
-    labels.unpersist(false)
-    out
+    Components.connectedComponents(docs.select("id"), edges, maxIterations)
   }
 
   /** 64-bit SimHash from a per-token hash array: bit j of the hash is set

@@ -86,6 +86,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == half)
   }
 
+  test("connectedComponents: chains merge, isolated nodes self-label") {
+    import graft.ops.Components
+    val nodes = (1L to 8L).toDF("id")
+    // component {1,2,3,4} as a chain, {6,7} as a pair, 5 and 8 isolated
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (7L, 6L)).toDF("src", "dst")
+    val out = Components.connectedComponents(nodes, edges)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
+  test("embedding clusters are consistent with the near-dup pairs that built them") {
+    import graft.ops.{Components, VectorSim}
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val pairs = VectorSim.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.25, probeBits = 1)
+    val labels = Components.connectedComponents(
+      emb.select(col("vec_id").as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    assert(labels.count() == emb.count(), "one label per vector")
+    // every pair that generated an edge must land in the same cluster
+    val split = pairs
+      .join(labels.select(col("id").as("id_a"), col("cluster_rep").as("ca")), "id_a")
+      .join(labels.select(col("id").as("id_b"), col("cluster_rep").as("cb")), "id_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(split.count() == 0, "near-dup pair split across clusters")
+  }
+
+  test("stratifiedExact keeps n per stratum, deterministic, short strata whole") {
+    import graft.ops.Sampling
+    val df = ((0L until 40L).map(i => (i, "big")) ++ Seq((100L, "tiny"), (101L, "tiny")))
+      .toDF("id", "src")
+    val out = Sampling.stratifiedExact(df, "src", "id", 5)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("big" -> 5L, "tiny" -> 2L))
+    val again = Sampling.stratifiedExact(df, "src", "id", 5)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
   test("qualityFilter: keep iff all rules hold; reasons list the failures in order") {
     val df = Seq((1L, 10, 2), (2L, 50, 50), (3L, 200, 10)).toDF("id", "n", "d")
     val out = CorpusOps.qualityFilter(df, Seq(
