@@ -70,4 +70,28 @@ class PlanAuditSpec extends SparkSpec {
       "q02 must broadcast both small dims (customer->nation joins)")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("decontamination joins the train grams against BROADCAST eval grams") {
+    // eval benchmark sets are tiny next to a training corpus: the gram
+    // join must broadcast the eval side, never shuffle (or nested-loop)
+    // the 100 TB train gram stream
+    val p = plan("q68_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "q68 lost the eval-gram broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q68 gram join degraded")
+  }
+
+  test("sequence packing windows per shard, never a single global partition") {
+    // a global running sum would serialize the corpus through one
+    // partition; the packing window must be partitioned by the shard col
+    val df = SparkEntry.queries("q69_sequence_packing")(spark, sf001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("Window"), "expected a window operator in q69")
+    assert("Arguments:.*windowspecdefinition\\(source".r.findFirstIn(p).isDefined ||
+      p.contains("PartitionSpec: [source"),
+      s"q69 window lost its per-source partitioning")
+    assert(!p.contains("SinglePartition"),
+      "q69 must not funnel the corpus through one partition")
+  }
 }
