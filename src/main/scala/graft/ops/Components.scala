@@ -39,9 +39,19 @@ object Components {
       .dropDuplicates()
       .persist()
 
-    var labels = nodes.select(col("id"), col("id").as("cluster_rep")).persist()
-    var prevSum = labels.agg(sum("cluster_rep")).collect()(0).getLong(0)
-    var converged = false
+    // Only nodes that touch an edge enter the loop — isolated nodes (the
+    // overwhelming majority of a realistic near-dup graph) are their own
+    // representative by definition and join back after convergence, so
+    // every per-round shuffle is sized by the candidate subgraph, not the
+    // corpus. Initial label = min(id, min neighbor): the first
+    // propagation round folded into one aggregate.
+    var labels = sym.groupBy("id")
+      .agg(min(col("rep")).as("nb"))
+      .select(col("id"), least(col("id"), col("nb")).as("cluster_rep"))
+      .persist()
+    var prevSum = Option(labels.agg(sum("cluster_rep")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var converged = labels.isEmpty // edge-less graph: nothing to iterate
     var iter = 0
     while (!converged && iter < maxIterations) {
       // min label among {own} U {labels of neighbors}
@@ -66,11 +76,15 @@ object Components {
       prevSum = nextSum
       iter += 1
     }
+    System.err.println(s"[Components] rounds=$iter converged=$converged")
     sym.unpersist()
-    // hand back an unpersisted, lineage-free copy: the label frame is
-    // already materialized in the cache, so the local checkpoint is one
-    // cheap copy pass, and the per-round persists stop leaking
-    val out = labels.localCheckpoint(true)
+    // isolated nodes rejoin as their own representative; localCheckpoint
+    // hands back a lineage-free copy so the per-round persists can drop
+    val out = nodes
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
+      .localCheckpoint(true)
     labels.unpersist(false)
     out
   }
