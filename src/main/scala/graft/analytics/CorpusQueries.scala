@@ -41,6 +41,32 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ---- the decontamination stage itself: the clean train split (docs
+    // sharing NO 4-gram with the eval split) — what training consumes
+    QueryDef(
+      "q75_decontaminated_train",
+      Some(raw"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                     i -> array_to_string(t[i:i+3], ' '))) AS gram
+              FROM toks WHERE len(t) >= 4),
+        e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        bad AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)
+                WHERE g.doc_id % 50 <> 0)
+        SELECT doc_id, source, lang FROM documents
+        WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      CorpusOps.decontaminate(
+        train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+        idCol = "doc_id", textCol = "text", n = 4)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    },
+
     // ---- concat-and-chunk sequence packing: docs laid end-to-end per
     // source shard, 128-token context windows; each doc gets its token
     // offset, first chunk, and chunk span. Window is per-source (parallel

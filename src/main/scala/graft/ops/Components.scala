@@ -45,10 +45,18 @@ object Components {
     // every per-round shuffle is sized by the candidate subgraph, not the
     // corpus. Initial label = min(id, min neighbor): the first
     // propagation round folded into one aggregate.
+    //
+    // Every round ends in an EAGER localCheckpoint: each round's plan
+    // references the previous labels 3x (neighbor join + the hop
+    // self-join), so without lineage truncation the logical plan grows
+    // exponentially in rounds — a ~7-round graph OOMs the driver just
+    // EXPLAINING the plan. The checkpoint also doubles as the round's
+    // materialization barrier for the convergence aggregate, and the
+    // ContextCleaner frees each round's RDD once unreferenced.
     var labels = sym.groupBy("id")
       .agg(min(col("rep")).as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("cluster_rep"))
-      .persist()
+      .localCheckpoint(true)
     var prevSum = Option(labels.agg(sum("cluster_rep")).collect()(0).get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     var converged = labels.isEmpty // edge-less graph: nothing to iterate
@@ -68,9 +76,8 @@ object Components {
         .join(hop.select(col("id").as("cluster_rep"), col("cluster_rep").as("jump")),
           Seq("cluster_rep"), "left")
         .select(col("id"), coalesce(col("jump"), col("cluster_rep")).as("cluster_rep"))
-        .persist()
+        .localCheckpoint(true)
       val nextSum = next.agg(sum("cluster_rep")).collect()(0).getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -78,14 +85,22 @@ object Components {
     }
     System.err.println(s"[Components] rounds=$iter converged=$converged")
     sym.unpersist()
-    // isolated nodes rejoin as their own representative; localCheckpoint
-    // hands back a lineage-free copy so the per-round persists can drop
-    val out = nodes
+    // an unconverged label table is silently WRONG (pairs can straddle
+    // clusters) — fail loudly rather than hand back inconsistent dedup
+    // groups; path halving converges in O(log diameter) rounds, so the
+    // default cap covers any graph a near-dup pipeline produces
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds; " +
+          "raise maxIterations (rounds needed ~ log2 of the graph diameter)")
+    }
+    // isolated nodes rejoin as their own representative; the final
+    // localCheckpoint hands back a lineage-free result so the last
+    // round's RDD can be collected
+    nodes
       .join(labels, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
       .localCheckpoint(true)
-    labels.unpersist(false)
-    out
   }
 }

@@ -70,6 +70,16 @@ object CorpusOps {
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
   }
 
+  /** The decontamination pipeline stage itself: train documents with NO
+    * word n-gram in common with the eval set (a left anti join against
+    * [[contamination]]'s flagged ids — the flagged signal stays available
+    * for audit, this returns what training actually consumes).
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    train.join(contamination(train, evalSet, idCol, textCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Concat-and-chunk sequence packing (the GPT-style "concatenate all
     * tokens, slice into fixed context windows" layout): within each group
     * (shard / source), documents are laid end-to-end in `orderCol` order

@@ -86,6 +86,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == half)
   }
 
+  test("decontaminate returns exactly the train docs with no shared n-gram") {
+    import graft.ops.CorpusOps
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma delta y"),            // contaminated
+      (2L, "delta gamma beta alpha"),                // scrambled: clean
+      (3L, "completely different tokens here now"),  // clean
+    ).toDF("doc_id", "text")
+    val clean = CorpusOps.decontaminate(train, evalSet, "doc_id", "text", 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("connectedComponents fails loudly instead of returning unconverged labels") {
+    import graft.ops.Components
+    val n = 64
+    val nodes = (1L to n.toLong).toDF("id")
+    val chain = (2L to n.toLong).map(i => (i - 1, i)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(nodes, chain, maxIterations = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain is one component
+    val ok = Components.connectedComponents(nodes, chain)
+      .agg(countDistinct(col("cluster_rep"))).collect()(0).getLong(0)
+    assert(ok == 1L)
+  }
+
+  test("corpus prep ops run unchanged on a stream (quality filter + mixture)") {
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)](
+      spark, 1)
+    docs.addData((0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", ("tok " * (if (i < 50) 40 else 3)).trim)))
+    val toks = split(trim(col("text")), "\\s+")
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.mixtureSample(
+        CorpusOps.qualityFilter(df.withColumn("n_tokens", size(toks)),
+          Seq("too_short" -> (col("n_tokens") >= 30))).filter(col("keep")),
+        "id", "src", Map("a" -> 1.0), defaultRate = 0.0)
+    val q = prep(docs.toDF().toDF("id", "src", "text"))
+      .writeStream.format("memory").queryName("corpus_prep")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming batch did not finish in time")
+    val got = spark.sql("SELECT id FROM corpus_prep").as[Long].collect().toSet
+    // batch semantics == stream semantics: stateless ops, identical output
+    val batch = prep(spark.createDataFrame((0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", ("tok " * (if (i < 50) 40 else 3)).trim)))
+      .toDF("id", "src", "text"))
+      .select("id").as[Long].collect().toSet
+    assert(got == batch && got.nonEmpty && got.forall(i => i % 2 == 0 && i < 50))
+  }
+
   test("connectedComponents: chains merge, isolated nodes self-label") {
     import graft.ops.Components
     val nodes = (1L to 8L).toDF("id")
