@@ -1,0 +1,146 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.ingest.JsonlIngest
+import graft.ops.{Components, CorpusOps, TextDedup}
+
+/** Runnable end-to-end training-corpus preparation pipeline — the
+  * LLM-data twin of [[PipelineDemo]]'s churn flow, chaining every corpus
+  * operator the engine ships into the funnel a 100 TB run executes:
+  *
+  *   JSONL ingest (corrupt-line quarantine)
+  *     → quality filter (audit trail)
+  *     → exact dedup (fingerprint)
+  *     → near-dup cluster dedup (MinHash LSH + connected components)
+  *     → benchmark decontamination (word n-gram overlap)
+  *     → source-mixture sampling (seeded, rate-monotone)
+  *     → sequence packing (concat-and-chunk per source)
+  *     → packed parquet
+  *
+  * Prints the stage funnel and exits 2 if any invariant breaks (stage
+  * growth, zero survivors, missing quarantine).
+  *
+  *   tools/run.sh graft.app.CorpusPipeline [sfDir] [workDir]
+  */
+object CorpusPipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val work = args.lift(1).getOrElse("/tmp/graft_corpus_pipeline")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-corpus-pipeline")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+
+    // ---- land the corpus as JSONL with planted exact dups + corrupt lines
+    // (the wire format a crawl actually delivers)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val jsonlDir = s"$work/raw_jsonl"
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1))
+    val nCorrupt = 7
+    val jsonLines = docs.unionByName(dups)
+      .select(to_json(struct(col("doc_id"), col("text"), col("lang"), col("source"))).as("line"))
+      .unionByName(spark.range(nCorrupt).select(
+        concat(lit("{\"doc_id\": "), col("id"), lit(", \"text\": ")).as("line")))
+    jsonLines.coalesce(4).write.mode("overwrite").text(jsonlDir)
+
+    // ---- stage 1: schema-enforced ingest with quarantine
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType)
+    val ingest = JsonlIngest.readJsonl(spark, jsonlDir, schema)
+    val ingested = ingest.good
+    val nIngested = ingested.count()
+    val nQuarantined = ingest.quarantined.count()
+
+    // ---- stage 2: quality filter with audit trail
+    val toks = split(trim(col("text")), "\\s+")
+    val filtered = CorpusOps.qualityFilter(
+      ingested.withColumn("n_tokens", size(toks))
+        .withColumn("n_distinct", size(array_distinct(toks))),
+      Seq(
+        "too_short" -> (col("n_tokens") >= 30),
+        "too_long" -> (col("n_tokens") <= 90),
+        "repetitive" ->
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens") <= 0.72),
+      ))
+    val reasonCounts = filtered.filter(!col("keep"))
+      .groupBy("drop_reasons").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    val kept = filtered.filter(col("keep")).drop("keep", "drop_reasons")
+    val nKept = kept.count()
+
+    // ---- stage 3: exact dedup on normalized fingerprint
+    val exact = TextDedup.exactDedup(kept, "text", "doc_id")
+    val nExact = exact.count()
+
+    // ---- stage 4: near-dup cluster dedup — one representative per
+    // MinHash-LSH connected component. 8 bands x 16 rows targets
+    // J ~ (1/8)^(1/16) ~ 0.88 — dedup wants "same doc, light edits", not
+    // the J ~ 0.42 the analysis default (32x4) would transitively chain
+    // into giant clusters on a near-dup-dense crawl
+    val clusters = TextDedup.minhashDedupClusters(exact, "text", "doc_id",
+      numHashes = 128, bands = 8)
+    val reps = exact.join(
+      clusters.filter(col("id") === col("cluster_rep"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"))
+    val nReps = reps.count()
+
+    // ---- stage 5: decontamination against the eval split
+    val train = reps.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val evalSet = reps.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val nTrain = train.count()
+    val clean = CorpusOps.decontaminate(train, evalSet, "doc_id", "text", 4)
+    val nClean = clean.count()
+
+    // ---- stage 6: source-mixture sampling (half rate for even sources)
+    val evenSources = (0 to 18 by 2).map(i => s"src$i" -> 0.5).toMap
+    val mixed = CorpusOps.mixtureSample(clean, "doc_id", "source",
+      rates = evenSources, defaultRate = 1.0)
+    val nMixed = mixed.count()
+
+    // ---- stage 7: pack into 128-token context windows per source shard
+    val packed = CorpusOps.packSequences(
+      mixed.withColumn("n_tokens", size(toks)),
+      "source", "doc_id", "n_tokens", ctx = 128L)
+    val packedDir = s"$work/packed"
+    packed.write.mode("overwrite").partitionBy("source").parquet(packedDir)
+    val landed = spark.read.parquet(packedDir)
+    val nPacked = landed.count()
+    // chunk indexes are per source shard: total windows = sum over shards
+    // of each shard's high-water chunk
+    val nChunks = landed.groupBy("source")
+      .agg(max(col("chunk_first") + col("n_chunks")).as("hw"))
+      .agg(sum("hw")).collect()(0).getLong(0)
+
+    ingest.unpersist()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"""
+      |== graft corpus pipeline ==
+      |jsonl ingest:      $nIngested good, $nQuarantined quarantined
+      |quality filter:    $nIngested -> $nKept  (dropped: $reasonCounts)
+      |exact dedup:       $nKept -> $nExact
+      |near-dup dedup:    $nExact -> $nReps cluster representatives
+      |decontamination:   $nTrain train -> $nClean clean (eval split held out)
+      |mixture sample:    $nClean -> $nMixed
+      |packed:            $nMixed docs -> $nChunks context windows of 128 tokens
+      |wall time:         $secs%.1f s
+      |""".stripMargin)
+
+    val ok = nQuarantined == nCorrupt && nKept <= nIngested &&
+      nExact < nKept && nReps <= nExact && nClean <= nTrain &&
+      nMixed <= nClean && nPacked == nMixed && nChunks > 0
+    if (!ok) { System.err.println("corpus pipeline invariant FAILED"); sys.exit(2) }
+    spark.stop()
+  }
+}
