@@ -53,12 +53,21 @@ object Components {
     // EXPLAINING the plan. The checkpoint also doubles as the round's
     // materialization barrier for the convergence aggregate, and the
     // ContextCleaner frees each round's RDD once unreferenced.
+    // convergence scalar: exact decimal sum of the labels — a raw BIGINT
+    // sum overflows silently once ids ~ 10^18 / node-count (any corpus in
+    // the 10^12-row regime), and a wrapped sum that happens to repeat
+    // would end the loop on inconsistent labels
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("cluster_rep")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+
     var labels = sym.groupBy("id")
       .agg(min(col("rep")).as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("cluster_rep"))
       .localCheckpoint(true)
-    var prevSum = Option(labels.agg(sum("cluster_rep")).collect()(0).get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
     var converged = labels.isEmpty // edge-less graph: nothing to iterate
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -77,9 +86,9 @@ object Components {
           Seq("cluster_rep"), "left")
         .select(col("id"), coalesce(col("jump"), col("cluster_rep")).as("cluster_rep"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum("cluster_rep")).collect()(0).getLong(0)
+      val nextSum = labelSum(next)
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }

@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Output/temp columns an operator is about to add must not already
+    * exist on the input — withColumn would silently replace the caller's
+    * data (the same reservation rule as RangeJoin's `_bin`).
+    */
+  private def requireFresh(df: DataFrame, cols: String*): Unit = {
+    val taken = cols.filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"column(s) reserved by CorpusOps already on the input: ${taken.mkString(", ")}")
+  }
+
   /** Word n-grams of a token-array column, space-joined. Documents with
     * fewer than `n` tokens yield an empty array (they cannot contain an
     * n-gram). `sequence` is guarded because Spark's `sequence(1, k)`
@@ -60,6 +70,8 @@ object CorpusOps {
     // re-run the regex tokenization n times per gram (O(len^2) per doc —
     // measured 14 s vs 0.4 s at sf0.1). Same lesson as
     // TextQueries.charGramHashes.
+    require(idCol != "gram" && textCol != "gram",
+      "'gram' is reserved by contamination; rename the input column")
     def grams(df: DataFrame) = df
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
       .select(col(idCol), explode(wordGrams(col("_t"), n)).as("gram"))
@@ -90,10 +102,13 @@ object CorpusOps {
     * window, so parallelism = number of groups (pack per shard, never
     * globally — a global running sum would serialize the corpus).
     * All arithmetic is exact long ops (`div`, not double division).
+    * `nTokCol` must be non-null and non-negative (a null token count has
+    * no packing semantics and would null the whole suffix of its shard).
     */
   def packSequences(df: DataFrame, groupCol: String, orderCol: String,
       nTokCol: String, ctx: Long): DataFrame = {
     require(ctx > 0, s"ctx must be positive, got $ctx")
+    requireFresh(df, "tok_start", "chunk_first", "n_chunks")
     val w = Window.partitionBy(groupCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("tok_start",
@@ -116,6 +131,9 @@ object CorpusOps {
     * bigram columns.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!Set("n_tokens", "n_distinct_tokens", "dup_token_ratio",
+        "top_bigram", "top_bigram_cnt", "top_bigram_frac").contains(idCol),
+      s"idCol $idCol collides with a repetitionStats output column")
     val toks = split(trim(col(textCol)), "\\s+")
     val base = docs
       .select(col(idCol), toks.as("_t"))
@@ -165,6 +183,7 @@ object CorpusOps {
     */
   def qualityFilter(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule required")
+    requireFresh(df, "keep", "drop_reasons")
     val kept = rules.map(_._2).reduce(_ && _)
     val reasons = concat_ws(",",
       filter(array(rules.map { case (nm, p) => when(!p, lit(nm)) }: _*),

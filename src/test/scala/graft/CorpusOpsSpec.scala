@@ -180,6 +180,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("reserved output columns on the input are rejected, not clobbered") {
+    import graft.ops.CorpusOps
+    val withKeep = Seq((1L, "x", true)).toDF("id", "text", "keep")
+    assertThrows[IllegalArgumentException] {
+      CorpusOps.qualityFilter(withKeep, Seq("r" -> lit(true)))
+    }
+    val withChunk = Seq(("s", 1L, 10L, 0L)).toDF("src", "id", "n", "chunk_first")
+    assertThrows[IllegalArgumentException] {
+      CorpusOps.packSequences(withChunk, "src", "id", "n", 128L)
+    }
+  }
+
   test("qualityFilter: keep iff all rules hold; reasons list the failures in order") {
     val df = Seq((1L, 10, 2), (2L, 50, 50), (3L, 200, 10)).toDF("id", "n", "d")
     val out = CorpusOps.qualityFilter(df, Seq(
