@@ -104,4 +104,47 @@ object GraftProps extends Properties("graft") {
         fps.nonEmpty && fps.subsetOf(grams)
       }
     }
+
+  property("packSequences: offsets are contiguous and chunks exactly cover tokens") =
+    forAll(Gen.listOfN(12, Gen.chooseNum(0L, 300L))) { counts =>
+      import graft.ops.CorpusOps
+      val ctx = 128L
+      val df = counts.zipWithIndex.map { case (n, i) =>
+        (if (i % 2 == 0) "a" else "b", i.toLong, n)
+      }.toDF("src", "id", "n")
+      val rows = CorpusOps.packSequences(df, "src", "id", "n", ctx)
+        .select("src", "id", "n", "tok_start", "chunk_first", "n_chunks")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .groupBy(_._1)
+      rows.values.forall { shard =>
+        val s = shard.sortBy(_._2)
+        val contiguous = s.zip(s.drop(1)).forall { case (a, b) => a._4 + a._3 == b._4 }
+        s.head._4 == 0L && contiguous && s.forall { case (_, _, n, start, first, spans) =>
+          if (n == 0) spans == 0L
+          else first == start / ctx && spans == (start + n - 1) / ctx - first + 1
+        }
+      }
+    }
+
+  property("connectedComponents labels match a single-node union-find oracle") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))) { es =>
+      import graft.ops.Components
+      val nodes = (1L to 12L).toDF("id")
+      val edges = es.toDF("src", "dst")
+      val got = Components.connectedComponents(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map((1L to 12L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val want = (1L to 12L).map { i =>
+        i -> (1L to 12L).filter(j => find(j) == find(i)).min
+      }.toMap
+      got == want
+    }
 }
