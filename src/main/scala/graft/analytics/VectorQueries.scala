@@ -63,10 +63,15 @@ object VectorQueries {
     // runs — representative per cluster, never the quadratic pair list).
     // Rows check here; the pair-consistency contract (every emitted
     // near-dup pair lands in one cluster) is in CorpusOpsSpec.
+    // threshold 0.35: the dedup operating point for THIS corpus — q42's
+    // analysis threshold (0.25) transitively chains everything into one
+    // giant cluster (exactly what representative dedup must not do), and
+    // this synthetic table has no pairs at a natural-corpus 0.9 (the
+    // planted-duplicate recall contract covers that regime in sbt)
     QueryDef("q73_embedding_dedup_clusters", None) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val pairs = VectorSim.cosineNearDups(emb, "vec_id", "embedding",
-        threshold = 0.25, probeBits = 1)
+        threshold = 0.35, probeBits = 1)
       graft.ops.Components.connectedComponents(
         emb.select(col("vec_id").as("id")),
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))

@@ -59,12 +59,16 @@ object CorpusOps {
     * Shape at scale: the eval side reduces to its distinct gram set and
     * broadcasts (benchmarks are tiny next to a training corpus); the train
     * side is one linear scan producing (doc, gram) pairs that hash-join
-    * against the broadcast and aggregate per doc. When the eval gram set
-    * outgrows the broadcast threshold, hash grams first (xxhash64) so the
-    * join carries 8 bytes per gram instead of the string.
+    * against the broadcast and aggregate per doc. `hashGrams = true` is
+    * the scale path for when the eval gram set presses the broadcast
+    * threshold: xxhash64 values (8 bytes) ship instead of gram strings
+    * (an n=13 gram is ~80 bytes), identical flagging up to 2^-64 hash
+    * collisions — and a collision can only ADD a flagged doc, never lose
+    * one, so decontamination soundness is unaffected.
     */
   def contamination(train: DataFrame, evalSet: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int,
+      hashGrams: Boolean = false): DataFrame = {
     // Bind the token array to a real column before gramming: wordGrams
     // references its input once per element_at, and an INLINED split would
     // re-run the regex tokenization n times per gram (O(len^2) per doc —
@@ -74,7 +78,9 @@ object CorpusOps {
       "'gram' is reserved by contamination; rename the input column")
     def grams(df: DataFrame) = df
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
-      .select(col(idCol), explode(wordGrams(col("_t"), n)).as("gram"))
+      .select(col(idCol), explode(wordGrams(col("_t"), n)).as("g0"))
+      .select(col(idCol),
+        (if (hashGrams) xxhash64(col("g0")) else col("g0")).as("gram"))
     val evalGrams = grams(evalSet).select("gram").distinct()
     grams(train)
       .join(broadcast(evalGrams), "gram")

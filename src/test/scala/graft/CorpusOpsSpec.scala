@@ -86,6 +86,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == half)
   }
 
+  test("hashed-gram contamination flags the same docs as string grams") {
+    import graft.ops.CorpusOps
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    def run(hashed: Boolean) =
+      CorpusOps.contamination(train, evalSet, "doc_id", "text", 4, hashGrams = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(hashed = true) == run(hashed = false))
+  }
+
   test("decontaminate returns exactly the train docs with no shared n-gram") {
     import graft.ops.CorpusOps
     val evalSet = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
@@ -154,7 +165,7 @@ class CorpusOpsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.core.Tables.embeddings(spark, dir)
     val pairs = VectorSim.cosineNearDups(emb, "vec_id", "embedding",
-      threshold = 0.25, probeBits = 1)
+      threshold = 0.35, probeBits = 1)
     val labels = Components.connectedComponents(
       emb.select(col("vec_id").as("id")),
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
