@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Side-by-side single-node throughput: DuckDB executing each oracle SQL
+vs the Spark engine's per-query bench times.
+
+The driver's gate compares BENCH_r{N}.json against BASELINE.md's envelope;
+this tool adds direct evidence for "matches-or-beats the reference's
+single-node throughput": DuckDB is a strong native single-node engine
+running the IDENTICAL semantics (the oracle SQL), so spark_time <= ~2x
+duck_time at sf0.1 means the Spark plans carry no pathological overhead,
+and spark_time << duck_time flags where the distributed formulation wins
+outright.
+
+Usage: python3 tools/bench_oracle.py <sfDir> <verifyOut> [benchJson]
+  sfDir      e.g. /root/testdata/sf0.1
+  verifyOut  a dir produced by graft.Verify (for oracle_sql.json)
+  benchJson  optional BENCH-style json with {"queries": {name: sec}}
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    sfdir, outdir = Path(sys.argv[1]), Path(sys.argv[2])
+    bench = {}
+    if len(sys.argv) > 3:
+        bench = json.loads(Path(sys.argv[3]).read_text()).get("queries", {})
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sfdir / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((outdir / "oracle_sql.json").read_text())
+    rows = []
+    for name, sql in sorted(oracle.items()):
+        best = None
+        for _ in range(3):
+            t0 = time.monotonic()
+            con.sql(sql).fetchall()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        rows.append((name, best, bench.get(name)))
+    print(f"{'query':38} {'duckdb_s':>9} {'spark_s':>9} {'ratio':>7}")
+    for name, d, s in rows:
+        r = f"{s / d:7.2f}" if s and d else "      -"
+        sv = f"{s:9.2f}" if s else "        -"
+        print(f"{name:38} {d:9.2f} {sv} {r}")
+    total_d = sum(d for _, d, _ in rows)
+    total_s = sum(s for _, _, s in rows if s)
+    print(f"{'TOTAL (oracled queries)':38} {total_d:9.2f} {total_s:9.2f}")
+
+
+if __name__ == "__main__":
+    main()
