@@ -151,6 +151,29 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ---- pre-tokenization text canonicalization (codegen'd Catalyst
+    // kernel): NFC compose + Unicode lowercase + control-char strip, then
+    // fingerprint the canonical form. The synthetic corpus is ASCII (the
+    // kernel's fast path); the Unicode semantics are contracted in
+    // NormalizeTextSpec with composed/decomposed and control-char cases.
+    QueryDef(
+      "q76_normalized_fingerprint",
+      Some(raw"""
+        WITH n AS (SELECT doc_id,
+                     regexp_replace(lower(nfc_normalize(text)),
+                       '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g') AS norm
+                   FROM documents)
+        SELECT doc_id, length(norm) AS norm_len, md5(norm) AS norm_fp
+        FROM n ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val norm = graft.functions.NormalizeText.normalizeText(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"), length(col("norm")).as("norm_len"),
+          md5(col("norm")).as("norm_fp"))
+        .orderBy("doc_id")
+    },
+
     // ---- compiled quality filter with audit trail: keep + the names of
     // the failed rules, all in one projection (same design as the §2.9
     // validator). Thresholds split this corpus 295 keep / 205 drop.
