@@ -12,6 +12,7 @@ import graft.ops.{Components, CorpusOps, TextDedup}
   * operator the engine ships into the funnel a 100 TB run executes:
   *
   *   JSONL ingest (corrupt-line quarantine)
+  *     → canonicalize (NFC + lower + control strip, codegen kernel)
   *     → quality filter (audit trail)
   *     → exact dedup (fingerprint)
   *     → near-dup cluster dedup (MinHash LSH + connected components)
@@ -62,10 +63,14 @@ object CorpusPipeline {
     val nIngested = ingested.count()
     val nQuarantined = ingest.quarantined.count()
 
-    // ---- stage 2: quality filter with audit trail
+    // ---- stage 2: canonicalize text (NFC + lower + control strip) so
+    // every downstream fingerprint/gram sees one spelling per document,
+    // then quality filter with audit trail
+    val canonical = ingested.withColumn("text",
+      graft.functions.NormalizeText.normalizeText(col("text")))
     val toks = split(trim(col("text")), "\\s+")
     val filtered = CorpusOps.qualityFilter(
-      ingested.withColumn("n_tokens", size(toks))
+      canonical.withColumn("n_tokens", size(toks))
         .withColumn("n_distinct", size(array_distinct(toks))),
       Seq(
         "too_short" -> (col("n_tokens") >= 30),

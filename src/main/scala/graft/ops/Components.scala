@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** Connected components of the undirected graph over `nodes` ("id"
-    * column) with `edges` ("src", "dst" columns; symmetrized here, so
-    * callers pass each pair once in either direction). Returns
-    * (id, cluster_rep) with cluster_rep = min id of the component; keep
-    * rows where id == cluster_rep for one representative per cluster.
+    * column, DISTINCT integral ids — duplicates would duplicate output
+    * rows) with `edges` ("src", "dst" columns; symmetrized here, so
+    * callers pass each pair once in either direction; endpoints absent
+    * from `nodes` still propagate labels but are dropped from the
+    * output). Returns (id, cluster_rep) with cluster_rep = min id of the
+    * component; keep rows where id == cluster_rep for one representative
+    * per cluster. Throws if the label fixpoint is not reached within
+    * `maxIterations` (rounds needed ~ log2 of the graph diameter).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIterations: Int = 10): DataFrame = {

@@ -117,12 +117,14 @@ object CorpusOps {
     requireFresh(df, "tok_start", "chunk_first", "n_chunks")
     val w = Window.partitionBy(groupCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // backticked so a column name with spaces/dots can't break the
+    // integer-div expressions
     df.withColumn("tok_start",
         (sum(col(nTokCol)).over(w) - col(nTokCol)).cast("long"))
       .withColumn("chunk_first", expr(s"tok_start div $ctx"))
       .withColumn("n_chunks",
         when(col(nTokCol) === 0, lit(0L)).otherwise(
-          expr(s"(tok_start + $nTokCol - 1) div $ctx") - col("chunk_first") + 1L))
+          expr(s"(tok_start + `$nTokCol` - 1) div $ctx") - col("chunk_first") + 1L))
   }
 
   /** Gopher-style repetition statistics per document: token duplication
