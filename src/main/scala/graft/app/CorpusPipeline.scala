@@ -115,18 +115,21 @@ object CorpusPipeline {
     val nMixed = mixed.count()
 
     // ---- stage 7: pack into 128-token context windows per source shard
+    // (n_tokens computed once in stage 2 rides along — no re-tokenization)
     val packed = CorpusOps.packSequences(
-      mixed.withColumn("n_tokens", size(toks)),
+      mixed.drop("n_distinct"),
       "source", "doc_id", "n_tokens", ctx = 128L)
     val packedDir = s"$work/packed"
     packed.write.mode("overwrite").partitionBy("source").parquet(packedDir)
     val landed = spark.read.parquet(packedDir)
     val nPacked = landed.count()
     // chunk indexes are per source shard: total windows = sum over shards
-    // of each shard's high-water chunk
-    val nChunks = landed.groupBy("source")
+    // of each shard's high-water chunk (null-safe: an empty funnel must
+    // reach the invariant exit, not NPE here)
+    val nChunks = Option(landed.groupBy("source")
       .agg(max(col("chunk_first") + col("n_chunks")).as("hw"))
-      .agg(sum("hw")).collect()(0).getLong(0)
+      .agg(sum("hw")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
 
     ingest.unpersist()
     val secs = (System.nanoTime() - t0) / 1e9

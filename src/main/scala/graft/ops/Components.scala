@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * aggregate per round. Per round: two equi-joins keyed by id/label, no
   * driver-side state beyond the convergence scalar.
   */
-object Components {
+object Components extends org.apache.spark.internal.Logging {
 
   /** Connected components of the undirected graph over `nodes` ("id"
     * column, DISTINCT integral ids — duplicates would duplicate output
@@ -96,7 +96,7 @@ object Components {
       prevSum = nextSum
       iter += 1
     }
-    System.err.println(s"[Components] rounds=$iter converged=$converged")
+    logInfo(s"connectedComponents rounds=$iter converged=$converged")
     sym.unpersist()
     // an unconverged label table is silently WRONG (pairs can straddle
     // clusters) — fail loudly rather than hand back inconsistent dedup

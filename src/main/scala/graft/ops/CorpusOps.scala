@@ -109,7 +109,10 @@ object CorpusOps {
     * globally — a global running sum would serialize the corpus).
     * All arithmetic is exact long ops (`div`, not double division).
     * `nTokCol` must be non-null and non-negative (a null token count has
-    * no packing semantics and would null the whole suffix of its shard).
+    * no packing semantics and would null the whole suffix of its shard),
+    * and `orderCol` must be unique within each group — a ROWS-frame
+    * running sum over tied order keys depends on physical row order, so
+    * ties would make offsets nondeterministic across re-plans.
     */
   def packSequences(df: DataFrame, groupCol: String, orderCol: String,
       nTokCol: String, ctx: Long): DataFrame = {

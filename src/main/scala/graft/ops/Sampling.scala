@@ -57,6 +57,8 @@ object Sampling {
   def stratifiedExact(df: DataFrame, strataCol: String, keyCol: String,
       n: Int, seed: Long = 42L): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    require(!df.columns.contains("_srn"),
+      "_srn is reserved by stratifiedExact as a temp column; rename it on the input")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol)
       .orderBy(seededRank(col(keyCol), seed), col(keyCol))

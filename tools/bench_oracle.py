@@ -50,9 +50,18 @@ def main():
         r = f"{s / d:7.2f}" if s and d else "      -"
         sv = f"{s:9.2f}" if s else "        -"
         print(f"{name:38} {d:9.2f} {sv} {r}")
-    total_d = sum(d for _, d, _ in rows)
-    total_s = sum(s for _, _, s in rows if s)
-    print(f"{'TOTAL (oracled queries)':38} {total_d:9.2f} {total_s:9.2f}")
+    # totals over the MATCHED set only — summing duckdb over all oracled
+    # queries against spark over the benched subset would compare
+    # different query sets
+    matched = [(d, s) for _, d, s in rows if s is not None]
+    unmatched = len(rows) - len(matched)
+    if matched:
+        total_d = sum(d for d, _ in matched)
+        total_s = sum(s for _, s in matched)
+        note = f" ({unmatched} oracled queries not in bench json)" if unmatched else ""
+        print(f"{'TOTAL (matched queries)':38} {total_d:9.2f} {total_s:9.2f}{note}")
+    else:
+        print("no bench json supplied: duckdb-only timings above")
 
 
 if __name__ == "__main__":
