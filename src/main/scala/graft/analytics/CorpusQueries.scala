@@ -151,6 +151,34 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ---- PII/pattern scrubbing: per-rule raw match counts + the
+    // redacted text's fingerprint (identity on this synthetic ASCII
+    // corpus — the match/redaction semantics are contracted on crafted
+    // inputs in CorpusOpsSpec; the oracle validates the full expression
+    // chain end-to-end)
+    QueryDef(
+      "q77_pii_scrub",
+      Some(raw"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, 'https?://[^ \t\n\f\r]+')) AS n_url,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_email,
+               len(regexp_extract_all(text,
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+               len(regexp_extract_all(text, '[0-9]{9,}')) AS n_idnum,
+               md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                 'https?://[^ \t\n\f\r]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                 '[0-9]{9,}', '<NUM>', 'g')) AS redacted_fp
+        FROM documents ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      CorpusOps.scrubPii(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_url"), col("n_email"), col("n_ipv4"),
+          col("n_idnum"), md5(col("text_redacted")).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+
     // ---- pre-tokenization text canonicalization (codegen'd Catalyst
     // kernel): NFC compose + Unicode lowercase + control-char strip, then
     // fingerprint the canonical form. The synthetic corpus is ASCII (the

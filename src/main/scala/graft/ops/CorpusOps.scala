@@ -185,6 +185,41 @@ object CorpusOps {
     df.filter(Sampling.seededRank(col(keyCol), seed) < threshold)
   }
 
+  /** PII/pattern scrubbing rules: (name, regex, replacement token).
+    * Regexes avoid `\s`/`\d` classes and lookarounds so Java (Spark) and
+    * RE2 (the DuckDB oracle) match byte-for-byte — the q62 lesson: Java's
+    * `\s` includes vertical tab, RE2's does not. Order matters and is
+    * fixed: URLs redact before emails so `http://a@b.com` becomes one
+    * `<URL>`, not a partial `<EMAIL>`.
+    */
+  val PiiRules: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^ \\t\\n\\f\\r]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("idnum", "[0-9]{9,}", "<NUM>"),
+  )
+
+  /** Scrub PII-shaped spans from a text column: adds one `n_<rule>` raw
+    * match count per rule (counted on the ORIGINAL text — a URL that
+    * contains an email counts under both rules) plus `text_redacted` with
+    * every span replaced by its token, applying rules in [[PiiRules]]
+    * order. One projection — counts and redaction evaluate in the same
+    * codegen stage; linear per doc.
+    */
+  def scrubPii(df: DataFrame, textCol: String,
+      rules: Seq[(String, String, String)] = PiiRules): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    requireFresh(df, ("text_redacted" +: rules.map("n_" + _._1)): _*)
+    val counted = rules.foldLeft(df) { case (acc, (name, re, _)) =>
+      acc.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(re), lit(0))))
+    }
+    val redacted = rules.foldLeft(col(textCol)) { case (c, (_, re, token)) =>
+      regexp_replace(c, re, token)
+    }
+    counted.withColumn("text_redacted", redacted)
+  }
+
   /** Compiled quality filter with an audit trail: `rules` are (name,
     * keep-predicate) pairs; the output gains `keep` (all predicates hold)
     * and `drop_reasons` (comma-joined names of the failed rules, in rule

@@ -203,6 +203,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("scrubPii counts raw matches and redacts in rule order") {
+    import graft.ops.CorpusOps
+    val df = Seq(
+      (1L, "mail me at a.b+c@example.org or visit https://ex.com/x?y=1 now"),
+      (2L, "server 10.0.0.1 logged id 123456789012 twice: 987654321000"),
+      (3L, "http://u@host.com/path"), // email-shaped span inside a URL
+      (4L, "nothing to scrub here"),
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.scrubPii(df, "text").orderBy("doc_id").collect()
+    def counts(i: Int) = (out(i).getAs[Int]("n_url"), out(i).getAs[Int]("n_email"),
+      out(i).getAs[Int]("n_ipv4"), out(i).getAs[Int]("n_idnum"))
+    assert(counts(0) == ((1, 1, 0, 0)))
+    assert(counts(1) == ((0, 0, 1, 2)))
+    assert(counts(2) == ((1, 1, 0, 0)), "raw counts see the email inside the URL")
+    assert(counts(3) == ((0, 0, 0, 0)))
+    assert(out(0).getAs[String]("text_redacted") ==
+      "mail me at <EMAIL> or visit <URL> now")
+    assert(out(1).getAs[String]("text_redacted") ==
+      "server <IP> logged id <NUM> twice: <NUM>")
+    assert(out(2).getAs[String]("text_redacted") == "<URL>",
+      "URL rule redacts first, leaving no email span behind")
+    assert(out(3).getAs[String]("text_redacted") == "nothing to scrub here")
+  }
+
   test("qualityFilter: keep iff all rules hold; reasons list the failures in order") {
     val df = Seq((1L, 10, 2), (2L, 50, 50), (3L, 200, 10)).toDF("id", "n", "d")
     val out = CorpusOps.qualityFilter(df, Seq(
