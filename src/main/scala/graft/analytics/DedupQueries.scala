@@ -46,6 +46,26 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---- quality-aware exact dedup: the survivor per fingerprint group
+    // is the BEST copy (longest raw text, tie to lowest id), not an
+    // arbitrary one — whitespace variants share a fingerprint but differ
+    // in n_chars, so survivor choice is observable here
+    QueryDef(
+      "q78_best_dup_survivors",
+      Some("""
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                   ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1 ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      TextDedup.exactDedupBest(Tables.documents(s, dir), "text", "doc_id", "n_chars")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // ---- exact word-TRIGRAM Jaccard near-dups: the n-gram variant —
     // order-sensitive shingles separate reordered-but-same-vocabulary docs
     // that token-set Jaccard (q36) conflates

@@ -65,6 +65,22 @@ object TextDedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Quality-aware exact dedup: keep the BEST row per fingerprint group —
+    * highest `scoreCol`, ties to the lowest id — instead of an arbitrary
+    * survivor. The production pattern when duplicates differ in metadata
+    * completeness or extraction quality (a truncated crawl copy and a
+    * clean copy share a fingerprint after whitespace normalization; keep
+    * the clean one). Same single fingerprint shuffle as [[exactDedup]].
+    */
+  def exactDedupBest(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprint(col(textCol)))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Exact-Jaccard verification of already-joined (toks_a, toks_b) pairs:
     * sound size-ratio prefilter (J <= min/max size), then one codegen'd
     * merge-scan intersection per surviving pair

@@ -203,6 +203,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("exactDedupBest keeps the highest-scoring copy per fingerprint group") {
+    import graft.ops.TextDedup
+    val df = Seq(
+      (1L, "alpha  beta", 11L), // whitespace variant of 2, shorter
+      (2L, "alpha beta", 20L),  // best copy of the group
+      (3L, "gamma", 5L),        // singleton
+      (4L, "alpha beta", 20L),  // score tie with 2: lower id wins
+    ).toDF("doc_id", "text", "score")
+    val got = TextDedup.exactDedupBest(df, "text", "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L))
+  }
+
   test("scrubPii counts raw matches and redacts in rule order") {
     import graft.ops.CorpusOps
     val df = Seq(
