@@ -46,6 +46,20 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---- incremental MinHash near-dups: the per-ingest-batch shape — a
+    // new 20% slice probes the existing corpus's signature index instead
+    // of recomputing the corpus. Rows-only (LSH is not SQL-expressible);
+    // the batch-equivalence and index round-trip contracts are in
+    // CorpusOpsSpec.
+    QueryDef("q79_incremental_minhash_neardups", None) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val index = TextDedup.minhashSignatures(old, "text", "doc_id")
+      TextDedup.incrementalNearDups(fresh, index, "text", "doc_id")
+        .orderBy("id_new", "id_old")
+    },
+
     // ---- quality-aware exact dedup: the survivor per fingerprint group
     // is the BEST copy (longest raw text, tie to lowest id), not an
     // arbitrary one — whitespace variants share a fingerprint but differ

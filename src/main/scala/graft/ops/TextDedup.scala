@@ -158,6 +158,56 @@ object TextDedup {
         xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows)), lit(b)).as("bh"))
     }: _*)
 
+  /** The precomputable half of MinHash dedup: (id, bhs) band-hash
+    * signatures. Signature computation is the expensive part (k rehashes
+    * of every token of every document); persisting it turns corpus-scale
+    * dedup into an incremental operation — see [[incrementalNearDups]].
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 1, numHashes: Int = 128, bands: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhashBandHashes(hashedTokenSet(col(textCol), shingleLen),
+        numHashes, bands).as("bhs"))
+
+  /** Persist the signature index for a corpus (parquet). Re-written
+    * whole here; production appends each ingest batch's signatures
+    * (mode=append) so the index grows with the corpus.
+    */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, shingleLen: Int = 1, numHashes: Int = 128,
+      bands: Int = 32): Unit =
+    minhashSignatures(df, textCol, idCol, shingleLen, numHashes, bands)
+      .write.mode("overwrite").parquet(path)
+
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Incremental near-dup detection: LSH candidate pairs between a NEW
+    * ingest batch and the EXISTING corpus's persisted signature index —
+    * the shape a 100 TB pipeline actually runs per ingest (recomputing
+    * corpus signatures per batch would be quadratic over the corpus's
+    * lifetime). Emits (id_new, id_old) exactly once per colliding pair:
+    * the bucket join produces a pair once per shared band, and the
+    * first-colliding-band filter ([[graft.functions.FirstEqualIndex]])
+    * keeps only the copy whose band is the pair's first collision —
+    * no pairs-sized dedup shuffle, same trick as [[minhashNearDups]].
+    * Signature params must match those the index was written with.
+    */
+  def incrementalNearDups(newDocs: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, shingleLen: Int = 1,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val fresh = minhashSignatures(newDocs, textCol, idCol,
+      shingleLen, numHashes, bands)
+    val a = fresh.select(col("id").as("id_new"), col("bhs").as("bhs_new"),
+      posexplode(col("bhs")).as(Seq("band", "bh")))
+    val b = index.select(col("id").as("id_old"), col("bhs").as("bhs_old"),
+      posexplode(col("bhs")).as(Seq("band", "bh")))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_new") =!= col("id_old"))
+      .filter(firstEqualIndex(col("bhs_new"), col("bhs_old")) === col("band"))
+      .select("id_new", "id_old")
+  }
+
   /** Full MinHash-LSH near-dup pipeline: hashed token set → band hashes →
     * candidate pairs (bucket self-join) → exact-Jaccard verification.
     * Returns verified pairs (id_a < id_b, jaccard >= threshold).

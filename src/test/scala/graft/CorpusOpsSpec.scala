@@ -203,6 +203,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dups against a persisted index match the direct LSH pairs") {
+    import graft.ops.TextDedup
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    // ground truth from signatures directly: cross pairs where SOME band
+    // hash matches positionally (an independent formulation of the LSH
+    // collision predicate)
+    val so = TextDedup.minhashSignatures(old, "text", "doc_id")
+      .select(col("id").as("id_old"), col("bhs").as("bo"))
+    val sn = TextDedup.minhashSignatures(fresh, "text", "doc_id")
+      .select(col("id").as("id_new"), col("bhs").as("bn"))
+    val want = sn.crossJoin(so)
+      .filter(exists(zip_with(col("bn"), col("bo"), (x, y) => x === y), b => b))
+      .select("id_new", "id_old")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "corpus should produce cross-slice collisions")
+
+    // in-memory index
+    val direct = TextDedup.incrementalNearDups(fresh,
+      TextDedup.minhashSignatures(old, "text", "doc_id"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(direct.length == direct.distinct.length, "pairs must be exactly-once")
+    assert(direct.toSet == want)
+
+    // persisted index round trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    TextDedup.writeMinhashIndex(old, "text", "doc_id", s"$dir/idx")
+    val viaDisk = TextDedup.incrementalNearDups(fresh,
+      TextDedup.readMinhashIndex(spark, s"$dir/idx"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDisk == want)
+  }
+
   test("exactDedupBest keeps the highest-scoring copy per fingerprint group") {
     import graft.ops.TextDedup
     val df = Seq(
