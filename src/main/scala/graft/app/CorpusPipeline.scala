@@ -84,8 +84,10 @@ object CorpusPipeline {
     val kept = filtered.filter(col("keep")).drop("keep", "drop_reasons")
     val nKept = kept.count()
 
-    // ---- stage 3: exact dedup on normalized fingerprint
-    val exact = TextDedup.exactDedup(kept, "text", "doc_id")
+    // ---- stage 3: exact dedup on normalized fingerprint — survivor is
+    // the best copy of each group (most tokens, i.e. least truncated),
+    // not an arbitrary one
+    val exact = TextDedup.exactDedupBest(kept, "text", "doc_id", "n_tokens")
     val nExact = exact.count()
 
     // ---- stage 4: near-dup cluster dedup — one representative per
