@@ -49,7 +49,12 @@ object NormalizeText {
         if (!isControl(c)) b.append(c)
         j += 1
       }
-      b.toString
+      // stripping can CREATE composable sequences (a control char between
+      // a base char and its combining mark blocked composition until now)
+      // — re-compose so the NFC postcondition holds on every path
+      val stripped = b.toString
+      if (Normalizer.isNormalized(stripped, Normalizer.Form.NFC)) stripped
+      else Normalizer.normalize(stripped, Normalizer.Form.NFC)
     }
     UTF8String.fromString(out)
   }

@@ -74,8 +74,9 @@ object CorpusOps {
     // re-run the regex tokenization n times per gram (O(len^2) per doc —
     // measured 14 s vs 0.4 s at sf0.1). Same lesson as
     // TextQueries.charGramHashes.
-    require(idCol != "gram" && textCol != "gram",
-      "'gram' is reserved by contamination; rename the input column")
+    val reserved = Set("gram", "g0", "_t")
+    require(!reserved.contains(idCol) && !reserved.contains(textCol),
+      s"${reserved.mkString("/")} are reserved by contamination; rename the input column")
     def grams(df: DataFrame) = df
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
       .select(col(idCol), explode(wordGrams(col("_t"), n)).as("g0"))

@@ -58,12 +58,17 @@ object TextDedup {
     * groups).
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    requireRnFree(df)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(fingerprint(col(textCol)))
       .orderBy(col(idCol))
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  private def requireRnFree(df: DataFrame): Unit =
+    require(!df.columns.contains("_rn"),
+      "_rn is reserved by exactDedup/exactDedupBest as a temp column; rename it on the input")
 
   /** Quality-aware exact dedup: keep the BEST row per fingerprint group —
     * highest `scoreCol`, ties to the lowest id — instead of an arbitrary
@@ -74,6 +79,7 @@ object TextDedup {
     */
   def exactDedupBest(df: DataFrame, textCol: String, idCol: String,
       scoreCol: String): DataFrame = {
+    requireRnFree(df)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(fingerprint(col(textCol)))
       .orderBy(col(scoreCol).desc, col(idCol))
@@ -171,12 +177,18 @@ object TextDedup {
 
   /** Persist the signature index for a corpus (parquet). Re-written
     * whole here; production appends each ingest batch's signatures
-    * (mode=append) so the index grows with the corpus.
+    * (mode=append) so the index grows with the corpus. The signature
+    * params ride along as constant columns (dictionary-encoded, ~free)
+    * so a params-mismatched probe fails loudly instead of silently
+    * returning near-zero collisions.
     */
   def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
       path: String, shingleLen: Int = 1, numHashes: Int = 128,
       bands: Int = 32): Unit =
     minhashSignatures(df, textCol, idCol, shingleLen, numHashes, bands)
+      .withColumn("_shingle_len", lit(shingleLen))
+      .withColumn("_num_hashes", lit(numHashes))
+      .withColumn("_bands", lit(bands))
       .write.mode("overwrite").parquet(path)
 
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
@@ -195,17 +207,57 @@ object TextDedup {
     */
   def incrementalNearDups(newDocs: DataFrame, index: DataFrame,
       textCol: String, idCol: String, shingleLen: Int = 1,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    // a params-stamped index (writeMinhashIndex) must match the probe's
+    // params — a mismatch chains different signature slices and silently
+    // returns near-zero collisions
+    val stamped = index.columns.contains("_bands")
+    if (stamped) {
+      val p = index.select("_shingle_len", "_num_hashes", "_bands").first()
+      require(p.getInt(0) == shingleLen && p.getInt(1) == numHashes &&
+        p.getInt(2) == bands,
+        s"index was written with (shingleLen=${p.getInt(0)}, " +
+          s"numHashes=${p.getInt(1)}, bands=${p.getInt(2)}), " +
+          s"probe uses ($shingleLen, $numHashes, $bands)")
+    }
+    val idx = if (stamped) index.drop("_shingle_len", "_num_hashes", "_bands")
+    else index
     val fresh = minhashSignatures(newDocs, textCol, idCol,
       shingleLen, numHashes, bands)
     val a = fresh.select(col("id").as("id_new"), col("bhs").as("bhs_new"),
       posexplode(col("bhs")).as(Seq("band", "bh")))
-    val b = index.select(col("id").as("id_old"), col("bhs").as("bhs_old"),
+    val bAll = idx.select(col("id").as("id_old"), col("bhs").as("bhs_old"),
       posexplode(col("bhs")).as(Seq("band", "bh")))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("id_new") =!= col("id_old"))
-      .filter(firstEqualIndex(col("bhs_new"), col("bhs_old")) === col("band"))
-      .select("id_new", "id_old")
+
+    // viral-duplicate guard, same cheap gate as minhashNearDups: only
+    // when some index bucket exceeds maxBucket do we cap its membership
+    // (rank by id) — and since capping breaks the raw first-colliding-
+    // band invariant (a pair's first shared band may have been capped
+    // away), the capped path dedupes pairs with a min(band) aggregate
+    // instead. That IS a pairs-keyed shuffle, but the cap has already
+    // bounded pairs to |buckets| x maxBucket per new-doc entry — the
+    // uncapped common case keeps the shuffle-free first-band filter.
+    val maxRow = bAll.groupBy("band", "bh")
+      .agg(count(lit(1)).as("_c")).agg(max(col("_c"))).first()
+    val maxBucketSize = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxBucketSize <= maxBucket) {
+      a.join(bAll, Seq("band", "bh"))
+        .filter(col("id_new") =!= col("id_old"))
+        .filter(firstEqualIndex(col("bhs_new"), col("bhs_old")) === col("band"))
+        .select("id_new", "id_old")
+    } else {
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bh").orderBy("id_old")
+      val capped = bAll.withColumn("_brn", row_number().over(wb))
+        .filter(col("_brn") <= maxBucket)
+        .select("id_old", "band", "bh")
+      a.select(col("id_new"), col("band"), col("bh"))
+        .join(capped, Seq("band", "bh"))
+        .filter(col("id_new") =!= col("id_old"))
+        .groupBy("id_new", "id_old").agg(min(col("band")).as("_b")).drop("_b")
+        .select("id_new", "id_old")
+    }
   }
 
   /** Full MinHash-LSH near-dup pipeline: hashed token set → band hashes →
@@ -329,8 +381,8 @@ object TextDedup {
       df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 32,
       maxIterations: Int = 10): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      minhashBandHashes(hashedTokenSet(col(textCol)), numHashes, bands).as("bhs"))
+    val docs = minhashSignatures(df, textCol, idCol,
+      numHashes = numHashes, bands = bands)
     val buckets = docs
       .select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
 

@@ -237,6 +237,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaDisk == want)
   }
 
+  test("incremental dedup: params-mismatched index is rejected; capped path agrees") {
+    import graft.ops.TextDedup
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx2").toString
+    TextDedup.writeMinhashIndex(old, "text", "doc_id", s"$dir/idx", bands = 32)
+    val idx = TextDedup.readMinhashIndex(spark, s"$dir/idx")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.incrementalNearDups(fresh, idx, "text", "doc_id", bands = 16)
+    }
+    assert(e.getMessage.contains("bands=32"))
+    // forced cap: every pair the capped path emits must be a real LSH
+    // collision pair (subset), and pairs stay exactly-once
+    val all = TextDedup.incrementalNearDups(fresh, idx, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = TextDedup.incrementalNearDups(fresh, idx, "text", "doc_id",
+      maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length == capped.distinct.length, "capped pairs must be exactly-once")
+    assert(capped.toSet.subsetOf(all), "capping may drop pairs, never invent them")
+  }
+
   test("exactDedupBest keeps the highest-scoring copy per fingerprint group") {
     import graft.ops.TextDedup
     val df = Seq(

@@ -14,6 +14,9 @@ class NormalizeTextSpec extends SparkSpec {
   private val upper = "\u00c9COLE"           // E-acute COLE
   private val dottedI = "\u0130stanbul"      // dotted capital I
   private val noisy = "bell\u0007null\u0000 \u0085del\u007fc1\u009cend"
+  // a control char BETWEEN a base char and its combining mark blocks NFC
+  // composition until the strip removes it — output must re-compose
+  private val blocked = "e\u0007\u0301cole"
 
   private val cases = Seq(
     decomposed,               // -> composed
@@ -24,6 +27,7 @@ class NormalizeTextSpec extends SparkSpec {
     noisy,                    // C0/DEL/C1 noise stripped, space kept
     "plain ascii stays",      // fast path
     "",
+    blocked,                  // strip unblocks composition: must re-NFC
   ).toDF("s")
 
   test("NFC composition, lowering, and control stripping") {
@@ -33,6 +37,7 @@ class NormalizeTextSpec extends SparkSpec {
     assert(got(4) == "tab\tand\nnewline\rok", "tab/newline/CR are whitespace, not noise")
     assert(got(5) == "bellnull delc1end")
     assert(got(6) == "plain ascii stays" && got(7) == "")
+    assert(got(8) == composed, "stripping must re-compose what it unblocked")
     // output is NFC-normalized even when lowercasing de-normalizes
     got.foreach(s => assert(
       java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC), s))

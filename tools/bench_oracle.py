@@ -39,16 +39,20 @@ def main():
     rows = []
     for name, sql in sorted(oracle.items()):
         best = None
-        for _ in range(3):
-            t0 = time.monotonic()
-            con.sql(sql).fetchall()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(3):
+                t0 = time.monotonic()
+                con.sql(sql).fetchall()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:  # missing table, dialect drift — skip, don't die
+            print(f"{name:38} ERROR: {type(e).__name__}: {str(e).splitlines()[0][:80]}")
+            continue
         rows.append((name, best, bench.get(name)))
     print(f"{'query':38} {'duckdb_s':>9} {'spark_s':>9} {'ratio':>7}")
     for name, d, s in rows:
-        r = f"{s / d:7.2f}" if s and d else "      -"
-        sv = f"{s:9.2f}" if s else "        -"
+        r = f"{s / d:7.2f}" if s is not None and d else "      -"
+        sv = f"{s:9.2f}" if s is not None else "        -"
         print(f"{name:38} {d:9.2f} {sv} {r}")
     # totals over the MATCHED set only — summing duckdb over all oracled
     # queries against spark over the benched subset would compare
