@@ -221,8 +221,12 @@ object TextDedup {
           s"numHashes=${p.getInt(1)}, bands=${p.getInt(2)}), " +
           s"probe uses ($shingleLen, $numHashes, $bands)")
     }
-    val idx = if (stamped) index.drop("_shingle_len", "_num_hashes", "_bands")
-    else index
+    // persisted: the gate aggregate below and the candidate join both
+    // read the index signatures — without the persist an in-memory index
+    // plan would recompute its (expensive) signature projection twice;
+    // for a parquet index this is just a cached re-scan
+    val idx = (if (stamped) index.drop("_shingle_len", "_num_hashes", "_bands")
+    else index).persist()
     val fresh = minhashSignatures(newDocs, textCol, idCol,
       shingleLen, numHashes, bands)
     val a = fresh.select(col("id").as("id_new"), col("bhs").as("bhs_new"),
@@ -230,34 +234,43 @@ object TextDedup {
     val bAll = idx.select(col("id").as("id_old"), col("bhs").as("bhs_old"),
       posexplode(col("bhs")).as(Seq("band", "bh")))
 
-    // viral-duplicate guard, same cheap gate as minhashNearDups: only
-    // when some index bucket exceeds maxBucket do we cap its membership
-    // (rank by id) — and since capping breaks the raw first-colliding-
-    // band invariant (a pair's first shared band may have been capped
-    // away), the capped path dedupes pairs with a min(band) aggregate
-    // instead. That IS a pairs-keyed shuffle, but the cap has already
-    // bounded pairs to |buckets| x maxBucket per new-doc entry — the
-    // uncapped common case keeps the shuffle-free first-band filter.
+    // viral-duplicate guard, same cheap gate + effective-band-array
+    // design as minhashNearDups: only when some index bucket exceeds
+    // maxBucket do we cap its membership (rank by id) and rebuild each
+    // old doc's band array with capped-out entries nulled — then the
+    // shuffle-free first-collision filter stays EXACT (it matches only
+    // bands where the old doc actually survived), no pairs-keyed dedup
+    // shuffle on either path. The new side is never capped: an ingest
+    // batch is small, and capping it would silently drop incoming dups.
     val maxRow = bAll.groupBy("band", "bh")
       .agg(count(lit(1)).as("_c")).agg(max(col("_c"))).first()
     val maxBucketSize = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxBucketSize <= maxBucket) {
-      a.join(bAll, Seq("band", "bh"))
-        .filter(col("id_new") =!= col("id_old"))
-        .filter(firstEqualIndex(col("bhs_new"), col("bhs_old")) === col("band"))
-        .select("id_new", "id_old")
-    } else {
+    val (b, capCache) = if (maxBucketSize <= maxBucket) (bAll, None)
+    else {
       val wb = org.apache.spark.sql.expressions.Window
         .partitionBy("band", "bh").orderBy("id_old")
-      val capped = bAll.withColumn("_brn", row_number().over(wb))
-        .filter(col("_brn") <= maxBucket)
-        .select("id_old", "band", "bh")
-      a.select(col("id_new"), col("band"), col("bh"))
-        .join(capped, Seq("band", "bh"))
-        .filter(col("id_new") =!= col("id_old"))
-        .groupBy("id_new", "id_old").agg(min(col("band")).as("_b")).drop("_b")
-        .select("id_new", "id_old")
+      val surviving = bAll.select("id_old", "band", "bh")
+        .withColumn("_brn", row_number().over(wb))
+        .filter(col("_brn") <= maxBucket).drop("_brn")
+        .persist() // feeds the effective-array agg AND the bucket entries
+      val eff = surviving.groupBy("id_old")
+        .agg(map_from_entries(collect_list(struct(col("band"), col("bh")))).as("m"))
+        .select(col("id_old"),
+          transform(sequence(lit(0), lit(bands - 1)), i => col("m")(i)).as("bhs_old"))
+      (surviving.join(eff, "id_old")
+        .select(col("id_old"), col("bhs_old"), col("band"), col("bh")),
+        Some(surviving))
     }
+    val pairs = a.join(b, Seq("band", "bh"))
+      .filter(col("id_new") =!= col("id_old"))
+      .filter(firstEqualIndex(col("bhs_new"), col("bhs_old")) === col("band"))
+      .select("id_new", "id_old")
+    // materialize so the caches can drop HERE (same lifecycle pattern as
+    // minhashNearDups/cosineNearDups)
+    val out = pairs.localCheckpoint(true)
+    idx.unpersist(false)
+    capCache.foreach(_.unpersist(false))
+    out
   }
 
   /** Full MinHash-LSH near-dup pipeline: hashed token set → band hashes →
