@@ -203,7 +203,12 @@ object TextDedup {
     * first-colliding-band filter ([[graft.functions.FirstEqualIndex]])
     * keeps only the copy whose band is the pair's first collision —
     * no pairs-sized dedup shuffle, same trick as [[minhashNearDups]].
-    * Signature params must match those the index was written with.
+    * Signature params must match those the index was written with, and
+    * index ids must be unique (dedupe a retried append at index-
+    * maintenance time, e.g. `readMinhashIndex(...).dropDuplicates("id")`
+    * and rewrite; duplicate id rows yield duplicate pair rows here —
+    * the capped path dedupes them defensively because its per-doc map
+    * build would otherwise fail outright on a duplicate band key).
     */
   def incrementalNearDups(newDocs: DataFrame, index: DataFrame,
       textCol: String, idCol: String, shingleLen: Int = 1,
@@ -221,57 +226,82 @@ object TextDedup {
           s"numHashes=${p.getInt(1)}, bands=${p.getInt(2)}), " +
           s"probe uses ($shingleLen, $numHashes, $bands)")
     }
-    // persisted: the gate aggregate below and the candidate join both
-    // read the index signatures — without the persist an in-memory index
-    // plan would recompute its (expensive) signature projection twice;
-    // for a parquet index this is just a cached re-scan
-    val idx = (if (stamped) index.drop("_shingle_len", "_num_hashes", "_bands")
-    else index).persist()
-    val fresh = minhashSignatures(newDocs, textCol, idCol,
-      shingleLen, numHashes, bands)
-    val a = fresh.select(col("id").as("id_new"), col("bhs").as("bhs_new"),
-      posexplode(col("bhs")).as(Seq("band", "bh")))
-    val bAll = idx.select(col("id").as("id_old"), col("bhs").as("bhs_old"),
-      posexplode(col("bhs")).as(Seq("band", "bh")))
+    val idx = if (stamped) index.drop("_shingle_len", "_num_hashes", "_bands")
+    else index
+    // The gate aggregate below and the candidate join both read the index
+    // signatures. A bare file scan re-reads cheaply (column-pruned
+    // parquet); anything with computation on top (an in-memory
+    // minhashSignatures plan) would recompute the expensive signature
+    // projection twice, so only THAT case persists — and only if the
+    // caller hasn't already cached it (unpersisting a caller's cache
+    // would silently undo their cross-batch reuse).
+    val ownPersist = idx.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+      !isBareScan(idx.queryExecution.optimizedPlan)
+    if (ownPersist) idx.persist()
+    var capCache: Option[DataFrame] = None
+    try {
+      val fresh = minhashSignatures(newDocs, textCol, idCol,
+        shingleLen, numHashes, bands)
+      val a = fresh.select(col("id").as("id_new"), col("bhs").as("bhs_new"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+      val bAll = idx.select(col("id").as("id_old"), col("bhs").as("bhs_old"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
 
-    // viral-duplicate guard, same cheap gate + effective-band-array
-    // design as minhashNearDups: only when some index bucket exceeds
-    // maxBucket do we cap its membership (rank by id) and rebuild each
-    // old doc's band array with capped-out entries nulled — then the
-    // shuffle-free first-collision filter stays EXACT (it matches only
-    // bands where the old doc actually survived), no pairs-keyed dedup
-    // shuffle on either path. The new side is never capped: an ingest
-    // batch is small, and capping it would silently drop incoming dups.
-    val maxRow = bAll.groupBy("band", "bh")
-      .agg(count(lit(1)).as("_c")).agg(max(col("_c"))).first()
-    val maxBucketSize = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    val (b, capCache) = if (maxBucketSize <= maxBucket) (bAll, None)
-    else {
-      val wb = org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "bh").orderBy("id_old")
-      val surviving = bAll.select("id_old", "band", "bh")
-        .withColumn("_brn", row_number().over(wb))
-        .filter(col("_brn") <= maxBucket).drop("_brn")
-        .persist() // feeds the effective-array agg AND the bucket entries
-      val eff = surviving.groupBy("id_old")
-        .agg(map_from_entries(collect_list(struct(col("band"), col("bh")))).as("m"))
-        .select(col("id_old"),
-          transform(sequence(lit(0), lit(bands - 1)), i => col("m")(i)).as("bhs_old"))
-      (surviving.join(eff, "id_old")
-        .select(col("id_old"), col("bhs_old"), col("band"), col("bh")),
-        Some(surviving))
+      // viral-duplicate guard, same cheap gate + effective-band-array
+      // design as minhashNearDups: only when some index bucket exceeds
+      // maxBucket do we cap its membership (rank by id) and rebuild each
+      // old doc's band array with capped-out entries nulled — then the
+      // shuffle-free first-collision filter stays EXACT (it matches only
+      // bands where the old doc actually survived), no pairs-keyed dedup
+      // shuffle on either path. The new side is never capped: an ingest
+      // batch is small, and capping it would silently drop incoming dups.
+      val maxRow = bAll.groupBy("band", "bh")
+        .agg(count(lit(1)).as("_c")).agg(max(col("_c"))).first()
+      val maxBucketSize = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val b = if (maxBucketSize <= maxBucket) bAll
+      else {
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh").orderBy("id_old")
+        // dropDuplicates("id", ...): a duplicated index id (retried
+        // append) must collapse to ONE signature here or the per-doc
+        // map build below hits a duplicate band key and throws
+        val surviving = idx.dropDuplicates("id")
+          .select(col("id").as("id_old"), posexplode(col("bhs")).as(Seq("band", "bh")))
+          .withColumn("_brn", row_number().over(wb))
+          .filter(col("_brn") <= maxBucket).drop("_brn")
+          .persist() // feeds the effective-array agg AND the bucket entries
+        capCache = Some(surviving)
+        val eff = surviving.groupBy("id_old")
+          .agg(map_from_entries(collect_list(struct(col("band"), col("bh")))).as("m"))
+          .select(col("id_old"),
+            transform(sequence(lit(0), lit(bands - 1)), i => col("m")(i)).as("bhs_old"))
+        surviving.join(eff, "id_old")
+          .select(col("id_old"), col("bhs_old"), col("band"), col("bh"))
+      }
+      val pairs = a.join(b, Seq("band", "bh"))
+        .filter(col("id_new") =!= col("id_old"))
+        .filter(firstEqualIndex(col("bhs_new"), col("bhs_old")) === col("band"))
+        .select("id_new", "id_old")
+      // materialize so the caches can drop HERE (same lifecycle pattern
+      // as minhashNearDups/cosineNearDups)
+      pairs.localCheckpoint(true)
+    } finally {
+      if (ownPersist) idx.unpersist(false)
+      capCache.foreach(_.unpersist(false))
     }
-    val pairs = a.join(b, Seq("band", "bh"))
-      .filter(col("id_new") =!= col("id_old"))
-      .filter(firstEqualIndex(col("bhs_new"), col("bhs_old")) === col("band"))
-      .select("id_new", "id_old")
-    // materialize so the caches can drop HERE (same lifecycle pattern as
-    // minhashNearDups/cosineNearDups)
-    val out = pairs.localCheckpoint(true)
-    idx.unpersist(false)
-    capCache.foreach(_.unpersist(false))
-    out
   }
+
+  /** A plan that is just a (possibly projected/filtered) file-source
+    * scan — re-reading it costs one pruned parquet pass, so persisting
+    * it would only add a corpus-sized materialization.
+    */
+  private def isBareScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p match {
+      case prj: org.apache.spark.sql.catalyst.plans.logical.Project => isBareScan(prj.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => isBareScan(f.child)
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
 
   /** Full MinHash-LSH near-dup pipeline: hashed token set → band hashes →
     * candidate pairs (bucket self-join) → exact-Jaccard verification.

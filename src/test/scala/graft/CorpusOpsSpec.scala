@@ -260,6 +260,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(capped.toSet.subsetOf(all), "capping may drop pairs, never invent them")
   }
 
+  test("incremental dedup survives a duplicated index id and keeps a caller's cache") {
+    import graft.ops.TextDedup
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    // a retried append: the whole old slice appears twice in the index
+    val dupIndex = TextDedup.minhashSignatures(old, "text", "doc_id")
+    val doubled = dupIndex.union(dupIndex)
+    // capped path with duplicate ids used to throw duplicate-map-key
+    val capped = TextDedup.incrementalNearDups(fresh, doubled, "text", "doc_id",
+      maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length == capped.distinct.length)
+    // a caller-cached index must stay cached across a probe
+    val cached = dupIndex.persist()
+    cached.count()
+    TextDedup.incrementalNearDups(fresh, cached, "text", "doc_id").count()
+    assert(cached.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "probe must not evict the caller's index cache")
+    cached.unpersist()
+  }
+
   test("exactDedupBest keeps the highest-scoring copy per fingerprint group") {
     import graft.ops.TextDedup
     val df = Seq(
