@@ -205,10 +205,11 @@ object TextDedup {
     * no pairs-sized dedup shuffle, same trick as [[minhashNearDups]].
     * Signature params must match those the index was written with, and
     * index ids must be unique (dedupe a retried append at index-
-    * maintenance time, e.g. `readMinhashIndex(...).dropDuplicates("id")`
-    * and rewrite; duplicate id rows yield duplicate pair rows here —
-    * the capped path dedupes them defensively because its per-doc map
-    * build would otherwise fail outright on a duplicate band key).
+    * maintenance time: read, `dropDuplicates("id")`, write to a NEW path
+    * and swap — Spark refuses to overwrite a path it is reading.
+    * Duplicate id rows yield duplicate pair rows here; the capped path
+    * dedupes them defensively because its per-doc map build would
+    * otherwise fail outright on a duplicate band key).
     */
   def incrementalNearDups(newDocs: DataFrame, index: DataFrame,
       textCol: String, idCol: String, shingleLen: Int = 1,
@@ -219,23 +220,30 @@ object TextDedup {
     // returns near-zero collisions
     val stamped = index.columns.contains("_bands")
     if (stamped) {
-      val p = index.select("_shingle_len", "_num_hashes", "_bands").first()
-      require(p.getInt(0) == shingleLen && p.getInt(1) == numHashes &&
-        p.getInt(2) == bands,
-        s"index was written with (shingleLen=${p.getInt(0)}, " +
-          s"numHashes=${p.getInt(1)}, bands=${p.getInt(2)}), " +
-          s"probe uses ($shingleLen, $numHashes, $bands)")
+      // limit(1): an EMPTY stamped index (first-ever ingest) has nothing
+      // to validate and must yield empty pairs, not a first() crash
+      index.select("_shingle_len", "_num_hashes", "_bands").limit(1)
+        .collect().headOption.foreach { p =>
+          require(p.getInt(0) == shingleLen && p.getInt(1) == numHashes &&
+            p.getInt(2) == bands,
+            s"index was written with (shingleLen=${p.getInt(0)}, " +
+              s"numHashes=${p.getInt(1)}, bands=${p.getInt(2)}), " +
+              s"probe uses ($shingleLen, $numHashes, $bands)")
+        }
     }
     val idx = if (stamped) index.drop("_shingle_len", "_num_hashes", "_bands")
     else index
     // The gate aggregate below and the candidate join both read the index
-    // signatures. A bare file scan re-reads cheaply (column-pruned
-    // parquet); anything with computation on top (an in-memory
-    // minhashSignatures plan) would recompute the expensive signature
-    // projection twice, so only THAT case persists — and only if the
-    // caller hasn't already cached it (unpersisting a caller's cache
-    // would silently undo their cross-batch reuse).
-    val ownPersist = idx.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+    // signatures. A bare table/file scan re-reads cheaply (column-pruned),
+    // and so does a caller-cached index (its scan substitutes to an
+    // InMemoryRelation, which isBareScan treats as bare); anything with
+    // real computation on top (an in-memory minhashSignatures plan) would
+    // recompute the expensive signature projection twice, so only THAT
+    // case persists. storageLevel is checked on BOTH frames because the
+    // stamp-drop projection never reflects a cache on the caller's
+    // original (cache lookup matches whole plans).
+    val ownPersist = index.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+      idx.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
       !isBareScan(idx.queryExecution.optimizedPlan)
     if (ownPersist) idx.persist()
     var capCache: Option[DataFrame] = None
@@ -255,10 +263,17 @@ object TextDedup {
       // bands where the old doc actually survived), no pairs-keyed dedup
       // shuffle on either path. The new side is never capped: an ingest
       // batch is small, and capping it would silently drop incoming dups.
+      // gate on approximate DISTINCT members per bucket (sketch partials,
+      // one row per bucket through the shuffle): a raw count would double
+      // under a duplicated-id index and falsely trip the cap at
+      // maxBucket/2. The gate is a skew heuristic — the capped path stays
+      // exact regardless — so HLL tolerance is fine; the 10% headroom
+      // keeps sketch undercount from letting a just-over-cap bucket slip.
       val maxRow = bAll.groupBy("band", "bh")
-        .agg(count(lit(1)).as("_c")).agg(max(col("_c"))).first()
+        .agg(approx_count_distinct(col("id_old")).as("_c"))
+        .agg(max(col("_c"))).first()
       val maxBucketSize = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val b = if (maxBucketSize <= maxBucket) bAll
+      val b = if (maxBucketSize <= maxBucket - maxBucket / 10) bAll
       else {
         val wb = org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bh").orderBy("id_old")
@@ -291,15 +306,21 @@ object TextDedup {
     }
   }
 
-  /** A plan that is just a (possibly projected/filtered) file-source
-    * scan — re-reading it costs one pruned parquet pass, so persisting
-    * it would only add a corpus-sized materialization.
+  /** A plan that is just a (possibly projected/filtered) scan of stored
+    * or cached data — re-reading it costs one pruned pass, so persisting
+    * it would only add a corpus-sized materialization. Covers V1 file
+    * relations, V2 (Delta/Iceberg-style) relations, Hive tables, and
+    * already-cached data (InMemoryRelation).
     */
   private def isBareScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     p match {
       case prj: org.apache.spark.sql.catalyst.plans.logical.Project => isBareScan(prj.child)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => isBareScan(f.child)
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+      case _: org.apache.spark.sql.catalyst.catalog.HiveTableRelation => true
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
       case _ => false
     }
 
