@@ -83,6 +83,12 @@ object CorpusPipeline {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
     val kept = filtered.filter(col("keep")).drop("keep", "drop_reasons")
     val nKept = kept.count()
+    // planted exact dups carry ids above the original maxId; identical
+    // text means a dup survives the quality filter iff its original does,
+    // so exact dedup must remove AT LEAST this many rows. Asserting the
+    // survival count directly makes the funnel fail for the right reason
+    // if thresholds or test data ever change to drop every planted dup.
+    val nPlantedKept = kept.filter(col("doc_id") > maxId).count()
 
     // ---- stage 3: exact dedup on normalized fingerprint — survivor is
     // the best copy of each group (most tokens, i.e. least truncated),
@@ -148,9 +154,14 @@ object CorpusPipeline {
       |""".stripMargin)
 
     val ok = nQuarantined == nCorrupt && nKept <= nIngested &&
-      nExact < nKept && nReps <= nExact && nClean <= nTrain &&
+      nPlantedKept > 0 && nExact <= nKept - nPlantedKept &&
+      nReps <= nExact && nClean <= nTrain &&
       nMixed <= nClean && nPacked == nMixed && nChunks > 0
-    if (!ok) { System.err.println("corpus pipeline invariant FAILED"); sys.exit(2) }
+    if (!ok) {
+      System.err.println("corpus pipeline invariant FAILED")
+      spark.stop()
+      sys.exit(2)
+    }
     spark.stop()
   }
 }

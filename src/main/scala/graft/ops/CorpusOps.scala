@@ -143,9 +143,13 @@ object CorpusOps {
     * bigram columns.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // reserved set covers the internal temp names (g/cnt/m/nc/_t) too, so a
+    // colliding idCol fails with this message instead of an obscure
+    // ambiguous-column AnalysisException deep in the aggregate
     require(!Set("n_tokens", "n_distinct_tokens", "dup_token_ratio",
-        "top_bigram", "top_bigram_cnt", "top_bigram_frac").contains(idCol),
-      s"idCol $idCol collides with a repetitionStats output column")
+        "top_bigram", "top_bigram_cnt", "top_bigram_frac",
+        "g", "cnt", "m", "nc", "_t").contains(idCol),
+      s"idCol $idCol collides with a repetitionStats output or internal column")
     val toks = split(trim(col(textCol)), "\\s+")
     val base = docs
       .select(col(idCol), toks.as("_t"))
@@ -224,16 +228,20 @@ object CorpusOps {
   /** Compiled quality filter with an audit trail: `rules` are (name,
     * keep-predicate) pairs; the output gains `keep` (all predicates hold)
     * and `drop_reasons` (comma-joined names of the failed rules, in rule
-    * order). One projection — every rule evaluates in the same codegen
+    * order). A predicate that evaluates to NULL (e.g. a null stat column)
+    * counts as FAILED — `keep` is always a real boolean and the failing
+    * rule is always named, so no dropped row ever leaves an empty audit
+    * trail. One projection — every rule evaluates in the same codegen
     * stage, the same compile-the-rule-algebra design as
     * [[graft.validate.SchemaValidator]].
     */
   def qualityFilter(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule required")
     requireFresh(df, "keep", "drop_reasons")
-    val kept = rules.map(_._2).reduce(_ && _)
+    val strict = rules.map { case (nm, p) => (nm, coalesce(p, lit(false))) }
+    val kept = strict.map(_._2).reduce(_ && _)
     val reasons = concat_ws(",",
-      filter(array(rules.map { case (nm, p) => when(!p, lit(nm)) }: _*),
+      filter(array(strict.map { case (nm, p) => when(!p, lit(nm)) }: _*),
         _.isNotNull))
     df.withColumn("keep", kept).withColumn("drop_reasons", reasons)
   }

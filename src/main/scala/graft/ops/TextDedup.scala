@@ -204,12 +204,14 @@ object TextDedup {
     * keeps only the copy whose band is the pair's first collision —
     * no pairs-sized dedup shuffle, same trick as [[minhashNearDups]].
     * Signature params must match those the index was written with, and
-    * index ids must be unique (dedupe a retried append at index-
+    * index ids must be unique — a duplicated id (retried append) is a
+    * corrupted index, and the probe REJECTS it loudly on both the capped
+    * and uncapped paths (one cheap id-only aggregate; map-side combined,
+    * so the shuffle carries ~distinct ids). Without the check the two
+    * paths would emit different pair multiplicities for the same
+    * corrupted index depending on the skew gate. Repair at index-
     * maintenance time: read, `dropDuplicates("id")`, write to a NEW path
     * and swap — Spark refuses to overwrite a path it is reading.
-    * Duplicate id rows yield duplicate pair rows here; the capped path
-    * dedupes them defensively because its per-doc map build would
-    * otherwise fail outright on a duplicate band key).
     */
   def incrementalNearDups(newDocs: DataFrame, index: DataFrame,
       textCol: String, idCol: String, shingleLen: Int = 1,
@@ -248,6 +250,16 @@ object TextDedup {
     if (ownPersist) idx.persist()
     var capCache: Option[DataFrame] = None
     try {
+      // id-uniqueness gate: a duplicated index id would multiply pair
+      // rows (uncapped) or corrupt the per-doc band map (capped) — fail
+      // loudly instead, identically on both paths. Column-pruned to the
+      // id alone; partial counts combine map-side.
+      val dup = idx.groupBy("id").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select("id").take(1)
+      require(dup.isEmpty,
+        s"index contains duplicate id ${dup.headOption.map(_.get(0)).orNull} " +
+          "(retried append?); repair the index with dropDuplicates(\"id\") " +
+          "and a write-to-new-path swap before probing")
       val fresh = minhashSignatures(newDocs, textCol, idCol,
         shingleLen, numHashes, bands)
       val a = fresh.select(col("id").as("id_new"), col("bhs").as("bhs_new"),
@@ -277,10 +289,9 @@ object TextDedup {
       else {
         val wb = org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bh").orderBy("id_old")
-        // dropDuplicates("id", ...): a duplicated index id (retried
-        // append) must collapse to ONE signature here or the per-doc
-        // map build below hits a duplicate band key and throws
-        val surviving = idx.dropDuplicates("id")
+        // ids are unique here (gate above), so the per-doc map build
+        // below cannot hit a duplicate band key
+        val surviving = idx
           .select(col("id").as("id_old"), posexplode(col("bhs")).as(Seq("band", "bh")))
           .withColumn("_brn", row_number().over(wb))
           .filter(col("_brn") <= maxBucket).drop("_brn")

@@ -260,19 +260,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(capped.toSet.subsetOf(all), "capping may drop pairs, never invent them")
   }
 
-  test("incremental dedup survives a duplicated index id and keeps a caller's cache") {
+  test("incremental dedup rejects a duplicated index id and keeps a caller's cache") {
     import graft.ops.TextDedup
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val old = docs.filter(col("doc_id") % 5 =!= 0)
     val fresh = docs.filter(col("doc_id") % 5 === 0)
-    // a retried append: the whole old slice appears twice in the index
+    // a retried append: the whole old slice appears twice in the index —
+    // a corrupted index must fail loudly and IDENTICALLY on both the
+    // capped and uncapped paths (multiplicity must not depend on the
+    // skew gate)
     val dupIndex = TextDedup.minhashSignatures(old, "text", "doc_id")
     val doubled = dupIndex.union(dupIndex)
-    // capped path with duplicate ids used to throw duplicate-map-key
-    val capped = TextDedup.incrementalNearDups(fresh, doubled, "text", "doc_id",
-      maxBucket = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(capped.length == capped.distinct.length)
+    val eUncapped = intercept[IllegalArgumentException] {
+      TextDedup.incrementalNearDups(fresh, doubled, "text", "doc_id").count()
+    }
+    assert(eUncapped.getMessage.contains("duplicate id"))
+    val eCapped = intercept[IllegalArgumentException] {
+      TextDedup.incrementalNearDups(fresh, doubled, "text", "doc_id",
+        maxBucket = 2).count()
+    }
+    assert(eCapped.getMessage.contains("duplicate id"))
     // a caller-cached index must stay cached across a probe
     val cached = dupIndex.persist()
     cached.count()
@@ -331,5 +338,25 @@ class CorpusOpsSpec extends SparkSpec {
       (true, ""),
       (false, "too_long,low_div"),
     ))
+  }
+
+  test("qualityFilter: a null predicate counts as failed and is named in the audit trail") {
+    val df = Seq((1L, Some(50)), (2L, None)).toDF("id", "n")
+    val out = CorpusOps.qualityFilter(df, Seq(
+      "too_short" -> (col("n") >= 30),
+      "nonneg" -> (col("n") >= 0),
+    )).orderBy("id").select("keep", "drop_reasons").collect()
+    assert(out.map(r => (r.getBoolean(0), r.getString(1))).toSeq == Seq(
+      (true, ""),
+      (false, "too_short,nonneg"), // null stat -> dropped AND blamed, not silently dropped
+    ))
+  }
+
+  test("repetitionStats rejects an idCol that collides with an internal temp name") {
+    val df = Seq((1L, "a b a")).toDF("g", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.repetitionStats(df, "g", "text")
+    }
+    assert(e.getMessage.contains("collides"))
   }
 }
