@@ -17,6 +17,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any PREVIOUS run's output first: a query that throws must
+      // leave a missing directory (loud "no spark output" in the
+      // checker), not a stale result that silently compares against the
+      // old definition
+      val qDir = Paths.get(outDir, name)
+      if (Files.exists(qDir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(qDir).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -121,8 +121,13 @@ object DedupQueries {
     },
 
     // ---- MinHash dedup CLUSTERING: the linear-cost 100 TB dedup shape
-    // (star edges + label propagation, no quadratic pair listing)
-    QueryDef("q55_minhash_dedup_clusters", None) { (s, dir) =>
+    // (star edges + label propagation, no quadratic pair listing).
+    // Hash-checked end-to-end: the oracle re-implements the ENTIRE chain
+    // (XXH64 string hash, 128 seeded min-hashes, band chaining, LSH star
+    // edges, recursive-CTE components) in pure DuckDB SQL — see DuckXxh.
+    QueryDef("q55_minhash_dedup_clusters",
+      Some(DuckXxh.minhashClustersOracle(numHashes = 128, bands = 32)),
+    ) { (s, dir) =>
       TextDedup.minhashDedupClusters(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("id")
     },

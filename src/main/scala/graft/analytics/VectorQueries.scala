@@ -58,23 +58,35 @@ object VectorQueries {
         threshold = 0.25, probeBits = 1).orderBy("id_a", "id_b")
     },
 
-    // ---- embedding near-dup CLUSTERING: connected components over the
-    // LSH candidate pairs (the form a 100 TB embedding dedup actually
+    // ---- embedding near-dup CLUSTERING: connected components over
+    // cosine-threshold pairs (the form a 100 TB embedding dedup actually
     // runs — representative per cluster, never the quadratic pair list).
-    // Rows check here; the pair-consistency contract (every emitted
-    // near-dup pair lands in one cluster) is in CorpusOpsSpec.
+    // Edges here are EXACT cosine pairs so the whole query is
+    // hash-checked against a recursive-CTE components oracle (bit-exact
+    // double dots both sides — see DuckXxh.cosineClustersOracle); the LSH
+    // candidate path that replaces exact edges at corpus scale keeps its
+    // own recall + cluster-consistency contracts (q41/q42 +
+    // RecallContractSpec/CorpusOpsSpec).
     // threshold 0.35: the dedup operating point for THIS corpus — q42's
     // analysis threshold (0.25) transitively chains everything into one
     // giant cluster (exactly what representative dedup must not do), and
     // this synthetic table has no pairs at a natural-corpus 0.9 (the
     // planted-duplicate recall contract covers that regime in sbt)
-    QueryDef("q73_embedding_dedup_clusters", None) { (s, dir) =>
+    QueryDef("q73_embedding_dedup_clusters",
+      Some(DuckXxh.cosineClustersOracle(threshold = 0.35)),
+    ) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val pairs = VectorSim.cosineNearDups(emb, "vec_id", "embedding",
-        threshold = 0.35, probeBits = 1)
+      val pairs = VectorSim.exactCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.35)
+      // maxIterations 30: at threshold 0.35 the exact pair graph contains
+      // long chains (hundreds of hops), unlike q55's shallow LSH star
+      // graphs — 10 rounds genuinely doesn't reach the fixpoint here and
+      // connectedComponents fails loudly (by design) rather than handing
+      // back a partial clustering
       graft.ops.Components.connectedComponents(
         emb.select(col("vec_id").as("id")),
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        maxIterations = 30)
         .orderBy("id")
     },
 

@@ -490,4 +490,31 @@ object VectorSim {
       out
     }
   }
+
+  /** EXACT cosine near-dup pairs (id_a < id_b, cosine >= threshold) by a
+    * guarded self-join — the oracle-grade exact twin of [[cosineNearDups]],
+    * the same role [[graft.ops.TextDedup.jaccardPairs]] plays for the
+    * MinHash path. Quadratic by definition, so it REFUSES inputs beyond
+    * `maxRows` instead of silently melting a cluster: at corpus scale the
+    * LSH path is the answer, this is for oracle checks, recall
+    * measurement, and small curated sets. The right side broadcasts (it
+    * fits by the same bound); norms are computed once per row, and the
+    * pairwise cosine is the identical `dot/(na*nb)` arithmetic as every
+    * other cosine operator here.
+    */
+  def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"exactCosinePairs is O(n^2): $n rows exceeds maxRows=$maxRows — " +
+        "use cosineNearDups (LSH) at this scale")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(normSq(col("v"))))
+    val a = base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }
