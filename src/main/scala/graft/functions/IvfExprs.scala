@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
 /** Codegen'd coarse-quantizer kernel for IVF (inverted-file) ANN
-  * (ref: api.py:1538-1585 similarity surface; IVF design per the public
-  * FAISS/SPANN literature). The centroid matrix rides along as a flat
+  * (IVF design per the public FAISS/SPANN literature; the reference repo
+  * has no ANN surface — this is a scale extension). The centroid matrix rides along as a flat
   * `float[]` reference object — same no-literal-tree design as
   * [[LshSignBuckets]] — and one pass over the vector scores every
   * centroid and selects the `nprobe` nearest by dot product (centroids

@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType}
 
-/** Codegen'd product-quantization kernels (ref: api.py:1538-1585
-  * similarity surface; PQ/ADC design per the public Jégou et al. 2011 /
-  * FAISS IVFADC literature). The trained codebooks ride along as a flat
+/** Codegen'd product-quantization kernels (PQ/ADC design per the public
+  * Jégou et al. 2011 / FAISS IVFADC literature; the reference repo has no
+  * PQ surface — this is a scale extension). The trained codebooks ride along as a flat
   * `float[]` reference object — same no-literal-tree design as
   * [[NearestCentroids]] and [[LshSignBuckets]].
   *

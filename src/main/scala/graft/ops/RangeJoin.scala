@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal, Pmod,
 import org.apache.spark.sql.functions._
 
 /** Range (point-in-interval) join — an operator Spark lacks natively
-  * when there is no selective equi-key (ref: api.py:1538-1585 exposes a
-  * time-window analytics surface; the reference computes windows
-  * in-memory per request).
+  * when there is no selective equi-key (bin decomposition per the public
+  * IEJoin / range-join-hint literature; the reference repo has no
+  * range-join surface — this is a scale extension).
   *
   * Why this exists: a join whose ONLY predicates are range comparisons
   * (`p.t BETWEEN i.start AND i.end`) gives Catalyst no equi-key, so the

@@ -8,9 +8,9 @@ import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** Optimizer rule that plans key-less range joins scalably — the
-  * whole-plan complement to [[graft.ops.RangeJoin]] (ref: api.py:1538-1585
-  * window analytics surface; bin decomposition per the public IEJoin /
-  * range-join-hint literature).
+  * whole-plan complement to [[graft.ops.RangeJoin]] (bin decomposition
+  * per the public IEJoin / range-join-hint literature; the reference repo
+  * has no range-join surface — this is a scale extension).
   *
   * OSS Spark has no range-join optimization: an inner join whose only
   * cross-side predicates are range comparisons (`p >= s AND p < e`) has
