@@ -168,7 +168,7 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.media_id)
     assert(a.toSeq == b.toSeq)
     assert(a.forall(f => f.brightness >= 0 && f.brightness <= 1))
-    assert(a.forall(f => f.byte_len >= 64 && f.byte_len < 512))
+    assert(a.forall(f => f.byte_len >= 44 && f.byte_len < 16384))
     // video sampling uses duration; image samples exactly one frame
     assert(a.filter(_.kind == "image").forall(_.n_frames_sampled == 1))
     assert(a.filter(_.kind == "video").forall(_.n_frames_sampled >= 1))
@@ -181,7 +181,7 @@ class MultimodalSpec extends SparkSpec {
     // its declared metadata — the parser must recover it for ALL rows
     assert(feats.forall(_.meta_consistent), feats.filterNot(_.meta_consistent).take(3).toSeq)
     assert(feats.filter(_.kind == "image").forall(f =>
-      f.parsed_width >= 64 && f.parsed_height >= 64))
+      f.parsed_width >= 8 && f.parsed_height >= 8))
     assert(feats.filter(_.kind != "image").forall(f => f.parsed_duration_ms >= 1000))
     assert(feats.filter(_.kind == "audio").forall(f => f.parsed_width == -1))
   }
@@ -240,7 +240,115 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.length == expect, s"media $id: ${fs.length} frames, want $expect")
       assert(fs.map(_.frame_idx).sorted.toSeq == (0 until expect))
       assert(fs.forall(f => f.ts_ms == f.frame_idx * 1000L && f.frame_payload.nonEmpty))
+      // the grab is real: every sampled frame is a complete, decodable PNG
+      assert(fs.forall(f => graft.ops.PngCodec.decode(f.frame_payload).exists(
+        img => img.width == 4 && img.height == 4)), s"media $id frames must decode")
     }
+  }
+
+  test("PNG codec round-trips pixels bit-exactly under every scanline filter") {
+    import graft.ops.PngCodec
+    val rnd = new scala.util.Random(7)
+    val img = Multimodal.syntheticPixels(13, 9, rnd) // odd dims: exercise edge columns
+    for (filter <- 0 to 4) {
+      val back = PngCodec.decode(PngCodec.encode(img, filter))
+      assert(back.isDefined, s"filter $filter must decode")
+      assert(back.get.width == 13 && back.get.height == 9)
+      assert(back.get.rgba.sameElements(img.rgba), s"filter $filter pixels must round-trip")
+    }
+  }
+
+  test("PNG decode handles gray/RGB/gray-alpha color types and rejects garbage") {
+    import graft.ops.PngCodec
+    import java.util.zip.{CRC32, Deflater}
+    // hand-build a minimal PNG of any color type with filter-0 rows
+    def rawPng(w: Int, h: Int, colorType: Int, channels: Array[Byte]): Array[Byte] = {
+      val ch = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+      val raw = (0 until h).flatMap(y =>
+        0.toByte +: channels.slice(y * w * ch, (y + 1) * w * ch)).toArray
+      val d = new Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      def chunk(t: String, data: Array[Byte]) = {
+        val tb = t.getBytes("US-ASCII"); val c = new CRC32(); c.update(tb); c.update(data)
+        be(data.length) ++ tb ++ data ++ be(c.getValue.toInt)
+      }
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        chunk("IHDR", be(w) ++ be(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)) ++
+        chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+    }
+    // gray 2x2: values become r=g=b, alpha 255
+    val gray = PngCodec.decode(rawPng(2, 2, 0, Array[Byte](10, 20, 30, 40))).get
+    assert(gray.rgba.toSeq == Seq[Byte](10, 10, 10, -1, 20, 20, 20, -1,
+      30, 30, 30, -1, 40, 40, 40, -1))
+    // RGB 1x2
+    val rgb = PngCodec.decode(rawPng(1, 2, 2, Array[Byte](1, 2, 3, 4, 5, 6))).get
+    assert(rgb.rgba.toSeq == Seq[Byte](1, 2, 3, -1, 4, 5, 6, -1))
+    // gray+alpha 2x1
+    val ga = PngCodec.decode(rawPng(2, 1, 4, Array[Byte](9, 100, 7, 50))).get
+    assert(ga.rgba.toSeq == Seq[Byte](9, 9, 9, 100, 7, 7, 7, 50))
+    // garbage / header-only / truncated-IDAT payloads decode to None, never throw
+    assert(PngCodec.decode(Array.tabulate(300)(i => (i * 37).toByte)).isEmpty)
+    assert(PngCodec.decode(Multimodal.MediaHeaders.png(8, 8)).isEmpty)
+    val whole = rawPng(4, 4, 6, Array.tabulate(64)(_.toByte))
+    assert(PngCodec.decode(whole.take(whole.length - 20)).isEmpty)
+  }
+
+  test("nearest-neighbor resample maps exact source pixels") {
+    import graft.ops.PngCodec
+    // 2x2 distinct-color image upscaled 2x: each source pixel becomes a 2x2 block
+    val src = PngCodec.Image(2, 2, Array[Byte](
+      1, 1, 1, -1, 2, 2, 2, -1,
+      3, 3, 3, -1, 4, 4, 4, -1))
+    val up = PngCodec.resizeNearest(src, 4, 4)
+    val px = (0 until 16).map(i => up.rgba(i * 4))
+    assert(px == Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+    // downscale back recovers the corners-compatible originals
+    val down = PngCodec.resizeNearest(up, 2, 2)
+    assert(down.rgba.sameElements(src.rgba))
+  }
+
+  test("image resize re-samples real pixels, not just the header") {
+    import graft.ops.PngCodec
+    val media = Multimodal.syntheticMedia(spark, 60)
+    val sources = media.collect().filter(_.kind == "image").map(r => r.media_id -> r.payload).toMap
+    val resized = Multimodal.resizeImages(media, 16, 12).collect()
+      .filter(_.kind == "image")
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val img = PngCodec.decode(r.payload)
+      assert(img.isDefined, s"resized payload of ${r.media_id} must decode")
+      assert(img.get.width == 16 && img.get.height == 12)
+      // pixels are the nearest-neighbor resample of the ORIGINAL pixels
+      val want = PngCodec.resizeNearest(PngCodec.decode(sources(r.media_id)).get, 16, 12)
+      assert(img.get.rgba.sameElements(want.rgba), s"media ${r.media_id} must be truly resampled")
+    }
+  }
+
+  test("undecodable image payloads keep the header-patch resize fallback") {
+    import spark.implicits._
+    // header-only PNG (no IDAT): the old total-on-garbage path
+    val row = Multimodal.MediaRow(1L, "image",
+      Multimodal.MediaHeaders.png(100, 80), "image/png", 100, 80, 0L)
+    val out = Multimodal.resizeImages(
+      spark.createDataset(Seq(row)), 32, 24).collect()(0)
+    assert(Multimodal.MediaCodec.parsePng(out.payload).contains((32, 24)))
+    assert(out.width == 32 && out.height == 24)
+    assert(out.payload.length == row.payload.length, "fallback only patches the header")
+  }
+
+  test("brightness is true mean luminance for decodable pixels") {
+    import spark.implicits._
+    import graft.ops.PngCodec
+    // uniform color (60, 120, 180): mean luminance = (60+120+180)/3/255
+    val img = PngCodec.Image(4, 4, Array.tabulate(64)(i => i % 4 match {
+      case 0 => 60.toByte; case 1 => 120.toByte; case 2 => 180.toByte; case _ => -1
+    }))
+    val row = Multimodal.MediaRow(5L, "image", PngCodec.encode(img), "image/png", 4, 4, 0L)
+    val f = Multimodal.extractFeatures(spark.createDataset(Seq(row))).collect()(0)
+    assert(math.abs(f.brightness - 120.0 / 255.0) < 1e-12)
   }
 
   test("image resize rewrites the container header; parsed dims follow") {
