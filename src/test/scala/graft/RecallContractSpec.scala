@@ -45,6 +45,32 @@ class RecallContractSpec extends SparkSpec {
     assert(recall >= 0.8, f"sf0.01 recall $recall%.4f collapsed below sanity floor 0.8")
   }
 
+  test("q79 telemetry: incremental-probe recall vs direct minhash near-dups at sf0.01") {
+    // the q38 pattern applied to the index path: logged every round so
+    // drift in the persisted-index probe parameters (band layout, cap
+    // gate) surfaces as a trend rather than relying on the fixed
+    // batch-equivalence fixture to happen to catch it
+    val docs = Tables.documents(spark, sf01)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    // ground truth: VERIFIED near-dup pairs from the whole-corpus run,
+    // restricted to (new, old) cross-slice pairs — exactly what an ingest
+    // probe of `fresh` against the corpus index must surface
+    val want = pairSet(TextDedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+    assert(want.nonEmpty, "corpus must contain cross-slice near-dups")
+    val probe = TextDedup.incrementalNearDups(fresh,
+      TextDedup.minhashSignatures(old, "text", "doc_id"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (n, o) => if (n < o) (n, o) else (o, n) }.toSet
+    val recall = want.count(probe.contains).toDouble / want.size
+    info(f"q79 incremental-probe recall at sf0.01 vs verified near-dups: " +
+      f"$recall%.4f (${want.count(probe.contains)}/${want.size})")
+    // every verified pair shares >= 1 band, so an uncapped probe must see
+    // it; the floor matches q38's so cap-gate drift cannot hide
+    assert(recall >= 0.9, f"recall $recall%.4f below contract 0.9")
+  }
+
   test("q39 contract: 4-chunk blocking is EXACT for hamming <= 3 (pigeonhole)") {
     val docs = Tables.documents(spark, sf001)
     val base = docs.select(col("doc_id").as("id"),
