@@ -33,7 +33,15 @@ object Components extends org.apache.spark.internal.Logging {
     * `maxIterations` (rounds needed ~ log2 of the graph diameter).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIterations: Int = 10): DataFrame = {
+      maxIterations: Int = 10): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIterations)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds the
+    * fixpoint took — the observable the O(log diameter) stress contract
+    * asserts on (`ComponentsStressSpec`).
+    */
+  private[graft] def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
+      maxIterations: Int): (DataFrame, Int) = {
     val sym = edges
       .select(explode(array(
         struct(col("src").as("id"), col("dst").as("rep")),
@@ -110,10 +118,11 @@ object Components extends org.apache.spark.internal.Logging {
     // isolated nodes rejoin as their own representative; the final
     // localCheckpoint hands back a lineage-free result so the last
     // round's RDD can be collected
-    nodes
+    val out = nodes
       .join(labels, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
       .localCheckpoint(true)
+    (out, iter)
   }
 }

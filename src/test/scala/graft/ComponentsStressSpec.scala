@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Components
+
+/** Stress contracts for the connected-components core: the O(log
+  * diameter) round bound (`ops/Components.scala` path halving) is a load-
+  * bearing scale claim — every dedup family sits on this loop — so it is
+  * asserted, not just documented, against the two adversarial shapes:
+  * a maximum-diameter chain and a large two-cluster barbell.
+  */
+class ComponentsStressSpec extends SparkSpec {
+
+  private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("1024-node chain: exact labels in ~log2(diameter) rounds, not O(diameter)") {
+    import spark.implicits._
+    val n = 1024 // diameter 1023 — the worst case per node count
+    val nodes = spark.range(n).toDF("id")
+    val edges = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val (out, rounds) = Components.connectedComponentsWithRounds(nodes, edges, 40)
+    val got = labels(out)
+    assert(got.size == n && got.values.forall(_ == 0L),
+      "every chain node must label to the minimum id 0")
+    // path halving: ~log2(1023) ≈ 10 propagation rounds plus the no-change
+    // detection round and small constant slack; a linear regression (min
+    // label stepping one hop per round) would need ~1023 rounds
+    assert(rounds <= 15, s"chain took $rounds rounds — pointer jumping is broken")
+    info(s"1024-chain rounds: $rounds (log2(diameter) ≈ 10)")
+  }
+
+  test("10^4-node barbell: two 5k star clusters joined by a bridge, exact and fast") {
+    import spark.implicits._
+    val half = 5000L
+    val nodes = spark.range(2 * half).toDF("id")
+    // star A: hub 0 <- spokes 1..4999; star B: hub 5000 <- spokes 5001..9999
+    val starA = spark.range(1, half).select(col("id").as("src"), lit(0L).as("dst"))
+    val starB = spark.range(half + 1, 2 * half)
+      .select(col("id").as("src"), lit(half).as("dst"))
+    // bridge between two arbitrary spokes (not hubs: labels must cross
+    // three hops, hub A <- spoke <- bridge <- spoke <- hub B)
+    val bridge = Seq((4999L, 5001L)).toDF("src", "dst")
+    val (out, rounds) = Components.connectedComponentsWithRounds(
+      nodes.toDF(), starA.unionByName(starB).unionByName(bridge), 10)
+    val got = labels(out)
+    assert(got.size == 2 * half && got.values.forall(_ == 0L),
+      "the bridge must merge both stars into component 0")
+    assert(rounds <= 6, s"barbell (diameter 6) took $rounds rounds")
+    info(s"barbell rounds: $rounds")
+  }
+
+  test("disconnected halves stay separate; isolated nodes self-label") {
+    import spark.implicits._
+    val nodes = spark.range(100).toDF("id")
+    // cluster 10..19 chained; cluster 50..54 chained; the rest isolated
+    val e1 = spark.range(10, 19).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val e2 = spark.range(50, 54).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val got = labels(Components.connectedComponents(nodes, e1.unionByName(e2), 10))
+    (10L to 19L).foreach(i => assert(got(i) == 10L))
+    (50L to 54L).foreach(i => assert(got(i) == 50L))
+    (0L until 100L).filterNot(i => (i >= 10 && i <= 19) || (i >= 50 && i <= 54))
+      .foreach(i => assert(got(i) == i, s"isolated node $i must self-label"))
+  }
+}
