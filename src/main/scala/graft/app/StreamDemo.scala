@@ -63,7 +63,44 @@ object StreamDemo {
       .collect().foreach(r => println("  " + r))
     val sum = spark.sql("SELECT sum(n_events) FROM wins").collect()(0).getLong(0)
     println(s"total events windowed: $sum (expected 5000)")
-    if (finalCount != perWave * waves || sum != 5000) sys.exit(2)
+
+    // ---- streaming incremental near-dup dedup: the per-ingest production
+    // loop — every wave probes the persisted MinHash index for collisions
+    // against the corpus so far, then appends its own signatures. Gate:
+    // streamed pairs must EQUAL running the batch probe wave-by-wave, and
+    // the index must grow by exactly each wave's rows.
+    import graft.ops.TextDedup
+    val docs = graft.core.Tables.documents(spark,
+      args.lift(2).getOrElse("/root/testdata/sf0.001"))
+    val docWaves = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k))
+    val dwork = s"$work/dedup"
+    var indexRows = 0L
+    var indexMonotone = true
+    docWaves.foreach { w =>
+      w.write.mode("append").parquet(s"$dwork/raw")
+      val q = Streaming.incrementalDedupStream(
+        spark.readStream.schema(docs.schema).parquet(s"$dwork/raw"),
+        s"$dwork/idx", s"$dwork/pairs", s"$dwork/ckpt")
+      q.awaitTermination(120000)
+      indexRows += w.count()
+      indexMonotone &&= TextDedup.readMinhashIndex(spark, s"$dwork/idx").count() == indexRows
+    }
+    val streamedPairs = spark.read.parquet(s"$dwork/pairs")
+      .select("id_new", "id_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val directPairs = (1 until 3).flatMap { k =>
+      TextDedup.incrementalNearDups(docWaves(k),
+        TextDedup.minhashSignatures(docWaves.take(k).reduce(_ unionByName _),
+          "text", "doc_id"), "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.toSet
+    val dedupOk = indexMonotone && streamedPairs == directPairs && directPairs.nonEmpty
+    println(s"incremental dedup stream: ${streamedPairs.size} pairs over 3 waves " +
+      s"(batch-equivalent=${streamedPairs == directPairs}, index monotone=$indexMonotone)")
+
+    if (finalCount != perWave * waves || sum != 5000 || !dedupOk) {
+      spark.stop(); sys.exit(2)
+    }
     spark.stop()
   }
 }

@@ -175,21 +175,40 @@ object TextDedup {
       minhashBandHashes(hashedTokenSet(col(textCol), shingleLen),
         numHashes, bands).as("bhs"))
 
-  /** Persist the signature index for a corpus (parquet). Re-written
-    * whole here; production appends each ingest batch's signatures
-    * (mode=append) so the index grows with the corpus. The signature
-    * params ride along as constant columns (dictionary-encoded, ~free)
-    * so a params-mismatched probe fails loudly instead of silently
-    * returning near-zero collisions.
+  /** Signatures plus the params stamped as constant columns
+    * (dictionary-encoded, ~free) so a params-mismatched probe fails
+    * loudly instead of silently returning near-zero collisions.
     */
-  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
-      path: String, shingleLen: Int = 1, numHashes: Int = 128,
-      bands: Int = 32): Unit =
+  private def stampedSignatures(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int, numHashes: Int, bands: Int): DataFrame =
     minhashSignatures(df, textCol, idCol, shingleLen, numHashes, bands)
       .withColumn("_shingle_len", lit(shingleLen))
       .withColumn("_num_hashes", lit(numHashes))
       .withColumn("_bands", lit(bands))
+
+  /** Persist the signature index for a corpus (parquet), re-written
+    * whole. Growing corpora append per ingest batch instead — see
+    * [[appendMinhashIndexBatch]].
+    */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, shingleLen: Int = 1, numHashes: Int = 128,
+      bands: Int = 32): Unit =
+    stampedSignatures(df, textCol, idCol, shingleLen, numHashes, bands)
       .write.mode("overwrite").parquet(path)
+
+  /** Append one ingest batch's signatures to the index, IDEMPOTENTLY
+    * under retries: the batch writes (overwrite) its own
+    * `path/batch=<id>` subdirectory, so a retried micro-batch replaces
+    * its previous attempt instead of appending duplicate id rows — which
+    * [[incrementalNearDups]] would reject as a corrupted index. Partition
+    * discovery surfaces `batch` as an extra column on reads; probes
+    * ignore it.
+    */
+  def appendMinhashIndexBatch(df: DataFrame, textCol: String, idCol: String,
+      path: String, batchId: Long, shingleLen: Int = 1, numHashes: Int = 128,
+      bands: Int = 32): Unit =
+    stampedSignatures(df, textCol, idCol, shingleLen, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)

@@ -75,6 +75,55 @@ object Streaming {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming incremental NEAR-dup detection — the production ingest
+    * loop the persisted MinHash index exists for. Every micro-batch:
+    *  (a) probes the signatures of the corpus ingested SO FAR for LSH
+    *      collision pairs ([[graft.ops.TextDedup.incrementalNearDups]] —
+    *      each document's signatures are computed once, ever);
+    *  (b) writes the (id_new, id_old) pairs under
+    *      `pairsDir/batch=<id>`; and
+    *  (c) appends the batch's own signatures to the index
+    *      ([[graft.ops.TextDedup.appendMinhashIndexBatch]]).
+    * Both writes are per-batch-subdirectory overwrites, so a retried
+    * micro-batch replaces its previous attempt — effectively-once output
+    * without a transactional sink. The first batch (no index yet) emits
+    * zero pairs and seeds the index. Within-batch duplicates are the
+    * batch operators' contract (compose [[dedupDocStream]] upstream for
+    * exact dedup); this stream's contract is pairs against the PRIOR
+    * corpus, which is what makes it equivalent to running the batch
+    * probe per ingest.
+    */
+  def incrementalDedupStream(docs: DataFrame, indexDir: String,
+      pairsDir: String, checkpoint: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleLen: Int = 1, numHashes: Int = 128, bands: Int = 32,
+      maxBucket: Int = 1000): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val cached = batch.persist() // read twice: probe + signature append
+        try {
+          val pairs =
+            if (fs.exists(idxPath))
+              graft.ops.TextDedup.incrementalNearDups(cached,
+                graft.ops.TextDedup.readMinhashIndex(sp, indexDir),
+                textCol, idCol, shingleLen, numHashes, bands, maxBucket)
+            else // first-ever ingest: nothing to collide with, typed empty
+              cached.select(col(idCol).as("id_new"), col(idCol).as("id_old")).limit(0)
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          graft.ops.TextDedup.appendMinhashIndexBatch(cached, textCol, idCol,
+            indexDir, batchId, shingleLen, numHashes, bands)
+        } finally {
+          cached.unpersist(false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
