@@ -109,11 +109,22 @@ object CorpusPipeline {
       Seq("doc_id"))
     val nReps = reps.count()
 
-    // ---- stage 5: decontamination against the eval split
+    // ---- stage 5: decontamination against the eval split. The gram
+    // representation is chosen by the size heuristic (string grams
+    // broadcast below the threshold, 8-byte hashed grams above), and the
+    // funnel cross-checks BOTH paths flag identical ids — the scale path
+    // is exercised end-to-end, not just in its unit test.
     val train = reps.filter(pmod(col("doc_id"), lit(50)) =!= 0)
     val evalSet = reps.filter(pmod(col("doc_id"), lit(50)) === 0)
     val nTrain = train.count()
-    val clean = CorpusOps.decontaminate(train, evalSet, "doc_id", "text", 4)
+    val (flagged, usedHash) = CorpusOps.contaminationAuto(
+      train, evalSet, "doc_id", "text", 4)
+    val otherPath = CorpusOps.contamination(
+      train, evalSet, "doc_id", "text", 4, hashGrams = !usedHash)
+    val nFlagDiff = flagged.select("doc_id")
+      .unionByName(otherPath.select("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+    val clean = train.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
     val nClean = clean.count()
 
     // ---- stage 6: source-mixture sampling (half rate for even sources)
@@ -147,7 +158,7 @@ object CorpusPipeline {
       |quality filter:    $nIngested -> $nKept  (dropped: $reasonCounts)
       |exact dedup:       $nKept -> $nExact
       |near-dup dedup:    $nExact -> $nReps cluster representatives
-      |decontamination:   $nTrain train -> $nClean clean (eval split held out)
+      |decontamination:   $nTrain train -> $nClean clean (eval split held out; ${if (usedHash) "hashed-gram" else "string-gram"} path, path-agreement diff=$nFlagDiff)
       |mixture sample:    $nClean -> $nMixed
       |packed:            $nMixed docs -> $nChunks context windows of 128 tokens
       |wall time:         $secs%.1f s
@@ -155,7 +166,7 @@ object CorpusPipeline {
 
     val ok = nQuarantined == nCorrupt && nKept <= nIngested &&
       nPlantedKept > 0 && nExact <= nKept - nPlantedKept &&
-      nReps <= nExact && nClean <= nTrain &&
+      nReps <= nExact && nClean <= nTrain && nFlagDiff == 0 &&
       nMixed <= nClean && nPacked == nMixed && nChunks > 0
     if (!ok) {
       System.err.println("corpus pipeline invariant FAILED")

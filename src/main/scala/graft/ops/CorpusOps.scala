@@ -89,6 +89,26 @@ object CorpusOps {
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
   }
 
+  /** [[contamination]] with the gram representation chosen by a size
+    * heuristic: the eval side's total gram bytes are bounded above by
+    * `n × total text bytes` (every token appears in at most n grams, and
+    * a gram's string is its tokens plus separators), measured with one
+    * cheap aggregate. Under `maxBroadcastBytes` the readable string grams
+    * broadcast; above it the 8-byte `hashGrams` scale path kicks in —
+    * identical flagging up to 2^-64 collisions, which only ever ADD a
+    * flagged doc (sound for decontamination). Returns the flagged frame
+    * plus which path ran, so pipelines can log the decision.
+    */
+  def contaminationAuto(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      maxBroadcastBytes: Long = 64L << 20): (DataFrame, Boolean) = {
+    val textBytes = Option(evalSet
+      .agg(sum(octet_length(col(textCol)).cast("long"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val useHash = textBytes * n > maxBroadcastBytes
+    (contamination(train, evalSet, idCol, textCol, n, hashGrams = useHash), useHash)
+  }
+
   /** The decontamination pipeline stage itself: train documents with NO
     * word n-gram in common with the eval set (a left anti join against
     * [[contamination]]'s flagged ids — the flagged signal stays available

@@ -352,6 +352,25 @@ class CorpusOpsSpec extends SparkSpec {
     ))
   }
 
+  test("contaminationAuto picks the gram path by eval size and both paths agree") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    // generous threshold: readable string grams
+    val (flagStr, usedHashA) = CorpusOps.contaminationAuto(
+      train, evalSet, "doc_id", "text", 4)
+    assert(!usedHashA, "a tiny eval set must stay on the broadcast string path")
+    // 1-byte threshold: the 8-byte hashed-gram scale path must kick in
+    val (flagHash, usedHashB) = CorpusOps.contaminationAuto(
+      train, evalSet, "doc_id", "text", 4, maxBroadcastBytes = 1L)
+    assert(usedHashB, "an over-threshold eval set must switch to hashed grams")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(flagStr) == ids(flagHash),
+      "both representations must flag identical documents")
+    assert(ids(flagStr).nonEmpty, "the synthetic corpus must contain contamination")
+  }
+
   test("repetitionStats rejects an idCol that collides with an internal temp name") {
     val df = Seq((1L, "a b a")).toDF("g", "text")
     val e = intercept[IllegalArgumentException] {
