@@ -31,17 +31,29 @@ object Components extends org.apache.spark.internal.Logging {
     * component; keep rows where id == cluster_rep for one representative
     * per cluster. Throws if the label fixpoint is not reached within
     * `maxIterations` (rounds needed ~ log2 of the graph diameter).
+    *
+    * Hybrid execution, the standard CC shape: when the deduplicated edge
+    * subgraph fits under `localEdgeLimit` it is union-found ON THE DRIVER
+    * (exact, O(E α), one collect of (src, dst) longs) — the candidate
+    * subgraph of a real near-dup corpus is orders of magnitude smaller
+    * than the corpus, and the distributed loop's per-round fixed cost
+    * (two joins, a checkpoint, a convergence aggregate) swamps the actual
+    * work at that size. Beyond the limit the iterated min-label +
+    * path-halving loop runs, whose per-round cost amortizes exactly when
+    * the data is big enough to need it. Identical labels either way.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIterations: Int = 10): DataFrame =
-    connectedComponentsWithRounds(nodes, edges, maxIterations)._1
+      maxIterations: Int = 10,
+      localEdgeLimit: Long = 5000000L): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxIterations, localEdgeLimit)._1
 
   /** [[connectedComponents]] plus the number of propagation rounds the
-    * fixpoint took — the observable the O(log diameter) stress contract
-    * asserts on (`ComponentsStressSpec`).
+    * fixpoint took (0 on the driver union-find path) — the observable the
+    * O(log diameter) stress contract asserts on (`ComponentsStressSpec`,
+    * which forces the distributed loop with `localEdgeLimit = 0`).
     */
   private[graft] def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
-      maxIterations: Int): (DataFrame, Int) = {
+      maxIterations: Int, localEdgeLimit: Long = 5000000L): (DataFrame, Int) = {
     val sym = edges
       .select(explode(array(
         struct(col("src").as("id"), col("dst").as("rep")),
@@ -50,6 +62,39 @@ object Components extends org.apache.spark.internal.Logging {
       .filter(col("id") =!= col("rep"))
       .dropDuplicates()
       .persist()
+
+    // driver union-find when the edge subgraph is small: the collect is
+    // bounded by localEdgeLimit (src, dst) longs, and the result rides
+    // back as a broadcast-sized label table
+    val nEdges = sym.count()
+    if (nEdges <= localEdgeLimit) {
+      val pairs = sym.filter(col("id") < col("rep"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min id wins
+      }
+      val labels = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toSet[Long].toSeq.map(id => (id, find(id)))
+      sym.unpersist()
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labelDf = spark.createDataset(labels).toDF("id", "cluster_rep")
+      val out = nodes
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_rep"), col("id")).as("cluster_rep"))
+        .localCheckpoint(true)
+      return (out, 0)
+    }
 
     // Only nodes that touch an edge enter the loop — isolated nodes (the
     // overwhelming majority of a realistic near-dup graph) are their own

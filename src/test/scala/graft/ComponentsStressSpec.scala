@@ -20,7 +20,10 @@ class ComponentsStressSpec extends SparkSpec {
     val nodes = spark.range(n).toDF("id")
     val edges = spark.range(n - 1)
       .select(col("id").as("src"), (col("id") + 1).as("dst"))
-    val (out, rounds) = Components.connectedComponentsWithRounds(nodes, edges, 40)
+    // localEdgeLimit = 0 forces the distributed loop — the round-count
+    // contract is about THAT path, not the driver union-find shortcut
+    val (out, rounds) = Components.connectedComponentsWithRounds(nodes, edges, 40,
+      localEdgeLimit = 0L)
     val got = labels(out)
     assert(got.size == n && got.values.forall(_ == 0L),
       "every chain node must label to the minimum id 0")
@@ -43,12 +46,29 @@ class ComponentsStressSpec extends SparkSpec {
     // three hops, hub A <- spoke <- bridge <- spoke <- hub B)
     val bridge = Seq((4999L, 5001L)).toDF("src", "dst")
     val (out, rounds) = Components.connectedComponentsWithRounds(
-      nodes.toDF(), starA.unionByName(starB).unionByName(bridge), 10)
+      nodes.toDF(), starA.unionByName(starB).unionByName(bridge), 10,
+      localEdgeLimit = 0L)
     val got = labels(out)
     assert(got.size == 2 * half && got.values.forall(_ == 0L),
       "the bridge must merge both stars into component 0")
     assert(rounds <= 6, s"barbell (diameter 6) took $rounds rounds")
     info(s"barbell rounds: $rounds")
+  }
+
+  test("driver union-find and the distributed loop produce identical labels") {
+    import spark.implicits._
+    // a messy graph: chain + star + cross-links + isolated nodes
+    val nodes = spark.range(200).toDF("id")
+    val edges = (
+      (0L until 40L).map(i => (i, i + 1)) ++
+        (100L until 130L).map(i => (i, 100L)) ++
+        Seq((40L, 115L), (150L, 151L))
+    ).toDF("src", "dst")
+    val local = labels(Components.connectedComponents(nodes, edges, 10))
+    val dist = labels(Components.connectedComponentsWithRounds(nodes, edges, 10,
+      localEdgeLimit = 0L)._1)
+    assert(local == dist, "the two execution paths must agree exactly")
+    assert(local(115L) == 0L, "cross-link must merge the chain and the star")
   }
 
   test("disconnected halves stay separate; isolated nodes self-label") {

@@ -115,8 +115,11 @@ class CorpusOpsSpec extends SparkSpec {
     val n = 64
     val nodes = (1L to n.toLong).toDF("id")
     val chain = (2L to n.toLong).map(i => (i - 1, i)).toDF("src", "dst")
+    // localEdgeLimit = 0: non-convergence is a distributed-loop property —
+    // the driver union-find shortcut has no iteration to run out of
     val e = intercept[IllegalStateException] {
-      Components.connectedComponents(nodes, chain, maxIterations = 1)
+      Components.connectedComponents(nodes, chain, maxIterations = 1,
+        localEdgeLimit = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
     // and with enough rounds the same chain is one component
