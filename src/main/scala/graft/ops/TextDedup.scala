@@ -288,39 +288,51 @@ object TextDedup {
 
       // viral-duplicate guard, same cheap gate + effective-band-array
       // design as minhashNearDups: only when some index bucket exceeds
-      // maxBucket do we cap its membership (rank by id) and rebuild each
-      // old doc's band array with capped-out entries nulled — then the
-      // shuffle-free first-collision filter stays EXACT (it matches only
-      // bands where the old doc actually survived), no pairs-keyed dedup
-      // shuffle on either path. The new side is never capped: an ingest
-      // batch is small, and capping it would silently drop incoming dups.
-      // gate on approximate DISTINCT members per bucket (sketch partials,
-      // one row per bucket through the shuffle): a raw count would double
-      // under a duplicated-id index and falsely trip the cap at
-      // maxBucket/2. The gate is a skew heuristic — the capped path stays
-      // exact regardless — so HLL tolerance is fine; the 10% headroom
-      // keeps sketch undercount from letting a just-over-cap bucket slip.
-      val maxRow = bAll.groupBy("band", "bh")
-        .agg(approx_count_distinct(col("id_old")).as("_c"))
-        .agg(max(col("_c"))).first()
+      // maxBucket do we cap its membership (rank by id) and null the
+      // capped-out bands from each affected old doc's band array — then
+      // the shuffle-free first-collision filter stays EXACT (it matches
+      // only bands where the old doc actually survived), no pairs-keyed
+      // dedup shuffle on either path. The new side is never capped: an
+      // ingest batch is small, and capping it would silently drop incoming
+      // dups. The per-bucket counts are exact member counts (ids are
+      // unique here — the gate above rejects duplicates) and serve double
+      // duty: the global max decides whether to cap, and the over-cap
+      // subset (tiny — only viral clusters) bounds the rank window's
+      // shuffle+sort to the viral rows instead of the whole index×bands
+      // explosion.
+      val counts = bAll.groupBy("band", "bh").agg(count(lit(1)).as("_c"))
+      counts.persist() // read twice (max gate + oversized filter); 1 row/bucket
+      capCache = Some(counts)
+      val maxRow = counts.agg(max(col("_c"))).first()
       val maxBucketSize = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val b = if (maxBucketSize <= maxBucket - maxBucket / 10) bAll
+      val b = if (maxBucketSize <= maxBucket) bAll
       else {
+        val oversized = counts.filter(col("_c") > maxBucket).select("band", "bh")
         val wb = org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bh").orderBy("id_old")
-        // ids are unique here (gate above), so the per-doc map build
-        // below cannot hit a duplicate band key
-        val surviving = idx
-          .select(col("id").as("id_old"), posexplode(col("bhs")).as(Seq("band", "bh")))
+        // cappedOut/cappedEff are NOT broadcast-hinted: a mega viral
+        // cluster makes them (cluster − cap) rows, so AQE must be free to
+        // fall back to a shuffle join — still bounded by total viral
+        // excess, never index×bands
+        val cappedOut = bAll.select("id_old", "band", "bh")
+          .join(broadcast(oversized), Seq("band", "bh"))
           .withColumn("_brn", row_number().over(wb))
-          .filter(col("_brn") <= maxBucket).drop("_brn")
-          .persist() // feeds the effective-array agg AND the bucket entries
-        capCache = Some(surviving)
-        val eff = surviving.groupBy("id_old")
-          .agg(map_from_entries(collect_list(struct(col("band"), col("bh")))).as("m"))
-          .select(col("id_old"),
-            transform(sequence(lit(0), lit(bands - 1)), i => col("m")(i)).as("bhs_old"))
-        surviving.join(eff, "id_old")
+          .filter(col("_brn") > maxBucket)
+          .groupBy("id_old").agg(collect_set(col("band")).as("_ob"))
+        // nulled arrays built ONCE PER CAPPED DOC and joined back as
+        // materialized data — the join boundary pins the (non-codegen)
+        // higher-order lambda below the explode fan-out; inlining it above
+        // the explode re-evaluates it per membership row per reference
+        // (see minhashNearDups, measured 4× slower)
+        val cappedEff = idx.select(col("id").as("id_old"), col("bhs"))
+          .join(cappedOut, Seq("id_old"))
+          .select(col("id_old"), transform(col("bhs"),
+            (bh, bd) => when(!array_contains(col("_ob"), bd), bh)).as("_cebhs"))
+        idx.select(col("id").as("id_old"), col("bhs"),
+            posexplode(col("bhs")).as(Seq("band", "bh")))
+          .join(cappedEff, Seq("id_old"), "left")
+          .withColumn("bhs_old", coalesce(col("_cebhs"), col("bhs")))
+          .filter(element_at(col("bhs_old"), col("band") + 1).isNotNull)
           .select(col("id_old"), col("bhs_old"), col("band"), col("bh"))
       }
       val pairs = a.join(b, Seq("band", "bh"))
@@ -391,46 +403,64 @@ object TextDedup {
       .withColumn("bhs", minhashBandHashes(col("hs"), numHashes, bands))
     docs.persist() // read 3× below; linear in corpus, spills to disk at scale
 
-    // cap gate: ONE cheap max-of-counts aggregate over (band, bh) —
+    // cap gate: ONE per-bucket count aggregate over (band, bh) —
     // partial-aggregated map-side, so it shuffles one count per distinct
-    // bucket, not the membership rows. Only when some bucket actually
-    // exceeds `maxBucket` (a viral duplicate cluster) do we pay the cap
-    // window's shuffle+sort, the per-doc effective-band agg, and the
-    // membership join; in the common uncapped case the doc's own `bhs`
-    // IS its effective band-hash array.
+    // bucket, not the membership rows. The counts serve double duty: the
+    // global max decides WHETHER to cap, and the over-cap subset (tiny —
+    // only viral duplicate clusters exceed maxBucket) is exactly the set
+    // of buckets the cap must touch. In the common uncapped case the
+    // doc's own `bhs` IS its effective band-hash array.
     val bucketed = docs.select(col("id"), posexplode(col("bhs")).as(Seq("band", "bh")))
+    val counts = bucketed.groupBy("band", "bh").agg(count(lit(1)).as("_c"))
+    counts.persist() // read twice below (max gate + oversized filter); 1 row/bucket
     // global max over ZERO buckets (empty corpus slice, or all-null text
     // dropped by posexplode) aggregates to a null row — treat as uncapped
-    val maxRow = bucketed.groupBy("band", "bh")
-      .agg(count(lit(1)).as("_c")).agg(max(col("_c"))).first()
+    val maxRow = counts.agg(max(col("_c"))).first()
     val maxBucketSize = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
 
     // bucket rows stay LEAN (band, bh, id, ebhs): the bucket self-join
     // evaluates |bucket|² rows per bucket, so every byte carried there is
     // copied quadratically many times — token sets are joined back only
     // for the surviving (deduplicated) candidates
-    val (entries, capCache) = if (maxBucketSize <= maxBucket) {
-      (docs.select(col("id"), col("bhs").as("ebhs"),
-        posexplode(col("bhs")).as(Seq("band", "bh"))), None)
+    val entries = if (maxBucketSize <= maxBucket) {
+      docs.select(col("id"), col("bhs").as("ebhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
     } else {
-      // bucket membership surviving the per-bucket cap (rank by id);
-      // persisted because it feeds BOTH the effective-band-hash agg and
-      // the bucket entries — without the persist the cap window's
-      // shuffle+sort runs twice
+      // Cap only where needed: rank-by-id ONLY inside the oversized
+      // buckets (a broadcast semi-join bounds the window's shuffle+sort to
+      // the viral rows, not the whole corpus×bands explosion), collect the
+      // rare capped-OUT (id, band) memberships per doc, and null exactly
+      // those bands out of the affected docs' `bhs` — so first_equal_index
+      // only matches bands where BOTH docs actually survived, without a
+      // corpus×bands effective-array rebuild.
+      val oversized = counts.filter(col("_c") > maxBucket).select("band", "bh")
       val wb = org.apache.spark.sql.expressions.Window
         .partitionBy("band", "bh").orderBy("id")
-      val surviving = bucketed
+      // cappedOut/cappedEff are NOT broadcast-hinted: a mega viral cluster
+      // makes them (cluster − cap) rows, so AQE must be free to fall back
+      // to a shuffle join — still bounded by total viral excess, never
+      // corpus×bands
+      val cappedOut = bucketed.join(broadcast(oversized), Seq("band", "bh"))
         .withColumn("_brn", row_number().over(wb))
-        .filter(col("_brn") <= maxBucket).drop("_brn")
-        .persist()
-
-      // effective band-hash array: null where the doc was capped out, so
-      // first_equal_index only matches bands where BOTH docs are present
-      val eff = surviving.groupBy("id")
-        .agg(map_from_entries(collect_list(struct(col("band"), col("bh")))).as("m"))
-        .select(col("id"),
-          transform(sequence(lit(0), lit(bands - 1)), b => col("m")(b)).as("ebhs"))
-      (surviving.join(eff, "id"), Some(surviving))
+        .filter(col("_brn") > maxBucket)
+        .groupBy("id").agg(collect_set(col("band")).as("_ob"))
+      // nulled arrays built ONCE PER CAPPED DOC and joined back as
+      // materialized data. Computing them inline above the explode looks
+      // equivalent but is 4× slower: CollapseProject merges the lambda
+      // into the post-explode projection AND the survivors filter, so the
+      // (non-codegen) higher-order transform re-evaluates per membership
+      // row per reference instead of per doc — measured 1.9s → 7.3s on
+      // the sf0.1 candidate join. The join boundary is the materialization
+      // barrier that pins the lambda below the fan-out.
+      val cappedEff = docs.join(cappedOut, Seq("id"))
+        .select(col("id"), transform(col("bhs"),
+          (bh, b) => when(!array_contains(col("_ob"), b), bh)).as("_cebhs"))
+      docs.select(col("id"), col("bhs"),
+          posexplode(col("bhs")).as(Seq("band", "bh")))
+        .join(cappedEff, Seq("id"), "left")
+        .withColumn("ebhs", coalesce(col("_cebhs"), col("bhs")))
+        .filter(element_at(col("ebhs"), col("band") + 1).isNotNull)
+        .select(col("id"), col("ebhs"), col("band"), col("bh"))
     }
     val l = entries.select(col("band"), col("bh"), col("id").as("id_a"),
       col("ebhs").as("ebhs_a"))
@@ -449,12 +479,12 @@ object TextDedup {
     val pairs = verifyJaccard(candidates.join(ta, "id_a").join(tb, "id_b"), threshold)
 
     // materialize (lineage-truncating local checkpoint, cleaned by the
-    // ContextCleaner when the result is GC'd) so the two corpus-sized
-    // caches can be dropped HERE instead of leaking across queries in a
+    // ContextCleaner when the result is GC'd) so the corpus-sized cache
+    // can be dropped HERE instead of leaking across queries in a
     // long-lived session; the checkpointed result is just the pairs
     val out = pairs.localCheckpoint(true)
     docs.unpersist(false)
-    capCache.foreach(_.unpersist(false))
+    counts.unpersist(false)
     out
   }
 
