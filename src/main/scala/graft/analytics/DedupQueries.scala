@@ -48,10 +48,13 @@ object DedupQueries {
 
     // ---- incremental MinHash near-dups: the per-ingest-batch shape — a
     // new 20% slice probes the existing corpus's signature index instead
-    // of recomputing the corpus. Rows-only (LSH is not SQL-expressible);
-    // the batch-equivalence and index round-trip contracts are in
-    // CorpusOpsSpec.
-    QueryDef("q79_incremental_minhash_neardups", None) { (s, dir) =>
+    // of recomputing the corpus. Hash-checked end-to-end: the oracle runs
+    // the full DuckXxh signature chain over both slices and joins their
+    // band buckets. The batch-equivalence and index round-trip contracts
+    // are in CorpusOpsSpec.
+    QueryDef("q79_incremental_minhash_neardups",
+      Some(DuckXxh.incrementalNearDupsOracle(numHashes = 128, bands = 32)),
+    ) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val old = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       val fresh = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -108,14 +111,23 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // ---- MinHash+LSH near-dups (scale path; no SQL oracle -> rows check)
-    QueryDef("q38_minhash_neardups", None) { (s, dir) =>
+    // ---- MinHash+LSH near-dups (scale path). Hash-checked: the oracle
+    // re-runs the whole signature chain in DuckDB (see DuckXxh) and
+    // verifies candidates with exact token-set Jaccard.
+    QueryDef("q38_minhash_neardups",
+      Some(DuckXxh.minhashNearDupsOracle(threshold = 0.5, numHashes = 128,
+        bands = 32)),
+    ) { (s, dir) =>
       TextDedup.minhashNearDups(Tables.documents(s, dir), "text", "doc_id",
         threshold = 0.5).orderBy("id_a", "id_b")
     },
 
-    // ---- SimHash near-dups (rows check)
-    QueryDef("q39_simhash_neardups", None) { (s, dir) =>
+    // ---- SimHash near-dups. Hash-checked: per-doc bit-majority SimHash
+    // over the same token hashes, pairs at Hamming ≤ 3 (pigeonhole makes
+    // the engine's chunk filter exact, so the oracle needs only the ball)
+    QueryDef("q39_simhash_neardups",
+      Some(DuckXxh.simhashNearDupsOracle(maxHamming = 3)),
+    ) { (s, dir) =>
       TextDedup.simhashNearDups(Tables.documents(s, dir), "text", "doc_id",
         maxHamming = 3).orderBy("id_a", "id_b")
     },

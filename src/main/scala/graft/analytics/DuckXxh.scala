@@ -180,18 +180,21 @@ private[analytics] object DuckXxh {
     s"reach AS (SELECT id, id AS lab FROM ($nodesSql) " +
       s"UNION SELECT e.dst AS id, r.lab FROM reach r JOIN $symCte e ON e.src = r.id)"
 
-  /** The q55 oracle: MinHash-LSH dedup clusters over `documents` with the
-    * given signature shape (mirrors
-    * [[graft.ops.TextDedup.minhashDedupClusters]] defaults).
+  private val toksExpr = "list_distinct(string_split_regex(trim(text), '\\s+'))"
+
+  /** CTE chain ending in `buckets(doc_id, b, bh)` — every document's LSH
+    * band hashes, the shared head of the q55/q38/q79 oracles: tokenize →
+    * xxhash64 each distinct token (seed 42) → `numHashes` seeded
+    * min-hashes → per-band chained hashLong. Mirrors
+    * [[graft.ops.TextDedup.minhashSignatures]] bit for bit.
     */
-  def minhashClustersOracle(numHashes: Int = 128, bands: Int = 32): String = {
+  private def bucketsCtes(numHashes: Int, bands: Int): Vector[String] = {
     val rpb = numHashes / bands
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val toks = "list_distinct(string_split_regex(trim(text), '\\s+'))"
     var ctes = xxhStrCtes(
-      s"SELECT DISTINCT unnest($toks) AS tok FROM documents").toVector
+      s"SELECT DISTINCT unnest($toksExpr) AS tok FROM documents").toVector
     ctes ++= Seq(
-      s"doctok AS MATERIALIZED (SELECT doc_id, unnest($toks) AS tok FROM documents)",
+      s"doctok AS MATERIALIZED (SELECT doc_id, unnest($toksExpr) AS tok FROM documents)",
       s"seeds AS MATERIALIZED (SELECT unnest(range(0, $numHashes)) AS i)",
       "vhs AS MATERIALIZED (SELECT tok, xh_out, CAST(i AS HUGEINT) AS i_u, i " +
         "FROM xstr_final CROSS JOIN seeds)",
@@ -215,8 +218,16 @@ private[analytics] object DuckXxh {
       prevCte = last
       acc = out
     }
-    ctes ++= Seq(
-      s"buckets AS MATERIALIZED (SELECT doc_id, b, ${signed(acc)} AS bh FROM $prevCte)",
+    ctes :+
+      s"buckets AS MATERIALIZED (SELECT doc_id, b, ${signed(acc)} AS bh FROM $prevCte)"
+  }
+
+  /** The q55 oracle: MinHash-LSH dedup clusters over `documents` with the
+    * given signature shape (mirrors
+    * [[graft.ops.TextDedup.minhashDedupClusters]] defaults).
+    */
+  def minhashClustersOracle(numHashes: Int = 128, bands: Int = 32): String = {
+    val ctes = bucketsCtes(numHashes, bands) ++ Seq(
       "withrep AS MATERIALIZED (SELECT doc_id, min(doc_id) OVER (PARTITION BY b, bh) AS rep FROM buckets)",
       "star AS MATERIALIZED (SELECT DISTINCT doc_id AS src, rep AS dst FROM withrep WHERE doc_id != rep)",
       "sym AS MATERIALIZED (SELECT src, dst FROM star UNION SELECT dst, src FROM star)",
@@ -224,6 +235,87 @@ private[analytics] object DuckXxh {
     )
     "WITH RECURSIVE " + ctes.mkString(",\n") +
       "\nSELECT id, min(lab) AS cluster_rep FROM reach GROUP BY id ORDER BY id"
+  }
+
+  /** The q38 oracle: MinHash-LSH near-dup pairs — candidates share ≥1
+    * band bucket, verified by exact token-set Jaccard ≥ threshold
+    * (mirrors [[graft.ops.TextDedup.minhashNearDups]]; Jaccard over the
+    * string token sets equals Jaccard over the hashed sets the engine
+    * intersects, xxhash64 being collision-free at this corpus size). The
+    * engine's viral-bucket cap is deliberately ABSENT: it cannot fire at
+    * oracle scale (a bucket holds at most all docs, and sf0.01's 500 <
+    * maxBucket=1000), so modelling it would be dead SQL.
+    */
+  def minhashNearDupsOracle(threshold: Double, numHashes: Int = 128,
+      bands: Int = 32): String = {
+    val ctes = bucketsCtes(numHashes, bands) ++ Seq(
+      "cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM buckets a JOIN buckets b ON a.b = b.b AND a.bh = b.bh " +
+        "AND a.doc_id < b.doc_id)",
+      s"dtoks AS MATERIALIZED (SELECT doc_id, $toksExpr AS toks FROM documents)",
+      "verif AS MATERIALIZED (SELECT id_a, id_b, " +
+        "CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) " +
+        "/ (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) AS jaccard " +
+        "FROM cand JOIN dtoks ta ON ta.doc_id = id_a JOIN dtoks tb ON tb.doc_id = id_b)",
+    )
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      s"\nSELECT id_a, id_b, jaccard FROM verif WHERE jaccard >= $threshold " +
+      "ORDER BY id_a, id_b"
+  }
+
+  /** The q79 oracle: incremental MinHash near-dups — every (new, old)
+    * doc pair sharing ≥1 band bucket, where "new" is the doc_id % 5 = 0
+    * ingest slice and "old" is the indexed remainder (mirrors
+    * [[graft.ops.TextDedup.incrementalNearDups]] and the q79 registration;
+    * both sides hash through the same signature chain, exactly as the
+    * probe requires params-matching the index). LSH-level pairs, no
+    * Jaccard verify; the cap cannot fire at oracle scale (see
+    * [[minhashNearDupsOracle]]).
+    */
+  def incrementalNearDupsOracle(numHashes: Int = 128, bands: Int = 32): String = {
+    val ctes = bucketsCtes(numHashes, bands)
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      "\nSELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old " +
+      "FROM buckets n JOIN buckets o ON n.b = o.b AND n.bh = o.bh " +
+      "WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 != 0 " +
+      "ORDER BY id_new, id_old"
+  }
+
+  /** The q39 oracle: SimHash near-dup pairs. Per-doc 64-bit SimHash (bit
+    * j set iff strictly more of the doc's distinct-token xxhash64 values
+    * have bit j set than clear — mirrors [[graft.functions.SimHash64]]'s
+    * counts(j) > 0), then ALL pairs at Hamming distance ≤ maxHamming.
+    * The engine's 16-bit-chunk candidate filter needs no modelling:
+    * maxHamming < 4 chunks means any qualifying pair shares a chunk by
+    * pigeonhole, so the engine's output is exactly the Hamming ball —
+    * the same argument its own pigeonhole-exactness contract test makes.
+    */
+  def simhashNearDupsOracle(maxHamming: Int = 3): String = {
+    require(maxHamming < 4,
+      "pigeonhole exactness (and hence this oracle) needs maxHamming < #chunks = 4")
+    // (xh_out >> j) % 2 rather than & 1: HUGEINT bit-ops are spottier
+    // than arithmetic; for non-negative values they agree
+    val bitSums = (0 until 64)
+      .map(j => s"SUM(CAST((xh_out >> $j) % 2 AS BIGINT)) AS b$j").mkString(", ")
+    // strict majority: ones − zeros > 0  ⇔  2·ones > n
+    val shExpr = (0 until 64)
+      .map(j => s"(CASE WHEN 2*b$j > n THEN CAST('${BigInt(1) << j}' AS HUGEINT) " +
+        "ELSE 0::HUGEINT END)")
+      .mkString(" + ")
+    val ctes = xxhStrCtes(
+      s"SELECT DISTINCT unnest($toksExpr) AS tok FROM documents").toVector ++ Seq(
+      s"doctok AS MATERIALIZED (SELECT doc_id, unnest($toksExpr) AS tok FROM documents)",
+      "dh AS MATERIALIZED (SELECT d.doc_id, x.xh_out FROM doctok d " +
+        "JOIN xstr_final x USING (tok))",
+      s"bits AS MATERIALIZED (SELECT doc_id, count(*) AS n, $bitSums FROM dh GROUP BY doc_id)",
+      s"shs AS MATERIALIZED (SELECT doc_id, ${signed(s"($shExpr)")} AS sh FROM bits)",
+    )
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      "\nSELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming " +
+      "FROM shs a JOIN shs b ON a.doc_id < b.doc_id " +
+      s"WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming " +
+      "ORDER BY id_a, id_b"
   }
 
   /** The q73 oracle: connected components over exact cosine-threshold
