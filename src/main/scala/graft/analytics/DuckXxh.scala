@@ -100,10 +100,14 @@ private[analytics] object DuckXxh {
 
   /** CTEs computing xxhash64(tok) (UTF-8 bytes, seed 42 — Spark's
     * single-argument form) for every row of `srcSql`, which must expose a
-    * string column `tok`. Final CTE `xstr_final` carries srcSql's columns
-    * plus `xh_out` (u64 HUGEINT).
+    * string column `tok` with DISTINCT values (the stripe loop's
+    * closing LEFT JOIN keys on `tok`, so duplicates would fan out).
+    * Final CTE `${pfx}str_final` carries srcSql's columns plus `xh_out`
+    * (u64 HUGEINT). `pfx` namespaces the CTE chain so two chains can
+    * coexist in one query (e.g. gram hashes + digest hashes in
+    * [[winnowFingerprintsOracle]]).
     */
-  private def xxhStrCtes(srcSql: String): Seq[String] = {
+  private def xxhStrCtes(srcSql: String, pfx: String = "x"): Seq[String] = {
     val seed = "42::HUGEINT"
     val hexmap = "strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))*16 + " +
       "strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17"
@@ -111,29 +115,29 @@ private[analytics] object DuckXxh {
       mul(rotl(add(s"v${i + 1}", mul(wordExpr("bl", s"32*k + ${8 * i}"), P2)), 31), P1)
     }.mkString(", ")
     val head = Seq(
-      s"xsrc AS MATERIALIZED ($srcSql)",
-      "xmeta0 AS MATERIALIZED (SELECT *, hex(encode(tok)) AS hx, " +
-        "octet_length(encode(tok)) AS blen FROM xsrc)",
-      s"xmeta AS MATERIALIZED (SELECT *, CAST([CAST($hexmap AS HUGEINT) " +
+      s"${pfx}src AS MATERIALIZED ($srcSql)",
+      s"${pfx}meta0 AS MATERIALIZED (SELECT *, hex(encode(tok)) AS hx, " +
+        s"octet_length(encode(tok)) AS blen FROM ${pfx}src)",
+      s"${pfx}meta AS MATERIALIZED (SELECT *, CAST([CAST($hexmap AS HUGEINT) " +
         "for i in range(1, blen + 1)] AS HUGEINT[]) AS bl, " +
-        "CAST(CASE WHEN blen >= 32 THEN blen // 32 ELSE 0 END AS INT) AS nbl FROM xmeta0)",
-      "xmeta2 AS MATERIALIZED (SELECT *, CAST((blen - 32*nbl) // 8 AS INT) AS nw, " +
-        "(blen - 32*nbl - 8*((blen - 32*nbl) // 8)) >= 4 AS has4 FROM xmeta)",
-      "xmeta3 AS MATERIALIZED (SELECT *, CAST(blen - 32*nbl - 8*nw - " +
-        "(CASE WHEN has4 THEN 4 ELSE 0 END) AS INT) AS nbytes, 32*nbl + 8*nw AS o4 FROM xmeta2)",
+        s"CAST(CASE WHEN blen >= 32 THEN blen // 32 ELSE 0 END AS INT) AS nbl FROM ${pfx}meta0)",
+      s"${pfx}meta2 AS MATERIALIZED (SELECT *, CAST((blen - 32*nbl) // 8 AS INT) AS nw, " +
+        s"(blen - 32*nbl - 8*((blen - 32*nbl) // 8)) >= 4 AS has4 FROM ${pfx}meta)",
+      s"${pfx}meta3 AS MATERIALIZED (SELECT *, CAST(blen - 32*nbl - 8*nw - " +
+        s"(CASE WHEN has4 THEN 4 ELSE 0 END) AS INT) AS nbytes, 32*nbl + 8*nw AS o4 FROM ${pfx}meta2)",
       // 32-byte stripe loop (recursive): v1..v4 accumulators, one step per stripe
-      "xblk AS (SELECT tok, bl, nbl, 0 AS k, " +
+      s"${pfx}blk AS (SELECT tok, bl, nbl, 0 AS k, " +
         s"${add(add(seed, P1), P2)} AS v1, ${add(seed, P2)} AS v2, " +
-        s"CAST($seed AS HUGEINT) AS v3, ${sub(seed, P1)} AS v4 FROM xmeta3 WHERE nbl > 0 " +
-        s"UNION ALL SELECT tok, bl, nbl, k+1, $stripeRounds FROM xblk WHERE k < nbl)",
-      "xblkd AS MATERIALIZED (SELECT tok, v1, v2, v3, v4 FROM xblk WHERE k = nbl)",
-      s"xmrg0 AS MATERIALIZED (SELECT *, ${add(add(rotl("v1", 1), rotl("v2", 7)), add(rotl("v3", 12), rotl("v4", 18)))} AS mh0 FROM xblkd)",
-      s"xmrg1 AS MATERIALIZED (SELECT *, ${add(mul(xor("mh0", rr("v1")), P1), P4)} AS mh1 FROM xmrg0)",
-      s"xmrg2 AS MATERIALIZED (SELECT *, ${add(mul(xor("mh1", rr("v2")), P1), P4)} AS mh2 FROM xmrg1)",
-      s"xmrg3 AS MATERIALIZED (SELECT *, ${add(mul(xor("mh2", rr("v3")), P1), P4)} AS mh3 FROM xmrg2)",
-      s"xmrg4 AS MATERIALIZED (SELECT *, ${add(mul(xor("mh3", rr("v4")), P1), P4)} AS mh4 FROM xmrg3)",
-      s"xh0 AS MATERIALIZED (SELECT m.*, CASE WHEN m.nbl = 0 THEN ${add(seed, P5)} " +
-        "ELSE g.mh4 END AS h0 FROM xmeta3 m LEFT JOIN xmrg4 g USING (tok))",
+        s"CAST($seed AS HUGEINT) AS v3, ${sub(seed, P1)} AS v4 FROM ${pfx}meta3 WHERE nbl > 0 " +
+        s"UNION ALL SELECT tok, bl, nbl, k+1, $stripeRounds FROM ${pfx}blk WHERE k < nbl)",
+      s"${pfx}blkd AS MATERIALIZED (SELECT tok, v1, v2, v3, v4 FROM ${pfx}blk WHERE k = nbl)",
+      s"${pfx}mrg0 AS MATERIALIZED (SELECT *, ${add(add(rotl("v1", 1), rotl("v2", 7)), add(rotl("v3", 12), rotl("v4", 18)))} AS mh0 FROM ${pfx}blkd)",
+      s"${pfx}mrg1 AS MATERIALIZED (SELECT *, ${add(mul(xor("mh0", rr("v1")), P1), P4)} AS mh1 FROM ${pfx}mrg0)",
+      s"${pfx}mrg2 AS MATERIALIZED (SELECT *, ${add(mul(xor("mh1", rr("v2")), P1), P4)} AS mh2 FROM ${pfx}mrg1)",
+      s"${pfx}mrg3 AS MATERIALIZED (SELECT *, ${add(mul(xor("mh2", rr("v3")), P1), P4)} AS mh3 FROM ${pfx}mrg2)",
+      s"${pfx}mrg4 AS MATERIALIZED (SELECT *, ${add(mul(xor("mh3", rr("v4")), P1), P4)} AS mh4 FROM ${pfx}mrg3)",
+      s"${pfx}h0 AS MATERIALIZED (SELECT m.*, CASE WHEN m.nbl = 0 THEN ${add(seed, P5)} " +
+        s"ELSE g.mh4 END AS h0 FROM ${pfx}meta3 m LEFT JOIN ${pfx}mrg4 g USING (tok))",
     )
     val stages = scala.collection.mutable.ArrayBuffer[(String, String)]()
     stages += ("th0" -> add("h0", "CAST(blen AS HUGEINT)"))
@@ -162,14 +166,14 @@ private[analytics] object DuckXxh {
       prev = s"bh${j + 1}"
     }
     stages ++= avalancheStages("xh", prev)
-    var prevCte = "xh0"
+    var prevCte = s"${pfx}h0"
     val tail = stages.zipWithIndex.map { case ((col, expr), i) =>
-      val nm = s"xst$i"
+      val nm = s"${pfx}st$i"
       val c = s"$nm AS MATERIALIZED (SELECT *, $expr AS $col FROM $prevCte)"
       prevCte = nm
       c
     }
-    head ++ tail :+ s"xstr_final AS MATERIALIZED (SELECT * EXCLUDE (hx, bl) FROM $prevCte)"
+    head ++ tail :+ s"${pfx}str_final AS MATERIALIZED (SELECT * EXCLUDE (hx, bl) FROM $prevCte)"
   }
 
   /** Recursive min-label closure over `symCte` (src, dst — already
@@ -316,6 +320,56 @@ private[analytics] object DuckXxh {
       "FROM shs a JOIN shs b ON a.doc_id < b.doc_id " +
       s"WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming " +
       "ORDER BY id_a, id_b"
+  }
+
+  /** The q63 oracle: winnowing fingerprints (Schleimer/Wilkerson/Aiken).
+    * Mirrors [[graft.analytics.TextQueries]] q63 exactly: hash every char
+    * k-gram (substr is character-based in both engines), take the min of
+    * each sliding window of w hashes over Java's SIGNED long order,
+    * de-duplicate keeping FIRST-OCCURRENCE order (the digest is
+    * order-sensitive), and xxhash64 the comma-joined decimal rendering —
+    * which needs a SECOND hash chain, namespaced by the `pfx` parameter,
+    * over the (distinct) digest strings. Docs with fewer than w grams
+    * yield the single global min, exactly like
+    * [[graft.functions.WinnowMins]]'s short-input branch.
+    */
+  def winnowFingerprintsOracle(k: Int = 5, w: Int = 8): String = {
+    val gramCtes = Seq(
+      // one row per gram position; a doc shorter than k chars is its own
+      // single gram (charGramHashes' `when(length < k)` branch)
+      s"gpos AS MATERIALIZED (SELECT doc_id, text, " +
+        s"CAST(unnest(range(1, greatest(length(text) - ${k - 2}, 2))) AS INT) AS pos " +
+        "FROM documents)",
+      s"grams AS MATERIALIZED (SELECT doc_id, pos, " +
+        s"CASE WHEN length(text) < $k THEN text ELSE substr(text, pos, $k) END AS tok " +
+        "FROM gpos)",
+    )
+    val chain1 = xxhStrCtes("SELECT DISTINCT tok FROM grams")
+    val winnowCtes = Seq(
+      s"gh AS MATERIALIZED (SELECT g.doc_id, g.pos, ${signed("x.xh_out")} AS h " +
+        "FROM grams g JOIN xstr_final x USING (tok))",
+      "gcnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id)",
+      "wmin AS MATERIALIZED (SELECT g.doc_id, g.pos, " +
+        s"min(g.h) OVER (PARTITION BY g.doc_id ORDER BY g.pos " +
+        s"ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS m " +
+        s"FROM gh g JOIN gcnt c USING (doc_id) WHERE c.n >= $w)",
+      // full windows only; first-occurrence position per distinct min
+      s"firstocc AS MATERIALIZED (SELECT doc_id, m, min(pos) AS fp " +
+        s"FROM wmin WHERE pos >= $w GROUP BY doc_id, m)",
+      "fps AS MATERIALIZED (" +
+        "SELECT doc_id, list(m ORDER BY fp) AS l FROM firstocc GROUP BY doc_id " +
+        "UNION ALL " +
+        "SELECT g.doc_id, [min(g.h)] AS l FROM gh g JOIN gcnt c USING (doc_id) " +
+        s"WHERE c.n < $w GROUP BY g.doc_id)",
+      "dstr AS MATERIALIZED (SELECT doc_id, array_to_string(l, ',') AS tok, " +
+        "len(l) AS nf FROM fps)",
+    )
+    val chain2 = xxhStrCtes("SELECT DISTINCT tok FROM dstr", "y")
+    val ctes = gramCtes ++ chain1 ++ winnowCtes ++ chain2
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      "\nSELECT d.doc_id, CAST(d.nf AS INTEGER) AS n_fingerprints, " +
+      s"${signed("y.xh_out")} AS fp_digest " +
+      "FROM dstr d JOIN ystr_final y USING (tok) ORDER BY d.doc_id"
   }
 
   /** The q73 oracle: connected components over exact cosine-threshold

@@ -95,9 +95,12 @@ object TextQueries {
     // Guarantee: documents sharing a substring of >= w+k-1 chars share a
     // fingerprint (asserted in TextWinnowSpec). Pure Catalyst
     // (sequence/transform/slice/array_min) — codegen'd, linear per doc,
-    // no shuffle until the final aggregate. Rows-only here; the oracle
-    // contract is the sbt guarantee test.
-    QueryDef("q63_winnow_fingerprints", None) { (s, dir) =>
+    // no shuffle until the final aggregate. Hash-checked: the oracle
+    // re-runs gram hashing, window minima, first-occurrence dedup, and
+    // the digest hash in pure DuckDB SQL (DuckXxh, two hash chains).
+    QueryDef("q63_winnow_fingerprints",
+      Some(DuckXxh.winnowFingerprintsOracle(k = 5, w = 8)),
+    ) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), charGramHashes(col("text"), 5).as("_g"))
         .select(col("doc_id"),
