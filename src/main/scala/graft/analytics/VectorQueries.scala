@@ -90,6 +90,21 @@ object VectorQueries {
         .orderBy("id")
     },
 
+    // ---- incremental embedding near-dups: the per-ingest-batch shape —
+    // a new 20% slice probes the existing corpus's sign-bucket signature
+    // index instead of recomputing corpus signatures (vector twin of
+    // q79). Rows-only (LSH is not SQL-expressible); batch-equivalence,
+    // index round-trip, and recall contracts live in VectorIndexSpec.
+    // threshold/probeBits mirror q42's operating point.
+    QueryDef("q80_incremental_cosine_neardups", None) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val old = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val fresh = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val index = VectorSim.signIndex(old, "vec_id", "embedding")
+      VectorSim.incrementalCosineNearDups(fresh, index, "vec_id", "embedding",
+        threshold = 0.25, probeBits = 1).orderBy("id_new", "id_old")
+    },
+
     // ---- IVF-partitioned approximate kNN (inverted-file scale path;
     // rows check — the recall contract vs exact top-k lives in
     // RecallContractSpec)

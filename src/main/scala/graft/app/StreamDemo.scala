@@ -98,7 +98,40 @@ object StreamDemo {
     println(s"incremental dedup stream: ${streamedPairs.size} pairs over 3 waves " +
       s"(batch-equivalent=${streamedPairs == directPairs}, index monotone=$indexMonotone)")
 
-    if (finalCount != perWave * waves || sum != 5000 || !dedupOk) {
+    // ---- the vector twin: per-ingest embedding dedup over the persisted
+    // sign-bucket index, same read→probe→append loop and the same gate
+    import graft.ops.VectorSim
+    val emb = graft.core.Tables.embeddings(spark,
+      args.lift(2).getOrElse("/root/testdata/sf0.001"))
+      .select("vec_id", "embedding")
+    val vecWaves = (0 until 3).map(k => emb.filter(col("vec_id") % 3 === k))
+    val vwork = s"$work/vdedup"
+    var vIndexRows = 0L
+    var vIndexMonotone = true
+    vecWaves.foreach { w =>
+      w.write.mode("append").parquet(s"$vwork/raw")
+      val q = Streaming.incrementalVectorDedupStream(
+        spark.readStream.schema(emb.schema).parquet(s"$vwork/raw"),
+        s"$vwork/idx", s"$vwork/pairs", s"$vwork/ckpt", threshold = 0.25)
+      q.awaitTermination(120000)
+      vIndexRows += w.count()
+      vIndexMonotone &&= VectorSim.readSignIndex(spark, s"$vwork/idx").count() == vIndexRows
+    }
+    val vStreamed = spark.read.parquet(s"$vwork/pairs")
+      .select("id_new", "id_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vDirect = (1 until 3).flatMap { k =>
+      VectorSim.incrementalCosineNearDups(vecWaves(k),
+        VectorSim.signIndex(vecWaves.take(k).reduce(_ unionByName _),
+          "vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.25, probeBits = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }.toSet
+    val vDedupOk = vIndexMonotone && vStreamed == vDirect && vDirect.nonEmpty
+    println(s"incremental vector dedup stream: ${vStreamed.size} pairs over 3 waves " +
+      s"(batch-equivalent=${vStreamed == vDirect}, index monotone=$vIndexMonotone)")
+
+    if (finalCount != perWave * waves || sum != 5000 || !dedupOk || !vDedupOk) {
       spark.stop(); sys.exit(2)
     }
     spark.stop()

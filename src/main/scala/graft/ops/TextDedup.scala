@@ -354,7 +354,7 @@ object TextDedup {
     * relations, V2 (Delta/Iceberg-style) relations, Hive tables, and
     * already-cached data (InMemoryRelation).
     */
-  private def isBareScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+  private[ops] def isBareScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     p match {
       case prj: org.apache.spark.sql.catalyst.plans.logical.Project => isBareScan(prj.child)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => isBareScan(f.child)

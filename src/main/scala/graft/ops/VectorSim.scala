@@ -491,6 +491,141 @@ object VectorSim {
     }
   }
 
+  /** Sign-bucket LSH signatures for a corpus: (id, v, tb) where `tb` is
+    * the per-table bucket array [[graft.functions.LshExprs.lshSignBuckets]]
+    * computes. The precomputable half of embedding near-dup detection —
+    * the vector twin of [[graft.ops.TextDedup.minhashSignatures]]. The
+    * vectors ride along so a persisted index is the corpus's embedding
+    * store AND its candidate structure; probes column-prune `tb` for
+    * bucketing and read `v` only for the surviving candidates' verify
+    * join.
+    */
+  def signIndex(df: DataFrame, idCol: String, vecCol: String,
+      numTables: Int = 8, planesPerTable: Int = 6,
+      dim: Int = 64, seed: Long = 42L): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("tb",
+        LshExprs.lshSignBuckets(col("v"), numTables, planesPerTable, dim, seed))
+
+  private def stampedSignIndex(df: DataFrame, idCol: String, vecCol: String,
+      numTables: Int, planesPerTable: Int, dim: Int, seed: Long): DataFrame =
+    signIndex(df, idCol, vecCol, numTables, planesPerTable, dim, seed)
+      .withColumn("_num_tables", lit(numTables))
+      .withColumn("_planes_per_table", lit(planesPerTable))
+      .withColumn("_dim", lit(dim))
+      .withColumn("_seed", lit(seed))
+
+  /** Persist the sign-bucket index (parquet), params-stamped so a
+    * mismatched probe fails loudly (the planes are seed-derived, so
+    * differing params silently hash into disjoint buckets otherwise).
+    */
+  def writeSignIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, numTables: Int = 8, planesPerTable: Int = 6,
+      dim: Int = 64, seed: Long = 42L): Unit =
+    stampedSignIndex(df, idCol, vecCol, numTables, planesPerTable, dim, seed)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append one ingest batch's signatures idempotently under retries —
+    * the batch owns `path/batch=<id>` and a retry overwrites it instead
+    * of appending duplicate id rows (same maintenance contract as
+    * [[graft.ops.TextDedup.appendMinhashIndexBatch]]).
+    */
+  def appendSignIndexBatch(df: DataFrame, idCol: String, vecCol: String,
+      path: String, batchId: Long, numTables: Int = 8, planesPerTable: Int = 6,
+      dim: Int = 64, seed: Long = 42L): Unit =
+    stampedSignIndex(df, idCol, vecCol, numTables, planesPerTable, dim, seed)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  def readSignIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
+  /** Incremental embedding near-dup detection: LSH candidate pairs
+    * between a NEW ingest batch and the EXISTING corpus's persisted
+    * sign-bucket index, verified by exact cosine ≥ threshold — the
+    * per-ingest-batch production shape, mirroring
+    * [[graft.ops.TextDedup.incrementalNearDups]] (recomputing corpus
+    * signatures per batch is quadratic over the corpus's lifetime).
+    *
+    * Emits (id_new, id_old, cosine) exactly once per qualifying pair:
+    * the bucket join produces a pair once per close table and the
+    * first-close-table filter keeps one copy — per-row, no pairs-sized
+    * dedup shuffle. Multi-probe (`probeBits = 1`) explodes probes on the
+    * NEW side only (an ingest batch is small); the close-table test
+    * `popcount(xor) <= probeBits` is symmetric, so the emitted pair set
+    * equals [[cosineNearDups]] over the union corpus restricted to
+    * (new, old) pairs — the batch-equivalence contract in
+    * VectorIndexSpec. Index params must match the probe's and index ids
+    * must be unique; both are checked loudly, as in the MinHash probe.
+    * No viral-bucket cap, matching [[cosineNearDups]]: sign buckets
+    * partition each table ~2^planes-fold and the exact-cosine verify
+    * bounds emitted pairs.
+    */
+  def incrementalCosineNearDups(newVecs: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      numTables: Int = 8, planesPerTable: Int = 6,
+      dim: Int = 64, seed: Long = 42L, probeBits: Int = 0): DataFrame = {
+    val stamped = index.columns.contains("_num_tables")
+    if (stamped) {
+      // limit(1): an EMPTY stamped index (first-ever ingest) must yield
+      // empty pairs, not a first() crash
+      index.select("_num_tables", "_planes_per_table", "_dim", "_seed").limit(1)
+        .collect().headOption.foreach { p =>
+          require(p.getInt(0) == numTables && p.getInt(1) == planesPerTable &&
+            p.getInt(2) == dim && p.getLong(3) == seed,
+            s"index was written with (numTables=${p.getInt(0)}, " +
+              s"planesPerTable=${p.getInt(1)}, dim=${p.getInt(2)}, " +
+              s"seed=${p.getLong(3)}), probe uses " +
+              s"($numTables, $planesPerTable, $dim, $seed)")
+        }
+    }
+    val idx = if (stamped)
+      index.drop("_num_tables", "_planes_per_table", "_dim", "_seed")
+    else index
+    // persist only when the index plan carries real computation (an
+    // in-memory signIndex): a bare parquet/cached scan re-reads cheaply
+    // column-pruned (same policy as TextDedup.incrementalNearDups)
+    val ownPersist = index.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+      idx.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+      !TextDedup.isBareScan(idx.queryExecution.optimizedPlan)
+    if (ownPersist) idx.persist()
+    try {
+      val dup = idx.groupBy("id").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select("id").take(1)
+      require(dup.isEmpty,
+        s"index contains duplicate id ${dup.headOption.map(_.get(0)).orNull} " +
+          "(retried append?); repair the index with dropDuplicates(\"id\") " +
+          "and a write-to-new-path swap before probing")
+      val fresh = signIndex(newVecs, idCol, vecCol,
+        numTables, planesPerTable, dim, seed)
+      fresh.persist() // read twice: probe explode + new-side verify join
+      try {
+        val a = explodeProbes(
+          fresh.select(col("id").as("id_new"), col("tb").as("tb_new")),
+          "tb_new", planesPerTable, probeBits)
+        val b = idx.select(col("id").as("id_old"), col("tb").as("tb_old"),
+          posexplode(col("tb")).as(Seq("table", "bucket")))
+        val cands = a.join(b, Seq("table", "bucket"))
+          .filter(col("id_new") =!= col("id_old"))
+          .filter(LshExprs.firstCloseIndex(col("tb_new"), col("tb_old"),
+            probeBits) === col("table"))
+          .select("id_new", "id_old")
+        // vectors join back only for surviving candidates: new side from
+        // the (small) batch, old side column-pruned from the index
+        val vn = fresh.select(col("id").as("id_new"), col("v").as("vn"),
+          sqrt(normSq(col("v"))).as("nn"))
+        val vo = idx.select(col("id").as("id_old"), col("v").as("vo"),
+          sqrt(normSq(col("v"))).as("no"))
+        val pairs = cands.join(vo, "id_old").join(vn, "id_new")
+          .withColumn("cosine", dot(col("vn"), col("vo")) / (col("nn") * col("no")))
+          .filter(col("cosine") >= threshold)
+          .select("id_new", "id_old", "cosine")
+        pairs.localCheckpoint(true)
+      } finally fresh.unpersist(false)
+    } finally {
+      if (ownPersist) idx.unpersist(false)
+    }
+  }
+
   /** EXACT cosine near-dup pairs (id_a < id_b, cosine >= threshold) by a
     * guarded self-join — the oracle-grade exact twin of [[cosineNearDups]],
     * the same role [[graft.ops.TextDedup.jaccardPairs]] plays for the

@@ -124,6 +124,48 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming incremental EMBEDDING near-dup dedup — the vector twin of
+    * [[incrementalDedupStream]], same read→probe→append maintenance loop
+    * over a [[graft.ops.VectorSim.writeSignIndex]]-shaped sign-bucket
+    * index: each micro-batch probes the persisted index
+    * ([[graft.ops.VectorSim.incrementalCosineNearDups]]), lands its
+    * verified (id_new, id_old, cosine) pairs under `pairsDir/batch=<id>`,
+    * then appends its own signatures idempotently. Corpus signatures are
+    * never recomputed.
+    */
+  def incrementalVectorDedupStream(vecs: DataFrame, indexDir: String,
+      pairsDir: String, checkpoint: String,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.5, numTables: Int = 8, planesPerTable: Int = 6,
+      dim: Int = 64, seed: Long = 42L, probeBits: Int = 1): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val cached = batch.persist() // read twice: probe + signature append
+        try {
+          val pairs =
+            if (fs.exists(idxPath))
+              graft.ops.VectorSim.incrementalCosineNearDups(cached,
+                graft.ops.VectorSim.readSignIndex(sp, indexDir),
+                idCol, vecCol, threshold, numTables, planesPerTable,
+                dim, seed, probeBits)
+            else // first-ever ingest: nothing to collide with, typed empty
+              cached.select(col(idCol).as("id_new"), col(idCol).as("id_old"),
+                lit(0.0).as("cosine")).limit(0)
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          graft.ops.VectorSim.appendSignIndexBatch(cached, idCol, vecCol,
+            indexDir, batchId, numTables, planesPerTable, dim, seed)
+        } finally {
+          cached.unpersist(false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

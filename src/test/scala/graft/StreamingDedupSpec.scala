@@ -65,4 +65,50 @@ class StreamingDedupSpec extends SparkSpec {
     TextDedup.incrementalNearDups(
       docs.filter(col("doc_id") === 1L), after, "text", "doc_id").count()
   }
+
+  test("vector twin: streamed waves emit the batch-by-batch cosine probe pairs; index grows") {
+    import graft.ops.VectorSim
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val waves = (0 until 3).map(k => emb.filter(col("vec_id") % 3 === k))
+    val work = java.nio.file.Files.createTempDirectory("graft_svdedup").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val pairsDir = s"$work/pairs"; val ckpt = s"$work/ckpt"
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(emb.schema).parquet(raw)
+      val q = Streaming.incrementalVectorDedupStream(stream, idx, pairsDir, ckpt,
+        threshold = 0.25)
+      assert(q.awaitTermination(180000), "streaming batch did not finish in time")
+    }
+    var expectIndexRows = 0L
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.write.mode("append").parquet(raw)
+      run()
+      expectIndexRows += w.count()
+      val idxRows = VectorSim.readSignIndex(spark, idx)
+      assert(idxRows.count() == expectIndexRows,
+        s"after wave $k the index must hold every ingested signature")
+      assert(idxRows.select("id").distinct().count() == expectIndexRows,
+        "index ids stay unique across appends")
+    }
+
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_new", "id_old").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = (1 until 3).flatMap { k =>
+      val prior = waves.take(k).reduce(_ unionByName _)
+      pairSet(VectorSim.incrementalCosineNearDups(waves(k),
+        VectorSim.signIndex(prior, "vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.25, probeBits = 1))
+        .map { case (n, o) => (k.toLong, n, o) }
+    }.toSet
+    val streamed = spark.read.parquet(pairsDir)
+      .select(col("batch").cast("long"), col("id_new"), col("id_old")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(direct.nonEmpty, "waves must collide for the test to mean anything")
+    assert(streamed == direct,
+      s"stream pairs must equal batch-by-batch probes; " +
+        s"extra=${(streamed -- direct).take(3)} missing=${(direct -- streamed).take(3)}")
+  }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.VectorSim
+
+/** Contracts for the persisted sign-bucket index and the incremental
+  * embedding near-dup probe (q80) — the vector twins of the MinHash
+  * index contracts in CorpusOpsSpec.
+  */
+class VectorIndexSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+
+  private def crossPairs(df: org.apache.spark.sql.DataFrame,
+      aCol: String, bCol: String): Set[(Long, Long)] =
+    df.select(aCol, bCol).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+
+  test("q80: incremental probe equals cosineNearDups restricted to (new, old)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val old = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val fresh = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    for (probeBits <- Seq(0, 1)) {
+      val inc = crossPairs(VectorSim.incrementalCosineNearDups(
+        fresh, VectorSim.signIndex(old, "vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.25, probeBits = probeBits),
+        "id_new", "id_old")
+      // direct: whole-corpus pairs, keep only (new, old) cross pairs.
+      // The close-table test popcount(xor) <= probeBits is symmetric, so
+      // probing from the new side emits exactly the cross slice of the
+      // whole-corpus run.
+      val isNew = (id: Long) => id % 5 == 0
+      val direct = crossPairs(VectorSim.cosineNearDups(emb, "vec_id", "embedding",
+        threshold = 0.25, probeBits = probeBits), "id_a", "id_b")
+        .filter { case (a, b) => isNew(a) != isNew(b) }
+      assert(inc == direct,
+        s"probeBits=$probeBits: incremental != direct cross slice " +
+          s"(${(inc -- direct).take(3)} extra, ${(direct -- inc).take(3)} missing)")
+      assert(inc.nonEmpty, "trivially-empty batch equivalence proves nothing")
+    }
+  }
+
+  test("q80: emitted pairs are exact-verified and recall >= 0.9 at cosine 0.5") {
+    // threshold 0.5: the SAME operating point q42's recall contract
+    // measures (at the q80 analysis threshold 0.25, LSH recall is ~0.87
+    // by design — soundness still holds and the batch-equivalence test
+    // covers that regime). The driver embeddings have no true near-dups
+    // (max pairwise cosine ~0.48), so plant NEW-side (id % 5 = 0)
+    // jittered copies of OLD-side vectors: every planted pair lands in
+    // the cross (new, old) slice the incremental probe emits.
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val rnd = new scala.util.Random(4321)
+    val planted = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0).limit(100)
+      .collect().zipWithIndex.map { case (r, i) =>
+        val v = r.getSeq[Float](1).toArray
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val c = 0.5 + 0.45 * (i % 10) / 9.0 // target cosines 0.5 .. 0.95
+        val sigma = norm * math.sqrt(1.0 / (c * c) - 1.0) / math.sqrt(v.length.toDouble)
+        (100000L + 5L * i,
+          v.map(x => (x + sigma * rnd.nextGaussian()).toFloat).toSeq)
+      }.toSeq.toDF("vec_id", "embedding")
+    val aug = emb.union(planted)
+    val old = aug.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val fresh = aug.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val truth = crossPairs(VectorSim.exactCosinePairs(aug, "vec_id", "embedding",
+      threshold = 0.5), "id_a", "id_b")
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+    assert(truth.size >= 80, s"planting failed: only ${truth.size} true cross pairs")
+    val got = crossPairs(VectorSim.incrementalCosineNearDups(
+      fresh, VectorSim.signIndex(old, "vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.5, probeBits = 1),
+      "id_new", "id_old")
+    assert(got.subsetOf(truth), s"${(got -- truth).take(5)} not exact-verified")
+    val recall = got.size.toDouble / truth.size
+    info(f"q80 incremental cosine recall vs exact@0.5: $recall%.4f (${got.size}/${truth.size})")
+    assert(recall >= 0.9, f"recall $recall%.4f below contract 0.9")
+  }
+
+  test("index round-trip: persisted index probes like the in-memory one; retries idempotent") {
+    val emb = Tables.embeddings(spark, sf001)
+    val old = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val fresh = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("signidx").toString
+    val b0 = old.filter(col("vec_id") < 250)
+    val b1 = old.filter(col("vec_id") >= 250)
+    VectorSim.appendSignIndexBatch(b0, "vec_id", "embedding", dir, batchId = 0)
+    VectorSim.appendSignIndexBatch(b1, "vec_id", "embedding", dir, batchId = 1)
+    // a RETRIED append overwrites its own batch dir instead of duplicating
+    VectorSim.appendSignIndexBatch(b1, "vec_id", "embedding", dir, batchId = 1)
+    val persisted = VectorSim.readSignIndex(spark, dir)
+    assert(persisted.count() == old.count(), "retry must not duplicate rows")
+    val viaFile = crossPairs(VectorSim.incrementalCosineNearDups(
+      fresh, persisted, "vec_id", "embedding", threshold = 0.25, probeBits = 1),
+      "id_new", "id_old")
+    val viaMem = crossPairs(VectorSim.incrementalCosineNearDups(
+      fresh, VectorSim.signIndex(old, "vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.25, probeBits = 1),
+      "id_new", "id_old")
+    assert(viaFile == viaMem, "persisted and in-memory index must probe identically")
+  }
+
+  test("params-mismatched index is rejected; duplicate ids are rejected; empty index yields empty") {
+    val emb = Tables.embeddings(spark, sf001)
+    val old = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val fresh = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("signidx").toString
+    VectorSim.writeSignIndex(old, "vec_id", "embedding", dir, numTables = 4)
+    val idx = VectorSim.readSignIndex(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      VectorSim.incrementalCosineNearDups(fresh, idx, "vec_id", "embedding",
+        threshold = 0.25, numTables = 8)
+    }
+    assert(e.getMessage.contains("numTables=4"))
+
+    val dup = intercept[IllegalArgumentException] {
+      VectorSim.incrementalCosineNearDups(fresh,
+        VectorSim.signIndex(old.union(old.limit(1)), "vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.25)
+    }
+    assert(dup.getMessage.contains("duplicate id"))
+
+    val empty = VectorSim.incrementalCosineNearDups(fresh,
+      VectorSim.signIndex(old.limit(0), "vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.25)
+    assert(empty.count() == 0, "empty index (first ingest) must probe to empty")
+  }
+}
