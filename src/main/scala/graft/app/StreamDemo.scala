@@ -81,7 +81,9 @@ object StreamDemo {
       val q = Streaming.incrementalDedupStream(
         spark.readStream.schema(docs.schema).parquet(s"$dwork/raw"),
         s"$dwork/idx", s"$dwork/pairs", s"$dwork/ckpt")
-      q.awaitTermination(120000)
+      if (!q.awaitTermination(120000)) { // a timeout must fail AS a timeout,
+        println("dedup stream wave timed out"); spark.stop(); sys.exit(2)
+      } // not as a misleading index-monotonicity break
       indexRows += w.count()
       indexMonotone &&= TextDedup.readMinhashIndex(spark, s"$dwork/idx").count() == indexRows
     }
@@ -113,7 +115,9 @@ object StreamDemo {
       val q = Streaming.incrementalVectorDedupStream(
         spark.readStream.schema(emb.schema).parquet(s"$vwork/raw"),
         s"$vwork/idx", s"$vwork/pairs", s"$vwork/ckpt", threshold = 0.25)
-      q.awaitTermination(120000)
+      if (!q.awaitTermination(120000)) {
+        println("vector dedup stream wave timed out"); spark.stop(); sys.exit(2)
+      }
       vIndexRows += w.count()
       vIndexMonotone &&= VectorSim.readSignIndex(spark, s"$vwork/idx").count() == vIndexRows
     }

@@ -189,10 +189,19 @@ private final class RestPartitionReader(
     // short page = end of the feed (only meaningful when paging
     // sequentially; planned ranges trust the planner's page count)
     if (part.sequential && batch.size < pageSize) exhausted = true
-    rows = batch.iterator.flatMap(json =>
-      parser.parse(json, createParser,
-        org.apache.spark.unsafe.types.UTF8String.fromString))
-    if (batch.isEmpty && !part.sequential) rows = Iterator.empty
+    // malformed records (an HTML error page, truncated JSON) are DROPPED
+    // rather than killing the query: JacksonParser throws the internal
+    // BadRecordException that Spark's own json source routes through
+    // FailureSafeParser — flaky APIs are the norm, and one bad element
+    // must not abort a backfill (same quarantine stance as JsonlIngest)
+    rows = batch.iterator.flatMap { json =>
+      try parser.parse(json, createParser,
+        org.apache.spark.unsafe.types.UTF8String.fromString)
+      catch {
+        case _: org.apache.spark.sql.catalyst.util.BadRecordException =>
+          Iterator.empty
+      }
+    }
   }
 
   override def next(): Boolean = {

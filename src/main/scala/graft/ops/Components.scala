@@ -44,7 +44,7 @@ object Components extends org.apache.spark.internal.Logging {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIterations: Int = 10,
-      localEdgeLimit: Long = 5000000L): DataFrame =
+      localEdgeLimit: Long = 1000000L): DataFrame =
     connectedComponentsWithRounds(nodes, edges, maxIterations, localEdgeLimit)._1
 
   /** [[connectedComponents]] plus the number of propagation rounds the
@@ -53,7 +53,7 @@ object Components extends org.apache.spark.internal.Logging {
     * which forces the distributed loop with `localEdgeLimit = 0`).
     */
   private[graft] def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
-      maxIterations: Int, localEdgeLimit: Long = 5000000L): (DataFrame, Int) = {
+      maxIterations: Int, localEdgeLimit: Long = 1000000L): (DataFrame, Int) = {
     val sym = edges
       .select(explode(array(
         struct(col("src").as("id"), col("dst").as("rep")),
@@ -65,11 +65,16 @@ object Components extends org.apache.spark.internal.Logging {
 
     // driver union-find when the edge subgraph is small: the collect is
     // bounded by localEdgeLimit (src, dst) longs, and the result rides
-    // back as a broadcast-sized label table
+    // back as a broadcast-sized label table. Collected as SPECIALIZED
+    // (Long, Long) tuples, not GenericRow — at the 1M-edge default that
+    // is ~32MB vs several hundred MB of Row objects, keeping the
+    // shortcut safe on a default-1g driver
     val nEdges = sym.count()
     if (nEdges <= localEdgeLimit) {
+      val spark0 = nodes.sparkSession
+      import spark0.implicits._
       val pairs = sym.filter(col("id") < col("rep"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -85,9 +90,7 @@ object Components extends org.apache.spark.internal.Logging {
       val labels = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
         .toSet[Long].toSeq.map(id => (id, find(id)))
       sym.unpersist()
-      val spark = nodes.sparkSession
-      import spark.implicits._
-      val labelDf = spark.createDataset(labels).toDF("id", "cluster_rep")
+      val labelDf = spark0.createDataset(labels).toDF("id", "cluster_rep")
       val out = nodes
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"),

@@ -87,7 +87,11 @@ object PngCodec {
     var got = 0
     while (got < raw.length && !inf.finished()) {
       val n = inf.inflate(raw, got, raw.length - got)
-      if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated stream
+      // n == 0 without progress means the stream can never complete:
+      // needsInput = truncated, needsDictionary = zlib FDICT set (PNG
+      // forbids it, adversarial bytes can still carry it) — either way
+      // bail instead of spinning; totality on garbage is the contract
+      if (n == 0) { inf.end(); return None }
       got += n
     }
     inf.end()

@@ -235,7 +235,7 @@ object TextDedup {
   def incrementalNearDups(newDocs: DataFrame, index: DataFrame,
       textCol: String, idCol: String, shingleLen: Int = 1,
       numHashes: Int = 128, bands: Int = 32,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, validateIds: Boolean = true): DataFrame = {
     // a params-stamped index (writeMinhashIndex) must match the probe's
     // params — a mismatch chains different signature slices and silently
     // returns near-zero collisions
@@ -270,15 +270,22 @@ object TextDedup {
     var capCache: Option[DataFrame] = None
     try {
       // id-uniqueness gate: a duplicated index id would multiply pair
-      // rows (uncapped) or corrupt the per-doc band map (capped) — fail
+      // rows (uncapped) or corrupt the capped path's counts — fail
       // loudly instead, identically on both paths. Column-pruned to the
-      // id alone; partial counts combine map-side.
-      val dup = idx.groupBy("id").agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > 1).select("id").take(1)
-      require(dup.isEmpty,
-        s"index contains duplicate id ${dup.headOption.map(_.get(0)).orNull} " +
-          "(retried append?); repair the index with dropDuplicates(\"id\") " +
-          "and a write-to-new-path swap before probing")
+      // id alone; partial counts combine map-side. Still a full pass over
+      // the index's id column per probe, so callers that structurally
+      // guarantee uniqueness (the streaming loop: each batch overwrites
+      // its OWN batch=<id> partition, so a retry cannot duplicate)
+      // may pass validateIds = false to keep the per-ingest hot path
+      // free of a corpus-sized scan.
+      if (validateIds) {
+        val dup = idx.groupBy("id").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > 1).select("id").take(1)
+        require(dup.isEmpty,
+          s"index contains duplicate id ${dup.headOption.map(_.get(0)).orNull} " +
+            "(retried append?); repair the index with dropDuplicates(\"id\") " +
+            "and a write-to-new-path swap before probing")
+      }
       val fresh = minhashSignatures(newDocs, textCol, idCol,
         shingleLen, numHashes, bands)
       val a = fresh.select(col("id").as("id_new"), col("bhs").as("bhs_new"),

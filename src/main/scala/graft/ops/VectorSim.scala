@@ -563,7 +563,8 @@ object VectorSim {
   def incrementalCosineNearDups(newVecs: DataFrame, index: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       numTables: Int = 8, planesPerTable: Int = 6,
-      dim: Int = 64, seed: Long = 42L, probeBits: Int = 0): DataFrame = {
+      dim: Int = 64, seed: Long = 42L, probeBits: Int = 0,
+      validateIds: Boolean = true): DataFrame = {
     val stamped = index.columns.contains("_num_tables")
     if (stamped) {
       // limit(1): an EMPTY stamped index (first-ever ingest) must yield
@@ -589,12 +590,16 @@ object VectorSim {
       !TextDedup.isBareScan(idx.queryExecution.optimizedPlan)
     if (ownPersist) idx.persist()
     try {
-      val dup = idx.groupBy("id").agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > 1).select("id").take(1)
-      require(dup.isEmpty,
-        s"index contains duplicate id ${dup.headOption.map(_.get(0)).orNull} " +
-          "(retried append?); repair the index with dropDuplicates(\"id\") " +
-          "and a write-to-new-path swap before probing")
+      // full id-column pass; skippable by structurally-safe callers —
+      // see TextDedup.incrementalNearDups' validateIds note
+      if (validateIds) {
+        val dup = idx.groupBy("id").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > 1).select("id").take(1)
+        require(dup.isEmpty,
+          s"index contains duplicate id ${dup.headOption.map(_.get(0)).orNull} " +
+            "(retried append?); repair the index with dropDuplicates(\"id\") " +
+            "and a write-to-new-path swap before probing")
+      }
       val fresh = signIndex(newVecs, idCol, vecCol,
         numTables, planesPerTable, dim, seed)
       fresh.persist() // read twice: probe explode + new-side verify join

@@ -106,11 +106,25 @@ object Streaming {
         val cached = batch.persist() // read twice: probe + signature append
         try {
           val pairs =
-            if (fs.exists(idxPath))
-              graft.ops.TextDedup.incrementalNearDups(cached,
-                graft.ops.TextDedup.readMinhashIndex(sp, indexDir),
-                textCol, idCol, shingleLen, numHashes, bands, maxBucket)
-            else // first-ever ingest: nothing to collide with, typed empty
+            if (fs.exists(idxPath)) {
+              // exclude this batch's OWN partition from the probe: a retry
+              // that crashed between the append and the streaming commit
+              // re-runs with its signatures already in the index, and
+              // probing them would emit spurious intra-batch pairs —
+              // breaking the retry-idempotence the batch=<id> append
+              // otherwise provides
+              val idx0 = graft.ops.TextDedup.readMinhashIndex(sp, indexDir)
+              // a pre-seeded writeMinhashIndex dir has no batch column —
+              // then no partition can be this batch's own
+              val idx = if (idx0.columns.contains("batch"))
+                idx0.filter(col("batch") =!= batchId) else idx0
+              // validateIds = false: the per-probe duplicate-id scan is
+              // redundant here — each batch overwrites its own batch=<id>
+              // partition, so retries cannot duplicate index ids
+              graft.ops.TextDedup.incrementalNearDups(cached, idx,
+                textCol, idCol, shingleLen, numHashes, bands, maxBucket,
+                validateIds = false)
+            } else // first-ever ingest: nothing to collide with, typed empty
               cached.select(col(idCol).as("id_new"), col(idCol).as("id_old")).limit(0)
           pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
           graft.ops.TextDedup.appendMinhashIndexBatch(cached, textCol, idCol,
@@ -146,12 +160,16 @@ object Streaming {
         val cached = batch.persist() // read twice: probe + signature append
         try {
           val pairs =
-            if (fs.exists(idxPath))
-              graft.ops.VectorSim.incrementalCosineNearDups(cached,
-                graft.ops.VectorSim.readSignIndex(sp, indexDir),
+            if (fs.exists(idxPath)) {
+              // exclude this batch's own partition: see
+              // incrementalDedupStream's retry-after-append note
+              val idx0 = graft.ops.VectorSim.readSignIndex(sp, indexDir)
+              val idx = if (idx0.columns.contains("batch"))
+                idx0.filter(col("batch") =!= batchId) else idx0
+              graft.ops.VectorSim.incrementalCosineNearDups(cached, idx,
                 idCol, vecCol, threshold, numTables, planesPerTable,
-                dim, seed, probeBits)
-            else // first-ever ingest: nothing to collide with, typed empty
+                dim, seed, probeBits, validateIds = false)
+            } else // first-ever ingest: nothing to collide with, typed empty
               cached.select(col(idCol).as("id_new"), col(idCol).as("id_old"),
                 lit(0.0).as("cosine")).limit(0)
           pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
