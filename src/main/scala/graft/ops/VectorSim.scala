@@ -273,14 +273,36 @@ object VectorSim {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, numCells, sampleN, iters)
+    // initial corpus lands as batch=0 so per-ingest appends
+    // ([[appendIvfIndexBatch]]) share one consistent batch=<id>/cell=<c>
+    // layout — partition discovery needs uniform depth, and cell pruning
+    // spans every batch directory
     corpus
       .withColumn("cell",
         element_at(IvfExprs.nearestCentroids(col(vecCol), centroids, 1), 1))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data/batch=0")
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
     centroids
+  }
+
+  /** Append one ingest batch to a persisted IVF index, IDEMPOTENTLY under
+    * retries (the batch owns `data/batch=<id>`, a retry overwrites it —
+    * same maintenance contract as the MinHash and sign-bucket indexes).
+    * Vectors are assigned to the EXISTING persisted centroids: an ANN
+    * index must keep its quantizer frozen between offline retrains, or
+    * probe cells and stored cells drift apart and recall silently decays.
+    * Cell partition pruning spans all batch directories.
+    */
+  def appendIvfIndexBatch(df: DataFrame, idCol: String, vecCol: String,
+      path: String, batchId: Long): Unit = {
+    require(batchId != 0L, "batch 0 is the initial writeIvfIndex corpus")
+    val centroids = readIvfCentroids(df.sparkSession, path)
+    df
+      .withColumn("cell",
+        element_at(IvfExprs.nearestCentroids(col(vecCol), centroids, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data/batch=$batchId")
   }
 
   /** Load the centroid matrix persisted by [[writeIvfIndex]]. */

@@ -102,6 +102,53 @@ class VectorIndexSpec extends SparkSpec {
     assert(viaFile == viaMem, "persisted and in-memory index must probe identically")
   }
 
+  test("IVF batch appends: frozen quantizer, pruning preserved, retries idempotent") {
+    val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 300)
+    val restA = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val restB = emb.filter(col("vec_id") >= 400)
+    val queries = emb.filter(col("vec_id") < 8)
+    def probe(path: String) = VectorSim.cosineTopKIvfIndexed(
+      queries, path, "vec_id", "embedding", 3, nprobe = 8)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).sorted.toSeq
+
+    // one append vs the same rows split across two appends: the batch
+    // layout must not affect semantics (cells come from the FROZEN
+    // persisted centroids, not from what happens to share a batch)
+    val p1 = java.nio.file.Files.createTempDirectory("ivf1").toString
+    VectorSim.writeIvfIndex(base, "vec_id", "embedding", p1, numCells = 16)
+    VectorSim.appendIvfIndexBatch(restA.unionByName(restB), "vec_id", "embedding", p1, 1L)
+    val p2 = java.nio.file.Files.createTempDirectory("ivf2").toString
+    VectorSim.writeIvfIndex(base, "vec_id", "embedding", p2, numCells = 16)
+    VectorSim.appendIvfIndexBatch(restA, "vec_id", "embedding", p2, 1L)
+    VectorSim.appendIvfIndexBatch(restB, "vec_id", "embedding", p2, 2L)
+    // a retried append overwrites its own batch dir instead of duplicating
+    VectorSim.appendIvfIndexBatch(restB, "vec_id", "embedding", p2, 2L)
+    assert(spark.read.parquet(s"$p2/data").count() == emb.count(),
+      "retry must not duplicate index rows")
+    assert(keyed(probe(p1)) == keyed(probe(p2)),
+      "batch layout changed probe results")
+
+    // appended vectors are actually found: an identical copy of query 0's
+    // vector appended later must probe back as its top-1 neighbor
+    val twin = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    VectorSim.appendIvfIndexBatch(twin, "vec_id", "embedding", p2, 3L)
+    val top = probe(p2).filter(col("query_id") === 0 && col("rank") === 1)
+      .select("neighbor_id").collect()
+    assert(top.head.getLong(0) == 900000L,
+      s"appended identical twin must rank first, got ${top.head.getLong(0)}")
+
+    // the probe read keeps partition pruning across batch directories
+    val plan = probe(p2).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "probe read lost partition pruning after batch appends:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("params-mismatched index is rejected; duplicate ids are rejected; empty index yields empty") {
     val emb = Tables.embeddings(spark, sf001)
     val old = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
