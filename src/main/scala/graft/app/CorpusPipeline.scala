@@ -16,6 +16,7 @@ import graft.ops.{Components, CorpusOps, TextDedup}
   *     → quality filter (audit trail)
   *     → exact dedup (fingerprint)
   *     → near-dup cluster dedup (MinHash LSH + connected components)
+  *     → semantic dedup (embedding cosine LSH + connected components)
   *     → benchmark decontamination (word n-gram overlap)
   *     → source-mixture sampling (seeded, rate-monotone)
   *     → sequence packing (concat-and-chunk per source)
@@ -109,13 +110,36 @@ object CorpusPipeline {
       Seq("doc_id"))
     val nReps = reps.count()
 
+    // ---- stage 4b: SEMANTIC dedup — paraphrases and translations share
+    // few tokens, so they survive lexical dedup; embedding-cosine LSH
+    // pairs + connected components keep one representative per semantic
+    // cluster (threshold 0.35 = the q73 dedup operating point for this
+    // corpus). Docs without an embedding pass through unjudged — at
+    // 100 TB the embedding table lags the crawl, and dedup must not drop
+    // what it cannot compare.
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val withVec = reps.join(emb, Seq("doc_id"), "left")
+    val judged = withVec.filter(col("embedding").isNotNull)
+    val semPairs = graft.ops.VectorSim.cosineNearDups(
+      judged, "doc_id", "embedding", threshold = 0.35, probeBits = 1)
+    val semClusters = Components.connectedComponents(
+      judged.select(col("doc_id").as("id")),
+      semPairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      maxIterations = 30)
+    val semReps = reps.join(
+      semClusters.filter(col("id") === col("cluster_rep"))
+        .select(col("id").as("doc_id")), Seq("doc_id"))
+      .unionByName(withVec.filter(col("embedding").isNull).drop("embedding"))
+    val nSemReps = semReps.count()
+
     // ---- stage 5: decontamination against the eval split. The gram
     // representation is chosen by the size heuristic (string grams
     // broadcast below the threshold, 8-byte hashed grams above), and the
     // funnel cross-checks BOTH paths flag identical ids — the scale path
     // is exercised end-to-end, not just in its unit test.
-    val train = reps.filter(pmod(col("doc_id"), lit(50)) =!= 0)
-    val evalSet = reps.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val train = semReps.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val evalSet = semReps.filter(pmod(col("doc_id"), lit(50)) === 0)
     val nTrain = train.count()
     val (flagged, usedHash) = CorpusOps.contaminationAuto(
       train, evalSet, "doc_id", "text", 4)
@@ -158,6 +182,7 @@ object CorpusPipeline {
       |quality filter:    $nIngested -> $nKept  (dropped: $reasonCounts)
       |exact dedup:       $nKept -> $nExact
       |near-dup dedup:    $nExact -> $nReps cluster representatives
+      |semantic dedup:    $nReps -> $nSemReps embedding-cluster representatives
       |decontamination:   $nTrain train -> $nClean clean (eval split held out; ${if (usedHash) "hashed-gram" else "string-gram"} path, path-agreement diff=$nFlagDiff)
       |mixture sample:    $nClean -> $nMixed
       |packed:            $nMixed docs -> $nChunks context windows of 128 tokens
@@ -166,7 +191,8 @@ object CorpusPipeline {
 
     val ok = nQuarantined == nCorrupt && nKept <= nIngested &&
       nPlantedKept > 0 && nExact <= nKept - nPlantedKept &&
-      nReps <= nExact && nClean <= nTrain && nFlagDiff == 0 &&
+      nReps <= nExact && nSemReps <= nReps && nSemReps > 0 &&
+      nClean <= nTrain && nFlagDiff == 0 &&
       nMixed <= nClean && nPacked == nMixed && nChunks > 0
     if (!ok) {
       System.err.println("corpus pipeline invariant FAILED")
