@@ -108,6 +108,8 @@ object CorpusPipeline {
       clusters.filter(col("id") === col("cluster_rep"))
         .select(col("id").as("doc_id")),
       Seq("doc_id"))
+    reps.persist() // read by the count + 4 stage-4b/5 passes; the lineage
+    // behind it re-runs ingest+quality+dedup windows from raw JSONL
     val nReps = reps.count()
 
     // ---- stage 4b: SEMANTIC dedup — paraphrases and translations share
@@ -131,6 +133,7 @@ object CorpusPipeline {
       semClusters.filter(col("id") === col("cluster_rep"))
         .select(col("id").as("doc_id")), Seq("doc_id"))
       .unionByName(withVec.filter(col("embedding").isNull).drop("embedding"))
+    semReps.persist() // feeds train/eval splits and every later stage
     val nSemReps = semReps.count()
 
     // ---- stage 5: decontamination against the eval split. The gram
@@ -175,6 +178,8 @@ object CorpusPipeline {
       .map(_.asInstanceOf[Long]).getOrElse(0L)
 
     ingest.unpersist()
+    reps.unpersist(false)
+    semReps.unpersist(false)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""
       |== graft corpus pipeline ==

@@ -207,8 +207,20 @@ object TextDedup {
   def appendMinhashIndexBatch(df: DataFrame, textCol: String, idCol: String,
       path: String, batchId: Long, shingleLen: Int = 1, numHashes: Int = 128,
       bands: Int = 32): Unit =
+    appendMinhashIndexBatchKeyed(df, textCol, idCol, path, batchId.toString,
+      shingleLen, numHashes, bands)
+
+  /** [[appendMinhashIndexBatch]] with a caller-chosen STRING partition
+    * key. Streaming uses `<runKey>-<batchId>`: micro-batch ids restart at
+    * 0 whenever a stream gets a fresh checkpoint, so a long-lived index
+    * fed by successive stream incarnations needs the incarnation in the
+    * key or run N's batch 0 silently clobbers run 1's.
+    */
+  def appendMinhashIndexBatchKeyed(df: DataFrame, textCol: String, idCol: String,
+      path: String, batchKey: String, shingleLen: Int = 1, numHashes: Int = 128,
+      bands: Int = 32): Unit =
     stampedSignatures(df, textCol, idCol, shingleLen, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$path/batch=$batchKey")
 
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)

@@ -273,6 +273,14 @@ object VectorSim {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, numCells, sampleN, iters)
+    // a rebuild/retrain must wipe the WHOLE data dir first: batch=0's
+    // overwrite alone would leave appended batches whose cell labels came
+    // from the OLD centroids — probes would prune by the new quantizer
+    // while those rows sit in stale cells, silently decaying recall (and
+    // duplicating re-indexed rows)
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dataPath)) fs.delete(dataPath, true)
     // initial corpus lands as batch=0 so per-ingest appends
     // ([[appendIvfIndexBatch]]) share one consistent batch=<id>/cell=<c>
     // layout — partition discovery needs uniform depth, and cell pruning
@@ -555,8 +563,17 @@ object VectorSim {
   def appendSignIndexBatch(df: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: Long, numTables: Int = 8, planesPerTable: Int = 6,
       dim: Int = 64, seed: Long = 42L): Unit =
+    appendSignIndexBatchKeyed(df, idCol, vecCol, path, batchId.toString,
+      numTables, planesPerTable, dim, seed)
+
+  /** [[appendSignIndexBatch]] with a caller-chosen string partition key —
+    * see [[graft.ops.TextDedup.appendMinhashIndexBatchKeyed]].
+    */
+  def appendSignIndexBatchKeyed(df: DataFrame, idCol: String, vecCol: String,
+      path: String, batchKey: String, numTables: Int = 8, planesPerTable: Int = 6,
+      dim: Int = 64, seed: Long = 42L): Unit =
     stampedSignIndex(df, idCol, vecCol, numTables, planesPerTable, dim, seed)
-      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$path/batch=$batchKey")
 
   def readSignIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)

@@ -93,11 +93,25 @@ object Streaming {
     * corpus, which is what makes it equivalent to running the batch
     * probe per ingest.
     */
+  /** Partition key namespace for one stream INCARNATION: stable across
+    * restarts of the same checkpoint (so a retried micro-batch lands on
+    * its own partition and stays idempotent), distinct for a fresh
+    * checkpoint (micro-batch ids restart at 0 there — an un-namespaced
+    * batch=0 would clobber, and be wrongly excluded against, a previous
+    * incarnation's first batch in a long-lived index).
+    */
+  private[graft] def runKey(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(checkpoint).getAbsolutePath.getBytes("UTF-8"))
+    d.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   def incrementalDedupStream(docs: DataFrame, indexDir: String,
       pairsDir: String, checkpoint: String,
       textCol: String = "text", idCol: String = "doc_id",
       shingleLen: Int = 1, numHashes: Int = 128, bands: Int = 32,
-      maxBucket: Int = 1000): StreamingQuery =
+      maxBucket: Int = 1000): StreamingQuery = {
+    val key = runKey(checkpoint)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
@@ -107,28 +121,43 @@ object Streaming {
         try {
           val pairs =
             if (fs.exists(idxPath)) {
+              val idx0 = graft.ops.TextDedup.readMinhashIndex(sp, indexDir)
+              // a flat (writeMinhashIndex-shaped) dir would survive exactly
+              // one append before partition discovery hits conflicting
+              // directory depths — reject it up front with the repair
+              require(idx0.columns.contains("batch"),
+                s"$indexDir is a flat index (no batch=<key> partitions); " +
+                  "seed a streaming index with appendMinhashIndexBatch " +
+                  "instead of writeMinhashIndex")
               // exclude this batch's OWN partition from the probe: a retry
               // that crashed between the append and the streaming commit
               // re-runs with its signatures already in the index, and
-              // probing them would emit spurious intra-batch pairs —
-              // breaking the retry-idempotence the batch=<id> append
-              // otherwise provides
-              val idx0 = graft.ops.TextDedup.readMinhashIndex(sp, indexDir)
-              // a pre-seeded writeMinhashIndex dir has no batch column —
-              // then no partition can be this batch's own
-              val idx = if (idx0.columns.contains("batch"))
-                idx0.filter(col("batch") =!= batchId) else idx0
-              // validateIds = false: the per-probe duplicate-id scan is
-              // redundant here — each batch overwrites its own batch=<id>
-              // partition, so retries cannot duplicate index ids
+              // probing them would emit spurious intra-batch pairs. The
+              // key is incarnation-qualified, so a PREVIOUS incarnation's
+              // same-numbered batch is NOT excluded.
+              val idx = idx0.filter(col("batch") =!= lit(s"$key-$batchId"))
+              // re-delivered ids are the duplicate class the batch=<key>
+              // layout does NOT structurally prevent (a re-crawled doc in
+              // a later file): fail loudly BEFORE the append corrupts the
+              // index. One column-pruned scan + broadcast semi-join — no
+              // shuffle, unlike the full groupBy gate validateIds=false
+              // skips (retries of THIS batch are excluded, so they don't
+              // false-positive).
+              val redelivered = idx.select("id").join(
+                broadcast(cached.select(col(idCol).as("id")).distinct()), "id")
+                .take(1)
+              require(redelivered.isEmpty,
+                s"id ${redelivered.headOption.map(_.get(0)).orNull} was " +
+                  "already ingested by an earlier batch; dedup upstream " +
+                  "(dedupDocStream) or repair the index before appending")
               graft.ops.TextDedup.incrementalNearDups(cached, idx,
                 textCol, idCol, shingleLen, numHashes, bands, maxBucket,
                 validateIds = false)
             } else // first-ever ingest: nothing to collide with, typed empty
               cached.select(col(idCol).as("id_new"), col(idCol).as("id_old")).limit(0)
-          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-          graft.ops.TextDedup.appendMinhashIndexBatch(cached, textCol, idCol,
-            indexDir, batchId, shingleLen, numHashes, bands)
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$key-$batchId")
+          graft.ops.TextDedup.appendMinhashIndexBatchKeyed(cached, textCol, idCol,
+            indexDir, s"$key-$batchId", shingleLen, numHashes, bands)
         } finally {
           cached.unpersist(false)
           ()
@@ -137,6 +166,7 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming incremental EMBEDDING near-dup dedup — the vector twin of
     * [[incrementalDedupStream]], same read→probe→append maintenance loop
@@ -151,7 +181,8 @@ object Streaming {
       pairsDir: String, checkpoint: String,
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.5, numTables: Int = 8, planesPerTable: Int = 6,
-      dim: Int = 64, seed: Long = 42L, probeBits: Int = 1): StreamingQuery =
+      dim: Int = 64, seed: Long = 42L, probeBits: Int = 1): StreamingQuery = {
+    val key = runKey(checkpoint)
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
@@ -161,20 +192,30 @@ object Streaming {
         try {
           val pairs =
             if (fs.exists(idxPath)) {
-              // exclude this batch's own partition: see
-              // incrementalDedupStream's retry-after-append note
+              // incarnation-keyed own-batch exclusion, flat-dir rejection,
+              // and re-delivered-id gate: see incrementalDedupStream
               val idx0 = graft.ops.VectorSim.readSignIndex(sp, indexDir)
-              val idx = if (idx0.columns.contains("batch"))
-                idx0.filter(col("batch") =!= batchId) else idx0
+              require(idx0.columns.contains("batch"),
+                s"$indexDir is a flat index (no batch=<key> partitions); " +
+                  "seed a streaming index with appendSignIndexBatch " +
+                  "instead of writeSignIndex")
+              val idx = idx0.filter(col("batch") =!= lit(s"$key-$batchId"))
+              val redelivered = idx.select("id").join(
+                broadcast(cached.select(col(idCol).as("id")).distinct()), "id")
+                .take(1)
+              require(redelivered.isEmpty,
+                s"id ${redelivered.headOption.map(_.get(0)).orNull} was " +
+                  "already ingested by an earlier batch; dedup upstream " +
+                  "or repair the index before appending")
               graft.ops.VectorSim.incrementalCosineNearDups(cached, idx,
                 idCol, vecCol, threshold, numTables, planesPerTable,
                 dim, seed, probeBits, validateIds = false)
             } else // first-ever ingest: nothing to collide with, typed empty
               cached.select(col(idCol).as("id_new"), col(idCol).as("id_old"),
                 lit(0.0).as("cosine")).limit(0)
-          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-          graft.ops.VectorSim.appendSignIndexBatch(cached, idCol, vecCol,
-            indexDir, batchId, numTables, planesPerTable, dim, seed)
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$key-$batchId")
+          graft.ops.VectorSim.appendSignIndexBatchKeyed(cached, idCol, vecCol,
+            indexDir, s"$key-$batchId", numTables, planesPerTable, dim, seed)
         } finally {
           cached.unpersist(false)
           ()
@@ -183,6 +224,7 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   // ---- stateful sessionization -------------------------------------------
 

@@ -49,7 +49,8 @@ class StreamingDedupSpec extends SparkSpec {
         .map { case (n, o) => (k.toLong, n, o) }
     }.toSet
     val streamed = spark.read.parquet(pairsDir)
-      .select(col("batch").cast("long"), col("id_new"), col("id_old")).collect()
+      .select(substring_index(col("batch"), "-", -1).cast("long"),
+        col("id_new"), col("id_old")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(direct.nonEmpty, "waves must collide for the test to mean anything")
     assert(streamed == direct,
@@ -58,7 +59,8 @@ class StreamingDedupSpec extends SparkSpec {
 
     // a retried micro-batch (same batch id) must replace, not duplicate:
     // re-append wave 2's signatures under its original batch id
-    TextDedup.appendMinhashIndexBatch(waves(2), "text", "doc_id", idx, 2L)
+    TextDedup.appendMinhashIndexBatchKeyed(waves(2), "text", "doc_id", idx,
+      s"${graft.streaming.Streaming.runKey(ckpt)}-2")
     val after = TextDedup.readMinhashIndex(spark, idx)
     assert(after.count() == expectIndexRows, "retried append must not grow the index")
     // and the index stays probe-able (no duplicate-id rejection)
@@ -84,13 +86,15 @@ class StreamingDedupSpec extends SparkSpec {
     waves(0).write.mode("append").parquet(raw)
     run() // batch 0 seeds the index
     // simulate attempt 1 of batch 1 crashing AFTER its append
-    TextDedup.appendMinhashIndexBatch(waves(1), "text", "doc_id", idx, 1L)
+    TextDedup.appendMinhashIndexBatchKeyed(waves(1), "text", "doc_id", idx,
+      s"${graft.streaming.Streaming.runKey(ckpt)}-1")
     waves(1).write.mode("append").parquet(raw)
     run() // the "retry" — must probe only batch 0's signatures
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("id_new", "id_old").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val streamed = pairSet(spark.read.parquet(s"$pairsDir/batch=1"))
+    val streamed = pairSet(spark.read.parquet(
+      s"$pairsDir/batch=${graft.streaming.Streaming.runKey(ckpt)}-1"))
     val direct = pairSet(TextDedup.incrementalNearDups(waves(1),
       TextDedup.minhashSignatures(waves(0), "text", "doc_id"), "text", "doc_id"))
     assert(direct.nonEmpty, "waves must collide for the test to mean anything")
@@ -111,10 +115,12 @@ class StreamingDedupSpec extends SparkSpec {
     }
     vwaves(0).write.mode("append").parquet(s"$vwork/raw")
     vrun()
-    VectorSim.appendSignIndexBatch(vwaves(1), "vec_id", "embedding", s"$vwork/idx", 1L)
+    VectorSim.appendSignIndexBatchKeyed(vwaves(1), "vec_id", "embedding",
+      s"$vwork/idx", s"${graft.streaming.Streaming.runKey(s"$vwork/ckpt")}-1")
     vwaves(1).write.mode("append").parquet(s"$vwork/raw")
     vrun()
-    val vStreamed = pairSet(spark.read.parquet(s"$vwork/pairs/batch=1"))
+    val vStreamed = pairSet(spark.read.parquet(
+      s"$vwork/pairs/batch=${graft.streaming.Streaming.runKey(s"$vwork/ckpt")}-1"))
     val vDirect = pairSet(VectorSim.incrementalCosineNearDups(vwaves(1),
       VectorSim.signIndex(vwaves(0), "vec_id", "embedding"),
       "vec_id", "embedding", threshold = 0.25, probeBits = 1))
@@ -122,6 +128,41 @@ class StreamingDedupSpec extends SparkSpec {
     assert(vStreamed == vDirect,
       s"vector retry must ignore its own pre-appended signatures; " +
         s"extra=${(vStreamed -- vDirect).take(3)}")
+  }
+
+  test("a fresh stream incarnation over the same index probes the prior corpus") {
+    // a long-lived index outlives any one stream: run 2 starts with a NEW
+    // checkpoint, so its micro-batch ids restart at 0. The incarnation
+    // key must keep run 2's batch 0 from clobbering — or being wrongly
+    // excluded against — run 1's batch 0.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val work = java.nio.file.Files.createTempDirectory("graft_sincarn").toString
+    val idx = s"$work/idx"; val pairsDir = s"$work/pairs"
+    def run(raw: String, ckpt: String): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(raw)
+      val q = Streaming.incrementalDedupStream(stream, idx, pairsDir, ckpt)
+      assert(q.awaitTermination(180000), "streaming batch did not finish in time")
+    }
+    first.write.parquet(s"$work/rawA")
+    run(s"$work/rawA", s"$work/ckptA")
+    second.write.parquet(s"$work/rawB")
+    run(s"$work/rawB", s"$work/ckptB") // fresh checkpoint: its batchId is 0 again
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_new", "id_old").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairSet(spark.read.parquet(
+      s"$pairsDir/batch=${Streaming.runKey(s"$work/ckptB")}-0"))
+    val direct = pairSet(TextDedup.incrementalNearDups(second,
+      TextDedup.minhashSignatures(first, "text", "doc_id"), "text", "doc_id"))
+    assert(direct.nonEmpty, "halves must collide for the test to mean anything")
+    assert(streamed == direct,
+      "run 2's first batch must probe run 1's corpus; " +
+        s"extra=${(streamed -- direct).take(3)} missing=${(direct -- streamed).take(3)}")
+    // and BOTH incarnations' signatures persist in the index
+    assert(TextDedup.readMinhashIndex(spark, idx).count() == docs.count(),
+      "run 2's batch 0 must not clobber run 1's batch 0")
   }
 
   test("vector twin: streamed waves emit the batch-by-batch cosine probe pairs; index grows") {
@@ -162,7 +203,8 @@ class StreamingDedupSpec extends SparkSpec {
         .map { case (n, o) => (k.toLong, n, o) }
     }.toSet
     val streamed = spark.read.parquet(pairsDir)
-      .select(col("batch").cast("long"), col("id_new"), col("id_old")).collect()
+      .select(substring_index(col("batch"), "-", -1).cast("long"),
+        col("id_new"), col("id_old")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(direct.nonEmpty, "waves must collide for the test to mean anything")
     assert(streamed == direct,
