@@ -356,6 +356,111 @@ object VectorSim {
     rankTopK(scored, k)
   }
 
+  /** Persist an IVF+PQ index (the FAISS IVFADC shape, durable): rows are
+    * (idCol, vecCol, cell, code) partitioned by cell — the probe join
+    * column-prunes to (cell, id, `m`-byte code), so the index READ is the
+    * 32x-smaller shape even though the true vectors ride in the same
+    * files for the exact re-rank (their column is only read for the
+    * bounded shortlist ids). Centroids and codebooks persist alongside
+    * (`_centroids`, `_codebooks`), both FROZEN between offline retrains —
+    * [[appendPqIndexBatch]] encodes new batches with the persisted
+    * quantizers, never retraining. A rebuild wipes the whole data dir
+    * (stale appends would carry old-quantizer cells/codes).
+    */
+  def writePqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      numCells: Int = 16, m: Int = 8, ksub: Int = 64,
+      sampleN: Int = 4096, iters: Int = 10): Unit = {
+    import graft.functions.PqExprs
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, numCells, sampleN, iters)
+    val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, sampleN, iters)
+    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dataPath)) fs.delete(dataPath, true)
+    encodePq(corpus, idCol, vecCol, centroids, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data/batch=0")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    books.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "cent", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  private def encodePq(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    import graft.functions.PqExprs
+    df.select(col(idCol), col(vecCol),
+      element_at(IvfExprs.nearestCentroids(col(vecCol), centroids, 1), 1).as("cell"),
+      PqExprs.pqEncode(col(vecCol), books).as("code"))
+  }
+
+  /** Load the codebooks persisted by [[writePqIndex]] as books(sub)(cent). */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$path/_codebooks")
+      .orderBy("sub", "cent").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    rows.grouped(rows.length / m).map(_.map(_.getSeq[Float](2).toArray).toArray).toArray
+  }
+
+  /** Append one ingest batch to a persisted PQ index, idempotently under
+    * retries (the batch owns `data/batch=<id>`), encoding with the FROZEN
+    * persisted centroids and codebooks — same maintenance contract as
+    * [[appendIvfIndexBatch]].
+    */
+  def appendPqIndexBatch(df: DataFrame, idCol: String, vecCol: String,
+      path: String, batchId: Long): Unit = {
+    require(batchId != 0L, "batch 0 is the initial writePqIndex corpus")
+    val centroids = readIvfCentroids(df.sparkSession, path)
+    val books = readPqCodebooks(df.sparkSession, path)
+    encodePq(df, idCol, vecCol, centroids, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data/batch=$batchId")
+  }
+
+  /** IVFADC top-k against a persisted PQ index: probe cells are a
+    * partition-pruned read of (cell, id, code); ADC shortlists
+    * `refine*k` per query; the true vectors join back from the SAME
+    * files (column-pruned to id+vector) for exact cosine re-ranking.
+    */
+  def cosineTopKPqIndexed(
+      queries: DataFrame, indexPath: String, idCol: String, vecCol: String,
+      k: Int, nprobe: Int = 8, refine: Int = 4): DataFrame = {
+    import graft.functions.PqExprs
+    val spark = queries.sparkSession
+    val centroids = readIvfCentroids(spark, indexPath)
+    val books = readPqCodebooks(spark, indexPath)
+    val ksub = books.head.length
+    require(nprobe <= centroids.length)
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qProbes = qBase
+      .withColumn("lut", PqExprs.pqLut(col("qv"), books))
+      .select(col("query_id"), col("lut"),
+        explode(IvfExprs.nearestCentroids(col("qv"), centroids, nprobe)).as("cell"))
+    val probeCells = qProbes.select("cell").distinct().collect().map(_.getInt(0))
+    val data = spark.read.parquet(s"$indexPath/data")
+    val cIndex = data
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
+      .select(col("cell"), col(idCol).as("neighbor_id"), col("code"))
+    val shortlist = cIndex.join(broadcast(qProbes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", PqExprs.pqAdcDot(col("lut"), col("code"), ksub))
+      .groupBy("query_id")
+      .agg(TopKPairs.topK(col("adc"), col("neighbor_id"), refine * k).as("nb"))
+      .select(col("query_id"), explode(col("nb")).as("_s"))
+      .select(col("query_id"), col("_s.id").as("neighbor_id"))
+    val qv = qBase.withColumn("qn", sqrt(normSq(col("qv"))))
+    val cv = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(normSq(col("cv"))))
+    val scored = shortlist.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    rankTopK(scored, k)
+  }
+
   /** Deterministic random hyperplanes (seeded) as a literal nested
     * `array<array<float>>`. LEGACY — only the unrolled test oracle
     * [[lshTableBuckets]] consumes this; production signatures use

@@ -149,6 +149,49 @@ class VectorIndexSpec extends SparkSpec {
         plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("PQ persisted index: indexed IVFADC equals in-memory; frozen-quantizer appends; pruned") {
+    val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 8)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).sorted.toSeq
+
+    // whole-corpus index: same deterministic quantizer training as the
+    // in-memory operator -> identical cells, codes, shortlists, ranking
+    val p1 = java.nio.file.Files.createTempDirectory("pq1").toString
+    VectorSim.writePqIndex(emb, "vec_id", "embedding", p1)
+    val indexed = VectorSim.cosineTopKPqIndexed(
+      queries, p1, "vec_id", "embedding", 3)
+    assert(keyed(indexed) == keyed(VectorSim.cosineTopKPq(
+      queries, emb, "vec_id", "embedding", 3)),
+      "persisted-index IVFADC must reproduce the in-memory result")
+
+    // appended vectors are encoded with the FROZEN persisted quantizers
+    // and actually found: an identical twin of query 0 ranks first
+    val base = emb.filter(col("vec_id") < 400)
+    val rest = emb.filter(col("vec_id") >= 400)
+    val p2 = java.nio.file.Files.createTempDirectory("pq2").toString
+    VectorSim.writePqIndex(base, "vec_id", "embedding", p2)
+    VectorSim.appendPqIndexBatch(rest, "vec_id", "embedding", p2, 1L)
+    VectorSim.appendPqIndexBatch(rest, "vec_id", "embedding", p2, 1L) // retry
+    assert(spark.read.parquet(s"$p2/data").count() == emb.count(),
+      "retry must not duplicate index rows")
+    val twin = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    VectorSim.appendPqIndexBatch(twin, "vec_id", "embedding", p2, 2L)
+    val top = VectorSim.cosineTopKPqIndexed(queries, p2, "vec_id", "embedding", 3)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .select("neighbor_id").collect()
+    assert(top.head.getLong(0) == 900000L,
+      s"appended identical twin must rank first, got ${top.head.getLong(0)}")
+
+    val plan = VectorSim.cosineTopKPqIndexed(queries, p2, "vec_id", "embedding", 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "PQ probe read lost partition pruning:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("params-mismatched index is rejected; duplicate ids are rejected; empty index yields empty") {
     val emb = Tables.embeddings(spark, sf001)
     val old = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
