@@ -273,22 +273,17 @@ object VectorSim {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, numCells, sampleN, iters)
-    // a rebuild/retrain must wipe the WHOLE data dir first: batch=0's
-    // overwrite alone would leave appended batches whose cell labels came
-    // from the OLD centroids — probes would prune by the new quantizer
-    // while those rows sit in stale cells, silently decaying recall (and
-    // duplicating re-indexed rows)
-    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dataPath)) fs.delete(dataPath, true)
     // initial corpus lands as batch=0 so per-ingest appends
     // ([[appendIvfIndexBatch]]) share one consistent batch=<id>/cell=<c>
     // layout — partition discovery needs uniform depth, and cell pruning
-    // spans every batch directory
-    corpus
-      .withColumn("cell",
-        element_at(IvfExprs.nearestCentroids(col(vecCol), centroids, 1), 1))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data/batch=0")
+    // spans every batch directory. A rebuild must replace the WHOLE data
+    // dir (stale appended batches carry OLD-centroid cell labels), but
+    // deleting it eagerly would destroy the lazy rebuild's own input when
+    // `corpus` derives from this index — so write to a temp dir first and
+    // swap after the job lands.
+    writeSwapped(spark, s"$path/data", "batch=0")(
+      corpus.withColumn("cell",
+        element_at(IvfExprs.nearestCentroids(col(vecCol), centroids, 1), 1)))
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
@@ -306,6 +301,7 @@ object VectorSim {
   def appendIvfIndexBatch(df: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: Long): Unit = {
     require(batchId != 0L, "batch 0 is the initial writeIvfIndex corpus")
+    requireFreshIds(df, idCol, path, batchId)
     val centroids = readIvfCentroids(df.sparkSession, path)
     df
       .withColumn("cell",
@@ -371,16 +367,13 @@ object VectorSim {
       corpus: DataFrame, idCol: String, vecCol: String, path: String,
       numCells: Int = 16, m: Int = 8, ksub: Int = 64,
       sampleN: Int = 4096, iters: Int = 10): Unit = {
-    import graft.functions.PqExprs
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, numCells, sampleN, iters)
     val books = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, sampleN, iters)
-    val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dataPath)) fs.delete(dataPath, true)
-    encodePq(corpus, idCol, vecCol, centroids, books)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data/batch=0")
+    // temp-dir write + swap: see writeIvfIndex's rebuild note
+    writeSwapped(spark, s"$path/data", "batch=0")(
+      encodePq(corpus, idCol, vecCol, centroids, books))
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
@@ -388,6 +381,41 @@ object VectorSim {
       sub.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
     }.toSeq.toDF("sub", "cent", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebooks")
+  }
+
+  /** Write `df` (partitioned by cell) under `dataDir/$sub` via a temp
+    * sibling dir, swapping only after the job lands: the lazy write may
+    * READ the old index (a re-index-from-itself rebuild), so the old dir
+    * must outlive the job. Single-writer; concurrent probes can still
+    * race the swap instant, as with any non-transactional table format.
+    */
+  private def writeSwapped(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, sub: String)(df: DataFrame): Unit = {
+    val dataPath = new org.apache.hadoop.fs.Path(dataDir)
+    val tmpPath = new org.apache.hadoop.fs.Path(dataDir + "_tmp")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    df.write.mode("overwrite").partitionBy("cell").parquet(s"$tmpPath/$sub")
+    if (fs.exists(dataPath)) fs.delete(dataPath, true)
+    require(fs.rename(tmpPath, dataPath), s"rename $tmpPath -> $dataPath failed")
+  }
+
+  /** Loud duplicate-id gate for index appends: an id present in ANOTHER
+    * batch and the incoming one would surface at probe time as the same
+    * neighbor consuming two top-k slots. The batch's OWN partition is
+    * excluded so a retried append (which overwrites it) stays legitimate.
+    * One column-pruned scan of the index's id column, no shuffle (AQE
+    * picks the join strategy).
+    */
+  private def requireFreshIds(df: DataFrame, idCol: String, path: String,
+      batchId: Long): Unit = {
+    val dup = df.sparkSession.read.parquet(s"$path/data")
+      .filter(col("batch").cast("string") =!= lit(batchId.toString))
+      .select(col(idCol))
+      .join(df.select(col(idCol)).distinct(), idCol).take(1)
+    require(dup.isEmpty,
+      s"index at $path already contains id ${dup.headOption.map(_.get(0)).orNull}" +
+        " in another batch — re-delivered rows? dedup the batch or rebuild the index")
   }
 
   private def encodePq(df: DataFrame, idCol: String, vecCol: String,
@@ -404,8 +432,19 @@ object VectorSim {
       path: String): Array[Array[Array[Float]]] = {
     val rows = spark.read.parquet(s"$path/_codebooks")
       .orderBy("sub", "cent").collect()
-    val m = rows.map(_.getInt(0)).max + 1
-    rows.grouped(rows.length / m).map(_.map(_.getSeq[Float](2).toArray).toArray).toArray
+    require(rows.nonEmpty, s"$path/_codebooks is empty — index not written?")
+    // group by the ACTUAL sub value, never by blind position: a partial
+    // or hand-repaired dir with uneven counts would otherwise shift every
+    // group boundary and silently scramble the ADC lookup tables
+    val bySub = rows.groupBy(_.getInt(0))
+    val m = bySub.keySet.max + 1
+    val ksub = bySub.values.head.length
+    require(bySub.keySet == (0 until m).toSet &&
+      bySub.values.forall(_.length == ksub),
+      s"$path/_codebooks is corrupt: expected $m subspaces x $ksub " +
+        s"centroids, got ${bySub.view.mapValues(_.length).toMap}")
+    Array.tabulate(m)(sub => bySub(sub).sortBy(_.getInt(1))
+      .map(_.getSeq[Float](2).toArray))
   }
 
   /** Append one ingest batch to a persisted PQ index, idempotently under
@@ -416,6 +455,7 @@ object VectorSim {
   def appendPqIndexBatch(df: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: Long): Unit = {
     require(batchId != 0L, "batch 0 is the initial writePqIndex corpus")
+    requireFreshIds(df, idCol, path, batchId)
     val centroids = readIvfCentroids(df.sparkSession, path)
     val books = readPqCodebooks(df.sparkSession, path)
     encodePq(df, idCol, vecCol, centroids, books)
@@ -454,7 +494,12 @@ object VectorSim {
       .select(col("query_id"), explode(col("nb")).as("_s"))
       .select(col("query_id"), col("_s.id").as("neighbor_id"))
     val qv = qBase.withColumn("qn", sqrt(normSq(col("qv"))))
-    val cv = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // the re-rank read is pruned to the SAME probe cells — every
+    // shortlist id comes from them by construction, and an unfiltered
+    // read would scan the fat vector column of the whole index
+    val cv = data
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", sqrt(normSq(col("cv"))))
     val scored = shortlist.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

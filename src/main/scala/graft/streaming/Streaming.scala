@@ -75,6 +75,23 @@ object Streaming {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Partition key namespace for one stream INCARNATION: stable across
+    * restarts of the same checkpoint (so a retried micro-batch lands on
+    * its own partition and stays idempotent), distinct for a fresh
+    * checkpoint (micro-batch ids restart at 0 there — an un-namespaced
+    * batch=0 would clobber, and be wrongly excluded against, a previous
+    * incarnation's first batch in a long-lived index).
+    */
+  private[graft] def runKey(checkpoint: String): String = {
+    // the RAW string, not a filesystem canonicalization: File/cwd-based
+    // normalization differs per driver container (and mangles hdfs://,
+    // s3a:// URIs), which would re-key the same checkpoint across
+    // restarts — exactly what the key must never do
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+    d.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** Streaming incremental NEAR-dup detection — the production ingest
     * loop the persisted MinHash index exists for. Every micro-batch:
     *  (a) probes the signatures of the corpus ingested SO FAR for LSH
@@ -93,19 +110,6 @@ object Streaming {
     * corpus, which is what makes it equivalent to running the batch
     * probe per ingest.
     */
-  /** Partition key namespace for one stream INCARNATION: stable across
-    * restarts of the same checkpoint (so a retried micro-batch lands on
-    * its own partition and stays idempotent), distinct for a fresh
-    * checkpoint (micro-batch ids restart at 0 there — an un-namespaced
-    * batch=0 would clobber, and be wrongly excluded against, a previous
-    * incarnation's first batch in a long-lived index).
-    */
-  private[graft] def runKey(checkpoint: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(checkpoint).getAbsolutePath.getBytes("UTF-8"))
-    d.take(4).map(b => f"${b & 0xff}%02x").mkString
-  }
-
   def incrementalDedupStream(docs: DataFrame, indexDir: String,
       pairsDir: String, checkpoint: String,
       textCol: String = "text", idCol: String = "doc_id",
@@ -135,7 +139,11 @@ object Streaming {
               // probing them would emit spurious intra-batch pairs. The
               // key is incarnation-qualified, so a PREVIOUS incarnation's
               // same-numbered batch is NOT excluded.
-              val idx = idx0.filter(col("batch") =!= lit(s"$key-$batchId"))
+              // cast FIRST: a numeric-keyed legacy layout infers batch as int,
+              // and int =!= string coerces the literal to null — which would
+              // silently filter out the ENTIRE prior index
+              val idx = idx0.filter(
+                col("batch").cast("string") =!= lit(s"$key-$batchId"))
               // re-delivered ids are the duplicate class the batch=<key>
               // layout does NOT structurally prevent (a re-crawled doc in
               // a later file): fail loudly BEFORE the append corrupts the
@@ -143,8 +151,10 @@ object Streaming {
               // shuffle, unlike the full groupBy gate validateIds=false
               // skips (retries of THIS batch are excluded, so they don't
               // false-positive).
+              // no broadcast hint: an AvailableNow backlog batch can be
+              // millions of rows — let AQE pick the join strategy
               val redelivered = idx.select("id").join(
-                broadcast(cached.select(col(idCol).as("id")).distinct()), "id")
+                cached.select(col(idCol).as("id")).distinct(), "id")
                 .take(1)
               require(redelivered.isEmpty,
                 s"id ${redelivered.headOption.map(_.get(0)).orNull} was " +
@@ -199,9 +209,15 @@ object Streaming {
                 s"$indexDir is a flat index (no batch=<key> partitions); " +
                   "seed a streaming index with appendSignIndexBatch " +
                   "instead of writeSignIndex")
-              val idx = idx0.filter(col("batch") =!= lit(s"$key-$batchId"))
+              // cast FIRST: a numeric-keyed legacy layout infers batch as int,
+              // and int =!= string coerces the literal to null — which would
+              // silently filter out the ENTIRE prior index
+              val idx = idx0.filter(
+                col("batch").cast("string") =!= lit(s"$key-$batchId"))
+              // no broadcast hint: an AvailableNow backlog batch can be
+              // millions of rows — let AQE pick the join strategy
               val redelivered = idx.select("id").join(
-                broadcast(cached.select(col(idCol).as("id")).distinct()), "id")
+                cached.select(col(idCol).as("id")).distinct(), "id")
                 .take(1)
               require(redelivered.isEmpty,
                 s"id ${redelivered.headOption.map(_.get(0)).orNull} was " +
