@@ -165,6 +165,35 @@ class StreamingDedupSpec extends SparkSpec {
       "run 2's batch 0 must not clobber run 1's batch 0")
   }
 
+  test("a numeric-keyed (batch-API) index is fully probed, not coerced away") {
+    // an index seeded through the Long-batchId append API has numeric
+    // partition values, which Spark infers as an INT column; the stream's
+    // own-batch exclusion compares against a string key, and without the
+    // explicit string cast the int-vs-string coercion nulls the predicate
+    // and silently drops the ENTIRE prior index from the probe
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val work = java.nio.file.Files.createTempDirectory("graft_slegacy").toString
+    val idx = s"$work/idx"; val pairsDir = s"$work/pairs"
+    TextDedup.appendMinhashIndexBatch(first, "text", "doc_id", idx, 0L)
+    second.write.parquet(s"$work/raw")
+    val q = Streaming.incrementalDedupStream(
+      spark.readStream.schema(docs.schema).parquet(s"$work/raw"),
+      idx, pairsDir, s"$work/ckpt")
+    assert(q.awaitTermination(180000), "streaming batch did not finish in time")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_new", "id_old").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairSet(spark.read.parquet(
+      s"$pairsDir/batch=${Streaming.runKey(s"$work/ckpt")}-0"))
+    val direct = pairSet(TextDedup.incrementalNearDups(second,
+      TextDedup.minhashSignatures(first, "text", "doc_id"), "text", "doc_id"))
+    assert(direct.nonEmpty, "halves must collide for the test to mean anything")
+    assert(streamed == direct,
+      s"numeric-keyed index partitions must be probed; missing=${(direct -- streamed).take(3)}")
+  }
+
   test("vector twin: streamed waves emit the batch-by-batch cosine probe pairs; index grows") {
     import graft.ops.VectorSim
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
