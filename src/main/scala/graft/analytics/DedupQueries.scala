@@ -143,5 +143,18 @@ object DedupQueries {
       TextDedup.minhashDedupClusters(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("id")
     },
+
+    // ---- exact-substring near-dup pairs via winnowing (the MOSS
+    // blocking scheme): pairs sharing >= 2 winnow-SELECTED char 12-grams,
+    // compared as strings — any pair sharing a >= w+k-1 = 21-char
+    // substring is guaranteed reported. Hash-checked: the oracle re-runs
+    // gram hashing, window minima, the selected-gram mapping, and the
+    // pair join in pure DuckDB SQL (DuckXxh).
+    QueryDef("q83_winnow_dup_pairs",
+      Some(DuckXxh.winnowDupPairsOracle(k = 12, w = 10, minShared = 2)),
+    ) { (s, dir) =>
+      TextDedup.winnowDupPairs(Tables.documents(s, dir), "text", "doc_id",
+        k = 12, w = 10, minShared = 2).orderBy("id_a", "id_b")
+    },
   )
 }

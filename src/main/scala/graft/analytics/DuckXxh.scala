@@ -333,7 +333,13 @@ private[analytics] object DuckXxh {
     * yield the single global min, exactly like
     * [[graft.functions.WinnowMins]]'s short-input branch.
     */
-  def winnowFingerprintsOracle(k: Int = 5, w: Int = 8): String = {
+  /** Shared winnow head: gram rows, the gram-hash chain, per-doc window
+    * minima over full windows, and first-occurrence dedup — the common
+    * prefix of the q63 fingerprint and q83 dup-pair oracles. Ends with
+    * CTEs `grams(doc_id, pos, tok)`, `gh(doc_id, pos, tok, h)`,
+    * `gcnt(doc_id, n)`, `firstocc(doc_id, m, fp)`.
+    */
+  private def winnowHeadCtes(k: Int, w: Int): Seq[String] = {
     val gramCtes = Seq(
       // one row per gram position; a doc shorter than k chars is its own
       // single gram (charGramHashes' `when(length < k)` branch)
@@ -345,8 +351,8 @@ private[analytics] object DuckXxh {
         "FROM gpos)",
     )
     val chain1 = xxhStrCtes("SELECT DISTINCT tok FROM grams")
-    val winnowCtes = Seq(
-      s"gh AS MATERIALIZED (SELECT g.doc_id, g.pos, ${signed("x.xh_out")} AS h " +
+    gramCtes ++ chain1 ++ Seq(
+      s"gh AS MATERIALIZED (SELECT g.doc_id, g.pos, g.tok, ${signed("x.xh_out")} AS h " +
         "FROM grams g JOIN xstr_final x USING (tok))",
       "gcnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id)",
       "wmin AS MATERIALIZED (SELECT g.doc_id, g.pos, " +
@@ -356,6 +362,11 @@ private[analytics] object DuckXxh {
       // full windows only; first-occurrence position per distinct min
       s"firstocc AS MATERIALIZED (SELECT doc_id, m, min(pos) AS fp " +
         s"FROM wmin WHERE pos >= $w GROUP BY doc_id, m)",
+    )
+  }
+
+  def winnowFingerprintsOracle(k: Int = 5, w: Int = 8): String = {
+    val winnowCtes = Seq(
       "fps AS MATERIALIZED (" +
         "SELECT doc_id, list(m ORDER BY fp) AS l FROM firstocc GROUP BY doc_id " +
         "UNION ALL " +
@@ -365,11 +376,57 @@ private[analytics] object DuckXxh {
         "len(l) AS nf FROM fps)",
     )
     val chain2 = xxhStrCtes("SELECT DISTINCT tok FROM dstr", "y")
-    val ctes = gramCtes ++ chain1 ++ winnowCtes ++ chain2
+    val ctes = winnowHeadCtes(k, w) ++ winnowCtes ++ chain2
     "WITH RECURSIVE " + ctes.mkString(",\n") +
       "\nSELECT d.doc_id, CAST(d.nf AS INTEGER) AS n_fingerprints, " +
       s"${signed("y.xh_out")} AS fp_digest " +
       "FROM dstr d JOIN ystr_final y USING (tok) ORDER BY d.doc_id"
+  }
+
+  /** The q83 oracle: winnow-blocked exact-substring near-dup pairs.
+    * Selected hashes per doc are the full-window distinct minima (plus the
+    * global min for short docs — [[graft.functions.WinnowSelect]]'s short
+    * branch); selected GRAMS are the gram strings carrying those hashes;
+    * pairs share >= `minShared` selected gram strings. Mirrors
+    * [[graft.ops.TextDedup.winnowDupPairs]] (whose `maxDf` cap cannot fire
+    * at oracle scale: every df <= 500 docs < 1000, same argument as the
+    * q38 cap).
+    */
+  def winnowDupPairsOracle(k: Int = 12, w: Int = 10,
+      minShared: Int = 2): String = {
+    val ctes = winnowHeadCtes(k, w) ++ Seq(
+      "selh AS MATERIALIZED (SELECT doc_id, m FROM firstocc " +
+        "UNION ALL SELECT g.doc_id, min(g.h) AS m FROM gh g " +
+        s"JOIN gcnt c USING (doc_id) WHERE c.n < $w GROUP BY g.doc_id)",
+      "selg AS MATERIALIZED (SELECT DISTINCT g.doc_id, g.tok FROM selh s " +
+        "JOIN gh g ON g.doc_id = s.doc_id AND g.h = s.m)",
+    )
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      "\nSELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
+      "FROM selg a JOIN selg b ON a.tok = b.tok AND a.doc_id < b.doc_id " +
+      s"GROUP BY id_a, id_b HAVING count(*) >= $minShared " +
+      "ORDER BY id_a, id_b"
+  }
+
+  /** The q84 oracle: seeded deterministic corpus shuffle/sharding —
+    * h = xxhash64(doc_id) (Spark's `XXH64.hashLong`, seed 42, re-derived
+    * through [[hashLongChain]]), shard = pmod(h, nShards), pos = rank of h
+    * within the shard (ties to doc_id). Mirrors the q84 registration in
+    * `RankQueries`.
+    */
+  def shardAssignOracle(nShards: Int): String = {
+    val (ctes, last, out) = hashLongChain("sh",
+      u64("CAST(doc_id AS HUGEINT)"), "42::HUGEINT", "shsrc")
+    val all = Seq("shsrc AS MATERIALIZED (SELECT doc_id FROM documents)") ++
+      ctes ++ Seq(
+      s"hsh AS MATERIALIZED (SELECT doc_id, ${signed(out)} AS h FROM $last)",
+      s"sh2 AS MATERIALIZED (SELECT doc_id, h, " +
+        s"CAST(((h % $nShards) + $nShards) % $nShards AS INT) AS shard FROM hsh)",
+    )
+    "WITH " + all.mkString(",\n") +
+      "\nSELECT doc_id, h, shard, CAST(row_number() OVER " +
+      "(PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos " +
+      "FROM sh2 ORDER BY doc_id"
   }
 
   /** The q73 oracle: connected components over exact cosine-threshold

@@ -1,0 +1,64 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.TextRank
+
+/** Text-relevance ranking and corpus-sharding queries over `documents` —
+  * the retrieval/curation surface of a training-data pipeline (beyond the
+  * reference, whose text ops stop at exact fingerprints): BM25 search,
+  * TF-IDF term weighting, and the seeded deterministic shuffle/shard
+  * assignment that fixes a training order.
+  */
+object RankQueries {
+
+  private val bm25Terms = Seq("spark", "join", "window", "stream")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- BM25 retrieval for a fixed query. Scale shape: zero corpus
+    // shuffles — row-local tf for the fixed term list, one broadcast
+    // 1-row stats aggregate, TakeOrderedAndProject top-k. Scores rounded
+    // to 6 dp (ln's last ulp differs between JVM and libm; rounding is
+    // bit-verified equal across engines).
+    QueryDef(
+      "q81_bm25_search",
+      Some(TextRank.bm25OracleSql(bm25Terms, topK = 10)),
+    ) { (s, dir) =>
+      TextRank.bm25(Tables.documents(s, dir), "text", "doc_id", bm25Terms,
+        topK = 10).orderBy("doc_id")
+    },
+
+    // ---- TF-IDF top terms per doc: the full-vocabulary weighting path
+    // (one tf shuffle, a vocab-sized df join, one per-doc rank window).
+    // Ranking is on the ROUNDED score so mathematically-coincident scores
+    // (2·ln(N/x) vs ln(N/x²)) tie-break identically in both engines.
+    QueryDef(
+      "q82_tfidf_top_terms",
+      Some(TextRank.tfidfOracleSql(topN = 3)),
+    ) { (s, dir) =>
+      TextRank.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id",
+        topN = 3).orderBy("doc_id", "rank")
+    },
+
+    // ---- seeded deterministic corpus shuffle + shard assignment (fixes
+    // a reproducible training order): shard = pmod(xxhash64(id), n),
+    // position = rank of the hash within the shard. The per-shard sort IS
+    // the operator; parallelism = nShards, so production sizes nShards to
+    // the cluster (and the hash key makes shard sizes near-uniform).
+    // Hash-checked end-to-end through the DuckXxh XXH64 re-implementation.
+    QueryDef(
+      "q84_shard_assignment",
+      Some(DuckXxh.shardAssignOracle(nShards = 16)),
+    ) { (s, dir) =>
+      val n = 16
+      Tables.documents(s, dir)
+        .select(col("doc_id"), xxhash64(col("doc_id")).as("h"))
+        .withColumn("shard", pmod(col("h"), lit(n.toLong)).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))))
+        .select("doc_id", "h", "shard", "pos")
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd winnowing window-minima kernel. The built-in formulation in
   * `analytics.TextQueries.winnowFromGrams` (transform + slice + array_min)
@@ -25,6 +26,20 @@ object WinnowExprs {
   def winnowMins(grams: Column, w: Int): Column =
     org.apache.spark.sql.GraftShim.column(
       WinnowMins(org.apache.spark.sql.GraftShim.expression(grams), w))
+
+  /** `winnow_select(grams)`: the selected gram STRINGS — for each sliding
+    * window of `w` grams, the gram whose `xxhash64` (seed 42, same kernel
+    * as Spark's `xxhash64`) is the window minimum, de-duplicated by hash
+    * in first-occurrence order. `winnowMins(transform(g, xxhash64), w)`
+    * gives the same selection as hash values; this variant keeps the
+    * strings so collisions can be blocked on and verified EXACTLY
+    * downstream (the substring-dedup pair join compares gram strings, not
+    * hashes). Arrays shorter than `w` yield the gram attaining the global
+    * min. One O(n) pass: hashing, the monotonic deque, and dedup fused.
+    */
+  def winnowSelect(grams: Column, w: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      WinnowSelect(org.apache.spark.sql.GraftShim.expression(grams), w))
 }
 
 case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
@@ -109,5 +124,92 @@ case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_select"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = XXH64.hashUTF8String(a.getUTF8String(i), 42L); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    if (n < w) {
+      var mi = 0
+      var j = 1
+      while (j < n) { if (hs(j) < hs(mi)) mi = j; j += 1 }
+      out += a.getUTF8String(mi).clone()
+    } else {
+      val seen = new java.util.HashSet[Long]()
+      val dq = new Array[Int](n)
+      var head = 0; var tail = 0 // [head, tail)
+      var j = 0
+      while (j < n) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+        dq(tail) = j; tail += 1
+        if (dq(head) <= j - w) head += 1
+        if (j >= w - 1 && seen.add(hs(dq(head)))) out += a.getUTF8String(dq(head)).clone()
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val utf8 = classOf[UTF8String].getName
+      val n = ctx.freshName("n"); val hs = ctx.freshName("hs")
+      val outBuf = ctx.freshName("outBuf"); val outLen = ctx.freshName("outLen")
+      val seen = ctx.freshName("seen"); val dq = ctx.freshName("dq")
+      val head = ctx.freshName("head"); val tail = ctx.freshName("tail")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val mi = ctx.freshName("mi"); val res = ctx.freshName("res")
+      s"""
+        final int $n = $a.numElements();
+        final long[] $hs = new long[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          $hs[$i] = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+        }
+        $utf8[] $outBuf = new $utf8[$n == 0 ? 1 : $n];
+        int $outLen = 0;
+        if ($n > 0 && $n < $w) {
+          int $mi = 0;
+          for (int $i = 1; $i < $n; $i++) { if ($hs[$i] < $hs[$mi]) $mi = $i; }
+          $outBuf[$outLen++] = $a.getUTF8String($mi).clone();
+        } else if ($n > 0) {
+          final java.util.HashSet<Long> $seen = new java.util.HashSet<Long>();
+          final int[] $dq = new int[$n];
+          int $head = 0, $tail = 0;
+          for (int $j = 0; $j < $n; $j++) {
+            while ($tail > $head && $hs[$dq[$tail - 1]] >= $hs[$j]) $tail--;
+            $dq[$tail++] = $j;
+            if ($dq[$head] <= $j - $w) $head++;
+            if ($j >= $w - 1 && $seen.add($hs[$dq[$head]])) {
+              $outBuf[$outLen++] = $a.getUTF8String($dq[$head]).clone();
+            }
+          }
+        }
+        final Object[] $res = new Object[$outLen];
+        System.arraycopy($outBuf, 0, $res, 0, $outLen);
+        ${ev.value} = new $gad($res);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
     copy(child = newChild)
 }

@@ -588,4 +588,46 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Exact-substring near-dup pairs via winnowing
+    * (Schleimer/Wilkerson/Aiken — the MOSS scheme; also the blocking idea
+    * behind suffix-style exact-substring training-data dedup): each doc
+    * keeps its winnow-SELECTED char `k`-grams (the per-window hash minima,
+    * computed by the O(n) fused [[graft.functions.WinnowSelect]] kernel),
+    * and a pair is reported when the two docs share at least `minShared`
+    * selected grams — compared as STRINGS, so the report is exact, never a
+    * hash-collision artifact.
+    *
+    * Guarantee (winnowing): two docs sharing a substring of
+    * >= w + k - 1 chars both select the same gram inside it, so every such
+    * pair appears with n_shared >= 1 (contract-tested).
+    *
+    * Scale shape: selected grams are ~2/(w+1) of all grams, so the
+    * exploded (id, gram) set is a fraction of corpus bytes; the pair join
+    * is blocked on the gram string. `maxDf` drops grams selected in more
+    * docs than the cap BEFORE the join (boilerplate/viral grams would
+    * otherwise square); the df count rides the same gram-keyed shuffle as
+    * the join, so the cap costs no extra exchange. Output:
+    * (id_a, id_b, n_shared).
+    */
+  def winnowDupPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 12, w: Int = 10, minShared: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
+    val text = col(textCol)
+    val grams = when(length(text) < k, array(text))
+      .otherwise(transform(sequence(lit(1), length(text) - lit(k - 1)),
+        i => text.substr(i, lit(k))))
+    val sel = df
+      .select(col(idCol).as("id"), grams.as("_t")) // bind before fan-out
+      .select(col("id"),
+        explode(graft.functions.WinnowExprs.winnowSelect(col("_t"), w)).as("gram"))
+    val winDf = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val kept = sel.withColumn("_df", count(lit(1)).over(winDf))
+      .filter(col("_df") <= maxDf).select("id", "gram")
+    kept.as("a").join(kept.as("b"), "gram")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

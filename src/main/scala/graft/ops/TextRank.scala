@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text relevance ranking over a document corpus: BM25 retrieval for a
+  * fixed query and corpus-wide TF-IDF term weighting. Beyond-reference
+  * training-data operators (the reference's text surface is exact-dup
+  * fingerprinting only); the scoring math follows the public literature —
+  * Robertson/Spärck Jones probabilistic relevance, with Lucene
+  * `BM25Similarity`'s non-negative idf formulation
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+  *
+  * Scale shape, 100 TB framing:
+  *  - [[bm25]] never shuffles the corpus: term frequencies for the (small,
+  *    fixed) query-term list are row-local array filters, corpus stats
+  *    (N, Σdl, per-term df) are ONE tiny aggregate broadcast back, and
+  *    top-k is `TakeOrderedAndProject` — two linear passes, no wide
+  *    exchange.
+  *  - [[tfidfTopTerms]] is the general full-vocabulary path: one
+  *    map-side-combined (id, term) count, one vocabulary-sized df
+  *    aggregate joined back on term (AQE broadcasts it when the
+  *    vocabulary is small), one per-doc ranking window keyed by id.
+  *
+  * Float determinism: every arithmetic op here is IEEE-exact except `ln`,
+  * whose last ulp may differ between JVM and C libm — scores are therefore
+  * rounded to 6 decimals (HALF_UP agrees bit-for-bit between Spark and
+  * DuckDB, verified empirically) and ties under the rounded score break on
+  * exact integer/string keys, so the oracle compare stays bit-exact.
+  */
+object TextRank {
+
+  private def toks(textCol: String) = split(trim(col(textCol)), "\\s+")
+
+  /** BM25 top-`topK` documents for `queryTerms`. Output:
+    * (idCol, bm25 = round(score, 6), n_matched). Only documents matching
+    * at least one query term participate; ranking is on the raw
+    * (pre-rounding) score with id as the tie-break.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    val base = docs
+      .select(col(idCol), toks(textCol).as("_t"))
+      .select(col(idCol), col("_t"), size(col("_t")).as("_dl"))
+    // Row-local per-term tf — the query-term list is small and fixed, so
+    // counting is an array filter per term, not an explode + shuffle.
+    val withTf = queryTerms.indices.foldLeft(base) { (d, i) =>
+      d.withColumn(s"_tf$i", size(filter(col("_t"), x => x === lit(queryTerms(i)))))
+    }.drop("_t")
+    // Corpus stats in one aggregate: N, Σdl (exact long sum), df per term.
+    val statAggs =
+      count(lit(1)).as("n_docs") +:
+        sum(col("_dl").cast("long")).as("sum_dl") +:
+        queryTerms.indices.map(i => count(when(col(s"_tf$i") > 0, 1)).as(s"_df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val j = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def idf(i: Int) =
+      log(lit(1.0) + (col("n_docs") - col(s"_df$i") + lit(0.5)) / (col(s"_df$i") + lit(0.5)))
+    def termScore(i: Int) = when(col(s"_tf$i") > 0,
+      idf(i) * (col(s"_tf$i") * lit(k1 + 1)) /
+        (col(s"_tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / avgdl))
+    ).otherwise(lit(0.0))
+    val score = queryTerms.indices.map(termScore).reduceLeft(_ + _)
+    val nMatched = queryTerms.indices
+      .map(i => when(col(s"_tf$i") > 0, 1).otherwise(0)).reduceLeft(_ + _)
+    j.select(col(idCol), score.as("_raw"), nMatched.as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .orderBy(desc("_raw"), col(idCol))
+      .limit(topK)
+      .select(col(idCol), round(col("_raw"), 6).as("bm25"), col("n_matched"))
+  }
+
+  /** The matching DuckDB oracle SQL for [[bm25]]: the identical operation
+    * tree (same association order on every float op), built from the same
+    * parameters. Numeric literals are interpolated from the Scala doubles
+    * (`Double.toString` round-trips), so both engines parse the same
+    * binary64 constants.
+    */
+  def bm25OracleSql(queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): String = {
+    val tfCols = queryTerms.indices.map { i =>
+      val t = queryTerms(i).replace("'", "''")
+      s"len(list_filter(_t, x -> x = '$t')) AS _tf$i"
+    }.mkString(", ")
+    val dfCols = queryTerms.indices
+      .map(i => s"count(CASE WHEN _tf$i > 0 THEN 1 END) AS _df$i").mkString(", ")
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    def idf(i: Int) = s"ln(1.0 + (n_docs - _df$i + 0.5) / (_df$i + 0.5))"
+    def termScore(i: Int) =
+      s"CASE WHEN _tf$i > 0 THEN ${idf(i)} * (_tf$i * ${k1 + 1}) / " +
+        s"(_tf$i + $k1 * (${1 - b} + $b * _dl / $avgdl)) ELSE 0.0 END"
+    val score = queryTerms.indices.map(termScore).mkString(" + ")
+    val nMatched = queryTerms.indices
+      .map(i => s"(CASE WHEN _tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS _t FROM documents),
+      b2 AS (SELECT doc_id, len(_t) AS _dl, $tfCols FROM base),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(_dl) AS BIGINT) AS sum_dl, $dfCols FROM b2),
+      scored AS (SELECT doc_id, $score AS _raw, $nMatched AS n_matched
+                 FROM b2 CROSS JOIN stats)
+      SELECT doc_id, round(_raw, 6) AS bm25, n_matched FROM (
+        SELECT * FROM scored WHERE n_matched > 0
+        ORDER BY _raw DESC, doc_id LIMIT $topK)
+      ORDER BY doc_id"""
+  }
+
+  /** Top-`topN` TF-IDF terms per document (full-vocabulary path). Output:
+    * (idCol, rank, term, tf, df, tfidf = round(tf·ln(N/df), 6)). The
+    * ranking key is the ROUNDED score (then tf desc, term asc): two terms
+    * whose scores are mathematically equal through different (tf, df) —
+    * e.g. 2·ln(N/x) = ln(N/x²)·1 — must order identically in both
+    * engines, which raw last-ulp-sensitive doubles would not guarantee.
+    */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      topN: Int = 3): DataFrame = {
+    val tf = docs.select(col(idCol), explode(toks(textCol)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(stats))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(desc("tfidf"), desc("tf"), asc("term"))))
+      .filter(col("rank") <= topN)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** The matching DuckDB oracle SQL for [[tfidfTopTerms]]. */
+  def tfidfOracleSql(topN: Int = 3): String =
+    s"""
+      WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
+                    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                    FROM documents)
+                  GROUP BY doc_id, tok),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      stats AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, term, tf, df,
+                   round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+                 FROM tf JOIN df USING (term) CROSS JOIN stats),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, tf DESC, term) AS rank FROM scored)
+      SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf
+      FROM r WHERE rank <= $topN ORDER BY doc_id, rank"""
+}

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.WinnowExprs.{winnowMins, winnowSelect}
+import graft.ops.{TextDedup, TextRank}
+
+class WinnowSelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "aaaaaaaaaaaa",  // repetitive: many equal grams/hashes
+    "ab",            // shorter than k: single whole-text gram
+    "abcdefgh",      // fewer grams than w: global-min branch
+  ).map(Tuple1(_)).toDF("text")
+
+  private val k = 4
+  private val w = 5
+
+  private def grams = when(length(col("text")) < k, array(col("text")))
+    .otherwise(transform(sequence(lit(1), length(col("text")) - lit(k - 1)),
+      i => col("text").substr(i, lit(k))))
+
+  private def selected(): Seq[Seq[String]] =
+    docs.select(col("text"), grams.as("_t"))
+      .select(winnowSelect(col("_t"), w))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+
+  test("selected gram hashes equal winnowMins of the gram hashes, in order") {
+    val viaSelect = docs.select(col("text"), grams.as("_t"))
+      .select(transform(winnowSelect(col("_t"), w), g => xxhash64(g)))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val viaMins = docs.select(col("text"), grams.as("_t"))
+      .select(col("_t"), transform(col("_t"), g => xxhash64(g)).as("_g"))
+      .select(winnowMins(col("_g"), w))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    assert(viaSelect == viaMins)
+  }
+
+  test("every selected gram is a substring of its document") {
+    val rows = docs.select(col("text"), grams.as("_t"))
+      .select(col("text"), winnowSelect(col("_t"), w).as("sel"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      r.getSeq[String](1).foreach(g => assert(text.contains(g), s"'$g' not in '$text'"))
+    }
+  }
+
+  test("interpreted path (codegen off) agrees with codegen path") {
+    val gen = selected()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try selected() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(interp == gen)
+  }
+
+  test("rejects non-string-array input at analysis time") {
+    val df = Seq(Tuple1(Seq(1L, 2L))).toDF("g")
+    val ex = intercept[Exception] {
+      df.select(winnowSelect(col("g"), 3)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("winnow_select") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  test("null array input yields null") {
+    val df = Seq(Tuple1(Option.empty[Seq[String]])).toDF("g")
+    assert(df.select(winnowSelect(col("g"), 3)).collect()(0).isNullAt(0))
+  }
+}
+
+class WinnowDupPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 12
+  private val w = 10
+  // shared run of exactly w + k - 1 = 21 chars — the guarantee boundary
+  private val shared = "SHAREDSUBSTRINGRUN_21"
+
+  test("pairs sharing a >= w+k-1 char substring are always reported") {
+    assert(shared.length == w + k - 1)
+    val docs = Seq(
+      (1L, s"left padding text A $shared and a distinct tail xyzzy"),
+      (2L, s"completely different prelude $shared unrelated suffix qq"),
+      (3L, "no overlap here at all: the quick brown fox jumps again"),
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.winnowDupPairs(docs, "text", "doc_id",
+      k = k, w = w, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"doc 3 shares no 12-gram yet was paired: $pairs")
+  }
+
+  test("maxDf cap drops boilerplate grams before the pair join") {
+    // four docs all share one viral run; capping df at 3 kills the block
+    val viral = "VIRALBOILERPLATERUN_X"
+    val docs = (1L to 4L).map(i => (i, s"doc $i has $viral inside " +
+      ("u%02d".format(i) * 6))).toDF("doc_id", "text")
+    val uncapped = TextDedup.winnowDupPairs(docs, "text", "doc_id",
+      k = k, w = w, minShared = 1, maxDf = 1000).count()
+    val capped = TextDedup.winnowDupPairs(docs, "text", "doc_id",
+      k = k, w = w, minShared = 1, maxDf = 3).count()
+    assert(uncapped >= 6, s"all 6 pairs expected, got $uncapped") // C(4,2)
+    assert(capped < uncapped)
+  }
+}
+
+class TextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "spark join spark window"),
+    (2L, "spark stream"),
+    (3L, "filter scan merge sort"),
+    (4L, "join join join window stream spark"),
+    (5L, "the quick fox"),
+  ).toDF("doc_id", "text")
+
+  private val terms = Seq("spark", "join", "window", "stream")
+
+  test("bm25 matches a driver-side brute-force computation") {
+    val k1 = 1.2; val b = 0.75
+    val corpus = docs.collect().map(r => (r.getLong(0),
+      r.getString(1).trim.split("\\s+").toSeq)).toSeq
+    val n = corpus.size
+    val avgdl = corpus.map(_._2.size).sum.toDouble / n
+    def df(t: String) = corpus.count(_._2.contains(t))
+    val expected = corpus.flatMap { case (id, toks) =>
+      val score = terms.map { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * toks.size / avgdl))
+      }.sum
+      val matched = terms.count(toks.contains)
+      if (matched > 0) Some(id -> score) else None
+    }.toMap
+    val got = TextRank.bm25(docs, "text", "doc_id", terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, s) =>
+      val exp = new java.math.BigDecimal(expected(id))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(s == exp, s"doc $id: $s vs $exp")
+    }
+    // doc 4 (most matches, high tf) must outrank doc 3 (no matches: absent)
+    assert(!got.contains(3L))
+  }
+
+  test("bm25 topK bounds the output and keeps the best scores") {
+    val top1 = TextRank.bm25(docs, "text", "doc_id", terms, topK = 1).collect()
+    assert(top1.length == 1)
+    val all = TextRank.bm25(docs, "text", "doc_id", terms, topK = 10)
+      .collect().map(_.getDouble(1))
+    assert(top1.head.getDouble(1) == all.max)
+  }
+
+  test("tfidf ranks are 1..topN per doc and df=N terms score zero") {
+    val out = TextRank.tfidfTopTerms(docs, "text", "doc_id", topN = 3)
+    val rows = out.collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+    // every score is tf * ln(N/df) rounded — df == N implies exactly 0.0
+    rows.filter(_.getLong(4) == docs.count()).foreach { r =>
+      assert(r.getDouble(5) == 0.0)
+    }
+    // scores are non-increasing with rank within a doc
+    byDoc.foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(5))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("shard assignment is deterministic, in-range, and dense per shard") {
+    val n = 16
+    val base = spark.range(0, 500).select(col("id").as("doc_id"),
+      xxhash64(col("id")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(n.toLong)).cast("int"))
+    val withPos = base.withColumn("pos",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("h"), col("doc_id"))))
+    val rows = withPos.collect()
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < n))
+    rows.groupBy(_.getInt(2)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+    val again = withPos.collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+}
