@@ -613,14 +613,10 @@ object TextDedup {
   def winnowDupPairs(df: DataFrame, textCol: String, idCol: String,
       k: Int = 12, w: Int = 10, minShared: Int = 2,
       maxDf: Int = 1000): DataFrame = {
-    val text = col(textCol)
-    val grams = when(length(text) < k, array(text))
-      .otherwise(transform(sequence(lit(1), length(text) - lit(k - 1)),
-        i => text.substr(i, lit(k))))
     val sel = df
-      .select(col(idCol).as("id"), grams.as("_t")) // bind before fan-out
-      .select(col("id"),
-        explode(graft.functions.WinnowExprs.winnowSelect(col("_t"), w)).as("gram"))
+      .select(col(idCol).as("id"),
+        explode(graft.functions.WinnowExprs
+          .winnowSelectGrams(col(textCol), k, w)).as("gram"))
     val winDf = org.apache.spark.sql.expressions.Window.partitionBy("gram")
     val kept = sel.withColumn("_df", count(lit(1)).over(winDf))
       .filter(col("_df") <= maxDf).select("id", "gram")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.WinnowExprs.{winnowMins, winnowSelect}
+import graft.functions.WinnowExprs.{winnowMins, winnowSelect, winnowSelectGrams}
 import graft.ops.{TextDedup, TextRank}
 
 class WinnowSelectSpec extends SparkSpec {
@@ -52,6 +52,39 @@ class WinnowSelectSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     val interp = try selected() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(interp == gen)
+  }
+
+  test("fused winnowSelectGrams agrees with the composed gram-array form") {
+    // includes multi-byte UTF-8 (é, €, 漢) so the char→byte offset walk is
+    // exercised, plus short-text (< k) and short-gram-array (< w) branches
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld — 漢字テスト € and ascii tail for length",
+      "aaaaaaaaaaaa", "ab", "abcdefgh", "",
+    ).map(Tuple1(_)).toDF("text")
+    val composed = texts
+      .select(col("text"), grams.as("_t"))
+      .select(winnowSelect(col("_t"), w))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val fused = texts.select(winnowSelectGrams(col("text"), k, w))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(fused == composed)
+  }
+
+  test("fused kernel interpreted path agrees with codegen path") {
+    val texts = Seq("the quick brown fox", "héllo wörld 漢字", "ab")
+      .map(Tuple1(_)).toDF("text")
+    def run(): Seq[Seq[String]] =
+      texts.select(winnowSelectGrams(col("text"), k, w))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
