@@ -238,5 +238,23 @@ object CorpusQueries {
         .select("doc_id", "keep", "drop_reasons")
         .orderBy("doc_id")
     },
+
+    // ---- vocabulary drift between two corpus slices: top shared terms
+    // by per-term KL contribution |p_a·ln(p_a/p_b)| — the distribution-
+    // shift monitor for a training mixture. Contributions rounded (ln's
+    // last ulp is engine-specific) and -0.0-normalized; ranking on the
+    // rounded value with term tie-break so both engines cut identically.
+    QueryDef(
+      "q86_vocab_drift",
+      Some(CorpusOps.vocabDriftOracleSql(
+        aPred = "doc_id % 5 != 0", bPred = "doc_id % 5 = 0", topN = 20)),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      CorpusOps.vocabDrift(
+        a = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        b = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        textCol = "text", topN = 20)
+        .orderBy("term")
+    },
   )
 }

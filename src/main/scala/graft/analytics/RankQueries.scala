@@ -41,6 +41,18 @@ object RankQueries {
         topN = 3).orderBy("doc_id", "rank")
     },
 
+    // ---- inverted-index build: term → (df, total_tf, ascending posting
+    // list). The term-keyed shuffle is the canonical search index build;
+    // postings stringified so the compare is byte-stable across engines'
+    // list types.
+    QueryDef(
+      "q85_inverted_index",
+      Some(TextRank.invertedIndexOracleSql),
+    ) { (s, dir) =>
+      TextRank.invertedIndex(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("term")
+    },
+
     // ---- seeded deterministic corpus shuffle + shard assignment (fixes
     // a reproducible training order): shard = pmod(xxhash64(id), n),
     // position = rank of the hash within the shard. The per-shard sort IS

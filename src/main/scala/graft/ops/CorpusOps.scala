@@ -265,4 +265,64 @@ object CorpusOps {
         _.isNotNull))
     df.withColumn("keep", kept).withColumn("drop_reasons", reasons)
   }
+
+  /** Vocabulary drift between two corpus slices (train vs eval, today vs
+    * yesterday's crawl): the top-`topN` shared-support terms by per-term
+    * KL contribution |p_a·ln(p_a/p_b)|, with the raw counts as evidence.
+    * The standard distribution-shift monitor for a training-data mixture.
+    *
+    * Scale shape: two token-frequency aggregates (map-side combined), a
+    * vocabulary-sized equi-join, two 1-row total aggregates broadcast
+    * back, TakeOrdered top-N — no corpus-sized shuffle.
+    *
+    * Float determinism: probabilities are exact divisions of exact longs;
+    * only `ln` is engine-sensitive, so the contribution and probabilities
+    * are rounded (9 dp) and `+ 0.0` normalizes a rounded `-0.0` to `+0.0`
+    * (IEEE: -0.0 + 0.0 = +0.0) — the oracle compare requires matching
+    * float sign bits. Ranking uses the ROUNDED contribution, ties to the
+    * term, so both engines cut the top-N identically.
+    */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
+      topN: Int = 20): DataFrame = {
+    def freqs(df: DataFrame, cnt: String) =
+      df.select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as(cnt))
+    val fa = freqs(a, "cnt_a")
+    val fb = freqs(b, "cnt_b")
+    val tots = fa.agg(sum("cnt_a").as("tot_a"))
+      .crossJoin(fb.agg(sum("cnt_b").as("tot_b")))
+    val pA = col("cnt_a").cast("double") / col("tot_a")
+    val pB = col("cnt_b").cast("double") / col("tot_b")
+    val klTerm = round(pA * log(pA / pB), 9) + lit(0.0)
+    fa.join(fb, "term")
+      .crossJoin(broadcast(tots))
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        (round(pA, 9) + lit(0.0)).as("p_a"),
+        (round(pB, 9) + lit(0.0)).as("p_b"),
+        klTerm.as("kl_term"))
+      .orderBy(abs(col("kl_term")).desc, col("term"))
+      .limit(topN)
+  }
+
+  /** The matching DuckDB oracle SQL for [[vocabDrift]] over the
+    * `documents` table with slices `aPred`/`bPred` (SQL predicates on its
+    * columns).
+    */
+  def vocabDriftOracleSql(aPred: String, bPred: String, topN: Int = 20): String =
+    s"""
+      WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+                    FROM documents),
+      fa AS (SELECT term, count(*) AS cnt_a FROM toks WHERE $aPred GROUP BY term),
+      fb AS (SELECT term, count(*) AS cnt_b FROM toks WHERE $bPred GROUP BY term),
+      tots AS (SELECT (SELECT CAST(sum(cnt_a) AS BIGINT) FROM fa) AS tot_a,
+                      (SELECT CAST(sum(cnt_b) AS BIGINT) FROM fb) AS tot_b),
+      j AS (SELECT term, cnt_a, cnt_b,
+              (round(CAST(cnt_a AS DOUBLE) / tot_a, 9) + 0.0) AS p_a,
+              (round(CAST(cnt_b AS DOUBLE) / tot_b, 9) + 0.0) AS p_b,
+              (round(CAST(cnt_a AS DOUBLE) / tot_a *
+                 ln((CAST(cnt_a AS DOUBLE) / tot_a) / (CAST(cnt_b AS DOUBLE) / tot_b)), 9)
+               + 0.0) AS kl_term
+            FROM fa JOIN fb USING (term) CROSS JOIN tots)
+      SELECT term, cnt_a, cnt_b, p_a, p_b, kl_term FROM j
+      ORDER BY abs(kl_term) DESC, term LIMIT $topN"""
 }

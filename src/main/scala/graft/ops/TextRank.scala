@@ -133,6 +133,37 @@ object TextRank {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Inverted-index build: one row per vocabulary term with document
+    * frequency, total term frequency, and the full posting list (doc ids,
+    * ascending, comma-joined — a string so the oracle compare is
+    * byte-stable across engines' list types). The term-keyed groupBy is
+    * the standard index-build shuffle; per-term postings are bounded by
+    * df, and a production 100 TB layout would write this partitioned by
+    * term hash (the natural search-shard layout) — the plan shape here is
+    * exactly that write's input.
+    */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"), explode(toks(textCol)).as("term"))
+      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
+    tf.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum("tf").as("total_tf"),
+      concat_ws(",",
+        transform(sort_array(collect_list(col("id"))), x => x.cast("string")))
+        .as("postings"))
+  }
+
+  /** The matching DuckDB oracle SQL for [[invertedIndex]]. */
+  def invertedIndexOracleSql: String =
+    """
+      WITH tf AS (SELECT tok AS term, doc_id AS id, count(*) AS tf FROM (
+                    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+                    FROM documents)
+                  GROUP BY tok, doc_id)
+      SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+             array_to_string(list_sort(list(id)), ',') AS postings
+      FROM tf GROUP BY term ORDER BY term"""
+
   /** The matching DuckDB oracle SQL for [[tfidfTopTerms]]. */
   def tfidfOracleSql(topN: Int = 3): String =
     s"""

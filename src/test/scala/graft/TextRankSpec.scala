@@ -211,6 +211,38 @@ class TextRankSpec extends SparkSpec {
     }
   }
 
+  test("inverted index: postings sorted, df consistent, token mass conserved") {
+    val idx = TextRank.invertedIndex(docs, "text", "doc_id").collect()
+    idx.foreach { r =>
+      val postings = r.getString(3).split(",").map(_.toLong).toSeq
+      assert(postings == postings.sorted, s"postings unsorted for ${r.getString(0)}")
+      assert(postings.distinct == postings)
+      assert(r.getLong(1) == postings.length, "df != |postings|")
+      assert(r.getLong(2) >= r.getLong(1), "total_tf < df")
+    }
+    val totalTokens = docs.collect()
+      .map(_.getString(1).trim.split("\\s+").length).sum
+    assert(idx.map(_.getLong(2)).sum == totalTokens, "token mass not conserved")
+  }
+
+  test("vocab drift: identical slices give zero drift, ranking is |kl| desc") {
+    val zero = graft.ops.CorpusOps.vocabDrift(docs, docs, "text", topN = 50)
+      .collect()
+    assert(zero.nonEmpty)
+    zero.foreach { r =>
+      assert(r.getDouble(5) == 0.0 &&
+        java.lang.Double.doubleToRawLongBits(r.getDouble(5)) == 0L,
+        s"kl not +0.0 for identical slices: ${r.getString(0)}")
+    }
+    val a = docs.filter(col("doc_id") <= 3)
+    val b = docs.filter(col("doc_id") > 3)
+    val drift = graft.ops.CorpusOps.vocabDrift(a, b, "text", topN = 5).collect()
+    assert(drift.length <= 5)
+    val absKl = drift.map(r => math.abs(r.getDouble(5))).toSeq
+    assert(absKl.zip(absKl.tail).forall { case (x, y) => x >= y },
+      s"not ranked by |kl| desc: $absKl")
+  }
+
   test("shard assignment is deterministic, in-range, and dense per shard") {
     val n = 16
     val base = spark.range(0, 500).select(col("id").as("doc_id"),
