@@ -160,6 +160,15 @@ object CorpusPipeline {
       rates = evenSources, defaultRate = 1.0)
     val nMixed = mixed.count()
 
+    // ---- stage 6b: vocabulary-drift monitor — what the re-weighting did
+    // to the token distribution (top shared terms by |p·ln(p/q)|,
+    // pre- vs post-mix). Report + sanity gate only: the mixture keeps a
+    // subset of docs, so the post-mix vocabulary is a subset and the
+    // shared support is non-empty whenever anything survived.
+    val drift = CorpusOps.vocabDrift(clean, mixed, "text", topN = 3).collect()
+    val driftOk = drift.nonEmpty &&
+      drift.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite)
+
     // ---- stage 7: pack into 128-token context windows per source shard
     // (n_tokens computed once in stage 2 rides along — no re-tokenization)
     val packed = CorpusOps.packSequences(
@@ -190,6 +199,7 @@ object CorpusPipeline {
       |semantic dedup:    $nReps -> $nSemReps embedding-cluster representatives
       |decontamination:   $nTrain train -> $nClean clean (eval split held out; ${if (usedHash) "hashed-gram" else "string-gram"} path, path-agreement diff=$nFlagDiff)
       |mixture sample:    $nClean -> $nMixed
+      |mixture drift:     ${drift.map(r => f"${r.getString(0)}=${r.getDouble(5)}%.6f").mkString("  ")}
       |packed:            $nMixed docs -> $nChunks context windows of 128 tokens
       |wall time:         $secs%.1f s
       |""".stripMargin)
@@ -198,7 +208,7 @@ object CorpusPipeline {
       nPlantedKept > 0 && nExact <= nKept - nPlantedKept &&
       nReps <= nExact && nSemReps <= nReps && nSemReps > 0 &&
       nClean <= nTrain && nFlagDiff == 0 &&
-      nMixed <= nClean && nPacked == nMixed && nChunks > 0
+      nMixed <= nClean && nPacked == nMixed && nChunks > 0 && driftOk
     if (!ok) {
       System.err.println("corpus pipeline invariant FAILED")
       spark.stop()
