@@ -19,6 +19,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a filtered run writes a subset oracle_sql.json; stale dirs from an
+    // earlier full run would then make a check.py pass over this outDir
+    // LOOK like a full green gate while validating only the subset —
+    // drop every known-query dir that this run will not refresh
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(q => Files.deleteIfExists(q))
+    }
+    if (only.nonEmpty) SparkEntry.queries.keys
+      .filterNot(only).foreach(n => rmTree(Paths.get(outDir, n)))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -26,12 +37,7 @@ object Verify {
       // leave a missing directory (loud "no spark output" in the
       // checker), not a stale result that silently compares against the
       // old definition
-      val qDir = Paths.get(outDir, name)
-      if (Files.exists(qDir)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(qDir).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      }
+      rmTree(Paths.get(outDir, name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

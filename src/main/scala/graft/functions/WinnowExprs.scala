@@ -159,7 +159,10 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val hs = new Array[Long](n)
     var i = 0
-    while (i < n) { hs(i) = XXH64.hashUTF8String(a.getUTF8String(i), 42L); i += 1 }
+    while (i < n) {
+      require(!a.isNullAt(i), s"$prettyName: null gram at index $i")
+      hs(i) = XXH64.hashUTF8String(a.getUTF8String(i), 42L); i += 1
+    }
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     if (n < w) {
       var mi = 0
@@ -197,6 +200,9 @@ case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
         final int $n = $a.numElements();
         final long[] $hs = new long[$n];
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i)) {
+            throw new IllegalArgumentException("winnow_select: null gram at index " + $i);
+          }
           $hs[$i] = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
         }
         $utf8[] $outBuf = new $utf8[$n == 0 ? 1 : $n];

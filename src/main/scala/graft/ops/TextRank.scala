@@ -35,8 +35,9 @@ object TextRank {
 
   /** BM25 top-`topK` documents for `queryTerms`. Output:
     * (idCol, bm25 = round(score, 6), n_matched). Only documents matching
-    * at least one query term participate; ranking is on the raw
-    * (pre-rounding) score with id as the tie-break.
+    * at least one query term participate; ranking AND the topK cut use
+    * the rounded score with id as the tie-break, so both engines keep
+    * the same survivors.
     */
   def bm25(docs: DataFrame, textCol: String, idCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
@@ -68,21 +69,26 @@ object TextRank {
     val score = queryTerms.indices.map(termScore).reduceLeft(_ + _)
     val nMatched = queryTerms.indices
       .map(i => when(col(s"_tf$i") > 0, 1).otherwise(0)).reduceLeft(_ + _)
-    j.select(col(idCol), score.as("_raw"), nMatched.as("n_matched"))
+    // rank and CUT on the rounded score: a raw-score cut would let the two
+    // engines' ln() last-ulp disagreement pick different topK survivors
+    // when scores straddle the boundary within an ulp
+    j.select(col(idCol), round(score, 6).as("bm25"), nMatched.as("n_matched"))
       .filter(col("n_matched") > 0)
-      .orderBy(desc("_raw"), col(idCol))
+      .orderBy(desc("bm25"), col(idCol))
       .limit(topK)
-      .select(col(idCol), round(col("_raw"), 6).as("bm25"), col("n_matched"))
   }
 
   /** The matching DuckDB oracle SQL for [[bm25]]: the identical operation
     * tree (same association order on every float op), built from the same
-    * parameters. Numeric literals are interpolated from the Scala doubles
-    * (`Double.toString` round-trips), so both engines parse the same
-    * binary64 constants.
+    * parameters. Every interpolated numeric parameter is wrapped in
+    * `CAST(... AS DOUBLE)`: a bare `2.2` literal is DECIMAL(2,1) to
+    * DuckDB, and `tf * 2.2` in exact decimal arithmetic differs from
+    * Spark's double multiply by an ulp (`Double.toString` round-trips the
+    * binary64 value, so the cast yields the identical constant).
     */
   def bm25OracleSql(queryTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, topK: Int = 10): String = {
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
     val tfCols = queryTerms.indices.map { i =>
       val t = queryTerms(i).replace("'", "''")
       s"len(list_filter(_t, x -> x = '$t')) AS _tf$i"
@@ -90,10 +96,12 @@ object TextRank {
     val dfCols = queryTerms.indices
       .map(i => s"count(CASE WHEN _tf$i > 0 THEN 1 END) AS _df$i").mkString(", ")
     val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
-    def idf(i: Int) = s"ln(1.0 + (n_docs - _df$i + 0.5) / (_df$i + 0.5))"
+    def idf(i: Int) =
+      s"ln(${d(1.0)} + (n_docs - _df$i + ${d(0.5)}) / (_df$i + ${d(0.5)}))"
     def termScore(i: Int) =
-      s"CASE WHEN _tf$i > 0 THEN ${idf(i)} * (_tf$i * ${k1 + 1}) / " +
-        s"(_tf$i + $k1 * (${1 - b} + $b * _dl / $avgdl)) ELSE 0.0 END"
+      s"CASE WHEN _tf$i > 0 THEN ${idf(i)} * (_tf$i * ${d(k1 + 1)}) / " +
+        s"(_tf$i + ${d(k1)} * (${d(1 - b)} + ${d(b)} * _dl / $avgdl)) " +
+        s"ELSE ${d(0.0)} END"
     val score = queryTerms.indices.map(termScore).mkString(" + ")
     val nMatched = queryTerms.indices
       .map(i => s"(CASE WHEN _tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
@@ -101,11 +109,11 @@ object TextRank {
       WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS _t FROM documents),
       b2 AS (SELECT doc_id, len(_t) AS _dl, $tfCols FROM base),
       stats AS (SELECT count(*) AS n_docs, CAST(sum(_dl) AS BIGINT) AS sum_dl, $dfCols FROM b2),
-      scored AS (SELECT doc_id, $score AS _raw, $nMatched AS n_matched
+      scored AS (SELECT doc_id, round($score, 6) AS bm25, $nMatched AS n_matched
                  FROM b2 CROSS JOIN stats)
-      SELECT doc_id, round(_raw, 6) AS bm25, n_matched FROM (
+      SELECT doc_id, bm25, n_matched FROM (
         SELECT * FROM scored WHERE n_matched > 0
-        ORDER BY _raw DESC, doc_id LIMIT $topK)
+        ORDER BY bm25 DESC, doc_id LIMIT $topK)
       ORDER BY doc_id"""
   }
 

@@ -94,4 +94,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       "q69 must not funnel the corpus through one partition")
   }
+
+  test("bm25 never shuffles the corpus: broadcast stats + TakeOrdered top-k") {
+    // the corpus side is two linear scans (score projection + the stats
+    // aggregate); the only exchanges allowed are the 1-row stats
+    // aggregate's and its broadcast back — a term- or doc-keyed corpus
+    // shuffle here would be a regression to the explode formulation
+    val p = plan("q81_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), "q81 lost the top-k operator")
+    assert(p.contains("BroadcastExchange"), "q81 stats must broadcast")
+    // count physical operators via their unique detail headers "(n) Exchange"
+    val exchanges = "(?m)^\\(\\d+\\) Exchange$".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"q81 grew $exchanges shuffle exchanges; only the 1-row stats agg may shuffle")
+  }
+
+  test("winnow dup pairs reuses the gram exchange for both join sides") {
+    // the df-cap window and the self-join ride ONE gram-keyed shuffle;
+    // losing the reuse doubles the exploded-gram exchange at 100 TB.
+    // Exchange reuse materializes during adaptive execution, so run the
+    // query and inspect the FINAL plan.
+    val df = SparkEntry.queries("q83_winnow_dup_pairs")(spark, sf001)
+    df.collect() // count() would execute a DIFFERENT QueryExecution
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReusedExchange"),
+      "q83 self-join no longer reuses the gram-keyed exchange")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q83 pair join degraded")
+  }
 }

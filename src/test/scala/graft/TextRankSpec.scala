@@ -104,6 +104,17 @@ class WinnowSelectSpec extends SparkSpec {
     val df = Seq(Tuple1(Option.empty[Seq[String]])).toDF("g")
     assert(df.select(winnowSelect(col("g"), 3)).collect()(0).isNullAt(0))
   }
+
+  test("null gram ELEMENT fails loudly, not with an NPE") {
+    val df = Seq(Tuple1(Seq("ab", null, "cd"))).toDF("g")
+    val ex = intercept[Exception] {
+      df.select(winnowSelect(col("g"), 2)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("null gram"))), ex.toString)
+  }
 }
 
 class WinnowDupPairsSpec extends SparkSpec {
