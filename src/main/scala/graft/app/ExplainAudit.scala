@@ -16,7 +16,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
     else Seq("q01_pricing_summary", "q02_revenue_by_nation", "q05_filter_project",
       "q03_top_customers", "q36_jaccard_neardups", "q41_cosine_knn_lsh",
-      "q60_cosine_knn_ivf", "q68_decontamination", "q69_sequence_packing")
+      "q60_cosine_knn_ivf", "q68_decontamination", "q69_sequence_packing",
+      "q81_bm25_search", "q83_winnow_dup_pairs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

@@ -147,4 +147,28 @@ object GraftProps extends Properties("graft") {
       }.toMap
       got == want
     }
+
+  // mixes ASCII with multi-byte chars so the fused kernel's char→byte
+  // offset walk is stressed on every UTF-8 width (2-byte é, 3-byte 漢,
+  // 4-byte 😀 — one code point each to UTF8String, in both the composed
+  // substr path and the kernel's walk)
+  private val textGen = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString), 2 -> Gen.const(" "),
+    1 -> Gen.const("é"), 1 -> Gen.const("漢"), 1 -> Gen.const("😀"),
+  )).map(_.mkString)
+
+  property("fused winnow_select_grams equals the composed gram-array form") =
+    forAll(textGen, Gen.chooseNum(1, 6), Gen.chooseNum(1, 5)) { (text, k, w) =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      val grams = when(length(col("text")) < k, array(col("text")))
+        .otherwise(transform(sequence(lit(1), length(col("text")) - lit(k - 1)),
+          i => col("text").substr(i, lit(k))))
+      val composed = df.select(col("text"), grams.as("_t"))
+        .select(graft.functions.WinnowExprs.winnowSelect(col("_t"), w))
+        .collect()(0).getSeq[String](0).toSeq
+      val fused = df.select(
+        graft.functions.WinnowExprs.winnowSelectGrams(col("text"), k, w))
+        .collect()(0).getSeq[String](0).toSeq
+      fused == composed
+    }
 }
