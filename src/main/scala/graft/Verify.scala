@@ -19,17 +19,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // a filtered run writes a subset oracle_sql.json; stale dirs from an
-    // earlier full run would then make a check.py pass over this outDir
-    // LOOK like a full green gate while validating only the subset —
-    // drop every known-query dir that this run will not refresh
+    // a filtered run dumps a subset: drop the other queries' stale dirs
+    // AND leave a PARTIAL marker (check.py banners it and refuses to read
+    // the dump as a full gate) — a full run removes the marker
     def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(q => Files.deleteIfExists(q))
     }
-    if (only.nonEmpty) SparkEntry.queries.keys
-      .filterNot(only).foreach(n => rmTree(Paths.get(outDir, n)))
+    val partialMarker = Paths.get(outDir, "PARTIAL")
+    if (only.nonEmpty) {
+      SparkEntry.queries.keys.filterNot(only).foreach(n => rmTree(Paths.get(outDir, n)))
+      Files.writeString(partialMarker, only.toSeq.sorted.mkString("\n") + "\n")
+    } else Files.deleteIfExists(partialMarker)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

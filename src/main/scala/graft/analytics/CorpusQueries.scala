@@ -91,7 +91,7 @@ object CorpusQueries {
     ) { (s, dir) =>
       val withTok = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
-          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+          size(graft.core.Cols.wsTokens(col("text"))).as("n_tokens"))
       CorpusOps.packSequences(withTok, "source", "doc_id", "n_tokens", 128L)
         .orderBy("doc_id")
     },
@@ -225,7 +225,7 @@ object CorpusQueries {
                  CASE WHEN NOT ok_rep THEN 'repetitive' END) AS drop_reasons
         FROM f ORDER BY doc_id"""),
     ) { (s, dir) =>
-      val toks = split(trim(col("text")), "\\s+")
+      val toks = graft.core.Cols.wsTokens(col("text"))
       val stats = Tables.documents(s, dir)
         .select(col("doc_id"), size(toks).as("n_tokens"),
           size(array_distinct(toks)).as("n_distinct"))

@@ -133,7 +133,7 @@ object OpsQueries {
         ORDER BY lang, rank"""),
     ) { (s, dir) =>
       Tables.documents(s, dir)
-        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .select(col("lang"), explode(graft.core.Cols.wsTokens(col("text"))).as("w"))
         .groupBy("lang")
         .agg(graft.functions.FreqSketch.freqSketch(col("w"), 64).as("sk"))
         .select(col("lang"), posexplode(slice(col("sk"), 1, 5)))
@@ -260,7 +260,7 @@ object OpsQueries {
         ORDER BY doc_id"""),
     ) { (s, dir) =>
       def hits(words: Seq[String]) = size(array_intersect(
-        split(trim(col("text")), "\\s+"),
+        graft.core.Cols.wsTokens(col("text")),
         array(words.map(lit): _*)))
       Tables.documents(s, dir)
         .withColumn("s_a", hits(Seq("table", "row", "column", "scan")))

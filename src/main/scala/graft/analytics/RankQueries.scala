@@ -41,16 +41,18 @@ object RankQueries {
         topN = 3).orderBy("doc_id", "rank")
     },
 
-    // ---- inverted-index build: term → (df, total_tf, ascending posting
-    // list). The term-keyed shuffle is the canonical search index build;
-    // postings stringified so the compare is byte-stable across engines'
-    // list types.
+    // ---- inverted-index build: (term, block) → (df, total_tf, ascending
+    // posting-list block). The term-keyed shuffle is the canonical search
+    // index build; postings are SEGMENTED (Lucene-style) so a stopword's
+    // corpus-sized posting list never sits in one aggregation row, and
+    // stringified so the compare is byte-stable across engines' list
+    // types.
     QueryDef(
       "q85_inverted_index",
-      Some(TextRank.invertedIndexOracleSql),
+      Some(TextRank.invertedIndexOracleSql(blockSize = 1024)),
     ) { (s, dir) =>
-      TextRank.invertedIndex(Tables.documents(s, dir), "text", "doc_id")
-        .orderBy("term")
+      TextRank.invertedIndex(Tables.documents(s, dir), "text", "doc_id",
+        blockSize = 1024).orderBy("term", "block")
     },
 
     // ---- seeded deterministic corpus shuffle + shard assignment (fixes

@@ -13,7 +13,7 @@ object TextQueries {
   import Det.{davg, sqlAvg}
 
   /** Whitespace tokens of trimmed text (same regex both engines). */
-  private val toks = split(trim(col("text")), "\\s+")
+  private val toks = graft.core.Cols.wsTokens(col("text"))
 
   /** BPE-ish pre-tokenization: disjoint runs of letters / digits /
     * other-non-space. RE2- and Java-compatible: no lookarounds, and the

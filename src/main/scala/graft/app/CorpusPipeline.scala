@@ -69,7 +69,7 @@ object CorpusPipeline {
     // then quality filter with audit trail
     val canonical = ingested.withColumn("text",
       graft.functions.NormalizeText.normalizeText(col("text")))
-    val toks = split(trim(col("text")), "\\s+")
+    val toks = graft.core.Cols.wsTokens(col("text"))
     val filtered = CorpusOps.qualityFilter(
       canonical.withColumn("n_tokens", size(toks))
         .withColumn("n_distinct", size(array_distinct(toks))),

@@ -10,4 +10,15 @@ import org.apache.spark.sql.functions.col
   */
 object Cols {
   def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
+  /** THE whitespace tokenizer — the load-bearing expression every text
+    * operator and every DuckDB oracle (`string_split_regex(trim(text),
+    * '\s+')`) mirrors term-for-term. One definition so a future change
+    * (e.g. unicode whitespace classes) cannot silently diverge between
+    * operators and their oracles: change it here, and every oracle's
+    * regex must change with it.
+    */
+  def wsTokens(text: Column): Column =
+    org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.trim(text), "\\s+")
 }

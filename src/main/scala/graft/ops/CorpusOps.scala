@@ -78,7 +78,7 @@ object CorpusOps {
     require(!reserved.contains(idCol) && !reserved.contains(textCol),
       s"${reserved.mkString("/")} are reserved by contamination; rename the input column")
     def grams(df: DataFrame) = df
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
+      .select(col(idCol), graft.core.Cols.wsTokens(col(textCol)).as("_t"))
       .select(col(idCol), explode(wordGrams(col("_t"), n)).as("g0"))
       .select(col(idCol),
         (if (hashGrams) xxhash64(col("g0")) else col("g0")).as("gram"))
@@ -170,7 +170,7 @@ object CorpusOps {
         "top_bigram", "top_bigram_cnt", "top_bigram_frac",
         "g", "cnt", "m", "nc", "_t").contains(idCol),
       s"idCol $idCol collides with a repetitionStats output or internal column")
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = graft.core.Cols.wsTokens(col(textCol))
     val base = docs
       .select(col(idCol), toks.as("_t"))
       .select(col(idCol), col("_t"),
@@ -285,7 +285,7 @@ object CorpusOps {
   def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
       topN: Int = 20): DataFrame = {
     def freqs(df: DataFrame, cnt: String) =
-      df.select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      df.select(explode(graft.core.Cols.wsTokens(col(textCol))).as("term"))
         .groupBy("term").agg(count(lit(1)).as(cnt))
     val fa = freqs(a, "cnt_a")
     val fb = freqs(b, "cnt_b")

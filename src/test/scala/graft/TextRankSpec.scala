@@ -222,18 +222,26 @@ class TextRankSpec extends SparkSpec {
     }
   }
 
-  test("inverted index: postings sorted, df consistent, token mass conserved") {
-    val idx = TextRank.invertedIndex(docs, "text", "doc_id").collect()
-    idx.foreach { r =>
-      val postings = r.getString(3).split(",").map(_.toLong).toSeq
-      assert(postings == postings.sorted, s"postings unsorted for ${r.getString(0)}")
-      assert(postings.distinct == postings)
-      assert(r.getLong(1) == postings.length, "df != |postings|")
-      assert(r.getLong(2) >= r.getLong(1), "total_tf < df")
+  test("inverted index: blocked postings reassemble sorted, mass conserved") {
+    // blockSize 2 forces multi-block terms on this 5-doc fixture
+    val idx = TextRank.invertedIndex(docs, "text", "doc_id", blockSize = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getString(4).split(",").map(_.toLong).toSeq))
+    idx.groupBy(_._1).foreach { case (term, rows) =>
+      val byBlock = rows.sortBy(_._2)
+      assert(byBlock.map(_._2).toSeq == (0 until byBlock.length), s"$term block gap")
+      // every block bounded; concatenation in block order is the sorted list
+      assert(byBlock.forall(_._5.length <= 2), s"$term block exceeds blockSize")
+      val full = byBlock.flatMap(_._5).toSeq
+      assert(full == full.sorted && full.distinct == full, s"$term postings broken")
+      val df = rows.head._3
+      assert(rows.forall(_._3 == df) && full.length == df, s"$term df mismatch")
+      assert(rows.head._4 >= df, s"$term total_tf < df")
     }
     val totalTokens = docs.collect()
       .map(_.getString(1).trim.split("\\s+").length).sum
-    assert(idx.map(_.getLong(2)).sum == totalTokens, "token mass not conserved")
+    val perTermTf = idx.groupBy(_._1).values.map(_.head._4).sum
+    assert(perTermTf == totalTokens, "token mass not conserved")
   }
 
   test("vocab drift: identical slices give zero drift, ranking is |kl| desc") {

@@ -39,6 +39,12 @@ def main():
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((outdir / "oracle_sql.json").read_text())
+    partial = (outdir / "PARTIAL").exists()
+    if partial:
+        names = (outdir / "PARTIAL").read_text().split()
+        print(f"*** PARTIAL verify dump: only {len(names)} quer"
+              f"{'y' if len(names) == 1 else 'ies'} "
+              f"({', '.join(names)}) — NOT a full gate ***\n")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_t = load_spark(outdir, name)
@@ -59,7 +65,8 @@ def main():
         else:
             n_fail += 1
             print(f"FAIL {name}: {msg}")
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    suffix = " (PARTIAL subset — not a full gate)" if partial else ""
+    print(f"\n{n_pass} pass / {n_fail} fail{suffix}")
     sys.exit(1 if n_fail else 0)
 
 
