@@ -174,6 +174,87 @@ object TextRank {
       .select("term", "block", "df", "total_tf", "postings")
   }
 
+  /** Persist the search index: the production layout BM25 serves from.
+    *
+    *  - `dir/postings` — [[invertedIndex]]-style blocked postings, with
+    *    the per-doc term frequencies ALIGNED with the ids (both arrays
+    *    sorted by id), written `partitionBy("term")` so a query-time read
+    *    prunes to the query's terms (PartitionFilters, contract-tested);
+    *  - `dir/norms` — (id, dl): the doc-length norms, exactly Lucene's
+    *    norms file;
+    *  - `dir/stats` — one row: (n_docs, sum_dl) for idf/avgdl.
+    *
+    * At 100 TB the postings write is the index-build shuffle (term-keyed,
+    * blocked rows, WindowExec spilling); everything query-time reads is
+    * either pruned (postings) or tiny (stats).
+    */
+  def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
+      dir: String, blockSize: Int = 1024): Unit = {
+    require(blockSize >= 1, "blockSize must be >= 1")
+    val tf = docs.select(col(idCol).as("id"), explode(toks(textCol)).as("term"))
+      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
+    val wTerm = Window.partitionBy("term")
+    val wOrder = Window.partitionBy("term").orderBy("id")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("block",
+        ((row_number().over(wOrder) - lit(1)) / lit(blockSize)).cast("int"))
+      .groupBy("term", "block", "df")
+      .agg(sort_array(collect_list(struct(col("id"), col("tf")))).as("_ps"))
+      .select(col("term"), col("block"), col("df"),
+        transform(col("_ps"), p => p.getField("id")).as("ids"),
+        transform(col("_ps"), p => p.getField("tf")).as("tfs"))
+      .write.mode("overwrite").partitionBy("term").parquet(s"$dir/postings")
+    val norms = docs.select(col(idCol).as("id"), size(toks(textCol)).as("dl"))
+    norms.write.mode("overwrite").parquet(s"$dir/norms")
+    norms.agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 served FROM the persisted index — the query-time production
+    * shape: read only the query terms' posting partitions (pruned scan),
+    * join the candidates' norms, broadcast the 1-row stats, score, top-k.
+    * Bit-identical to the scan-based [[bm25]] (contract-tested): the
+    * score expression tree is the same, fed from the index's (tf, df)
+    * instead of recomputing them, and candidates are exactly the docs
+    * with >= 1 query term.
+    */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(queryTerms: _*)) // partition-pruned read
+    val flat = post
+      .select(col("term"), col("df"),
+        explode(arrays_zip(col("ids"), col("tfs"))).as("p"))
+      .select(col("term"), col("df"),
+        col("p.ids").as("id"), col("p.tfs").as("tf"))
+    // pivot to fixed term order so the score sum folds exactly like bm25's
+    val pivAggs = queryTerms.indices.map(i =>
+      max(when(col("term") === lit(queryTerms(i)),
+        struct(col("tf"), col("df")))).as(s"_p$i"))
+    val piv = flat.groupBy("id").agg(pivAggs.head, pivAggs.tail: _*)
+    val norms = spark.read.parquet(s"$dir/norms")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val j = piv.join(norms, "id").crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def idf(i: Int) =
+      log(lit(1.0) + (col("n_docs") - col(s"_p$i.df") + lit(0.5)) /
+        (col(s"_p$i.df") + lit(0.5)))
+    def termScore(i: Int) = when(col(s"_p$i").isNotNull,
+      idf(i) * (col(s"_p$i.tf") * lit(k1 + 1)) /
+        (col(s"_p$i.tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    ).otherwise(lit(0.0))
+    val score = queryTerms.indices.map(termScore).reduceLeft(_ + _)
+    val nMatched = queryTerms.indices
+      .map(i => when(col(s"_p$i").isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+    j.select(col("id").as(idCol), round(score, 6).as("bm25"),
+        nMatched.as("n_matched"))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(topK)
+  }
+
   /** The matching DuckDB oracle SQL for [[invertedIndex]]. */
   def invertedIndexOracleSql(blockSize: Int = 1024): String =
     s"""

@@ -262,6 +262,23 @@ class TextRankSpec extends SparkSpec {
       s"not ranked by |kl| desc: $absKl")
   }
 
+  test("indexed BM25 equals scan BM25 bit-for-bit, with a pruned postings read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchidx").toString
+    // blockSize 2 so the query-time path must reassemble multi-block terms
+    TextRank.writeSearchIndex(docs, "text", "doc_id", dir, blockSize = 2)
+    val scan = TextRank.bm25(docs, "text", "doc_id", terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val served = TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10)
+    val got = served.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(got == scan, s"indexed != scan:\n$got\nvs\n$scan")
+    // the postings read must prune to the query terms' partitions
+    val plan = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*term".r.findFirstIn(plan).isDefined,
+      "postings read lost partition pruning:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("shard assignment is deterministic, in-range, and dense per shard") {
     val n = 16
     val base = spark.range(0, 500).select(col("id").as("doc_id"),
