@@ -31,7 +31,10 @@ object Verify {
     if (only.nonEmpty) {
       SparkEntry.queries.keys.filterNot(only).foreach(n => rmTree(Paths.get(outDir, n)))
       Files.writeString(partialMarker, only.toSeq.sorted.mkString("\n") + "\n")
-    } else Files.deleteIfExists(partialMarker)
+    }
+    // NOTE: a full run clears the marker only AFTER its oracle_sql.json
+    // write succeeds (end of main) — clearing it here would un-flag a
+    // stale partial dump if this full run dies mid-loop
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -63,6 +66,7 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (only.isEmpty) Files.deleteIfExists(partialMarker)
     spark.stop()
   }
 }

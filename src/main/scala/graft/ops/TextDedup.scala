@@ -23,13 +23,13 @@ object TextDedup {
     * instead of per-pair hash sets.
     */
   def tokens(text: Column): Column =
-    array_sort(array_distinct(split(trim(text), "\\s+")))
+    array_sort(array_distinct(graft.core.Cols.wsTokens(text)))
 
   /** Word n-gram shingles (n consecutive tokens joined by space). Falls
     * back to whole-text single shingle when the doc is shorter than n.
     */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(trim(text), "\\s+")
+    val toks = graft.core.Cols.wsTokens(text)
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
@@ -44,7 +44,7 @@ object TextDedup {
     */
   def hashedTokenSet(text: Column, shingleLen: Int = 1): Column = {
     val set =
-      if (shingleLen <= 1) array_distinct(split(trim(text), "\\s+"))
+      if (shingleLen <= 1) array_distinct(graft.core.Cols.wsTokens(text))
       else array_distinct(shingles(text, shingleLen))
     array_sort(transform(set, t => xxhash64(t)))
   }

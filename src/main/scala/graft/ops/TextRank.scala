@@ -44,6 +44,8 @@ object TextRank {
       topK: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    require(queryTerms.forall(_.nonEmpty),
+      "empty-string query terms are not meaningful (and not indexable)")
     val base = docs
       .select(col(idCol), toks(textCol).as("_t"))
       .select(col(idCol), col("_t"), size(col("_t")).as("_dl"))
@@ -156,8 +158,14 @@ object TextRank {
     * a term's blocks in block order reconstructs the full sorted posting
     * list (contract-tested).
     */
-  def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
-      blockSize: Int = 1024): DataFrame = {
+  /** Shared head of [[invertedIndex]] and [[writeSearchIndex]]: per-
+    * (term, id) frequencies with the term's df and the id-ordered block
+    * assignment — ONE definition of the blocking semantics, so the
+    * persisted layout can never silently diverge from the oracle-checked
+    * q85 formulation.
+    */
+  private def blockedTf(docs: DataFrame, textCol: String, idCol: String,
+      blockSize: Int): DataFrame = {
     require(blockSize >= 1, "blockSize must be >= 1")
     val tf = docs.select(col(idCol).as("id"), explode(toks(textCol)).as("term"))
       .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
@@ -167,12 +175,16 @@ object TextRank {
       .withColumn("total_tf", sum("tf").over(wTerm))
       .withColumn("block",
         ((row_number().over(wOrder) - lit(1)) / lit(blockSize)).cast("int"))
+  }
+
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
+      blockSize: Int = 1024): DataFrame =
+    blockedTf(docs, textCol, idCol, blockSize)
       .groupBy("term", "block", "df", "total_tf")
       .agg(concat_ws(",",
         transform(sort_array(collect_list(col("id"))), x => x.cast("string")))
         .as("postings"))
       .select("term", "block", "df", "total_tf", "postings")
-  }
 
   /** Persist the search index: the production layout BM25 serves from.
     *
@@ -186,27 +198,29 @@ object TextRank {
     *
     * At 100 TB the postings write is the index-build shuffle (term-keyed,
     * blocked rows, WindowExec spilling); everything query-time reads is
-    * either pruned (postings) or tiny (stats).
+    * either pruned (postings) or tiny (stats). Empty-string terms (a
+    * whitespace-only doc tokenizes to `[""]`) are EXCLUDED from the
+    * postings: `partitionBy` cannot represent "" (it round-trips as the
+    * hive default partition / NULL), and [[bm25Indexed]] rejects "" as a
+    * query term, so no reachable query can observe the difference. Stats
+    * aggregate the just-written norms parquet, not the corpus — the 1-row
+    * output must not cost a third corpus scan.
     */
   def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
       dir: String, blockSize: Int = 1024): Unit = {
-    require(blockSize >= 1, "blockSize must be >= 1")
-    val tf = docs.select(col(idCol).as("id"), explode(toks(textCol)).as("term"))
-      .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
-    val wTerm = Window.partitionBy("term")
-    val wOrder = Window.partitionBy("term").orderBy("id")
-    tf.withColumn("df", count(lit(1)).over(wTerm))
-      .withColumn("block",
-        ((row_number().over(wOrder) - lit(1)) / lit(blockSize)).cast("int"))
+    blockedTf(docs, textCol, idCol, blockSize)
+      .filter(col("term") =!= "")
       .groupBy("term", "block", "df")
       .agg(sort_array(collect_list(struct(col("id"), col("tf")))).as("_ps"))
       .select(col("term"), col("block"), col("df"),
         transform(col("_ps"), p => p.getField("id")).as("ids"),
         transform(col("_ps"), p => p.getField("tf")).as("tfs"))
       .write.mode("overwrite").partitionBy("term").parquet(s"$dir/postings")
-    val norms = docs.select(col(idCol).as("id"), size(toks(textCol)).as("dl"))
-    norms.write.mode("overwrite").parquet(s"$dir/norms")
-    norms.agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+    docs.select(col(idCol).as("id"), size(toks(textCol)).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/norms")
+    val spark = docs.sparkSession
+    spark.read.parquet(s"$dir/norms")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -223,7 +237,15 @@ object TextRank {
       b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
-    val post = spark.read.parquet(s"$dir/postings")
+    require(queryTerms.forall(_.nonEmpty),
+      "empty-string query terms are not indexable (see writeSearchIndex)")
+    // explicit schema: partition-column INFERENCE would coerce
+    // numeric-looking terms to ints ('01' and '1' collapse, non-numeric
+    // query terms cast to null) — the same silent-coercion class the
+    // vector index probe regression-locks against
+    val post = spark.read
+      .schema("block INT, df BIGINT, ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, term STRING")
+      .parquet(s"$dir/postings")
       .filter(col("term").isin(queryTerms: _*)) // partition-pruned read
     val flat = post
       .select(col("term"), col("df"),

@@ -67,7 +67,10 @@ def main():
             print(f"FAIL {name}: {msg}")
     suffix = " (PARTIAL subset — not a full gate)" if partial else ""
     print(f"\n{n_pass} pass / {n_fail} fail{suffix}")
-    sys.exit(1 if n_fail else 0)
+    # exit codes: 0 = full gate green, 1 = failures, 2 = subset passed but
+    # this was a PARTIAL dump (scripts keyed on `== 0` must not treat a
+    # subset pass as a full gate)
+    sys.exit(1 if n_fail else (2 if partial else 0))
 
 
 def norm(t):
