@@ -205,9 +205,34 @@ object TextRank {
     * query term, so no reachable query can observe the difference. Stats
     * aggregate the just-written norms parquet, not the corpus — the 1-row
     * output must not cost a third corpus scan.
+    *
+    * The index is SEGMENTED (Lucene's model): a full build is segment
+    * `base`, and [[appendSearchIndexBatch]] adds one segment per ingest
+    * batch. df and the corpus stats live per segment at rest and are
+    * summed at query time — exact long additions, so serving from N
+    * segments is bit-identical to one full rebuild (contract-tested).
     */
   def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
       dir: String, blockSize: Int = 1024): Unit = {
+    val spark = docs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true) // full rebuild, not a merge
+    appendSearchIndexBatch(docs, textCol, idCol, dir, "base", blockSize)
+  }
+
+  /** Append one ingest batch to the index as its own segment,
+    * IDEMPOTENTLY under retries: each of postings/norms/stats writes
+    * (overwrite) a `seg=<batchKey>` subdirectory, so a retried batch
+    * replaces its previous attempt — the same maintenance contract as
+    * the MinHash/IVF/PQ index appends. Batches must carry disjoint doc
+    * ids across DIFFERENT keys; [[bm25Indexed]]'s validateIds gate fails
+    * loudly if they do not.
+    */
+  def appendSearchIndexBatch(docs: DataFrame, textCol: String, idCol: String,
+      dir: String, batchKey: String, blockSize: Int = 1024): Unit = {
+    require(batchKey.nonEmpty && !batchKey.exists(c => c == '/' || c == '='),
+      s"batchKey must be a plain partition value, got '$batchKey'")
     blockedTf(docs, textCol, idCol, blockSize)
       .filter(col("term") =!= "")
       .groupBy("term", "block", "df")
@@ -215,26 +240,36 @@ object TextRank {
       .select(col("term"), col("block"), col("df"),
         transform(col("_ps"), p => p.getField("id")).as("ids"),
         transform(col("_ps"), p => p.getField("tf")).as("tfs"))
-      .write.mode("overwrite").partitionBy("term").parquet(s"$dir/postings")
+      .write.mode("overwrite").partitionBy("term")
+      .parquet(s"$dir/postings/seg=$batchKey")
     docs.select(col(idCol).as("id"), size(toks(textCol)).as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/norms")
+      .write.mode("overwrite").parquet(s"$dir/norms/seg=$batchKey")
     val spark = docs.sparkSession
-    spark.read.parquet(s"$dir/norms")
+    spark.read.parquet(s"$dir/norms/seg=$batchKey")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite").parquet(s"$dir/stats/seg=$batchKey")
   }
 
   /** BM25 served FROM the persisted index — the query-time production
-    * shape: read only the query terms' posting partitions (pruned scan),
-    * join the candidates' norms, broadcast the 1-row stats, score, top-k.
-    * Bit-identical to the scan-based [[bm25]] (contract-tested): the
-    * score expression tree is the same, fed from the index's (tf, df)
-    * instead of recomputing them, and candidates are exactly the docs
-    * with >= 1 query term.
+    * shape: read only the query terms' posting partitions (pruned scan
+    * across every segment), sum the per-segment df/stats (exact long
+    * adds), join the candidates' norms, score, top-k. Bit-identical to
+    * the scan-based [[bm25]] over the union of the indexed batches
+    * (contract-tested): the score expression tree is the same, fed from
+    * the index's (tf, df) instead of recomputing them, and candidates
+    * are exactly the docs with >= 1 query term.
+    *
+    * `validateIds` (default on) is the loud duplicate-id gate: a doc id
+    * indexed under two different segment keys would silently double-count
+    * into the pivot; the gate is one column-pruned pass over the PRUNED
+    * posting rows (not the corpus), so it stays cheap at query time.
+    * Structurally-safe callers (e.g. a stream whose appends are keyed by
+    * a monotone batch id) may disable it.
     */
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String, queryTerms: Seq[String], k1: Double = 1.2,
-      b: Double = 0.75, topK: Int = 10): DataFrame = {
+      b: Double = 0.75, topK: Int = 10,
+      validateIds: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     require(queryTerms.forall(_.nonEmpty),
@@ -242,35 +277,51 @@ object TextRank {
     // explicit schema: partition-column INFERENCE would coerce
     // numeric-looking terms to ints ('01' and '1' collapse, non-numeric
     // query terms cast to null) — the same silent-coercion class the
-    // vector index probe regression-locks against
+    // vector index probe regression-locks against. seg is declared STRING
+    // for the same reason (numeric batch keys).
     val post = spark.read
-      .schema("block INT, df BIGINT, ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, term STRING")
+      .schema("block INT, df BIGINT, ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, " +
+        "term STRING, seg STRING")
       .parquet(s"$dir/postings")
       .filter(col("term").isin(queryTerms: _*)) // partition-pruned read
     val flat = post
-      .select(col("term"), col("df"),
-        explode(arrays_zip(col("ids"), col("tfs"))).as("p"))
-      .select(col("term"), col("df"),
-        col("p.ids").as("id"), col("p.tfs").as("tf"))
+      .select(col("term"), explode(arrays_zip(col("ids"), col("tfs"))).as("p"))
+      .select(col("term"), col("p.ids").as("id"), col("p.tfs").as("tf"))
+    if (validateIds) {
+      val dup = flat.groupBy("id", "term").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select("id").take(1)
+      require(dup.isEmpty,
+        s"search index holds duplicate postings for id ${dup.headOption.map(_.get(0)).orNull} " +
+          "(same doc appended under two segment keys?); rebuild with " +
+          "writeSearchIndex or repair the offending segments before serving")
+    }
+    // per-term df across segments: one value per (term, seg) repeated on
+    // every block row — distinct then exact long sum
+    val dfTotals = post.select(col("term"), col("seg"), col("df")).distinct()
+      .groupBy("term").agg(sum("df").as("dft"))
+    val dfAggs = queryTerms.indices.map(i =>
+      max(when(col("term") === lit(queryTerms(i)), col("dft"))).as(s"_df$i"))
+    val dfRow = dfTotals.groupBy().agg(dfAggs.head, dfAggs.tail: _*)
     // pivot to fixed term order so the score sum folds exactly like bm25's
     val pivAggs = queryTerms.indices.map(i =>
-      max(when(col("term") === lit(queryTerms(i)),
-        struct(col("tf"), col("df")))).as(s"_p$i"))
+      max(when(col("term") === lit(queryTerms(i)), col("tf"))).as(s"_tf$i"))
     val piv = flat.groupBy("id").agg(pivAggs.head, pivAggs.tail: _*)
-    val norms = spark.read.parquet(s"$dir/norms")
+    val norms = spark.read.parquet(s"$dir/norms").drop("seg")
     val stats = spark.read.parquet(s"$dir/stats")
-    val j = piv.join(norms, "id").crossJoin(broadcast(stats))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    val j = piv.join(norms, "id")
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfRow))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     def idf(i: Int) =
-      log(lit(1.0) + (col("n_docs") - col(s"_p$i.df") + lit(0.5)) /
-        (col(s"_p$i.df") + lit(0.5)))
-    def termScore(i: Int) = when(col(s"_p$i").isNotNull,
-      idf(i) * (col(s"_p$i.tf") * lit(k1 + 1)) /
-        (col(s"_p$i.tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+      log(lit(1.0) + (col("n_docs") - col(s"_df$i") + lit(0.5)) /
+        (col(s"_df$i") + lit(0.5)))
+    def termScore(i: Int) = when(col(s"_tf$i").isNotNull,
+      idf(i) * (col(s"_tf$i") * lit(k1 + 1)) /
+        (col(s"_tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
     ).otherwise(lit(0.0))
     val score = queryTerms.indices.map(termScore).reduceLeft(_ + _)
     val nMatched = queryTerms.indices
-      .map(i => when(col(s"_p$i").isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+      .map(i => when(col(s"_tf$i").isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
     j.select(col("id").as(idCol), round(score, 6).as("bm25"),
         nMatched.as("n_matched"))
       .orderBy(desc("bm25"), col(idCol))

@@ -262,14 +262,17 @@ class TextRankSpec extends SparkSpec {
       s"not ranked by |kl| desc: $absKl")
   }
 
+  private def bm25Key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getDouble(1), r.getInt(2))
+
   test("indexed BM25 equals scan BM25 bit-for-bit, with a pruned postings read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-searchidx").toString
     // blockSize 2 so the query-time path must reassemble multi-block terms
     TextRank.writeSearchIndex(docs, "text", "doc_id", dir, blockSize = 2)
     val scan = TextRank.bm25(docs, "text", "doc_id", terms, topK = 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      .collect().map(bm25Key).toSet
     val served = TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10)
-    val got = served.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val got = served.collect().map(bm25Key).toSet
     assert(got == scan, s"indexed != scan:\n$got\nvs\n$scan")
     // the postings read must prune to the query terms' partitions
     val plan = served.queryExecution.explainString(
@@ -277,6 +280,36 @@ class TextRankSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*term".r.findFirstIn(plan).isDefined,
       "postings read lost partition pruning:\n" +
         plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
+  test("segment appends serve bit-identically to one full build; dup ids fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchseg").toString
+    TextRank.writeSearchIndex(docs.filter(col("doc_id") <= 2), "text", "doc_id",
+      dir, blockSize = 2)
+    TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") === 3), "text",
+      "doc_id", dir, "b1", blockSize = 2)
+    TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") >= 4), "text",
+      "doc_id", dir, "b2", blockSize = 2)
+    val scan = TextRank.bm25(docs, "text", "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet
+    val segmented = TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet
+    assert(segmented == scan, s"segmented != scan:\n$segmented\nvs\n$scan")
+    // retried append (same key) replaces itself — results unchanged
+    TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") === 3), "text",
+      "doc_id", dir, "b1", blockSize = 2)
+    val retried = TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet
+    assert(retried == scan, "retried append changed the served results")
+    // the same doc appended under a DIFFERENT key must trip the gate
+    // (doc 2 carries query terms — the gate is scoped to the pruned
+    // posting rows, so the duplicate must be visible to the query)
+    TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") === 2), "text",
+      "doc_id", dir, "b3", blockSize = 2)
+    val ex = intercept[Exception] {
+      TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10).collect()
+    }
+    assert(ex.getMessage.contains("duplicate postings"), ex.getMessage)
   }
 
   test("shard assignment is deterministic, in-range, and dense per shard") {
