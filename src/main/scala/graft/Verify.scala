@@ -24,8 +24,10 @@ object Verify {
     // the dump as a full gate) — a full run removes the marker
     def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = Files.walk(p) // close the stream: it holds a dir handle
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(q => Files.deleteIfExists(q))
+      finally walk.close()
     }
     val partialMarker = Paths.get(outDir, "PARTIAL")
     if (only.nonEmpty) {

@@ -68,12 +68,25 @@ object Components extends org.apache.spark.internal.Logging {
     // back as a broadcast-sized label table. Collected as SPECIALIZED
     // (Long, Long) tuples, not GenericRow — at the 1M-edge default that
     // is ~32MB vs several hundred MB of Row objects, keeping the
-    // shortcut safe on a default-1g driver
+    // shortcut safe on a default-1g driver. The shortcut is gated on
+    // INTEGRAL id types (the long collect would throw on e.g. string
+    // ids); non-integral callers fall through to the distributed loop,
+    // which is type-agnostic — identical labels either way.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      (Seq("id", "rep").map(sym.schema(_).dataType) :+
+        nodes.schema("id").dataType).forall {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
     val nEdges = sym.count()
-    if (nEdges <= localEdgeLimit) {
+    if (integralIds && nEdges <= localEdgeLimit) {
       val spark0 = nodes.sparkSession
       import spark0.implicits._
+      val idType = nodes.schema("id").dataType
       val pairs = sym.filter(col("id") < col("rep"))
+        .select(col("id").cast("long"), col("rep").cast("long"))
         .as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -90,7 +103,11 @@ object Components extends org.apache.spark.internal.Logging {
       val labels = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
         .toSet[Long].toSeq.map(id => (id, find(id)))
       sym.unpersist()
+      // cast labels back to the caller's id type (int ids upcast safely
+      // to long for the union-find; reps are min-of-ids, so the downcast
+      // is lossless) — the output schema must match the distributed path
       val labelDf = spark0.createDataset(labels).toDF("id", "cluster_rep")
+        .select(col("id").cast(idType), col("cluster_rep").cast(idType))
       val out = nodes
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"),
@@ -116,18 +133,27 @@ object Components extends org.apache.spark.internal.Logging {
     // convergence scalar: exact decimal sum of the labels — a raw BIGINT
     // sum overflows silently once ids ~ 10^18 / node-count (any corpus in
     // the 10^12-row regime), and a wrapped sum that happens to repeat
-    // would end the loop on inconsistent labels
+    // would end the loop on inconsistent labels. Non-numeric ids (e.g.
+    // strings) have no sum: they fall back to a per-round changed-row
+    // check — an extra id-keyed equi-join of two checkpointed label
+    // tables, exact for any orderable type, paid only by non-numeric
+    // callers
+    val sumConvergence = Seq("id", "rep").map(sym.schema(_).dataType)
+      .forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("cluster_rep")
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .collect()(0).getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
+    def anyChanged(prev: DataFrame, next: DataFrame): Boolean =
+      next.join(prev.select(col("id"), col("cluster_rep").as("_prev")), Seq("id"))
+        .filter(col("cluster_rep") =!= col("_prev")).take(1).nonEmpty
 
     var labels = sym.groupBy("id")
       .agg(min(col("rep")).as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("cluster_rep"))
       .localCheckpoint(true)
-    var prevSum = labelSum(labels)
+    var prevSum = if (sumConvergence) labelSum(labels) else null
     var converged = labels.isEmpty // edge-less graph: nothing to iterate
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -146,10 +172,14 @@ object Components extends org.apache.spark.internal.Logging {
           Seq("cluster_rep"), "left")
         .select(col("id"), coalesce(col("jump"), col("cluster_rep")).as("cluster_rep"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
+      if (sumConvergence) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = !anyChanged(labels, next)
+      }
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
       iter += 1
     }
     logInfo(s"connectedComponents rounds=$iter converged=$converged")

@@ -85,16 +85,21 @@ object PngCodec {
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
-    while (got < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, got, raw.length - got)
-      // n == 0 without progress means the stream can never complete:
-      // needsInput = truncated, needsDictionary = zlib FDICT set (PNG
-      // forbids it, adversarial bytes can still carry it) — either way
-      // bail instead of spinning; totality on garbage is the contract
-      if (n == 0) { inf.end(); return None }
-      got += n
-    }
-    inf.end()
+    // finally, not success-path end(): inflate throws DataFormatException
+    // on exactly the corrupt payloads this codec must tolerate, and each
+    // un-ended Inflater pins a native zlib buffer until finalization —
+    // off-heap creep in long-lived executors scanning corrupt-heavy data
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        // n == 0 without progress means the stream can never complete:
+        // needsInput = truncated, needsDictionary = zlib FDICT set (PNG
+        // forbids it, adversarial bytes can still carry it) — either way
+        // bail instead of spinning; totality on garbage is the contract
+        if (n == 0) return None
+        got += n
+      }
+    } finally inf.end()
     if (got < raw.length) return None
 
     // reverse the per-scanline filter in place (spec §9): a = left,

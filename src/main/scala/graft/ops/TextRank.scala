@@ -262,7 +262,9 @@ object TextRank {
     * `validateIds` (default on) is the loud duplicate-id gate: a doc id
     * indexed under two different segment keys would silently double-count
     * into the pivot; the gate is one column-pruned pass over the PRUNED
-    * posting rows (not the corpus), so it stays cheap at query time.
+    * posting rows plus one id-only pass over the norms (which catch the
+    * duplicate even when only one copy holds a query term), so it stays
+    * cheap at query time.
     * Structurally-safe callers (e.g. a stream whose appends are keyed by
     * a monotone batch id) may disable it.
     */
@@ -287,12 +289,25 @@ object TextRank {
     val flat = post
       .select(col("term"), explode(arrays_zip(col("ids"), col("tfs"))).as("p"))
       .select(col("term"), col("p.ids").as("id"), col("p.tfs").as("tf"))
+    val norms = spark.read.parquet(s"$dir/norms").drop("seg")
     if (validateIds) {
       val dup = flat.groupBy("id", "term").agg(count(lit(1)).as("_n"))
         .filter(col("_n") > 1).select("id").take(1)
       require(dup.isEmpty,
         s"search index holds duplicate postings for id ${dup.headOption.map(_.get(0)).orNull} " +
           "(same doc appended under two segment keys?); rebuild with " +
+          "writeSearchIndex or repair the offending segments before serving")
+      // the postings check alone can miss a doc duplicated across
+      // segments when only ONE copy contains a query term: the norms
+      // join then double-counts that doc's score row, and the per-
+      // segment stats inflate n_docs/sum_dl. Norms are one (id, dl) row
+      // per doc — this pass is column-pruned to id with map-side partial
+      // counts, linear in doc count, nowhere near a corpus scan.
+      val dupN = norms.groupBy("id").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select("id").take(1)
+      require(dupN.isEmpty,
+        s"search index norms hold id ${dupN.headOption.map(_.get(0)).orNull} in more than " +
+          "one segment (same doc appended under two segment keys?); rebuild with " +
           "writeSearchIndex or repair the offending segments before serving")
     }
     // per-term df across segments: one value per (term, seg) repeated on
@@ -306,7 +321,6 @@ object TextRank {
     val pivAggs = queryTerms.indices.map(i =>
       max(when(col("term") === lit(queryTerms(i)), col("tf"))).as(s"_tf$i"))
     val piv = flat.groupBy("id").agg(pivAggs.head, pivAggs.tail: _*)
-    val norms = spark.read.parquet(s"$dir/norms").drop("seg")
     val stats = spark.read.parquet(s"$dir/stats")
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
     val j = piv.join(norms, "id")

@@ -71,6 +71,31 @@ class ComponentsStressSpec extends SparkSpec {
     assert(local(115L) == 0L, "cross-link must merge the chain and the star")
   }
 
+  test("non-integral ids fall through to the distributed loop instead of throwing") {
+    import spark.implicits._
+    // string ids: the driver shortcut's long collect cannot represent
+    // them — the integral-id gate must route to the distributed loop,
+    // where min-label is lexicographic and everything still works
+    val nodes = Seq("a", "b", "c", "d").toDF("id")
+    val edges = Seq(("a", "b"), ("c", "b")).toDF("src", "dst")
+    val got = Components.connectedComponents(nodes, edges, 10)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
+  }
+
+  test("int ids use the driver shortcut and keep the caller's id type") {
+    import spark.implicits._
+    val nodes = Seq(1, 2, 3, 9).toDF("id")
+    val edges = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val out = Components.connectedComponents(nodes, edges, 10)
+    assert(out.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(out.schema("cluster_rep").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "shortcut must cast labels back to the caller's id type")
+    val got = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 9 -> 9))
+  }
+
   test("disconnected halves stay separate; isolated nodes self-label") {
     import spark.implicits._
     val nodes = spark.range(100).toDF("id")

@@ -312,6 +312,20 @@ class TextRankSpec extends SparkSpec {
     assert(ex.getMessage.contains("duplicate postings"), ex.getMessage)
   }
 
+  test("a dup id invisible to the query terms still trips the norms gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchnorm").toString
+    TextRank.writeSearchIndex(docs, "text", "doc_id", dir, blockSize = 2)
+    // doc 5 carries NONE of the query terms: its duplicate never appears
+    // in the pruned posting rows, so only the norms uniqueness pass can
+    // catch the double-counted score row / inflated n_docs+sum_dl
+    TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") === 5), "text",
+      "doc_id", dir, "dup", blockSize = 2)
+    val ex = intercept[Exception] {
+      TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10).collect()
+    }
+    assert(ex.getMessage.contains("norms hold id"), ex.getMessage)
+  }
+
   test("shard assignment is deterministic, in-range, and dense per shard") {
     val n = 16
     val base = spark.range(0, 500).select(col("id").as("doc_id"),
