@@ -37,7 +37,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    println(json)
+    // also write the JSON to a file: stdout tail capture truncates once the
+    // registry outgrows the tail window (BENCH_r09 kept 55/82 timings), and
+    // the file survives intact regardless of suite size
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"bench: could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -22,15 +22,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read nanos as long (legacy conf) and convert
-    * to a microsecond timestamp (`div 1000` truncates exactly like the
-    * NANOS→MICROS cast DuckDB applies), keeping the declared schema.
+  /** `events.ts` arrives as either parquet TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects, so the legacy conf reads it as a nanos long
+    * we truncate to micros (exactly the NANOS→MICROS cast DuckDB applies) —
+    * or TIMESTAMP(MICROS), which reads as TIMESTAMP_NTZ and only needs the
+    * cast to the session-TZ timestamp type (value-preserving: sessions run
+    * UTC). Branching on the loaded type keeps both generations of the
+    * driver testdata working with one loader.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType     => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _            => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
