@@ -225,6 +225,52 @@ object TextDedup {
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)
 
+  /** Compact a batch-appended MinHash index into a single `batch=base`
+    * partition. Per-ingest appends leave one directory of (typically
+    * small) files per batch; probes read them all, so listing and open
+    * cost grows with batch count and never shrinks — the same lifecycle
+    * hole segment merge closes for the search index. Signatures are
+    * immutable rows, so compaction is a pure re-layout: read everything,
+    * drop the partition key, cluster by id, rewrite as one partition
+    * (one file per shuffle partition instead of per batch×task).
+    *
+    * Staged under `<path>_compacting` and swapped in only after the
+    * write lands — a crashed compaction leaves the live index untouched
+    * and a retry starts clean. A duplicated id (corrupt index) is
+    * rejected BEFORE the write: compacting would fuse the duplicate
+    * rows into one well-formed partition and hide the corruption from
+    * the probe's own gate. Post-compaction appends keep using fresh
+    * batch keys ("base" is reserved).
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    compactBatchedIndex(spark, path)
+
+  /** Shared body of [[compactMinhashIndex]] and
+    * [[graft.ops.VectorSim.compactSignIndex]] — both indexes are flat
+    * signature rows under `path/batch=<key>`.
+    */
+  private[ops] def compactBatchedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val livePath = new org.apache.hadoop.fs.Path(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    val df = spark.read.parquet(path)
+    val clean = if (df.columns.contains("batch")) df.drop("batch") else df
+    val dup = clean.groupBy("id").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select("id").take(1)
+    require(dup.isEmpty,
+      s"index at $path holds duplicate id ${dup.headOption.map(_.get(0)).orNull}; " +
+        "compacting would hide the corruption — repair with dropDuplicates(\"id\") " +
+        "and a write-to-new-path swap instead")
+    clean.repartition(col("id"))
+      .write.mode("overwrite").parquet(s"$tmpPath/batch=base")
+    fs.delete(livePath, true)
+    require(fs.rename(tmpPath, livePath), s"rename $tmpPath -> $livePath failed")
+  }
+
   /** Incremental near-dup detection: LSH candidate pairs between a NEW
     * ingest batch and the EXISTING corpus's persisted signature index —
     * the shape a 100 TB pipeline actually runs per ingest (recomputing

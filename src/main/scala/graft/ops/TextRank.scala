@@ -250,6 +250,77 @@ object TextRank {
       .write.mode("overwrite").parquet(s"$dir/stats/seg=$batchKey")
   }
 
+  /** Merge all segments of a persisted search index into a single `base`
+    * segment — Lucene's segment-merge lifecycle step. [[bm25Indexed]]
+    * sums df and corpus stats across every segment on every query, so an
+    * index fed by per-ingest [[appendSearchIndexBatch]] calls serves ever
+    * more (and ever smaller) files as batches accumulate; a year of
+    * hourly appends is ~9k segments read per query. Merging restores the
+    * one-segment layout of a full [[writeSearchIndex]] rebuild WITHOUT
+    * re-tokenizing the corpus: postings flatten to (term, id, tf) rows —
+    * a doc lives in exactly one segment, so the stored tfs are already
+    * the per-doc truth — df and the id-ordered `blockSize` blocks are
+    * recomputed over the union (the same window semantics as the build),
+    * norms concatenate, and stats re-aggregate from the merged norms.
+    * Serving from the merged index is bit-identical to serving from the
+    * N input segments and to a full rebuild (contract-tested).
+    *
+    * The merged index is staged under a `<dir>_merging` sibling and
+    * swapped in only after all three writes land, so a crashed merge
+    * leaves the live index untouched and a retry starts clean (the stage
+    * dir is deleted first). Single-writer, like every index-maintenance
+    * op here; the delete+rename swap instant can race a concurrent
+    * reader, as with any non-transactional table format.
+    *
+    * A corrupt index (one doc id under two segment keys) is REJECTED
+    * before any write — merging would otherwise fuse the duplicate rows
+    * into one well-formed-looking segment and silently launder exactly
+    * the corruption [[bm25Indexed]]'s gate exists to catch.
+    */
+  def mergeSearchIndexSegments(spark: org.apache.spark.sql.SparkSession,
+      dir: String, blockSize: Int = 1024): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val tmpPath = new org.apache.hadoop.fs.Path(dir + "_merging")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    val norms = spark.read.parquet(s"$dir/norms").drop("seg")
+    val dup = norms.groupBy("id").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select("id").take(1)
+    require(dup.isEmpty,
+      s"search index holds id ${dup.headOption.map(_.get(0)).orNull} in more than one " +
+        "segment; merging would launder the duplicate — repair the offending " +
+        "segments or rebuild with writeSearchIndex instead")
+    val post = spark.read
+      .schema("block INT, df BIGINT, ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, " +
+        "term STRING, seg STRING")
+      .parquet(s"$dir/postings")
+    val flat = post
+      .select(col("term"), explode(arrays_zip(col("ids"), col("tfs"))).as("p"))
+      .select(col("term"), col("p.ids").as("id"), col("p.tfs").as("tf"))
+    val wTerm = Window.partitionBy("term")
+    val wOrder = Window.partitionBy("term").orderBy("id")
+    flat
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("block",
+        ((row_number().over(wOrder) - lit(1)) / lit(blockSize)).cast("int"))
+      .groupBy("term", "block", "df")
+      .agg(sort_array(collect_list(struct(col("id"), col("tf")))).as("_ps"))
+      .select(col("term"), col("block"), col("df"),
+        transform(col("_ps"), p => p.getField("id")).as("ids"),
+        transform(col("_ps"), p => p.getField("tf")).as("tfs"))
+      // cluster complete terms per task so the merged layout is one file
+      // per term partition — the minimal pruned read the merge exists for
+      .repartition(col("term"))
+      .write.mode("overwrite").partitionBy("term")
+      .parquet(s"$tmpPath/postings/seg=base")
+    norms.write.mode("overwrite").parquet(s"$tmpPath/norms/seg=base")
+    spark.read.parquet(s"$tmpPath/norms/seg=base")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$tmpPath/stats/seg=base")
+    fs.delete(dirPath, true)
+    require(fs.rename(tmpPath, dirPath), s"rename $tmpPath -> $dirPath failed")
+  }
+
   /** BM25 served FROM the persisted index — the query-time production
     * shape: read only the query terms' posting partitions (pruned scan
     * across every segment), sum the per-segment df/stats (exact long

@@ -728,6 +728,43 @@ object VectorSim {
   def readSignIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)
 
+  /** Compact a batch-appended sign-bucket index into a single
+    * `batch=base` partition — the vector twin of
+    * [[graft.ops.TextDedup.compactMinhashIndex]] (same flat-signature
+    * layout, same staged-swap and duplicate-id rejection semantics).
+    */
+  def compactSignIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    graft.ops.TextDedup.compactBatchedIndex(spark, path)
+
+  /** Compact the `data/batch=<id>/cell=<c>` partitions of a persisted
+    * IVF or PQ index into a single `batch=0` layout — the lifecycle step
+    * that keeps probe reads from opening one directory per historical
+    * ingest batch. Cell labels (and PQ codes) were computed against the
+    * FROZEN persisted quantizer, so compaction is a pure re-layout: read
+    * all batches, drop the batch key, cluster rows by cell (one file per
+    * cell instead of per batch×task — the minimal pruned read), and
+    * rewrite through the same temp-dir+swap as [[writeIvfIndex]]'s
+    * rebuild (the lazy rewrite reads the old directory, which must
+    * outlive the job; a crashed compaction leaves the live index
+    * untouched). Duplicate ids across batches are rejected first —
+    * compacting would fold them into one well-formed partition and hide
+    * the corruption from [[appendIvfIndexBatch]]'s own gate. Quantizer
+    * files (`_centroids`, `_codebooks`) are untouched; post-compaction
+    * appends continue with fresh non-zero batch ids.
+    */
+  def compactVectorIndexData(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "vec_id"): Unit = {
+    val data = spark.read.parquet(s"$path/data")
+    val dup = data.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select(idCol).take(1)
+    require(dup.isEmpty,
+      s"index at $path holds duplicate id ${dup.headOption.map(_.get(0)).orNull}; " +
+        "compacting would hide the corruption — dedup the batches or rebuild")
+    writeSwapped(spark, s"$path/data", "batch=0")(
+      data.drop("batch").repartition(col("cell")))
+  }
+
   /** Incremental embedding near-dup detection: LSH candidate pairs
     * between a NEW ingest batch and the EXISTING corpus's persisted
     * sign-bucket index, verified by exact cosine ≥ threshold — the

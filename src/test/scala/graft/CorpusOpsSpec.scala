@@ -240,6 +240,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaDisk == want)
   }
 
+  test("minhash index compaction: one batch=base partition, probes identically, rejects dups") {
+    import graft.ops.TextDedup
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_compact").toString
+    val idx = s"$dir/idx"
+    TextDedup.appendMinhashIndexBatch(old.filter(col("doc_id") < 250),
+      "text", "doc_id", idx, batchId = 0)
+    TextDedup.appendMinhashIndexBatch(old.filter(col("doc_id") >= 250),
+      "text", "doc_id", idx, batchId = 1)
+    def probe() = TextDedup.incrementalNearDups(fresh,
+      TextDedup.readMinhashIndex(spark, idx), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probe()
+    assert(before.nonEmpty, "trivially-empty probe proves nothing")
+    TextDedup.compactMinhashIndex(spark, idx)
+    val parts = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=base"), s"not compacted: $parts")
+    assert(!new java.io.File(idx + "_compacting").exists(), "stage dir left behind")
+    assert(probe() == before, "compaction changed probe results")
+    assert(TextDedup.readMinhashIndex(spark, idx).count() == old.count())
+    // appends continue after compaction under fresh keys
+    TextDedup.appendMinhashIndexBatch(fresh, "text", "doc_id", idx, batchId = 2)
+    assert(TextDedup.readMinhashIndex(spark, idx).count() == docs.count())
+    // a duplicated id is rejected, never folded into a clean layout
+    TextDedup.appendMinhashIndexBatchKeyed(old.limit(1), "text", "doc_id",
+      idx, "dup")
+    val ex = intercept[IllegalArgumentException] {
+      TextDedup.compactMinhashIndex(spark, idx)
+    }
+    assert(ex.getMessage.contains("duplicate id"), ex.getMessage)
+  }
+
   test("incremental dedup: params-mismatched index is rejected; capped path agrees") {
     import graft.ops.TextDedup
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")

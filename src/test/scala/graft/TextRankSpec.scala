@@ -312,6 +312,57 @@ class TextRankSpec extends SparkSpec {
     assert(ex.getMessage.contains("duplicate postings"), ex.getMessage)
   }
 
+  test("segment merge: one base segment, serves bit-identically, equals a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchmerge").toString
+    TextRank.writeSearchIndex(docs.filter(col("doc_id") <= 2), "text", "doc_id",
+      dir, blockSize = 2)
+    TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") === 3), "text",
+      "doc_id", dir, "b1", blockSize = 2)
+    TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") >= 4), "text",
+      "doc_id", dir, "b2", blockSize = 2)
+    val before = TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet
+    // a leftover stage dir from a crashed merge must not break the retry
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir + "_merging", "junk"))
+    TextRank.mergeSearchIndexSegments(spark, dir, blockSize = 2)
+    def segsOf(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).toSet
+    Seq("postings", "norms", "stats").foreach { sub =>
+      assert(segsOf(sub) == Set("seg=base"), s"$sub not compacted: ${segsOf(sub)}")
+    }
+    assert(!new java.io.File(dir + "_merging").exists(), "stage dir left behind")
+    val after = TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet
+    assert(after == before, s"merge changed served results:\n$after\nvs\n$before")
+    val scan = TextRank.bm25(docs, "text", "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet
+    assert(after == scan, "merged index diverged from the scan path")
+    // the merged postings are EXACTLY a full rebuild's postings — df,
+    // block boundaries, id/tf alignment, everything
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-searchrb").toString
+    TextRank.writeSearchIndex(docs, "text", "doc_id", rebuilt, blockSize = 2)
+    def postingRows(d: String) = spark.read
+      .schema("block INT, df BIGINT, ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, " +
+        "term STRING, seg STRING")
+      .parquet(s"$d/postings")
+      .collect().map(r => (r.getString(4), r.getInt(0), r.getLong(1),
+        r.getSeq[Long](2), r.getSeq[Long](3))).toSet
+    assert(postingRows(dir) == postingRows(rebuilt),
+      "merged postings differ from a full rebuild")
+    // merging an already-merged index is a no-op rewrite
+    TextRank.mergeSearchIndexSegments(spark, dir, blockSize = 2)
+    assert(TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet == before)
+    // a doc id duplicated across segments is rejected, never laundered
+    TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") === 5), "text",
+      "doc_id", dir, "dup", blockSize = 2)
+    val ex = intercept[IllegalArgumentException] {
+      TextRank.mergeSearchIndexSegments(spark, dir, blockSize = 2)
+    }
+    assert(ex.getMessage.contains("more than one"), ex.getMessage)
+  }
+
   test("a dup id invisible to the query terms still trips the norms gate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-searchnorm").toString
     TextRank.writeSearchIndex(docs, "text", "doc_id", dir, blockSize = 2)
