@@ -135,7 +135,40 @@ object StreamDemo {
     println(s"incremental vector dedup stream: ${vStreamed.size} pairs over 3 waves " +
       s"(batch-equivalent=${vStreamed == vDirect}, index monotone=$vIndexMonotone)")
 
-    if (finalCount != perWave * waves || sum != 5000 || !dedupOk || !vDedupOk) {
+    // ---- streaming search-index maintenance: every wave lands as its own
+    // index segment; BM25 served from the index between waves must equal
+    // the scan path over everything ingested so far, and a segment merge
+    // at the end must serve identically from one base segment.
+    import graft.ops.TextRank
+    val terms = Seq("the", "spark", "join", "window")
+    val swork = s"$work/search"
+    var searchOk = true
+    docWaves.zipWithIndex.foreach { case (w, k) =>
+      w.write.mode("append").parquet(s"$swork/raw")
+      val q = Streaming.searchIndexMaintenanceStream(
+        spark.readStream.schema(docs.schema).parquet(s"$swork/raw"),
+        s"$swork/idx", s"$swork/ckpt")
+      if (!q.awaitTermination(120000)) {
+        println("search index stream wave timed out"); spark.stop(); sys.exit(2)
+      }
+      val ingested = docWaves.take(k + 1).reduce(_ unionByName _)
+      val scan = TextRank.bm25(ingested, "text", "doc_id", terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      val served = TextRank.bm25Indexed(spark, s"$swork/idx", "doc_id", terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      searchOk &&= served == scan
+    }
+    TextRank.mergeSearchIndexSegments(spark, s"$swork/idx")
+    val scanAll = TextRank.bm25(docs, "text", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val mergedServed = TextRank.bm25Indexed(spark, s"$swork/idx", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val mergeOk = mergedServed == scanAll
+    println(s"search index stream: 3 segment appends + merge " +
+      s"(served==scan each wave=$searchOk, post-merge==scan=$mergeOk)")
+
+    if (finalCount != perWave * waves || sum != 5000 || !dedupOk || !vDedupOk ||
+        !searchOk || !mergeOk) {
       spark.stop(); sys.exit(2)
     }
     spark.stop()

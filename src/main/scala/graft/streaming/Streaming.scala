@@ -242,6 +242,60 @@ object Streaming {
       .start()
   }
 
+  /** Streaming search-index maintenance — the query-time production loop
+    * the persisted BM25 index ([[graft.ops.TextRank.writeSearchIndex]])
+    * was built for: each micro-batch of documents lands as its own index
+    * segment ([[graft.ops.TextRank.appendSearchIndexBatch]]), and
+    * [[graft.ops.TextRank.bm25Indexed]] serves between batches with
+    * results bit-identical to a scan of every document ingested so far
+    * (per-segment df/stats sum exactly at query time). Same maintenance
+    * contract as [[incrementalDedupStream]]: segment keys are
+    * incarnation-qualified `<runKey>-<batchId>`, each append overwrites
+    * its OWN `seg=` directories, so a retried micro-batch replaces its
+    * previous attempt — effectively-once without a transactional sink.
+    * Re-delivered doc ids (the duplicate class the layout does NOT
+    * structurally prevent) fail loudly before the append: one id-pruned
+    * read of the norms (linear in corpus doc count, not a corpus text
+    * scan) semi-joined against the batch, own-segment excluded so the
+    * retry path stays legitimate. Run
+    * [[graft.ops.TextRank.mergeSearchIndexSegments]] between stream
+    * incarnations to fold accumulated segments into one.
+    */
+  def searchIndexMaintenanceStream(docs: DataFrame, indexDir: String,
+      checkpoint: String, textCol: String = "text", idCol: String = "doc_id",
+      blockSize: Int = 1024): StreamingQuery = {
+    val key = runKey(checkpoint)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val normsPath = new org.apache.hadoop.fs.Path(s"$indexDir/norms")
+        val fs = normsPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val cached = batch.persist() // read thrice: gate + postings + norms
+        try {
+          if (fs.exists(normsPath)) {
+            // cast FIRST — see incrementalDedupStream's legacy-layout note
+            val norms = sp.read.parquet(s"$indexDir/norms")
+              .filter(col("seg").cast("string") =!= lit(s"$key-$batchId"))
+            val redelivered = norms.select("id").join(
+              cached.select(col(idCol).as("id")).distinct(), "id")
+              .take(1)
+            require(redelivered.isEmpty,
+              s"doc ${redelivered.headOption.map(_.get(0)).orNull} was " +
+                "already indexed by an earlier batch; dedup upstream " +
+                "(dedupDocStream) or repair the index before appending")
+          }
+          graft.ops.TextRank.appendSearchIndexBatch(cached, textCol, idCol,
+            indexDir, s"$key-$batchId", blockSize)
+        } finally {
+          cached.unpersist(false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

@@ -130,6 +130,62 @@ class StreamingDedupSpec extends SparkSpec {
         s"extra=${(vStreamed -- vDirect).take(3)}")
   }
 
+  test("search-index stream: bm25Indexed equals scan bm25 after each wave; retries idempotent") {
+    import graft.ops.TextRank
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = Seq("the", "data", "spark", "model")
+    val waves = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k))
+    val work = java.nio.file.Files.createTempDirectory("graft_ssearch").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"; val ckpt = s"$work/ckpt"
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(raw)
+      val q = Streaming.searchIndexMaintenanceStream(stream, idx, ckpt,
+        blockSize = 64)
+      assert(q.awaitTermination(180000), "streaming batch did not finish in time")
+    }
+    def bm25Key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getInt(2))
+    // after each wave, serving from the index must equal the scan path
+    // over the union of everything ingested so far — the per-segment
+    // df/stats really do sum back to the whole-corpus statistics
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.write.mode("append").parquet(raw)
+      run()
+      val ingested = waves.take(k + 1).reduce(_ unionByName _)
+      val scan = TextRank.bm25(ingested, "text", "doc_id", terms, topK = 10)
+        .collect().map(bm25Key).toSet
+      val served = TextRank.bm25Indexed(spark, idx, "doc_id", terms, topK = 10)
+        .collect().map(bm25Key).toSet
+      assert(served == scan,
+        s"after wave $k served != scan:\nextra=${(served -- scan).take(3)}\n" +
+          s"missing=${(scan -- served).take(3)}")
+    }
+    // a retried micro-batch (same segment key) replaces itself
+    TextRank.appendSearchIndexBatch(waves(2), "text", "doc_id", idx,
+      s"${Streaming.runKey(ckpt)}-2", blockSize = 64)
+    val retried = TextRank.bm25Indexed(spark, idx, "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet
+    val scanAll = TextRank.bm25(docs, "text", "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet
+    assert(retried == scanAll, "retried append changed the served results")
+    // a re-delivered doc (same id, NEW batch) fails loudly at ingest
+    waves(0).limit(1).write.mode("append").parquet(raw)
+    val stream = spark.readStream.schema(docs.schema).parquet(raw)
+    val q = Streaming.searchIndexMaintenanceStream(stream, idx, ckpt,
+      blockSize = 64)
+    val ex = intercept[Exception] { q.awaitTermination(180000) }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => Option(t.getMessage)
+      .exists(_.contains("already indexed"))), ex.toString)
+    // and segment merge folds the accumulated stream segments into one
+    // base segment that still serves the identical results
+    TextRank.mergeSearchIndexSegments(spark, idx, blockSize = 64)
+    val merged = TextRank.bm25Indexed(spark, idx, "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet
+    assert(merged == scanAll, "post-merge serving diverged")
+  }
+
   test("a fresh stream incarnation over the same index probes the prior corpus") {
     // a long-lived index outlives any one stream: run 2 starts with a NEW
     // checkpoint, so its micro-batch ids restart at 0. The incarnation
