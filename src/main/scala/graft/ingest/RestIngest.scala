@@ -79,7 +79,9 @@ object RestIngest {
 
   /** Distributed backfill: page ranges fan out over executors. The fetcher
     * must be serializable and the API parallel-safe; rate limiting becomes
-    * per-executor (global limiters need an external token service).
+    * per-executor here — for the reference's global-budget semantics use
+    * `spark.read.format("graft-rest")` with `globalBudget=true`
+    * ([[RestSource]]), which splits the budget across planned readers.
     */
   def fetchPartitioned(spark: SparkSession, totalPages: Int, pageSize: Int,
       fetcher: Fetcher, parallelism: Int = 8): Dataset[String] = {

@@ -29,16 +29,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * partitions (it must be `Serializable`; registration is a driver-side
   * convenience so plain string options can name it). HTTP plumbing stays
   * out of the engine, same separation as [[RestIngest]]. Rate limiting is
-  * per partition reader (`maxRequestsPerWindow`/`windowMillis` options) —
-  * a GLOBAL API budget needs an external token service, documented at
-  * [[RestIngest.fetchPartitioned]].
+  * per partition reader (`maxRequestsPerWindow`/`windowMillis` options) by
+  * default — N partitions spend N× the stated budget. `globalBudget=true`
+  * restores the reference's GLOBAL semantics (api_ingestion.py:207-239,
+  * one 100 req/min budget for the whole job) without an external token
+  * service: the budget is split across the planned partitions at plan
+  * time — each reader gets `floor(budget / numPartitions)` requests per
+  * window, and the partition count itself is CAPPED at the budget so
+  * every reader keeps at least one request per window (fewer, larger
+  * page ranges — trading parallelism for the guarantee, which is the
+  * right trade: the API budget, not the cluster, is the bottleneck by
+  * definition). Aggregate requests across all readers then stay within
+  * the budget per window (pigeonhole over the per-reader limiters;
+  * contract-tested).
   *
   * Options: `fetcher` (registry key, required), `schema` (DDL, required
   * unless passed via `.schema(...)`), `pages` (total page count; omit for
   * sequential short-page-terminated paging in ONE partition — the
   * rate-limited incremental-pull shape), `pageSize` (default 100),
   * `pagesPerPartition` (default 8), `maxRequestsPerWindow`/`windowMillis`
-  * (optional per-reader rate limit).
+  * (optional rate limit), `globalBudget` (default false: the limit is
+  * per reader).
   */
 object RestSource {
   private val fetchers =
@@ -107,26 +118,28 @@ private final class RestScanBuilder(fullSchema: StructType, options: CaseInsensi
       pagesPerPartition = options.getInt("pagesPerPartition", 8),
       maxRequests = Option(options.get("maxRequestsPerWindow")).map(_.toInt),
       windowMillis = options.getLong("windowMillis", 60000L),
-      limit = limit)
+      limit = limit,
+      globalBudget = options.getBoolean("globalBudget", false))
   }
 }
 
 private final case class RestScan(
     fullSchema: StructType, required: StructType, fetch: RestIngest.Fetcher,
     pages: Option[Int], pageSize: Int, pagesPerPartition: Int,
-    maxRequests: Option[Int], windowMillis: Long, limit: Option[Int])
+    maxRequests: Option[Int], windowMillis: Long, limit: Option[Int],
+    globalBudget: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-rest pages=${pages.getOrElse(-1)} pageSize=$pageSize " +
-      s"pushedLimit=${limit.getOrElse(-1)}"
+      s"pushedLimit=${limit.getOrElse(-1)} globalBudget=$globalBudget"
 
-  override def planInputPartitions(): Array[InputPartition] = pages match {
+  private lazy val partitions: Array[InputPartition] = pages match {
     case None =>
       // unknown page count: sequential short-page-terminated paging, one
       // partition (the incremental-pull shape, where a global rate limit
-      // must be honored by a single reader anyway)
+      // is honored trivially by the single reader)
       Array(RestPartition(1, Int.MaxValue, sequential = true))
     case Some(total) =>
       // a pushed LIMIT n needs only ceil(n / pageSize) pages — the whole
@@ -134,13 +147,34 @@ private final case class RestScan(
       val needed = limit
         .map(n => math.min(total.toLong, (n.toLong + pageSize - 1) / pageSize).toInt)
         .getOrElse(total)
-      (1 to needed by pagesPerPartition).map(start =>
-        RestPartition(start, math.min(start + pagesPerPartition - 1, needed),
+      // under a global budget the partition count is capped at the
+      // budget so the per-reader split below never rounds to zero: each
+      // reader keeps >= 1 request per window and the aggregate stays
+      // within budget (fewer, larger page ranges — the API budget is
+      // the bottleneck, not the cluster)
+      val ppp = maxRequests match {
+        case Some(budget) if globalBudget =>
+          val maxParts = math.max(1, math.min(budget,
+            (needed + pagesPerPartition - 1) / pagesPerPartition))
+          math.max(pagesPerPartition, (needed + maxParts - 1) / maxParts)
+        case _ => pagesPerPartition
+      }
+      (1 to needed by ppp).map(start =>
+        RestPartition(start, math.min(start + ppp - 1, needed),
           sequential = false): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    RestReaderFactory(fullSchema, required, fetch, pageSize, maxRequests, windowMillis)
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the global budget splits evenly across the planned readers; the
+    // partition cap above guarantees the floor is >= 1
+    val perReader = maxRequests.map { budget =>
+      if (globalBudget) math.max(1, budget / math.max(1, partitions.length))
+      else budget
+    }
+    RestReaderFactory(fullSchema, required, fetch, pageSize, perReader, windowMillis)
+  }
 }
 
 /** A page range; the fetcher lives in the reader factory (both serialize

@@ -33,6 +33,15 @@ object RestSourceSpec {
     else if (page == 13) (0 until 5).map(j => row(120 + j))
     else Seq.empty
   }
+
+  // records the wall-clock instant of every request, for the global-
+  // budget contract (local mode: all readers share this JVM queue)
+  val stampQueue = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  val stamped: graft.ingest.RestIngest.Fetcher = (page, pageSize) => {
+    stampQueue.add(System.currentTimeMillis())
+    if (page > 12) Seq.empty
+    else (0 until pageSize).map(j => row((page - 1) * pageSize + j))
+  }
 }
 
 class RestSourceSpec extends SparkSpec {
@@ -83,6 +92,43 @@ class RestSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 1,
       "unknown page count pages sequentially in a single reader")
     assert(df.count() == 125, "12 full pages + the 5-row short page")
+  }
+
+  test("globalBudget: aggregate requests across all readers respect the global window") {
+    RestSource.registerFetcher("stamped", RestSourceSpec.stamped)
+    val budget = 3; val window = 600L
+    val df = read("stamped", "pages" -> "12", "pagesPerPartition" -> "2",
+      "maxRequestsPerWindow" -> budget.toString,
+      "windowMillis" -> window.toString, "globalBudget" -> "true")
+    // the planner caps partitions at the budget (6 two-page ranges
+    // would each get floor(3/6) = 0 requests; 3 four-page ranges keep
+    // one per reader per window)
+    assert(df.rdd.getNumPartitions == budget,
+      s"partitions must be capped at the budget, got ${df.rdd.getNumPartitions}")
+    RestSourceSpec.stampQueue.clear()
+    assert(df.count() == 120)
+    val stamps = RestSourceSpec.stampQueue.toArray(Array.empty[java.lang.Long])
+      .map(_.toLong).sorted
+    assert(stamps.length == 12, s"12 pages -> 12 requests, got ${stamps.length}")
+    // any budget+1 consecutive requests span >= the window: by
+    // pigeonhole two of them came from the same reader, whose limiter
+    // enforces the gap — i.e. no window ever holds more than `budget`
+    // requests in aggregate (small slop for clock skew between the
+    // limiter's reading and the fetcher's)
+    val slop = 120L
+    stamps.sliding(budget + 1).foreach { w =>
+      if (w.length == budget + 1)
+        assert(w.last - w.head >= window - slop,
+          s"burst above global budget: ${w.map(_ - stamps.head).toSeq}")
+    }
+    // without the flag the same read spends the budget PER READER: it
+    // must finish much faster (readers in parallel, no global split)
+    RestSourceSpec.stampQueue.clear()
+    val perReader = read("stamped", "pages" -> "12", "pagesPerPartition" -> "2",
+      "maxRequestsPerWindow" -> budget.toString,
+      "windowMillis" -> window.toString)
+    assert(perReader.rdd.getNumPartitions == 6, "no cap without globalBudget")
+    assert(perReader.count() == 120)
   }
 
   test("an unregistered fetcher fails loudly at plan time") {
