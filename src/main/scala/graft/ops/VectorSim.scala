@@ -32,6 +32,8 @@ import scala.util.Random
   */
 object VectorSim {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Dot product of two float-array columns (codegen'd, deterministic). */
   def dot(a: Column, b: Column): Column = dotF32(a, b)
 
@@ -299,7 +301,9 @@ object VectorSim {
     * Cell partition pruning spans all batch directories.
     */
   def appendIvfIndexBatch(df: DataFrame, idCol: String, vecCol: String,
-      path: String, batchId: Long): Unit = {
+      path: String, batchId: Long, measureRecall: Boolean = false,
+      recallK: Int = 10, recallNprobe: Int = 8,
+      recallSample: Int = 64): Option[Double] = {
     require(batchId != 0L, "batch 0 is the initial writeIvfIndex corpus")
     requireFreshIds(df, idCol, path, batchId)
     val centroids = readIvfCentroids(df.sparkSession, path)
@@ -307,6 +311,60 @@ object VectorSim {
       .withColumn("cell",
         element_at(IvfExprs.nearestCentroids(col(vecCol), centroids, 1), 1))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data/batch=$batchId")
+    if (!measureRecall) None
+    else {
+      val r = ivfIndexRecall(df.sparkSession, path, df, idCol, vecCol,
+        recallK, recallNprobe, recallSample)
+      log.info(f"ivf-index append batch=$batchId recall@$recallK=" +
+        f"$r%.4f (nprobe=$recallNprobe, sample<=$recallSample) — " +
+        "retrain (writeIvfIndex) when this trends below the serving floor")
+      Some(r)
+    }
+  }
+
+  /** Recall@k of the persisted IVF index for a seeded sample of `probeFrom`
+    * rows against the exact brute-force top-k over the SAME index data —
+    * the per-append drift telemetry: the quantizer is frozen between
+    * offline retrains, so a drifting ingest distribution degrades cell
+    * routing silently; measuring each appended batch against exact truth
+    * makes the decay visible per batch instead of at the next offline
+    * evaluation. Cost: one corpus pass (the exact side) for a bounded
+    * (`sampleQueries`) set of probes — the deliberate price of truth, paid
+    * at append time, not query time. The documented retrain trigger: when
+    * a batch's recall lands below the serving contract floor (0.9 in this
+    * repo's recall contracts), rebuild with [[writeIvfIndex]] — appends
+    * until then are safe because recall decays with distribution
+    * distance, not with batch count.
+    */
+  def ivfIndexRecall(spark: org.apache.spark.sql.SparkSession, path: String,
+      probeFrom: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nprobe: Int = 8, sampleQueries: Int = 64): Double = {
+    val sample = seededSample(probeFrom, idCol, vecCol, sampleQueries)
+    val corpus = spark.read.parquet(s"$path/data").select(col(idCol), col(vecCol))
+    recallOf(
+      cosineTopKIvfIndexed(sample, path, idCol, vecCol, k,
+        nprobe = math.min(nprobe, readIvfCentroids(spark, path).length)),
+      cosineTopK(sample, corpus, idCol, vecCol, k))
+  }
+
+  /** Deterministic probe sample: hash-ordered, so it is reproducible and
+    * unbiased by the caller's row order (an id-ordered head would probe
+    * only the oldest rows of a batch).
+    */
+  private def seededSample(df: DataFrame, idCol: String, vecCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(n)
+
+  /** recall@k = |approx ∩ exact| / |exact| over (query, neighbor) pairs.
+    * 1.0 when the exact side is empty (nothing to find).
+    */
+  private def recallOf(approx: DataFrame, exact: DataFrame): Double = {
+    def pairs(d: DataFrame) = d.select("query_id", "neighbor_id").collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    val truth = pairs(exact)
+    if (truth.isEmpty) 1.0
+    else pairs(approx).count(truth.contains).toDouble / truth.size
   }
 
   /** Load the centroid matrix persisted by [[writeIvfIndex]]. */
@@ -453,13 +511,47 @@ object VectorSim {
     * [[appendIvfIndexBatch]].
     */
   def appendPqIndexBatch(df: DataFrame, idCol: String, vecCol: String,
-      path: String, batchId: Long): Unit = {
+      path: String, batchId: Long, measureRecall: Boolean = false,
+      recallK: Int = 10, recallNprobe: Int = 8, recallRefine: Int = 4,
+      recallSample: Int = 64): Option[Double] = {
     require(batchId != 0L, "batch 0 is the initial writePqIndex corpus")
     requireFreshIds(df, idCol, path, batchId)
     val centroids = readIvfCentroids(df.sparkSession, path)
     val books = readPqCodebooks(df.sparkSession, path)
     encodePq(df, idCol, vecCol, centroids, books)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data/batch=$batchId")
+    if (!measureRecall) None
+    else {
+      val r = pqIndexRecall(df.sparkSession, path, df, idCol, vecCol,
+        recallK, recallNprobe, recallRefine, recallSample)
+      log.info(f"pq-index append batch=$batchId recall@$recallK=" +
+        f"$r%.4f (nprobe=$recallNprobe, refine=$recallRefine, " +
+        f"sample<=$recallSample) — retrain (writePqIndex) when this " +
+        "trends below the serving floor")
+      Some(r)
+    }
+  }
+
+  /** Recall@k of the persisted PQ/IVFADC index for a seeded sample of
+    * `probeFrom` vs exact brute force over the same index data — the PQ
+    * twin of [[ivfIndexRecall]], with the additional drift surface that
+    * BOTH quantizers (coarse cells and the per-subspace codebooks) are
+    * frozen: ADC distances degrade under codebook drift even when cell
+    * routing still works. Same retrain contract: rebuild with
+    * [[writePqIndex]] when a batch's recall lands below the serving
+    * floor.
+    */
+  def pqIndexRecall(spark: org.apache.spark.sql.SparkSession, path: String,
+      probeFrom: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nprobe: Int = 8, refine: Int = 4,
+      sampleQueries: Int = 64): Double = {
+    val sample = seededSample(probeFrom, idCol, vecCol, sampleQueries)
+    val corpus = spark.read.parquet(s"$path/data").select(col(idCol), col(vecCol))
+    recallOf(
+      cosineTopKPqIndexed(sample, path, idCol, vecCol, k,
+        nprobe = math.min(nprobe, readIvfCentroids(spark, path).length),
+        refine = refine),
+      cosineTopK(sample, corpus, idCol, vecCol, k))
   }
 
   /** IVFADC top-k against a persisted PQ index: probe cells are a
@@ -712,18 +804,70 @@ object VectorSim {
     */
   def appendSignIndexBatch(df: DataFrame, idCol: String, vecCol: String,
       path: String, batchId: Long, numTables: Int = 8, planesPerTable: Int = 6,
-      dim: Int = 64, seed: Long = 42L): Unit =
+      dim: Int = 64, seed: Long = 42L, measureRecall: Boolean = false,
+      recallThreshold: Double = 0.5, recallProbeBits: Int = 1,
+      recallSample: Int = 64): Option[Double] =
     appendSignIndexBatchKeyed(df, idCol, vecCol, path, batchId.toString,
-      numTables, planesPerTable, dim, seed)
+      numTables, planesPerTable, dim, seed, measureRecall,
+      recallThreshold, recallProbeBits, recallSample)
 
   /** [[appendSignIndexBatch]] with a caller-chosen string partition key —
     * see [[graft.ops.TextDedup.appendMinhashIndexBatchKeyed]].
     */
   def appendSignIndexBatchKeyed(df: DataFrame, idCol: String, vecCol: String,
       path: String, batchKey: String, numTables: Int = 8, planesPerTable: Int = 6,
-      dim: Int = 64, seed: Long = 42L): Unit =
+      dim: Int = 64, seed: Long = 42L, measureRecall: Boolean = false,
+      recallThreshold: Double = 0.5, recallProbeBits: Int = 1,
+      recallSample: Int = 64): Option[Double] = {
     stampedSignIndex(df, idCol, vecCol, numTables, planesPerTable, dim, seed)
       .write.mode("overwrite").parquet(s"$path/batch=$batchKey")
+    if (!measureRecall) None
+    else {
+      val r = signIndexRecall(df.sparkSession, path, df, idCol, vecCol,
+        recallThreshold, recallProbeBits, recallSample,
+        numTables, planesPerTable, dim, seed)
+      log.info(f"sign-index append batch=$batchKey recall@cos>=" +
+        f"$recallThreshold%.2f=$r%.4f (probeBits=$recallProbeBits, " +
+        f"sample<=$recallSample) — re-bucket (writeSignIndex) when this " +
+        "trends below the serving floor")
+      Some(r)
+    }
+  }
+
+  /** Pair recall of the persisted sign-bucket index for a seeded sample
+    * of `probeFrom` vs exact cosine over the same (sample × rest-of-
+    * index) slice — the near-dup twin of [[ivfIndexRecall]]: buckets are
+    * seed-derived and FIXED, so a drifting embedding distribution can
+    * concentrate mass into few buckets and silently lose cross-bucket
+    * pairs. The sample's own ids are excluded from the index side (they
+    * were just appended; a self-match is not recall). 1.0 when the slice
+    * holds no exact pairs at the threshold — nothing to find proves
+    * nothing, which is why the shipped drift contract plants jittered
+    * twins. Retrain trigger: rebuild via [[writeSignIndex]] when a
+    * batch's recall lands below the serving floor.
+    */
+  def signIndexRecall(spark: org.apache.spark.sql.SparkSession, path: String,
+      probeFrom: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, probeBits: Int = 1, sampleQueries: Int = 64,
+      numTables: Int = 8, planesPerTable: Int = 6, dim: Int = 64,
+      seed: Long = 42L): Double = {
+    val sample = seededSample(probeFrom, idCol, vecCol, sampleQueries)
+    val rest = readSignIndex(spark, path)
+      .join(broadcast(sample.select(col(idCol).as("id"))), Seq("id"), "left_anti")
+    def pairs(d: DataFrame) = d.select("id_new", "id_old").collect()
+      .map(r => (r.get(0), r.get(1))).toSet
+    val got = pairs(incrementalCosineNearDups(sample, rest, idCol, vecCol,
+      threshold, numTables, planesPerTable, dim, seed, probeBits,
+      validateIds = false))
+    val q = sample.select(col(idCol).as("id_new"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(normSq(col("qv"))))
+    val c = rest.select(col("id").as("id_old"), col("v").as("cv"))
+      .withColumn("cn", sqrt(normSq(col("cv"))))
+    val truth = pairs(c.crossJoin(broadcast(q))
+      .filter(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) >= threshold)
+      .select("id_new", "id_old"))
+    if (truth.isEmpty) 1.0 else got.count(truth.contains).toDouble / truth.size
+  }
 
   def readSignIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)

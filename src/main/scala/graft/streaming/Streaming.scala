@@ -232,6 +232,7 @@ object Streaming {
           pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$key-$batchId")
           graft.ops.VectorSim.appendSignIndexBatchKeyed(cached, idCol, vecCol,
             indexDir, s"$key-$batchId", numTables, planesPerTable, dim, seed)
+          ()
         } finally {
           cached.unpersist(false)
           ()
