@@ -241,6 +241,10 @@ object TextDedup {
     * rows into one well-formed partition and hide the corruption from
     * the probe's own gate. Post-compaction appends keep using fresh
     * batch keys ("base" is reserved).
+    *
+    * Also the migration path from a FLAT [[writeMinhashIndex]] layout to
+    * the batch layout the streaming loop requires: a flat index has no
+    * `batch` column to drop and compacts to `batch=base` all the same.
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =

@@ -132,7 +132,8 @@ object Streaming {
               require(idx0.columns.contains("batch"),
                 s"$indexDir is a flat index (no batch=<key> partitions); " +
                   "seed a streaming index with appendMinhashIndexBatch " +
-                  "instead of writeMinhashIndex")
+                  "instead of writeMinhashIndex, or migrate the flat " +
+                  "index with compactMinhashIndex")
               // exclude this batch's OWN partition from the probe: a retry
               // that crashed between the append and the streaming commit
               // re-runs with its signatures already in the index, and
@@ -208,7 +209,8 @@ object Streaming {
               require(idx0.columns.contains("batch"),
                 s"$indexDir is a flat index (no batch=<key> partitions); " +
                   "seed a streaming index with appendSignIndexBatch " +
-                  "instead of writeSignIndex")
+                  "instead of writeSignIndex, or migrate the flat index " +
+                  "with compactSignIndex")
               // cast FIRST: a numeric-keyed legacy layout infers batch as int,
               // and int =!= string coerces the literal to null — which would
               // silently filter out the ENTIRE prior index

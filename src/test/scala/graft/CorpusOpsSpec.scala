@@ -273,6 +273,19 @@ class CorpusOpsSpec extends SparkSpec {
       TextDedup.compactMinhashIndex(spark, idx)
     }
     assert(ex.getMessage.contains("duplicate id"), ex.getMessage)
+
+    // compaction is also the flat->batched migration path: a
+    // writeMinhashIndex-shaped index (which the streaming loop rejects)
+    // compacts into the batch layout it requires, probing identically
+    val flat = s"$dir/flat"
+    TextDedup.writeMinhashIndex(old, "text", "doc_id", flat)
+    assert(!TextDedup.readMinhashIndex(spark, flat).columns.contains("batch"))
+    TextDedup.compactMinhashIndex(spark, flat)
+    val migrated = TextDedup.readMinhashIndex(spark, flat)
+    assert(migrated.columns.contains("batch"), "flat index not migrated")
+    val viaMigrated = TextDedup.incrementalNearDups(fresh, migrated,
+      "text", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaMigrated == before, "migrated index must probe identically")
   }
 
   test("incremental dedup: params-mismatched index is rejected; capped path agrees") {
