@@ -245,6 +245,13 @@ object TextDedup {
     * Also the migration path from a FLAT [[writeMinhashIndex]] layout to
     * the batch layout the streaming loop requires: a flat index has no
     * `batch` column to drop and compacts to `batch=base` all the same.
+    *
+    * Run at stream-IDLE points only (between incarnations, or after the
+    * last micro-batch commits): compacting between a streaming batch's
+    * append and its checkpoint commit would fold that not-yet-committed
+    * attempt into `base`, so the crash-retry would see its own rows as
+    * prior corpus — spurious intra-batch pairs from the probe and a
+    * false re-delivery rejection from the gate.
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =

@@ -875,7 +875,9 @@ object VectorSim {
   /** Compact a batch-appended sign-bucket index into a single
     * `batch=base` partition — the vector twin of
     * [[graft.ops.TextDedup.compactMinhashIndex]] (same flat-signature
-    * layout, same staged-swap and duplicate-id rejection semantics).
+    * layout, same staged-swap and duplicate-id rejection semantics,
+    * same stream-idle-only timing rule: compacting between a streaming
+    * append and its checkpoint commit breaks the crash-retry contract).
     */
   def compactSignIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =

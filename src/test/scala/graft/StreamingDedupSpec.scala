@@ -203,6 +203,12 @@ class StreamingDedupSpec extends SparkSpec {
     }
     first.write.parquet(s"$work/rawA")
     run(s"$work/rawA", s"$work/ckptA")
+    // between incarnations is the documented compaction point: run 1's
+    // segments fold into batch=base, and run 2 must still probe the
+    // whole prior corpus from the compacted layout
+    TextDedup.compactMinhashIndex(spark, idx)
+    assert(new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet == Set("batch=base"))
     second.write.parquet(s"$work/rawB")
     run(s"$work/rawB", s"$work/ckptB") // fresh checkpoint: its batchId is 0 again
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
