@@ -60,9 +60,17 @@ object ScaleCurve {
     val base = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text", "lang")
 
-    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    // rotate each character class separately so the map stays a
+    // bijection over letters AND digits — a lowercase-only rotation
+    // would leave digit/uppercase-heavy docs byte-identical across
+    // replicas, quietly reintroducing quadratic cross-replica pairs
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rotCls(s: String, i: Int) = s.drop(i % s.length) + s.take(i % s.length)
+    val alphabet = lower + upper + digits
     def replicated(k: Int): DataFrame = (0 until k).map { i =>
-      val rot = alphabet.drop(i % 26) + alphabet.take(i % 26)
+      val rot = rotCls(lower, i) + rotCls(upper, i) + rotCls(digits, i)
       val text =
         if (i == 0) col("text") else translate(col("text"), alphabet, rot)
       base.select(

@@ -74,11 +74,20 @@ object Components extends org.apache.spark.internal.Logging {
     // which is type-agnostic — identical labels either way.
     val integralIds = {
       import org.apache.spark.sql.types._
-      (Seq("id", "rep").map(sym.schema(_).dataType) :+
-        nodes.schema("id").dataType).forall {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
+      def width(dt: DataType): Int = dt match {
+        case ByteType => 1; case ShortType => 2
+        case IntegerType => 4; case LongType => 8
+        case _ => -1
       }
+      val edgeW = Seq("id", "rep").map(t => width(sym.schema(t).dataType))
+      val nodeW = width(nodes.schema("id").dataType)
+      // edge id types must FIT the node id type: labels are computed on
+      // the edge endpoints and cast down to the node type at the end, so
+      // a wider edge type could carry an endpoint (absent from nodes —
+      // explicitly allowed) whose downcast WRAPS onto a real node id and
+      // mislabels it. Wider-edged graphs take the distributed loop,
+      // which never casts.
+      (edgeW :+ nodeW).forall(_ > 0) && edgeW.forall(_ <= nodeW)
     }
     val nEdges = sym.count()
     if (integralIds && nEdges <= localEdgeLimit) {
@@ -133,13 +142,22 @@ object Components extends org.apache.spark.internal.Logging {
     // convergence scalar: exact decimal sum of the labels — a raw BIGINT
     // sum overflows silently once ids ~ 10^18 / node-count (any corpus in
     // the 10^12-row regime), and a wrapped sum that happens to repeat
-    // would end the loop on inconsistent labels. Non-numeric ids (e.g.
-    // strings) have no sum: they fall back to a per-round changed-row
-    // check — an extra id-keyed equi-join of two checkpointed label
-    // tables, exact for any orderable type, paid only by non-numeric
-    // callers
-    val sumConvergence = Seq("id", "rep").map(sym.schema(_).dataType)
-      .forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    // would end the loop on inconsistent labels. ONLY exact integer
+    // types qualify: the sum casts labels to decimal(38,0), so
+    // fractional ids (double/float/scaled decimal) clustered inside one
+    // integer unit would alias — labels could move without moving the
+    // rounded sum, ending the loop early on inconsistent labels. Every
+    // other type (strings, fractional numerics) takes the per-round
+    // changed-row check — an extra id-keyed equi-join of two
+    // checkpointed label tables, exact for any orderable type.
+    val sumConvergence = {
+      import org.apache.spark.sql.types._
+      Seq("id", "rep").map(sym.schema(_).dataType).forall {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0
+        case _ => false
+      }
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("cluster_rep")
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))))

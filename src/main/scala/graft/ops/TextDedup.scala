@@ -218,9 +218,14 @@ object TextDedup {
     */
   def appendMinhashIndexBatchKeyed(df: DataFrame, textCol: String, idCol: String,
       path: String, batchKey: String, shingleLen: Int = 1, numHashes: Int = 128,
-      bands: Int = 32): Unit =
+      bands: Int = 32): Unit = {
+    // "base" is the compacted-corpus partition: an append under that key
+    // would mode("overwrite") the ENTIRE compacted index into one batch
+    require(batchKey != "base",
+      "batch key 'base' is reserved for compactMinhashIndex output")
     stampedSignatures(df, textCol, idCol, shingleLen, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/batch=$batchKey")
+  }
 
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(path)
@@ -267,7 +272,9 @@ object TextDedup {
     val livePath = new org.apache.hadoop.fs.Path(path)
     val tmpPath = new org.apache.hadoop.fs.Path(path + "_compacting")
     val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    // recovery-first: a crash between the delete and the rename below
+    // leaves the only copy in the stage dir — promote it, never wipe it
+    StagedSwap.recoverOrClearStage(fs, livePath, tmpPath)
     val df = spark.read.parquet(path)
     val clean = if (df.columns.contains("batch")) df.drop("batch") else df
     val dup = clean.groupBy("id").agg(count(lit(1)).as("_n"))
@@ -278,8 +285,7 @@ object TextDedup {
         "and a write-to-new-path swap instead")
     clean.repartition(col("id"))
       .write.mode("overwrite").parquet(s"$tmpPath/batch=base")
-    fs.delete(livePath, true)
-    require(fs.rename(tmpPath, livePath), s"rename $tmpPath -> $livePath failed")
+    StagedSwap.swap(fs, livePath, tmpPath)
   }
 
   /** Incremental near-dup detection: LSH candidate pairs between a NEW

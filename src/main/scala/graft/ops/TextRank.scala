@@ -218,7 +218,7 @@ object TextRank {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true) // full rebuild, not a merge
-    appendSearchIndexBatch(docs, textCol, idCol, dir, "base", blockSize)
+    writeSegment(docs, textCol, idCol, dir, "base", blockSize)
   }
 
   /** Append one ingest batch to the index as its own segment,
@@ -227,10 +227,19 @@ object TextRank {
     * replaces its previous attempt — the same maintenance contract as
     * the MinHash/IVF/PQ index appends. Batches must carry disjoint doc
     * ids across DIFFERENT keys; [[bm25Indexed]]'s validateIds gate fails
-    * loudly if they do not.
+    * loudly if they do not. `base` is reserved: it is the
+    * [[writeSearchIndex]] / [[mergeSearchIndexSegments]] corpus segment,
+    * and an append under that key would overwrite it wholesale.
     */
   def appendSearchIndexBatch(docs: DataFrame, textCol: String, idCol: String,
       dir: String, batchKey: String, blockSize: Int = 1024): Unit = {
+    require(batchKey != "base",
+      "segment key 'base' is reserved for the full-build/merged corpus segment")
+    writeSegment(docs, textCol, idCol, dir, batchKey, blockSize)
+  }
+
+  private def writeSegment(docs: DataFrame, textCol: String, idCol: String,
+      dir: String, batchKey: String, blockSize: Int): Unit = {
     require(batchKey.nonEmpty && !batchKey.exists(c => c == '/' || c == '='),
       s"batchKey must be a plain partition value, got '$batchKey'")
     blockedTf(docs, textCol, idCol, blockSize)
@@ -267,10 +276,13 @@ object TextRank {
     *
     * The merged index is staged under a `<dir>_merging` sibling and
     * swapped in only after all three writes land, so a crashed merge
-    * leaves the live index untouched and a retry starts clean (the stage
-    * dir is deleted first). Single-writer, like every index-maintenance
-    * op here; the delete+rename swap instant can race a concurrent
-    * reader, as with any non-transactional table format.
+    * leaves the live index intact: a retry clears a partial stage while
+    * the live dir exists, and if the crash landed between the swap's
+    * delete and rename (live gone, complete stage present) it promotes
+    * the stage instead of wiping the only copy ([[StagedSwap]]).
+    * Single-writer, like every index-maintenance op here; the delete+
+    * rename swap instant can race a concurrent reader, as with any
+    * non-transactional table format.
     *
     * A corrupt index (one doc id under two segment keys) is REJECTED
     * before any write — merging would otherwise fuse the duplicate rows
@@ -282,7 +294,9 @@ object TextRank {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val tmpPath = new org.apache.hadoop.fs.Path(dir + "_merging")
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    // recovery-first: a crash between the delete and the rename below
+    // leaves the only copy in the stage dir — promote it, never wipe it
+    StagedSwap.recoverOrClearStage(fs, dirPath, tmpPath)
     val norms = spark.read.parquet(s"$dir/norms").drop("seg")
     val dup = norms.groupBy("id").agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1).select("id").take(1)
@@ -317,8 +331,7 @@ object TextRank {
     spark.read.parquet(s"$tmpPath/norms/seg=base")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$tmpPath/stats/seg=base")
-    fs.delete(dirPath, true)
-    require(fs.rename(tmpPath, dirPath), s"rename $tmpPath -> $dirPath failed")
+    StagedSwap.swap(fs, dirPath, tmpPath)
   }
 
   /** BM25 served FROM the persisted index — the query-time production

@@ -452,10 +452,13 @@ object VectorSim {
     val dataPath = new org.apache.hadoop.fs.Path(dataDir)
     val tmpPath = new org.apache.hadoop.fs.Path(dataDir + "_tmp")
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    // recovery-first: a crash between the delete and the rename below
+    // leaves the only copy in the stage dir — promote it (the lazy `df`
+    // may read the live dir, so recovery must run before the write),
+    // never wipe it; see StagedSwap
+    StagedSwap.recoverOrClearStage(fs, dataPath, tmpPath)
     df.write.mode("overwrite").partitionBy("cell").parquet(s"$tmpPath/$sub")
-    if (fs.exists(dataPath)) fs.delete(dataPath, true)
-    require(fs.rename(tmpPath, dataPath), s"rename $tmpPath -> $dataPath failed")
+    StagedSwap.swap(fs, dataPath, tmpPath)
   }
 
   /** Loud duplicate-id gate for index appends: an id present in ANOTHER
@@ -819,6 +822,10 @@ object VectorSim {
       dim: Int = 64, seed: Long = 42L, measureRecall: Boolean = false,
       recallThreshold: Double = 0.5, recallProbeBits: Int = 1,
       recallSample: Int = 64): Option[Double] = {
+    // "base" is the compacted-corpus partition: an append under that key
+    // would mode("overwrite") the ENTIRE compacted index into one batch
+    require(batchKey != "base",
+      "batch key 'base' is reserved for compactSignIndex output")
     stampedSignIndex(df, idCol, vecCol, numTables, planesPerTable, dim, seed)
       .write.mode("overwrite").parquet(s"$path/batch=$batchKey")
     if (!measureRecall) None

@@ -96,6 +96,38 @@ class ComponentsStressSpec extends SparkSpec {
     assert(got == Map(1 -> 1, 2 -> 1, 3 -> 1, 9 -> 9))
   }
 
+  test("fractional ids: chain within one integer unit converges exactly, not early") {
+    import spark.implicits._
+    // ten double ids packed inside [5.10, 5.19]: every label truncates to
+    // decimal(38,0) 5, so a rounded-label-sum convergence check would see
+    // an unchanged sum after round 1 and stop with the chain only
+    // partially labeled — fractional types must take the changed-row
+    // check instead
+    val ids = (0 until 10).map(i => 5.10 + i * 0.01)
+    val nodes = ids.toDF("id")
+    val edges = ids.zip(ids.tail).toDF("src", "dst")
+    val got = Components.connectedComponents(nodes, edges, 20)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(got.size == 10 && got.values.forall(_ == ids.head),
+      s"every chain node must label to ${ids.head}, got $got")
+  }
+
+  test("edges wider than the node id type take the distributed loop (no downcast wrap)") {
+    import spark.implicits._
+    // int nodes, LONG edges with an endpoint 2^32+1 that is absent from
+    // nodes (allowed): the driver shortcut would cast its label back to
+    // int, wrapping 4294967297 -> 1 and colliding with the real node 1.
+    // The width gate must route this to the distributed loop, where node
+    // 1 keeps its own component and no duplicate output rows appear.
+    val nodes = Seq(1, 2, 3).toDF("id")
+    val edges = Seq((2L, 3L), (4294967297L, 4294967298L)).toDF("src", "dst")
+    val out = Components.connectedComponents(nodes, edges, 10).collect()
+    assert(out.length == 3, s"one row per node expected, got ${out.length}")
+    val got = out.map(r =>
+      r.get(0).toString.toLong -> r.get(1).toString.toLong).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L), s"labels wrong: $got")
+  }
+
   test("disconnected halves stay separate; isolated nodes self-label") {
     import spark.implicits._
     val nodes = spark.range(100).toDF("id")

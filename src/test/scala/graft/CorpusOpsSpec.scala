@@ -274,6 +274,33 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("duplicate id"), ex.getMessage)
 
+    // the reserved compaction key is rejected: an append under "base"
+    // would overwrite the whole compacted corpus partition
+    assertThrows[IllegalArgumentException] {
+      TextDedup.appendMinhashIndexBatchKeyed(old.limit(1), "text", "doc_id",
+        idx, "base")
+    }
+
+    // crash recovery: a crash BETWEEN the swap's delete and rename
+    // leaves the only copy in the stage dir. Fabricate exactly that
+    // state (live -> stage) on a fresh index and re-run compaction: it
+    // must promote the stage, not wipe it, and the index must probe.
+    val crash = s"$dir/crash"
+    TextDedup.appendMinhashIndexBatch(old, "text", "doc_id", crash, batchId = 0)
+    val crashProbe = TextDedup.incrementalNearDups(fresh,
+      TextDedup.readMinhashIndex(spark, crash), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    TextDedup.compactMinhashIndex(spark, crash)
+    assert(java.nio.file.Files.move(
+      java.nio.file.Paths.get(crash),
+      java.nio.file.Paths.get(crash + "_compacting")) != null)
+    TextDedup.compactMinhashIndex(spark, crash) // the retry
+    assert(new java.io.File(crash).exists(), "recovery must restore the live dir")
+    val recovered = TextDedup.incrementalNearDups(fresh,
+      TextDedup.readMinhashIndex(spark, crash), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recovered == crashProbe, "recovered index must probe identically")
+
     // compaction is also the flat->batched migration path: a
     // writeMinhashIndex-shaped index (which the streaming loop rejects)
     // compacts into the batch layout it requires, probing identically

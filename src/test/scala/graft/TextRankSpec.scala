@@ -354,6 +354,19 @@ class TextRankSpec extends SparkSpec {
     TextRank.mergeSearchIndexSegments(spark, dir, blockSize = 2)
     assert(TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10)
       .collect().map(bm25Key).toSet == before)
+    // the reserved corpus-segment key is rejected on the append path
+    assertThrows[IllegalArgumentException] {
+      TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") === 5), "text",
+        "doc_id", dir, "base", blockSize = 2)
+    }
+    // crash recovery: live gone, complete stage present (the state a
+    // crash between the swap's delete and rename leaves) — a re-merge
+    // must promote the stage, not wipe the only copy
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + "_merging"))
+    TextRank.mergeSearchIndexSegments(spark, dir, blockSize = 2)
+    assert(TextRank.bm25Indexed(spark, dir, "doc_id", terms, topK = 10)
+      .collect().map(bm25Key).toSet == before, "recovery lost the index")
     // a doc id duplicated across segments is rejected, never laundered
     TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") === 5), "text",
       "doc_id", dir, "dup", blockSize = 2)
