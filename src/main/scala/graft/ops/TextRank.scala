@@ -345,12 +345,16 @@ object TextRank {
     *
     * `validateIds` (default on) is the loud duplicate-id gate: a doc id
     * indexed under two different segment keys would silently double-count
-    * into the pivot; the gate is one column-pruned pass over the PRUNED
-    * posting rows plus one id-only pass over the norms (which catch the
-    * duplicate even when only one copy holds a query term), so it stays
-    * cheap at query time.
-    * Structurally-safe callers (e.g. a stream whose appends are keyed by
-    * a monotone batch id) may disable it.
+    * into the pivot. Its cost is one column-pruned pass over the PRUNED
+    * posting rows plus one id-only pass over the norms (which catches a
+    * duplicate even when only one copy holds a query term) — the norms
+    * pass is linear in indexed DOC COUNT, far below a corpus text scan
+    * but not free per query. The safe default favors loud corruption
+    * detection; a production serving loop whose ingest already enforces
+    * uniqueness at write time ([[graft.streaming.Streaming.searchIndexMaintenanceStream]]'s
+    * re-delivery gate, [[mergeSearchIndexSegments]]' gate) should pass
+    * `validateIds = false` and keep the query path at the pruned reads
+    * alone.
     */
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String, queryTerms: Seq[String], k1: Double = 1.2,
