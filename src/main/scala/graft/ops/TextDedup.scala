@@ -262,13 +262,38 @@ object TextDedup {
       path: String): Unit =
     compactBatchedIndex(spark, path)
 
+  /** [[compactMinhashIndex]] that carries `keepBatches` through unfolded
+    * — see [[compactBatchedIndexExcept]] for why a running stream must
+    * exclude its current micro-batch's partition.
+    */
+  def compactMinhashIndexExcept(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepBatches: Set[String]): Unit =
+    compactBatchedIndexExcept(spark, path, keepBatches)
+
   /** Shared body of [[compactMinhashIndex]] and
     * [[graft.ops.VectorSim.compactSignIndex]] — both indexes are flat
     * signature rows under `path/batch=<key>`.
     */
   private[ops] def compactBatchedIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Unit =
+    compactBatchedIndexExcept(spark, path, Set.empty)
+
+  /** [[compactBatchedIndex]] that folds every batch EXCEPT `keepBatches`,
+    * which are carried into the compacted index unchanged (byte-copied
+    * into the stage — a rename out of the live dir would mutate it
+    * before the swap). This is what makes compaction safe INSIDE a
+    * running dedup stream: the current micro-batch's own partition may
+    * be an uncommitted crashed attempt, and folding it into `base`
+    * would make the retry's own-batch exclusion miss those rows —
+    * spurious intra-batch pairs and a false re-delivery rejection.
+    * Duplicate-id validation runs across ALL batches, kept ones
+    * included.
+    */
+  private[ops] def compactBatchedIndexExcept(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keepBatches: Set[String]): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
+    require(!keepBatches.contains("base"), "the base partition is always folded")
     val livePath = new org.apache.hadoop.fs.Path(path)
     val tmpPath = new org.apache.hadoop.fs.Path(path + "_compacting")
     val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -276,15 +301,32 @@ object TextDedup {
     // leaves the only copy in the stage dir — promote it, never wipe it
     StagedSwap.recoverOrClearStage(fs, livePath, tmpPath)
     val df = spark.read.parquet(path)
-    val clean = if (df.columns.contains("batch")) df.drop("batch") else df
-    val dup = clean.groupBy("id").agg(count(lit(1)).as("_n"))
+    val batched = df.columns.contains("batch")
+    require(batched || keepBatches.isEmpty,
+      s"$path is a flat index — there are no batch partitions to keep")
+    val dup = (if (batched) df.drop("batch") else df)
+      .groupBy("id").agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1).select("id").take(1)
     require(dup.isEmpty,
       s"index at $path holds duplicate id ${dup.headOption.map(_.get(0)).orNull}; " +
         "compacting would hide the corruption — repair with dropDuplicates(\"id\") " +
         "and a write-to-new-path swap instead")
+    val clean =
+      if (!batched) df
+      else if (keepBatches.isEmpty) df.drop("batch")
+      else df.filter(!col("batch").cast("string").isin(keepBatches.toSeq: _*))
+        .drop("batch")
     clean.repartition(col("id"))
       .write.mode("overwrite").parquet(s"$tmpPath/batch=base")
+    keepBatches.foreach { k =>
+      val src = new org.apache.hadoop.fs.Path(s"$path/batch=$k")
+      if (fs.exists(src)) {
+        val ok = org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(s"$tmpPath/batch=$k"),
+          false, spark.sparkContext.hadoopConfiguration)
+        require(ok, s"copying kept batch $src into the compaction stage failed")
+      }
+    }
     StagedSwap.swap(fs, livePath, tmpPath)
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -290,24 +290,45 @@ object TextRank {
     * the corruption [[bm25Indexed]]'s gate exists to catch.
     */
   def mergeSearchIndexSegments(spark: org.apache.spark.sql.SparkSession,
-      dir: String, blockSize: Int = 1024): Unit = {
+      dir: String, blockSize: Int = 1024): Unit =
+    mergeSearchIndexSegmentsExcept(spark, dir, blockSize, Set.empty)
+
+  /** [[mergeSearchIndexSegments]] that folds every segment EXCEPT
+    * `keepSegs`, which are carried into the merged index unchanged
+    * (byte-copied into the stage, so a crashed merge still leaves the
+    * live index intact). This is what makes merging safe INSIDE a
+    * running maintenance stream: the current micro-batch's own segment
+    * may be an uncommitted crashed attempt, and folding it into `base`
+    * would make the retry see its own rows as prior corpus — excluding
+    * it keeps the retry contract (the batch still overwrites its own
+    * `seg=` dirs). Duplicate-id validation runs across ALL segments,
+    * kept ones included.
+    */
+  def mergeSearchIndexSegmentsExcept(spark: org.apache.spark.sql.SparkSession,
+      dir: String, blockSize: Int, keepSegs: Set[String]): Unit = {
+    require(!keepSegs.contains("base"), "the base segment is always folded")
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val tmpPath = new org.apache.hadoop.fs.Path(dir + "_merging")
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // recovery-first: a crash between the delete and the rename below
     // leaves the only copy in the stage dir — promote it, never wipe it
     StagedSwap.recoverOrClearStage(fs, dirPath, tmpPath)
-    val norms = spark.read.parquet(s"$dir/norms").drop("seg")
-    val dup = norms.groupBy("id").agg(count(lit(1)).as("_n"))
+    val allNorms = spark.read.parquet(s"$dir/norms")
+    val dup = allNorms.groupBy("id").agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1).select("id").take(1)
     require(dup.isEmpty,
       s"search index holds id ${dup.headOption.map(_.get(0)).orNull} in more than one " +
         "segment; merging would launder the duplicate — repair the offending " +
         "segments or rebuild with writeSearchIndex instead")
+    val keep = (s: Column) => s.cast("string").isin(keepSegs.toSeq: _*)
+    val norms =
+      if (keepSegs.isEmpty) allNorms.drop("seg")
+      else allNorms.filter(!keep(col("seg"))).drop("seg")
     val post = spark.read
       .schema("block INT, df BIGINT, ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, " +
         "term STRING, seg STRING")
       .parquet(s"$dir/postings")
+      .filter(if (keepSegs.isEmpty) lit(true) else !keep(col("seg")))
     val flat = post
       .select(col("term"), explode(arrays_zip(col("ids"), col("tfs"))).as("p"))
       .select(col("term"), col("p.ids").as("id"), col("p.tfs").as("tf"))
@@ -331,6 +352,20 @@ object TextRank {
     spark.read.parquet(s"$tmpPath/norms/seg=base")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$tmpPath/stats/seg=base")
+    // carry the kept segments into the stage BY COPY — a rename out of
+    // the live dir would mutate it before the swap, and a crash would
+    // strand those segments in a stage the retry clears
+    keepSegs.foreach { k =>
+      Seq("postings", "norms", "stats").foreach { sub =>
+        val src = new org.apache.hadoop.fs.Path(s"$dir/$sub/seg=$k")
+        if (fs.exists(src)) {
+          val ok = org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(s"$tmpPath/$sub/seg=$k"),
+            false, spark.sparkContext.hadoopConfiguration)
+          require(ok, s"copying kept segment $src into the merge stage failed")
+        }
+      }
+    }
     StagedSwap.swap(fs, dirPath, tmpPath)
   }
 

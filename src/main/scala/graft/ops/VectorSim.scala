@@ -890,6 +890,14 @@ object VectorSim {
       path: String): Unit =
     graft.ops.TextDedup.compactBatchedIndex(spark, path)
 
+  /** [[compactSignIndex]] that carries `keepBatches` through unfolded —
+    * see [[graft.ops.TextDedup.compactBatchedIndexExcept]] for why a
+    * running stream must exclude its current micro-batch's partition.
+    */
+  def compactSignIndexExcept(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepBatches: Set[String]): Unit =
+    graft.ops.TextDedup.compactBatchedIndexExcept(spark, path, keepBatches)
+
   /** Compact the `data/batch=<id>/cell=<c>` partitions of a persisted
     * IVF or PQ index into a single `batch=0` layout — the lifecycle step
     * that keeps probe reads from opening one directory per historical

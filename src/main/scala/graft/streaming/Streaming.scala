@@ -114,13 +114,23 @@ object Streaming {
       pairsDir: String, checkpoint: String,
       textCol: String = "text", idCol: String = "doc_id",
       shingleLen: Int = 1, numHashes: Int = 128, bands: Int = 32,
-      maxBucket: Int = 1000): StreamingQuery = {
+      maxBucket: Int = 1000, compactEvery: Int = 0): StreamingQuery = {
     val key = runKey(checkpoint)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // auto-compaction keeps the batch-partition count bounded under
+        // continuous ingest. It runs at batch START, excluding this
+        // batch's OWN partition: the only possibly-uncommitted state at
+        // that point is a crashed prior attempt of this very batch, and
+        // folding it into base would break the retry's own-batch
+        // exclusion and re-delivery gate.
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+            fs.exists(idxPath))
+          graft.ops.TextDedup.compactMinhashIndexExcept(sp, indexDir,
+            Set(s"$key-$batchId"))
         val cached = batch.persist() // read twice: probe + signature append
         try {
           val pairs =
@@ -192,13 +202,20 @@ object Streaming {
       pairsDir: String, checkpoint: String,
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.5, numTables: Int = 8, planesPerTable: Int = 6,
-      dim: Int = 64, seed: Long = 42L, probeBits: Int = 1): StreamingQuery = {
+      dim: Int = 64, seed: Long = 42L, probeBits: Int = 1,
+      compactEvery: Int = 0): StreamingQuery = {
     val key = runKey(checkpoint)
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // batch-start auto-compaction, own partition excluded — see
+        // incrementalDedupStream
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+            fs.exists(idxPath))
+          graft.ops.VectorSim.compactSignIndexExcept(sp, indexDir,
+            Set(s"$key-$batchId"))
         val cached = batch.persist() // read twice: probe + signature append
         try {
           val pairs =
@@ -266,13 +283,21 @@ object Streaming {
     */
   def searchIndexMaintenanceStream(docs: DataFrame, indexDir: String,
       checkpoint: String, textCol: String = "text", idCol: String = "doc_id",
-      blockSize: Int = 1024): StreamingQuery = {
+      blockSize: Int = 1024, compactEvery: Int = 0): StreamingQuery = {
     val key = runKey(checkpoint)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val normsPath = new org.apache.hadoop.fs.Path(s"$indexDir/norms")
         val fs = normsPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // batch-start auto-merge, own segment excluded — the streaming
+        // twin of mergeSearchIndexSegments; keeps the served segment
+        // count bounded under continuous ingest (see
+        // incrementalDedupStream for the own-partition reasoning)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+            fs.exists(normsPath))
+          graft.ops.TextRank.mergeSearchIndexSegmentsExcept(sp, indexDir,
+            blockSize, Set(s"$key-$batchId"))
         val cached = batch.persist() // read thrice: gate + postings + norms
         try {
           if (fs.exists(normsPath)) {

@@ -186,6 +186,86 @@ class StreamingDedupSpec extends SparkSpec {
     assert(merged == scanAll, "post-merge serving diverged")
   }
 
+  test("auto-compaction: bounded partitions, identical pairs, crash-retry safe") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val waves = (0 until 4).map(k => docs.filter(col("doc_id") % 4 === k))
+    val work = java.nio.file.Files.createTempDirectory("graft_sautoc").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val pairsDir = s"$work/pairs"; val ckpt = s"$work/ckpt"
+    val key = Streaming.runKey(ckpt)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(raw)
+      val q = Streaming.incrementalDedupStream(stream, idx, pairsDir, ckpt,
+        compactEvery = 2)
+      assert(q.awaitTermination(180000), "streaming batch did not finish in time")
+    }
+    // simulate a crashed attempt of batch 2: its signatures land under
+    // its own key BEFORE the batch runs — the batch-start compaction
+    // (batchId 2 % 2 == 0) must fold batches 0 and 1 into base while
+    // EXCLUDING this uncommitted partition, so the retry still probes
+    // only the prior corpus
+    waves(0).write.mode("append").parquet(raw); run()
+    waves(1).write.mode("append").parquet(raw); run()
+    TextDedup.appendMinhashIndexBatchKeyed(waves(2), "text", "doc_id", idx,
+      s"$key-2")
+    waves(2).write.mode("append").parquet(raw); run()
+    waves(3).write.mode("append").parquet(raw); run()
+    // partition count is bounded: base (batches 0,1 folded at batch 2's
+    // start) + batch 2 + batch 3 — not one dir per batch forever
+    val parts = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(parts == Set("batch=base", s"batch=$key-2", s"batch=$key-3"),
+      s"unexpected partitions after auto-compaction: $parts")
+    assert(TextDedup.readMinhashIndex(spark, idx).count() == docs.count())
+    // pairs are exactly the batch-by-batch probe pairs, compaction or not
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_new", "id_old").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = spark.read.parquet(pairsDir)
+      .select(substring_index(col("batch"), "-", -1).cast("long"),
+        col("id_new"), col("id_old")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = (1 until 4).flatMap { k =>
+      val prior = waves.take(k).reduce(_ unionByName _)
+      pairSet(TextDedup.incrementalNearDups(waves(k),
+        TextDedup.minhashSignatures(prior, "text", "doc_id"), "text", "doc_id"))
+        .map { case (n, o) => (k.toLong, n, o) }
+    }.toSet
+    assert(direct.nonEmpty, "waves must collide for the test to mean anything")
+    assert(streamed == direct,
+      s"auto-compacted stream pairs diverged; extra=${(streamed -- direct).take(3)} " +
+        s"missing=${(direct -- streamed).take(3)}")
+  }
+
+  test("search stream auto-merge: bounded segments, serving unchanged each wave") {
+    import graft.ops.TextRank
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = Seq("the", "data", "spark", "model")
+    val waves = (0 until 4).map(k => docs.filter(col("doc_id") % 4 === k))
+    val work = java.nio.file.Files.createTempDirectory("graft_sautom").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"; val ckpt = s"$work/ckpt"
+    val key = Streaming.runKey(ckpt)
+    def bm25Key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getInt(2))
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.write.mode("append").parquet(raw)
+      val q = Streaming.searchIndexMaintenanceStream(
+        spark.readStream.schema(docs.schema).parquet(raw), idx, ckpt,
+        blockSize = 64, compactEvery = 2)
+      assert(q.awaitTermination(180000), "streaming batch did not finish in time")
+      val ingested = waves.take(k + 1).reduce(_ unionByName _)
+      val scan = TextRank.bm25(ingested, "text", "doc_id", terms, topK = 10)
+        .collect().map(bm25Key).toSet
+      val served = TextRank.bm25Indexed(spark, idx, "doc_id", terms, topK = 10)
+        .collect().map(bm25Key).toSet
+      assert(served == scan, s"after wave $k auto-merged serving != scan")
+    }
+    val segs = new java.io.File(s"$idx/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).toSet
+    assert(segs == Set("seg=base", s"seg=$key-2", s"seg=$key-3"),
+      s"unexpected segments after auto-merge: $segs")
+  }
+
   test("a fresh stream incarnation over the same index probes the prior corpus") {
     // a long-lived index outlives any one stream: run 2 starts with a NEW
     // checkpoint, so its micro-batch ids restart at 0. The incarnation
