@@ -147,7 +147,7 @@ object StreamDemo {
       w.write.mode("append").parquet(s"$swork/raw")
       val q = Streaming.searchIndexMaintenanceStream(
         spark.readStream.schema(docs.schema).parquet(s"$swork/raw"),
-        s"$swork/idx", s"$swork/ckpt")
+        s"$swork/idx", s"$swork/ckpt", compactEvery = 2)
       if (!q.awaitTermination(120000)) {
         println("search index stream wave timed out"); spark.stop(); sys.exit(2)
       }
