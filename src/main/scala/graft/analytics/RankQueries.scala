@@ -15,6 +15,19 @@ object RankQueries {
 
   private val bm25Terms = Seq("spark", "join", "window", "stream")
 
+  /** Fixed query batch for q87 (and the indexed-serving contract tests):
+    * distinct ids, overlapping vocabularies — the N-queries-at-once
+    * retrieval shape. */
+  val batchQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join"),
+    2 -> Seq("hash", "table"),
+    3 -> Seq("stream", "window", "merge"),
+    4 -> Seq("vector", "sort", "join"),
+  )
+
+  /** Fixed phrase for q88: a bigram that actually occurs in the corpus. */
+  val phrase: Seq[String] = Seq("table", "hash")
+
   val defs: Seq[QueryDef] = Seq(
     // ---- BM25 retrieval for a fixed query. Scale shape: zero corpus
     // shuffles — row-local tf for the fixed term list, one broadcast
@@ -73,6 +86,31 @@ object RankQueries {
           Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))))
         .select("doc_id", "h", "shard", "pos")
         .orderBy("doc_id")
+    },
+
+    // ---- batch multi-query BM25: N queries amortize ONE corpus scan
+    // (row-local tf for the union vocabulary, one broadcast stats row),
+    // per-query top-k via the bounded TopKPairs aggregate — not a window,
+    // whose shuffle would collapse parallelism to the query count. Scores
+    // bit-identical to N independent q81 runs (same fold order per query).
+    QueryDef(
+      "q87_bm25_batch",
+      Some(TextRank.bm25BatchOracleSql(batchQueries, topK = 8)),
+    ) { (s, dir) =>
+      TextRank.bm25Batch(Tables.documents(s, dir), "text", "doc_id",
+        batchQueries, topK = 8)
+    },
+
+    // ---- exact phrase occurrence ranking: candidate start positions are
+    // a row-local filter over the token array (zero corpus shuffles, the
+    // positional primitive under phrase queries), top-k cut is
+    // TakeOrderedAndProject. Integer-only output — no float surface.
+    QueryDef(
+      "q88_phrase_search",
+      Some(TextRank.phraseMatchOracleSql(phrase, topK = 15)),
+    ) { (s, dir) =>
+      TextRank.phraseMatch(Tables.documents(s, dir), "text", "doc_id",
+        phrase, topK = 15).orderBy("doc_id")
     },
   )
 }

@@ -399,6 +399,34 @@ object TextRank {
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     require(queryTerms.forall(_.nonEmpty),
       "empty-string query terms are not indexable (see writeSearchIndex)")
+    val j = bm25IndexedPivot(spark, dir, queryTerms, validateIds)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def idf(i: Int) =
+      log(lit(1.0) + (col("n_docs") - col(s"_df$i") + lit(0.5)) /
+        (col(s"_df$i") + lit(0.5)))
+    def termScore(i: Int) = when(col(s"_tf$i").isNotNull,
+      idf(i) * (col(s"_tf$i") * lit(k1 + 1)) /
+        (col(s"_tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    ).otherwise(lit(0.0))
+    val score = queryTerms.indices.map(termScore).reduceLeft(_ + _)
+    val nMatched = queryTerms.indices
+      .map(i => when(col(s"_tf$i").isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+    j.select(col("id").as(idCol), round(score, 6).as("bm25"),
+        nMatched.as("n_matched"))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Shared index-read head of [[bm25Indexed]] and [[bm25BatchIndexed]]:
+    * postings pruned to `terms`, the duplicate-id gates, per-term df and
+    * corpus stats summed EXACTLY across segments, and the per-doc tf
+    * pivot to fixed term order (so downstream score sums fold with the
+    * same association as the scan-path [[bm25]]). Returns one row per doc
+    * holding ANY of `terms`, with columns
+    * (id, `_tf$i` nullable, dl, n_docs, sum_dl, `_df$i`).
+    */
+  private def bm25IndexedPivot(spark: org.apache.spark.sql.SparkSession,
+      dir: String, terms: Seq[String], validateIds: Boolean): DataFrame = {
     // explicit schema: partition-column INFERENCE would coerce
     // numeric-looking terms to ints ('01' and '1' collapse, non-numeric
     // query terms cast to null) — the same silent-coercion class the
@@ -408,7 +436,7 @@ object TextRank {
       .schema("block INT, df BIGINT, ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, " +
         "term STRING, seg STRING")
       .parquet(s"$dir/postings")
-      .filter(col("term").isin(queryTerms: _*)) // partition-pruned read
+      .filter(col("term").isin(terms: _*)) // partition-pruned read
     val flat = post
       .select(col("term"), explode(arrays_zip(col("ids"), col("tfs"))).as("p"))
       .select(col("term"), col("p.ids").as("id"), col("p.tfs").as("tf"))
@@ -437,17 +465,223 @@ object TextRank {
     // every block row — distinct then exact long sum
     val dfTotals = post.select(col("term"), col("seg"), col("df")).distinct()
       .groupBy("term").agg(sum("df").as("dft"))
-    val dfAggs = queryTerms.indices.map(i =>
-      max(when(col("term") === lit(queryTerms(i)), col("dft"))).as(s"_df$i"))
+    val dfAggs = terms.indices.map(i =>
+      max(when(col("term") === lit(terms(i)), col("dft"))).as(s"_df$i"))
     val dfRow = dfTotals.groupBy().agg(dfAggs.head, dfAggs.tail: _*)
     // pivot to fixed term order so the score sum folds exactly like bm25's
-    val pivAggs = queryTerms.indices.map(i =>
-      max(when(col("term") === lit(queryTerms(i)), col("tf"))).as(s"_tf$i"))
+    val pivAggs = terms.indices.map(i =>
+      max(when(col("term") === lit(terms(i)), col("tf"))).as(s"_tf$i"))
     val piv = flat.groupBy("id").agg(pivAggs.head, pivAggs.tail: _*)
     val stats = spark.read.parquet(s"$dir/stats")
       .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-    val j = piv.join(norms, "id")
+    piv.join(norms, "id")
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dfRow))
+  }
+
+  /** Exact phrase occurrence ranking: top-`topK` documents by the number
+    * of occurrences of the token sequence `phrase` (adjacent whitespace
+    * tokens, the positional-match primitive under every phrase query).
+    * Output: (idCol, n_occ, first_pos) with first_pos the 1-based token
+    * position of the leftmost occurrence; ranked (n_occ DESC, id ASC).
+    *
+    * Scale shape: ZERO corpus shuffles — candidate start positions are a
+    * row-local `filter(sequence(...))` over the token array (every
+    * element_at is O(1) on Spark's array), and the top-k cut is
+    * `TakeOrderedAndProject`. Integer-only output, so the oracle compare
+    * has no float surface at all.
+    */
+  def phraseMatch(docs: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String], topK: Int = 10): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(phrase.forall(_.nonEmpty), "phrase tokens must be non-empty")
+    val L = phrase.length
+    val base = docs.select(col(idCol), toks(textCol).as("_t"))
+    // guard: sequence(1, stop) DESCENDS when stop < 1 (docs shorter than
+    // the phrase), which would fabricate candidate positions
+    val starts = when(size(col("_t")) >= L,
+      filter(sequence(lit(1), size(col("_t")) - lit(L - 1)),
+        i => phrase.indices.map(j =>
+          element_at(col("_t"), i + lit(j)) === lit(phrase(j)))
+          .reduceLeft(_ && _))
+    ).otherwise(array().cast("array<int>"))
+    base.select(col(idCol), starts.as("_ps"))
+      // get() (0-based) is null-safe on the empty array — ANSI element_at
+      // throws on out-of-bounds, and these rows are filtered only after
+      // this projection
+      .select(col(idCol), size(col("_ps")).as("n_occ"),
+        get(col("_ps"), lit(0)).as("first_pos"))
+      .filter(col("n_occ") > 0)
+      .orderBy(desc("n_occ"), col(idCol))
+      .limit(topK)
+  }
+
+  /** The matching DuckDB oracle SQL for [[phraseMatch]] (1-based list
+    * indexing on both engines; `range(a, b)` is the half-open [a, b)).
+    */
+  def phraseMatchOracleSql(phrase: Seq[String], topK: Int = 10): String = {
+    val L = phrase.length
+    val cond = phrase.indices.map { j =>
+      val t = phrase(j).replace("'", "''")
+      if (j == 0) s"_t[i] = '$t'" else s"_t[i + $j] = '$t'"
+    }.mkString(" AND ")
+    s"""
+      WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS _t FROM documents),
+      m AS (SELECT doc_id,
+              CASE WHEN len(_t) >= $L
+                   THEN list_filter(range(1, len(_t) - ${L - 1} + 1), i -> $cond)
+                   ELSE [] END AS _ps
+            FROM base)
+      SELECT doc_id, n_occ, first_pos FROM (
+        SELECT doc_id, len(_ps) AS n_occ, _ps[1] AS first_pos FROM m
+        WHERE len(_ps) > 0
+        ORDER BY n_occ DESC, doc_id LIMIT $topK)
+      ORDER BY doc_id"""
+  }
+
+  private def validateBatchQueries(queries: Seq[(Int, Seq[String])]): Unit = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(queries.map(_._1).distinct == queries.map(_._1),
+      "query ids must be distinct")
+    queries.foreach { case (qid, terms) =>
+      require(terms.nonEmpty, s"query $qid has no terms")
+      require(terms.distinct == terms, s"query $qid has duplicate terms")
+      require(terms.forall(_.nonEmpty), s"query $qid has an empty-string term")
+    }
+  }
+
+  /** Batch multi-query BM25: top-`topK` documents for EVERY query in one
+    * job — the production retrieval shape (N queries amortize the corpus
+    * scan that [[bm25]] spends on one). Output:
+    * (query_id, rank, idCol, bm25), ranked per query by
+    * (rounded score DESC, id ASC).
+    *
+    * Scale shape: term frequencies for the UNION vocabulary are row-local
+    * array filters (one corpus scan regardless of query count), corpus
+    * stats and per-term df are ONE tiny broadcast aggregate, each doc
+    * emits one (query, score) row per query it matches, and the per-query
+    * top-k is the bounded [[graft.functions.TopKPairs]] aggregate — NOT a
+    * `row_number` window, whose shuffle would collapse parallelism to the
+    * number of queries and sort corpus-sized partitions; the partial
+    * aggregate runs map-side, so the shuffle carries
+    * O(partitions × queries × topK) rows regardless of corpus size.
+    *
+    * Float determinism: each query's score is summed in ITS OWN fixed
+    * term order (the same association the single-query [[bm25]] uses), so
+    * the rounded scores are bit-identical to N independent bm25 calls and
+    * to the SQL oracle.
+    */
+  def bm25Batch(docs: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Int, Seq[String])], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    validateBatchQueries(queries)
+    val vocab = queries.flatMap(_._2).distinct
+    val base = docs
+      .select(col(idCol), toks(textCol).as("_t"))
+      .select(col(idCol), col("_t"), size(col("_t")).as("_dl"))
+    val withTf = vocab.indices.foldLeft(base) { (d, i) =>
+      d.withColumn(s"_tf$i", size(filter(col("_t"), x => x === lit(vocab(i)))))
+    }.drop("_t")
+    val statAggs =
+      count(lit(1)).as("n_docs") +:
+        sum(col("_dl").cast("long")).as("sum_dl") +:
+        vocab.indices.map(i => count(when(col(s"_tf$i") > 0, 1)).as(s"_df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val j = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def idf(i: Int) =
+      log(lit(1.0) + (col("n_docs") - col(s"_df$i") + lit(0.5)) / (col(s"_df$i") + lit(0.5)))
+    def termScore(i: Int) = when(col(s"_tf$i") > 0,
+      idf(i) * (col(s"_tf$i") * lit(k1 + 1)) /
+        (col(s"_tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / avgdl))
+    ).otherwise(lit(0.0))
+    val vocabIdx = vocab.zipWithIndex.toMap
+    val perQuery = queries.map { case (qid, terms) =>
+      val idxs = terms.map(vocabIdx)
+      val score = idxs.map(termScore).reduceLeft(_ + _)
+      val nm = idxs.map(i => when(col(s"_tf$i") > 0, 1).otherwise(0)).reduceLeft(_ + _)
+      struct(lit(qid).as("query_id"), round(score, 6).as("bm25"),
+        nm.as("n_matched"))
+    }
+    val exploded = j
+      .select(col(idCol), explode(array(perQuery: _*)).as("q"))
+      .select(col(idCol), col("q.query_id").as("query_id"),
+        col("q.bm25").as("bm25"), col("q.n_matched").as("n_matched"))
+      .filter(col("n_matched") > 0)
+    rankTopK(exploded, idCol, topK)
+  }
+
+  /** Shared tail of [[bm25Batch]] and [[bm25BatchIndexed]]: bounded
+    * per-query top-k via TopKPairs (tie-break score DESC, id ASC — the
+    * same order the oracle's `row_number` uses on the rounded scores).
+    */
+  private def rankTopK(scored: DataFrame, idCol: String, topK: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKPairs.topK(col("bm25"), col(idCol).cast("long"), topK).as("_nb"))
+      .select(col("query_id"), posexplode(col("_nb")).as(Seq("_p", "_nb")))
+      .select(col("query_id"), (col("_p") + 1).cast("int").as("rank"),
+        col("_nb.id").as(idCol), col("_nb.score").as("bm25"))
+      .orderBy("query_id", "rank")
+
+  /** The matching DuckDB oracle SQL for [[bm25Batch]]: one scored branch
+    * per query (each reusing the single-query score tree with the same
+    * association order), unioned, then ranked per query on the rounded
+    * score. */
+  def bm25BatchOracleSql(queries: Seq[(Int, Seq[String])],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String = {
+    validateBatchQueries(queries)
+    val vocab = queries.flatMap(_._2).distinct
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    val tfCols = vocab.indices.map { i =>
+      val t = vocab(i).replace("'", "''")
+      s"len(list_filter(_t, x -> x = '$t')) AS _tf$i"
+    }.mkString(", ")
+    val dfCols = vocab.indices
+      .map(i => s"count(CASE WHEN _tf$i > 0 THEN 1 END) AS _df$i").mkString(", ")
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    def idf(i: Int) =
+      s"ln(${d(1.0)} + (n_docs - _df$i + ${d(0.5)}) / (_df$i + ${d(0.5)}))"
+    def termScore(i: Int) =
+      s"CASE WHEN _tf$i > 0 THEN ${idf(i)} * (_tf$i * ${d(k1 + 1)}) / " +
+        s"(_tf$i + ${d(k1)} * (${d(1 - b)} + ${d(b)} * _dl / $avgdl)) " +
+        s"ELSE ${d(0.0)} END"
+    val vocabIdx = vocab.zipWithIndex.toMap
+    val branches = queries.map { case (qid, terms) =>
+      val idxs = terms.map(vocabIdx)
+      val score = idxs.map(termScore).mkString(" + ")
+      val nm = idxs.map(i => s"(CASE WHEN _tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"SELECT $qid AS query_id, doc_id, round($score, 6) AS bm25, $nm AS n_matched FROM j"
+    }.mkString("\n        UNION ALL\n        ")
+    s"""
+      WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS _t FROM documents),
+      b2 AS (SELECT doc_id, len(_t) AS _dl, $tfCols FROM base),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(_dl) AS BIGINT) AS sum_dl, $dfCols FROM b2),
+      j AS (SELECT * FROM b2 CROSS JOIN stats),
+      scored AS (
+        $branches),
+      ranked AS (SELECT query_id, doc_id, bm25,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY bm25 DESC, doc_id) AS rank
+                 FROM scored WHERE n_matched > 0)
+      SELECT query_id, CAST(rank AS INT) AS rank, doc_id, bm25
+      FROM ranked WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
+
+  /** [[bm25Batch]] served from the PERSISTED search index
+    * ([[writeSearchIndex]] layout): postings pruned to the union
+    * vocabulary, per-term df and corpus stats summed exactly across
+    * segments, every query scored off the one pruned read, bounded
+    * per-query top-k. Bit-identical to the scan-path [[bm25Batch]]
+    * (contract-tested) — the N-query serving loop the index exists for.
+    * `validateIds` as on [[bm25Indexed]].
+    */
+  def bm25BatchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, queries: Seq[(Int, Seq[String])], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10,
+      validateIds: Boolean = true): DataFrame = {
+    validateBatchQueries(queries)
+    val vocab = queries.flatMap(_._2).distinct
+    val base = bm25IndexedPivot(spark, dir, vocab, validateIds)
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     def idf(i: Int) =
       log(lit(1.0) + (col("n_docs") - col(s"_df$i") + lit(0.5)) /
@@ -456,13 +690,20 @@ object TextRank {
       idf(i) * (col(s"_tf$i") * lit(k1 + 1)) /
         (col(s"_tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
     ).otherwise(lit(0.0))
-    val score = queryTerms.indices.map(termScore).reduceLeft(_ + _)
-    val nMatched = queryTerms.indices
-      .map(i => when(col(s"_tf$i").isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
-    j.select(col("id").as(idCol), round(score, 6).as("bm25"),
-        nMatched.as("n_matched"))
-      .orderBy(desc("bm25"), col(idCol))
-      .limit(topK)
+    val vocabIdx = vocab.zipWithIndex.toMap
+    val perQuery = queries.map { case (qid, terms) =>
+      val idxs = terms.map(vocabIdx)
+      val score = idxs.map(termScore).reduceLeft(_ + _)
+      val nm = idxs.map(i => when(col(s"_tf$i").isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+      struct(lit(qid).as("query_id"), round(score, 6).as("bm25"),
+        nm.as("n_matched"))
+    }
+    val exploded = base
+      .select(col("id").as(idCol), explode(array(perQuery: _*)).as("q"))
+      .select(col(idCol), col("q.query_id").as("query_id"),
+        col("q.bm25").as("bm25"), col("q.n_matched").as("n_matched"))
+      .filter(col("n_matched") > 0)
+    rankTopK(exploded, idCol, topK)
   }
 
   /** The matching DuckDB oracle SQL for [[invertedIndex]]. */

@@ -406,4 +406,81 @@ class TextRankSpec extends SparkSpec {
     val again = withPos.collect()
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  private val batchQs: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join"),
+    2 -> Seq("stream", "window"),
+    3 -> Seq("join", "spark", "stream"), // overlapping vocab, reordered
+  )
+
+  test("bm25Batch is bit-identical to N independent bm25 calls") {
+    val batch = TextRank.bm25Batch(docs, "text", "doc_id", batchQs, topK = 10)
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    batchQs.foreach { case (qid, terms) =>
+      val single = TextRank.bm25(docs, "text", "doc_id", terms, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"query $qid: batch=${batch(qid)} single=$single")
+    }
+  }
+
+  test("bm25Batch ranks are dense 1..k per query, ordered by rounded score") {
+    val rows = TextRank.bm25Batch(docs, "text", "doc_id", batchQs, topK = 2)
+      .collect()
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bm25Batch rejects duplicate query ids and duplicate terms") {
+    intercept[IllegalArgumentException] {
+      TextRank.bm25Batch(docs, "text", "doc_id", Seq(1 -> Seq("a"), 1 -> Seq("b")))
+    }
+    intercept[IllegalArgumentException] {
+      TextRank.bm25Batch(docs, "text", "doc_id", Seq(1 -> Seq("a", "a")))
+    }
+  }
+
+  test("bm25BatchIndexed serves bit-identically to the scan path, incl. segments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-batchidx").toString
+    TextRank.writeSearchIndex(docs.filter(col("doc_id") <= 3), "text", "doc_id",
+      dir, blockSize = 2)
+    TextRank.appendSearchIndexBatch(docs.filter(col("doc_id") > 3), "text",
+      "doc_id", dir, "b1", blockSize = 2)
+    val scan = TextRank.bm25Batch(docs, "text", "doc_id", batchQs, topK = 10)
+      .collect().map(_.toSeq).toSeq
+    val served = TextRank.bm25BatchIndexed(spark, dir, "doc_id", batchQs,
+      topK = 10).collect().map(_.toSeq).toSeq
+    assert(served == scan)
+  }
+
+  test("phraseMatch counts overlapping occurrences and honors positions") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),        // "a a" occurs 3x (overlapping), first at 1
+      (2L, "b a a b a a"),    // 2x, first at 2
+      (3L, "a b a b a"),      // 0x
+      (4L, "a"),              // shorter than the phrase: no fabricated match
+      (5L, ""),               // empty text
+    ).toDF("doc_id", "text")
+    val out = TextRank.phraseMatch(d, "text", "doc_id", Seq("a", "a"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 3, 1), (2L, 2, 2)))
+  }
+
+  test("phraseMatch topK cuts on (n_occ desc, id asc)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y"), (2L, "x y x y"), (3L, "x y"), (4L, "z")
+    ).toDF("doc_id", "text")
+    val out = TextRank.phraseMatch(d, "text", "doc_id", Seq("x", "y"), topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L, 1L))
+  }
 }
