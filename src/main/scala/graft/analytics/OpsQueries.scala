@@ -316,5 +316,67 @@ object OpsQueries {
           col("exact_orders"),
           ok(col("approx_orders"), col("exact_orders")).as("approx_orders_ok"))
     },
+
+    // ---- SCD Type-2 dimension merge: a deterministic change batch
+    // (updates for custkey%5, incl. custkey%15 no-ops; inserts above key
+    // 1M for custkey%50) applied to the customer dimension. ONE key join
+    // against the CURRENT slice (history passes through join-free);
+    // change detection is null-safe column equality. The warehouse
+    // upsert lifecycle the reference's replace/append sinks destroy.
+    QueryDef(
+      "q89_scd2_merge",
+      Some("""
+        WITH dim AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                            DATE '2024-01-01' AS valid_from,
+                            CAST(NULL AS DATE) AS valid_to,
+                            TRUE AS is_current FROM customer),
+        chg AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 10 = 0 THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment,
+                 CASE WHEN c_custkey % 15 = 0 THEN c_acctbal
+                      ELSE c_acctbal + CAST(100.0 AS DOUBLE) END AS c_acctbal
+          FROM customer WHERE c_custkey % 5 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 'NEW', CAST(0.0 AS DOUBLE)
+          FROM customer WHERE c_custkey % 50 = 0),
+        j AS (SELECT d.c_custkey AS dk, d.c_mktsegment AS dseg, d.c_acctbal AS dbal,
+                     d.valid_from AS dvf,
+                     c.c_custkey AS ck, c.c_mktsegment AS cseg, c.c_acctbal AS cbal
+              FROM dim d FULL OUTER JOIN chg c ON d.c_custkey = c.c_custkey),
+        merged AS (
+          SELECT dk AS c_custkey, dseg AS c_mktsegment, dbal AS c_acctbal,
+                 dvf AS valid_from, CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+          FROM j WHERE dk IS NOT NULL AND (ck IS NULL OR NOT
+            (dseg IS DISTINCT FROM cseg OR dbal IS DISTINCT FROM cbal))
+          UNION ALL
+          SELECT dk, dseg, dbal, dvf, DATE '2025-06-01', FALSE
+          FROM j WHERE dk IS NOT NULL AND ck IS NOT NULL AND
+            (dseg IS DISTINCT FROM cseg OR dbal IS DISTINCT FROM cbal)
+          UNION ALL
+          SELECT ck, cseg, cbal, DATE '2025-06-01', CAST(NULL AS DATE), TRUE
+          FROM j WHERE dk IS NOT NULL AND ck IS NOT NULL AND
+            (dseg IS DISTINCT FROM cseg OR dbal IS DISTINCT FROM cbal)
+          UNION ALL
+          SELECT ck, cseg, cbal, DATE '2025-06-01', CAST(NULL AS DATE), TRUE
+          FROM j WHERE dk IS NULL)
+        SELECT * FROM merged ORDER BY c_custkey, valid_from"""),
+    ) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      val dim = cust.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+      val upd = cust.filter(col("c_custkey") % 5 === 0).select(
+        col("c_custkey"),
+        when(col("c_custkey") % 10 === 0, lit("VIP"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 15 === 0, col("c_acctbal"))
+          .otherwise(col("c_acctbal") + lit(100.0)).as("c_acctbal"))
+      val ins = cust.filter(col("c_custkey") % 50 === 0).select(
+        (col("c_custkey") + lit(1000000L)).as("c_custkey"),
+        lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+      graft.warehouse.Scd.scd2Apply(dim, upd.union(ins), "c_custkey",
+          Seq("c_mktsegment", "c_acctbal"), to_date(lit("2025-06-01")))
+        .orderBy("c_custkey", "valid_from")
+    },
   )
 }

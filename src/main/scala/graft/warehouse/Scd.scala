@@ -1,0 +1,96 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance (Kimball SCD Type 2): apply a
+  * change batch to a versioned dimension, closing out superseded rows and
+  * opening new versions, without ever rewriting history.
+  *
+  * Beyond-reference warehouse depth: the reference's warehouse writes are
+  * whole-table `replace` / blind `append` (`src/storage/data_warehouse
+  * .py:101-138`), which destroys history on every load. A dimension at
+  * warehouse scale needs the merge/upsert lifecycle instead — this is the
+  * deterministic DataFrame formulation of `MERGE INTO` for the Type-2
+  * pattern.
+  *
+  * Dimension schema contract: `keyCol`, the `trackedCols`, plus the three
+  * versioning columns `valid_from DATE`, `valid_to DATE` (null = open),
+  * `is_current BOOLEAN`. The change batch carries `keyCol` + `trackedCols`
+  * (new attribute values, one row per key).
+  *
+  * Scale shape, 100 TB framing: ONE key-partitioned full-outer join
+  * between the dimension's CURRENT slice and the batch — history rows
+  * pass through untouched (no join, no shuffle for the usually-dominant
+  * closed-row mass). The change batch is small next to the dimension, so
+  * AQE broadcasts it and even the current slice does not shuffle; a
+  * bucketed dimension ([[Bucketing]]) makes the join zero-exchange
+  * outright. Change detection is null-safe column equality — no hashing,
+  * no UDFs, all codegen.
+  */
+object Scd {
+
+  /** Apply `changes` to the Type-2 dimension `dim` effective `effDate`.
+    *
+    * Semantics per current dimension row / change row pair:
+    *  - history rows (`is_current = false`): pass through unchanged;
+    *  - current row, no change row for the key: unchanged;
+    *  - current row + change row with IDENTICAL tracked values: no-op
+    *    (idempotent re-delivery of an already-applied batch changes
+    *    nothing);
+    *  - current row + differing change row: the current row closes
+    *    (`valid_to = effDate`, `is_current = false`) and a new open
+    *    version with the change's tracked values starts at `effDate`;
+    *  - change row with no dimension match: a brand-new member, inserted
+    *    open at `effDate`.
+    *
+    * Output column order: key, tracked, valid_from, valid_to, is_current.
+    * Deterministic: no timestamps are read from the clock — `effDate` is
+    * caller-supplied, so retries produce byte-identical results.
+    */
+  def scd2Apply(dim: DataFrame, changes: DataFrame, keyCol: String,
+      trackedCols: Seq[String], effDate: Column): DataFrame = {
+    require(trackedCols.nonEmpty, "trackedCols must be non-empty")
+    val verCols = Seq("valid_from", "valid_to", "is_current")
+    val dimCols = keyCol +: trackedCols.toIndexedSeq
+    require((dimCols ++ verCols).forall(dim.columns.contains),
+      s"dim must carry ${(dimCols ++ verCols).mkString(", ")}; has ${dim.columns.mkString(", ")}")
+    require(dimCols.forall(changes.columns.contains),
+      s"changes must carry ${dimCols.mkString(", ")}; has ${changes.columns.mkString(", ")}")
+    val outCols = (dimCols ++ verCols).map(col)
+
+    val cur = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current")).select(outCols: _*)
+    val d = cur.select((dimCols ++ verCols).map(c => col(c).as(s"d_$c")): _*)
+    val c = changes.select(dimCols.map(cc => col(cc).as(s"c_$cc")): _*)
+    val j = d.join(c, col(s"d_$keyCol") === col(s"c_$keyCol"), "full_outer")
+
+    val matched = col(s"d_$keyCol").isNotNull && col(s"c_$keyCol").isNotNull
+    // null-safe inequality: a tracked value moving to/from NULL is a change
+    val differs = trackedCols
+      .map(t => !(col(s"d_$t") <=> col(s"c_$t"))).reduceLeft(_ || _)
+
+    // current rows that survive as-is: no change row, or a no-op change
+    val unchanged = j
+      .filter(col(s"d_$keyCol").isNotNull && (col(s"c_$keyCol").isNull || !differs))
+      .select(dimCols.map(cc => col(s"d_$cc").as(cc)) ++
+        verCols.map(v => col(s"d_$v").as(v)): _*)
+    // superseded versions close at the effective date
+    val closed = j.filter(matched && differs)
+      .select(dimCols.map(cc => col(s"d_$cc").as(cc)) :+
+        col("d_valid_from").as("valid_from") :+
+        effDate.as("valid_to") :+ lit(false).as("is_current"): _*)
+    // their replacement versions open at the effective date
+    val reopened = j.filter(matched && differs)
+      .select(dimCols.map(cc => col(s"c_$cc").as(cc)) :+
+        effDate.as("valid_from") :+
+        lit(null).cast("date").as("valid_to") :+ lit(true).as("is_current"): _*)
+    // brand-new members insert open
+    val inserted = j.filter(col(s"d_$keyCol").isNull)
+      .select(dimCols.map(cc => col(s"c_$cc").as(cc)) :+
+        effDate.as("valid_from") :+
+        lit(null).cast("date").as("valid_to") :+ lit(true).as("is_current"): _*)
+
+    hist.union(unchanged).union(closed).union(reopened).union(inserted)
+  }
+}
