@@ -256,5 +256,37 @@ object CorpusQueries {
         textCol = "text", topN = 20)
         .orderBy("term")
     },
+
+    // ---- incremental decontamination vs the PERSISTED eval-gram index
+    // (the decontam member of the per-ingest index family, like q79/q80):
+    // eval grams are computed once at index build — this query builds the
+    // index then probes a fresh ingest batch against it, one linear pass
+    // over the BATCH only. Index stores 8-byte hashed grams (the scale
+    // path); the oracle counts the string grams — identical up to 2^-64
+    // collisions, which the batch-equivalence contracts in CorpusOpsSpec
+    // pin down on both representations.
+    QueryDef(
+      "q90_incremental_decontam",
+      Some(raw"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                     i -> array_to_string(t[i:i+3], ' '))) AS gram
+              FROM toks WHERE len(t) >= 4),
+        e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+        FROM g JOIN e USING (gram)
+        WHERE g.doc_id % 5 = 0 AND g.doc_id % 50 <> 0
+        GROUP BY g.doc_id ORDER BY g.doc_id"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0 &&
+        pmod(col("doc_id"), lit(50)) =!= 0)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-evalgrams").toString
+      CorpusOps.writeEvalGramIndex(evalSet, "text", n = 4, idxDir)
+      CorpusOps.incrementalContamination(batch, "doc_id", "text", idxDir)
+        .orderBy("doc_id")
+    },
   )
 }

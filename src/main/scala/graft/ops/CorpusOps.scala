@@ -325,4 +325,141 @@ object CorpusOps {
             FROM fa JOIN fb USING (term) CROSS JOIN tots)
       SELECT term, cnt_a, cnt_b, p_a, p_b, kl_term FROM j
       ORDER BY abs(kl_term) DESC, term LIMIT $topN"""
+
+  // ---------------------------------------------------------------------
+  // Persisted eval-gram index: the decontamination member of the
+  // incremental-index family (MinHash / sign-bucket / IVF / PQ / search).
+  // The eval suite is tokenized and grammed ONCE at index (re)build;
+  // every ingest batch probes the stored gram set without touching the
+  // eval texts again — the per-ingest production shape of
+  // [[contamination]]. Batches of NEW eval suites append idempotently
+  // under `batch=<key>` (a retry overwrites its own partition), and
+  // [[compactEvalGramIndex]] folds them into one globally-distinct
+  // `batch=base` partition with the staged-swap crash contract every
+  // index rewrite here uses.
+  // ---------------------------------------------------------------------
+
+  private def evalGramRows(evalSet: DataFrame, textCol: String,
+      n: Int, hashGrams: Boolean): DataFrame = {
+    val reserved = Set("gram", "g0", "_t")
+    require(!reserved.contains(textCol),
+      s"${reserved.mkString("/")} are reserved; rename the input column")
+    evalSet
+      .select(graft.core.Cols.wsTokens(col(textCol)).as("_t"))
+      .select(explode(wordGrams(col("_t"), n)).as("g0"))
+      .select((if (hashGrams) xxhash64(col("g0")).cast("string")
+               else col("g0")).as("gram"))
+      .distinct()
+      .withColumn("_n", lit(n))
+      .withColumn("_hash_grams", lit(hashGrams))
+  }
+
+  /** Full (re)build of the eval-gram index at `path`: the eval set's
+    * DISTINCT word `n`-grams — 8-byte xxhash64 values by default
+    * ([[contamination]]'s scale path; collisions only ever ADD a flagged
+    * doc, sound for decontamination) — params-stamped so a probe whose
+    * gram shape disagrees fails loudly instead of silently matching
+    * nothing. Wipes any batch partitions: a rebuild IS the compacted
+    * state.
+    */
+  def writeEvalGramIndex(evalSet: DataFrame, textCol: String,
+      n: Int, path: String, hashGrams: Boolean = true): Unit = {
+    val spark = evalSet.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    evalGramRows(evalSet, textCol, n, hashGrams)
+      .write.mode("overwrite").parquet(s"$path/batch=base")
+  }
+
+  /** Append one NEW eval suite's grams idempotently under retries (the
+    * batch owns `path/batch=<key>`; a retry overwrites it). Params must
+    * match the index's existing stamp — a mismatched `n` would silently
+    * flag nothing. Cross-batch duplicate grams are fine: every probe and
+    * the compaction fold through DISTINCT.
+    */
+  def appendEvalGramBatch(evalSet: DataFrame, textCol: String,
+      n: Int, path: String, batchKey: String, hashGrams: Boolean = true): Unit = {
+    require(batchKey != "base",
+      "batch key 'base' is reserved for writeEvalGramIndex/compactEvalGramIndex output")
+    require(batchKey.nonEmpty && !batchKey.exists(c => c == '/' || c == '='),
+      s"batchKey must be a plain partition value, got '$batchKey'")
+    val (idxN, idxHash) = evalGramIndexParams(evalSet.sparkSession, path)
+    require(idxN == n && idxHash == hashGrams,
+      s"eval-gram index at $path was built with (n=$idxN, hashGrams=$idxHash); " +
+        s"append used (n=$n, hashGrams=$hashGrams) — rebuild or match the params")
+    evalGramRows(evalSet, textCol, n, hashGrams)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchKey")
+  }
+
+  /** The index's params stamp, validated to be unique across partitions. */
+  def evalGramIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Boolean) = {
+    val params = spark.read.parquet(path)
+      .select("_n", "_hash_grams").distinct().collect()
+    require(params.length == 1,
+      s"eval-gram index at $path holds ${params.length} distinct param stamps " +
+        "(mixed-parameter batches?); rebuild with writeEvalGramIndex")
+    (params.head.getInt(0), params.head.getBoolean(1))
+  }
+
+  /** Per-ingest-batch contamination probe against the persisted index:
+    * (idCol, n_shared_grams) for every batch doc sharing at least one
+    * eval gram — identical output to [[contamination]] over the original
+    * eval set (batch-equivalence contract in CorpusOpsSpec). Gram shape
+    * (n, hashed-vs-string) is read from the index stamp, so the probe
+    * CANNOT disagree with the build. One linear pass over the NEW batch
+    * only; the gram set broadcasts (eval suites are tiny next to a
+    * training corpus — pass `broadcastIndex = false` if yours is not).
+    */
+  def incrementalContamination(batch: DataFrame, idCol: String,
+      textCol: String, path: String,
+      broadcastIndex: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val (n, hashGrams) = evalGramIndexParams(spark, path)
+    val reserved = Set("gram", "g0", "_t")
+    require(!reserved.contains(idCol) && !reserved.contains(textCol),
+      s"${reserved.mkString("/")} are reserved; rename the input column")
+    val idx = spark.read.parquet(path).select("gram").distinct()
+    val evalGrams = if (broadcastIndex) broadcast(idx) else idx
+    batch
+      .select(col(idCol), graft.core.Cols.wsTokens(col(textCol)).as("_t"))
+      .select(col(idCol), explode(wordGrams(col("_t"), n)).as("g0"))
+      .select(col(idCol),
+        (if (hashGrams) xxhash64(col("g0")).cast("string") else col("g0")).as("gram"))
+      .join(evalGrams, "gram")
+      .groupBy(idCol)
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
+  /** [[incrementalContamination]]'s anti-join tail: the batch docs safe
+    * to train on (no gram shared with ANY indexed eval suite). */
+  def incrementalDecontaminate(batch: DataFrame, idCol: String,
+      textCol: String, path: String,
+      broadcastIndex: Boolean = true): DataFrame =
+    batch.join(
+      incrementalContamination(batch, idCol, textCol, path, broadcastIndex)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** Fold all batch partitions into one globally-distinct `batch=base`
+    * partition (staged-swap: a crashed compaction never wipes the live
+    * index — see [[StagedSwap]]). Probe results are identical before and
+    * after (DISTINCT is idempotent); what changes is the file count a
+    * probe opens.
+    */
+  def compactEvalGramIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(live), s"no eval-gram index at $path")
+    val stage = new org.apache.hadoop.fs.Path(path + "_compacting")
+    if (StagedSwap.recoverOrClearStage(fs, live, stage)) return
+    val (n, hashGrams) = evalGramIndexParams(spark, path)
+    spark.read.parquet(path).select("gram").distinct()
+      .withColumn("_n", lit(n))
+      .withColumn("_hash_grams", lit(hashGrams))
+      .write.mode("overwrite").parquet(s"$stage/batch=base")
+    StagedSwap.swap(fs, live, stage)
+  }
 }

@@ -456,4 +456,65 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("collides"))
   }
+
+  private lazy val evalDocs = Seq(
+    (100L, "the quick brown fox jumps"),
+    (101L, "pack my box with five dozen jugs"),
+  ).toDF("doc_id", "text")
+  private lazy val batchDocs = Seq(
+    (1L, "the quick brown fox jumps high"),    // shares grams with 100
+    (2L, "a completely different sentence here"),
+    (3L, "pack my box with nothing at all"),   // shares "pack my box with"
+    (4L, "short doc"),
+  ).toDF("doc_id", "text")
+
+  test("incremental contamination vs persisted index == direct contamination, both gram modes") {
+    for (hashed <- Seq(true, false)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-eg").toString
+      CorpusOps.writeEvalGramIndex(evalDocs, "text", n = 3, dir, hashGrams = hashed)
+      val inc = CorpusOps.incrementalContamination(batchDocs, "doc_id", "text", dir)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val direct = CorpusOps.contamination(batchDocs, evalDocs, "doc_id", "text",
+          n = 3, hashGrams = hashed)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(inc == direct, s"hashed=$hashed: $inc vs $direct")
+      assert(inc.map(_._1) == Seq(1L, 3L))
+      // decontaminate tail keeps exactly the unflagged batch docs
+      val clean = CorpusOps.incrementalDecontaminate(batchDocs, "doc_id", "text", dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(clean == Set(2L, 4L))
+    }
+  }
+
+  test("eval-gram index: appends are idempotent, compaction folds to base, params gate is loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-eg2").toString
+    CorpusOps.writeEvalGramIndex(evalDocs, "text", n = 3, dir)
+    val newSuite = Seq((200L, "never gonna give you up")).toDF("doc_id", "text")
+    CorpusOps.appendEvalGramBatch(newSuite, "text", n = 3, dir, "suite2")
+    CorpusOps.appendEvalGramBatch(newSuite, "text", n = 3, dir, "suite2") // retry
+    val bigEval = evalDocs.union(newSuite)
+    val expect = CorpusOps.contamination(
+        batchDocs.union(Seq((9L, "never gonna give you hope")).toDF("doc_id", "text")),
+        bigEval, "doc_id", "text", n = 3, hashGrams = true)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def probe() = CorpusOps.incrementalContamination(
+        batchDocs.union(Seq((9L, "never gonna give you hope")).toDF("doc_id", "text")),
+        "doc_id", "text", dir)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe() == expect)
+    CorpusOps.compactEvalGramIndex(spark, dir)
+    // one batch=base partition, identical probe results
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(parts == Set("batch=base"), parts.toString)
+    assert(probe() == expect)
+    // param-mismatched append fails loudly
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.appendEvalGramBatch(newSuite, "text", n = 5, dir, "suite3")
+    }
+    assert(e.getMessage.contains("built with"))
+    // reserved base key rejected
+    intercept[IllegalArgumentException] {
+      CorpusOps.appendEvalGramBatch(newSuite, "text", n = 3, dir, "base")
+    }
+  }
 }
