@@ -65,32 +65,30 @@ object Scd {
     val c = changes.select(dimCols.map(cc => col(cc).as(s"c_$cc")): _*)
     val j = d.join(c, col(s"d_$keyCol") === col(s"c_$keyCol"), "full_outer")
 
-    val matched = col(s"d_$keyCol").isNotNull && col(s"c_$keyCol").isNotNull
     // null-safe inequality: a tracked value moving to/from NULL is a change
     val differs = trackedCols
       .map(t => !(col(s"d_$t") <=> col(s"c_$t"))).reduceLeft(_ || _)
 
-    // current rows that survive as-is: no change row, or a no-op change
-    val unchanged = j
-      .filter(col(s"d_$keyCol").isNotNull && (col(s"c_$keyCol").isNull || !differs))
-      .select(dimCols.map(cc => col(s"d_$cc").as(cc)) ++
-        verCols.map(v => col(s"d_$v").as(v)): _*)
-    // superseded versions close at the effective date
-    val closed = j.filter(matched && differs)
-      .select(dimCols.map(cc => col(s"d_$cc").as(cc)) :+
-        col("d_valid_from").as("valid_from") :+
-        effDate.as("valid_to") :+ lit(false).as("is_current"): _*)
-    // their replacement versions open at the effective date
-    val reopened = j.filter(matched && differs)
-      .select(dimCols.map(cc => col(s"c_$cc").as(cc)) :+
-        effDate.as("valid_from") :+
-        lit(null).cast("date").as("valid_to") :+ lit(true).as("is_current"): _*)
-    // brand-new members insert open
-    val inserted = j.filter(col(s"d_$keyCol").isNull)
-      .select(dimCols.map(cc => col(s"c_$cc").as(cc)) :+
-        effDate.as("valid_from") :+
-        lit(null).cast("date").as("valid_to") :+ lit(true).as("is_current"): _*)
+    // ONE pass over the joined rows: each row emits its disposition as an
+    // array of output structs, inlined back to rows. Filter+union of
+    // per-disposition branches would re-plan (and re-execute) the join
+    // once per branch — three joins instead of one at 100 TB
+    // (plan-contract-tested in PlanAuditSpec).
+    def outRow(vals: Seq[Column], vf: Column, vt: Column, cur: Column) =
+      struct(vals.zip(dimCols).map { case (v, n) => v.as(n) } ++
+        Seq(vf.as("valid_from"), vt.cast("date").as("valid_to"),
+          cur.as("is_current")): _*)
+    val dVals = dimCols.map(cc => col(s"d_$cc"))
+    val cVals = dimCols.map(cc => col(s"c_$cc"))
+    val asIs = outRow(dVals, col("d_valid_from"), col("d_valid_to"),
+      col("d_is_current"))
+    val closed = outRow(dVals, col("d_valid_from"), effDate, lit(false))
+    val opened = outRow(cVals, effDate, lit(null), lit(true))
+    val disposition =
+      when(col(s"d_$keyCol").isNull, array(opened)) // brand-new member
+        .when(col(s"c_$keyCol").isNull || !differs, array(asIs)) // untouched / no-op
+        .otherwise(array(closed, opened)) // close out + successor version
 
-    hist.union(unchanged).union(closed).union(reopened).union(inserted)
+    hist.union(j.select(inline(disposition)))
   }
 }

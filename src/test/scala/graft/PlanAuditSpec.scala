@@ -123,4 +123,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "q83 pair join degraded")
   }
+
+  test("batch bm25 ranks via the bounded aggregate, never a per-query window") {
+    // the per-query top-k must be TopKPairs (map-side partial
+    // ObjectHashAggregate): a row_number window here would shuffle every
+    // scored row into one task per query and collapse parallelism to the
+    // query count
+    val p = plan("q87_bm25_batch")
+    assert(p.contains("topk_pairs"), "q87 lost the bounded TopKPairs aggregate")
+    assert("(?m)^\\(\\d+\\) Window$".r.findFirstIn(p).isEmpty,
+      "q87 ranks through a Window operator — the corpus-sized-partition shape")
+    assert(p.contains("ObjectHashAggregate"),
+      "q87 TopKPairs must run as a (partial, map-side) ObjectHashAggregate")
+    assert(p.contains("BroadcastExchange"), "q87 stats must broadcast")
+    // the only nested-loop is the 1-row stats crossJoin (broadcast by
+    // construction — q81's contract allows the same); no cartesian pairs
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("phrase search never shuffles: row-local positions + TakeOrdered cut") {
+    val p = plan("q88_phrase_search")
+    assert(p.contains("TakeOrderedAndProject"), "q88 lost the top-k operator")
+    assert(!"(?m)^\\(\\d+\\) Exchange$".r.findFirstIn(p).isDefined,
+      "q88 grew a shuffle exchange; positional matching is row-local")
+    assert(!p.contains("Generate"), // no explode: positions stay in-array
+      "q88 exploded the token array — the row-local filter formulation is gone")
+  }
+
+  test("scd2 merge joins only the current slice; history passes through join-free") {
+    val p = plan("q89_scd2_merge")
+    // exactly one join (full-outer current-vs-changes); the history
+    // branch unions in with no join operator of its own
+    val joins = "(?m)^\\(\\d+\\) SortMergeJoin|^\\(\\d+\\) BroadcastHashJoin|^\\(\\d+\\) ShuffledHashJoin".r
+      .findAllIn(p).size
+    assert(joins == 1, s"q89 has $joins join operators; the merge is ONE key join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("incremental decontamination probes a BROADCAST index read") {
+    // the per-ingest probe must broadcast the (tiny) eval-gram set and
+    // scan only the batch linearly — a shuffle join here would re-key
+    // the whole batch's exploded grams
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-egplan").toString
+    graft.ops.CorpusOps.writeEvalGramIndex(
+      docs.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(50)) === 0), "text", 4, dir)
+    val p = graft.ops.CorpusOps.incrementalContamination(docs, "doc_id", "text", dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), "probe lost the broadcast gram join")
+    assert(!p.contains("SortMergeJoin"), "probe re-keys the batch grams")
+  }
 }
