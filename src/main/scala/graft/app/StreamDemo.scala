@@ -167,8 +167,40 @@ object StreamDemo {
     println(s"search index stream: 3 segment appends + merge " +
       s"(served==scan each wave=$searchOk, post-merge==scan=$mergeOk)")
 
+    // ---- streaming decontamination filter: waves probe the persisted
+    // eval-gram index; clean+flagged must partition the input and the
+    // clean set must equal the batch-path probe over everything streamed.
+    import graft.ops.CorpusOps
+    val cwork = s"$work/decontam"
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    val ingest = docs.filter(col("doc_id") % 10 =!= 0)
+    CorpusOps.writeEvalGramIndex(evalSet, "text", n = 4, s"$cwork/idx")
+    val dWaves = (0 until 3).map(k => ingest.filter(col("doc_id") % 3 === k))
+    dWaves.foreach { w =>
+      w.write.mode("append").parquet(s"$cwork/raw")
+      val q = Streaming.decontamFilterStream(
+        spark.readStream.schema(docs.schema).parquet(s"$cwork/raw"),
+        s"$cwork/idx", s"$cwork/clean", s"$cwork/flagged", s"$cwork/ckpt")
+      if (!q.awaitTermination(120000)) {
+        println("decontam stream wave timed out"); spark.stop(); sys.exit(2)
+      }
+    }
+    val cleanIds = spark.read.parquet(s"$cwork/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flaggedIds = spark.read.parquet(s"$cwork/flagged")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIngest = ingest.select("doc_id").collect().map(_.getLong(0)).toSet
+    val directClean = CorpusOps
+      .incrementalDecontaminate(ingest, "doc_id", "text", s"$cwork/idx")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deconPartitionOk =
+      (cleanIds & flaggedIds).isEmpty && (cleanIds ++ flaggedIds) == allIngest
+    val deconBatchOk = cleanIds == directClean
+    println(s"decontam stream: ${flaggedIds.size} flagged / ${cleanIds.size} clean " +
+      s"over 3 waves (partition=$deconPartitionOk, batch-equivalent=$deconBatchOk)")
+
     if (finalCount != perWave * waves || sum != 5000 || !dedupOk || !vDedupOk ||
-        !searchOk || !mergeOk) {
+        !searchOk || !mergeOk || !deconPartitionOk || !deconBatchOk) {
       spark.stop(); sys.exit(2)
     }
     spark.stop()

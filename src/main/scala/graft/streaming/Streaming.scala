@@ -324,6 +324,50 @@ object Streaming {
       .start()
   }
 
+  /** Streaming decontamination filter: each micro-batch probes the
+    * PERSISTED eval-gram index ([[graft.ops.CorpusOps.writeEvalGramIndex]])
+    * and splits into clean docs (what training consumes) and a flagged
+    * audit trail (doc id + shared-gram count), each written under its own
+    * `batch=<incarnation>-<id>` partition — a retried micro-batch
+    * overwrites its previous attempt, so crash-retries are idempotent
+    * with NO re-delivery gate needed (this loop only reads the index, it
+    * never appends to it).
+    *
+    * The index is fixed for the life of the stream — eval suites change
+    * on release cadence, not ingest cadence; append new suites between
+    * runs with [[graft.ops.CorpusOps.appendEvalGramBatch]] (+ compaction)
+    * and restart. Per batch this is ONE linear pass over the new docs
+    * plus a broadcast gram join: the per-ingest shape of q90.
+    */
+  def decontamFilterStream(docs: DataFrame, indexDir: String,
+      cleanDir: String, flaggedDir: String, checkpoint: String,
+      textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
+    val key = runKey(checkpoint)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist() // read twice: flagged probe + anti join
+        try {
+          val flagged = graft.ops.CorpusOps.incrementalContamination(
+            cached, idCol, textCol, indexDir)
+          flagged.write.mode("overwrite")
+            .parquet(s"$flaggedDir/batch=$key-$batchId")
+          // anti-join against the JUST-WRITTEN flagged partition rather
+          // than recomputing the probe: one probe per batch, and the
+          // clean split can never disagree with its own audit trail
+          val flaggedIds = cached.sparkSession.read
+            .parquet(s"$flaggedDir/batch=$key-$batchId").select(idCol)
+          cached.join(flaggedIds, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$cleanDir/batch=$key-$batchId")
+        } finally {
+          cached.unpersist(false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

@@ -382,4 +382,45 @@ class StreamingDedupSpec extends SparkSpec {
       s"stream pairs must equal batch-by-batch probes; " +
         s"extra=${(streamed -- direct).take(3)} missing=${(direct -- streamed).take(3)}")
   }
+
+  test("decontam stream: clean+flagged partition the input, match the batch probe, retries idempotent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    val ingest = docs.filter(col("doc_id") % 10 =!= 0)
+    val waves = (0 until 3).map(k => ingest.filter(col("doc_id") % 3 === k))
+    val work = java.nio.file.Files.createTempDirectory("graft_sdecon").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val clean = s"$work/clean"; val flagged = s"$work/flagged"
+    val ckpt = s"$work/ckpt"
+    graft.ops.CorpusOps.writeEvalGramIndex(evalSet, "text", n = 4, idx)
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(raw)
+      val q = Streaming.decontamFilterStream(stream, idx, clean, flagged, ckpt)
+      assert(q.awaitTermination(180000), "streaming batch did not finish in time")
+    }
+    waves.foreach { w => w.write.mode("append").parquet(raw); run() }
+
+    val cleanIds = spark.read.parquet(clean)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flaggedIds = spark.read.parquet(flagged)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = ingest.select("doc_id").collect().map(_.getLong(0)).toSet
+    // clean and flagged PARTITION the streamed input
+    assert((cleanIds & flaggedIds).isEmpty, "a doc cannot be both clean and flagged")
+    assert(cleanIds ++ flaggedIds == allIds, "stream must account for every doc")
+    assert(flaggedIds.nonEmpty, "fixture must actually flag something")
+    // and match the batch-path ground truth over the whole ingest
+    val directClean = graft.ops.CorpusOps
+      .incrementalDecontaminate(ingest, "doc_id", "text", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds == directClean, "streamed clean set != batch probe")
+    // a retried micro-batch overwrites its own partitions: re-run wave 2's
+    // write by hand under its original batch id and nothing changes
+    val key = graft.streaming.Streaming.runKey(ckpt)
+    val f2 = graft.ops.CorpusOps.incrementalContamination(waves(2), "doc_id", "text", idx)
+    f2.write.mode("overwrite").parquet(s"$flagged/batch=$key-2")
+    assert(spark.read.parquet(flagged).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == flaggedIds, "retry must not duplicate flags")
+  }
 }
