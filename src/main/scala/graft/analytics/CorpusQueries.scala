@@ -288,5 +288,23 @@ object CorpusQueries {
       CorpusOps.incrementalContamination(batch, "doc_id", "text", idxDir)
         .orderBy("doc_id")
     },
+
+    // ---- token-budget mixture: greedy per-source fill in seeded-hash
+    // order until each source's byte budget is reached — the exact-budget
+    // sibling of q71's rate sampling (every "X tokens of web, Y of code"
+    // mixture spec). Broadcast budget join + ONE per-source window
+    // (packSequences' per-shard shape); integer-only, hash-checked
+    // through the DuckXxh XXH64 chain.
+    QueryDef(
+      "q91_token_budget_mixture",
+      Some(DuckXxh.budgetSampleOracle(base = 1000L, step = 200L)),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val budgets = docs.select("source").distinct()
+        .withColumn("budget",
+          lit(1000L) + lit(200L) * substring(col("source"), 4, 10).cast("long"))
+      CorpusOps.budgetSample(docs, "doc_id", "source", "n_chars", budgets)
+        .orderBy("doc_id")
+    },
   )
 }

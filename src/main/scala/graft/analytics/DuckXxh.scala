@@ -429,6 +429,32 @@ private[analytics] object DuckXxh {
       "FROM sh2 ORDER BY doc_id"
   }
 
+  /** The q91 oracle: token-budget mixture over `documents` — per source,
+    * keep docs in xxhash64(doc_id) order while the cumulative n_chars
+    * BEFORE the doc is under the source's budget
+    * `base + step * <numeric suffix of source>`. Mirrors
+    * [[graft.ops.CorpusOps.budgetSample]]'s greedy fill exactly
+    * (integer-only — no float surface).
+    */
+  def budgetSampleOracle(base: Long, step: Long): String = {
+    val (ctes, last, out) = hashLongChain("bg",
+      u64("CAST(doc_id AS HUGEINT)"), "42::HUGEINT", "bgsrc")
+    val all = Seq(
+      "bgsrc AS MATERIALIZED (SELECT doc_id, source, n_chars FROM documents)") ++
+      ctes ++ Seq(
+      s"hbg AS MATERIALIZED (SELECT doc_id, source, n_chars, ${signed(out)} AS h FROM $last)",
+      s"""wbg AS (SELECT doc_id, source, n_chars, h,
+             $base + $step * CAST(substring(source, 4) AS BIGINT) AS budget,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS INT) AS pos,
+             COALESCE(CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+           FROM hbg)""",
+    )
+    "WITH " + all.mkString(",\n") +
+      "\nSELECT doc_id, source, n_chars, h, pos, cum_before FROM wbg " +
+      "WHERE cum_before < budget ORDER BY doc_id"
+  }
+
   /** The q73 oracle: connected components over exact cosine-threshold
     * pairs of `embeddings`. The dot product folds left-to-right in double
     * over the float elements — the same accumulation order as

@@ -442,6 +442,45 @@ object CorpusOps {
         .select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Token-budget mixture construction: per source, keep documents in
+    * seeded-hash order while the cumulative weight BEFORE each document
+    * stays under that source's budget — the greedy budgeted fill every
+    * "X billion tokens of web, Y of code" training mixture is built with
+    * (the rate-based sibling is [[mixtureSample]]; this one hits an exact
+    * budget instead of an expected rate). Output: the kept rows with
+    * their fill order (`pos`) and running pre-total (`cum_before`).
+    *
+    * Deterministic: the fill order is xxhash64(key) with the key as the
+    * tie-break, so re-runs (and both engines) keep identical documents.
+    * Greedy semantics: a source's first document is always kept when its
+    * budget is positive, and the document that CROSSES the budget line is
+    * kept (its predecessor total was still under budget) — byte-count
+    * budgets at corpus scale don't care about one boundary doc, and the
+    * rule needs no lookahead.
+    *
+    * Scale shape: one broadcast join against the (tiny) budget table and
+    * ONE per-source window — parallelism = number of sources, exactly
+    * [[packSequences]]' per-shard shape (sources are the mixture's unit
+    * of accounting; a global order would serialize the corpus).
+    */
+  def budgetSample(df: DataFrame, keyCol: String, sourceCol: String,
+      weightCol: String, budgets: DataFrame): DataFrame = {
+    requireFresh(df, "h", "pos", "cum_before", "budget")
+    require(budgets.columns.toSet == Set(sourceCol, "budget"),
+      s"budgets must be exactly ($sourceCol, budget); has ${budgets.columns.mkString(", ")}")
+    val order = Window.partitionBy(sourceCol).orderBy(col("h"), col(keyCol))
+    df.select(col(keyCol), col(sourceCol), col(weightCol))
+      .withColumn("h", xxhash64(col(keyCol)))
+      .join(broadcast(budgets), sourceCol)
+      .withColumn("pos", row_number().over(order))
+      .withColumn("cum_before",
+        coalesce(sum(col(weightCol).cast("long")).over(
+          order.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < col("budget"))
+      .select(col(keyCol), col(sourceCol), col(weightCol), col("h"),
+        col("pos"), col("cum_before"))
+  }
+
   /** Fold all batch partitions into one globally-distinct `batch=base`
     * partition (staged-swap: a crashed compaction never wipes the live
     * index — see [[StagedSwap]]). Probe results are identical before and

@@ -517,4 +517,29 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.appendEvalGramBatch(newSuite, "text", n = 3, dir, "base")
     }
   }
+
+  test("budgetSample: greedy fill respects budgets, keeps the crossing doc, deterministic") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("k", "src", "w")
+    val budgets = Seq(("a", 35L), ("b", 5L)).toDF("src", "budget")
+    val out = CorpusOps.budgetSample(df, "k", "src", "w", budgets)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(4), r.getLong(5)))
+    val bySrc = out.groupBy(_._1)
+    // budget 35 over weight-10 docs: cum_before < 35 keeps pos 1..4
+    // (cum_before 0,10,20,30) — the 4th doc CROSSES the line and is kept
+    assert(bySrc("a").length == 4, bySrc("a").toSeq.toString)
+    // budget 5 < first weight: the first doc is still kept (cum_before=0)
+    assert(bySrc("b").length == 1)
+    // fill order is the hash order: pos dense from 1, cum_before = 10*(pos-1)
+    out.foreach { case (_, _, pos, cb) => assert(cb == 10L * (pos - 1)) }
+    // deterministic under re-evaluation
+    val again = CorpusOps.budgetSample(df, "k", "src", "w", budgets)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(4), r.getLong(5)))
+    assert(out.toSet == again.toSet)
+    // malformed budget frame is rejected
+    intercept[IllegalArgumentException] {
+      CorpusOps.budgetSample(df, "k", "src", "w",
+        Seq(("a", 1L, 2L)).toDF("src", "budget", "extra"))
+    }
+  }
 }
