@@ -352,11 +352,32 @@ object TextRank {
     spark.read.parquet(s"$tmpPath/norms/seg=base")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$tmpPath/stats/seg=base")
+    // the OPTIONAL positions component (phrase serving) folds with the
+    // rest of the index: rows are per (term, doc) and a doc lives in one
+    // segment, so the fold is a seg-dropping rewrite. Its own duplicate
+    // gate runs too — a positions-only append could hold a dup the norms
+    // gate never sees.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/positions"))) {
+      val allPos = spark.read
+        .schema("id BIGINT, positions ARRAY<INT>, term STRING, seg STRING")
+        .parquet(s"$dir/positions")
+      val dupP = allPos.groupBy("id", "term").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select("id").take(1)
+      require(dupP.isEmpty,
+        s"positions index holds id ${dupP.headOption.map(_.get(0)).orNull} under two " +
+          "segment keys; merging would launder the duplicate — repair or rebuild")
+      allPos
+        .filter(if (keepSegs.isEmpty) lit(true) else !keep(col("seg")))
+        .drop("seg")
+        .repartition(col("term"))
+        .write.mode("overwrite").partitionBy("term")
+        .parquet(s"$tmpPath/positions/seg=base")
+    }
     // carry the kept segments into the stage BY COPY — a rename out of
     // the live dir would mutate it before the swap, and a crash would
     // strand those segments in a stage the retry clears
     keepSegs.foreach { k =>
-      Seq("postings", "norms", "stats").foreach { sub =>
+      Seq("postings", "norms", "stats", "positions").foreach { sub =>
         val src = new org.apache.hadoop.fs.Path(s"$dir/$sub/seg=$k")
         if (fs.exists(src)) {
           val ok = org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
@@ -704,6 +725,107 @@ object TextRank {
         col("q.bm25").as("bm25"), col("q.n_matched").as("n_matched"))
       .filter(col("n_matched") > 0)
     rankTopK(exploded, idCol, topK)
+  }
+
+  // ---------------------------------------------------------------------
+  // Positional index (Lucene's prox file): per (term, doc), the sorted
+  // 1-based token positions — what phrase queries serve from. Kept as its
+  // own component beside postings/norms/stats so BM25 serving pays
+  // nothing for it; same seg=<key> append + staged-swap lifecycle.
+  // ---------------------------------------------------------------------
+
+  private def positionRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), posexplode(toks(textCol)).as(Seq("p0", "term")))
+      .filter(col("term") =!= "") // "" is not partitionable nor queryable
+      .groupBy(col("term"), col("id"))
+      .agg(sort_array(collect_list(col("p0") + 1)).as("positions"))
+
+  /** Full (re)build of the positional index at `dir/positions`: one row
+    * per (term, doc) holding the doc's sorted 1-based positions of the
+    * term, written `partitionBy("term")` so a phrase query prunes to its
+    * terms. Build cost is ONE (term, id)-keyed shuffle (the same shape as
+    * the postings build); row size is bounded by a doc's own term count,
+    * never by df — a stopword means many ROWS, not a corpus-sized one.
+    *
+    * Ordering with the BM25 components: [[writeSearchIndex]] wipes the
+    * whole index dir (a full rebuild rebuilds everything), so build
+    * positions AFTER it when co-locating; [[mergeSearchIndexSegments]]
+    * folds and carries the positions component automatically when
+    * present.
+    */
+  def writePositionsIndex(docs: DataFrame, textCol: String, idCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val path = new org.apache.hadoop.fs.Path(s"$dir/positions")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    positionRows(docs, textCol, idCol)
+      .write.mode("overwrite").partitionBy("term")
+      .parquet(s"$dir/positions/seg=base")
+  }
+
+  /** Append one ingest batch's positions as its own segment, idempotent
+    * under retries (`seg=<batchKey>` overwrite — the family contract). */
+  def appendPositionsBatch(docs: DataFrame, textCol: String, idCol: String,
+      dir: String, batchKey: String): Unit = {
+    require(batchKey != "base", "segment key 'base' is reserved for the full build")
+    require(batchKey.nonEmpty && !batchKey.exists(c => c == '/' || c == '='),
+      s"batchKey must be a plain partition value, got '$batchKey'")
+    positionRows(docs, textCol, idCol)
+      .write.mode("overwrite").partitionBy("term")
+      .parquet(s"$dir/positions/seg=$batchKey")
+  }
+
+  /** [[phraseMatch]] served from the PERSISTED positional index: read
+    * prunes to the phrase's distinct terms, each doc's candidate starts
+    * are the intersection of its per-term position arrays shifted by the
+    * term's offset in the phrase (a repeated phrase token intersects the
+    * SAME array under two shifts — correct by construction), ranked
+    * (n_occ DESC, id ASC). Bit-identical to the scan-path [[phraseMatch]]
+    * (contract-tested) with ZERO corpus access — the pruned index rows
+    * are the only input. `validateIds` guards a doc id indexed under two
+    * segment keys (which would double-count its occurrences); the check
+    * scans only the pruned rows.
+    */
+  def phraseMatchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, phrase: Seq[String], topK: Int = 10,
+      validateIds: Boolean = true): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(phrase.forall(_.nonEmpty), "phrase tokens must be non-empty")
+    val vocab = phrase.distinct
+    // explicit schema — partition-column inference would coerce
+    // numeric-looking terms (see bm25IndexedPivot)
+    val pos = spark.read
+      .schema("id BIGINT, positions ARRAY<INT>, term STRING, seg STRING")
+      .parquet(s"$dir/positions")
+      .filter(col("term").isin(vocab: _*)) // partition-pruned read
+    if (validateIds) {
+      val dup = pos.groupBy("id", "term").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select("id").take(1)
+      require(dup.isEmpty,
+        s"positions index holds id ${dup.headOption.map(_.get(0)).orNull} under two " +
+          "segment keys; rebuild with writePositionsIndex or repair the segments")
+    }
+    val pivAggs = vocab.indices.map(i =>
+      max(when(col("term") === lit(vocab(i)), col("positions"))).as(s"_p$i"))
+    val piv = pos.groupBy("id").agg(pivAggs.head, pivAggs.tail: _*)
+    val vocabIdx = vocab.zipWithIndex.toMap
+    // shift term j's positions back by j: a phrase start is a position in
+    // EVERY shifted array
+    val shifted = phrase.indices.map { j =>
+      val arr = col(s"_p${vocabIdx(phrase(j))}")
+      if (j == 0) arr else transform(arr, x => x - j)
+    }
+    val allPresent = phrase.indices
+      .map(j => col(s"_p${vocabIdx(phrase(j))}").isNotNull).reduceLeft(_ && _)
+    val starts = shifted.reduceLeft(array_intersect)
+    piv
+      .filter(allPresent)
+      .select(col("id").as(idCol), size(starts).as("n_occ"),
+        array_min(starts).as("first_pos"))
+      .filter(col("n_occ") > 0)
+      .orderBy(desc("n_occ"), col(idCol))
+      .limit(topK)
   }
 
   /** The matching DuckDB oracle SQL for [[invertedIndex]]. */

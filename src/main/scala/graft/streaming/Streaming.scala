@@ -283,7 +283,8 @@ object Streaming {
     */
   def searchIndexMaintenanceStream(docs: DataFrame, indexDir: String,
       checkpoint: String, textCol: String = "text", idCol: String = "doc_id",
-      blockSize: Int = 1024, compactEvery: Int = 0): StreamingQuery = {
+      blockSize: Int = 1024, compactEvery: Int = 0,
+      positions: Boolean = false): StreamingQuery = {
     val key = runKey(checkpoint)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -314,6 +315,11 @@ object Streaming {
           }
           graft.ops.TextRank.appendSearchIndexBatch(cached, textCol, idCol,
             indexDir, s"$key-$batchId", blockSize)
+          // optional phrase-serving component: same segment key, same
+          // idempotent-overwrite retry contract; merges fold it too
+          if (positions)
+            graft.ops.TextRank.appendPositionsBatch(cached, textCol, idCol,
+              indexDir, s"$key-$batchId")
         } finally {
           cached.unpersist(false)
           ()

@@ -383,6 +383,38 @@ class StreamingDedupSpec extends SparkSpec {
         s"extra=${(streamed -- direct).take(3)} missing=${(direct -- streamed).take(3)}")
   }
 
+  test("search stream with positions: phrase serving == scan after each wave and after auto-merge") {
+    import graft.ops.TextRank
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val phrase = Seq("the", "data")
+    val waves = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k))
+    val work = java.nio.file.Files.createTempDirectory("graft_spos").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"; val ckpt = s"$work/ckpt"
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.write.mode("append").parquet(raw)
+      val stream = spark.readStream.schema(docs.schema).parquet(raw)
+      // compactEvery=2: wave 2 triggers a mid-stream merge that must fold
+      // the positions component too (own segment excluded and carried)
+      val q = Streaming.searchIndexMaintenanceStream(stream, idx, ckpt,
+        blockSize = 64, compactEvery = 2, positions = true)
+      assert(q.awaitTermination(180000), "streaming batch did not finish in time")
+      val ingested = waves.take(k + 1).reduce(_ unionByName _)
+      val scan = TextRank.phraseMatch(ingested, "text", "doc_id", phrase)
+        .collect().map(_.toSeq).toSeq
+      val served = TextRank.phraseMatchIndexed(spark, idx, "doc_id", phrase)
+        .collect().map(_.toSeq).toSeq
+      assert(served == scan, s"after wave $k phrase served != scan")
+    }
+    // final explicit merge: one base segment, phrase serving unchanged
+    TextRank.mergeSearchIndexSegments(spark, idx, blockSize = 64)
+    val scanAll = TextRank.phraseMatch(docs, "text", "doc_id", phrase)
+      .collect().map(_.toSeq).toSeq
+    val servedAll = TextRank.phraseMatchIndexed(spark, idx, "doc_id", phrase)
+      .collect().map(_.toSeq).toSeq
+    assert(servedAll == scanAll, "post-merge phrase serving changed")
+    assert(scanAll.nonEmpty, "fixture phrase must occur for the test to mean anything")
+  }
+
   test("decontam stream: clean+flagged partition the input, match the batch probe, retries idempotent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val evalSet = docs.filter(col("doc_id") % 10 === 0)

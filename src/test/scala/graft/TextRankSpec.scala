@@ -483,4 +483,83 @@ class TextRankSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(out == Seq(2L, 1L))
   }
+
+  test("phraseMatchIndexed == scan phraseMatch across segments, incl. repeated-token phrases") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),
+      (2L, "b a a b a a"),
+      (3L, "a b a b a"),
+      (4L, "table hash join table hash"),
+      (5L, ""),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-positions").toString
+    TextRank.writePositionsIndex(d.filter(col("doc_id") <= 3), "text", "doc_id", dir)
+    TextRank.appendPositionsBatch(d.filter(col("doc_id") > 3), "text", "doc_id",
+      dir, "b1")
+    TextRank.appendPositionsBatch(d.filter(col("doc_id") > 3), "text", "doc_id",
+      dir, "b1") // retry: same key overwrites, no duplicates
+    for (phrase <- Seq(Seq("a", "a"), Seq("table", "hash"), Seq("a", "b", "a"),
+        Seq("missing", "tokens"))) {
+      val scan = TextRank.phraseMatch(d, "text", "doc_id", phrase, topK = 10)
+        .collect().map(_.toSeq).toSeq
+      val served = TextRank.phraseMatchIndexed(spark, dir, "doc_id", phrase,
+        topK = 10).collect().map(_.toSeq).toSeq
+      assert(served == scan, s"phrase $phrase: served=$served scan=$scan")
+    }
+  }
+
+  test("phraseMatchIndexed prunes the positions read and rejects duplicate ids") {
+    import spark.implicits._
+    val d = Seq((1L, "p q r"), (2L, "p q")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-positions2").toString
+    TextRank.writePositionsIndex(d, "text", "doc_id", dir)
+    val df = TextRank.phraseMatchIndexed(spark, dir, "doc_id", Seq("p", "q"),
+      validateIds = false)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("term#"),
+      "positions read must prune on the term partition column")
+    // duplicate id across segment keys trips the gate
+    TextRank.appendPositionsBatch(d.filter(col("doc_id") === 1), "text",
+      "doc_id", dir, "dup")
+    val e = intercept[IllegalArgumentException] {
+      TextRank.phraseMatchIndexed(spark, dir, "doc_id", Seq("p", "q")).collect()
+    }
+    assert(e.getMessage.contains("two"), e.getMessage)
+  }
+
+  test("segment merge folds the positions component; phrase serving unchanged") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "m n m n m"), (2L, "m n"), (3L, "n m"), (4L, "m n o m n"),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-posmerge").toString
+    // co-located index: BM25 components + positions, two segments each
+    TextRank.writeSearchIndex(d.filter(col("doc_id") <= 2), "text", "doc_id",
+      dir, blockSize = 2)
+    TextRank.writePositionsIndex(d.filter(col("doc_id") <= 2), "text", "doc_id", dir)
+    // writePositionsIndex wipes only dir/positions — rebuild base AFTER it
+    TextRank.appendSearchIndexBatch(d.filter(col("doc_id") > 2), "text",
+      "doc_id", dir, "b1", blockSize = 2)
+    TextRank.appendPositionsBatch(d.filter(col("doc_id") > 2), "text",
+      "doc_id", dir, "b1")
+    val phrase = Seq("m", "n")
+    val before = TextRank.phraseMatchIndexed(spark, dir, "doc_id", phrase)
+      .collect().map(_.toSeq).toSeq
+    TextRank.mergeSearchIndexSegments(spark, dir, blockSize = 2)
+    // one base segment for positions too
+    val segs = new java.io.File(s"$dir/positions").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segs == Set("seg=base"), segs.toString)
+    val after = TextRank.phraseMatchIndexed(spark, dir, "doc_id", phrase)
+      .collect().map(_.toSeq).toSeq
+    val scan = TextRank.phraseMatch(d, "text", "doc_id", phrase)
+      .collect().map(_.toSeq).toSeq
+    assert(before == scan && after == scan,
+      s"before=$before after=$after scan=$scan")
+    // and BM25 serving still works off the merged co-located index
+    assert(TextRank.bm25Indexed(spark, dir, "doc_id", Seq("m"), topK = 5)
+      .collect().nonEmpty)
+  }
 }
