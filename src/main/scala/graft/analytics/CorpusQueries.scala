@@ -306,5 +306,24 @@ object CorpusQueries {
       CorpusOps.budgetSample(docs, "doc_id", "source", "n_chars", budgets)
         .orderBy("doc_id")
     },
+
+    // ---- CCNet-style LM quality scoring: average add-alpha bigram
+    // log-probability under a model counted from a reference slice (the
+    // "Wikipedia-perplexity filter" of the published corpus pipelines,
+    // with the KenLM role played by an in-engine bigram model). Two
+    // count-table joins + one per-doc aggregate; per-bigram ln rounded,
+    // per-doc sum decimal-exact (Det), so the float compare is bit-exact.
+    QueryDef(
+      "q92_lm_quality_score",
+      Some(graft.ops.LmScore.bigramScoreOracleSql(
+        refPred = "doc_id % 7 = 0", docPred = "doc_id % 7 <> 0")),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.LmScore.bigramScore(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
   )
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet/RedPajama-style
+  * "perplexity filter": score every document by the average smoothed
+  * bigram log-probability under a model counted from a REFERENCE slice
+  * (in the published pipelines, Wikipedia; KenLM plays the model role —
+  * here the model is an add-alpha bigram LM the engine trains itself, so
+  * the whole operator stays inside Spark with no native dependency).
+  * Low-scoring documents are the boilerplate/gibberish a quality funnel
+  * drops; OOV-heavy documents surface separately (`oov_bigrams`) because
+  * "unseen vocabulary" and "unlikely sequence" are different failure
+  * modes.
+  *
+  * Model: P(w2|w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha·V), with
+  * c(w1 ·) the count of bigrams whose context is w1 and V the reference
+  * vocabulary size — add-alpha smoothing, so unseen bigrams score
+  * ln(alpha / (c + alpha·V)) instead of -inf.
+  *
+  * Scale shape: the reference reduces to two count tables (bigram,
+  * context) joined onto the target's exploded bigrams — both joins are
+  * key-hashed and AQE broadcasts them when the reference is small; V is
+  * a 1-row broadcast. One groupBy(doc) aggregate closes it. Everything
+  * is linear in corpus size; no windows, no driver loops.
+  *
+  * Float determinism: each bigram's log-prob is rounded to 6 dp (ln's
+  * last ulp is engine-specific), the per-doc sum is decimal-exact
+  * ([[graft.core.Det]]), and the final average is one double divide +
+  * round — bit-identical between Spark and the DuckDB oracle.
+  */
+object LmScore {
+
+  /** Per-document bigram LM score of `docs` under a model counted from
+    * `refDocs`. Output: (idCol, n_bigrams, oov_bigrams, avg_logprob),
+    * one row per doc with >= 2 tokens (a shorter doc has no bigram and
+    * no defined score). `oov_bigrams` counts bigrams absent from the
+    * reference. Higher avg_logprob = more reference-like.
+    */
+  def bigramScore(docs: DataFrame, refDocs: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, s"alpha must be positive (got $alpha): alpha=0 makes unseen bigrams -inf")
+    val reserved = Set("g", "w1", "_t", "lp", "oov", "cb", "cu", "v")
+    require(!reserved.contains(idCol) && !reserved.contains(textCol),
+      s"${reserved.mkString("/")} are reserved by bigramScore; rename the input column")
+    def bigrams(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) = df
+      .select(cols :+ graft.core.Cols.wsTokens(col(textCol)).as("_t"): _*)
+      .select(cols :+ explode(CorpusOps.wordGrams(col("_t"), 2)).as("g"): _*)
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val refB = bigrams(refDocs, Seq.empty)
+    val cb = refB.groupBy("g").agg(count(lit(1)).as("cb"))
+    val cu = refB.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = refDocs
+      .select(explode(graft.core.Cols.wsTokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = bigrams(docs, Seq(col(idCol)))
+      .join(cb, Seq("g"), "left")
+      .join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        round(log((coalesce(col("cb"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("cu"), lit(0L)) + lit(alpha) * col("v"))), 6).as("lp"),
+        when(col("cb").isNull, 1L).otherwise(0L).as("oov"))
+    scored.groupBy(idCol).agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(col("oov")).as("oov_bigrams"),
+      round(graft.core.Det.dsum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  /** The matching DuckDB oracle SQL for [[bigramScore]] over `documents`,
+    * with the reference slice `refPred` and targets `docPred` (SQL
+    * predicates on the table's columns). Same operation tree, same
+    * rounding points, decimal-exact per-doc sums.
+    */
+  def bigramScoreOracleSql(refPred: String, docPred: String,
+      alpha: Double = 0.4): String = {
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    s"""
+      WITH rt AS (SELECT string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents WHERE $refPred),
+      rb AS (SELECT t[i] AS w1, t[i] || ' ' || t[i + 1] AS g
+             FROM rt, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2),
+      cb AS (SELECT g, count(*) AS cb FROM rb GROUP BY g),
+      cu AS (SELECT w1, count(*) AS cu FROM rb GROUP BY w1),
+      vs AS (SELECT count(DISTINCT tok) AS v FROM
+               (SELECT unnest(t) AS tok FROM rt)),
+      tt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+             FROM documents WHERE $docPred),
+      tb AS (SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS g
+             FROM tt, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2),
+      sc AS (SELECT doc_id,
+               round(ln((COALESCE(cb.cb, 0) + ${d(alpha)}) /
+                        (COALESCE(cu.cu, 0) + ${d(alpha)} * v)), 6) AS lp,
+               CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS oov
+             FROM tb LEFT JOIN cb USING (g) LEFT JOIN cu USING (w1)
+             CROSS JOIN vs)
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(SUM(oov) AS BIGINT) AS oov_bigrams,
+             round(${graft.core.Det.sqlSum("lp")} / count(*), 6) AS avg_logprob
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""
+  }
+}
