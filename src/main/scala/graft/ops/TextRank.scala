@@ -515,16 +515,11 @@ object TextRank {
       phrase: Seq[String], topK: Int = 10): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
     require(phrase.forall(_.nonEmpty), "phrase tokens must be non-empty")
-    val L = phrase.length
     val base = docs.select(col(idCol), toks(textCol).as("_t"))
-    // guard: sequence(1, stop) DESCENDS when stop < 1 (docs shorter than
-    // the phrase), which would fabricate candidate positions
-    val starts = when(size(col("_t")) >= L,
-      filter(sequence(lit(1), size(col("_t")) - lit(L - 1)),
-        i => phrase.indices.map(j =>
-          element_at(col("_t"), i + lit(j)) === lit(phrase(j)))
-          .reduceLeft(_ && _))
-    ).otherwise(array().cast("array<int>"))
+    // fused codegen kernel — the declarative filter(sequence(...)) form
+    // runs interpreted (HOFs are CodegenFallback) and measured 3x slower
+    // at sf0.1; see functions/PhraseExprs
+    val starts = graft.functions.PhraseStarts.starts(col("_t"), phrase)
     base.select(col(idCol), starts.as("_ps"))
       // get() (0-based) is null-safe on the empty array — ANSI element_at
       // throws on out-of-bounds, and these rows are filtered only after

@@ -477,4 +477,30 @@ class TopKPairsSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("topk_pairs") ||
       ex.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("phrase_starts: overlaps, short docs, and interpreted==codegen") {
+    import spark.implicits._
+    import graft.functions.PhraseStarts
+    val df = Seq(
+      Seq("a", "a", "a", "a"),
+      Seq("b", "a", "a", "b", "a", "a"),
+      Seq("a"),
+      Seq.empty[String],
+    ).toDF("t")
+    val expected = Seq(Seq(1, 2, 3), Seq(2, 5), Seq(), Seq())
+    def run() = df.select(PhraseStarts.starts(col("t"), Seq("a", "a")))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    assert(run() == expected)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == expected)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null token elements never match (and never NPE)
+    val withNull = Seq(Seq[String]("a", null, "a", "a")).toDF("t")
+    assert(withNull.select(PhraseStarts.starts(col("t"), Seq("a", "a")))
+      .collect().head.getSeq[Int](0).toSeq == Seq(3))
+  }
 }
