@@ -154,25 +154,61 @@ object CorpusPipeline {
     val clean = train.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
     val nClean = clean.count()
 
+    // ---- stage 5b: LM quality scoring (CCNet shape) — score the clean
+    // train docs under a bigram model counted from the held-out eval
+    // split (the funnel's "reference-like" slice) and drop the bottom
+    // decile by avg log-prob. Exact percentile here (one sorted agg over
+    // per-doc scores — doc count, not token count); at 100 TB swap in
+    // approx_percentile, the cut needs no exactness.
+    val lmScores = graft.ops.LmScore.bigramScore(clean, evalSet, "doc_id", "text")
+    lmScores.persist() // cutoff agg + the keep-join both read it
+    val lmCut = lmScores.agg(
+      expr("percentile(avg_logprob, 0.1)")).collect()(0).getDouble(0)
+    val lmKept = clean.join(
+      lmScores.filter(col("avg_logprob") >= lmCut).select("doc_id"),
+      Seq("doc_id"))
+    val nLmScored = lmScores.count()
+    val nLmKept = lmKept.count()
+
     // ---- stage 6: source-mixture sampling (half rate for even sources)
     val evenSources = (0 to 18 by 2).map(i => s"src$i" -> 0.5).toMap
-    val mixed = CorpusOps.mixtureSample(clean, "doc_id", "source",
+    val mixed = CorpusOps.mixtureSample(lmKept, "doc_id", "source",
       rates = evenSources, defaultRate = 1.0)
     val nMixed = mixed.count()
+
+    // ---- stage 6c: exact token budget per source (the mixture's second
+    // knob: rates shape the distribution, budgets cap the total). Join
+    // back on doc_id to carry the full rows into packing.
+    val tokenBudget = 100L // binds at sf0.01: sources hold ~150+ tokens here
+    val budgets = mixed.select("source").distinct()
+      .withColumn("budget", lit(tokenBudget))
+    val budgeted = mixed.join(
+      CorpusOps.budgetSample(mixed, "doc_id", "source", "n_tokens", budgets)
+        .select("doc_id"), Seq("doc_id"))
+    budgeted.persist() // budget check + count + packing all read it
+    val nBudgeted = budgeted.count()
+    // the invariant the budget stage exists for: no source exceeds it
+    val maxSourceTokens = Option(budgeted.groupBy("source")
+      .agg(sum(col("n_tokens").cast("long")).as("tt")).agg(max("tt"))
+      .collect()(0).get(0)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    // greedy fill keeps the crossing doc: budget + one max-doc of slack
+    val maxDocTokens = Option(budgeted.agg(max(col("n_tokens").cast("long")))
+      .collect()(0).get(0)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val budgetOk = maxSourceTokens <= tokenBudget + maxDocTokens
 
     // ---- stage 6b: vocabulary-drift monitor — what the re-weighting did
     // to the token distribution (top shared terms by |p·ln(p/q)|,
     // pre- vs post-mix). Report + sanity gate only: the mixture keeps a
     // subset of docs, so the post-mix vocabulary is a subset and the
     // shared support is non-empty whenever anything survived.
-    val drift = CorpusOps.vocabDrift(clean, mixed, "text", topN = 3).collect()
+    val drift = CorpusOps.vocabDrift(clean, budgeted, "text", topN = 3).collect()
     val driftOk = drift.nonEmpty &&
       drift.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite)
 
     // ---- stage 7: pack into 128-token context windows per source shard
     // (n_tokens computed once in stage 2 rides along — no re-tokenization)
     val packed = CorpusOps.packSequences(
-      mixed.drop("n_distinct"),
+      budgeted.drop("n_distinct"),
       "source", "doc_id", "n_tokens", ctx = 128L)
     val packedDir = s"$work/packed"
     packed.write.mode("overwrite").partitionBy("source").parquet(packedDir)
@@ -189,6 +225,8 @@ object CorpusPipeline {
     ingest.unpersist()
     reps.unpersist(false)
     semReps.unpersist(false)
+    lmScores.unpersist(false)
+    budgeted.unpersist(false)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""
       |== graft corpus pipeline ==
@@ -198,9 +236,11 @@ object CorpusPipeline {
       |near-dup dedup:    $nExact -> $nReps cluster representatives
       |semantic dedup:    $nReps -> $nSemReps embedding-cluster representatives
       |decontamination:   $nTrain train -> $nClean clean (eval split held out; ${if (usedHash) "hashed-gram" else "string-gram"} path, path-agreement diff=$nFlagDiff)
-      |mixture sample:    $nClean -> $nMixed
+      |lm quality:        $nClean -> $nLmKept (bottom decile cut at $lmCut%.6f over $nLmScored scored)
+      |mixture sample:    $nLmKept -> $nMixed
+      |token budget:      $nMixed -> $nBudgeted (max source tokens $maxSourceTokens vs budget $tokenBudget)
       |mixture drift:     ${drift.map(r => f"${r.getString(0)}=${r.getDouble(5)}%.6f").mkString("  ")}
-      |packed:            $nMixed docs -> $nChunks context windows of 128 tokens
+      |packed:            $nBudgeted docs -> $nChunks context windows of 128 tokens
       |wall time:         $secs%.1f s
       |""".stripMargin)
 
@@ -208,7 +248,9 @@ object CorpusPipeline {
       nPlantedKept > 0 && nExact <= nKept - nPlantedKept &&
       nReps <= nExact && nSemReps <= nReps && nSemReps > 0 &&
       nClean <= nTrain && nFlagDiff == 0 &&
-      nMixed <= nClean && nPacked == nMixed && nChunks > 0 && driftOk
+      nLmKept <= nClean && nLmKept > 0 &&
+      nMixed <= nLmKept && nBudgeted <= nMixed && budgetOk &&
+      nPacked == nBudgeted && nChunks > 0 && driftOk
     if (!ok) {
       System.err.println("corpus pipeline invariant FAILED")
       spark.stop()
