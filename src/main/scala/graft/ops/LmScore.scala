@@ -48,9 +48,14 @@ object LmScore {
       .select(cols :+ graft.core.Cols.wsTokens(col(textCol)).as("_t"): _*)
       .select(cols :+ explode(CorpusOps.wordGrams(col("_t"), 2)).as("g"): _*)
       .withColumn("w1", substring_index(col("g"), " ", 1))
+    // ONE pass over the reference: context counts derive from the bigram
+    // counts (c(w1 ·) = Σ_g c(g) over grams with context w1) — grouping
+    // the count table, not re-exploding the corpus. g determines w1, so
+    // carrying w1 through the groupBy adds no cardinality.
     val refB = bigrams(refDocs, Seq.empty)
-    val cb = refB.groupBy("g").agg(count(lit(1)).as("cb"))
-    val cu = refB.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val cb0 = refB.groupBy("g", "w1").agg(count(lit(1)).as("cb"))
+    val cb = cb0.select("g", "cb")
+    val cu = cb0.groupBy("w1").agg(sum("cb").as("cu"))
     val vocab = refDocs
       .select(explode(graft.core.Cols.wsTokens(col(textCol))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))

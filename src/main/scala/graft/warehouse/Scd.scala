@@ -49,8 +49,20 @@ object Scd {
     * caller-supplied, so retries produce byte-identical results.
     */
   def scd2Apply(dim: DataFrame, changes: DataFrame, keyCol: String,
-      trackedCols: Seq[String], effDate: Column): DataFrame = {
+      trackedCols: Seq[String], effDate: Column,
+      validateKeys: Boolean = true): DataFrame = {
     require(trackedCols.nonEmpty, "trackedCols must be non-empty")
+    if (validateKeys) {
+      // a change batch with two rows for one key would silently emit two
+      // open versions of that member — fail loudly instead. One
+      // column-pruned aggregate over the (small) batch; callers whose
+      // upstream already dedups per key can pass validateKeys = false.
+      val dup = changes.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select(keyCol).take(1)
+      require(dup.isEmpty,
+        s"change batch holds key ${dup.headOption.map(_.get(0)).orNull} more than " +
+          "once; dedup the batch (latest-wins) before applying")
+    }
     val verCols = Seq("valid_from", "valid_to", "is_current")
     val dimCols = keyCol +: trackedCols.toIndexedSeq
     require((dimCols ++ verCols).forall(dim.columns.contains),

@@ -160,6 +160,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("token-budget mixture broadcasts the budget table, one window per source") {
+    val p = plan("q91_token_budget_mixture")
+    assert(p.contains("BroadcastHashJoin"), "q91 must broadcast the budget join")
+    assert("(?m)^\\(\\d+\\) Window$".r.findAllIn(p).size <= 2,
+      "q91 grew extra windows; pos + cum_before ride ONE per-source sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("lm quality scoring joins count tables, never cartesian") {
+    val p = plan("q92_lm_quality_score")
+    assert(!p.contains("CartesianProduct"), "q92 degraded to a cartesian product")
+    // the vocab-size stats row must broadcast (1-row crossJoin)
+    assert(p.contains("BroadcastExchange"), "q92 vocab stats must broadcast")
+  }
+
   test("incremental decontamination probes a BROADCAST index read") {
     // the per-ingest probe must broadcast the (tiny) eval-gram set and
     // scan only the batch linearly — a shuffle join here would re-key

@@ -66,6 +66,18 @@ class ScdSpec extends SparkSpec {
     assert(out2.length == 1 && out2.head.getBoolean(5))
   }
 
+  test("scd2Apply rejects a change batch with duplicate keys") {
+    val changes = Seq((1L, "A2", 11.0), (1L, "A3", 12.0)).toDF("k", "seg", "bal")
+    val e = intercept[IllegalArgumentException] {
+      Scd.scd2Apply(dim, changes, "k", Seq("seg", "bal"), eff)
+    }
+    assert(e.getMessage.contains("more than"))
+    // opt-out path still builds a plan (validation skipped)
+    Scd.scd2Apply(dim, changes, "k", Seq("seg", "bal"), eff,
+      validateKeys = false)
+    ()
+  }
+
   test("scd2Apply validates required columns") {
     intercept[IllegalArgumentException] {
       Scd.scd2Apply(dim.drop("is_current"),
