@@ -325,5 +325,25 @@ object CorpusQueries {
         "doc_id", "text")
         .orderBy("doc_id")
     },
+
+    // ---- BPE vocabulary induction + per-doc compression: train 20 merge
+    // rules over the corpus's pre-token frequency table (the one raw-text
+    // pass; every round is an aggregation over the small weighted
+    // vocabulary), then measure each doc's token count under the trained
+    // segmentation. NO SQL oracle — iterative argmax is not expressible
+    // as one DuckDB query; correctness is the BpeSpec contract: EXACT
+    // merge-sequence equality with an independent in-memory reference
+    // implementation over the real corpus.
+    QueryDef("q93_bpe_compression", None) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val freqs = graft.ops.Bpe.wordFreqs(docs, "text")
+      freqs.persist()
+      val rules = graft.ops.Bpe.trainBpeOnFreqs(freqs, nMerges = 20)
+      val out = graft.ops.Bpe.tokenCompression(docs, "text", "doc_id", freqs, rules)
+        .orderBy("doc_id")
+      out.persist().count() // materialize before releasing the freqs cache
+      freqs.unpersist(false)
+      out
+    },
   )
 }

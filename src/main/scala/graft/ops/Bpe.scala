@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.BpeMerge
+
+/** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016) — the
+  * tokenizer-training step of an LLM data pipeline, distributed.
+  *
+  * The classic algorithm trains on the WORD FREQUENCY table, not the raw
+  * corpus: a 100 TB corpus reduces to its distinct pre-token vocabulary
+  * (one corpus-sized aggregation, the only pass over the raw text), and
+  * every merge round then runs over that small weighted table — pair
+  * counts are an aggregation over vocabulary entries weighted by corpus
+  * frequency, mathematically identical to counting over the corpus
+  * itself. Each round is:
+  *
+  *   1. count adjacent symbol pairs (weighted by word count, map-side
+  *      combined aggregation);
+  *   2. pick the most frequent pair on the driver — a bounded take(1),
+  *      the k-means-centroid pattern, with a DETERMINISTIC tie-break
+  *      (count DESC, then left/right symbol ascending) so re-runs and
+  *      the in-memory reference agree exactly;
+  *   3. fuse that pair in every vocabulary entry with the codegen
+  *      [[graft.functions.BpeMerge]] kernel (left-to-right,
+  *      non-overlapping — the standard semantics).
+  *
+  * The driver loop is bounded by `nMerges` (a tokenizer trains 10k-100k
+  * merges; each round here is one small aggregation + one map over the
+  * vocabulary table). Lineage is cut with localCheckpoint every few
+  * rounds — the Components-loop lesson: an unbounded expression chain
+  * over rounds re-plans quadratically and eventually OOMs the driver.
+  *
+  * No SQL oracle exists for the training loop (iterative argmax is not
+  * expressible as one DuckDB query); correctness is pinned by EXACT
+  * equality against an in-memory reference implementation over the real
+  * sf0.001 corpus (BpeSpec), the q62 pre-tokenizer it shares, and the
+  * monotone-compression contract.
+  */
+object Bpe {
+
+  /** One learned merge: fuse (left, right) -> left+right; `count` is the
+    * weighted pair frequency that won the round. */
+  final case class MergeRule(rank: Int, left: String, right: String, count: Long)
+
+  /** The q62 pre-tokenization (letter runs | digit runs | punct runs) —
+    * shared so the trainer and the token-count queries see one token
+    * definition. */
+  val preTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]+"
+
+  /** The corpus's pre-token frequency table: (word, cnt). The ONE pass
+    * over the raw text; everything after runs on this. */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(col(textCol), lit(preTokenPattern),
+        lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Train `nMerges` BPE merge rules over `docs`. Deterministic. */
+  def trainBpe(docs: DataFrame, textCol: String, nMerges: Int,
+      checkpointEvery: Int = 8): Seq[MergeRule] = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    trainBpeOnFreqs(wordFreqs(docs, textCol), nMerges, checkpointEvery)
+  }
+
+  /** [[trainBpe]] over a precomputed (word, cnt) frequency table. */
+  def trainBpeOnFreqs(freqs: DataFrame, nMerges: Int,
+      checkpointEvery: Int = 8): Seq[MergeRule] = {
+    // initial symbols: the word's characters. HOF transform is
+    // interpreted, but it runs ONCE over the vocabulary table (not the
+    // corpus, not per round) — not a hot path.
+    // localCheckpoint once up front: the corpus-sized aggregation behind
+    // `freqs` must not re-run on every round's argmax job
+    var words = freqs.select(
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"),
+      col("cnt"))
+      .localCheckpoint(true)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val pairs = words
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("syms")) - lit(2)),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r")))).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+      val top = pairs.orderBy(desc("c"), asc("l"), asc("r")).take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, c) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        rules += MergeRule(r + 1, l, rt, c)
+        words = words.select(BpeMerge.merge(col("syms"), l, rt).as("syms"),
+          col("cnt"))
+        // between checkpoints the plan stays LAZY: a round's argmax job
+        // recomputes at most checkpointEvery narrow kernel maps over the
+        // (tiny, checkpointed) vocabulary — far cheaper than a
+        // materialization job per round. The periodic checkpoint bounds
+        // both that recomputation and the quadratic re-planning of an
+        // unbounded expression chain (the Components-loop lesson).
+        if ((r + 1) % checkpointEvery == 0)
+          words = words.localCheckpoint(true)
+      }
+      r += 1
+    }
+    rules.toSeq
+  }
+
+  /** The trained segmentation lookup: (word, n_bpe_tokens, tokens) for
+    * every vocabulary entry after applying `rules` in rank order. */
+  def segmentVocab(freqs: DataFrame, rules: Seq[MergeRule]): DataFrame = {
+    val init = freqs.select(col("word"),
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"))
+    val segmented = rules.sortBy(_.rank).zipWithIndex
+      .foldLeft(init) { case (df0, (rule, i)) =>
+        val next = df0.select(col("word"),
+          BpeMerge.merge(col("syms"), rule.left, rule.right).as("syms"))
+        // same lineage bound as the trainer
+        if ((i + 1) % 16 == 0) next.localCheckpoint(true) else next
+      }
+    segmented.select(col("word"), size(col("syms")).as("n_bpe_tokens"),
+      col("syms").as("tokens"))
+  }
+
+  /** Per-document compression under the trained vocabulary:
+    * (idCol, n_pretokens, n_bpe_tokens). The corpus-sized pass is one
+    * explode + one join against the (small, broadcast) segmentation
+    * lookup + one per-doc sum; OOV words (absent from the training
+    * vocabulary) fall back to character count — the untrained
+    * segmentation.
+    */
+  def tokenCompression(docs: DataFrame, textCol: String, idCol: String,
+      freqs: DataFrame, rules: Seq[MergeRule]): DataFrame = {
+    val lookup = segmentVocab(freqs, rules).select("word", "n_bpe_tokens")
+    docs
+      .select(col(idCol), explode(regexp_extract_all(col(textCol),
+        lit(preTokenPattern), lit(0))).as("word"))
+      .join(broadcast(lookup), Seq("word"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bpe_tokens"), length(col("word"))).as("n_tok"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(col("n_tok").cast("long")).as("n_bpe_tokens"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Bpe
+
+/** The distributed BPE trainer against an independent in-memory reference
+  * implementation — EXACT merge-sequence equality over the real sf0.001
+  * corpus, plus the kernel and compression contracts.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Straight-line reference BPE over a word-frequency map (the textbook
+    * algorithm, no Spark): same tie-break (count desc, left asc, right
+    * asc), same left-to-right non-overlapping merge application.
+    */
+  private def referenceBpe(freqs: Map[String, Long], nMerges: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] = freqs.map { case (w, c) =>
+      w.toVector.map(_.toString) -> c
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rt), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((l, rt, c))
+        words = words.toSeq.map { case (syms, cnt) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rt) {
+              merged += (l + rt); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.toVector -> cnt
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe_merge kernel: left-to-right non-overlap, interpreted==codegen") {
+    import graft.functions.BpeMerge
+    val df = Seq(
+      Seq("a", "a", "a"),          // -> ["aa","a"], NOT ["a","aa"]
+      Seq("a", "b", "a", "b"),     // -> ["ab","ab"]
+      Seq("x"), Seq.empty[String],
+    ).toDF("s")
+    val expected = Seq(Seq("aa", "a"), Seq("ab", "ab"), Seq("x"), Seq())
+    def run() = df.select(BpeMerge.merge(col("s"), "a",
+      "a")).collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(run().head == Seq("aa", "a"))
+    def runAB() = df.select(BpeMerge.merge(col("s"), "a", "b"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(runAB()(1) == Seq("ab", "ab"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(run().head == Seq("aa", "a"))
+      assert(runAB() == Seq(Seq("a", "a", "a"), Seq("ab", "ab"), Seq("x"), Seq())
+        .map(s => if (s == Seq("a", "a", "a")) s else s)) // same shapes
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val _ = expected // shape documented above
+  }
+
+  test("trainBpe matches the textbook example") {
+    // Sennrich-style fixture: {"hug":10, "pug":5, "pun":12, "bun":4, "hugs":5}
+    val freqs = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
+      ("hugs", 5L)).toDF("word", "cnt")
+    val rules = Bpe.trainBpeOnFreqs(freqs, nMerges = 3)
+    val ref = referenceBpe(Map("hug" -> 10L, "pug" -> 5L, "pun" -> 12L,
+      "bun" -> 4L, "hugs" -> 5L), 3)
+    assert(rules.map(r => (r.left, r.right, r.count)) == ref, s"$rules vs $ref")
+    // first merge must be (u,g) c=20 or (u,n) c=16 — (u,g) wins
+    assert(rules.head.left == "u" && rules.head.right == "g" &&
+      rules.head.count == 20L)
+  }
+
+  test("distributed trainer == in-memory reference over the real sf0.001 corpus") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val freqsDf = Bpe.wordFreqs(docs, "text")
+    val freqs = freqsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 12 // crosses a checkpointEvery boundary (8)
+    val dist = Bpe.trainBpe(docs, "text", n)
+      .map(r => (r.left, r.right, r.count))
+    val ref = referenceBpe(freqs, n)
+    assert(dist == ref,
+      s"divergence at rank ${dist.zip(ref).indexWhere(t => t._1 != t._2) + 1}: $dist vs $ref")
+  }
+
+  test("token compression is monotone and exact on in-vocabulary text") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(50)
+    val freqs = Bpe.wordFreqs(docs, "text")
+    val rules = Bpe.trainBpe(docs.limit(50), "text", 10)
+    val out = Bpe.tokenCompression(docs, "text", "doc_id", freqs, rules)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // BPE only fuses: per-doc bpe tokens <= total chars, >= pretokens
+    out.foreach { case (id, pre, bpe) =>
+      assert(bpe >= pre, s"doc $id: bpe tokens $bpe below pretoken floor $pre")
+    }
+    // merges strictly reduce total tokens vs the no-merge segmentation
+    val none = Bpe.tokenCompression(docs, "text", "doc_id", freqs, Seq.empty)
+      .agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    val trained = out.map(_._3).sum
+    assert(trained < none, s"10 merges must compress: $trained vs $none")
+  }
+}
