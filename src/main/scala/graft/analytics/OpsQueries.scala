@@ -378,5 +378,48 @@ object OpsQueries {
           Seq("c_mktsegment", "c_acctbal"), to_date(lit("2025-06-01")))
         .orderBy("c_custkey", "valid_from")
     },
+
+    // ---- snapshot CDC diff: two versioned commits of an orders slice
+    // (v0 = keys%7!=0 as loaded; v1 = keys%5!=0 with %3 prices doubled),
+    // then the version-to-version change feed — insert/delete/update per
+    // key. ONE key-shuffled full-outer join of the snapshots, non-key
+    // columns packed into a struct for a single null-safe compare; the
+    // downstream-incremental primitive the reference's in-place
+    // overwrites cannot provide. The oracle re-derives both snapshots
+    // from `orders` directly — the versioned store must be a pure
+    // pass-through (commit then read-back changes nothing).
+    QueryDef(
+      "q95_snapshot_diff",
+      Some("""
+        WITH v0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey % 7 <> 0),
+        v1 AS (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice
+               FROM orders WHERE o_orderkey % 5 <> 0)
+        SELECT o_orderkey, change_type FROM (
+          SELECT coalesce(v0.o_orderkey, v1.o_orderkey) AS o_orderkey,
+            CASE WHEN v0.o_orderkey IS NULL THEN 'insert'
+                 WHEN v1.o_orderkey IS NULL THEN 'delete'
+                 WHEN v0.o_totalprice IS DISTINCT FROM v1.o_totalprice
+                   OR v0.o_orderstatus IS DISTINCT FROM v1.o_orderstatus
+                   THEN 'update' END AS change_type
+          FROM v0 FULL JOIN v1 ON v0.o_orderkey = v1.o_orderkey)
+        WHERE change_type IS NOT NULL
+        ORDER BY o_orderkey"""),
+    ) { (s, dir) =>
+      import graft.warehouse.VersionedTable
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val tbl = java.nio.file.Files.createTempDirectory("graft-vtbl").toString
+      VersionedTable.commit(orders.filter(col("o_orderkey") % 7 =!= 0), tbl)
+      VersionedTable.commit(
+        orders.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice"))), tbl)
+      VersionedTable.diff(s, tbl, 0L, 1L, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
   )
 }

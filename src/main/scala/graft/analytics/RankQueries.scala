@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.TextRank
+import graft.ops.{Rrf, TextRank, VectorSim}
 
 /** Text-relevance ranking and corpus-sharding queries over `documents` —
   * the retrieval/curation surface of a training-data pipeline (beyond the
@@ -111,6 +111,58 @@ object RankQueries {
     ) { (s, dir) =>
       TextRank.phraseMatch(Tables.documents(s, dir), "text", "doc_id",
         phrase, topK = 15).orderBy("doc_id")
+    },
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    // top-20 and the vector cosine top-20 (query = doc 0's embedding;
+    // doc_id and vec_id share the id space). Only RANKS enter the fused
+    // score — 1/(60+rank) is one IEEE division of exact integers, summed
+    // in fixed list order — so the whole chain is hash-exact even though
+    // the two legs' score scales are incomparable. The legs keep their
+    // own corpus-scale shapes; fusion touches O(lists·topK) rows.
+    QueryDef(
+      "q94_hybrid_rrf",
+      Some(s"""
+        WITH lex0 AS (${TextRank.bm25OracleSql(bm25Terms, topK = 20)}),
+        lex AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+                FROM lex0),
+        vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        vec AS (SELECT doc_id, rank FROM (
+                  SELECT e.vec_id AS doc_id,
+                         row_number() OVER (ORDER BY
+                           ${VectorQueries.cosSql("vq.qv", "e.embedding")} DESC,
+                           e.vec_id) AS rank
+                  FROM embeddings e, vq WHERE e.vec_id != 0)
+                WHERE rank <= 20),
+        f AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                (CASE WHEN lex.rank IS NOT NULL
+                      THEN CAST(1 AS DOUBLE) / (60 + lex.rank)
+                      ELSE CAST(0 AS DOUBLE) END
+                 + CASE WHEN vec.rank IS NOT NULL
+                        THEN CAST(1 AS DOUBLE) / (60 + vec.rank)
+                        ELSE CAST(0 AS DOUBLE) END) AS rrf,
+                CAST(CASE WHEN lex.rank IS NOT NULL THEN 1 ELSE 0 END
+                     + CASE WHEN vec.rank IS NOT NULL THEN 1 ELSE 0 END
+                     AS INT) AS n_lists
+              FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
+        SELECT doc_id, rrf, n_lists FROM (
+          SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 10)
+        ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      // re-rank the <= 20-row bm25 result: a global window on a bounded
+      // post-limit list, not a corpus-sized sort
+      val lex = TextRank.bm25(docs, "text", "doc_id", bm25Terms, topK = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("bm25"), col("doc_id"))))
+        .select("doc_id", "rank")
+      val vec = VectorSim.cosineTopK(
+          emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Rrf.fuse(Seq(lex, vec), "doc_id", "rank", k0 = 60, topK = 10)
+        .orderBy("doc_id")
     },
   )
 }

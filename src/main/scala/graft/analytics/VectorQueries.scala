@@ -10,7 +10,7 @@ import graft.ops.VectorSim
   */
 object VectorQueries {
 
-  private def cosSql(a: String, b: String): String = {
+  private[analytics] def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"CAST(list_sum(list_transform(range(1, 65), i -> " +
         s"CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"

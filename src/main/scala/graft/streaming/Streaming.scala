@@ -374,6 +374,38 @@ object Streaming {
       .start()
   }
 
+  /** Streaming versioned publish: every micro-batch commits `transform`
+    * of the batch as a NEW snapshot version of a
+    * [[graft.warehouse.VersionedTable]] — the "publish a consistent table
+    * per ingest" production loop. EXACTLY-once, not effectively-once: the
+    * commit is keyed by the (incarnation-qualified) batch id through
+    * [[graft.warehouse.VersionedTable.commitBatch]], so a replayed
+    * micro-batch (restart after the commit landed but before the
+    * streaming offset log advanced) is a no-op instead of a duplicate
+    * version. Readers between batches always see a complete committed
+    * snapshot — the manifest rename is the publication point; an
+    * in-flight batch is invisible.
+    *
+    * Snapshots share no files (VersionedTable's documented
+    * simplification), so size `transform` output to publish cadence:
+    * dimension/stats tables per batch are the fit; a 100 TB fact append
+    * belongs in the batch=<id> append sinks of the other loops.
+    */
+  def versionedPublishStream(input: DataFrame, tableDir: String,
+      checkpoint: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+    val key = runKey(checkpoint)
+    input.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.warehouse.VersionedTable.commitBatch(
+          transform(batch), tableDir, s"$key-$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

@@ -40,19 +40,31 @@ object VersionedTable {
 
   private def manifest(dir: String) = new Path(s"$dir/_latest")
 
-  /** The committed version, or None for an empty/uninitialized table. */
-  def currentVersion(spark: SparkSession, dir: String): Option[Long] = {
+  private def readManifest(spark: SparkSession, dir: String): Option[(Long, Option[String])] = {
     val f = fs(spark, dir)
     val m = manifest(dir)
     if (!f.exists(m)) None
     else {
       val in = f.open(m)
       try {
-        val s = scala.io.Source.fromInputStream(in).mkString.trim
-        Some(s.toLong)
+        val lines = scala.io.Source.fromInputStream(in).getLines().toList
+        val v = lines.head.trim.toLong
+        val key = lines.drop(1).collectFirst {
+          case l if l.startsWith("batch=") => l.stripPrefix("batch=").trim
+        }
+        Some((v, key))
       } finally in.close()
     }
   }
+
+  /** The committed version, or None for an empty/uninitialized table. */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] =
+    readManifest(spark, dir).map(_._1)
+
+  /** The batch key recorded by the LAST committed [[commitBatch]], or
+    * None for plain commits / uninitialized tables. */
+  def lastBatchKey(spark: SparkSession, dir: String): Option[String] =
+    readManifest(spark, dir).flatMap(_._2)
 
   /** All snapshot versions present on disk (committed or dangling). */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -66,11 +78,13 @@ object VersionedTable {
       .sorted
   }
 
-  private def writeManifest(spark: SparkSession, dir: String, v: Long): Unit = {
+  private def writeManifest(spark: SparkSession, dir: String, v: Long,
+      batchKey: Option[String] = None): Unit = {
     val f = fs(spark, dir)
     val tmp = new Path(s"$dir/_latest.tmp")
     val out = f.create(tmp, true)
-    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    val body = s"$v\n" + batchKey.map(k => s"batch=$k\n").getOrElse("")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     // rename is the atomic commit point; delete-first for filesystems
     // whose rename does not replace
     if (f.exists(manifest(dir))) f.delete(manifest(dir), false)
@@ -91,6 +105,30 @@ object VersionedTable {
     v
   }
 
+  /** [[commit]] keyed by a batch identifier, EXACTLY-ONCE under
+    * micro-batch replay: if the committed manifest already records
+    * `batchKey`, the call is a no-op returning None. Structured
+    * Streaming's `foreachBatch` replays only the LAST uncommitted batch
+    * after a restart, so remembering one key is sufficient for the
+    * exactly-once contract — this is the standard idempotent-sink
+    * pattern (txnVersion/txnAppId in Delta's foreachBatch docs) on plain
+    * parquet. A crash after the snapshot write but before the manifest
+    * rename re-runs the batch: the retry overwrites the dangling
+    * snapshot dir and commits once.
+    */
+  def commitBatch(df: DataFrame, dir: String, batchKey: String): Option[Long] = {
+    require(batchKey.nonEmpty, "batchKey must be non-empty")
+    val spark = df.sparkSession
+    readManifest(spark, dir) match {
+      case Some((_, Some(k))) if k == batchKey => None // replayed batch
+      case m =>
+        val v = m.map(_._1 + 1).getOrElse(0L)
+        df.write.mode("overwrite").parquet(s"$dir/v=$v")
+        writeManifest(spark, dir, v, Some(batchKey))
+        Some(v)
+    }
+  }
+
   /** Read the committed snapshot (or a specific `asOf` version). Reads
     * never follow in-flight writes: the manifest names a fully-written
     * snapshot or the read fails loudly.
@@ -102,6 +140,48 @@ object VersionedTable {
     require(fs(spark, dir).exists(snap),
       s"version $v does not exist at $dir (vacuumed? never committed?)")
     spark.read.parquet(snap.toString)
+  }
+
+  /** Change-data-capture diff between two committed snapshots: one row
+    * per key whose row was inserted, deleted, or updated going
+    * `fromVersion` -> `toVersion`. Output: (keyCols..., change_type in
+    * {'insert','delete','update'}); unchanged keys are dropped. Keys must
+    * be unique per snapshot (enforced loudly — a duplicated key would
+    * make the join fan out and the verdict ambiguous).
+    *
+    * Scale shape: ONE key-shuffled full-outer join of the two snapshots
+    * — non-key columns ride as a single struct, so the change test is a
+    * null-safe struct compare, never N per-column passes; AQE handles
+    * skewed keys. This is the downstream-incremental primitive: a
+    * consumer reads the diff instead of re-scanning the full snapshot.
+    */
+  def diff(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val a = read(spark, dir, Some(fromVersion))
+    val b = read(spark, dir, Some(toVersion))
+    require(a.columns.sameElements(b.columns),
+      s"snapshot schemas diverge: v$fromVersion has ${a.columns.mkString(",")} " +
+        s"vs v$toVersion ${b.columns.mkString(",")}")
+    val dataCols = a.columns.filterNot(keyCols.contains)
+    require(dataCols.nonEmpty, "snapshots must have non-key columns to compare")
+    import org.apache.spark.sql.functions._
+    def packed(df: DataFrame, tag: String) =
+      df.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as(tag): _*)
+    Seq(fromVersion -> a, toVersion -> b).foreach { case (v, df) =>
+      val dup = df.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"snapshot v$v has a duplicated key ${dup.headOption.map(_.get(0)).orNull}; " +
+          "diff requires key-unique snapshots")
+    }
+    packed(a, "_old").join(packed(b, "_new"), keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("_old").isNull, "insert")
+          .when(col("_new").isNull, "delete")
+          .when(!(col("_old") <=> col("_new")), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) :+ col("change_type"): _*)
   }
 
   /** Point the table back at an existing older version. No data moves;

@@ -65,6 +65,93 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("diff emits insert/delete/update per key, drops unchanged, null-safe") {
+    val dir = tmp()
+    VersionedTable.commit(Seq(
+      (1L, "a", Some(1.0)),  // unchanged
+      (2L, "b", Some(2.0)),  // deleted
+      (3L, "c", None),       // null -> value: update
+      (4L, "d", Some(4.0)),  // value change: update
+    ).toDF("k", "s", "x"), dir)
+    VersionedTable.commit(Seq(
+      (1L, "a", Some(1.0)),
+      (3L, "c", Some(3.0)),
+      (4L, "d", Some(40.0)),
+      (5L, "e", Some(5.0)),  // inserted
+    ).toDF("k", "s", "x"), dir)
+    val d = VersionedTable.diff(spark, dir, 0L, 1L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((2L, "delete"), (3L, "update"), (4L, "update"), (5L, "insert")))
+    // reverse direction flips insert/delete
+    val rev = VersionedTable.diff(spark, dir, 1L, 0L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rev == Set((2L, "insert"), (3L, "update"), (4L, "update"), (5L, "delete")))
+  }
+
+  test("diff rejects duplicated keys and diverged schemas loudly") {
+    val dir = tmp()
+    VersionedTable.commit(Seq((1L, "a"), (1L, "b")).toDF("k", "s"), dir)
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), dir)
+    intercept[IllegalArgumentException] {
+      VersionedTable.diff(spark, dir, 0L, 1L, Seq("k")).collect()
+    }
+    val dir2 = tmp()
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), dir2)
+    VersionedTable.commit(Seq((1L, 2.0)).toDF("k", "x"), dir2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.diff(spark, dir2, 0L, 1L, Seq("k")).collect()
+    }
+  }
+
+  test("commitBatch is exactly-once per batch key; plain commits interleave") {
+    val dir = tmp()
+    assert(VersionedTable.commitBatch(Seq(1).toDF("x"), dir, "b0").contains(0L))
+    // replay of the SAME batch: no new version, data unchanged
+    assert(VersionedTable.commitBatch(Seq(9, 9).toDF("x"), dir, "b0").isEmpty)
+    assert(VersionedTable.currentVersion(spark, dir).contains(0L))
+    assert(VersionedTable.read(spark, dir).count() == 1)
+    assert(VersionedTable.lastBatchKey(spark, dir).contains("b0"))
+    // next batch commits; a plain commit clears the key (so a later
+    // commitBatch with an old key is NOT considered a replay)
+    assert(VersionedTable.commitBatch(Seq(1, 2).toDF("x"), dir, "b1").contains(1L))
+    VersionedTable.commit(Seq(1, 2, 3).toDF("x"), dir)
+    assert(VersionedTable.lastBatchKey(spark, dir).isEmpty)
+    assert(VersionedTable.commitBatch(Seq(4).toDF("x"), dir, "b1").contains(3L))
+  }
+
+  test("versionedPublishStream commits one snapshot per wave, exactly-once under replay") {
+    import graft.streaming.Streaming
+    val work = java.nio.file.Files.createTempDirectory("graft_vpub").toString
+    val raw = s"$work/raw"; val tbl = s"$work/tbl"; val ckpt = s"$work/ckpt"
+    val waves = Seq(Seq(1, 2, 3), Seq(4, 5), Seq(6))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(waves.head.toDF("x").schema).parquet(raw)
+      val q = Streaming.versionedPublishStream(stream, tbl, ckpt,
+        df => df.groupBy().agg(count(lit(1)).as("n"), sum("x").as("s")))
+      assert(q.awaitTermination(120000), "publish stream did not finish")
+    }
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.toDF("x").write.mode("append").parquet(raw)
+      run()
+      assert(VersionedTable.currentVersion(spark, tbl).contains(k.toLong),
+        s"wave $k must publish version $k")
+      val row = VersionedTable.read(spark, tbl).collect().head
+      assert(row.getLong(0) == w.size && row.getLong(1) == w.sum.toLong,
+        s"wave $k snapshot must aggregate exactly that wave")
+    }
+    // replayed micro-batch (restart after commit, before offset advance):
+    // same incarnation-qualified key -> no-op, no duplicate version
+    val key = s"${Streaming.runKey(ckpt)}-2"
+    assert(VersionedTable.lastBatchKey(spark, tbl).contains(key))
+    assert(VersionedTable.commitBatch(
+      Seq(99).toDF("x"), tbl, key).isEmpty)
+    assert(VersionedTable.currentVersion(spark, tbl).contains(2L))
+    // every wave's snapshot remains time-travel readable
+    assert(VersionedTable.read(spark, tbl, asOf = Some(0L))
+      .collect().head.getLong(0) == 3L)
+  }
+
   test("scd2 + versioned publish: the dimension-maintenance pair") {
     val dir = tmp()
     val dim0 = Seq((1L, "A", 10.0, java.sql.Date.valueOf("2024-01-01"),
