@@ -421,5 +421,43 @@ object OpsQueries {
       VersionedTable.diff(s, tbl, 0L, 1L, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     },
+
+    // ---- incremental view maintenance: a (status, count, exact-sum)
+    // view built over snapshot v0 is updated from the v0->v1 CDC feed
+    // ALONE — never re-scanning v1 — and must equal a direct recompute
+    // over v1 bit-for-bit. The decimal fixed-scale sum (Det) is what
+    // makes (base ± deltas) associative-exact; the ORACLE is the direct
+    // recompute, so the hash check IS the incremental==full contract.
+    // At 100 TB: maintenance cost tracks churn, not table size.
+    QueryDef(
+      "q96_incremental_agg",
+      Some(s"""
+        WITH v1 AS (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice
+               FROM orders WHERE o_orderkey % 5 <> 0)
+        SELECT o_orderstatus, COUNT(*) AS n,
+               ${Det.sqlSum("o_totalprice")} AS sum_price
+        FROM v1 GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    ) { (s, dir) =>
+      import graft.warehouse.{IncrementalAgg, VersionedTable}
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val tbl = java.nio.file.Files.createTempDirectory("graft-vtbl96").toString
+      VersionedTable.commit(orders.filter(col("o_orderkey") % 7 =!= 0), tbl)
+      VersionedTable.commit(
+        orders.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice"))), tbl)
+      val view0 = IncrementalAgg.countSumView(
+        VersionedTable.read(s, tbl, asOf = Some(0L)),
+        "o_orderstatus", "o_totalprice")
+      val cdc = VersionedTable.diffValues(s, tbl, 0L, 1L, Seq("o_orderkey"))
+      IncrementalAgg.present(
+          IncrementalAgg.applyCdc(view0, cdc, "o_orderstatus", "o_totalprice"),
+          "o_orderstatus", "sum_price")
+        .orderBy("o_orderstatus")
+    },
   )
 }

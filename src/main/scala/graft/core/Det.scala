@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Det {
   private val S = 6 // fractional digits kept before exact summation
-  private def dec(c: Column): Column = c.cast(DecimalType(38, S))
+  private[graft] def dec(c: Column): Column = c.cast(DecimalType(38, S))
 
   /** Exact sum of a double expression, returned as double. */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")

@@ -157,6 +157,20 @@ object VersionedTable {
     */
   def diff(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    diffValues(spark, dir, fromVersion, toVersion, keyCols)
+      .select(keyCols.map(col) :+ col("change_type"): _*)
+  }
+
+  /** [[diff]] with the full BEFORE/AFTER row images (Debezium's CDC
+    * envelope shape): (keyCols..., change_type, _old, _new) where
+    * `_old`/`_new` are structs of the non-key columns — null on the
+    * insert/delete side respectively. The value-bearing feed is what
+    * incremental consumers need ([[IncrementalAgg.applyCdc]] folds it
+    * into maintained aggregates without touching the snapshots).
+    */
+  def diffValues(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     val a = read(spark, dir, Some(fromVersion))
     val b = read(spark, dir, Some(toVersion))
@@ -181,7 +195,7 @@ object VersionedTable {
           .when(col("_new").isNull, "delete")
           .when(!(col("_old") <=> col("_new")), "update"))
       .filter(col("change_type").isNotNull)
-      .select(keyCols.map(col) :+ col("change_type"): _*)
+      .select(keyCols.map(col) ++ Seq(col("change_type"), col("_old"), col("_new")): _*)
   }
 
   /** Point the table back at an existing older version. No data moves;

@@ -152,6 +152,38 @@ class VersionedTableSpec extends SparkSpec {
       .collect().head.getLong(0) == 3L)
   }
 
+  test("incremental count/sum view equals direct recompute across chained CDC batches") {
+    import graft.warehouse.IncrementalAgg
+    val dir = tmp()
+    VersionedTable.commit(Seq(
+      (1L, "a", 1.5), (2L, "a", 2.25), (3L, "b", 3.0)).toDF("k", "g", "m"), dir)
+    // v1: in-group update (1), group-migrating update (2: a->b),
+    // delete (3), insert into a NEW group (4: c)
+    VersionedTable.commit(Seq(
+      (1L, "a", 10.0), (2L, "b", 2.25), (4L, "c", 4.0)).toDF("k", "g", "m"), dir)
+    // v2: group b EMPTIES (2 deleted), c updates
+    VersionedTable.commit(Seq(
+      (1L, "a", 10.0), (4L, "c", 4.5)).toDF("k", "g", "m"), dir)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.present(df, "g").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+
+    var view = IncrementalAgg.countSumView(
+      VersionedTable.read(spark, dir, Some(0L)), "g", "m")
+    Seq((0L, 1L), (1L, 2L)).foreach { case (f, t) =>
+      view = IncrementalAgg.applyCdc(view,
+        VersionedTable.diffValues(spark, dir, f, t, Seq("k")), "g", "m")
+      val direct = IncrementalAgg.countSumView(
+        VersionedTable.read(spark, dir, Some(t)), "g", "m")
+      assert(rows(view) == rows(direct),
+        s"after $f->$t maintained=${rows(view)} direct=${rows(direct)}")
+    }
+    // the emptied group left the view entirely
+    assert(rows(view).map(_._1) == List("a", "c"))
+    assert(rows(view) == List(("a", 1L, 10.0), ("c", 1L, 4.5)))
+  }
+
   test("scd2 + versioned publish: the dimension-maintenance pair") {
     val dir = tmp()
     val dim0 = Seq((1L, "A", 10.0, java.sql.Date.valueOf("2024-01-01"),
