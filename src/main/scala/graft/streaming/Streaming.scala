@@ -406,6 +406,58 @@ object Streaming {
       .start()
   }
 
+  /** Streaming MATERIALIZED-VIEW maintenance — the composition the CDC
+    * pieces exist for: every micro-batch publishes a new snapshot of the
+    * base table ([[graft.warehouse.VersionedTable.commitBatch]]), derives
+    * the version-to-version CDC feed, and folds it into a maintained
+    * (group, count, exact-sum) view committed as ITS OWN versioned table
+    * — so both the table and its aggregate view are consistently
+    * versioned, and the view is updated at churn cost, never by
+    * re-scanning the snapshot ([[graft.warehouse.IncrementalAgg]]).
+    *
+    * Each micro-batch must carry the table's COMPLETE new state (the
+    * publish-cadence model of [[versionedPublishStream]], not an append
+    * feed). Crash/replay safety, step by step: the table commit is
+    * batch-keyed (replay = no-op); the view step is skipped iff the view
+    * already recorded this batch's key, so a crash between the two
+    * commits resumes by re-deriving the view from the committed table
+    * pair — and the exact decimal arithmetic guarantees the re-derived
+    * view is bit-identical to what the crashed attempt would have
+    * committed.
+    */
+  def materializedViewStream(input: DataFrame, tableDir: String,
+      viewDir: String, checkpoint: String, keyCols: Seq[String],
+      groupCol: String, measureCol: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+    val key = runKey(checkpoint)
+    input.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.warehouse.{IncrementalAgg, VersionedTable}
+        val sp = batch.sparkSession
+        val bk = s"$key-$batchId"
+        VersionedTable.commitBatch(transform(batch), tableDir, bk)
+        if (!VersionedTable.lastBatchKey(sp, viewDir).contains(bk)) {
+          val cur = VersionedTable.currentVersion(sp, tableDir).getOrElse(
+            throw new IllegalStateException(
+              s"table commit for batch $bk left no committed version at $tableDir"))
+          val view =
+            if (cur == 0L)
+              IncrementalAgg.countSumView(
+                VersionedTable.read(sp, tableDir), groupCol, measureCol)
+            else
+              IncrementalAgg.applyCdc(
+                VersionedTable.read(sp, viewDir),
+                VersionedTable.diffValues(sp, tableDir, cur - 1, cur, keyCols),
+                groupCol, measureCol)
+          VersionedTable.commitBatch(view, viewDir, bk)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

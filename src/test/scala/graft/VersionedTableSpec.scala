@@ -184,6 +184,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(view) == List(("a", 1L, 10.0), ("c", 1L, 4.5)))
   }
 
+  test("materializedViewStream keeps table and view consistently versioned per wave") {
+    import graft.streaming.Streaming
+    import graft.warehouse.IncrementalAgg
+    val work = java.nio.file.Files.createTempDirectory("graft_mvs").toString
+    val raw = s"$work/raw"; val tbl = s"$work/tbl"
+    val vw = s"$work/vw"; val ckpt = s"$work/ckpt"
+    // each wave is the table's COMPLETE new state: in-group update,
+    // delete, insert, then a group-migrating update and an emptied group
+    val waves = Seq(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)),
+      Seq((1L, "a", 5.0), (3L, "b", 3.0)),
+      Seq((3L, "c", 3.0)))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(waves.head.toDF("k", "g", "m").schema).parquet(raw)
+      val q = Streaming.materializedViewStream(stream, tbl, vw, ckpt,
+        Seq("k"), "g", "m")
+      assert(q.awaitTermination(120000), "view stream did not finish")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.present(df, "g").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.toDF("k", "g", "m").write.mode("append").parquet(raw)
+      run()
+      assert(VersionedTable.currentVersion(spark, tbl).contains(k.toLong))
+      assert(VersionedTable.currentVersion(spark, vw).contains(k.toLong))
+      val maintained = rows(VersionedTable.read(spark, vw))
+      val direct = rows(IncrementalAgg.countSumView(
+        VersionedTable.read(spark, tbl), "g", "m"))
+      assert(maintained == direct,
+        s"wave $k maintained=$maintained direct=$direct")
+    }
+    assert(rows(VersionedTable.read(spark, vw)) == List(("c", 1L, 3.0)))
+    // every wave's VIEW snapshot is itself time-travel readable
+    assert(rows(VersionedTable.read(spark, vw, asOf = Some(0L))) ==
+      List(("a", 1L, 1.0), ("b", 1L, 2.0)))
+  }
+
   test("scd2 + versioned publish: the dimension-maintenance pair") {
     val dir = tmp()
     val dim0 = Seq((1L, "A", 10.0, java.sql.Date.valueOf("2024-01-01"),
