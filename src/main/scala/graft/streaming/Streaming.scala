@@ -393,12 +393,20 @@ object Streaming {
     */
   def versionedPublishStream(input: DataFrame, tableDir: String,
       checkpoint: String,
-      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+      transform: DataFrame => DataFrame = identity,
+      keepVersions: Int = 0): StreamingQuery = {
     val key = runKey(checkpoint)
     input.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.warehouse.VersionedTable.commitBatch(
           transform(batch), tableDir, s"$key-$batchId")
+        // retention AFTER the commit: continuous publishing otherwise
+        // accumulates one immutable snapshot per batch forever. vacuum
+        // never touches the committed version, so a concurrent reader
+        // of the CURRENT snapshot is safe; only deep time travel ages out.
+        if (keepVersions > 0)
+          graft.warehouse.VersionedTable.vacuum(
+            batch.sparkSession, tableDir, keepVersions)
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -428,7 +436,8 @@ object Streaming {
   def materializedViewStream(input: DataFrame, tableDir: String,
       viewDir: String, checkpoint: String, keyCols: Seq[String],
       groupCol: String, measureCol: String,
-      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+      transform: DataFrame => DataFrame = identity,
+      keepVersions: Int = 0): StreamingQuery = {
     val key = runKey(checkpoint)
     input.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -450,6 +459,16 @@ object Streaming {
                 VersionedTable.diffValues(sp, tableDir, cur - 1, cur, keyCols),
                 groupCol, measureCol)
           VersionedTable.commitBatch(view, viewDir, bk)
+        }
+        // retention AFTER both commits. keepVersions >= 2 is enforced on
+        // the table: the NEXT batch's CDC derivation reads version cur-1,
+        // which keep=1 would have deleted.
+        if (keepVersions > 0) {
+          require(keepVersions >= 2,
+            "materializedViewStream needs keepVersions >= 2: the next " +
+              "batch diffs against the previous table version")
+          graft.warehouse.VersionedTable.vacuum(sp, tableDir, keepVersions)
+          graft.warehouse.VersionedTable.vacuum(sp, viewDir, keepVersions)
         }
         ()
       }

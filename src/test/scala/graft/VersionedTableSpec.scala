@@ -223,6 +223,39 @@ class VersionedTableSpec extends SparkSpec {
       List(("a", 1L, 1.0), ("b", 1L, 2.0)))
   }
 
+  test("stream retention bounds snapshots; view maintenance survives vacuumed history") {
+    import graft.streaming.Streaming
+    import graft.warehouse.IncrementalAgg
+    val work = java.nio.file.Files.createTempDirectory("graft_mvsv").toString
+    val raw = s"$work/raw"; val tbl = s"$work/tbl"
+    val vw = s"$work/vw"; val ckpt = s"$work/ckpt"
+    val waves = Seq(
+      Seq((1L, "a", 1.0)),
+      Seq((1L, "a", 2.0), (2L, "b", 2.0)),
+      Seq((2L, "b", 4.0), (3L, "a", 1.5)),
+      Seq((3L, "c", 1.5)))
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.toDF("k", "g", "m").write.mode("append").parquet(raw)
+      val stream = spark.readStream
+        .schema(waves.head.toDF("k", "g", "m").schema).parquet(raw)
+      val q = Streaming.materializedViewStream(stream, tbl, vw, ckpt,
+        Seq("k"), "g", "m", keepVersions = 2)
+      assert(q.awaitTermination(120000), s"wave $k did not finish")
+    }
+    // current version advanced to 3; only the newest 2 snapshots survive
+    assert(VersionedTable.currentVersion(spark, tbl).contains(3L))
+    assert(VersionedTable.versions(spark, tbl) == Seq(2L, 3L))
+    assert(VersionedTable.versions(spark, vw) == Seq(2L, 3L))
+    // the maintained view — built across vacuumed history — still equals
+    // the direct recompute of the final snapshot
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.present(df, "g").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    assert(rows(VersionedTable.read(spark, vw)) ==
+      rows(IncrementalAgg.countSumView(VersionedTable.read(spark, tbl), "g", "m")))
+    assert(rows(VersionedTable.read(spark, vw)) == List(("c", 1L, 1.5)))
+  }
+
   test("scd2 + versioned publish: the dimension-maintenance pair") {
     val dir = tmp()
     val dim0 = Seq((1L, "A", 10.0, java.sql.Date.valueOf("2024-01-01"),
