@@ -459,5 +459,23 @@ object OpsQueries {
           "o_orderstatus", "sum_price")
         .orderBy("o_orderstatus")
     },
+
+    // ---- incremental distinct counts from persisted mergeable HLL
+    // sketches: three ingest batches each write a per-source sketch
+    // segment; serving unions the sketches (kilobytes) — ingested data
+    // is never re-scanned. no_oracle by design (DataSketches binary /
+    // approximate surface; DuckDB's approx_distinct is a different
+    // sketch) — SketchStatsSpec pins merged-vs-single-pass-vs-exact.
+    QueryDef("q97_incremental_distinct", None) { (s, dir) =>
+      import graft.ops.SketchStats
+      val docs = Tables.documents(s, dir)
+      val skDir = java.nio.file.Files.createTempDirectory("graft-hll97").toString
+      (0 until 3).foreach { k =>
+        SketchStats.appendHllBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === k),
+          "doc_id", skDir, s"b$k", groupCols = Seq("source"))
+      }
+      SketchStats.hllDistinct(s, skDir, Seq("source")).orderBy("source")
+    },
   )
 }
