@@ -78,4 +78,35 @@ object SketchStats {
     if (groupCols.isEmpty) sk.agg(est)
     else sk.groupBy(groupCols.map(col): _*).agg(est)
   }
+
+  /** Compact all sketch segments into one `base` segment — the
+    * segment-merge lifecycle step of the sketch index. The union is the
+    * exact register-wise max and associative, so serving from the
+    * compacted segment is IDENTICAL to serving from the N inputs
+    * (contract-tested) — unlike the estimate-vs-single-pass relation,
+    * this equality is exact, because both paths serve the same merged
+    * register state. Staged-swap protected like every index compaction
+    * here: a crashed merge leaves the live index intact, a crash between
+    * delete and rename promotes the stage ([[StagedSwap]]).
+    */
+  def compactHll(spark: SparkSession, dir: String,
+      groupCols: Seq[String] = Nil): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val tmpPath = new org.apache.hadoop.fs.Path(dir + "_merging")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StagedSwap.recoverOrClearStage(fs, dirPath, tmpPath)
+    val sk = spark.read.parquet(dir)
+    val lgks = sk.select("lgk").distinct().collect().map(_.getInt(0))
+    require(lgks.length == 1,
+      s"sketch index at $dir mixes lgK values ${lgks.sorted.mkString(",")}; " +
+        "repair before compacting — the merge would bake the precision " +
+        "loss into the base segment permanently")
+    val merged = hll_union_agg(col("sketch"), lit(false)).as("sketch")
+    val out =
+      if (groupCols.isEmpty) sk.agg(merged)
+      else sk.groupBy(groupCols.map(col): _*).agg(merged)
+    out.withColumn("lgk", lit(lgks.head))
+      .write.mode("overwrite").parquet(s"$tmpPath/seg=base")
+    StagedSwap.swap(fs, dirPath, tmpPath)
+  }
 }

@@ -477,6 +477,38 @@ object Streaming {
       .start()
   }
 
+  /** Streaming incremental-statistics maintenance: every micro-batch
+    * appends its HLL distinct-count sketch segment
+    * ([[graft.ops.SketchStats.appendHllBatch]]); serving
+    * ([[graft.ops.SketchStats.hllDistinct]]) reads kilobytes of
+    * registers between batches. With `compactEvery > 0`, every Nth batch
+    * folds all segments into `base` first — and unlike the dedup-index
+    * loops, NO own-batch exclusion is needed: HLL registers are
+    * max-merged, so a crashed prior attempt's contribution already baked
+    * into base is simply re-asserted by the retry's overwrite — distinct
+    * counting is idempotent BY VALUE, not just by segment layout.
+    */
+  def sketchStatsStream(input: DataFrame, sketchDir: String,
+      checkpoint: String, valueCol: String,
+      groupCols: Seq[String] = Nil, lgK: Int = 12,
+      compactEvery: Int = 0): StreamingQuery = {
+    val key = runKey(checkpoint)
+    input.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(sketchDir)
+        val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+            fs.exists(p))
+          graft.ops.SketchStats.compactHll(sp, sketchDir, groupCols)
+        graft.ops.SketchStats.appendHllBatch(batch, valueCol, sketchDir,
+          s"$key-$batchId", groupCols, lgK)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

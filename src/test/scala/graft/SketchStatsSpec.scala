@@ -55,6 +55,52 @@ class SketchStatsSpec extends SparkSpec {
     }
   }
 
+  test("compaction serves identically to the N input segments; crash-safe stage") {
+    val dir0 = java.nio.file.Files.createTempDirectory("graft_hllc").toString
+    val dir = s"$dir0/sk"
+    (0 until 3).foreach { k =>
+      SketchStats.appendHllBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k),
+        "doc_id", dir, s"b$k", groupCols = Seq("source"))
+    }
+    def serve() = SketchStats.hllDistinct(spark, dir, Seq("source"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = serve()
+    SketchStats.compactHll(spark, dir, Seq("source"))
+    val segs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segs == Set("seg=base"), segs.toString)
+    assert(serve() == before,
+      "register-max union is associative: compacted serving must be identical")
+    // appends continue after compaction; idempotent re-assertion of the
+    // same values cannot move the estimate (HLL is idempotent by value)
+    SketchStats.appendHllBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      "doc_id", dir, "again", groupCols = Seq("source"))
+    assert(serve() == before)
+  }
+
+  test("streamed sketch maintenance with mid-stream compaction tracks exact counts") {
+    import graft.streaming.Streaming
+    val work = java.nio.file.Files.createTempDirectory("graft_hlls").toString
+    val raw = s"$work/raw"; val sk = s"$work/sk"; val ckpt = s"$work/ckpt"
+    val waves = (0 until 3).map(k => docs.filter(pmod(col("doc_id"), lit(3)) === k))
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.write.mode("append").parquet(raw)
+      val stream = spark.readStream.schema(docs.schema).parquet(raw)
+      val q = Streaming.sketchStatsStream(stream, sk, ckpt, "doc_id",
+        compactEvery = 2)
+      assert(q.awaitTermination(120000), s"wave $k did not finish")
+    }
+    // compaction fired at batch 2: segments are base + the later batches
+    val segs = new java.io.File(sk).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segs.contains("seg=base") && segs.size == 2, segs.toString)
+    val est = SketchStats.hllDistinct(spark, sk).head.getLong(0)
+    val exact = docs.select("doc_id").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
+  }
+
   test("mixed-lgK segments are rejected loudly, reserved chars too") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hllm").toString
     SketchStats.appendHllBatch(docs.limit(50), "doc_id", dir, "b0", lgK = 12)
