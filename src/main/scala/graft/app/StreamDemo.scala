@@ -199,8 +199,66 @@ object StreamDemo {
     println(s"decontam stream: ${flaggedIds.size} flagged / ${cleanIds.size} clean " +
       s"over 3 waves (partition=$deconPartitionOk, batch-equivalent=$deconBatchOk)")
 
+    // ---- streaming materialized view: each wave publishes a COMPLETE
+    // table snapshot, the view is maintained from the CDC feed alone;
+    // gate: maintained == direct recompute of the latest snapshot, and
+    // the table/view versions advance in lockstep.
+    import graft.warehouse.{IncrementalAgg, VersionedTable}
+    val mwork = s"$work/mview"
+    val stateWaves = (0 until 3).map(k =>
+      docs.filter(col("doc_id") % 3 <= k)
+        .select(col("doc_id"), col("source"),
+          // mutate the measure per wave so updates (not just inserts)
+          // flow through the CDC feed
+          (col("n_chars") + lit(k)).as("n_chars")))
+    stateWaves.zipWithIndex.foreach { case (w, k) =>
+      // each wave dir holds the COMPLETE new state; a fresh checkpoint
+      // per wave makes its one micro-batch read exactly that state
+      w.write.mode("overwrite").parquet(s"$mwork/raw_w$k")
+      val q = Streaming.materializedViewStream(
+        spark.readStream.schema(w.schema).parquet(s"$mwork/raw_w$k"),
+        s"$mwork/tbl", s"$mwork/view", s"$mwork/ckpt_$k",
+        Seq("doc_id"), "source", "n_chars")
+      if (!q.awaitTermination(120000)) {
+        println("materialized view wave timed out"); spark.stop(); sys.exit(2)
+      }
+    }
+    val maintained = IncrementalAgg.present(
+        VersionedTable.read(spark, s"$mwork/view"), "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = IncrementalAgg.present(IncrementalAgg.countSumView(
+        VersionedTable.read(spark, s"$mwork/tbl"), "source", "n_chars"), "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val tblVer = VersionedTable.currentVersion(spark, s"$mwork/tbl")
+    val viewVer = VersionedTable.currentVersion(spark, s"$mwork/view")
+    val mviewOk = maintained == direct && maintained.nonEmpty &&
+      tblVer == viewVer && tblVer.contains(2L)
+    println(s"materialized view stream: ${maintained.size} groups over 3 snapshots " +
+      s"(maintained==direct=${maintained == direct}, versions lockstep=$tblVer/$viewVer)")
+
+    // ---- streaming sketch stats: per-wave HLL segments with mid-stream
+    // compaction; gate: the served estimate tracks the exact count.
+    import graft.ops.SketchStats
+    val kwork = s"$work/sketch"
+    docWaves.foreach { w =>
+      w.write.mode("append").parquet(s"$kwork/raw")
+      val q = Streaming.sketchStatsStream(
+        spark.readStream.schema(docs.schema).parquet(s"$kwork/raw"),
+        s"$kwork/sk", s"$kwork/ckpt", "doc_id", compactEvery = 2)
+      if (!q.awaitTermination(120000)) {
+        println("sketch stream wave timed out"); spark.stop(); sys.exit(2)
+      }
+    }
+    val estDistinct = SketchStats.hllDistinct(spark, s"$kwork/sk").head.getLong(0)
+    val exactDistinct = docs.select("doc_id").distinct().count()
+    val sketchOk =
+      math.abs(estDistinct - exactDistinct).toDouble / exactDistinct < 0.05
+    println(s"sketch stats stream: estimate=$estDistinct exact=$exactDistinct " +
+      s"over 3 waves with compaction (within 5%=$sketchOk)")
+
     if (finalCount != perWave * waves || sum != 5000 || !dedupOk || !vDedupOk ||
-        !searchOk || !mergeOk || !deconPartitionOk || !deconBatchOk) {
+        !searchOk || !mergeOk || !deconPartitionOk || !deconBatchOk ||
+        !mviewOk || !sketchOk) {
       spark.stop(); sys.exit(2)
     }
     spark.stop()
