@@ -477,5 +477,57 @@ object OpsQueries {
       }
       SketchStats.hllDistinct(s, skDir, Seq("source")).orderBy("source")
     },
+
+    // ---- publish-gate stats drift between snapshot versions: v1 doubles
+    // %3 prices AND nulls out %11 prices (a simulated bad load), and the
+    // monitor must surface the null-rate jump and mean shift per column.
+    // ONE wide aggregate per snapshot (Det decimal sums), a 1-row cross
+    // join, per-column projection — every output float is a single
+    // division of exact values, so the whole monitor hash-matches.
+    QueryDef(
+      "q98_stats_drift",
+      Some(s"""
+        WITH v0 AS (SELECT o_orderkey, o_custkey, o_totalprice
+                    FROM orders WHERE o_orderkey % 7 <> 0),
+        v1 AS (SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                      WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice
+               FROM orders WHERE o_orderkey % 5 <> 0),
+        s0 AS (SELECT count(*) AS n_old,
+                 count(o_custkey) AS nn_ck, ${Det.sqlSum("o_custkey")} AS s_ck,
+                 count(o_totalprice) AS nn_tp, ${Det.sqlSum("o_totalprice")} AS s_tp
+               FROM v0),
+        s1 AS (SELECT count(*) AS n_new,
+                 count(o_custkey) AS nn_ck, ${Det.sqlSum("o_custkey")} AS s_ck,
+                 count(o_totalprice) AS nn_tp, ${Det.sqlSum("o_totalprice")} AS s_tp
+               FROM v1)
+        SELECT 'o_custkey' AS col_name, n_old, n_new,
+               (n_old - s0.nn_ck) / CAST(n_old AS DOUBLE) AS null_frac_old,
+               (n_new - s1.nn_ck) / CAST(n_new AS DOUBLE) AS null_frac_new,
+               s0.s_ck / s0.nn_ck AS mean_old, s1.s_ck / s1.nn_ck AS mean_new
+        FROM s0 CROSS JOIN s1
+        UNION ALL
+        SELECT 'o_totalprice', n_old, n_new,
+               (n_old - s0.nn_tp) / CAST(n_old AS DOUBLE),
+               (n_new - s1.nn_tp) / CAST(n_new AS DOUBLE),
+               s0.s_tp / s0.nn_tp, s1.s_tp / s1.nn_tp
+        FROM s0 CROSS JOIN s1
+        ORDER BY col_name"""),
+    ) { (s, dir) =>
+      import graft.warehouse.{StatsDrift, VersionedTable}
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tbl = java.nio.file.Files.createTempDirectory("graft-vtbl98").toString
+      VersionedTable.commit(orders.filter(col("o_orderkey") % 7 =!= 0), tbl)
+      VersionedTable.commit(
+        orders.filter(col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 11 === 0, lit(null))
+              .when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice"))), tbl)
+      StatsDrift.statsDrift(s, tbl, 0L, 1L, Seq("o_custkey", "o_totalprice"))
+        .orderBy("col_name")
+    },
   )
 }
