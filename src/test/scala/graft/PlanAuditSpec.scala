@@ -190,4 +190,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "probe lost the broadcast gram join")
     assert(!p.contains("SortMergeJoin"), "probe re-keys the batch grams")
   }
+
+  test("hybrid RRF legs keep their shapes: broadcast cosine, no cartesian fusion") {
+    val p = plan("q94_hybrid_rrf")
+    // the cosine leg broadcasts its single query vector; the fusion join
+    // on bounded top-k lists must never degrade to a cartesian product
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "cosine leg lost its broadcast")
+    assert(!p.contains("CartesianProduct"), "fusion degraded to a cartesian product")
+  }
+
+  test("snapshot diff is ONE full-outer key join, struct-packed compare") {
+    val p = plan("q95_snapshot_diff")
+    // exactly one join between the two snapshots — a per-column compare
+    // fanning into N joins would scan the snapshots N times. Count the
+    // FormattedMode DETAIL headers "(n) <Join>" so the tree rendering of
+    // the same node isn't double-counted.
+    val joins = "(?m)^\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"diff must be exactly one key join, found $joins:\n$p")
+    assert(p.contains("FullOuter"), "diff lost its full-outer semantics")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("stats drift is two 1-row aggregates, no data-sized join or window") {
+    val p = plan("q98_stats_drift")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "drift monitor must never shuffle-join the snapshots")
+    assert(!p.contains("Window"), "drift monitor needs no window")
+    // the only joins are the broadcast of 1-row aggregate results
+    assert(p.contains("HashAggregate"), "expected the wide stats aggregates")
+  }
 }
