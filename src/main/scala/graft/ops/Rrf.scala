@@ -42,9 +42,19 @@ object Rrf {
     require(lists.nonEmpty, "need at least one ranked list")
     require(k0 >= 1, "k0 must be >= 1 (the standard constant is 60)")
     // rename per-list rank columns, then fold full-outer joins on the id:
-    // fixed association order for the score sum
+    // fixed association order for the score sum. A duplicated id inside
+    // one list would silently fan out the join fold and double-count its
+    // contributions — enforce uniqueness LOUDLY via a per-list
+    // aggregation (the lists are bounded top-K, so this is cheap) whose
+    // gate fires at execution time.
     val renamed = lists.zipWithIndex.map { case (df, i) =>
-      df.select(col(idCol), col(rankCol).as(s"_r$i"))
+      df.groupBy(col(idCol))
+        .agg(count(lit(1)).as("_c"), max(col(rankCol)).as("_m"))
+        .select(col(idCol),
+          when(col("_c") > 1, raise_error(concat(
+            lit(s"ranked list $i contains id "), col(idCol).cast("string"),
+            lit(" more than once; RRF needs one rank per id per list"))))
+            .otherwise(col("_m")).as(s"_r$i"))
     }
     val joined = renamed.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
     val contrib = lists.indices.map(i =>

@@ -20,21 +20,36 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * rename instant can still race a concurrent READER, as with any
   * non-transactional table format.
   */
-private[ops] object StagedSwap {
+private[graft] object StagedSwap {
 
   /** Call FIRST on every staged rewrite. Returns true if a crashed swap
     * was completed (stage promoted to live) — the recovered live dir is
     * a complete index, so callers just proceed to rewrite from it.
     */
   def recoverOrClearStage(fs: FileSystem, live: Path, stage: Path): Boolean =
+    if (recoverCrashedSwap(fs, live, stage)) true
+    else {
+      if (fs.exists(stage)) fs.delete(stage, true)
+      false
+    }
+
+  /** Promote-ONLY recovery for readers/appenders that are not about to
+    * rewrite: if a crashed swap left the only copy in the stage (live
+    * missing, stage present), finish the rename; otherwise touch
+    * NOTHING — clearing a partial stage is the rewriter's own
+    * [[recoverOrClearStage]] job. Streaming maintenance loops must call
+    * this at batch start BEFORE their `fs.exists(live)` guard: without
+    * it, a mid-swap crash makes the loop mistake the orphaned index for
+    * a first-ever ingest, rebuild a near-empty live dir, and the next
+    * compaction then clears the stage holding all history — a permanent
+    * silent loss.
+    */
+  def recoverCrashedSwap(fs: FileSystem, live: Path, stage: Path): Boolean =
     if (!fs.exists(live) && fs.exists(stage)) {
       require(fs.rename(stage, live),
         s"recovering crashed swap: rename $stage -> $live failed")
       true
-    } else {
-      if (fs.exists(stage)) fs.delete(stage, true)
-      false
-    }
+    } else false
 
   /** Promote a fully-written stage dir to live. */
   def swap(fs: FileSystem, live: Path, stage: Path): Unit = {

@@ -110,6 +110,22 @@ object Streaming {
     * corpus, which is what makes it equivalent to running the batch
     * probe per ingest.
     */
+  /** Batch-start stage recovery shared by the maintenance loops: if the
+    * last incarnation crashed INSIDE a compaction's swap (live dir
+    * deleted, fully-written stage not yet renamed), the stage holds the
+    * only copy of the index — promote it BEFORE any `fs.exists(live)`
+    * guard runs, or the loop mistakes the orphaned index for a
+    * first-ever ingest and silently rebuilds from one batch.
+    */
+  private def recoverStage(sp: org.apache.spark.sql.SparkSession,
+      dir: String, stageSuffix: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val stage = new org.apache.hadoop.fs.Path(dir + stageSuffix)
+    val fs = live.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    graft.ops.StagedSwap.recoverCrashedSwap(fs, live, stage)
+    ()
+  }
+
   def incrementalDedupStream(docs: DataFrame, indexDir: String,
       pairsDir: String, checkpoint: String,
       textCol: String = "text", idCol: String = "doc_id",
@@ -119,6 +135,7 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        recoverStage(sp, indexDir, "_compacting")
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
         // auto-compaction keeps the batch-partition count bounded under
@@ -208,6 +225,7 @@ object Streaming {
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        recoverStage(sp, indexDir, "_compacting")
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
         // batch-start auto-compaction, own partition excluded — see
@@ -289,6 +307,7 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        recoverStage(sp, indexDir, "_merging")
         val normsPath = new org.apache.hadoop.fs.Path(s"$indexDir/norms")
         val fs = normsPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
         // batch-start auto-merge, own segment excluded — the streaming
@@ -395,6 +414,7 @@ object Streaming {
       checkpoint: String,
       transform: DataFrame => DataFrame = identity,
       keepVersions: Int = 0): StreamingQuery = {
+    require(keepVersions >= 0, "keepVersions must be >= 0 (0 keeps all)")
     val key = runKey(checkpoint)
     input.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -438,6 +458,13 @@ object Streaming {
       groupCol: String, measureCol: String,
       transform: DataFrame => DataFrame = identity,
       keepVersions: Int = 0): StreamingQuery = {
+    // fail fast: misconfigured retention must not surface as a mid-run
+    // StreamingQueryException after state has already been published.
+    // >= 2 because the NEXT batch's CDC derivation reads version cur-1,
+    // which keep=1 would have deleted.
+    require(keepVersions == 0 || keepVersions >= 2,
+      "materializedViewStream needs keepVersions >= 2 (or 0 to keep all): " +
+        "the next batch diffs against the previous table version")
     val key = runKey(checkpoint)
     input.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -453,20 +480,29 @@ object Streaming {
             if (cur == 0L)
               IncrementalAgg.countSumView(
                 VersionedTable.read(sp, tableDir), groupCol, measureCol)
-            else
+            else {
+              // lockstep gate: the protocol commits table and view once
+              // per batch from v0, so the view must sit at exactly cur-1
+              // here. Any desync (an out-of-band plain commit on either
+              // dir, a restart under a fresh checkpoint after a crash
+              // between the two commits) would make applyCdc fold the
+              // WRONG delta and corrupt the view silently forever —
+              // fail loudly instead and point at the rebuild.
+              val vv = VersionedTable.currentVersion(sp, viewDir)
+              require(vv.contains(cur - 1),
+                s"view at $viewDir is at version ${vv.orNull} but the table " +
+                  s"advanced to $cur; the view no longer corresponds to the " +
+                  "previous snapshot — rebuild it (countSumView over the " +
+                  "current table) before resuming maintenance")
               IncrementalAgg.applyCdc(
                 VersionedTable.read(sp, viewDir),
                 VersionedTable.diffValues(sp, tableDir, cur - 1, cur, keyCols),
                 groupCol, measureCol)
+            }
           VersionedTable.commitBatch(view, viewDir, bk)
         }
-        // retention AFTER both commits. keepVersions >= 2 is enforced on
-        // the table: the NEXT batch's CDC derivation reads version cur-1,
-        // which keep=1 would have deleted.
+        // retention AFTER both commits
         if (keepVersions > 0) {
-          require(keepVersions >= 2,
-            "materializedViewStream needs keepVersions >= 2: the next " +
-              "batch diffs against the previous table version")
           graft.warehouse.VersionedTable.vacuum(sp, tableDir, keepVersions)
           graft.warehouse.VersionedTable.vacuum(sp, viewDir, keepVersions)
         }
@@ -496,6 +532,7 @@ object Streaming {
     input.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        recoverStage(sp, sketchDir, "_merging")
         val p = new org.apache.hadoop.fs.Path(sketchDir)
         val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&

@@ -46,8 +46,11 @@ object StatsDrift {
     val a = VersionedTable.read(spark, dir, Some(fromVersion))
     val b = VersionedTable.read(spark, dir, Some(toVersion))
     val j = snapStats(a, cols, "old").crossJoin(snapStats(b, cols, "new"))
+    // ONE plan regardless of column count: a union of per-column selects
+    // would embed a copy of both aggregates per column — project the
+    // 1-row join to an array of per-column structs and explode instead
     val perCol = cols.map { c =>
-      j.select(
+      struct(
         lit(c).as("col_name"),
         col("n_old"), col("n_new"),
         ((col("n_old") - col(s"nn_${c}_old")) / col("n_old").cast("double"))
@@ -57,6 +60,6 @@ object StatsDrift {
         (col(s"s_${c}_old") / col(s"nn_${c}_old")).as("mean_old"),
         (col(s"s_${c}_new") / col(s"nn_${c}_new")).as("mean_new"))
     }
-    perCol.reduceLeft(_ unionByName _)
+    j.select(explode(array(perCol: _*)).as("_r")).select("_r.*")
   }
 }

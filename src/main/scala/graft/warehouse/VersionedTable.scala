@@ -85,11 +85,18 @@ object VersionedTable {
     val out = f.create(tmp, true)
     val body = s"$v\n" + batchKey.map(k => s"batch=$k\n").getOrElse("")
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    // rename is the atomic commit point; delete-first for filesystems
-    // whose rename does not replace
-    if (f.exists(manifest(dir))) f.delete(manifest(dir), false)
-    require(f.rename(tmp, manifest(dir)),
-      s"committing version $v: rename $tmp -> ${manifest(dir)} failed")
+    // rename-with-OVERWRITE is the atomic commit point. A delete-then-
+    // rename pair would open a window with NO manifest at all: a crash
+    // inside it silently resets the version counter (the next commit
+    // would clobber snapshot v=0) and loses the commitBatch replay key —
+    // exactly the state the exactly-once contract depends on. The
+    // FileContext API exposes the overwriting rename that FileSystem
+    // hides; on posix/HDFS it is a single atomic metadata op.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = f.makeQualified(manifest(dir))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+    fc.rename(f.makeQualified(tmp), dst,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Commit `df` as the next version and return it. Retry-safe: a
@@ -169,6 +176,15 @@ object VersionedTable {
     * incremental consumers need ([[IncrementalAgg.applyCdc]] folds it
     * into maintained aggregates without touching the snapshots).
     */
+  /** Implementation shape: ONE union + ONE key-grouped aggregation —
+    * each snapshot is scanned exactly once and the data moves through a
+    * single key shuffle (a full-outer join would cost the same shuffle
+    * but needs a SEPARATE pre-pass per side for the duplicate-key gate;
+    * here the gate rides the same aggregation as a per-side count and
+    * fails LOUDLY at execution time via `raise_error`). Keys must be
+    * non-null and data columns orderable (struct max carries the single
+    * row image per side).
+    */
   def diffValues(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
@@ -180,18 +196,22 @@ object VersionedTable {
     val dataCols = a.columns.filterNot(keyCols.contains)
     require(dataCols.nonEmpty, "snapshots must have non-key columns to compare")
     import org.apache.spark.sql.functions._
-    def packed(df: DataFrame, tag: String) =
-      df.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as(tag): _*)
-    Seq(fromVersion -> a, toVersion -> b).foreach { case (v, df) =>
-      val dup = df.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"snapshot v$v has a duplicated key ${dup.headOption.map(_.get(0)).orNull}; " +
-          "diff requires key-unique snapshots")
-    }
-    packed(a, "_old").join(packed(b, "_new"), keyCols, "full_outer")
+    def packed(df: DataFrame, side: Int) =
+      df.select(keyCols.map(col) ++ Seq(lit(side).as("_side"),
+        struct(dataCols.map(col): _*).as("_p")): _*)
+    packed(a, 0).unionByName(packed(b, 1))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(when(col("_side") === 0, 1)).as("_cOld"),
+        count(when(col("_side") === 1, 1)).as("_cNew"),
+        max(when(col("_side") === 0, col("_p"))).as("_old"),
+        max(when(col("_side") === 1, col("_p"))).as("_new"))
       .withColumn("change_type",
-        when(col("_old").isNull, "insert")
+        when(col("_cOld") > 1 || col("_cNew") > 1, raise_error(concat(
+          lit(s"snapshot v$fromVersion/v$toVersion has a duplicated key ("),
+          concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+          lit("); diff requires key-unique snapshots"))))
+          .when(col("_old").isNull, "insert")
           .when(col("_new").isNull, "delete")
           .when(!(col("_old") <=> col("_new")), "update"))
       .filter(col("change_type").isNotNull)

@@ -57,6 +57,16 @@ object ZOrder {
       lit(0L))
   }
 
+  /** A z-column rendered as a bucketable double: DATE has no direct
+    * double cast in Spark, so it goes through its epoch-day int first;
+    * numeric and timestamp types cast directly.
+    */
+  private def asDouble(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+
   /** The z-value column for `df` over `zCols` (numeric/date/timestamp),
     * bucketing each over its global [min, max]. Runs ONE stats aggregate
     * (collected as a handful of doubles) and returns a pure projection —
@@ -67,13 +77,13 @@ object ZOrder {
     require(bits >= 1 && bits * zCols.size <= 63,
       s"bits * columns must fit a long, got $bits * ${zCols.size}")
     val aggs = zCols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"_lo_$c"),
-      max(col(c).cast("double")).as(s"_hi_$c")))
+      min(asDouble(df, c)).as(s"_lo_$c"),
+      max(asDouble(df, c)).as(s"_hi_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = zCols.zipWithIndex.map { case (c, i) =>
       val lo = Option(stats.get(2 * i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
       val hi = Option(stats.get(2 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
-      bucket(col(c), lo, hi, bits)
+      bucket(asDouble(df, c), lo, hi, bits)
     }
     morton(buckets, bits)
   }

@@ -200,16 +200,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "fusion degraded to a cartesian product")
   }
 
-  test("snapshot diff is ONE full-outer key join, struct-packed compare") {
+  test("snapshot diff is one union + one key aggregation, no join at all") {
     val p = plan("q95_snapshot_diff")
-    // exactly one join between the two snapshots — a per-column compare
-    // fanning into N joins would scan the snapshots N times. Count the
-    // FormattedMode DETAIL headers "(n) <Join>" so the tree rendering of
-    // the same node isn't double-counted.
-    val joins = "(?m)^\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
-      .findAllIn(p).size
-    assert(joins == 1, s"diff must be exactly one key join, found $joins:\n$p")
-    assert(p.contains("FullOuter"), "diff lost its full-outer semantics")
+    // each snapshot is scanned once into a union and the change feed is
+    // derived by a single key-grouped aggregation (the dup-key gate rides
+    // it) — no join, no cartesian, no per-side pre-pass
+    assert(!p.contains("Join"), s"diff must not join the snapshots:\n$p")
+    assert(p.contains("Union") && p.contains("Aggregate"),
+      "expected the union + key-grouped aggregate shape")
     assert(!p.contains("CartesianProduct"))
   }
 

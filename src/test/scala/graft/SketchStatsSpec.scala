@@ -101,6 +101,33 @@ class SketchStatsSpec extends SparkSpec {
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
   }
 
+  test("a crash inside compaction's swap is recovered at the next streamed batch") {
+    import graft.streaming.Streaming
+    val work = java.nio.file.Files.createTempDirectory("graft_hllr").toString
+    val raw = s"$work/raw"; val sk = s"$work/sk"; val ckpt = s"$work/ckpt"
+    val w0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val w1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    w0.write.mode("append").parquet(raw)
+    val q0 = Streaming.sketchStatsStream(
+      spark.readStream.schema(docs.schema).parquet(raw), sk, ckpt, "doc_id")
+    assert(q0.awaitTermination(120000))
+    // simulate the swap crash window: the compaction's stage holds the
+    // ONLY copy (live deleted, fully-written stage not yet renamed)
+    SketchStats.compactHll(spark, sk)
+    assert(new java.io.File(sk).renameTo(new java.io.File(sk + "_merging")))
+    // the next streamed batch must PROMOTE the stage before its
+    // exists-guard — otherwise it mistakes the index for first-ever
+    // ingest and the estimate collapses to the new batch alone
+    w1.write.mode("append").parquet(raw)
+    val q1 = Streaming.sketchStatsStream(
+      spark.readStream.schema(docs.schema).parquet(raw), sk, ckpt, "doc_id")
+    assert(q1.awaitTermination(120000))
+    val est = SketchStats.hllDistinct(spark, sk).head.getLong(0)
+    val exact = docs.select("doc_id").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"history lost across the crashed swap: est=$est exact=$exact")
+  }
+
   test("mixed-lgK segments are rejected loudly, reserved chars too") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hllm").toString
     SketchStats.appendHllBatch(docs.limit(50), "doc_id", dir, "b0", lgK = 12)

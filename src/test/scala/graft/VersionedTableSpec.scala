@@ -92,9 +92,14 @@ class VersionedTableSpec extends SparkSpec {
     val dir = tmp()
     VersionedTable.commit(Seq((1L, "a"), (1L, "b")).toDF("k", "s"), dir)
     VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), dir)
-    intercept[IllegalArgumentException] {
+    // the dup gate rides the diff's own aggregation (raise_error), so it
+    // fires at ACTION time, wrapped by Spark's task-failure chain
+    val e = intercept[Exception] {
       VersionedTable.diff(spark, dir, 0L, 1L, Seq("k")).collect()
     }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(e).contains("duplicated key"), chain(e))
     val dir2 = tmp()
     VersionedTable.commit(Seq((1L, "a")).toDF("k", "s"), dir2)
     VersionedTable.commit(Seq((1L, 2.0)).toDF("k", "x"), dir2)

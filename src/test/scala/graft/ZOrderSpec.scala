@@ -61,4 +61,16 @@ class ZOrderSpec extends SparkSpec {
     assert(touched(zdir, hitsPoint) <= 2,
       "a point lookup over the z layout touches at most a couple of files")
   }
+
+  test("date columns z-order through their epoch day (no DATE->DOUBLE cast error)") {
+    val df = spark.range(256)
+      .select(col("id"),
+        date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+          (col("id") % 64).cast("int")).as("d"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zdate").toString + "/t"
+    ZOrder.writeZOrdered(df, dir, Seq("d", "id"), bits = 5, targetFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 256)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+  }
 }
