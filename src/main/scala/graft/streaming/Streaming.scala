@@ -393,6 +393,71 @@ object Streaming {
       .start()
   }
 
+  /** Streaming EXACT dedup over a persisted fingerprint index — the
+    * unbounded-corpus production shape [[dedupDocStream]]'s watermarked
+    * state cannot provide: state-store dedup must expire its keys at the
+    * watermark, so a duplicate arriving later than the watermark delay
+    * slips through; this loop instead probes a durable (fp, id) index
+    * covering EVERYTHING ever ingested. Per micro-batch:
+    *  (a) within-batch exact dedup (lowest id per fingerprint —
+    *      [[graft.ops.TextDedup.exactDedup]]'s survivor rule);
+    *  (b) anti-join the survivors' fingerprints against the index
+    *      (own batch partition excluded, so a crashed attempt's append
+    *      cannot make the retry drop its own rows);
+    *  (c) write the clean rows under `cleanDir/batch=<key>`; and
+    *  (d) append the CLEAN rows' fingerprints as the batch's index
+    *      partition — only fingerprints new to the corpus enter, so the
+    *      index stays fingerprint-unique by construction.
+    * Re-delivered content needs no loud gate here — dropping duplicates
+    * is this operator's SEMANTICS, so a re-crawled doc is simply
+    * filtered; retries overwrite their own partitions (the family
+    * contract). The index is one (fp, id) row per distinct document:
+    * the probe is a single fp-keyed anti-join, and `compactEvery` folds
+    * batch partitions through the shared batched-index compactor.
+    */
+  def incrementalExactDedupStream(docs: DataFrame, indexDir: String,
+      cleanDir: String, checkpoint: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      compactEvery: Int = 0): StreamingQuery = {
+    val key = runKey(checkpoint)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        recoverStage(sp, indexDir, "_compacting")
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+            fs.exists(idxPath))
+          graft.ops.TextDedup.compactMinhashIndexExcept(sp, indexDir,
+            Set(s"$key-$batchId"))
+        val withinClean = graft.ops.TextDedup.exactDedup(batch, textCol, idCol)
+        val survivors =
+          if (fs.exists(idxPath)) {
+            val idx = sp.read.parquet(indexDir)
+            require(idx.columns.contains("batch"),
+              s"$indexDir is not a batch-partitioned fingerprint index")
+            // cast FIRST — see incrementalDedupStream's legacy-layout note
+            val priorFps = idx
+              .filter(col("batch").cast("string") =!= lit(s"$key-$batchId"))
+              .select(col("fp").as("_pfp"))
+            withinClean.join(priorFps,
+              graft.ops.TextDedup.fingerprint(col(textCol)) === col("_pfp"),
+              "left_anti")
+          } else withinClean
+        survivors.write.mode("overwrite")
+          .parquet(s"$cleanDir/batch=$key-$batchId")
+        // fingerprints of the JUST-WRITTEN clean partition: the index can
+        // never disagree with the clean output it guards
+        sp.read.parquet(s"$cleanDir/batch=$key-$batchId")
+          .select(graft.ops.TextDedup.fingerprint(col(textCol)).as("fp"),
+            col(idCol).as("id"))
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$key-$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming versioned publish: every micro-batch commits `transform`
     * of the batch as a NEW snapshot version of a
     * [[graft.warehouse.VersionedTable]] — the "publish a consistent table

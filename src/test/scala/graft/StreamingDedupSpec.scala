@@ -455,4 +455,48 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(flagged).select("doc_id").collect()
       .map(_.getLong(0)).toSet == flaggedIds, "retry must not duplicate flags")
   }
+
+  test("exact dedup stream: arrival-order survivors, late re-delivery dropped, index fp-unique") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val work = java.nio.file.Files.createTempDirectory("graft_sexact").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val clean = s"$work/clean"; val ckpt = s"$work/ckpt"
+    // wave 3 re-delivers wave 0's content VERBATIM — the late-duplicate
+    // class a watermarked state store would let through
+    val waves = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k)) :+
+      docs.filter(col("doc_id") % 3 === 0)
+    waves.foreach { w =>
+      w.write.mode("append").parquet(raw)
+      val q = Streaming.incrementalExactDedupStream(
+        spark.readStream.schema(docs.schema).parquet(raw), idx, clean, ckpt)
+      assert(q.awaitTermination(120000), "exact dedup wave timed out")
+    }
+    val key = graft.streaming.Streaming.runKey(ckpt)
+    // the re-delivered wave contributes NOTHING new
+    assert(spark.read.parquet(s"$clean/batch=$key-3").count() == 0,
+      "late re-delivered duplicates must be dropped by the index probe")
+    // ground truth: arrival-order fold of exactDedup over the waves
+    def fps(df: org.apache.spark.sql.DataFrame) = df
+      .select(TextDedup.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    var seen = Set.empty[String]
+    var expectIds = Set.empty[Long]
+    waves.take(3).foreach { w =>
+      val survivors = TextDedup.exactDedup(w, "text", "doc_id")
+        .select(col("doc_id"), TextDedup.fingerprint(col("text")).as("fp"))
+        .collect().filterNot(r => seen.contains(r.getString(1)))
+      seen ++= survivors.map(_.getString(1))
+      expectIds ++= survivors.map(_.getLong(0))
+    }
+    val cleanDf = spark.read.parquet(clean)
+    assert(cleanDf.select("doc_id").collect().map(_.getLong(0)).toSet == expectIds,
+      "streamed clean rows must equal the arrival-order dedup fold")
+    // fingerprint coverage equals the global exact dedup's (ids may
+    // differ — arrival order wins — but the distinct-content set cannot)
+    assert(fps(cleanDf) == fps(TextDedup.exactDedup(docs, "text", "doc_id")))
+    // the index is fingerprint-unique by construction
+    val idxDf = spark.read.parquet(idx)
+    assert(idxDf.count() == idxDf.select("fp").distinct().count())
+    assert(idxDf.count() == cleanDf.count())
+  }
 }
