@@ -156,5 +156,31 @@ object DedupQueries {
       TextDedup.winnowDupPairs(Tables.documents(s, dir), "text", "doc_id",
         k = 12, w = 10, minShared = 2).orderBy("id_a", "id_b")
     },
+
+    // ---- incremental EXACT dedup: the per-ingest batch shape — new docs
+    // (keys %4==0) dedup within themselves (lowest-id survivor), then
+    // anti-join their fingerprints against the prior corpus's persisted
+    // fingerprint set. One window + one fp-keyed anti-join; the index
+    // side is (fp, id) rows, never corpus text.
+    QueryDef(
+      "q99_incremental_exact_dedup",
+      Some(raw"""
+        WITH f AS (SELECT doc_id, source, n_chars,
+                     md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+                   FROM documents),
+        old AS (SELECT DISTINCT fp FROM f WHERE doc_id % 4 <> 0),
+        fresh AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                  FROM f WHERE doc_id % 4 = 0)
+        SELECT doc_id, source, n_chars FROM fresh
+        WHERE rn = 1 AND fp NOT IN (SELECT fp FROM old)
+        ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val fpIndex = old.select(TextDedup.fingerprint(col("text")).as("fp")).distinct()
+      TextDedup.incrementalExactDedup(fresh, fpIndex, "text", "doc_id")
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    },
   )
 }

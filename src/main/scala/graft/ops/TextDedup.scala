@@ -70,6 +70,20 @@ object TextDedup {
     require(!df.columns.contains("_rn"),
       "_rn is reserved by exactDedup/exactDedupBest as a temp column; rename it on the input")
 
+  /** Incremental EXACT dedup of a new ingest batch against a persisted
+    * fingerprint set (`fpIndex`: one `fp` string column, extra columns
+    * ignored): within-batch lowest-id survivors whose fingerprint is new
+    * to the corpus. The exact twin of [[incrementalNearDups]] — the
+    * per-ingest production shape, ONE fingerprint window + ONE fp-keyed
+    * anti-join; at 100 TB the index side is the corpus's distinct-doc
+    * count in (fp, id) rows, never its text.
+    */
+  def incrementalExactDedup(newDocs: DataFrame, fpIndex: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    exactDedup(newDocs, textCol, idCol).join(
+      fpIndex.select(col("fp").as("_pfp")),
+      fingerprint(col(textCol)) === col("_pfp"), "left_anti")
+
   /** Quality-aware exact dedup: keep the BEST row per fingerprint group —
     * highest `scoreCol`, ties to the lowest id — instead of an arbitrary
     * survivor. The production pattern when duplicates differ in metadata

@@ -430,7 +430,6 @@ object Streaming {
             fs.exists(idxPath))
           graft.ops.TextDedup.compactMinhashIndexExcept(sp, indexDir,
             Set(s"$key-$batchId"))
-        val withinClean = graft.ops.TextDedup.exactDedup(batch, textCol, idCol)
         val survivors =
           if (fs.exists(idxPath)) {
             val idx = sp.read.parquet(indexDir)
@@ -439,11 +438,9 @@ object Streaming {
             // cast FIRST — see incrementalDedupStream's legacy-layout note
             val priorFps = idx
               .filter(col("batch").cast("string") =!= lit(s"$key-$batchId"))
-              .select(col("fp").as("_pfp"))
-            withinClean.join(priorFps,
-              graft.ops.TextDedup.fingerprint(col(textCol)) === col("_pfp"),
-              "left_anti")
-          } else withinClean
+            graft.ops.TextDedup.incrementalExactDedup(batch, priorFps,
+              textCol, idCol)
+          } else graft.ops.TextDedup.exactDedup(batch, textCol, idCol)
         survivors.write.mode("overwrite")
           .parquet(s"$cleanDir/batch=$key-$batchId")
         // fingerprints of the JUST-WRITTEN clean partition: the index can
