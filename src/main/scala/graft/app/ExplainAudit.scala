@@ -17,7 +17,9 @@ object ExplainAudit {
     else Seq("q01_pricing_summary", "q02_revenue_by_nation", "q05_filter_project",
       "q03_top_customers", "q36_jaccard_neardups", "q41_cosine_knn_lsh",
       "q60_cosine_knn_ivf", "q68_decontamination", "q69_sequence_packing",
-      "q81_bm25_search", "q83_winnow_dup_pairs")
+      "q81_bm25_search", "q83_winnow_dup_pairs", "q94_hybrid_rrf",
+      "q95_snapshot_diff", "q96_incremental_agg", "q98_stats_drift",
+      "q99_incremental_exact_dedup")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
