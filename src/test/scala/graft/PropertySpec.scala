@@ -171,4 +171,35 @@ object GraftProps extends Properties("graft") {
         .collect()(0).getSeq[String](0).toSeq
       fused == composed
     }
+
+  // random snapshot pair: keyed rows with a handful of groups and
+  // 6dp-representable measures (the decimal contract's domain), so every
+  // insert/delete/in-group-update/group-migration combination occurs
+  private val snapshotGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOf(for {
+      k <- Gen.chooseNum(0L, 24L)
+      g <- Gen.oneOf("a", "b", "c")
+      m <- Gen.chooseNum(-1000000, 1000000).map(_ / 100.0)
+    } yield (k, g, m)).map(_.distinctBy(_._1))
+
+  property("CDC-maintained count/sum view is bit-identical to recompute") =
+    forAll(snapshotGen, snapshotGen) { (v0, v1) =>
+      (v0.nonEmpty && v1.nonEmpty) ==> {
+        import graft.warehouse.{IncrementalAgg, VersionedTable}
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_iaprop").toString + "/t"
+        VersionedTable.commit(v0.toDF("k", "g", "m"), dir)
+        VersionedTable.commit(v1.toDF("k", "g", "m"), dir)
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          IncrementalAgg.present(df, "g").orderBy("g").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+        val maintained = IncrementalAgg.applyCdc(
+          IncrementalAgg.countSumView(
+            VersionedTable.read(spark, dir, Some(0L)), "g", "m"),
+          VersionedTable.diffValues(spark, dir, 0L, 1L, Seq("k")), "g", "m")
+        val direct = IncrementalAgg.countSumView(
+          VersionedTable.read(spark, dir, Some(1L)), "g", "m")
+        rows(maintained) == rows(direct)
+      }
+    }
 }
