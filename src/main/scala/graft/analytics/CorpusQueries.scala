@@ -345,5 +345,35 @@ object CorpusQueries {
       freqs.unpersist(false)
       out
     },
+
+    // ---- temperature-based source mixture (α = 0.5): keep-rates are
+    // COMPUTED from per-source counts — r_s ∝ sqrt(n_s)/n_s scaled to a
+    // 35% target — then applied through the same seeded integer
+    // threshold as q71. sqrt is the one power IEEE requires correctly
+    // rounded, ŝ is held as an exact 6dp decimal, and S sums in decimal
+    // (order-free), so counts → rates → per-row keep decisions are
+    // bit-identical across engines.
+    QueryDef(
+      "q100_temperature_mixture",
+      Some("""
+        WITH nn AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(CAST(round(sqrt(n), 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_sum,
+                       CAST(sum(n) AS DOUBLE) AS n_tot FROM nn),
+        r AS (SELECT source,
+                least(CAST(1 AS DOUBLE),
+                  ((CAST(0.35 AS DOUBLE) * n_tot) *
+                     CAST(CAST(round(sqrt(n), 6) AS DECIMAL(38,6)) AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * s_sum)) AS rate
+              FROM nn CROSS JOIN tot)
+        SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        WHERE ((d.doc_id % 100000007 + 42) * 2654435761) % 4294967296 <
+              CAST(floor(rate * 4294967296) AS BIGINT)
+        ORDER BY d.doc_id"""),
+    ) { (s, dir) =>
+      CorpusOps.temperatureSample(Tables.documents(s, dir), "doc_id", "source",
+        targetFraction = 0.35, seed = 42L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
   )
 }

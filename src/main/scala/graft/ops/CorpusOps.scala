@@ -198,6 +198,48 @@ object CorpusOps {
     * and upsampling a source later keeps every previously kept row:
     * raising a rate only ADDS rows, it never swaps the sample).
     */
+  /** Temperature-based source mixture (the multilingual-corpus standard:
+    * sample source s with probability ∝ n_s^α, α < 1 upweighting small
+    * sources — mBERT/XLM-R's exponential smoothing): computes each
+    * source's keep-rate from its row count and applies the same seeded
+    * integer-threshold filter as [[mixtureSample]], so the whole chain —
+    * counts → rates → row keep decisions — is bit-deterministic and
+    * oracle-hash-checkable.
+    *
+    * α is fixed at 0.5 because that exponent is `sqrt`, the one power
+    * IEEE 754 requires correctly rounded — identical in every engine —
+    * where a general `pow`'s last ulp is libm-specific and could flip a
+    * row at the threshold boundary. The per-source keep rate is
+    *   r_s = min(1, (targetFraction·N · ŝ_s) / (n_s · S)),
+    * with ŝ_s = round(sqrt(n_s), 6) held as an EXACT decimal and
+    * S = Σ ŝ_s summed in decimal (order-free), so both engines fold the
+    * float ops over identical inputs in the same order. Expected output
+    * size ≈ targetFraction·N when no source clamps at rate 1.
+    *
+    * Scale shape: one map-side-combined count per source (collected —
+    * bounded by source cardinality), then [[mixtureSample]]'s stateless
+    * seeded filter; no shuffle of the data itself.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, sourceCol: String,
+      targetFraction: Double, seed: Long = 42L): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "input has no rows to sample")
+    val n = counts.values.sum.toDouble
+    val sdec = counts.map { case (s, c) =>
+      s -> BigDecimal(math.sqrt(c.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val sSum = sdec.values.sum.toDouble // decimal sum, order-free; ONE cast
+    val rates = counts.map { case (s, c) =>
+      s -> math.min(1.0,
+        ((targetFraction * n) * sdec(s).toDouble) / (c.toDouble * sSum))
+    }
+    mixtureSample(df, keyCol, sourceCol, rates, defaultRate = 0.0, seed)
+  }
+
   def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
       rates: Map[String, Double], defaultRate: Double, seed: Long = 42L): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),

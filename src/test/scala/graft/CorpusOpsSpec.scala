@@ -86,6 +86,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == half)
   }
 
+  test("temperatureSample upweights small sources and tracks the target size") {
+    // 1600 "big" rows vs 100 "small": with alpha=0.5 the small source's
+    // keep-rate must be sqrt(1600/100) = 4x the big one's
+    val df = ((0L until 1600L).map(i => (i, "big")) ++
+      (10000L until 10100L).map(i => (i, "small"))).toDF("id", "src")
+    val out = CorpusOps.temperatureSample(df, "id", "src", targetFraction = 0.3)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (rBig, rSmall) = (out("big") / 1600.0, out("small") / 100.0)
+    assert(rSmall > rBig * 2.5 && rSmall < rBig * 6.0,
+      s"alpha=0.5 should upweight small ~4x: big=$rBig small=$rSmall")
+    val total = out.values.sum
+    assert(math.abs(total - 0.3 * 1700) < 0.1 * 1700,
+      s"expected ~${0.3 * 1700} rows, got $total")
+    // deterministic
+    val again = CorpusOps.temperatureSample(df, "id", "src", 0.3)
+      .count()
+    assert(again == total)
+    // a tiny source clamps at rate 1 (kept whole), never above
+    val clamped = CorpusOps.temperatureSample(
+      (df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq :+
+        (20000L, "rare")).toDF("id", "src"), "id", "src", 0.9)
+    assert(clamped.filter(col("src") === "rare").count() == 1)
+  }
+
   test("hashed-gram contamination flags the same docs as string grams") {
     import graft.ops.CorpusOps
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
