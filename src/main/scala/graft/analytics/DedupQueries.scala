@@ -182,5 +182,37 @@ object DedupQueries {
       TextDedup.incrementalExactDedup(fresh, fpIndex, "text", "doc_id")
         .select("doc_id", "source", "n_chars").orderBy("doc_id")
     },
+
+    // ---- Bloom-pruned incremental exact dedup: same semantics as q99
+    // (different batch split so the two queries can't mask each other)
+    // but the batch probes a Bloom filter built over the corpus
+    // fingerprints FIRST — provably-new rows bypass the index anti-join
+    // entirely. The oracle is the EXACT path in SQL: a Bloom filter has
+    // no false negatives, so pruning is result-invariant — which is
+    // precisely the property worth hash-checking. Segment persistence,
+    // OR-merge, and geometry gates are contract-tested in BloomDedupSpec.
+    QueryDef(
+      "q101_bloom_incremental_dedup",
+      Some(raw"""
+        WITH f AS (SELECT doc_id, source, n_chars,
+                     md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+                   FROM documents),
+        old AS (SELECT DISTINCT fp FROM f WHERE doc_id % 7 <> 0),
+        fresh AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                  FROM f WHERE doc_id % 7 = 0)
+        SELECT doc_id, source, n_chars FROM fresh
+        WHERE rn = 1 AND fp NOT IN (SELECT fp FROM old)
+        ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val fpIndex = old.select(TextDedup.fingerprint(col("text")).as("fp")).distinct()
+      val bloom = old.select(TextDedup.fpProbeKey(col("text")).as("k"))
+        .stat.bloomFilter("k", 100000L, 0.01)
+      TextDedup.bloomPrunedIncrementalExactDedup(fresh, fpIndex, bloom,
+          "text", "doc_id")
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    },
   )
 }

@@ -745,4 +745,92 @@ object TextDedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  // --------------------------------------------------------------------
+  // Persisted fingerprint BLOOM index: membership pruning for incremental
+  // exact dedup. At 100 TB the authoritative fingerprint set is billions
+  // of (fp) rows; every ingest batch anti-joining it shuffles the batch
+  // against the whole index. A Bloom filter over the SAME fingerprints is
+  // a few GiB of bits that answer "definitely new" per row with zero
+  // shuffle — only the (typically tiny) maybe-duplicate remainder pays
+  // the exact anti-join. No false negatives, so the pruned path is
+  // bit-identical to the exact path (contract-tested + oracled, q101).
+  // --------------------------------------------------------------------
+
+  /** 64-bit probe key for the Bloom side: xxhash64 of the exact-dedup
+    * fingerprint. Probing longs (not md5 strings) keeps the per-row cost
+    * at integer hashing, and the fp -> long mapping is the same Catalyst
+    * expression on both build and probe side by construction.
+    */
+  def fpProbeKey(text: Column): Column = xxhash64(fingerprint(text))
+
+  /** Build + persist one Bloom segment over a batch's fingerprints,
+    * idempotently under retries (each batch owns `path/seg=<key>`,
+    * mode-overwrite). The filter is built by the distributed
+    * `stat.bloomFilter` aggregation (map-side bit ORs; the driver holds
+    * only the final ~`optimalNumOfBits(expected, fpp)/8` bytes — e.g.
+    * 1.2 GiB for 10^9 fps at 1% fpp, a bounded, configured cost — and the
+    * bit array is merge-order-independent, so the bytes are deterministic
+    * under AQE/partitioning). Segments store (bits, n, expected, fpp):
+    * params are enforced compatible at read time so OR-merge can never
+    * silently mix filter geometries.
+    */
+  def writeFpBloomSegment(docs: DataFrame, textCol: String, path: String,
+      segKey: String, expectedItems: Long, fpp: Double = 0.01): Unit = {
+    require(segKey.nonEmpty, "empty Bloom segment key")
+    val spark = docs.sparkSession
+    val bloom = docs.select(fpProbeKey(col(textCol)).as("k"))
+      .stat.bloomFilter("k", expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(out)
+    import spark.implicits._
+    Seq((out.toByteArray, expectedItems, fpp))
+      .toDF("bits", "expected_items", "fpp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/seg=$segKey")
+  }
+
+  /** Read and OR-merge all persisted Bloom segments into one in-memory
+    * filter. Loud on geometry mismatch (different expected/fpp across
+    * segments — `mergeInPlace` would throw IncompatibleMergeException
+    * anyway; the params check names the offending segment first).
+    */
+  def readFpBloom(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val segs = spark.read.parquet(path)
+      .select("bits", "expected_items", "fpp", "seg").collect()
+    require(segs.nonEmpty, s"no Bloom segments under $path")
+    val geoms = segs.map(r => (r.getLong(1), r.getDouble(2))).distinct
+    require(geoms.length == 1,
+      s"incompatible Bloom segment geometries under $path: " +
+        segs.map(r => s"seg=${r.get(3)} (expected=${r.getLong(1)}, fpp=${r.getDouble(2)})")
+          .mkString(", "))
+    segs.map(r => org.apache.spark.util.sketch.BloomFilter
+        .readFrom(r.getAs[Array[Byte]](0)))
+      .reduce((a, b) => a.mergeInPlace(b))
+  }
+
+  /** [[incrementalExactDedup]] with Bloom pruning: within-batch lowest-id
+    * survivors split on a broadcast Bloom probe; provably-new rows (probe
+    * false => never inserted) BYPASS the index entirely, only
+    * maybe-duplicate rows anti-join the authoritative fingerprint set.
+    * Bit-identical output to the unpruned path — the Bloom can only
+    * over-admit into the anti-join, never under-admit past it.
+    *
+    * This is Spark's runtime row-level-filter pattern (bloom build +
+    * might_contain probe) applied to a PERSISTED index: at 100 TB the
+    * probe is a codegen'd bit test per row, and for a mostly-novel batch
+    * the expensive fp-keyed shuffle sees ~fpp of the batch.
+    */
+  def bloomPrunedIncrementalExactDedup(newDocs: DataFrame, fpIndex: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      textCol: String, idCol: String): DataFrame = {
+    val fresh = exactDedup(newDocs, textCol, idCol)
+    val mayDup = graft.functions.BloomExprs
+      .bloomMightContain(fpProbeKey(col(textCol)), bloom)
+    val definiteNew = fresh.filter(!mayDup)
+    val candidates = fresh.filter(mayDup).join(
+      fpIndex.select(col("fp").as("_pfp")),
+      fingerprint(col(textCol)) === col("_pfp"), "left_anti")
+    definiteNew.unionByName(candidates)
+  }
 }
