@@ -375,5 +375,33 @@ object CorpusQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+
+    // ---- DSIR-style hashed n-gram importance weighting: score every doc
+    // by how target-like (target = English docs) its unigram+bigram
+    // hashed-bucket profile is. Hash-checked end-to-end: the oracle
+    // re-runs gram extraction, the XXH64 bucket hash, the Laplace bucket
+    // counts, and the integer-exact ratio score in pure DuckDB SQL.
+    QueryDef(
+      "q102_importance_weights",
+      Some(DuckXxh.importanceWeightsOracle(numBuckets = 4096)),
+    ) { (s, dir) =>
+      CorpusOps.importanceWeights(Tables.documents(s, dir), "text", "doc_id",
+          isTarget = col("lang") === "en", numBuckets = 4096)
+        .orderBy("doc_id")
+    },
+
+    // ---- importance RESAMPLING: the top-25% most target-like raw
+    // (non-English) docs under the q102 scores, deterministic total order
+    // (score desc, doc_id) — the data-selection step DSIR feeds training
+    // with. TakeOrderedAndProject, not a global sort.
+    QueryDef(
+      "q103_importance_selection",
+      Some(DuckXxh.importanceSelectOracle(numBuckets = 4096, fraction = 0.25)),
+    ) { (s, dir) =>
+      val w = CorpusOps.importanceWeights(Tables.documents(s, dir), "text",
+        "doc_id", isTarget = col("lang") === "en", numBuckets = 4096)
+      CorpusOps.importanceSelect(w, "doc_id", fraction = 0.25)
+        .select("doc_id", "score").orderBy("doc_id")
+    },
   )
 }

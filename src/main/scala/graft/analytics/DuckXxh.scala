@@ -476,4 +476,59 @@ private[analytics] object DuckXxh {
     "WITH RECURSIVE " + ctes.mkString(",\n") +
       "\nSELECT id, min(lab) AS cluster_rep FROM reach GROUP BY id ORDER BY id"
   }
+
+  /** Shared CTE chain for the q102/q103 oracles: per-doc DSIR-style
+    * importance statistics over `documents` (mirrors
+    * [[graft.ops.CorpusOps.importanceWeights]] — word unigrams + bigrams
+    * with multiplicity, bucket = pmod(xxhash64(gram), numBuckets), Laplace
+    * +1 bucket counts from `targetPred` docs vs the rest, integer-exact
+    * micro-averaged ratio score). Ends in a `w` CTE with
+    * (doc_id, is_target, n_grams, sum_t, sum_r, score).
+    */
+  private def importanceCtes(numBuckets: Int, targetPred: String): Seq[String] = {
+    val uniq = xxhStrCtes("SELECT DISTINCT gram AS tok FROM grams")
+    Seq(
+      s"dtk AS MATERIALIZED (SELECT doc_id, ($targetPred) AS t, " +
+        "string_split_regex(trim(text), '\\s+') AS tk FROM documents)",
+      "uni AS (SELECT doc_id, unnest(tk) AS gram FROM dtk)",
+      "bi AS (SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS gram " +
+        "FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM dtk WHERE len(tk) >= 2))",
+      "grams AS MATERIALIZED (SELECT doc_id, gram FROM uni " +
+        "UNION ALL SELECT doc_id, gram FROM bi)",
+    ) ++ uniq ++ Seq(
+      s"bkt AS MATERIALIZED (SELECT tok, ((${signed("xh_out")} % $numBuckets) " +
+        s"+ $numBuckets) % $numBuckets AS b FROM xstr_final)",
+      "gbt AS MATERIALIZED (SELECT g.doc_id, d.t, x.b FROM grams g " +
+        "JOIN bkt x ON g.gram = x.tok JOIN dtk d ON g.doc_id = d.doc_id)",
+      "bc AS MATERIALIZED (SELECT b, " +
+        "CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tc, " +
+        "CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS rc " +
+        "FROM gbt GROUP BY b)",
+      "w AS MATERIALIZED (SELECT gbt.doc_id, gbt.t AS is_target, " +
+        "CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(tc + 1) AS BIGINT) AS sum_t, " +
+        "CAST(sum(rc + 1) AS BIGINT) AS sum_r, " +
+        "CAST((1000000 * sum(tc + 1)) // sum(rc + 1) AS BIGINT) AS score " +
+        "FROM gbt JOIN bc USING (b) GROUP BY gbt.doc_id, gbt.t)",
+    )
+  }
+
+  /** The q102 oracle: per-doc importance statistics, all docs. */
+  def importanceWeightsOracle(numBuckets: Int,
+      targetPred: String = "lang = 'en'"): String =
+    "WITH RECURSIVE " + importanceCtes(numBuckets, targetPred).mkString(",\n") +
+      "\nSELECT doc_id, is_target, n_grams, sum_t, sum_r, score FROM w ORDER BY doc_id"
+
+  /** The q103 oracle: the top ceil(fraction * n_raw) non-target docs by
+    * (score DESC, doc_id) — mirrors
+    * [[graft.ops.CorpusOps.importanceSelect]]'s unique total order.
+    */
+  def importanceSelectOracle(numBuckets: Int, fraction: Double,
+      targetPred: String = "lang = 'en'"): String =
+    "WITH RECURSIVE " + importanceCtes(numBuckets, targetPred).mkString(",\n") + s"""
+      , raw AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+                       count(*) OVER () AS nr
+               FROM w WHERE NOT is_target)
+      SELECT doc_id, score FROM raw
+      WHERE rk <= CAST(ceil($fraction * nr) AS BIGINT) ORDER BY doc_id"""
 }

@@ -543,4 +543,88 @@ object CorpusOps {
       .write.mode("overwrite").parquet(s"$stage/batch=base")
     StagedSwap.swap(fs, live, stage)
   }
+
+  // --------------------------------------------------------------------
+  // Hashed n-gram importance weighting (DSIR-style data selection):
+  // score raw docs by how target-like their hashed n-gram profile is.
+  // Features follow Xie et al. 2023 ("Data Selection for Language Models
+  // via Importance Resampling"): word unigrams + bigrams hashed into a
+  // fixed bucket count, with per-bucket counts from a target slice vs the
+  // raw remainder. The SCORE deviates from the paper deliberately: the
+  // paper sums log((tc_b+1)/N_t) - log((rc_b+1)/N_r) per gram, but
+  // cross-engine float-log sums cannot hash-match (ln is not a correctly
+  // rounded operation), so the emitted score is the integer-exact
+  // micro-averaged likelihood ratio floor(1e6 * Σ(tc_b+1) / Σ(rc_b+1))
+  // over the doc's gram occurrences — same monotone intuition (docs whose
+  // grams are relatively target-frequent rank first), bit-exact in any
+  // engine. The per-doc sufficient statistics (n_grams, sum_t, sum_r)
+  // ride along so a consumer wanting the paper's log score can apply it
+  // at selection time without touching the corpus again.
+  // --------------------------------------------------------------------
+
+  /** Word unigrams + bigrams with multiplicity (the DSIR feature set);
+    * bigrams only when the doc has >= 2 tokens.
+    */
+  def importanceGrams(text: Column): Column = {
+    val tk = graft.core.Cols.wsTokens(text)
+    val bi = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(tk, bi)
+  }
+
+  /** Per-doc importance statistics against a target slice: explode grams,
+    * bucket by `pmod(xxhash64(gram), numBuckets)`, aggregate per-bucket
+    * target/raw occurrence counts, then fold them back per doc.
+    *
+    * Output: (idCol, is_target, n_grams, sum_t, sum_r, score).
+    *
+    * Scale shape: gram rows pre-aggregate per (doc, bucket) with map-side
+    * combine before anything joins; the bucket-count table is at most
+    * `numBuckets` rows and broadcasts, so the whole operator is two
+    * hash-aggregate shuffles keyed on doc — linear in corpus tokens, no
+    * corpus-sized join. sum_t fits a long while
+    * 1e6 * maxDocGrams * corpusGramCount < 2^63; beyond that (trillion-
+    * gram corpora) consumers should score from the emitted statistics in
+    * log space, where overflow is structurally absent.
+    */
+  def importanceWeights(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    requireFresh(df, "is_target", "n_grams", "sum_t", "sum_r", "score")
+    val g = df.select(col(idCol), isTarget.cast("boolean").as("_t"),
+        explode(importanceGrams(col(textCol))).as("_gram"))
+      .select(col(idCol), col("_t"),
+        pmod(xxhash64(col("_gram")), lit(numBuckets.toLong)).as("_b"))
+    val perDocBucket = g.groupBy(col(idCol), col("_t"), col("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val bucketCounts = g.groupBy("_b").agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("_tc"),
+      sum(when(!col("_t"), 1L).otherwise(0L)).as("_rc"))
+    perDocBucket.join(broadcast(bucketCounts), "_b")
+      .groupBy(col(idCol), col("_t"))
+      .agg(sum(col("_n")).as("n_grams"),
+        sum(col("_n") * (col("_tc") + 1L)).as("sum_t"),
+        sum(col("_n") * (col("_rc") + 1L)).as("sum_r"))
+      .withColumn("score", expr("(1000000 * sum_t) div sum_r"))
+      .withColumnRenamed("_t", "is_target")
+  }
+
+  /** Deterministic top-fraction selection over [[importanceWeights]]
+    * output: the ceil(fraction * n_raw) NON-target docs with the highest
+    * score, ties to the lowest id (total order, so the selected set is
+    * unique). Executes as TakeOrderedAndProject (per-partition top-k +
+    * merge), not a global sort; for selection fractions where k itself is
+    * huge, rank against a score threshold from the emitted stats instead.
+    */
+  def importanceSelect(weights: DataFrame, idCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1,
+      s"fraction must be in (0, 1], got $fraction")
+    val raw = weights.filter(!col("is_target"))
+    val k = math.ceil(raw.count() * fraction).toLong
+    require(k <= Int.MaxValue, "selection too large for limit(); use a threshold")
+    raw.orderBy(col("score").desc, col(idCol)).limit(k.toInt)
+  }
 }

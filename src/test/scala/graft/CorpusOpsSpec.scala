@@ -567,4 +567,53 @@ class CorpusOpsSpec extends SparkSpec {
         Seq(("a", 1L, 2L)).toDF("src", "budget", "extra"))
     }
   }
+
+  test("importance weights upweight target-like docs, stats are exact") {
+    // target vocabulary {alpha beta} vs raw vocabulary {zeta eta}; probe
+    // docs: one pure-target-vocab, one pure-raw-vocab, one mixed
+    val df = Seq(
+      (1L, "alpha beta alpha", true), (2L, "alpha beta", true),
+      (3L, "zeta eta zeta", false), (4L, "eta zeta", false),
+      (10L, "alpha beta", false), (11L, "zeta eta", false),
+      (12L, "alpha zeta", false),
+    ).toDF("doc_id", "text", "is_en")
+    val w = CorpusOps.importanceWeights(df, "text", "doc_id",
+      isTarget = col("is_en"), numBuckets = 1 << 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // n_grams = tokens + bigrams: "alpha beta alpha" -> 3 + 2
+    assert(w(1L)._2 == 5L)
+    assert(w(10L)._2 == 3L) // 2 tokens + 1 bigram
+    // the target-vocab probe outscores the mixed probe outscores raw-vocab
+    val score = (id: Long) => w(id)._5
+    assert(score(10L) > score(12L) && score(12L) > score(11L),
+      s"scores: target=${score(10L)} mixed=${score(12L)} raw=${score(11L)}")
+    // exact stats for the pure-target probe with huge bucket space (no
+    // collisions): doc10's grams are alpha/beta/"alpha beta"; target
+    // occurrences alpha 3, beta 2, "alpha beta" 2 -> sum_t = 4+3+3 = 10;
+    // raw occurrences alpha 2 (docs 10, 12), beta 1, "alpha beta" 1 ->
+    // sum_r = 3+2+2 = 7
+    assert(w(10L)._3 == 10L && w(10L)._4 == 7L, w(10L).toString)
+    assert(score(10L) == 1000000L * 10 / 7)
+    // is_target flags pass through
+    assert(w(1L)._1 && !w(10L)._1)
+  }
+
+  test("importance selection takes exactly ceil(fraction * n_raw), ordered") {
+    val df = Seq.tabulate(20) { i =>
+      // even ids share target vocab, odd ids don't
+      (i.toLong, if (i % 2 == 0) "common target words" else s"rare$i stuff$i", i < 4)
+    }.toDF("doc_id", "text", "t")
+    val w = CorpusOps.importanceWeights(df, "text", "doc_id", col("t"))
+    val sel = CorpusOps.importanceSelect(w, "doc_id", fraction = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel.size == math.ceil(16 * 0.3).toInt) // 16 raw docs -> 5
+    // selected docs are exactly the top-5 raw by (score desc, id)
+    val ranked = w.filter(!col("is_target"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect().take(5).toSet
+    assert(sel == ranked)
+    // no target doc selected
+    assert(sel.forall(_ >= 4))
+  }
 }
