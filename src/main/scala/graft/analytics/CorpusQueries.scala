@@ -403,5 +403,23 @@ object CorpusQueries {
       CorpusOps.importanceSelect(w, "doc_id", fraction = 0.25)
         .select("doc_id", "score").orderBy("doc_id")
     },
+
+    // ---- corpus TOKENIZATION: per-doc ordered token-id sequences under
+    // the trained BPE segmentation — text to model-ready ids, the step
+    // feeding sequence packing. NO SQL oracle for the same reason as q93
+    // (the segmentation comes from the iterative trainer); correctness is
+    // BpeSpec's exact reference-encoder equality + decode round-trip over
+    // the real corpus.
+    QueryDef("q104_bpe_token_ids", None) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val freqs = graft.ops.Bpe.wordFreqs(docs, "text")
+      freqs.persist()
+      val rules = graft.ops.Bpe.trainBpeOnFreqs(freqs, nMerges = 20)
+      val out = graft.ops.Bpe.encodeTokenIds(docs, "text", "doc_id", freqs, rules)
+        .orderBy("doc_id")
+      out.persist().count() // materialize before releasing the freqs cache
+      freqs.unpersist(false)
+      out
+    },
   )
 }

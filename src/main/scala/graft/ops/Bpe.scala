@@ -146,4 +146,60 @@ object Bpe {
       .agg(count(lit(1)).as("n_pretokens"),
         sum(col("n_tok").cast("long")).as("n_bpe_tokens"))
   }
+
+  /** Deterministic token-id dictionary for the trained vocabulary:
+    * every distinct BPE token across the segmented vocabulary, dense ids
+    * 0..V-1 in lexicographic token order. The global window runs over the
+    * BOUNDED vocabulary table (tokenizer vocabularies are 10k-100k
+    * entries), never the corpus — same driver-scale argument as the
+    * trainer's argmax.
+    */
+  def tokenVocab(freqs: DataFrame, rules: Seq[MergeRule]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("token")
+    segmentVocab(freqs, rules)
+      .select(explode(col("tokens")).as("token")).distinct()
+      .withColumn("token_id", row_number().over(w) - 1)
+  }
+
+  /** TOKENIZE the corpus: per document, the ordered token-id sequence
+    * under the trained segmentation — the step that turns cleaned text
+    * into model-ready ids, feeding sequence packing.
+    *
+    * Output: (idCol, n_tokens, token_ids). Docs with zero pre-tokens
+    * (empty/whitespace text) produce no row, matching
+    * [[tokenCompression]].
+    *
+    * Shape: the vocabulary side precomputes word -> ids ONCE over the
+    * (bounded) frequency table; the corpus-sized pass is one
+    * posexplode + one broadcast join + one per-doc ordered fold
+    * (sort_array over (position, ids) structs — order restored
+    * deterministically regardless of partitioning). A word absent from
+    * the training vocabulary fails LOUDLY (raise_error), not silently:
+    * encoding is corpus-scoped by construction (freqs came from this
+    * corpus), so an OOV hit means the caller passed mismatched inputs,
+    * and dropping or mis-encoding it would corrupt training data.
+    */
+  def encodeTokenIds(docs: DataFrame, textCol: String, idCol: String,
+      freqs: DataFrame, rules: Seq[MergeRule]): DataFrame = {
+    val vocab = tokenVocab(freqs, rules)
+    val wordIds = segmentVocab(freqs, rules)
+      .select(col("word"), posexplode(col("tokens")).as(Seq("tpos", "token")))
+      .join(vocab, "token")
+      .groupBy("word")
+      .agg(transform(sort_array(collect_list(struct(col("tpos"), col("token_id")))),
+        s => s("token_id")).as("ids"))
+    docs
+      .select(col(idCol), posexplode(regexp_extract_all(col(textCol),
+        lit(preTokenPattern), lit(0))).as(Seq("wpos", "word")))
+      .join(broadcast(wordIds), Seq("word"), "left")
+      .withColumn("ids",
+        when(col("ids").isNull,
+          raise_error(concat(lit("encodeTokenIds: word not in training vocabulary: "),
+            col("word")))).otherwise(col("ids")))
+      .groupBy(idCol)
+      .agg(flatten(transform(sort_array(collect_list(struct(col("wpos"), col("ids")))),
+        s => s("ids"))).as("token_ids"))
+      .select(col(idCol), size(col("token_ids")).as("n_tokens"),
+        col("token_ids"))
+  }
 }

@@ -116,4 +116,88 @@ class BpeSpec extends SparkSpec {
     val trained = out.map(_._3).sum
     assert(trained < none, s"10 merges must compress: $trained vs $none")
   }
+
+  /** Reference segmentation: apply reference merges in rank order with
+    * the same left-to-right non-overlap loop. */
+  private def refSegment(w: String, rules: Seq[(String, String, Long)]): Vector[String] = {
+    var syms = w.toVector.map(_.toString)
+    rules.foreach { case (l, r, _) =>
+      val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          merged += (l + r); i += 2
+        } else { merged += syms(i); i += 1 }
+      }
+      syms = merged.toVector
+    }
+    syms
+  }
+
+  // Spark string sort order is UTF-8 binary; Scala's default String
+  // ordering is UTF-16 — they disagree above the BMP, so the reference
+  // id assignment must compare UTF-8 bytes
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n && x(i) == y(i)) i += 1
+    if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+  }
+
+  test("corpus token-id encoding == in-memory reference over sf0.001") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val freqsDf = Bpe.wordFreqs(docs, "text")
+    val freqs = freqsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 12
+    val refRules = referenceBpe(freqs, n)
+    val rules = Bpe.trainBpe(docs, "text", n)
+    val seg = freqs.keys.map(w => w -> refSegment(w, refRules)).toMap
+    val ids = seg.values.flatten.toSeq.distinct.sorted(utf8Order).zipWithIndex.toMap
+    val refEnc = docs.select("doc_id", "text").collect().flatMap { r =>
+      val words = Bpe.preTokenPattern.r.findAllIn(r.getString(1)).toSeq
+      if (words.isEmpty) None
+      else Some(r.getLong(0) -> words.flatMap(w => seg(w).map(ids)))
+    }.toMap
+    val got = Bpe.encodeTokenIds(docs, "text", "doc_id", freqsDf, rules)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2).toSeq).toMap
+    assert(got.keySet == refEnc.keySet)
+    val bad = got.keys.filter(k => got(k) != refEnc(k))
+    assert(bad.isEmpty, s"docs diverge: ${bad.take(3).map(k =>
+      s"$k: ${got(k).take(10)} vs ${refEnc(k).take(10)}")}")
+    // n_tokens agrees with the compression query's count
+    val comp = Bpe.tokenCompression(docs, "text", "doc_id", freqsDf, rules)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (k, v) => assert(v.length.toLong == comp(k)) }
+  }
+
+  test("decoding the id sequence reconstructs the pre-token character stream") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(30)
+    val freqsDf = Bpe.wordFreqs(docs, "text")
+    val rules = Bpe.trainBpe(docs, "text", 8)
+    val idToTok = Bpe.tokenVocab(freqsDf, rules)
+      .collect().map(r => r.getInt(1) -> r.getString(0)).toMap
+    val enc = Bpe.encodeTokenIds(docs, "text", "doc_id", freqsDf, rules)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2).toSeq).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { case (id, tids) =>
+      val decoded = tids.map(idToTok).mkString
+      val expected = Bpe.preTokenPattern.r.findAllIn(texts(id)).mkString
+      assert(decoded == expected, s"doc $id round-trip broke")
+    }
+  }
+
+  test("encoding a word outside the training vocabulary fails loudly") {
+    val trainDocs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val freqsDf = Bpe.wordFreqs(trainDocs, "text")
+    val rules = Bpe.trainBpe(trainDocs, "text", 2)
+    val probe = Seq((9L, "aa zz")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bpe.encodeTokenIds(probe, "text", "doc_id", freqsDf, rules).collect()
+    }
+    assert(e.getMessage.contains("not in training vocabulary") ||
+      e.getCause != null && e.getCause.getMessage.contains("not in training vocabulary"),
+      s"unexpected error: ${e.getMessage}")
+  }
 }
