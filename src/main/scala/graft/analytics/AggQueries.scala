@@ -322,5 +322,18 @@ object AggQueries {
           .as("sum_unit_price_e4"))
         .orderBy("l_returnflag")
     },
+
+    // ---- per-user daily gap-fill + forward fill: materialize the
+    // missing days of each user's active span as zero-activity rows and
+    // carry the last active day's (decimal-exact) sum forward — the
+    // resample/ffill grid every windowed feature pipeline consumes.
+    QueryDef(
+      "q105_daily_gap_fill",
+      Some(graft.ops.TimeSeries.gapFillDailyOracleSql),
+    ) { (s, dir) =>
+      graft.ops.TimeSeries.gapFillDaily(Tables.events(s, dir),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "day")
+    },
   )
 }
