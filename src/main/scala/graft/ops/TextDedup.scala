@@ -779,8 +779,14 @@ object TextDedup {
       segKey: String, expectedItems: Long, fpp: Double = 0.01): Unit = {
     require(segKey.nonEmpty, "empty Bloom segment key")
     val spark = docs.sparkSession
-    val bloom = docs.select(fpProbeKey(col(textCol)).as("k"))
-      .stat.bloomFilter("k", expectedItems, fpp)
+    val keyed = docs.select(fpProbeKey(col(textCol)).as("k"))
+    // stat.bloomFilter NPEs on zero rows (its aggregate yields null) —
+    // an all-duplicates ingest batch is a legitimate empty segment, so
+    // build the same-geometry filter with zero insertions instead
+    val bloom =
+      if (keyed.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else keyed.stat.bloomFilter("k", expectedItems, fpp)
     val out = new java.io.ByteArrayOutputStream()
     bloom.writeTo(out)
     import spark.implicits._

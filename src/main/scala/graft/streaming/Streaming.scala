@@ -414,11 +414,22 @@ object Streaming {
     * contract). The index is one (fp, id) row per distinct document:
     * the probe is a single fp-keyed anti-join, and `compactEvery` folds
     * batch partitions through the shared batched-index compactor.
+    *
+    * `bloomDir` (optional) maintains the q101 Bloom sidecar: each batch
+    * appends a Bloom segment over its clean fingerprints (idempotent
+    * per-batch overwrite, same geometry every segment), and the probe
+    * OR-merges the existing segments to bypass the index anti-join for
+    * provably-new rows. Results are BIT-IDENTICAL with or without the
+    * sidecar (no false negatives; a retried batch's own stale segment
+    * can only over-admit rows into the authoritative anti-join, which
+    * already excludes the batch's own index partition).
     */
   def incrementalExactDedupStream(docs: DataFrame, indexDir: String,
       cleanDir: String, checkpoint: String,
       textCol: String = "text", idCol: String = "doc_id",
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0, bloomDir: String = null,
+      bloomExpectedItems: Long = 1L << 20,
+      bloomFpp: Double = 0.01): StreamingQuery = {
     val key = runKey(checkpoint)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -438,17 +449,31 @@ object Streaming {
             // cast FIRST — see incrementalDedupStream's legacy-layout note
             val priorFps = idx
               .filter(col("batch").cast("string") =!= lit(s"$key-$batchId"))
-            graft.ops.TextDedup.incrementalExactDedup(batch, priorFps,
-              textCol, idCol)
+            val bloom =
+              if (bloomDir != null &&
+                  fs.exists(new org.apache.hadoop.fs.Path(bloomDir)))
+                Some(graft.ops.TextDedup.readFpBloom(sp, bloomDir))
+              else None
+            bloom match {
+              case Some(b) => graft.ops.TextDedup
+                .bloomPrunedIncrementalExactDedup(batch, priorFps, b,
+                  textCol, idCol)
+              case None => graft.ops.TextDedup
+                .incrementalExactDedup(batch, priorFps, textCol, idCol)
+            }
           } else graft.ops.TextDedup.exactDedup(batch, textCol, idCol)
         survivors.write.mode("overwrite")
           .parquet(s"$cleanDir/batch=$key-$batchId")
         // fingerprints of the JUST-WRITTEN clean partition: the index can
         // never disagree with the clean output it guards
-        sp.read.parquet(s"$cleanDir/batch=$key-$batchId")
+        val clean = sp.read.parquet(s"$cleanDir/batch=$key-$batchId")
+        clean
           .select(graft.ops.TextDedup.fingerprint(col(textCol)).as("fp"),
             col(idCol).as("id"))
           .write.mode("overwrite").parquet(s"$indexDir/batch=$key-$batchId")
+        if (bloomDir != null)
+          graft.ops.TextDedup.writeFpBloomSegment(clean, textCol, bloomDir,
+            s"$key-$batchId", bloomExpectedItems, bloomFpp)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

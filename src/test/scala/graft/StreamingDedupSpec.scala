@@ -499,4 +499,41 @@ class StreamingDedupSpec extends SparkSpec {
     assert(idxDf.count() == idxDf.select("fp").distinct().count())
     assert(idxDf.count() == cleanDf.count())
   }
+
+  test("exact dedup stream with Bloom sidecar is bit-identical and appends one segment per batch") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft_sbloom").toString
+    // reference run (no sidecar) and bloom run see the same waves
+    val waves = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k)) :+
+      docs.filter(col("doc_id") % 3 === 0)
+    def drive(tag: String, bloomDir: String): String = {
+      val raw = s"$base/$tag/raw"; val clean = s"$base/$tag/clean"
+      waves.foreach { w =>
+        w.write.mode("append").parquet(raw)
+        val q = Streaming.incrementalExactDedupStream(
+          spark.readStream.schema(docs.schema).parquet(raw),
+          s"$base/$tag/idx", clean, s"$base/$tag/ckpt",
+          bloomDir = bloomDir, bloomExpectedItems = 10000L)
+        assert(q.awaitTermination(120000), s"$tag wave timed out")
+      }
+      clean
+    }
+    val plain = drive("plain", null)
+    val bloomDir = s"$base/bloomseg"
+    val pruned = drive("bloom", bloomDir)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(pruned) == rows(plain),
+      "bloom-pruned stream must be bit-identical to the plain stream")
+    // one segment per micro-batch, all same geometry, and the merged
+    // filter still admits every indexed fingerprint
+    val segs = spark.read.parquet(bloomDir)
+    assert(segs.count() == 4L, s"expected 4 segments, got ${segs.count()}")
+    val merged = TextDedup.readFpBloom(spark, bloomDir)
+    val missed = spark.read.parquet(s"$base/bloom/clean")
+      .filter(!graft.functions.BloomExprs.bloomMightContain(
+        TextDedup.fpProbeKey(col("text")), merged)).count()
+    assert(missed == 0L, "merged sidecar lost an indexed fingerprint")
+  }
 }
