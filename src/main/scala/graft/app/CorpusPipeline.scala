@@ -222,6 +222,26 @@ object CorpusPipeline {
       .agg(sum("hw")).collect()(0).get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
 
+    // ---- stage 8: TOKENIZE the budgeted corpus to model-ready BPE
+    // token-id sequences (train the segmentation on this corpus, encode
+    // every doc). Cross-checked two ways: the id-sequence lengths must
+    // equal the independent tokenCompression counts doc-for-doc, and
+    // every budgeted doc with at least one pre-token must encode.
+    val bpeFreqs = graft.ops.Bpe.wordFreqs(budgeted, "text").persist()
+    val bpeRules = graft.ops.Bpe.trainBpeOnFreqs(bpeFreqs, nMerges = 16)
+    val encoded = graft.ops.Bpe.encodeTokenIds(budgeted, "text", "doc_id",
+      bpeFreqs, bpeRules).persist()
+    val nEncoded = encoded.count()
+    val nCompressible = graft.ops.Bpe.tokenCompression(budgeted, "text",
+      "doc_id", bpeFreqs, bpeRules).persist()
+    val nLenMismatch = encoded
+      .join(nCompressible, "doc_id")
+      .filter(col("n_tokens").cast("long") =!= col("n_bpe_tokens")).count()
+    val nCompDocs = nCompressible.count()
+    nCompressible.unpersist(false)
+    bpeFreqs.unpersist(false)
+    encoded.unpersist(false)
+
     ingest.unpersist()
     reps.unpersist(false)
     semReps.unpersist(false)
@@ -241,6 +261,7 @@ object CorpusPipeline {
       |token budget:      $nMixed -> $nBudgeted (max source tokens $maxSourceTokens vs budget $tokenBudget)
       |mixture drift:     ${drift.map(r => f"${r.getString(0)}=${r.getDouble(5)}%.6f").mkString("  ")}
       |packed:            $nBudgeted docs -> $nChunks context windows of 128 tokens
+      |bpe tokenize:      $nEncoded docs encoded (16 merges; $nLenMismatch length mismatches vs compression counts)
       |wall time:         $secs%.1f s
       |""".stripMargin)
 
@@ -250,7 +271,8 @@ object CorpusPipeline {
       nClean <= nTrain && nFlagDiff == 0 &&
       nLmKept <= nClean && nLmKept > 0 &&
       nMixed <= nLmKept && nBudgeted <= nMixed && budgetOk &&
-      nPacked == nBudgeted && nChunks > 0 && driftOk
+      nPacked == nBudgeted && nChunks > 0 && driftOk &&
+      nEncoded == nCompDocs && nLenMismatch == 0L && nEncoded > 0
     if (!ok) {
       System.err.println("corpus pipeline invariant FAILED")
       spark.stop()
