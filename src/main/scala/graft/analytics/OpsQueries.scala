@@ -478,6 +478,28 @@ object OpsQueries {
       SketchStats.hllDistinct(s, skDir, Seq("source")).orderBy("source")
     },
 
+    // ---- incremental EXACT histogram: three simulated ingest batches
+    // each append (bin, cnt) segments; the served histogram sums bins
+    // across segments. The oracle bins the WHOLE table directly in SQL —
+    // the hash match IS the exact-mergeability property (segments-summed
+    // == single pass), which approximate sketches (q97) cannot offer.
+    QueryDef(
+      "q106_incremental_histogram",
+      Some("""
+        SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS cnt
+        FROM events GROUP BY bin ORDER BY bin"""),
+    ) { (s, dir) =>
+      import graft.ops.SketchStats
+      val events = Tables.events(s, dir)
+      val hDir = java.nio.file.Files.createTempDirectory("graft-hist106").toString
+      (0 until 3).foreach { k =>
+        SketchStats.appendHistBatch(
+          events.filter(pmod(col("event_id"), lit(3)) === k),
+          "value", hDir, s"b$k", width = 10.0)
+      }
+      SketchStats.histogram(s, hDir).orderBy("bin")
+    },
+
     // ---- publish-gate stats drift between snapshot versions: v1 doubles
     // %3 prices AND nulls out %11 prices (a simulated bad load), and the
     // monitor must surface the null-rate jump and mean shift per column.

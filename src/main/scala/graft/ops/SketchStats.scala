@@ -109,4 +109,73 @@ object SketchStats {
       .write.mode("overwrite").parquet(s"$tmpPath/seg=base")
     StagedSwap.swap(fs, dirPath, tmpPath)
   }
+
+  // --------------------------------------------------------------------
+  // Persisted mergeable EXACT histograms — the exact-count sibling of the
+  // HLL segments, for incremental quantile/drift monitoring: each ingest
+  // batch appends its (bin, cnt) rows under a fixed binning width, and
+  // the corpus-wide histogram is served by summing bins across segments
+  // (exact, order-free, associative) — ingested data is never re-scanned.
+  // A percentile estimate read off the merged histogram is exact to one
+  // bin width, which for a monitoring gate is the error budget you chose
+  // when you picked the width. Unlike KLL/t-digest, this sketch's merge
+  // is EXACT, so the q106 oracle can hash-check segments-summed against
+  // a direct single-pass binning — the mergeability property itself.
+  // --------------------------------------------------------------------
+
+  /** floor(value / width) as the bin id — the one shared binning both
+    * the engine and the SQL oracle compute (double division and floor
+    * are IEEE-correctly-rounded, so bin ids are bit-stable cross-engine).
+    */
+  def histBin(value: org.apache.spark.sql.Column, width: Double): org.apache.spark.sql.Column =
+    floor(value / lit(width)).cast("long")
+
+  /** Append one batch's (bin, cnt) histogram rows under `seg=<batchKey>`
+    * (idempotent overwrite). `width` is a frozen parameter, stamped per
+    * segment and enforced at read.
+    */
+  def appendHistBatch(df: DataFrame, valueCol: String, dir: String,
+      batchKey: String, width: Double): Unit = {
+    checkKey(batchKey)
+    require(width > 0 && !width.isNaN && !width.isInfinite,
+      s"width must be a positive finite number, got $width")
+    df.groupBy(histBin(col(valueCol), width).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("_width", lit(width))
+      .write.mode("overwrite").parquet(s"$dir/seg=$batchKey")
+  }
+
+  /** Serve the merged histogram: sum bins across all segments. Loud on a
+    * mixed-width index (a different width is a different sketch, and a
+    * silent mixed sum would be meaningless).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val segs = spark.read.parquet(dir)
+    val widths = segs.select("_width").distinct().collect().map(_.getDouble(0))
+    require(widths.length == 1,
+      s"mixed histogram widths under $dir: ${widths.sorted.mkString(", ")}")
+    segs.groupBy("bin").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Percentile estimates off a merged histogram: for each q, the LOWER
+    * EDGE (width * bin) of the first bin whose cumulative count reaches
+    * ceil(q * n) — exact to one bin width, integer/decimal arithmetic
+    * only. The window runs over the BIN table (bounded by value range /
+    * width), never the data.
+    */
+  def histQuantiles(hist: DataFrame, width: Double,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("_cum", sum("cnt").over(
+        W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("_n", sum("cnt").over(W.partitionBy()))
+    qs.map { q =>
+      cum.filter(col("_cum") >= ceil(lit(q) * col("_n")))
+        .agg(min("bin").as("bin"))
+        .select(lit(q).as("q"), (col("bin") * width).as("est"))
+    }.reduce(_.unionByName(_))
+  }
 }

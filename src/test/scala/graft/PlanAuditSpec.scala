@@ -219,4 +219,41 @@ class PlanAuditSpec extends SparkSpec {
     // the only joins are the broadcast of 1-row aggregate results
     assert(p.contains("HashAggregate"), "expected the wide stats aggregates")
   }
+
+  test("bloom-pruned dedup probes inline (codegen filter), anti-join only on admits") {
+    val p = plan("q101_bloom_incremental_dedup")
+    // the bloom probe must be a row-local filter — no join, no shuffle of
+    // its own; the only joins are the fp anti-join on the admitted branch
+    assert(p.contains("bloom_might_contain"),
+      "expected the native bloom probe expression in the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "bloom dedup must never go cartesian/nested-loop")
+    assert(p.contains("LeftAnti"), "expected the authoritative fp anti-join")
+  }
+
+  test("importance weighting broadcasts the bucket-count table, never the corpus") {
+    val p = plan("q102_importance_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket counts (<= numBuckets rows) must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "importance weights need no window")
+  }
+
+  test("importance selection cuts with TakeOrdered, not a global sort or window") {
+    val p = plan("q103_importance_selection")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-fraction cut must be per-partition top-k + merge")
+  }
+
+  test("gap-fill windows per key and generates the calendar from span rows") {
+    val p = plan("q105_daily_gap_fill")
+    // the forward-fill window must be keyed (never a single global
+    // partition) and the calendar explodes from per-key span rows
+    assert(p.contains("Window"), "expected the forward-fill window")
+    assert(p.contains("PartitionBy: [user_id") ||
+      p.contains("partitionBy=[user_id") || p.contains("[user_id"),
+      "forward-fill window must partition by the key")
+    assert(p.contains("Generate"), "expected the sequence-explode calendar")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

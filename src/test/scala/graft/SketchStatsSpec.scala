@@ -139,4 +139,44 @@ class SketchStatsSpec extends SparkSpec {
       SketchStats.appendHllBatch(docs.limit(1), "doc_id", dir, "a=b")
     }
   }
+
+  test("histogram segments sum to the single-pass binning; retries idempotent") {
+    import spark.implicits._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    (0 until 3).foreach { k =>
+      SketchStats.appendHistBatch(
+        events.filter(pmod(col("event_id"), lit(3)) === k),
+        "value", dir, s"b$k", width = 25.0)
+    }
+    // retry of batch 1 must overwrite, not double its bins
+    SketchStats.appendHistBatch(
+      events.filter(pmod(col("event_id"), lit(3)) === 1),
+      "value", dir, "b1", width = 25.0)
+    val merged = SketchStats.histogram(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = events
+      .groupBy(SketchStats.histBin(col("value"), 25.0).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct, "segments-summed histogram must be exact")
+
+    // quantile estimates are exact to one bin width vs the true quantile
+    val hist = SketchStats.histogram(spark, dir)
+    val ests = SketchStats.histQuantiles(hist, 25.0, Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = events.stat.approxQuantile("value", Array(0.5, 0.9, 0.99), 0.0)
+    Seq(0.5 -> exact(0), 0.9 -> exact(1), 0.99 -> exact(2)).foreach {
+      case (q, ex) =>
+        assert(ests(q) <= ex && ex < ests(q) + 25.0,
+          s"q=$q est=${ests(q)} must bracket exact=$ex within one bin")
+    }
+
+    // mixed widths are a different sketch: reject loudly
+    SketchStats.appendHistBatch(events.limit(10), "value", dir, "bx", width = 10.0)
+    val e = intercept[IllegalArgumentException] {
+      SketchStats.histogram(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("mixed histogram widths"))
+  }
 }
