@@ -125,5 +125,16 @@ object VectorQueries {
         emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", 3)
         .orderBy("query_id", "rank")
     },
+
+    // ---- SemDeDup semantic dedup: spherical k-means cells, then the
+    // paper's upper-triangular prune within each cell (drop a doc iff a
+    // lower-id cell-mate is cosine-similar). no_oracle by design (k-means
+    // assignment is not one SQL query); VectorIndexSpec pins exact
+    // equality against an in-memory reference over the real corpus plus
+    // the planted-clone-dropped contract.
+    QueryDef("q107_semdedup_survivors", None) { (s, dir) =>
+      VectorSim.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        numCells = 16, threshold = 0.35).orderBy("vec_id")
+    },
   )
 }

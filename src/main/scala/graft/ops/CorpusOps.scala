@@ -562,16 +562,22 @@ object CorpusOps {
   // at selection time without touching the corpus again.
   // --------------------------------------------------------------------
 
-  /** Word unigrams + bigrams with multiplicity (the DSIR feature set);
-    * bigrams only when the doc has >= 2 tokens.
+  /** Word unigrams + bigrams with multiplicity (the DSIR feature set)
+    * over an ALREADY-MATERIALIZED token-array column; bigrams only when
+    * the doc has >= 2 tokens. Callers must project the tokenization into
+    * its own column first (as [[importanceWeights]] does): building this
+    * directly over `split(...)` would re-inline the split into every
+    * element access — O(tokens²) work per doc. Bigrams pair the array
+    * with its own tail via two slices + zip_with, one pass, no
+    * per-element indexing.
     */
-  def importanceGrams(text: Column): Column = {
-    val tk = graft.core.Cols.wsTokens(text)
-    val bi = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+  def importanceGrams(tokens: Column): Column = {
+    val bi = when(size(tokens) >= 2,
+      zip_with(slice(tokens, lit(1), size(tokens) - 1),
+        slice(tokens, lit(2), size(tokens) - 1),
+        (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    concat(tk, bi)
+    concat(tokens, bi)
   }
 
   /** Per-doc importance statistics against a target slice: explode grams,
@@ -594,14 +600,20 @@ object CorpusOps {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     requireFresh(df, "is_target", "n_grams", "sum_t", "sum_r", "score")
     val g = df.select(col(idCol), isTarget.cast("boolean").as("_t"),
-        explode(importanceGrams(col(textCol))).as("_gram"))
+        graft.core.Cols.wsTokens(col(textCol)).as("_tk"))
+      .select(col(idCol), col("_t"),
+        explode(importanceGrams(col("_tk"))).as("_gram"))
       .select(col(idCol), col("_t"),
         pmod(xxhash64(col("_gram")), lit(numBuckets.toLong)).as("_b"))
     val perDocBucket = g.groupBy(col(idCol), col("_t"), col("_b"))
       .agg(count(lit(1)).as("_n"))
-    val bucketCounts = g.groupBy("_b").agg(
-      sum(when(col("_t"), 1L).otherwise(0L)).as("_tc"),
-      sum(when(!col("_t"), 1L).otherwise(0L)).as("_rc"))
+    // bucket counts derive from the per-(doc, bucket) aggregate, not the
+    // raw gram rows: both consumers then share one canonical exchange
+    // over the exploded grams (AQE stage reuse), so the corpus-sized
+    // explode+hash runs ONCE
+    val bucketCounts = perDocBucket.groupBy("_b").agg(
+      sum(when(col("_t"), col("_n")).otherwise(0L)).as("_tc"),
+      sum(when(!col("_t"), col("_n")).otherwise(0L)).as("_rc"))
     perDocBucket.join(broadcast(bucketCounts), "_b")
       .groupBy(col(idCol), col("_t"))
       .agg(sum(col("_n")).as("n_grams"),
@@ -622,7 +634,11 @@ object CorpusOps {
       fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1,
       s"fraction must be in (0, 1], got $fraction")
-    val raw = weights.filter(!col("is_target"))
+    // the weights pipeline is consumed twice (the count that sizes k,
+    // then the cut) — materialize it once; one row per doc, so the
+    // checkpoint is corpus-doc-count-sized, not corpus-sized
+    val w = weights.localCheckpoint(true)
+    val raw = w.filter(!col("is_target"))
     val k = math.ceil(raw.count() * fraction).toLong
     require(k <= Int.MaxValue, "selection too large for limit(); use a threshold")
     raw.orderBy(col("score").desc, col(idCol)).limit(k.toInt)

@@ -1044,4 +1044,44 @@ object VectorSim {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup (Abbas et al. 2023): cluster the corpus with spherical
+    * k-means, then prune semantic duplicates WITHIN each cluster — drop a
+    * doc iff some LOWER-id doc in its cluster has cosine >= threshold
+    * (the paper's upper-triangular matrix rule, with doc id as the fixed
+    * order instead of centroid distance — deterministic here, arbitrary
+    * there). Complementary to [[cosineNearDups]]: LSH buckets catch
+    * near-identical vectors cheaply; k-means cells group PARAPHRASE-level
+    * semantic neighbors that no sign-bucket shares.
+    *
+    * Output: the surviving (idCol, cell) rows.
+    *
+    * Scale shape: the centroid fit is the bounded-sample driver k-means
+    * shared with IVF; assignment is one codegen map; the within-cell
+    * self-join shuffles on `cell` and generates Σ s_c² candidate pairs —
+    * the algorithm's defined cost. numCells is the knob: cells average
+    * n/numCells rows, so pick numCells ∝ corpus size (the paper runs 50k
+    * cells at 100M docs) and the per-cell quadratic stays bounded; AQE
+    * splits skewed cells.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, threshold: Double, sampleN: Int = 4096,
+      iters: Int = 10): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, numCells,
+      sampleN, iters)
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell",
+        element_at(IvfExprs.nearestCentroids(col("v"), centroids, 1), 1))
+      .withColumn("nrm", sqrt(normSq(col("v"))))
+    val a = base.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    base.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
 }

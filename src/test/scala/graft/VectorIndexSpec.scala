@@ -383,4 +383,50 @@ class VectorIndexSpec extends SparkSpec {
       "vec_id", "embedding", threshold = 0.25)
     assert(empty.count() == 0, "empty index (first ingest) must probe to empty")
   }
+
+  test("semDedup == in-memory reference (cells + upper-triangular prune); clones dropped") {
+    val emb = Tables.embeddings(spark, sf001)
+    val numCells = 8; val threshold = 0.35
+    // plant an exact clone of the lowest-id vector under a higher id:
+    // same vector => same argmax cell, cosine 1.0 => must be dropped
+    val first = emb.orderBy("vec_id").limit(1)
+      .collect()(0)
+    val clone = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(999999L, first.getSeq[Float](1), 0)),
+      emb.schema)
+    val corpus = emb.unionByName(clone)
+
+    val got = VectorSim.semDedup(corpus, "vec_id", "embedding",
+      numCells, threshold).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(!got.contains(999999L), "planted clone must be pruned")
+    assert(got.contains(first.getLong(0)), "the lower-id original survives")
+
+    // reference: take the CELL assignment from the shared (already
+    // IVF-contract-tested) kernel, then independently re-apply the prune
+    // rule in memory — drop iff a lower-id cell-mate clears the threshold
+    val cents = VectorSim.trainIvfCentroids(corpus, "vec_id", "embedding",
+      numCells)
+    val rows = corpus.select(col("vec_id"), col("embedding"),
+        element_at(graft.functions.IvfExprs.nearestCentroids(
+          col("embedding"), cents, 1), 1).as("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val byCell = rows.groupBy(_._3)
+    val refSurvivors = byCell.toSeq.flatMap { case (cell, members) =>
+      val sorted = members.sortBy(_._1)
+      sorted.filter { case (id, v, _) =>
+        val nv = math.sqrt(dot(v, v))
+        !sorted.exists { case (id2, v2, _) =>
+          id2 < id && dot(v, v2) / (nv * math.sqrt(dot(v2, v2))) >= threshold
+        }
+      }.map(m => m._1 -> cell)
+    }.toMap
+    assert(got == refSurvivors,
+      s"diverges on ${(got.keySet diff refSurvivors.keySet) ++
+        (refSurvivors.keySet diff got.keySet)}")
+  }
 }
