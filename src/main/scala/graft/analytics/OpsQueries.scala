@@ -478,6 +478,24 @@ object OpsQueries {
       SketchStats.hllDistinct(s, skDir, Seq("source")).orderBy("source")
     },
 
+    // ---- entity resolution: edit-distance similarity self-join over
+    // customer names (PassJoin pigeonhole blocking + levenshtein verify).
+    // The oracle is BRUTE FORCE all-pairs in SQL — the hash match proves
+    // the blocked join's completeness, the whole point of the operator.
+    QueryDef(
+      "q108_fuzzy_name_pairs",
+      Some("""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ORDER BY id_a, id_b"""),
+    ) { (s, dir) =>
+      graft.ops.EditJoin.levenshteinSelfJoin(
+        Tables.customer(s, dir), "c_custkey", "c_name", k = 1)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- incremental EXACT histogram: three simulated ingest batches
     // each append (bin, cnt) segments; the served histogram sums bins
     // across segments. The oracle bins the WHOLE table directly in SQL —
