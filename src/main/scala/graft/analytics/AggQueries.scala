@@ -335,5 +335,65 @@ object AggQueries {
           "user_id", "ts", "value")
         .orderBy("user_id", "day")
     },
+
+    // ---- conversion funnel: per user, the first click and the first
+    // purchase AFTER it; converted = purchase within 7 days. Timestamps
+    // compared as exact micros (unix_micros/epoch_us) — no float time
+    // arithmetic. Two hash aggregations + one user-keyed join; no window.
+    QueryDef(
+      "q109_click_purchase_funnel",
+      Some("""
+        WITH fc AS (SELECT user_id, min(epoch_us(ts)) AS fc_us
+                    FROM events WHERE event_type = 'click' GROUP BY user_id),
+        fp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS fp_us
+               FROM events e JOIN fc ON e.user_id = fc.user_id
+               WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fc.fc_us
+               GROUP BY e.user_id)
+        SELECT fc.user_id, fc.fc_us, fp.fp_us,
+               COALESCE(fp.fp_us - fc.fc_us <= 604800000000, FALSE) AS converted
+        FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id
+        ORDER BY fc.user_id"""),
+    ) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("us").as("fc_us"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fc, "user_id").filter(col("us") > col("fc_us"))
+        .groupBy("user_id").agg(min("us").as("fp_us"))
+      fc.join(fp, Seq("user_id"), "left")
+        .select(col("user_id"), col("fc_us"), col("fp_us"),
+          coalesce(col("fp_us") - col("fc_us") <= 604800000000L, lit(false))
+            .as("converted"))
+        .orderBy("user_id")
+    },
+
+    // ---- weekly cohort retention: cohort = ISO week of first activity;
+    // cell (cohort_week, week_offset) counts users active in that week.
+    // Monday-aligned date_trunc on both engines; offsets are exact
+    // integer day-diffs / 7.
+    QueryDef(
+      "q110_cohort_retention",
+      Some("""
+        WITH uw AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS week
+                    FROM events),
+        cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+        SELECT c.cohort_week, date_diff('day', c.cohort_week, uw.week) // 7 AS week_offset,
+               count(*) AS n_active
+        FROM uw JOIN cohort c ON uw.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+    ) { (s, dir) =>
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
   )
 }
