@@ -395,5 +395,31 @@ object AggQueries {
         .agg(count(lit(1)).as("n_active"))
         .orderBy("cohort_week", "week_offset")
     },
+
+    // ---- market-basket co-occurrence: part pairs ordered together in
+    // >= 2 orders (the pairwise support core of frequent-itemset mining).
+    // Per-order self-join — bounded by basket size (TPC-H <= 7 lines), so
+    // pair generation is linear in orders, never corpus-quadratic.
+    QueryDef(
+      "q111_copurchase_pairs",
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY part_a, part_b"""),
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy("part_a", "part_b")
+    },
   )
 }

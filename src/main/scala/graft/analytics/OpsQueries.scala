@@ -279,6 +279,16 @@ object OpsQueries {
         Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 1000)))
     },
 
+    // ---- REAL audio signal features: PCM-16 decode of the WAV payloads
+    // (no codec library needed — WAV is raw samples), peak/zero-crossing/
+    // rms per row. no_oracle (binary surface); exactness is pinned by the
+    // square-wave/sign-extension/truncation contracts in MultimodalSpec.
+    QueryDef("q112_audio_features", None) { (s, dir) =>
+      import s.implicits._
+      Multimodal.audioFeatures(Multimodal.syntheticMedia(s, 1000))
+        .toDF().orderBy("media_id")
+    },
+
     // ---- video frame sampling: bounded fan-out per video at 1 fps from
     // the parsed mvhd duration (stub frame grab; rows check)
     QueryDef("q61_frame_sample", None) { (s, dir) =>

@@ -103,6 +103,28 @@ object ScaleCurve {
       "q83_winnow_dup_pairs" -> (d =>
         TextDedup.winnowDupPairs(d, "text", "doc_id",
           k = 12, w = 10, minShared = 2).count()),
+      "q101_bloom_incremental_dedup" -> { d =>
+        val old = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        val fresh = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        val fpIndex = old.select(TextDedup.fingerprint(col("text")).as("fp")).distinct()
+        val bloom = old.select(TextDedup.fpProbeKey(col("text")).as("k"))
+          .stat.bloomFilter("k", 2000000L, 0.01)
+        TextDedup.bloomPrunedIncrementalExactDedup(fresh, fpIndex, bloom,
+          "text", "doc_id").count()
+      },
+      "q102_importance_weights" -> (d =>
+        graft.ops.CorpusOps.importanceWeights(d, "text", "doc_id",
+          col("blk").startsWith("en"), numBuckets = 4096).count()),
+      // synthetic per-replica names: the doubled replica digit keeps
+      // cross-replica name distance >= 2 > k, so pair structure stays
+      // replica-isomorphic (no quadratic cross-replica pairs)
+      "q108_fuzzy_name_pairs" -> (d =>
+        graft.ops.EditJoin.levenshteinSelfJoin(
+          d.select(col("doc_id"), format_string("%d%d#%09d",
+            floor(col("doc_id") / 1000000000L).cast("int"),
+            floor(col("doc_id") / 1000000000L).cast("int"),
+            pmod(col("doc_id"), lit(1000000000L))).as("nm")),
+          "doc_id", "nm", k = 1).count()),
     )
 
     // one warmup pass at 1x so JIT/codegen compilation is not billed to

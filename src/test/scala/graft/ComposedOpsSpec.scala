@@ -372,4 +372,45 @@ class MultimodalSpec extends SparkSpec {
       row => Multimodal.MediaCodec.decode(row).copy(brightness = 0.5))
     assert(custom.collect().forall(_.brightness == 0.5))
   }
+
+  /** 44-byte PCM-16 mono WAV around explicit samples. */
+  private def wavOf(samples: Array[Int], rate: Int = 8000): Array[Byte] = {
+    def le32(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    val data = samples.flatMap(s => Array(s.toByte, (s >> 8).toByte))
+    ascii("RIFF") ++ le32(36L + data.length) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++
+      Array[Byte](1, 0, 1, 0) ++ le32(rate) ++ le32(rate * 2L) ++
+      Array[Byte](2, 0, 16, 0) ++
+      ascii("data") ++ le32(data.length) ++ data
+  }
+
+  test("PCM decode: exact samples, peak, zero crossings, rms on a square wave") {
+    // amplitude-1000 square wave, period 8: 100 half-periods of 4 samples
+    val sq = Array.tabulate(400)(i => if ((i / 4) % 2 == 0) 1000 else -1000)
+    val Some((rate, ch, got)) = Multimodal.parseWavPcm(wavOf(sq))
+    assert(rate == 8000 && ch == 1 && got.toSeq == sq.toSeq)
+    val f = Multimodal.pcmFeatures(7L, rate, ch, got)
+    assert(f.peak_abs == 1000)
+    assert(f.zero_crossings == 99) // one per half-period boundary
+    assert(math.abs(f.rms - 1000.0 / 32768.0) < 1e-12) // constant |s| = exact rms
+    // negative samples round-trip the little-endian sign extension
+    val Some((_, _, neg)) = Multimodal.parseWavPcm(wavOf(Array(-32768, 32767, -1)))
+    assert(neg.toSeq == Seq(-32768, 32767, -1))
+  }
+
+  test("audioFeatures over the synthetic corpus: every audio row decodes; corrupt flagged") {
+    val media = Multimodal.syntheticMedia(spark, 120)
+    val feats = Multimodal.audioFeatures(media).collect()
+    val nAudio = media.collect().count(_.kind == "audio")
+    assert(feats.length == nAudio && nAudio > 0)
+    assert(feats.forall(f => f.n_samples >= 0 && f.sample_rate == 8000),
+      "synthetic WAV payloads must PCM-decode")
+    // corrupt payload surfaces flagged, not dropped and not thrown
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow(1L, "audio",
+      Array.tabulate(100)(i => (i * 31).toByte), "audio/wav", 0, 0, 9L)).toDS()
+    val bf = Multimodal.audioFeatures(bad).collect()
+    assert(bf.length == 1 && bf.head.n_samples == -1L)
+  }
 }
