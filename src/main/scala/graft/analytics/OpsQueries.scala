@@ -273,6 +273,33 @@ object OpsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- DECLARATIVE sessionization: Spark's native session_window
+    // aggregation (the state-store streaming primitive), same sessions as
+    // q43's gap-and-island chain up to the exact-gap boundary (this
+    // oracle's `>=` rule — session_window's end-exclusive merge).
+    QueryDef(
+      "q114_session_windows",
+      Some(s"""
+        WITH s AS (
+          SELECT user_id, value, ts,
+                 SUM(CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM (SELECT user_id, value, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events))
+        SELECT user_id, COUNT(*) AS n_events,
+               epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+               ${sqlSum("value")} AS sum_value
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, start_us"""),
+    ) { (s, dir) =>
+      graft.ops.Sessionize.sessionWindowStats(Tables.events(s, dir),
+          "user_id", "ts", "value", gapSeconds = 1800L)
+        .orderBy("user_id", "start_us")
+    },
+
     // ---- multimodal feature extraction plumbing (header codec; rows check)
     QueryDef("q49_media_features", None) { (s, dir) =>
       Multimodal.featureStats(
@@ -526,6 +553,42 @@ object OpsQueries {
           "value", hDir, s"b$k", width = 10.0)
       }
       SketchStats.histogram(s, hDir).orderBy("bin")
+    },
+
+    // ---- histogram drift between two ingest slices, served FROM the
+    // persisted segments: per-bin integer cross-multiplied L1 deviation
+    // |cnt_a*tot_b - cnt_b*tot_a| — exact arithmetic end to end, so the
+    // whole drift monitor hash-matches (the vocab KL monitor needs 9dp
+    // rounding; this needs nothing).
+    QueryDef(
+      "q113_histogram_drift",
+      Some("""
+        WITH ea AS (SELECT value FROM events WHERE user_id % 2 = 0),
+        eb AS (SELECT value FROM events WHERE user_id % 2 = 1),
+        ha AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                      count(*) AS cnt_a FROM ea GROUP BY bin),
+        hb AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                      count(*) AS cnt_b FROM eb GROUP BY bin),
+        tots AS (SELECT (SELECT CAST(sum(cnt_a) AS BIGINT) FROM ha) AS tot_a,
+                        (SELECT CAST(sum(cnt_b) AS BIGINT) FROM hb) AS tot_b)
+        SELECT COALESCE(ha.bin, hb.bin) AS bin,
+               COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b,
+               CAST(abs(COALESCE(cnt_a, 0) * tot_b - COALESCE(cnt_b, 0) * tot_a)
+                 AS BIGINT) AS dev_num
+        FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin CROSS JOIN tots
+        ORDER BY bin"""),
+    ) { (s, dir) =>
+      import graft.ops.SketchStats
+      val events = Tables.events(s, dir)
+      val hDir = java.nio.file.Files.createTempDirectory("graft-hist113").toString
+      Seq(0, 1).foreach { side =>
+        SketchStats.appendHistBatch(
+          events.filter(pmod(col("user_id"), lit(2)) === side),
+          "value", s"$hDir/s$side", "b0", width = 10.0)
+      }
+      SketchStats.histDrift(
+        SketchStats.histogram(s, s"$hDir/s0"),
+        SketchStats.histogram(s, s"$hDir/s1")).orderBy("bin")
     },
 
     // ---- publish-gate stats drift between snapshot versions: v1 doubles

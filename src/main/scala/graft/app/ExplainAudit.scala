@@ -19,7 +19,10 @@ object ExplainAudit {
       "q60_cosine_knn_ivf", "q68_decontamination", "q69_sequence_packing",
       "q81_bm25_search", "q83_winnow_dup_pairs", "q94_hybrid_rrf",
       "q95_snapshot_diff", "q96_incremental_agg", "q98_stats_drift",
-      "q99_incremental_exact_dedup")
+      "q99_incremental_exact_dedup", "q101_bloom_incremental_dedup",
+      "q102_importance_weights", "q105_daily_gap_fill",
+      "q108_fuzzy_name_pairs", "q109_click_purchase_funnel",
+      "q111_copurchase_pairs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

@@ -41,4 +41,37 @@ object Sessionize {
         unix_micros(min(col(tsCol))).as("start_us"),
         unix_micros(max(col(tsCol))).as("end_us"),
         graft.core.Det.dsum(col(valueCol)).as("sum_value"))
+
+  /** The DECLARATIVE twin of [[sessionStats]]: Spark's native
+    * `session_window` aggregation (SessionWindowStateStoreSave at
+    * streaming runtime, plain hash agg in batch) instead of the
+    * gap-and-island window chain. Near-identical session semantics:
+    * each event opens a [ts, ts+gap) window and overlapping windows
+    * merge, so events strictly within `gapSeconds` of the previous one
+    * join its session. The ONE divergence from [[sessionStats]] is the
+    * exact-gap boundary — [ts, ts+gap) is end-EXCLUSIVE, so an event
+    * precisely gap seconds later starts a NEW session here, while the
+    * lag rule's `diff > gap` keeps it (q114's oracle encodes the `>=`
+    * rule for exactly this reason). start/end are min/max event time
+    * (the window struct's `end`
+    * would be last-event + gap — dropped in favor of the aggregates so
+    * both twins emit identical rows, which q114's shared-shape oracle
+    * hash-checks). In streaming, watermark the ts column first; closed
+    * sessions emit in Append mode.
+    *
+    * One session_window hash aggregation — no sort-window chain, and the
+    * state-store-backed streaming path is why this twin exists.
+    */
+  def sessionWindowStats(
+      events: DataFrame, userCol: String, tsCol: String, valueCol: String,
+      gapSeconds: Long): DataFrame =
+    events
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col(tsCol))).as("start_us"),
+        unix_micros(max(col(tsCol))).as("end_us"),
+        graft.core.Det.dsum(col(valueCol)).as("sum_value"))
+      .drop("session_window")
 }

@@ -163,6 +163,36 @@ object SketchStats {
     * only. The window runs over the BIN table (bounded by value range /
     * width), never the data.
     */
+  /** Distribution drift between two merged histograms (same width): per
+    * bin, the INTEGER cross-multiplied L1 deviation
+    * `dev_num = |cnt_a * tot_b - cnt_b * tot_a|` — the numerator of
+    * |p_a - p_b| over the common denominator tot_a * tot_b, so the whole
+    * monitor is exact integer arithmetic (no float division, no ln ulp
+    * hazard; the vocab-drift monitor needs round-to-9dp for its KL
+    * terms, this needs nothing). Total L1 distance =
+    * sum(dev_num) / (tot_a * tot_b), computed by the consumer at
+    * whatever precision its gate wants. Bins absent on one side count
+    * as zero (full outer join). Cross products ride DECIMAL(38,0) and
+    * cast to long — exact while counts stay under ~3e9 squared; beyond
+    * that drop the cast and keep the decimal.
+    */
+  def histDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    val fa = a.select(col("bin"), col("cnt").as("cnt_a"))
+    val fb = b.select(col("bin"), col("cnt").as("cnt_b"))
+    val tots = fa.agg(sum("cnt_a").as("tot_a"))
+      .crossJoin(fb.agg(sum("cnt_b").as("tot_b")))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    fa.join(fb, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .crossJoin(broadcast(tots))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        abs(col("cnt_a").cast(dec) * col("tot_b").cast(dec) -
+          col("cnt_b").cast(dec) * col("tot_a").cast(dec))
+          .cast("long").as("dev_num"))
+  }
+
   def histQuantiles(hist: DataFrame, width: Double,
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),

@@ -293,6 +293,50 @@ class StreamingSpec extends SparkSpec {
     assert(!all.contains(4L), "cross-batch duplicate must be suppressed by state")
     assert((all & Set(1L, 2L)).size == 1, "exactly one of the in-batch dup pair survives")
   }
+
+  test("session_window stream closes sessions at the watermark, matching the batch twin") {
+    import spark.implicits._
+    val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event](
+      spark, 1)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // user 1: sessions {0s, 10s} and {4000s}; user 2: {5s} — gap 1800s
+    val real = Seq(
+      Streaming.Event(1L, ts(0), "click", 1.0),
+      Streaming.Event(1L, ts(10), "click", 2.5),
+      Streaming.Event(2L, ts(5), "view", 4.0),
+      Streaming.Event(1L, ts(4000), "click", 8.0))
+    val out = graft.ops.Sessionize.sessionWindowStats(
+      events.toDF().withWatermark("ts", "10 seconds"),
+      "user_id", "ts", "value", gapSeconds = 1800L)
+    val work = java.nio.file.Files.createTempDirectory("graft_swin").toString
+    def run(): Unit = {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$work/out").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "session stream did not finish in time")
+    }
+    events.addData(real)
+    run()
+    // sentinel waves push the watermark so earlier sessions finalize
+    events.addData(Seq(Streaming.Event(98L, ts(8000), "click", 0.0)))
+    run()
+    events.addData(Seq(Streaming.Event(99L, ts(16000), "click", 0.0)))
+    run()
+    val got = spark.read.parquet(s"$work/out")
+      .filter(col("user_id") < 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // batch twin over the same (non-sentinel) events
+    val expect = graft.ops.Sessionize.sessionWindowStats(
+      real.toDF(), "user_id", "ts", "value", gapSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expect,
+      s"streamed closed sessions != batch sessions: $got vs $expect")
+    assert(expect.size == 3, "fixture must produce 3 sessions")
+  }
 }
 
 class TransformCacheSpec extends SparkSpec {

@@ -179,4 +179,24 @@ class SketchStatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("mixed histogram widths"))
   }
+
+  test("histogram drift: zero on identical shapes, exact cross products on a shift") {
+    import spark.implicits._
+    def hist(rows: (Long, Long)*) = rows.toDF("bin", "cnt")
+    // identical shape at different totals: p_a == p_b, dev_num all zero
+    val a = hist(0L -> 10L, 1L -> 30L)
+    val b = hist(0L -> 20L, 1L -> 60L)
+    val z = SketchStats.histDrift(a, b).collect()
+    assert(z.forall(_.getLong(3) == 0L), z.mkString(", "))
+    // mass moved: a = (10, 10), b = (15, 5); tot 20 each ->
+    // bin0 |10*20-15*20| = 100, bin1 |10*20-5*20| = 100; a one-sided bin
+    val c = SketchStats.histDrift(hist(0L -> 10L, 1L -> 10L),
+        hist(0L -> 15L, 1L -> 5L, 2L -> 0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(c == Map(0L -> 100L, 1L -> 100L, 2L -> 0L), c.toString)
+    // bins absent on one side count as zero mass, not dropped
+    val d = SketchStats.histDrift(hist(0L -> 4L), hist(5L -> 4L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(d == Set((0L, 4L, 0L, 16L), (5L, 0L, 4L, 16L)))
+  }
 }
