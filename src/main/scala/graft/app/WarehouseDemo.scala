@@ -122,6 +122,26 @@ object WarehouseDemo {
     if (math.abs(est - exact).toDouble / exact >= 0.05)
       fail(s"sketch estimate drifted: $est vs $exact")
 
+    // 6. purge gate: a deletion request erases the key from EVERY
+    // version (time travel cannot resurrect it) while the committed
+    // pointer and all other rows survive
+    val victim = v1.select("o_custkey").head.getLong(0)
+    val curBefore = VersionedTable.currentVersion(spark, tbl)
+    val othersBefore = VersionedTable.read(spark, tbl)
+      .filter(col("o_custkey") =!= victim).count()
+    VersionedTable.purge(spark, tbl, col("o_custkey") === victim)
+    val resurrectable = VersionedTable.versions(spark, tbl).map { v =>
+      VersionedTable.read(spark, tbl, asOf = Some(v))
+        .filter(col("o_custkey") === victim).count()
+    }.sum
+    println(s"purge: custkey=$victim rows across all versions after purge: $resurrectable")
+    if (resurrectable != 0L) fail(s"purged key resurrectable: $resurrectable rows")
+    if (VersionedTable.currentVersion(spark, tbl) != curBefore)
+      fail("purge moved the committed pointer")
+    if (VersionedTable.read(spark, tbl)
+        .filter(col("o_custkey") =!= victim).count() != othersBefore)
+      fail("purge disturbed unrelated rows")
+
     println("warehouse lifecycle demo: ALL GATES PASSED")
     spark.stop()
   }

@@ -73,7 +73,7 @@ object VersionedTable {
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
       .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
+      .filter(_.matches("v=\\d+")) // ignore stage dirs (_purge etc.)
       .map(_.stripPrefix("v=").toLong)
       .sorted
   }
@@ -237,5 +237,49 @@ object VersionedTable {
     val f = fs(spark, dir)
     doomed.foreach(v => f.delete(new Path(s"$dir/v=$v"), true))
     doomed
+  }
+
+  /** HISTORY PURGE (the right-to-be-forgotten shape): rewrite EVERY
+    * on-disk snapshot dropping the rows matching `condition`, so the
+    * data is gone from the current version AND from all time travel —
+    * [[rollback]] and `asOf` reads can no longer resurrect it. Nothing
+    * else changes: version numbering, the committed pointer, and the
+    * exactly-once batch key all survive, and non-matching rows pass
+    * through untouched.
+    *
+    * Crash-safe per version via the shared staged-swap idiom (stage
+    * write -> delete -> rename; a crash between delete and rename is
+    * recovered stage-first on the next run), and IDEMPOTENT overall: a
+    * purge re-run filters already-clean snapshots to themselves, so a
+    * crashed purge is completed by running it again — the operational
+    * contract a deletion-request queue needs. Returns the versions
+    * rewritten.
+    */
+  def purge(spark: SparkSession, dir: String,
+      condition: org.apache.spark.sql.Column): Seq[Long] = {
+    val f = fs(spark, dir)
+    // recovery sweep FIRST: a crash between a prior purge's delete and
+    // rename leaves that version's only copy in its stage dir and the
+    // live dir missing — versions() cannot see it, so promote any such
+    // stage back to live before listing, or the re-run would silently
+    // skip (and eventually orphan) that snapshot
+    val root = new Path(dir)
+    if (f.exists(root))
+      f.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_purge_v")).foreach { n =>
+          graft.ops.StagedSwap.recoverCrashedSwap(f,
+            new Path(s"$dir/v=${n.stripPrefix("_purge_v")}"), new Path(s"$dir/$n"))
+        }
+    val all = versions(spark, dir)
+    all.foreach { v =>
+      val live = new Path(s"$dir/v=$v")
+      val stage = new Path(s"$dir/_purge_v$v")
+      graft.ops.StagedSwap.recoverOrClearStage(f, live, stage)
+      spark.read.parquet(live.toString)
+        .filter(!condition)
+        .write.mode("overwrite").parquet(stage.toString)
+      graft.ops.StagedSwap.swap(f, live, stage)
+    }
+    all
   }
 }

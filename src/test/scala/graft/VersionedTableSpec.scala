@@ -275,4 +275,57 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 2) // closed + open
     assert(VersionedTable.read(spark, dir, asOf = Some(0L)).count() == 1)
   }
+
+  test("purge erases a key from EVERY version; everything else survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_purge").toString
+    VersionedTable.commitBatch(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, "w0")
+    VersionedTable.commitBatch(Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir, "w1")
+    VersionedTable.commitBatch(Seq((2L, "b"), (3L, "c")).toDF("k", "v"), dir, "w2")
+    val before = VersionedTable.versions(spark, dir)
+    val curBefore = VersionedTable.currentVersion(spark, dir)
+
+    val purged = VersionedTable.purge(spark, dir, col("k") === 1L)
+    assert(purged == before)
+    // the key is gone from current AND all time travel
+    VersionedTable.versions(spark, dir).foreach { v =>
+      val snap = VersionedTable.read(spark, dir, asOf = Some(v))
+      assert(snap.filter(col("k") === 1L).count() == 0, s"k=1 survives in v=$v")
+    }
+    // version list, committed pointer, batch key, and other rows intact
+    assert(VersionedTable.versions(spark, dir) == before)
+    assert(VersionedTable.currentVersion(spark, dir) == curBefore)
+    assert(VersionedTable.lastBatchKey(spark, dir).contains("w2"))
+    assert(VersionedTable.read(spark, dir, asOf = Some(1L))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b"), (3L, "c")))
+    // exactly-once replay of an already-committed batch is still a no-op
+    assert(VersionedTable.commitBatch(
+      Seq((9L, "z")).toDF("k", "v"), dir, "w2").isEmpty)
+    // idempotent: purging again rewrites clean snapshots to themselves
+    VersionedTable.purge(spark, dir, col("k") === 1L)
+    assert(VersionedTable.read(spark, dir).count() == 2)
+  }
+
+  test("a purge crashed between delete and rename is recovered by the re-run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_purgecrash").toString
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), dir)
+    // simulate the crash window on v=0: stage holds the purged copy,
+    // live dir already deleted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    VersionedTable.read(spark, dir, asOf = Some(0L)).filter(col("k") =!= 1L)
+      .write.parquet(s"$dir/_purge_v0")
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/v=0"), true)
+    assert(VersionedTable.versions(spark, dir) == Seq(1L), "crash hides v=0")
+
+    VersionedTable.purge(spark, dir, col("k") === 1L)
+    assert(VersionedTable.versions(spark, dir) == Seq(0L, 1L),
+      "re-run must recover the crashed version")
+    Seq(0L, 1L).foreach { v =>
+      assert(VersionedTable.read(spark, dir, asOf = Some(v))
+        .filter(col("k") === 1L).count() == 0)
+    }
+    assert(VersionedTable.read(spark, dir, asOf = Some(0L)).count() == 1)
+  }
 }
