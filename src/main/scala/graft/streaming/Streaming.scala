@@ -57,6 +57,35 @@ object Streaming {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Watermarked STREAM-STREAM interval join — click attribution: each
+    * click pairs with the same user's purchases inside
+    * (click_ts, click_ts + windowSeconds]. The interval bound on the
+    * join condition is what makes unbounded-stream state finite: Spark
+    * derives each side's state-eviction watermark from the time-range
+    * predicate (a click can stop waiting once the purchase watermark
+    * passes click_ts + window; a purchase once the click watermark
+    * passes its own ts), so state is bounded by rate x (window +
+    * watermark delay), never by stream length. Identical semantics on
+    * static frames (watermarks are no-ops in batch) — the parity the
+    * contract test checks, and the streaming twin of q65's binned
+    * range join, which remains the BATCH plan of choice (the bin
+    * equi-key shuffles better than a per-user theta join at rest).
+    */
+  def clickAttributionJoin(clicks: DataFrame, purchases: DataFrame,
+      windowSeconds: Long, watermark: String = "10 seconds"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("_pu"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p, col("user_id") === col("_pu") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .drop("_pu")
+  }
+
   /** Streaming exact dedup on the normalized text fingerprint — the
     * ingest-time twin of the batch [[graft.ops.TextDedup.exactDedup]]
     * (same md5-of-normalized-text key, so batch and stream agree on what

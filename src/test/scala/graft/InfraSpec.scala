@@ -294,6 +294,46 @@ class StreamingSpec extends SparkSpec {
     assert((all & Set(1L, 2L)).size == 1, "exactly one of the in-batch dup pair survives")
   }
 
+  test("stream-stream interval join attributes purchases to clicks, matching batch") {
+    import spark.implicits._
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event](spark, 1)
+    val buys = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event](spark, 1)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val cRows = Seq(
+      Streaming.Event(1L, ts(0), "click", 1.0),
+      Streaming.Event(1L, ts(500), "click", 2.0),
+      Streaming.Event(2L, ts(10), "click", 3.0))
+    val bRows = Seq(
+      Streaming.Event(1L, ts(100), "purchase", 10.0),  // joins click@0 only
+      Streaming.Event(1L, ts(520), "purchase", 20.0),  // joins click@500 (click@0 window passed)
+      Streaming.Event(2L, ts(400), "purchase", 30.0),  // outside user 2's 300s window
+      Streaming.Event(3L, ts(50), "purchase", 40.0))   // no click at all
+    val out = Streaming.clickAttributionJoin(clicks.toDF(), buys.toDF(),
+      windowSeconds = 300L)
+    val work = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
+    def run(): Unit = {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$work/out").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "interval join stream timed out")
+    }
+    clicks.addData(cRows); buys.addData(bRows); run()
+    // push both watermarks so all joinable pairs finalize
+    clicks.addData(Seq(Streaming.Event(98L, ts(5000), "click", 0.0)))
+    buys.addData(Seq(Streaming.Event(98L, ts(5000), "purchase", 0.0)))
+    run(); run()
+    val got = spark.read.parquet(s"$work/out")
+      .filter(col("user_id") < 90)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(4))).toSet
+    val expect = Streaming.clickAttributionJoin(cRows.toDF(), bRows.toDF(), 300L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(4))).toSet
+    assert(got == expect, s"streamed joins != batch: $got vs $expect")
+    assert(expect == Set((1L, 1.0, 10.0), (1L, 2.0, 20.0)),
+      "fixture must attribute exactly the in-window pairs")
+  }
+
   test("session_window stream closes sessions at the watermark, matching the batch twin") {
     import spark.implicits._
     val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event](
