@@ -662,6 +662,27 @@ object Streaming {
       .start()
   }
 
+  /** Streaming EXACT-histogram maintenance: every micro-batch appends
+    * its (bin, cnt) segment ([[graft.ops.SketchStats.appendHistBatch]]);
+    * serving sums bins across segments between batches. Like the HLL
+    * loop, no own-batch exclusion is needed — a retry OVERWRITES its own
+    * `seg=` partition, and bin sums over the resulting layout are the
+    * same. Unlike HLL, the served state is EXACT, so drift gates built
+    * on [[graft.ops.SketchStats.histDrift]] see true counts per refresh.
+    */
+  def histStream(input: DataFrame, histDir: String, checkpoint: String,
+      valueCol: String, width: Double): StreamingQuery = {
+    val key = runKey(checkpoint)
+    input.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.SketchStats.appendHistBatch(batch, valueCol, histDir,
+          s"$key-$batchId", width)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

@@ -180,6 +180,30 @@ class SketchStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("mixed histogram widths"))
   }
 
+  test("streamed histogram maintenance serves exact counts after every wave") {
+    import spark.implicits._
+    import graft.streaming.Streaming
+    val work = java.nio.file.Files.createTempDirectory("graft_histstream").toString
+    val raw = s"$work/raw"
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val waves = (0 until 3).map(k => events.filter(pmod(col("event_id"), lit(3)) === k))
+    var fed = waves.head.limit(0)
+    waves.foreach { w =>
+      w.write.mode("append").parquet(raw)
+      fed = fed.unionByName(w)
+      val q = Streaming.histStream(
+        spark.readStream.schema(events.schema).parquet(raw),
+        s"$work/hist", s"$work/ckpt", "value", width = 50.0)
+      assert(q.awaitTermination(120000), "hist wave timed out")
+      val served = SketchStats.histogram(spark, s"$work/hist")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val direct = fed.groupBy(SketchStats.histBin(col("value"), 50.0).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(served == direct, "served histogram must be exact after each wave")
+    }
+  }
+
   test("histogram drift: zero on identical shapes, exact cross products on a shift") {
     import spark.implicits._
     def hist(rows: (Long, Long)*) = rows.toDF("bin", "cnt")
