@@ -404,6 +404,53 @@ object CorpusQueries {
         .select("doc_id", "score").orderBy("doc_id")
     },
 
+    // ---- INDEXED importance scoring: the per-ingest shape of q102 —
+    // bucket counts come from a persisted two-segment index over the
+    // prior corpus (doc_id % 3 != 0); the new batch (%3 == 0) scores
+    // against the summed index with one broadcast join, never touching
+    // corpus text. Hash-checked end to end incl. the unseen-bucket
+    // zero+smoothing rule.
+    QueryDef(
+      "q115_importance_indexed",
+      Some(DuckXxh.importanceIndexedOracle(numBuckets = 4096,
+        targetPred = "lang = 'en'", oldPred = "doc_id % 3 <> 0")),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val ixDir = java.nio.file.Files.createTempDirectory("graft-imp115").toString
+      Seq(0, 1).foreach { half =>
+        CorpusOps.appendImportanceSegment(
+          old.filter(pmod(col("doc_id"), lit(2)) === half),
+          "text", isTarget = col("lang") === "en", ixDir, s"b$half")
+      }
+      CorpusOps.importanceWeightsIndexed(fresh, "text", "doc_id",
+          CorpusOps.readImportanceIndex(s, ixDir))
+        .orderBy("doc_id")
+    },
+
+    // ---- RAG chunking: overlapping 200-char windows, 50-char overlap,
+    // offsets ride along so retrieval spans map back to source docs.
+    QueryDef(
+      "q116_doc_chunks",
+      Some("""
+        WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        k AS (SELECT doc_id, text,
+                CASE WHEN len <= 200 THEN 0
+                     ELSE CAST(floor((len - 200 + 150 - 1) / 150.0) AS BIGINT) END AS kmax
+              FROM d),
+        c AS (SELECT doc_id, text, unnest(range(0, kmax + 1)) AS ck FROM k)
+        SELECT doc_id, ck AS chunk_idx, ck * 150 + 1 AS chunk_start,
+               substr(text, CAST(ck * 150 + 1 AS INT), 200) AS chunk_text,
+               CAST(length(substr(text, CAST(ck * 150 + 1 AS INT), 200)) AS BIGINT)
+                 AS chunk_len
+        FROM c ORDER BY doc_id, chunk_idx"""),
+    ) { (s, dir) =>
+      CorpusOps.chunkDocs(Tables.documents(s, dir), "text", "doc_id",
+          chunkLen = 200, overlap = 50)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ---- corpus TOKENIZATION: per-doc ordered token-id sequences under
     // the trained BPE segmentation — text to model-ready ids, the step
     // feeding sequence packing. NO SQL oracle for the same reason as q93

@@ -519,6 +519,43 @@ private[analytics] object DuckXxh {
     "WITH RECURSIVE " + importanceCtes(numBuckets, targetPred).mkString(",\n") +
       "\nSELECT doc_id, is_target, n_grams, sum_t, sum_r, score FROM w ORDER BY doc_id"
 
+  /** The q115 oracle: indexed importance scoring — bucket counts come
+    * ONLY from the `oldPred` slice (the persisted corpus), weights are
+    * computed for the complement (the new ingest batch); index-unseen
+    * buckets count zero before the +1 smoothing (LEFT JOIN + COALESCE,
+    * mirroring [[graft.ops.CorpusOps.importanceWeightsIndexed]]).
+    */
+  def importanceIndexedOracle(numBuckets: Int, targetPred: String,
+      oldPred: String): String = {
+    val ctes = Seq(
+      s"dtk AS MATERIALIZED (SELECT doc_id, ($targetPred) AS t, ($oldPred) AS old, " +
+        "string_split_regex(trim(text), '\\s+') AS tk FROM documents)",
+      "uni AS (SELECT doc_id, unnest(tk) AS gram FROM dtk)",
+      "bi AS (SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS gram " +
+        "FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM dtk WHERE len(tk) >= 2))",
+      "grams AS MATERIALIZED (SELECT doc_id, gram FROM uni " +
+        "UNION ALL SELECT doc_id, gram FROM bi)",
+    ) ++ xxhStrCtes("SELECT DISTINCT gram AS tok FROM grams") ++ Seq(
+      s"bkt AS MATERIALIZED (SELECT tok, ((${signed("xh_out")} % $numBuckets) " +
+        s"+ $numBuckets) % $numBuckets AS b FROM xstr_final)",
+      "gbt AS MATERIALIZED (SELECT g.doc_id, d.t, d.old, x.b FROM grams g " +
+        "JOIN bkt x ON g.gram = x.tok JOIN dtk d ON g.doc_id = d.doc_id)",
+      "bc AS MATERIALIZED (SELECT b, " +
+        "CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tc, " +
+        "CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS rc " +
+        "FROM gbt WHERE old GROUP BY b)",
+      "w AS (SELECT gbt.doc_id, " +
+        "CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(COALESCE(tc, 0) + 1) AS BIGINT) AS sum_t, " +
+        "CAST(sum(COALESCE(rc, 0) + 1) AS BIGINT) AS sum_r, " +
+        "CAST((1000000 * sum(COALESCE(tc, 0) + 1)) // sum(COALESCE(rc, 0) + 1) " +
+        "AS BIGINT) AS score " +
+        "FROM gbt LEFT JOIN bc USING (b) WHERE NOT gbt.old GROUP BY gbt.doc_id)",
+    )
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      "\nSELECT doc_id, n_grams, sum_t, sum_r, score FROM w ORDER BY doc_id"
+  }
+
   /** The q103 oracle: the top ceil(fraction * n_raw) non-target docs by
     * (score DESC, doc_id) — mirrors
     * [[graft.ops.CorpusOps.importanceSelect]]'s unique total order.

@@ -623,6 +623,109 @@ object CorpusOps {
       .withColumnRenamed("_t", "is_target")
   }
 
+  // Persisted importance-count index: the DSIR bucket counts as a
+  // durable, per-ingest-batch-appendable artifact, so scoring a NEW
+  // batch against the corpus-so-far never re-reads the corpus — the
+  // incremental twin of q102 (q115), same lifecycle as the histogram/
+  // HLL/minhash segments. Counts are additive, so serving sums segments
+  // exactly, and the oracle can hash-check indexed scoring end to end.
+
+  /** Gram-bucket rows (id-free): (_b, _t) per gram occurrence. */
+  private def gramBuckets(df: DataFrame, textCol: String,
+      isTarget: Column, numBuckets: Int): DataFrame =
+    df.select(isTarget.cast("boolean").as("_t"),
+        graft.core.Cols.wsTokens(col(textCol)).as("_tk"))
+      .select(col("_t"), explode(importanceGrams(col("_tk"))).as("_gram"))
+      .select(col("_t"),
+        pmod(xxhash64(col("_gram")), lit(numBuckets.toLong)).as("_b"))
+
+  /** Append one batch's bucket counts under `path/seg=<key>` (idempotent
+    * overwrite; numBuckets stamped and enforced at read).
+    */
+  def appendImportanceSegment(df: DataFrame, textCol: String,
+      isTarget: Column, path: String, segKey: String,
+      numBuckets: Int = 4096): Unit = {
+    require(segKey.nonEmpty && !segKey.exists(c => c == '/' || c == '='),
+      s"segKey must be a plain partition value, got '$segKey'")
+    gramBuckets(df, textCol, isTarget, numBuckets)
+      .groupBy("_b").agg(
+        sum(when(col("_t"), 1L).otherwise(0L)).as("tc"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("rc"))
+      .withColumnRenamed("_b", "b")
+      .withColumn("_num_buckets", lit(numBuckets))
+      .write.mode("overwrite").parquet(s"$path/seg=$segKey")
+  }
+
+  /** Serve the summed bucket counts; loud on mixed numBuckets. */
+  def readImportanceIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val segs = spark.read.parquet(path)
+    val nb = segs.select("_num_buckets").distinct().collect().map(_.getInt(0))
+    require(nb.length == 1,
+      s"mixed numBuckets under $path: ${nb.sorted.mkString(", ")}")
+    segs.groupBy("b").agg(sum("tc").as("tc"), sum("rc").as("rc"))
+  }
+
+  /** Score a NEW batch against a served count index — per-ingest
+    * importance weighting without touching corpus text: one gram explode
+    * over the batch, one broadcast join against <= numBuckets count
+    * rows. Buckets the index never saw count zero (Laplace +1 still
+    * applies). Same integer-exact score as [[importanceWeights]]; the
+    * numbers differ only in WHOSE grams the counts came from (the
+    * persisted corpus, not corpus+batch) — exactly the per-ingest
+    * production semantics, and what the q115 oracle hash-checks.
+    */
+  def importanceWeightsIndexed(newDocs: DataFrame, textCol: String,
+      idCol: String, index: DataFrame, numBuckets: Int = 4096): DataFrame = {
+    requireFresh(newDocs, "n_grams", "sum_t", "sum_r", "score")
+    val g = newDocs.select(col(idCol),
+        graft.core.Cols.wsTokens(col(textCol)).as("_tk"))
+      .select(col(idCol), explode(importanceGrams(col("_tk"))).as("_gram"))
+      .select(col(idCol),
+        pmod(xxhash64(col("_gram")), lit(numBuckets.toLong)).as("_b"))
+    g.groupBy(col(idCol), col("_b")).agg(count(lit(1)).as("_n"))
+      .join(broadcast(index.select(col("b").as("_b"), col("tc"), col("rc"))),
+        Seq("_b"), "left")
+      .select(col(idCol), col("_n"),
+        coalesce(col("tc"), lit(0L)).as("_tc"),
+        coalesce(col("rc"), lit(0L)).as("_rc"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).as("n_grams"),
+        sum(col("_n") * (col("_tc") + 1L)).as("sum_t"),
+        sum(col("_n") * (col("_rc") + 1L)).as("sum_r"))
+      .withColumn("score", expr("(1000000 * sum_t) div sum_r"))
+  }
+
+  /** Split documents into overlapping character chunks — the RAG/
+    * embedding preparation step (every retrieval corpus chunks before
+    * embedding; offsets ride along so spans map back to the source doc).
+    * Chunk k covers [1 + k*(chunkLen-overlap), ...chunkLen chars],
+    * 1-based; the final chunk may be shorter; a doc shorter than
+    * chunkLen emits exactly one whole-doc chunk. Pure codegen transform
+    * + explode — linear, chunk count per doc bounded by len/stride.
+    */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+      chunkLen: Int, overlap: Int): DataFrame = {
+    require(chunkLen > 0 && overlap >= 0 && overlap < chunkLen,
+      s"need 0 <= overlap < chunkLen, got overlap=$overlap chunkLen=$chunkLen")
+    requireFresh(df, "chunk_idx", "chunk_start", "chunk_text", "chunk_len")
+    val stride = chunkLen - overlap
+    val len = length(col(textCol))
+    // ceil((len - chunkLen) / stride) extra chunks past the first
+    val kMax = when(len <= chunkLen, lit(0))
+      .otherwise(floor((len - chunkLen + stride - 1) / lit(stride)).cast("int"))
+    df.select(col(idCol), col(textCol).as("_txt"), kMax.as("_kmax"))
+      .select(col(idCol), explode(transform(sequence(lit(0), col("_kmax")),
+        k => struct(k.as("k"),
+          (k * stride + 1).as("start"),
+          col("_txt").substr(k * stride + 1, lit(chunkLen)).as("txt")))).as("c"))
+      .select(col(idCol),
+        col("c.k").cast("long").as("chunk_idx"),
+        col("c.start").cast("long").as("chunk_start"),
+        col("c.txt").as("chunk_text"),
+        length(col("c.txt")).cast("long").as("chunk_len"))
+  }
+
   /** Deterministic top-fraction selection over [[importanceWeights]]
     * output: the ceil(fraction * n_raw) NON-target docs with the highest
     * score, ties to the lowest id (total order, so the selected set is

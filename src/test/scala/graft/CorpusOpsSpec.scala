@@ -599,6 +599,75 @@ class CorpusOpsSpec extends SparkSpec {
     assert(w(1L)._1 && !w(10L)._1)
   }
 
+  test("indexed importance scoring: segments sum to whole-corpus counts; gates loud") {
+    val docs = Seq(
+      (1L, "alpha beta", true), (2L, "alpha gamma", false),
+      (3L, "beta beta", true), (4L, "delta", false),
+      (10L, "alpha beta", false), (11L, "unseen words", false),
+    ).toDF("doc_id", "text", "t")
+    val old = docs.filter(col("doc_id") < 10)
+    val fresh = docs.filter(col("doc_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_imp").toString
+    // two segments + a retried overwrite of the second
+    CorpusOps.appendImportanceSegment(old.filter(col("doc_id") <= 2), "text",
+      col("t"), dir, "s0", numBuckets = 1 << 20)
+    CorpusOps.appendImportanceSegment(old.filter(col("doc_id") > 2), "text",
+      col("t"), dir, "s1", numBuckets = 1 << 20)
+    CorpusOps.appendImportanceSegment(old.filter(col("doc_id") > 2), "text",
+      col("t"), dir, "s1", numBuckets = 1 << 20) // retry
+    val idx = CorpusOps.readImportanceIndex(spark, dir)
+    // segment-summed counts == single-pass counts over the whole corpus
+    val whole = java.nio.file.Files.createTempDirectory("graft_impw").toString
+    CorpusOps.appendImportanceSegment(old, "text", col("t"), whole, "all",
+      numBuckets = 1 << 20)
+    val a = idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = CorpusOps.readImportanceIndex(spark, whole)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "segments must sum to the single-pass index")
+
+    val w = CorpusOps.importanceWeightsIndexed(fresh, "text", "doc_id", idx,
+      numBuckets = 1 << 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 10 grams: alpha(t1+r1), beta(t3), "alpha beta"(t1) ->
+    // sum_t = (2+1)+(3+1)+(1+1) = 8; raw: alpha r1 -> (1+1)+(0+1)+(0+1) = 4
+    assert(w(10L) == ((3L, 8L, 4L)), w(10L).toString)
+    // fully unseen doc: every bucket counts 0 -> sums = n_grams each
+    assert(w(11L) == ((3L, 3L, 3L)))
+    // mixed numBuckets rejected loudly
+    CorpusOps.appendImportanceSegment(old, "text", col("t"), dir, "bad",
+      numBuckets = 128)
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.readImportanceIndex(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("mixed numBuckets"))
+  }
+
+  test("chunking covers every char, overlaps exactly, reconstructs the doc") {
+    val docs = Seq(
+      (1L, "a" * 9),              // shorter than chunkLen: one whole chunk
+      (2L, (0 until 25).map(i => ('a' + i % 26).toChar).mkString), // 25 chars
+      (3L, "x" * 10),             // exactly chunkLen
+      (4L, "y" * 11),             // one char past: second chunk
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkDocs(docs, "text", "doc_id", chunkLen = 10, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L).map(_._4).toSeq == Seq("a" * 9))
+    assert(out(3L).map(_._4).toSeq == Seq("x" * 10))
+    assert(out(4L).length == 2 && out(4L)(1)._3 == 7L && out(4L)(1)._5 == 5L)
+    // doc 2: starts 1, 7, 13, 19 (stride 6); reconstruct by dropping the
+    // 4-char overlap from every chunk after the first
+    val c2 = out(2L)
+    assert(c2.map(_._3).toSeq == Seq(1L, 7L, 13L, 19L))
+    val rebuilt = c2.head._4 + c2.tail.map(_._4.drop(4)).mkString
+    assert(rebuilt == (0 until 25).map(i => ('a' + i % 26).toChar).mkString)
+    // rejects degenerate params
+    intercept[IllegalArgumentException] {
+      CorpusOps.chunkDocs(docs, "text", "doc_id", chunkLen = 5, overlap = 5)
+    }
+  }
+
   test("importance selection takes exactly ceil(fraction * n_raw), ordered") {
     val df = Seq.tabulate(20) { i =>
       // even ids share target vocab, odd ids don't
