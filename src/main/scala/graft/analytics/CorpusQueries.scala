@@ -429,6 +429,18 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ---- hashing-trick vectorizer: sparse (doc, bucket, tf) over
+    // pmod(xxhash64(token), 64) — the model-free text→vector bridge the
+    // VectorSim family consumes after densifyHashedTf. Hash-checked
+    // through the full XXH64 chain.
+    QueryDef(
+      "q117_hashed_tf",
+      Some(DuckXxh.hashedTfOracle(dim = 64)),
+    ) { (s, dir) =>
+      CorpusOps.hashedTf(Tables.documents(s, dir), "text", "doc_id", dim = 64)
+        .orderBy("doc_id", "bucket")
+    },
+
     // ---- RAG chunking: overlapping 200-char windows, 50-char overlap,
     // offsets ride along so retrieval spans map back to source docs.
     QueryDef(

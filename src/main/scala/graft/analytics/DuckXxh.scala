@@ -519,6 +519,24 @@ private[analytics] object DuckXxh {
     "WITH RECURSIVE " + importanceCtes(numBuckets, targetPred).mkString(",\n") +
       "\nSELECT doc_id, is_target, n_grams, sum_t, sum_r, score FROM w ORDER BY doc_id"
 
+  /** The q117 oracle: hashing-trick term frequencies — every token
+    * occurrence bucketed by the XXH64 chain, counted per (doc, bucket)
+    * (mirrors [[graft.ops.CorpusOps.hashedTf]]).
+    */
+  def hashedTfOracle(dim: Int): String = {
+    val ctes = Seq(
+      "dtk AS MATERIALIZED (SELECT doc_id, " +
+        "string_split_regex(trim(text), '\\s+') AS tk FROM documents)",
+      "occ AS MATERIALIZED (SELECT doc_id, unnest(tk) AS tok FROM dtk)",
+    ) ++ xxhStrCtes("SELECT DISTINCT tok FROM occ") ++ Seq(
+      s"bkt AS MATERIALIZED (SELECT tok, ((${signed("xh_out")} % $dim) " +
+        s"+ $dim) % $dim AS bucket FROM xstr_final)",
+    )
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      "\nSELECT o.doc_id, b.bucket, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM occ o JOIN bkt b USING (tok) GROUP BY 1, 2 ORDER BY doc_id, bucket"
+  }
+
   /** The q115 oracle: indexed importance scoring — bucket counts come
     * ONLY from the `oldPred` slice (the persisted corpus), weights are
     * computed for the complement (the new ingest batch); index-unseen

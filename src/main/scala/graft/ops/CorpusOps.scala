@@ -696,6 +696,41 @@ object CorpusOps {
       .withColumn("score", expr("(1000000 * sum_t) div sum_r"))
   }
 
+  /** Hashing-trick text vectorizer (Weinberger et al. 2009, the
+    * scikit-learn `HashingVectorizer` shape): token term frequencies
+    * over `pmod(xxhash64(token), dim)` buckets, SPARSE output —
+    * (id, bucket, tf) rows, exact integers, so the full chain is
+    * oracle-hash-checkable. This is the model-free text→vector bridge:
+    * [[densifyHashedTf]] turns the sparse rows into the `array<float>`
+    * the VectorSim family consumes (cosine kNN / near-dup / clustering
+    * over text without an embedding model). One explode + one hash
+    * aggregation — linear, no vocabulary state (the hashing trick's
+    * point: no fit pass, any stream of new tokens maps consistently).
+    */
+  def hashedTf(df: DataFrame, textCol: String, idCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    df.select(col(idCol),
+        explode(graft.core.Cols.wsTokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol),
+        pmod(xxhash64(col("_tok")), lit(dim.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Dense `array<float>` vectors from [[hashedTf]] rows — the adapter
+    * into `ops/VectorSim`. The bucket→tf map is materialized as its own
+    * column FIRST (the let-binding rule: building it inside the per-index
+    * lambda would re-collect it dim times per row); zero buckets
+    * materialize as 0f.
+    */
+  def densifyHashedTf(sparse: DataFrame, idCol: String, dim: Int): DataFrame =
+    sparse.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("tf").cast("float")))).as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          coalesce(element_at(col("_m"), i.cast("long")), lit(0f))).as("vec"))
+
   /** Split documents into overlapping character chunks — the RAG/
     * embedding preparation step (every retrieval corpus chunks before
     * embedding; offsets ride along so spans map back to the source doc).

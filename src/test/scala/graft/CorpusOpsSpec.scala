@@ -642,6 +642,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("mixed numBuckets"))
   }
 
+  test("hashed TF: exact counts, densify round-trips, feeds cosine kNN") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"), (2L, "alpha beta alpha"), // identical
+      (3L, "gamma delta"), (4L, "totally different words here"),
+    ).toDF("doc_id", "text")
+    val dim = 32
+    val sparse = CorpusOps.hashedTf(docs, "text", "doc_id", dim)
+    // per-doc tf mass equals token count
+    val mass = sparse.groupBy("doc_id").agg(sum("tf").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mass == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 4L))
+    // buckets within range
+    assert(sparse.filter(col("bucket") < 0 || col("bucket") >= dim).count() == 0)
+    val dense = CorpusOps.densifyHashedTf(sparse, "doc_id", dim)
+    val vecs = dense.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.values.forall(_.length == dim))
+    // densify preserves mass and identical docs get identical vectors
+    assert(vecs(1L).map(_.toDouble).sum == 3.0 && vecs(1L) == vecs(2L))
+    assert(vecs(1L) != vecs(3L))
+    // composition: the dense vectors feed cosine kNN; the identical twin
+    // is every doc's own top-1 at cosine 1.0
+    val knn = graft.ops.VectorSim.cosineTopK(
+        dense.filter(col("doc_id") === 1L).withColumnRenamed("vec", "embedding"),
+        dense.withColumnRenamed("vec", "embedding"), "doc_id", "embedding", k = 1)
+      .collect()
+    assert(knn.length == 1 && knn(0).getLong(1) == 2L &&
+      math.abs(knn(0).getDouble(2) - 1.0) < 1e-9,
+      s"twin must be the top neighbor: ${knn.toSeq}")
+  }
+
   test("chunking covers every char, overlaps exactly, reconstructs the doc") {
     val docs = Seq(
       (1L, "a" * 9),              // shorter than chunkLen: one whole chunk
