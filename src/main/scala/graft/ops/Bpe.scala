@@ -202,4 +202,28 @@ object Bpe {
       .select(col(idCol), size(col("token_ids")).as("n_tokens"),
         col("token_ids"))
   }
+
+  /** Persist the trained tokenizer — merge rules in rank order plus the
+    * id dictionary — as two parquet tables under `dir`. The artifact a
+    * training run ships alongside its packed corpus: rank order IS the
+    * algorithm (merges must replay in training order), so loads are
+    * explicitly re-sorted and the round-trip is contract-tested
+    * rule-for-rule and id-for-id.
+    */
+  def saveTokenizer(spark: SparkSession, dir: String,
+      rules: Seq[MergeRule], vocab: DataFrame): Unit = {
+    import spark.implicits._
+    rules.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    vocab.select("token", "token_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a persisted tokenizer: (rules in rank order, vocab table). */
+  def loadTokenizer(spark: SparkSession, dir: String): (Seq[MergeRule], DataFrame) = {
+    val rules = spark.read.parquet(s"$dir/merges")
+      .select("rank", "left", "right", "count").collect()
+      .map(r => MergeRule(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
+    (rules, spark.read.parquet(s"$dir/vocab"))
+  }
 }

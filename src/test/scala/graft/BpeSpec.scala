@@ -188,6 +188,26 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer artifacts round-trip: merges in rank order, vocab ids intact") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
+    val freqs = Bpe.wordFreqs(docs, "text")
+    val rules = Bpe.trainBpe(docs.limit(40), "text", 10)
+    val vocab = Bpe.tokenVocab(freqs, rules)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+    Bpe.saveTokenizer(spark, dir, rules, vocab)
+    val (r2, v2) = Bpe.loadTokenizer(spark, dir)
+    assert(r2 == rules, "merge rules must round-trip in rank order")
+    val a = vocab.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val b = v2.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(a == b, "vocab ids must round-trip")
+    // a loaded tokenizer encodes identically to the in-memory one
+    val e1 = Bpe.encodeTokenIds(docs, "text", "doc_id", freqs, rules)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    val e2 = Bpe.encodeTokenIds(docs, "text", "doc_id", freqs, r2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(e1 == e2)
+  }
+
   test("encoding a word outside the training vocabulary fails loudly") {
     val trainDocs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
     val freqsDf = Bpe.wordFreqs(trainDocs, "text")
