@@ -396,6 +396,32 @@ object AggQueries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // ---- explicit GROUPING SETS with grouping_id: two disjoint
+    // aggregation shapes in one pass ((status, priority) detail and
+    // (priority) margins, NOT a rollup) — same Expand plan as q17/q47,
+    // exercised with a mixed set list and the grouping-bitmap column.
+    QueryDef(
+      "q119_status_grouping_sets",
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+    ) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    },
+
     // ---- market-basket co-occurrence: part pairs ordered together in
     // >= 2 orders (the pairwise support core of frequent-itemset mining).
     // Per-order self-join — bounded by basket size (TPC-H <= 7 lines), so

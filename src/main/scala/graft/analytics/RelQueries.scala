@@ -225,5 +225,30 @@ object RelQueries {
         sum(col("o_orderdate").isNull.cast("long")).as("nulls_orderdate"),
         sum(col("o_orderstatus").isNull.cast("long")).as("nulls_orderstatus"))
     },
+
+    // ---- UNPIVOT/melt: the q10 wide null-audit row in long form — one
+    // (column, n_nulls) row per audited column, the shape monitoring
+    // systems ingest. Spark's native unpivot (Expand, no shuffle).
+    QueryDef(
+      "q118_null_audit_long",
+      Some("""
+        WITH w AS (
+          SELECT COUNT(*) - COUNT(o_custkey) AS o_custkey,
+                 COUNT(*) - COUNT(o_totalprice) AS o_totalprice,
+                 COUNT(*) - COUNT(o_orderdate) AS o_orderdate,
+                 COUNT(*) - COUNT(o_orderstatus) AS o_orderstatus
+          FROM orders)
+        SELECT column_name, n_nulls
+        FROM (UNPIVOT w ON o_custkey, o_totalprice, o_orderdate, o_orderstatus
+              INTO NAME column_name VALUE n_nulls)
+        ORDER BY column_name"""),
+    ) { (s, dir) =>
+      val audited = Seq("o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus")
+      Tables.orders(s, dir)
+        .agg(sum(col(audited.head).isNull.cast("long")).as(audited.head),
+          audited.tail.map(c => sum(col(c).isNull.cast("long")).as(c)): _*)
+        .unpivot(Array.empty, audited.map(col).toArray, "column_name", "n_nulls")
+        .orderBy("column_name")
+    },
   )
 }
