@@ -250,5 +250,32 @@ object RelQueries {
         .unpivot(Array.empty, audited.map(col).toArray, "column_name", "n_nulls")
         .orderBy("column_name")
     },
+
+    // ---- correlated subqueries: above-nation-average customers who have
+    // ordered — a correlated SCALAR subquery (decorrelated by Catalyst to
+    // an aggregate + join) plus a correlated EXISTS (left-semi). The
+    // per-nation average uses the Det decimal-exact sum on BOTH engines,
+    // so the comparison boundary is bit-identical. spark.sql is the
+    // product surface here: the DataFrame API has no correlated-subquery
+    // constructor, and the decorrelation rewrite is precisely the
+    // Catalyst capability this query exercises.
+    QueryDef(
+      "q120_above_avg_customers",
+      Some(s"""
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE c_acctbal > (SELECT ${graft.core.Det.sqlAvg("c2.c_acctbal")}
+                           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+          AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey"""),
+    ) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(s"""
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE c_acctbal > (SELECT ${graft.core.Det.sqlAvg("c2.c_acctbal")}
+                           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+          AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")
+    },
   )
 }
