@@ -256,9 +256,69 @@ object StreamDemo {
     println(s"sketch stats stream: estimate=$estDistinct exact=$exactDistinct " +
       s"over 3 waves with compaction (within 5%=$sketchOk)")
 
+    // ---- streaming exact-histogram maintenance over the events table:
+    // gate is EXACT equality of served bins vs a direct single-pass
+    // binning of everything fed so far
+    val evTbl = graft.core.Tables.events(spark,
+      args.lift(2).getOrElse("/root/testdata/sf0.001"))
+    val hwork = s"$work/hist"
+    val eventWaves = (0 until waves).map(k =>
+      evTbl.filter(pmod(col("event_id"), lit(waves)) === k))
+    eventWaves.foreach { w =>
+      w.write.mode("append").parquet(s"$hwork/raw")
+      val q = Streaming.histStream(
+        spark.readStream.schema(evTbl.schema).parquet(s"$hwork/raw"),
+        s"$hwork/h", s"$hwork/ckpt", "value", width = 25.0)
+      if (!q.awaitTermination(120000)) {
+        println("hist stream wave timed out"); spark.stop(); sys.exit(2)
+      }
+    }
+    val servedHist = SketchStats.histogram(spark, s"$hwork/h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val directHist = evTbl
+      .groupBy(SketchStats.histBin(col("value"), 25.0).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val histOk = servedHist == directHist
+    println(s"hist stream: ${servedHist.size} bins served, exact=$histOk")
+
+    // ---- watermarked session_window + stream-stream interval join over
+    // the event stream: closed results must match the batch twins
+    val sessWork = s"$work/sess"
+    evTbl.write.mode("overwrite").parquet(s"$sessWork/raw")
+    // sentinel wave far past max ts pushes the watermark so everything closes
+    val maxTs = evTbl.agg(max("ts")).head.getTimestamp(0)
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(-1L,
+        new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "click", 0.0, "")),
+      evTbl.schema)
+    def runSess(): Unit = {
+      val in = spark.readStream.schema(evTbl.schema).parquet(s"$sessWork/raw")
+        .select(col("user_id"), col("ts"), col("value"))
+      val q = graft.ops.Sessionize.sessionWindowStats(
+          in.withWatermark("ts", "10 minutes"), "user_id", "ts", "value", 1800L)
+        .writeStream.format("parquet").option("path", s"$sessWork/out")
+        .outputMode("append").option("checkpointLocation", s"$sessWork/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(180000)) {
+        println("session stream wave timed out"); spark.stop(); sys.exit(2)
+      }
+    }
+    runSess()
+    sentinel.write.mode("append").parquet(s"$sessWork/raw"); runSess(); runSess()
+    val gotSess = spark.read.parquet(s"$sessWork/out").filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batchSess = graft.ops.Sessionize.sessionWindowStats(
+        evTbl.select("user_id", "ts", "value"), "user_id", "ts", "value", 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val sessOk = gotSess == batchSess && gotSess.nonEmpty
+    println(s"session_window stream: ${gotSess.size} closed sessions, batch parity=$sessOk")
+
     if (finalCount != perWave * waves || sum != 5000 || !dedupOk || !vDedupOk ||
         !searchOk || !mergeOk || !deconPartitionOk || !deconBatchOk ||
-        !mviewOk || !sketchOk) {
+        !mviewOk || !sketchOk || !histOk || !sessOk) {
       spark.stop(); sys.exit(2)
     }
     spark.stop()
