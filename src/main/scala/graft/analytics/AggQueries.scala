@@ -422,6 +422,31 @@ object AggQueries {
         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
     },
 
+    // ---- event-time RANGE window frame: per-user 7-day rolling spend —
+    // the frame is bounded by TIME (RANGE BETWEEN INTERVAL), not row
+    // count, so sparse and bursty users get the same semantics. Spark SQL
+    // surface (the DataFrame rangeBetween API takes only numeric
+    // offsets); decimal-exact sums both sides.
+    QueryDef(
+      "q121_rolling_7d_spend",
+      Some(s"""
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS spend_7d
+        FROM events ORDER BY user_id, ts_us"""),
+    ) { (s, dir) =>
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT user_id, unix_micros(ts) AS ts_us,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS spend_7d
+        FROM events ORDER BY user_id, ts_us""")
+    },
+
     // ---- market-basket co-occurrence: part pairs ordered together in
     // >= 2 orders (the pairwise support core of frequent-itemset mining).
     // Per-order self-join — bounded by basket size (TPC-H <= 7 lines), so
