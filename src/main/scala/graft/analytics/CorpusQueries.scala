@@ -429,6 +429,35 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ---- per-source data card: the release-notes aggregate every corpus
+    // ships — doc/lang/token/char volumes and the exact-dup count per
+    // source, one hash aggregation over doc-local exprs.
+    QueryDef(
+      "q122_source_data_card",
+      Some(raw"""
+        WITH d AS (SELECT source, lang, n_chars,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+                   FROM documents)
+        SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups
+        FROM d GROUP BY source ORDER BY source"""),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(graft.core.Cols.wsTokens(col("text"))).as("n_tokens"),
+          graft.ops.TextDedup.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
+        .orderBy("source")
+    },
+
     // ---- hashing-trick vectorizer: sparse (doc, bucket, tf) over
     // pmod(xxhash64(token), 64) — the model-free text→vector bridge the
     // VectorSim family consumes after densifyHashedTf. Hash-checked
