@@ -447,6 +447,36 @@ object AggQueries {
         FROM events ORDER BY user_id, ts_us""")
     },
 
+    // ---- burst-head dedup ("debounce"): first event of each 4-hour
+    // activity burst per (user, event_type) — duplicate-suppression for
+    // retry-prone event emitters, island formulation (see the operator
+    // scaladoc for why not the order-chained variant).
+    QueryDef(
+      "q123_burst_head_events",
+      Some("""
+        WITH o AS (SELECT event_id, user_id, event_type, ts,
+                     LAG(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev
+                   FROM events),
+        s AS (SELECT *, SUM(CASE WHEN prev IS NULL OR
+                       epoch_us(ts) - epoch_us(prev) >= CAST(14400 AS BIGINT) * 1000000
+                       THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS sid
+              FROM o),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type, sid
+                                           ORDER BY ts, event_id) AS rn
+              FROM s)
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM r WHERE rn = 1 ORDER BY event_id"""),
+    ) { (s, dir) =>
+      graft.ops.TimeSeries.burstHeads(
+          Tables.events(s, dir).select("event_id", "user_id", "event_type", "ts"),
+          Seq("user_id", "event_type"), "ts", "event_id", gapSeconds = 14400L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id")
+    },
+
     // ---- market-basket co-occurrence: part pairs ordered together in
     // >= 2 orders (the pairwise support core of frequent-itemset mining).
     // Per-order self-join — bounded by basket size (TPC-H <= 7 lines), so

@@ -45,6 +45,34 @@ object TimeSeries {
         last(col("_sum"), ignoreNulls = true).over(w).as("ffill_sum"))
   }
 
+  /** Burst-head dedup ("debounce" for event pipelines): keep the FIRST
+    * event of every activity burst per key, where bursts are the q43
+    * gap-and-island sessions (successive gaps < gapSeconds chain). This
+    * is the island formulation — deterministic and windows-expressible —
+    * not the sequential "within gap of the last KEPT event" variant,
+    * which is order-chained and cannot be expressed as one window pass
+    * (the two differ once a burst outlives one gap: islands keep 1 row
+    * per burst however long it runs). Per-key windows only; the tie
+    * column makes equal-timestamp order total.
+    */
+  def burstHeads(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_ns", when(col("_prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("_prev")) >=
+          gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("_sid",
+        sum(col("_ns")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy((keyCols.map(col) :+ col("_sid")): _*)
+          .orderBy(col(tsCol), col(tieCol))))
+      .filter(col("_rn") === 1)
+      .drop("_prev", "_ns", "_sid", "_rn")
+  }
+
   /** The DuckDB oracle twin of [[gapFillDaily]] over the `events` table
     * (generate_series calendar, IGNORE NULLS last_value forward fill,
     * the same decimal-exact sum).

@@ -31,6 +31,26 @@ class TimeSeriesSpec extends SparkSpec {
     ))
   }
 
+  test("burst heads: one survivor per island, chained bursts stay one burst") {
+    val df = Seq(
+      // user 1 click: a burst that OUTLIVES one gap through chaining —
+      // islands keep exactly its head (the sequential variant would not)
+      (1L, 1L, "click", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 00:40:00")),
+      (3L, 1L, "click", ts("2024-01-01 01:20:00")), // 80min after head, 40min chain
+      (4L, 1L, "click", ts("2024-01-01 05:00:00")), // new burst
+      // separate key (same user, other type): independent islands
+      (5L, 1L, "view", ts("2024-01-01 00:10:00")),
+      // equal timestamps: tie column decides deterministically
+      (6L, 2L, "click", ts("2024-01-01 00:00:00")),
+      (7L, 2L, "click", ts("2024-01-01 00:00:00")),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = TimeSeries.burstHeads(df, Seq("user_id", "event_type"),
+        "ts", "event_id", gapSeconds = 3600L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 5L, 6L))
+  }
+
   test("grid spans exactly [first active day, last active day] per key") {
     val df = Seq(
       (7L, ts("2024-01-05 12:00:00"), 1.0),
