@@ -251,6 +251,40 @@ object RelQueries {
         .orderBy("column_name")
     },
 
+    // ---- referential-integrity audit: orphaned foreign keys across the
+    // star schema (orders→customer, lineitem→orders, lineitem→part) in
+    // one union of anti-join counts — the cross-table twin of the q10
+    // null audit, and the gate a warehouse load runs before publish.
+    QueryDef(
+      "q124_orphan_audit",
+      Some("""
+        SELECT 'orders.o_custkey' AS fk, (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+          AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'lineitem.l_partkey', (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        ORDER BY fk"""),
+    ) { (s, dir) =>
+      import s.implicits._
+      def orphans(child: org.apache.spark.sql.DataFrame, childKey: String,
+          parent: org.apache.spark.sql.DataFrame, parentKey: String): Long =
+        child.join(parent.select(col(parentKey)),
+          col(childKey) === col(parentKey), "left_anti").count()
+      val rows = Seq(
+        ("orders.o_custkey", orphans(Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey")),
+        ("lineitem.l_orderkey", orphans(Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")),
+        ("lineitem.l_partkey", orphans(Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey")),
+      )
+      rows.toDF("fk", "n_orphans").orderBy("fk")
+    },
+
     // ---- correlated subqueries: above-nation-average customers who have
     // ordered — a correlated SCALAR subquery (decorrelated by Catalyst to
     // an aggregate + join) plus a correlated EXISTS (left-semi). The
