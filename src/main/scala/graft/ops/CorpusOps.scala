@@ -656,7 +656,12 @@ object CorpusOps {
       .write.mode("overwrite").parquet(s"$path/seg=$segKey")
   }
 
-  /** Serve the summed bucket counts; loud on mixed numBuckets. */
+  /** Serve the summed bucket counts; loud on mixed numBuckets. Keeps
+    * `_num_buckets` on the served frame so [[importanceWeightsIndexed]]
+    * can refuse a probe at a different bucket count — an index built at
+    * 8192 scored with the default 4096 would silently never probe the
+    * high buckets and alias the low ones.
+    */
   def readImportanceIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val segs = spark.read.parquet(path)
@@ -664,6 +669,7 @@ object CorpusOps {
     require(nb.length == 1,
       s"mixed numBuckets under $path: ${nb.sorted.mkString(", ")}")
     segs.groupBy("b").agg(sum("tc").as("tc"), sum("rc").as("rc"))
+      .withColumn("_num_buckets", lit(nb.head))
   }
 
   /** Score a NEW batch against a served count index — per-ingest
@@ -678,6 +684,17 @@ object CorpusOps {
   def importanceWeightsIndexed(newDocs: DataFrame, textCol: String,
       idCol: String, index: DataFrame, numBuckets: Int = 4096): DataFrame = {
     requireFresh(newDocs, "n_grams", "sum_t", "sum_r", "score")
+    // refuse a bucket-count mismatch loudly: when the index carries its
+    // build-time _num_buckets (readImportanceIndex always does), it must
+    // equal the probe side's — otherwise high buckets are never probed
+    // and low buckets silently collect aliased mass
+    if (index.columns.contains("_num_buckets")) {
+      val nb = index.select("_num_buckets").distinct().collect()
+        .map(_.getInt(0))
+      require(nb.sameElements(Array(numBuckets)),
+        s"index built with numBuckets=${nb.mkString(",")} but probe uses " +
+          s"$numBuckets — pass the index's bucket count")
+    }
     val g = newDocs.select(col(idCol),
         graft.core.Cols.wsTokens(col(textCol)).as("_tk"))
       .select(col(idCol), explode(importanceGrams(col("_tk"))).as("_gram"))

@@ -66,6 +66,12 @@ object EditJoin {
   def levenshteinSelfJoin(df: DataFrame, idCol: String, strCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // one contract for both paths: NULL strings are rejected loudly
+    // here (the deletion path would otherwise drop them silently via
+    // explode of a null variants array, while PassJoin failed loudly —
+    // the same public API must not change behavior with k)
+    require(df.filter(col(strCol).isNull).isEmpty,
+      s"levenshteinSelfJoin: NULL values in '$strCol' — filter them first")
     if (k <= 2) deletionSelfJoin(df, idCol, strCol, k)
     else passJoinSelf(df, idCol, strCol, k)
   }

@@ -431,7 +431,10 @@ object Multimodal {
       val o = off.toInt
       val id = tag(b, o)
       val len = leInt(b, o + 4)
-      if (id == "fmt " && off + 8 + 16 <= b.length) {
+      // the chunk must DECLARE >= 16 bytes of fmt fields, not merely
+      // have 16 bytes of file left — a malformed len < 16 would
+      // otherwise parse the next chunk's bytes as format/rate/bits
+      if (id == "fmt " && len >= 16 && off + 8 + 16 <= b.length) {
         val audioFormat = (b(o + 8) & 0xFF) | ((b(o + 9) & 0xFF) << 8)
         channels = (b(o + 10) & 0xFF) | ((b(o + 11) & 0xFF) << 8)
         rate = leInt(b, o + 12).toInt

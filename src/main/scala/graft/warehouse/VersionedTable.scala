@@ -275,8 +275,13 @@ object VersionedTable {
       val live = new Path(s"$dir/v=$v")
       val stage = new Path(s"$dir/_purge_v$v")
       graft.ops.StagedSwap.recoverOrClearStage(f, live, stage)
+      // SQL DELETE semantics: drop a row only when the predicate is
+      // definitely TRUE — a NULL predicate (e.g. purge keyed on a
+      // nullable column) must keep the row, so coalesce NULL to false
+      // before negating; bare !condition would silently delete it.
       spark.read.parquet(live.toString)
-        .filter(!condition)
+        .filter(!org.apache.spark.sql.functions.coalesce(
+          condition, org.apache.spark.sql.functions.lit(false)))
         .write.mode("overwrite").parquet(stage.toString)
       graft.ops.StagedSwap.swap(f, live, stage)
     }

@@ -397,6 +397,13 @@ class MultimodalSpec extends SparkSpec {
     // negative samples round-trip the little-endian sign extension
     val Some((_, _, neg)) = Multimodal.parseWavPcm(wavOf(Array(-32768, 32767, -1)))
     assert(neg.toSeq == Seq(-32768, 32767, -1))
+    // a malformed fmt chunk DECLARING len < 16 must not parse the next
+    // chunk's bytes as format fields — total-decoder returns None
+    val good = wavOf(sq)
+    val bad = good.clone()
+    bad(16) = 4 // fmt chunk len 16 -> 4
+    assert(Multimodal.parseWavPcm(bad).isEmpty,
+      "fmt len < 16 must be undecodable, not misparsed")
   }
 
   test("audioFeatures over the synthetic corpus: every audio row decodes; corrupt flagged") {

@@ -633,6 +633,13 @@ class CorpusOpsSpec extends SparkSpec {
     assert(w(10L) == ((3L, 8L, 4L)), w(10L).toString)
     // fully unseen doc: every bucket counts 0 -> sums = n_grams each
     assert(w(11L) == ((3L, 3L, 3L)))
+    // probe-side bucket-count mismatch rejected loudly: an index built
+    // at 2^20 scored with the default 4096 would silently never probe
+    // high buckets — it must fail instead
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusOps.importanceWeightsIndexed(fresh, "text", "doc_id", idx)
+    }
+    assert(e2.getMessage.contains("numBuckets"), e2.getMessage)
     // mixed numBuckets rejected loudly
     CorpusOps.appendImportanceSegment(old, "text", col("t"), dir, "bad",
       numBuckets = 128)

@@ -70,6 +70,16 @@ class EditJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1)))
   }
 
+  test("NULL strings are rejected loudly on BOTH blocking paths") {
+    val withNull = Seq((1L, "abc"), (2L, null)).toDF("id", "name")
+    Seq(1, 3).foreach { k =>
+      val e = intercept[IllegalArgumentException] {
+        EditJoin.levenshteinSelfJoin(withNull, "id", "name", k)
+      }
+      assert(e.getMessage.contains("NULL"), s"k=$k: ${e.getMessage}")
+    }
+  }
+
   test("lev_within == builtin levenshtein (capped) on random unicode strings") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcxyz 0123é中😀" // ascii, accents, CJK, emoji

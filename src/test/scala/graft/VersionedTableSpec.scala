@@ -306,6 +306,20 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 2)
   }
 
+  test("purge keeps rows where the predicate is NULL (SQL DELETE semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_purgenull").toString
+    // nullable email column: the purge predicate evaluates to NULL on
+    // the null-email rows — those rows must SURVIVE, exactly like
+    // DELETE WHERE email = '...' would keep them
+    VersionedTable.commit(Seq((1L, Some("a@x")), (2L, None), (3L, Some("c@x")))
+      .toDF("k", "email"), dir)
+    VersionedTable.purge(spark, dir, col("email") === "a@x")
+    val left = VersionedTable.read(spark, dir).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(2L, 3L),
+      s"null-predicate rows must pass through untouched, got $left")
+  }
+
   test("a purge crashed between delete and rename is recovered by the re-run") {
     val dir = java.nio.file.Files.createTempDirectory("graft_purgecrash").toString
     VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir)
