@@ -497,13 +497,18 @@ object CorpusQueries {
     // feeding sequence packing. NO SQL oracle for the same reason as q93
     // (the segmentation comes from the iterative trainer); correctness is
     // BpeSpec's exact reference-encoder equality + decode round-trip over
-    // the real corpus.
+    // the real corpus. The registry projects the id array through
+    // array_join so the driver's no-oracle fingerprint path can sort and
+    // hash the frame (pandas cannot lexsort an array column); the typed
+    // array<int> API stays on Bpe.encodeTokenIds.
     QueryDef("q104_bpe_token_ids", None) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val freqs = graft.ops.Bpe.wordFreqs(docs, "text")
       freqs.persist()
       val rules = graft.ops.Bpe.trainBpeOnFreqs(freqs, nMerges = 20)
       val out = graft.ops.Bpe.encodeTokenIds(docs, "text", "doc_id", freqs, rules)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"))
         .orderBy("doc_id")
       out.persist().count() // materialize before releasing the freqs cache
       freqs.unpersist(false)

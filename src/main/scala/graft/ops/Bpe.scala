@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.BpeMerge
 
@@ -147,18 +147,41 @@ object Bpe {
         sum(col("n_tok").cast("long")).as("n_bpe_tokens"))
   }
 
-  /** Deterministic token-id dictionary for the trained vocabulary:
-    * every distinct BPE token across the segmented vocabulary, dense ids
-    * 0..V-1 in lexicographic token order. The global window runs over the
-    * BOUNDED vocabulary table (tokenizer vocabularies are 10k-100k
-    * entries), never the corpus — same driver-scale argument as the
-    * trainer's argmax.
+  /** Deterministic token-id dictionary for the trained vocabulary.
+    *
+    * Ids 0..255 are RESERVED byte-fallback tokens (`<0xNN>`, the
+    * SentencePiece byte-fallback convention): [[encodeTokenIds]] encodes
+    * an out-of-vocabulary word as its UTF-8 byte sequence through these
+    * ids, so the id space must carry them — a training run's embedding
+    * table sizes off this vocabulary. Learned BPE tokens follow at
+    * 256..255+V, dense in UTF-8-lexicographic token order. The global
+    * window runs over the BOUNDED vocabulary table (tokenizer
+    * vocabularies are 10k-100k entries), never the corpus — same
+    * driver-scale argument as the trainer's argmax.
     */
   def tokenVocab(freqs: DataFrame, rules: Seq[MergeRule]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("token")
-    segmentVocab(freqs, rules)
+    val learned = segmentVocab(freqs, rules)
       .select(explode(col("tokens")).as("token")).distinct()
-      .withColumn("token_id", row_number().over(w) - 1)
+      .withColumn("token_id", row_number().over(w) - 1 + lit(ByteIdCount))
+    val bytes = freqs.sparkSession.range(ByteIdCount.toLong)
+      .select(
+        concat(lit("<0x"), lpad(hex(col("id")), 2, "0"), lit(">")).as("token"),
+        col("id").cast("int").as("token_id"))
+    bytes.unionByName(learned)
+  }
+
+  /** The reserved byte-fallback id block: ids 0..255. */
+  val ByteIdCount = 256
+
+  /** UTF-8 byte ids of `word` — the fallback encoding for a word the
+    * training vocabulary has never seen. Pure codegen expressions: hex
+    * the UTF-8 bytes, then read the 2-char groups back as ints.
+    */
+  private def byteFallbackIds(word: Column): Column = {
+    val h = hex(encode(word, "UTF-8"))
+    transform(sequence(lit(1), (length(h) / 2).cast("int")),
+      i => conv(h.substr(i * 2 - 1, lit(2)), 16, 10).cast("int"))
   }
 
   /** TOKENIZE the corpus: per document, the ordered token-id sequence
@@ -173,14 +196,20 @@ object Bpe {
     * (bounded) frequency table; the corpus-sized pass is one
     * posexplode + one broadcast join + one per-doc ordered fold
     * (sort_array over (position, ids) structs — order restored
-    * deterministically regardless of partitioning). A word absent from
-    * the training vocabulary fails LOUDLY (raise_error), not silently:
-    * encoding is corpus-scoped by construction (freqs came from this
-    * corpus), so an OOV hit means the caller passed mismatched inputs,
-    * and dropping or mis-encoding it would corrupt training data.
+    * deterministically regardless of partitioning).
+    *
+    * A word absent from the training vocabulary encodes as its UTF-8
+    * byte sequence through the reserved ids 0..255 (the standard
+    * byte-level fallback — the encode is TOTAL, the property a real
+    * corpus needs: a raise_error here would crash whole jobs on the
+    * first unseen word). Pass `byteFallback = false` for the strict
+    * corpus-scoped mode that fails loudly instead — right when freqs
+    * came from exactly this corpus and an OOV hit means mismatched
+    * inputs.
     */
   def encodeTokenIds(docs: DataFrame, textCol: String, idCol: String,
-      freqs: DataFrame, rules: Seq[MergeRule]): DataFrame = {
+      freqs: DataFrame, rules: Seq[MergeRule],
+      byteFallback: Boolean = true): DataFrame = {
     val vocab = tokenVocab(freqs, rules)
     val wordIds = segmentVocab(freqs, rules)
       .select(col("word"), posexplode(col("tokens")).as(Seq("tpos", "token")))
@@ -188,14 +217,16 @@ object Bpe {
       .groupBy("word")
       .agg(transform(sort_array(collect_list(struct(col("tpos"), col("token_id")))),
         s => s("token_id")).as("ids"))
+    val oov =
+      if (byteFallback) byteFallbackIds(col("word"))
+      else raise_error(concat(
+        lit("encodeTokenIds: word not in training vocabulary: "), col("word")))
     docs
       .select(col(idCol), posexplode(regexp_extract_all(col(textCol),
         lit(preTokenPattern), lit(0))).as(Seq("wpos", "word")))
       .join(broadcast(wordIds), Seq("word"), "left")
       .withColumn("ids",
-        when(col("ids").isNull,
-          raise_error(concat(lit("encodeTokenIds: word not in training vocabulary: "),
-            col("word")))).otherwise(col("ids")))
+        when(col("ids").isNull, oov).otherwise(col("ids")))
       .groupBy(idCol)
       .agg(flatten(transform(sort_array(collect_list(struct(col("wpos"), col("ids")))),
         s => s("ids"))).as("token_ids"))

@@ -153,7 +153,9 @@ class BpeSpec extends SparkSpec {
     val refRules = referenceBpe(freqs, n)
     val rules = Bpe.trainBpe(docs, "text", n)
     val seg = freqs.keys.map(w => w -> refSegment(w, refRules)).toMap
-    val ids = seg.values.flatten.toSeq.distinct.sorted(utf8Order).zipWithIndex.toMap
+    // learned ids start at 256: 0..255 are the reserved byte-fallback block
+    val ids = seg.values.flatten.toSeq.distinct.sorted(utf8Order).zipWithIndex
+      .map { case (t, i) => t -> (i + Bpe.ByteIdCount) }.toMap
     val refEnc = docs.select("doc_id", "text").collect().flatMap { r =>
       val words = Bpe.preTokenPattern.r.findAllIn(r.getString(1)).toSeq
       if (words.isEmpty) None
@@ -208,13 +210,53 @@ class BpeSpec extends SparkSpec {
     assert(e1 == e2)
   }
 
-  test("encoding a word outside the training vocabulary fails loudly") {
+  test("OOV words byte-fallback: total encode, round-trip, in-vocab ids unchanged") {
+    val trainDocs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
+    val freqsDf = Bpe.wordFreqs(trainDocs, "text")
+    val rules = Bpe.trainBpe(trainDocs, "text", 2)
+    val idToTok = Bpe.tokenVocab(freqsDf, rules)
+      .collect().map(r => r.getInt(1) -> r.getString(0)).toMap
+    // the byte block occupies exactly 0..255; learned tokens start at 256
+    (0 until 256).foreach(i => assert(idToTok(i) == f"<0x$i%02X>"))
+    assert(idToTok.keys.filter(_ >= 256).nonEmpty)
+
+    // planted OOV words (ascii + multi-byte UTF-8) encode TOTALLY
+    val probe = Seq((9L, "aa zz"), (10L, "bb é中")).toDF("doc_id", "text")
+    val enc = Bpe.encodeTokenIds(probe, "text", "doc_id", freqsDf, rules)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2).toSeq).toMap
+    // round-trip: learned ids via vocab, byte ids via the raw byte
+    def decode(tids: Seq[Int]): String = {
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      val sb = new StringBuilder
+      def flush(): Unit =
+        if (bytes.nonEmpty) { sb ++= new String(bytes.toArray, "UTF-8"); bytes.clear() }
+      tids.foreach { id =>
+        if (id < Bpe.ByteIdCount) bytes += id.toByte
+        else { flush(); sb ++= idToTok(id) }
+      }
+      flush(); sb.toString
+    }
+    assert(decode(enc(9L)) == "aazz")
+    assert(decode(enc(10L)) == "bbé中")
+    // in-vocab words' ids are unchanged by the presence of OOV words
+    val clean = Bpe.encodeTokenIds(
+      Seq((1L, "aa bb cc")).toDF("doc_id", "text"), "text", "doc_id",
+      freqsDf, rules).collect().map(r => r.getSeq[Int](2).toSeq).head
+    val aaIds = enc(9L).takeWhile(_ >= Bpe.ByteIdCount)
+    assert(clean.startsWith(aaIds) && aaIds.nonEmpty,
+      s"in-vocab prefix ids must match: $clean vs ${enc(9L)}")
+    // every byte-fallback id is a real byte of the OOV word
+    assert(enc(9L).drop(aaIds.length) == "zz".getBytes("UTF-8").map(_ & 0xff).toSeq)
+  }
+
+  test("strict mode: encoding an OOV word fails loudly when byteFallback=false") {
     val trainDocs = Seq((1L, "aa bb cc")).toDF("doc_id", "text")
     val freqsDf = Bpe.wordFreqs(trainDocs, "text")
     val rules = Bpe.trainBpe(trainDocs, "text", 2)
     val probe = Seq((9L, "aa zz")).toDF("doc_id", "text")
     val e = intercept[Exception] {
-      Bpe.encodeTokenIds(probe, "text", "doc_id", freqsDf, rules).collect()
+      Bpe.encodeTokenIds(probe, "text", "doc_id", freqsDf, rules,
+        byteFallback = false).collect()
     }
     assert(e.getMessage.contains("not in training vocabulary") ||
       e.getCause != null && e.getCause.getMessage.contains("not in training vocabulary"),
