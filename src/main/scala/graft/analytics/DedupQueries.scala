@@ -214,5 +214,43 @@ object DedupQueries {
           "text", "doc_id")
         .select("doc_id", "source", "n_chars").orderBy("doc_id")
     },
+
+    // ---- WITHIN-doc repeated-span scrub (Lee et al. 2022 intra-doc
+    // dedup): token 3-gram occurrences repeating an earlier identical
+    // gram in the SAME document mark their positions; scrubbed text
+    // keeps the first copy of each repeated span and drops later copies.
+    // Row-local (zero shuffles) in Spark; the oracle replays the
+    // first-occurrence rule relationally (min-position per gram, covered
+    // positions via range unnest, ordered string_agg rebuild).
+    QueryDef(
+      "q125_repeated_span_scrub",
+      Some(raw"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM t WHERE len(toks) >= 3),
+        g AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS gram FROM s),
+        f AS (SELECT doc_id, gram, min(i) AS fi FROM g GROUP BY 1, 2),
+        rep AS (SELECT g.doc_id, g.i FROM g JOIN f USING (doc_id, gram)
+                WHERE g.i > f.fi),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + 3)) AS p FROM rep),
+        tp AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS p FROM t),
+        kept AS (SELECT tp.doc_id, tp.tok, tp.p FROM tp
+                 WHERE NOT EXISTS (SELECT 1 FROM cov
+                                   WHERE cov.doc_id = tp.doc_id AND cov.p = tp.p)),
+        sc AS (SELECT doc_id, count(*) AS n_kept,
+                      string_agg(tok, ' ' ORDER BY p) AS scrubbed_text
+               FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, len(t.toks) AS n_tokens,
+               len(t.toks) - coalesce(sc.n_kept, 0) AS n_repeat_positions,
+               coalesce(sc.scrubbed_text, '') AS scrubbed_text
+        FROM t LEFT JOIN sc USING (doc_id)
+        ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      TextDedup.repeatedSpanScrub(Tables.documents(s, dir), "text", "doc_id",
+          k = 3)
+        .orderBy("doc_id")
+    },
   )
 }

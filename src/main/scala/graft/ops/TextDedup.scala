@@ -844,4 +844,60 @@ object TextDedup {
       fingerprint(col(textCol)) === col("_pfp"), "left_anti")
     definiteNew.unionByName(candidates)
   }
+
+  /** WITHIN-document repeated-span scrub (the intra-document half of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): boilerplate and templating repeat long spans INSIDE a
+    * single document, and cross-doc dedup (winnowing q83, MinHash q38)
+    * never sees them. Every word `k`-gram occurrence whose gram text
+    * already occurred earlier in the same document marks its k token
+    * positions as repeated; the scrubbed text keeps exactly the tokens
+    * not covered by any such non-first occurrence — the first copy of a
+    * repeated span survives, later copies are removed (the paper's
+    * keep-first convention), and spans shorter than k tokens are never
+    * touched.
+    *
+    * Output: (idCol, n_tokens, n_repeat_positions, scrubbed_text), with
+    * scrubbed_text whitespace-normalized (tokens re-joined by ' ').
+    *
+    * Shape: ROW-LOCAL — zero shuffles, zero joins; the whole operator is
+    * one codegen'd projection, so it scales to 100 TB as a pure map over
+    * whatever partitioning the corpus already has. Per doc the cost is
+    * O(n log n): instead of probing each gram against all earlier grams
+    * (quadratic on a 10^5-token document), the gram list is sorted once
+    * as (gram, position) structs and a non-first occurrence is detected
+    * by comparing each entry to its sorted predecessor — ties sort by
+    * position, so the first occurrence heads each equal-run. Every array
+    * (tokens, grams, sorted grams, covered positions) is let-bound to a
+    * real column before lambdas reference it, per this file's
+    * re-evaluation lesson.
+    */
+  def repeatedSpanScrub(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (a 1-gram scrub would drop every " +
+      s"repeated word), got $k")
+    val toks = graft.core.Cols.wsTokens(col(textCol))
+    df.select(col(idCol), toks.as("_t"))
+      .withColumn("_g",
+        when(size(col("_t")) < k, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("_t")) - (k - 1)),
+            i => concat_ws(" ", slice(col("_t"), i, lit(k))))))
+      .withColumn("_sg", sort_array(transform(col("_g"),
+        (g, i) => struct(g.as("g"), i.as("i")))))
+      // 0-based gram start indices that repeat an earlier identical gram
+      .withColumn("_r", filter(transform(col("_sg"), (s, j) =>
+        when(j === 0, lit(-1)).otherwise(
+          when(element_at(col("_sg"), j).getField("g") === s.getField("g"),
+            s.getField("i")).otherwise(lit(-1)))), x => x >= 0))
+      // 0-based token positions covered by some repeated gram occurrence
+      .withColumn("_cov", array_distinct(flatten(
+        transform(col("_r"), s => sequence(s, s + (k - 1))))))
+      .select(col(idCol),
+        size(col("_t")).cast("long").as("n_tokens"),
+        size(col("_cov")).cast("long").as("n_repeat_positions"),
+        // concat_ws skips null elements: covered tokens null out
+        concat_ws(" ", transform(col("_t"), (t, i) =>
+          when(array_contains(col("_cov"), i), lit(null).cast("string"))
+            .otherwise(t))).as("scrubbed_text"))
+  }
 }

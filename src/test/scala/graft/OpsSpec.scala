@@ -148,6 +148,30 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0))
     assert(sig.toSeq == sig2.toSeq)
   }
+
+  test("repeated-span scrub: planted repetition removed, first copy kept") {
+    val reps = Seq(
+      // "b c d" repeats: second copy (positions 5-7, 0-based 4..6) scrubbed
+      (1L, "a b c d x b c d y"),
+      // no k-gram repeats at k=3 (only a 2-gram "a b" repeats)
+      (2L, "a b c a b d a c e"),
+      // whole doc one repeated span: first copy survives
+      (3L, "p q r p q r"),
+      // overlapping repeats chain: "a a a a a" — every gram equal
+      (4L, "a a a a a"),
+      // shorter than k: untouched
+      (5L, "x y"),
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextDedup.repeatedSpanScrub(reps, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((9L, 3L, "a b c d x y")), got(1L).toString)
+    assert(got(2L) == ((9L, 0L, "a b c a b d a c e")))
+    assert(got(3L) == ((6L, 3L, "p q r")))
+    // grams at starts 0,1,2 all "a a a"; starts 1,2 repeat -> cover 1..4
+    assert(got(4L) == ((5L, 4L, "a")))
+    assert(got(5L) == ((2L, 0L, "x y")))
+  }
 }
 
 class VectorSimSpec extends SparkSpec {
