@@ -1,0 +1,160 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.core.{ChurnFixture, StageCache}
+import graft.ingest.RestIngest
+import graft.streaming.Streaming
+import graft.warehouse.{Sinks, StarSchema}
+
+class StreamingSpec extends SparkSpec {
+  test("file-source ingest stream reuses batch transform exactly-once") {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val raw = s"$work/raw"; val silver = s"$work/silver"; val ckpt = s"$work/ckpt"
+    ChurnFixture.df(spark, 200).write.option("header", "true").csv(raw)
+    val q = Streaming.ingestStream(spark, raw, silver, ckpt,
+      transform = df => df.withColumn("flag", lit(1)))
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(silver)
+    assert(out.count() == 200)
+    assert(out.columns.contains("flag") && out.columns.contains("_batch_id"))
+    // restart with no new files: exactly-once means no duplicates
+    val q2 = Streaming.ingestStream(spark, raw, silver, ckpt,
+      transform = df => df.withColumn("flag", lit(1)))
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(silver).count() == 200)
+  }
+
+  test("watermarked window aggregation over an event stream") {
+    import spark.implicits._
+    val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event](
+      spark, 1)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    events.addData((0 until 100).map(i =>
+      Streaming.Event(i % 5, new java.sql.Timestamp(t0.getTime + i * 1000L), "click", 1.0)))
+    val agg = Streaming.windowedEventCounts(events.toDF(), "1 minute", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT sum(n_events) FROM win_agg").collect()
+    assert(rows(0).getLong(0) == 100)
+  }
+
+  test("streaming dedup suppresses fingerprint duplicates within and across batches") {
+    import spark.implicits._
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)](
+      spark, 1)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // batch 1: "alpha" twice (whitespace variant = same fingerprint)
+    docs.addData(Seq(
+      (1L, "alpha  beta", ts(0)),
+      (2L, "alpha beta", ts(1)), // dup of 1 after normalization
+      (3L, "gamma", ts(2))))
+    val out = Streaming.dedupDocStream(
+      docs.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+    // one checkpoint across both runs: offsets AND fingerprint state resume,
+    // so run 2 sees only batch 2 but still remembers batch 1's fingerprints
+    val work = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    def run(): Unit = {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$work/out").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      // a timed-out (still running) query would read partial output below
+      // and contend on the checkpoint with the next run
+      assert(q.awaitTermination(120000), "streaming batch did not finish in time")
+    }
+    run()
+    // batch 2: another "gamma" dup (within the 1h watermark horizon) + new
+    docs.addData(Seq((4L, "GAMMA", ts(3)), (5L, "delta", ts(4))))
+    run()
+    val all = spark.read.parquet(s"$work/out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(all.contains(3L) && all.contains(5L))
+    assert(!all.contains(4L), "cross-batch duplicate must be suppressed by state")
+    assert((all & Set(1L, 2L)).size == 1, "exactly one of the in-batch dup pair survives")
+  }
+
+  test("stream-stream interval join attributes purchases to clicks, matching batch") {
+    import spark.implicits._
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event](spark, 1)
+    val buys = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event](spark, 1)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    val cRows = Seq(
+      Streaming.Event(1L, ts(0), "click", 1.0),
+      Streaming.Event(1L, ts(500), "click", 2.0),
+      Streaming.Event(2L, ts(10), "click", 3.0))
+    val bRows = Seq(
+      Streaming.Event(1L, ts(100), "purchase", 10.0),  // joins click@0 only
+      Streaming.Event(1L, ts(520), "purchase", 20.0),  // joins click@500 (click@0 window passed)
+      Streaming.Event(2L, ts(400), "purchase", 30.0),  // outside user 2's 300s window
+      Streaming.Event(3L, ts(50), "purchase", 40.0))   // no click at all
+    val out = Streaming.clickAttributionJoin(clicks.toDF(), buys.toDF(),
+      windowSeconds = 300L)
+    val work = java.nio.file.Files.createTempDirectory("graft_ssjoin").toString
+    def run(): Unit = {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$work/out").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "interval join stream timed out")
+    }
+    clicks.addData(cRows); buys.addData(bRows); run()
+    // push both watermarks so all joinable pairs finalize
+    clicks.addData(Seq(Streaming.Event(98L, ts(5000), "click", 0.0)))
+    buys.addData(Seq(Streaming.Event(98L, ts(5000), "purchase", 0.0)))
+    run(); run()
+    val got = spark.read.parquet(s"$work/out")
+      .filter(col("user_id") < 90)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(4))).toSet
+    val expect = Streaming.clickAttributionJoin(cRows.toDF(), bRows.toDF(), 300L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(4))).toSet
+    assert(got == expect, s"streamed joins != batch: $got vs $expect")
+    assert(expect == Set((1L, 1.0, 10.0), (1L, 2.0, 20.0)),
+      "fixture must attribute exactly the in-window pairs")
+  }
+
+  test("session_window stream closes sessions at the watermark, matching the batch twin") {
+    import spark.implicits._
+    val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event](
+      spark, 1)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // user 1: sessions {0s, 10s} and {4000s}; user 2: {5s} — gap 1800s
+    val real = Seq(
+      Streaming.Event(1L, ts(0), "click", 1.0),
+      Streaming.Event(1L, ts(10), "click", 2.5),
+      Streaming.Event(2L, ts(5), "view", 4.0),
+      Streaming.Event(1L, ts(4000), "click", 8.0))
+    val out = graft.ops.Sessionize.sessionWindowStats(
+      events.toDF().withWatermark("ts", "10 seconds"),
+      "user_id", "ts", "value", gapSeconds = 1800L)
+    val work = java.nio.file.Files.createTempDirectory("graft_swin").toString
+    def run(): Unit = {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$work/out").outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "session stream did not finish in time")
+    }
+    events.addData(real)
+    run()
+    // sentinel waves push the watermark so earlier sessions finalize
+    events.addData(Seq(Streaming.Event(98L, ts(8000), "click", 0.0)))
+    run()
+    events.addData(Seq(Streaming.Event(99L, ts(16000), "click", 0.0)))
+    run()
+    val got = spark.read.parquet(s"$work/out")
+      .filter(col("user_id") < 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // batch twin over the same (non-sentinel) events
+    val expect = graft.ops.Sessionize.sessionWindowStats(
+      real.toDF(), "user_id", "ts", "value", gapSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expect,
+      s"streamed closed sessions != batch sessions: $got vs $expect")
+    assert(expect.size == 3, "fixture must produce 3 sessions")
+  }
+}
