@@ -173,6 +173,91 @@ object ChurnModel {
     (model.bestModel, model.avgMetrics.toSeq)
   }
 
+  /** One uniform ranges bundle for [[randomSearch]] — defaults mirror the
+    * reference's Optuna space (model_trainer.py:455-475): n_estimators
+    * 100-1000 -> maxIter, max_depth 3-10, learning_rate 0.01-0.3 ->
+    * stepSize, subsample 0.6-1.0 -> subsamplingRate, colsample_bytree
+    * 0.6-1.0 -> featureSubsetStrategy fraction. reg_alpha/reg_lambda
+    * have no spark.ml GBT analogue (no per-leaf L1/L2 penalty) —
+    * documented substitution: minInstancesPerNode 1-20 plays the
+    * leaf-complexity-regularizer role.
+    */
+  final case class SearchSpace(
+      maxIterRange: (Int, Int) = (100, 1000),
+      maxDepthRange: (Int, Int) = (3, 10),
+      stepSizeRange: (Double, Double) = (0.01, 0.3),
+      subsampleRange: (Double, Double) = (0.6, 1.0),
+      colsampleRange: (Double, Double) = (0.6, 1.0),
+      minInstancesRange: (Int, Int) = (1, 20))
+
+  /** One sampled trial and its k-fold mean AUC. */
+  final case class TrialResult(
+      maxIter: Int, maxDepth: Int, stepSize: Double, subsamplingRate: Double,
+      featureSubsetStrategy: String, minInstancesPerNode: Int, meanAuc: Double)
+
+  /** M6: seeded RANDOM hyperparameter search over the reference's Optuna
+    * space (model_trainer.py:455-475). Optuna's TPE is a sequential
+    * Bayesian posterior — it doesn't map onto a data-parallel engine,
+    * but its SPACE does: uniform random search over the same ranges is
+    * the standard strong baseline (Bergstra & Bengio 2012) and, unlike
+    * TPE, every trial is independent so ONE CrossValidator evaluates all
+    * `nTrials` param maps sharing a single stratified fold split, with
+    * trials running in parallel. Deterministic under `cfg.seed`: the
+    * sampled trial list and each fit are seeded. Returns the best model
+    * (refit convention of CrossValidator) plus every trial's params and
+    * mean AUC, best-first not guaranteed — read `meanAuc`.
+    */
+  def randomSearch(
+      df: DataFrame, cfg: Config = Config(), nTrials: Int = 10,
+      numFolds: Int = 5, space: SearchSpace = SearchSpace(),
+      stratified: Boolean = true): (org.apache.spark.ml.Model[_], Seq[TrialResult]) = {
+    require(nTrials >= 1, s"nTrials must be >= 1, got $nTrials")
+    require(cfg.algorithm == "gbt",
+      "randomSearch samples the GBT space; use crossValidate for rf")
+    val rnd = new scala.util.Random(cfg.seed)
+    def sInt(r: (Int, Int)) = r._1 + rnd.nextInt(r._2 - r._1 + 1)
+    def sDouble(r: (Double, Double)) = r._1 + (r._2 - r._1) * rnd.nextDouble()
+    val samples = Seq.fill(nTrials)((
+      sInt(space.maxIterRange), sInt(space.maxDepthRange),
+      sDouble(space.stepSizeRange), sDouble(space.subsampleRange),
+      sDouble(space.colsampleRange), sInt(space.minInstancesRange)))
+
+    val features = featureColumns(df, cfg.labelCol)
+    val base = df.withColumn(cfg.labelCol, col(cfg.labelCol).cast("double"))
+      .na.fill(features.map(_ -> 0.0).toMap)
+    val prepared =
+      if (stratified) withStratifiedFolds(base, cfg.labelCol, numFolds, cfg.seed)
+      else base
+    val pipeline = buildPipeline(features, cfg)
+    val clf = pipeline.getStages.last.asInstanceOf[GBTClassifier]
+    val maps = samples.map { case (mi, md, ss, sub, cs, mins) =>
+      new org.apache.spark.ml.param.ParamMap()
+        .put(clf.maxIter, mi).put(clf.maxDepth, md).put(clf.stepSize, ss)
+        .put(clf.subsamplingRate, sub)
+        .put(clf.featureSubsetStrategy,
+          java.lang.String.format(java.util.Locale.ROOT, "%.6f", Double.box(cs)))
+        .put(clf.minInstancesPerNode, mins)
+    }.toArray
+    val cv = new org.apache.spark.ml.tuning.CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol(cfg.labelCol).setRawPredictionCol("rawPrediction")
+        .setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(maps)
+      .setNumFolds(numFolds)
+      .setSeed(cfg.seed)
+      .setParallelism(2)
+    if (stratified) cv.setFoldCol("fold")
+    val model = cv.fit(prepared)
+    val trials = samples.zip(model.avgMetrics.toSeq).map {
+      case ((mi, md, ss, sub, cs, mins), auc) =>
+        TrialResult(mi, md, ss, sub,
+          java.lang.String.format(java.util.Locale.ROOT, "%.6f", Double.box(cs)),
+          mins, auc)
+    }
+    (model.bestModel, trials)
+  }
+
   /** M7: top-k feature importances from the fitted tree ensemble. */
   def featureImportances(result: TrainResult, k: Int = 20): Seq[(String, Double)] = {
     val imp = result.model.stages.last match {

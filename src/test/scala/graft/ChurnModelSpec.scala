@@ -90,4 +90,34 @@ class CrossValidationSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("churn_label").cast("double")))
     assert(scored.count() == 100)
   }
+
+  test("random search: 10 seeded trials, best passes the M10 gate, deterministic") {
+    // reduced ranges so 10 trials x 3 folds stay test-sized; the space
+    // SHAPE is the reference's (API defaults carry the real ranges)
+    val smallSpace = ChurnModel.SearchSpace(
+      maxIterRange = (5, 15), maxDepthRange = (3, 6),
+      stepSizeRange = (0.05, 0.3), subsampleRange = (0.6, 1.0),
+      colsampleRange = (0.6, 1.0), minInstancesRange = (1, 10))
+    val data = graft.core.ChurnFixture.df(spark, 1500)
+    val (best, trials) = ChurnModel.randomSearch(
+      data, ChurnModel.Config(), nTrials = 10, numFolds = 3, space = smallSpace)
+    assert(trials.length == 10)
+    // trials genuinely explore the space
+    assert(trials.map(_.maxIter).distinct.length > 1)
+    assert(trials.forall(t => t.maxIter >= 5 && t.maxIter <= 15 &&
+      t.maxDepth >= 3 && t.maxDepth <= 6 &&
+      t.stepSize >= 0.05 && t.stepSize <= 0.3 &&
+      t.minInstancesPerNode >= 1 && t.minInstancesPerNode <= 10))
+    // the best trial's model clears the reference deploy gate (M10)
+    val scored = best.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      .transform(data.withColumn("churn_label",
+        org.apache.spark.sql.functions.col("churn_label").cast("double")))
+    val m = ChurnModel.evaluate(scored)
+    assert(m.passesGate, s"accuracy=${m.accuracy} auc=${m.rocAuc}")
+    assert(trials.map(_.meanAuc).max > 0.5)
+    // deterministic under the seed: same config -> identical trial list
+    val (_, trials2) = ChurnModel.randomSearch(
+      data, ChurnModel.Config(), nTrials = 10, numFolds = 3, space = smallSpace)
+    assert(trials == trials2, "seeded search must reproduce exactly")
+  }
 }
