@@ -269,20 +269,24 @@ object RelQueries {
           WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
         ORDER BY fk"""),
     ) { (s, dir) =>
-      import s.implicits._
-      def orphans(child: org.apache.spark.sql.DataFrame, childKey: String,
-          parent: org.apache.spark.sql.DataFrame, parentKey: String): Long =
+      // ONE Spark job: each FK edge contributes a lazy anti-join global
+      // aggregate (always exactly one row, even at zero orphans), and
+      // the union evaluates all edges in a single action — no per-edge
+      // driver-side count loop.
+      def orphans(fk: String, child: org.apache.spark.sql.DataFrame,
+          childKey: String, parent: org.apache.spark.sql.DataFrame,
+          parentKey: String): org.apache.spark.sql.DataFrame =
         child.join(parent.select(col(parentKey)),
-          col(childKey) === col(parentKey), "left_anti").count()
-      val rows = Seq(
-        ("orders.o_custkey", orphans(Tables.orders(s, dir), "o_custkey",
-          Tables.customer(s, dir), "c_custkey")),
-        ("lineitem.l_orderkey", orphans(Tables.lineitem(s, dir), "l_orderkey",
-          Tables.orders(s, dir), "o_orderkey")),
-        ("lineitem.l_partkey", orphans(Tables.lineitem(s, dir), "l_partkey",
-          Tables.part(s, dir), "p_partkey")),
-      )
-      rows.toDF("fk", "n_orphans").orderBy("fk")
+            col(childKey) === col(parentKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(fk).as("fk"), col("n_orphans"))
+      orphans("orders.o_custkey", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey")
+        .unionByName(orphans("lineitem.l_orderkey", Tables.lineitem(s, dir),
+          "l_orderkey", Tables.orders(s, dir), "o_orderkey"))
+        .unionByName(orphans("lineitem.l_partkey", Tables.lineitem(s, dir),
+          "l_partkey", Tables.part(s, dir), "p_partkey"))
+        .orderBy("fk")
     },
 
     // ---- correlated subqueries: above-nation-average customers who have

@@ -256,4 +256,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), "expected the sequence-explode calendar")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("orphan audit is ONE lazy union plan — zero jobs at build time") {
+    // the regression this pins: a per-FK-edge driver count loop would run
+    // multi-stage aggregation jobs while BUILDING the frame. Parquet
+    // footer/schema reads also surface as jobs, but those are single-
+    // stage metadata reads — so assert no MULTI-STAGE job fires at build.
+    @volatile var aggJobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.stageInfos.size > 1) aggJobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("q124_orphan_audit")(spark, sf001)
+      Thread.sleep(500) // let any stray job-start events drain
+      assert(aggJobs == 0,
+        s"building the audit frame ran $aggJobs aggregation job(s)")
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("Union"), "expected one union of per-edge aggregates")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+      // still the same 3-row answer, in one action
+      assert(df.collect().map(_.getString(0)).toSeq ==
+        Seq("lineitem.l_orderkey", "lineitem.l_partkey", "orders.o_custkey"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
