@@ -31,6 +31,19 @@ object DailyPipeline {
       columnsAdded: Seq[String] = Nil, // D2: raw -> processed schema diff
       columnsRemoved: Seq[String] = Nil)
 
+  /** Notification seam mirroring the reference DAG's EmailOperator pair
+    * (dags/churn_prediction_pipeline.py:277-294): `onSuccess` fires
+    * exactly once after the whole run (trigger_rule=all_success) with
+    * the final report; `onFailure` fires exactly once with the FIRST
+    * failing stage name and its error (trigger_rule=one_failed — the
+    * linear stage chain aborts at the first throw, so "one_failed" and
+    * "first failed" coincide) and the error still propagates. Defaults
+    * are no-ops; wire email/pager/log delivery at the call site.
+    */
+  final case class Notifier(
+      onSuccess: RunReport => Unit = _ => (),
+      onFailure: (String, Throwable) => Unit = (_, _) => ())
+
   def transform(df: DataFrame, exact: Boolean = true): DataFrame = {
     val cleaned = Cleaning.clean(df, exact = exact)
     val featured = Features.engineer(cleaned, exact = exact)
@@ -66,21 +79,33 @@ object DailyPipeline {
       csvPath: String,
       bronzePath: Option[String] = None,
       silverPath: Option[String] = None,
-      exact: Boolean = true): RunReport = {
-    val bronze = CsvIngest.ingest(spark, csvPath, bronzePath)
-    bronze.persist()
+      exact: Boolean = true,
+      notify: Notifier = Notifier()): RunReport = {
+    var stage = "ingest"
     try {
-      val validation = SchemaValidator.validate(bronze)
-      val quality = QualityAudit.audit(bronze.drop("_violations"))
-      val silver = transform(bronze)
-      silver.persist()
-      val rows = silver.count()
-      silverPath.foreach { p =>
-        silver.write.mode("overwrite").option("compression", "snappy").parquet(p)
-      }
-      RunReport(validation, quality, rows, silver.columns.length,
-        columnsAdded = (silver.columns.toSet -- bronze.columns.toSet).toSeq.sorted,
-        columnsRemoved = (bronze.columns.toSet -- silver.columns.toSet).toSeq.sorted)
-    } finally bronze.unpersist()
+      val bronze = CsvIngest.ingest(spark, csvPath, bronzePath)
+      bronze.persist()
+      try {
+        stage = "validate"
+        val validation = SchemaValidator.validate(bronze)
+        stage = "quality"
+        val quality = QualityAudit.audit(bronze.drop("_violations"))
+        stage = "transform"
+        val silver = transform(bronze)
+        silver.persist()
+        val rows = silver.count()
+        stage = "publish"
+        silverPath.foreach { p =>
+          silver.write.mode("overwrite").option("compression", "snappy").parquet(p)
+        }
+        val report = RunReport(validation, quality, rows, silver.columns.length,
+          columnsAdded = (silver.columns.toSet -- bronze.columns.toSet).toSeq.sorted,
+          columnsRemoved = (bronze.columns.toSet -- silver.columns.toSet).toSeq.sorted)
+        notify.onSuccess(report)
+        report
+      } finally bronze.unpersist()
+    } catch {
+      case scala.util.control.NonFatal(e) => notify.onFailure(stage, e); throw e
+    }
   }
 }

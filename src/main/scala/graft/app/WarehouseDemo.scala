@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   *   tools/run.sh graft.app.WarehouseDemo [sfDir]
   */
 object WarehouseDemo {
+
+  /** Notification seam for the gate chain (same reference EmailOperator
+    * semantics as [[DailyPipeline.Notifier]], dags/churn_prediction_
+    * pipeline.py:277-294): `onSuccess` fires once after ALL gates pass;
+    * `onFailure` fires once with the FIRST failing gate's name and
+    * message — the chain aborts there, so no later gate can add a
+    * second notification.
+    */
+  final case class GateNotifier(
+      onSuccess: String => Unit = _ => (),
+      onFailure: (String, String) => Unit = (_, _) => ())
+
+  private final case class GateFailed(gate: String, msg: String)
+    extends RuntimeException(s"$gate: $msg")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val work = java.nio.file.Files.createTempDirectory("graft_wh_demo").toString
@@ -32,11 +47,40 @@ object WarehouseDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val ok = run(spark, sfDir, work, GateNotifier(
+      onSuccess = s => println(s),
+      onFailure = (g, m) => println(s"GATE FAILED [$g]: $m")))
+    spark.stop()
+    if (!ok) sys.exit(2)
+  }
+
+  /** The gate chain; returns true when every gate passes. Exactly one
+    * notify callback fires per run.
+    */
+  def run(spark: SparkSession, sfDir: String, work: String,
+      notify: GateNotifier = GateNotifier()): Boolean = {
+    var gate = "publish"
+    try {
+      runGates(spark, sfDir, work, g => gate = g)
+      notify.onSuccess("warehouse lifecycle demo: ALL GATES PASSED")
+      true
+    } catch {
+      case GateFailed(g, m) => notify.onFailure(g, m); false
+      // an unexpected error (bad input path, corrupt table) is still a
+      // failed run — one_failed semantics cover it, attributed to the
+      // gate that was executing
+      case scala.util.control.NonFatal(e) =>
+        notify.onFailure(gate, String.valueOf(e.getMessage)); false
+    }
+  }
+
+  private def runGates(spark: SparkSession, sfDir: String, work: String,
+      enter: String => Unit): Unit = {
     import graft.warehouse.{IncrementalAgg, StatsDrift, VersionedTable, ZOrder}
 
-    def fail(msg: String): Nothing = {
-      println(s"GATE FAILED: $msg"); spark.stop(); sys.exit(2)
-    }
+    var gate = "publish"
+    def fail(msg: String): Nothing = throw GateFailed(gate, msg)
+    def setGate(g: String): Unit = { gate = g; enter(g) }
 
     val orders = graft.core.Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice")
@@ -51,6 +95,7 @@ object WarehouseDemo {
     VersionedTable.commit(v1df, tbl)
     println(s"published versions: ${VersionedTable.versions(spark, tbl).mkString(",")}")
 
+    setGate("drift")
     // 1. drift gate: the monitor must surface the injected null rate
     val drift = StatsDrift.statsDrift(spark, tbl, 0L, 1L,
       Seq("o_custkey", "o_totalprice")).collect()
@@ -65,6 +110,7 @@ object WarehouseDemo {
     if (drift("o_custkey").getDouble(4) != 0.0)
       fail("drift monitor hallucinated nulls on the untouched column")
 
+    setGate("cdc")
     // 2. CDC gate: v0 + envelope == v1, row for row
     val cdc = VersionedTable.diffValues(spark, tbl, 0L, 1L, Seq("o_orderkey"))
     val byType = cdc.groupBy("change_type").count().collect()
@@ -81,6 +127,7 @@ object WarehouseDemo {
       fail("applying the CDC envelope to v0 did not reconstruct v1")
     println(s"cdc replay: v0 + envelope == v1 (${v1.count()} rows)")
 
+    setGate("incremental-view")
     // 3. incremental view gate: maintained == direct recompute
     val view0 = IncrementalAgg.countSumView(v0, "o_orderstatus", "o_totalprice")
     val maintained = IncrementalAgg.present(
@@ -94,6 +141,7 @@ object WarehouseDemo {
     if (maintained != direct) fail(s"maintained=$maintained direct=$direct")
     println(s"incremental view: ${maintained.size} groups, maintained == direct recompute")
 
+    setGate("zorder")
     // 4. z-order gate: band predicate on custkey touches <= half the files
     val plainDir = s"$work/plain"; val zDir = s"$work/zorder"
     val zin = v1.na.drop(Seq("o_totalprice"))
@@ -109,6 +157,7 @@ object WarehouseDemo {
     println(s"z-order skipping: band custkey<=$band touches $zT/$pT files (z/plain)")
     if (zT * 2 > pT) fail(s"z-order layout failed to halve touched files: $zT vs $pT")
 
+    setGate("hll-sketch")
     // 5. sketch gate: per-batch HLL distinct within 5% of exact
     import graft.ops.SketchStats
     val skDir = s"$work/sk"
@@ -122,6 +171,7 @@ object WarehouseDemo {
     if (math.abs(est - exact).toDouble / exact >= 0.05)
       fail(s"sketch estimate drifted: $est vs $exact")
 
+    setGate("purge")
     // 6. purge gate: a deletion request erases the key from EVERY
     // version (time travel cannot resurrect it) while the committed
     // pointer and all other rows survive
@@ -141,8 +191,5 @@ object WarehouseDemo {
     if (VersionedTable.read(spark, tbl)
         .filter(col("o_custkey") =!= victim).count() != othersBefore)
       fail("purge disturbed unrelated rows")
-
-    println("warehouse lifecycle demo: ALL GATES PASSED")
-    spark.stop()
   }
 }
