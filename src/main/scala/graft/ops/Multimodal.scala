@@ -38,6 +38,7 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
+      mime: String,
       byte_len: Int,
       payload_hash: Long,
       parsed_width: Int, // -1 when the container has no/unparseable dims
@@ -86,6 +87,51 @@ object Multimodal {
       if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
         Some((leInt(b, 18).toInt, math.abs(leInt(b, 22).toInt)))
       else None
+
+    /** Index of the first SOF0/SOF1/SOF2 marker byte in a JPEG stream
+      * (baseline / extended-sequential / progressive — the frames that
+      * carry dimensions), or None. Walks the marker segments per
+      * ITU-T T.81 §B: SOI, then [0xFF, marker, len_be16, payload]
+      * segments with 0xFF fill bytes allowed before markers; standalone
+      * markers (TEM, RSTn) have no length. Stops at SOS/EOI (entropy
+      * data follows SOS — dims must appear before it). Long offsets +
+      * explicit bounds: corrupt lengths walk off the end and return
+      * None, never index out or loop (the total-codec contract).
+      */
+    private[ops] def jpegSofOffset(b: Array[Byte]): Option[Int] = {
+      if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
+        return None
+      var off = 2L
+      while (off + 2 <= b.length) {
+        var m = off.toInt
+        if ((b(m) & 0xFF) != 0xFF) return None // lost marker sync
+        while (m < b.length && (b(m) & 0xFF) == 0xFF) m += 1 // fill bytes
+        if (m >= b.length) return None
+        val marker = b(m) & 0xFF
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD8)) {
+          off = m + 1L // standalone marker, no length field
+        } else if (marker == 0xD9 || marker == 0xDA) {
+          return None // EOI, or SOS before any SOF
+        } else {
+          if (m + 3 > b.length) return None
+          val len = ((b(m + 1) & 0xFF) << 8) | (b(m + 2) & 0xFF)
+          if (len < 2) return None // corrupt: length covers itself
+          if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2)
+            return if (len >= 7 && m + 8 <= b.length) Some(m) else None
+          off = m + 1L + len
+        }
+      }
+      None
+    }
+
+    /** JPEG (JFIF/EXIF alike): dimensions from the first SOF frame —
+      * payload is precision(1), height(be16), width(be16).
+      */
+    def parseJpeg(b: Array[Byte]): Option[(Int, Int)] =
+      jpegSofOffset(b).map { m =>
+        ((((b(m + 6) & 0xFF) << 8) | (b(m + 7) & 0xFF)),
+          (((b(m + 4) & 0xFF) << 8) | (b(m + 5) & 0xFF)))
+      }
 
     /** Canonical WAV: RIFF/WAVE, "fmt " chunk with byte-rate at its
       * offset 8, then chunk-walk to "data"; duration = dataLen/byteRate.
@@ -140,7 +186,7 @@ object Multimodal {
       val b = row.payload
       val h = b.foldLeft(1125899906842597L)((acc, x) => 31 * acc + x)
       val dims = row.kind match {
-        case "image" => parsePng(b).orElse(parseBmp(b))
+        case "image" => parsePng(b).orElse(parseBmp(b)).orElse(parseJpeg(b))
         case _ => None
       }
       val durMs = row.kind match {
@@ -155,6 +201,7 @@ object Multimodal {
       MediaFeatures(
         media_id = row.media_id,
         kind = row.kind,
+        mime = row.mime,
         byte_len = b.length,
         payload_hash = h,
         parsed_width = dims.map(_._1).getOrElse(-1),
@@ -192,6 +239,21 @@ object Multimodal {
     def bmp(w: Int, h: Int): Array[Byte] =
       ascii("BM") ++ le(54) ++ le(0) ++ le(54) ++ le(40) ++ le(w) ++ le(h) ++
         Array.fill[Byte](26)(0)
+
+    private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+
+    /** Minimal well-formed JFIF prefix: SOI, APP0/JFIF (version 1.1,
+      * density 1x1), SOF0 baseline (8-bit, 3 components, standard 4:4:4
+      * sampling). Real dims, no entropy data — a header fixture, like
+      * [[png]]/[[bmp]].
+      */
+    def jpeg(w: Int, h: Int): Array[Byte] =
+      Array(0xFF, 0xD8).map(_.toByte) ++ // SOI
+        Array(0xFF, 0xE0).map(_.toByte) ++ be16(16) ++ // APP0, len 16
+        ascii("JFIF") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+        Array(0xFF, 0xC0).map(_.toByte) ++ be16(17) ++ // SOF0, len 17
+        Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
 
     /** 44-byte canonical header; data length chosen so duration is exact
       * at byteRate 16000 (8 kHz mono 16-bit).
@@ -264,12 +326,19 @@ object Multimodal {
     spark.range(n).map { i =>
       val rnd = new scala.util.Random(seed + i)
       val kind = Seq("image", "audio", "video")(rnd.nextInt(3))
+      // a quarter of the images are JPEG (header-only fixture — pixel
+      // decode is documented PNG-only): exercises the SOF dim parser on
+      // the same plumbing the corpus-scale path runs
+      val jpeg = kind == "image" && rnd.nextInt(4) == 0
       val width = if (kind == "image") 8 + rnd.nextInt(25)
         else if (kind == "video") 64 + rnd.nextInt(1024) else 0
       val height = if (kind == "image") 8 + rnd.nextInt(25)
         else if (kind == "video") 64 + rnd.nextInt(1024) else 0
       val durationMs = if (kind != "image") 1000L + rnd.nextInt(30000) else 0L
       val payload = kind match {
+        case "image" if jpeg =>
+          MediaHeaders.jpeg(width, height) ++
+            Array.fill(64 + rnd.nextInt(192))(rnd.nextInt(256).toByte)
         case "image" =>
           PngCodec.encode(syntheticPixels(width, height, rnd), rnd.nextInt(5))
         case "audio" =>
@@ -283,7 +352,8 @@ object Multimodal {
       }
       MediaRow(i, kind, payload,
         mime = kind match {
-          case "image" => "image/png"; case "audio" => "audio/wav"; case _ => "video/mp4"
+          case "image" => if (jpeg) "image/jpeg" else "image/png"
+          case "audio" => "audio/wav"; case _ => "video/mp4"
         },
         width = width, height = height, duration_ms = durationMs)
     }
@@ -383,7 +453,13 @@ object Multimodal {
             val patched =
               if (MediaCodec.parsePng(b).isDefined) { be(b, 16, targetW); be(b, 20, targetH); true }
               else if (MediaCodec.parseBmp(b).isDefined) { le(b, 18, targetW); le(b, 22, targetH); true }
-              else false
+              else MediaCodec.jpegSofOffset(b) match {
+                case Some(m) =>
+                  b(m + 4) = (targetH >> 8).toByte; b(m + 5) = targetH.toByte
+                  b(m + 6) = (targetW >> 8).toByte; b(m + 7) = targetW.toByte
+                  true
+                case None => false
+              }
             if (!patched) row
             else row.copy(payload = b, width = targetW, height = targetH)
         }
@@ -393,13 +469,13 @@ object Multimodal {
 
   /** Feature summary per media kind — the downstream analytical shape. */
   def featureStats(features: Dataset[MediaFeatures]): DataFrame =
-    features.toDF().groupBy("kind").agg(
+    features.toDF().groupBy("kind", "mime").agg(
       count(lit(1)).as("n"),
       avg("byte_len").as("avg_bytes"),
       avg("brightness").as("avg_brightness"),
       sum("n_frames_sampled").as("total_frames"),
       sum(when(col("meta_consistent"), 1L).otherwise(0L)).as("n_meta_consistent"))
-      .orderBy("kind")
+      .orderBy("kind", "mime")
 
   // --------------------------------------------------------------------
   // REAL audio feature extraction — WAV's payload is raw PCM, so unlike

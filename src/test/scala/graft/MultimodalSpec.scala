@@ -30,6 +30,38 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter(_.kind == "audio").forall(f => f.parsed_width == -1))
   }
 
+  test("JPEG parser: JFIF fixture round-trips; corrupt/truncated parse to None") {
+    // round-trip at several dims incl. the be16 boundary cases
+    Seq((640, 480), (1, 1), (255, 256), (65535, 65535)).foreach { case (w, h) =>
+      assert(MediaCodec.parseJpeg(MediaHeaders.jpeg(w, h)).contains((w, h)), s"$w x $h")
+    }
+    // trailing garbage after the header (the synthetic corpus shape) is fine
+    assert(MediaCodec.parseJpeg(MediaHeaders.jpeg(30, 20) ++
+      Array.fill[Byte](50)(0x3A)).contains((30, 20)))
+    // 0xFF fill bytes before a marker are legal padding
+    val f = MediaHeaders.jpeg(12, 34)
+    val padded = f.take(2) ++ Array(0xFF, 0xFF).map(_.toByte) ++ f.drop(2)
+    assert(MediaCodec.parseJpeg(padded).contains((12, 34)))
+    // corrupt cases: wrong magic, truncation inside SOF, SOS before SOF,
+    // a length that walks off the end, and empty input — all None, no throw
+    assert(MediaCodec.parseJpeg(MediaHeaders.png(10, 10)).isEmpty)
+    // truncated INSIDE the SOF dims (SOF marker at 21, dims end at 28)
+    assert(MediaCodec.parseJpeg(f.take(26)).isEmpty)
+    val sosEarly = Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0x01, 0x02).map(_.toByte)
+    assert(MediaCodec.parseJpeg(sosEarly).isEmpty)
+    val hugeLen = Array(0xFF, 0xD8, 0xFF, 0xE0, 0xFF, 0xFF).map(_.toByte)
+    assert(MediaCodec.parseJpeg(hugeLen).isEmpty)
+    assert(MediaCodec.parseJpeg(Array.empty[Byte]).isEmpty)
+    // resize header-patch rewrites the SOF dims in place
+    import spark.implicits._
+    val row = Multimodal.MediaRow(7L, "image", MediaHeaders.jpeg(100, 80),
+      "image/jpeg", 100, 80, 0L)
+    val out = Multimodal.resizeImages(spark.createDataset(Seq(row)), 32, 24)
+      .collect()(0)
+    assert(MediaCodec.parseJpeg(out.payload).contains((32, 24)))
+    assert(out.payload.length == row.payload.length, "fallback only patches the header")
+  }
+
   test("PNG parser: hand-built header round-trips; corrupt bytes parse to None") {
     assert(MediaCodec.parsePng(MediaHeaders.png(640, 480)).contains((640, 480)))
     assert(MediaCodec.parsePng(MediaHeaders.png(1, 1)).contains((1, 1)))
@@ -157,9 +189,11 @@ class MultimodalSpec extends SparkSpec {
   test("image resize re-samples real pixels, not just the header") {
     import graft.ops.PngCodec
     val media = Multimodal.syntheticMedia(spark, 60)
-    val sources = media.collect().filter(_.kind == "image").map(r => r.media_id -> r.payload).toMap
+    val sources = media.collect().filter(_.mime == "image/png").map(r => r.media_id -> r.payload).toMap
+    // pixel resampling is the PNG path; JPEG rows take the header-patch
+    // fallback (pixel decode documented PNG-only) — asserted separately
     val resized = Multimodal.resizeImages(media, 16, 12).collect()
-      .filter(_.kind == "image")
+      .filter(_.mime == "image/png")
     assert(resized.nonEmpty)
     resized.foreach { r =>
       val img = PngCodec.decode(r.payload)
