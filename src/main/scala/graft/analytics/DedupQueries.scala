@@ -252,5 +252,41 @@ object DedupQueries {
           k = 3)
         .orderBy("doc_id")
     },
+
+    // ---- CROSS-doc repeated-span scrub (the inter-doc half of Lee et
+    // al. 2022; q125 is the intra-doc half): disjoint 8-token tiles,
+    // global keep-first on identical tile text ((doc_id, tile) order),
+    // later copies removed from their documents. The oracle replays the
+    // tiling, the global first-occurrence window, and the ordered
+    // rebuild relationally — scrubbed text hash-checked end to end.
+    QueryDef(
+      "q126_crossdoc_tile_scrub",
+      Some(raw"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS nt,
+                     CAST(len(toks) // 8 AS INT) AS nf FROM t),
+        ti AS (SELECT doc_id, toks, nf, unnest(range(0, nf)) AS i FROM n),
+        tt AS (SELECT doc_id, i,
+                      array_to_string(toks[i*8+1:i*8+8], ' ') AS tile FROM ti),
+        win AS (SELECT doc_id, i, tile,
+                       ROW_NUMBER() OVER (PARTITION BY tile
+                                          ORDER BY doc_id, i) AS rn FROM tt),
+        kept AS (SELECT doc_id, i, tile FROM win WHERE rn = 1),
+        agg AS (SELECT doc_id, count(*) AS nk,
+                       string_agg(tile, ' ' ORDER BY i) AS body
+                FROM kept GROUP BY doc_id),
+        tl AS (SELECT doc_id, nf, nt,
+                      array_to_string(toks[nf*8+1:nt], ' ') AS tail FROM n)
+        SELECT tl.doc_id, CAST(nf AS BIGINT) AS n_tiles,
+               CAST(nf - coalesce(nk, 0) AS BIGINT) AS n_removed_tiles,
+               concat_ws(' ', body, nullif(tail, '')) AS scrubbed_text
+        FROM tl LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      TextDedup.crossDocTileScrub(Tables.documents(s, dir), "text", "doc_id",
+          k = 8)
+        .orderBy("doc_id")
+    },
   )
 }

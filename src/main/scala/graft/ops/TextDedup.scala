@@ -872,6 +872,67 @@ object TextDedup {
     * real column before lambdas reference it, per this file's
     * re-evaluation lesson.
     */
+  /** CROSS-document repeated-span scrub — the inter-document half of
+    * Lee et al. 2022 (q125 is the intra-doc half): the corpus is tiled
+    * into disjoint k-token spans, and every tile whose text already
+    * occurred anywhere earlier in the corpus (global order: (doc_id,
+    * tile_idx) ascending) is removed — the corpus keeps exactly ONE copy
+    * of every k-token tile, boilerplate shared across thousands of docs
+    * melts to its first occurrence. The sub-tile tail (< k tokens) is
+    * never touched. Disjoint tiles rather than sliding grams keep the
+    * shuffled volume equal to the corpus (each token in exactly one
+    * tile), the trade the paper's suffix-array formulation also makes
+    * at its span boundaries.
+    *
+    * Output: (idCol, n_tiles, n_removed_tiles, scrubbed_text),
+    * whitespace-normalized.
+    *
+    * Shape at 100 TB: one explode (corpus-sized, no blowup — disjoint
+    * tiles), one partial-aggregated min per tile text, one equi-join of
+    * tiles against winners on the tile hash, one per-doc rebuild. All
+    * shuffles key on tile text — uniformly distributed unless the
+    * corpus is pathologically one tile, and the map-side partial min
+    * absorbs heavy tiles before the exchange.
+    */
+  def crossDocTileScrub(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val base = df
+      .select(col(idCol), graft.core.Cols.wsTokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .withColumn("_nf", (col("_n") / k).cast("int"))
+    val tiles = base
+      .select(col(idCol), explode(
+        // sequence(0, -1) would count DOWN — guard the zero-tile case
+        when(col("_nf") === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), col("_nf") - 1))).as("_ti"),
+        col("_t"))
+      .select(col(idCol), col("_ti"),
+        concat_ws(" ", slice(col("_t"), col("_ti") * k + 1, lit(k))).as("_tile"))
+    val winners = tiles
+      .groupBy("_tile")
+      .agg(min(struct(col(idCol), col("_ti"))).as("_w"))
+    val body = tiles.join(winners, "_tile")
+      .filter(struct(col(idCol), col("_ti")) === col("_w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("_nk"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("_ti"), col("_tile")))),
+          s => s("_tile")), " ").as("_body"))
+    base.join(body, Seq(idCol), "left")
+      .select(col(idCol),
+        col("_nf").cast("long").as("n_tiles"),
+        (col("_nf") - coalesce(col("_nk"), lit(0L))).cast("long")
+          .as("n_removed_tiles"),
+        concat_ws(" ", col("_body"),
+          // nullify an empty tail so concat_ws skips it (it skips nulls,
+          // not empty strings)
+          when(col("_n") === col("_nf") * k, lit(null).cast("string"))
+            .otherwise(concat_ws(" ",
+              slice(col("_t"), col("_nf") * k + 1, col("_n") - col("_nf") * k))))
+          .as("scrubbed_text"))
+  }
+
   def repeatedSpanScrub(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2 (a 1-gram scrub would drop every " +

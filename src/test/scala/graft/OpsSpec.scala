@@ -149,6 +149,29 @@ class TextDedupSpec extends SparkSpec {
     assert(sig.toSeq == sig2.toSeq)
   }
 
+  test("cross-doc tile scrub: global keep-first, tails untouched") {
+    val docs = Seq(
+      // doc 1 owns three full tiles (9 tokens, no tail)
+      (1L, "t1 t2 t3 u1 u2 u3 a b c"),
+      // doc 2 repeats doc 1's first tile, keeps its own second
+      (2L, "t1 t2 t3 v1 v2 v3"),
+      // doc 3 repeats tiles from docs 1 and 2 -> everything removed, tail stays
+      (3L, "u1 u2 u3 v1 v2 v3 zz"),
+      // doc 4: within-doc duplicate tile, global rule keeps only the first
+      (4L, "w1 w2 w3 w1 w2 w3"),
+      // shorter than k: pure tail, untouched
+      (5L, "x y"),
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextDedup.crossDocTileScrub(docs, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 0L, "t1 t2 t3 u1 u2 u3 a b c")), got(1L).toString)
+    assert(got(2L) == ((2L, 1L, "v1 v2 v3")))
+    assert(got(3L) == ((2L, 2L, "zz")))
+    assert(got(4L) == ((2L, 1L, "w1 w2 w3")))
+    assert(got(5L) == ((0L, 0L, "x y")))
+  }
+
   test("repeated-span scrub: planted repetition removed, first copy kept") {
     val reps = Seq(
       // "b c d" repeats: second copy (positions 5-7, 0-based 4..6) scrubbed
