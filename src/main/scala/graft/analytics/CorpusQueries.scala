@@ -492,6 +492,36 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // ---- bigram collocation mining: top-K adjacent token pairs by an
+    // integer-exact PMI surrogate (1e6 * n_xy * B div (n_x * n_y), the
+    // q115 div convention) — corpus phrase discovery. Deterministic
+    // tie-break (score desc, then pair asc) makes the LIMIT hashable.
+    QueryDef(
+      "q127_collocations",
+      Some(raw"""
+        WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        uc AS (SELECT w, count(*) AS n_w
+               FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        bc0 AS (SELECT bg, count(*) AS n_xy FROM
+                  (SELECT unnest(list_transform(range(1, len(toks)), i ->
+                     toks[i] || ' ' || toks[i+1])) AS bg
+                   FROM t WHERE len(toks) >= 2)
+                GROUP BY bg),
+        bc AS (SELECT split_part(bg, ' ', 1) AS w1,
+                      split_part(bg, ' ', 2) AS w2, n_xy FROM bc0),
+        tot AS (SELECT sum(n_xy) AS bt FROM bc)
+        SELECT w1, w2, n_xy, x.n_w AS n_x, y.n_w AS n_y,
+               CAST((1000000 * n_xy * (SELECT bt FROM tot))
+                    // (x.n_w * y.n_w) AS BIGINT) AS score_ppm
+        FROM bc JOIN uc x ON x.w = bc.w1 JOIN uc y ON y.w = bc.w2
+        WHERE n_xy >= 5
+        ORDER BY score_ppm DESC, w1, w2 LIMIT 50"""),
+    ) { (s, dir) =>
+      CorpusOps.collocations(Tables.documents(s, dir), "text",
+        minCount = 5L, topK = 50)
+    },
+
     // ---- corpus TOKENIZATION: per-doc ordered token-id sequences under
     // the trained BPE segmentation — text to model-ready ids, the step
     // feeding sequence packing. NO SQL oracle for the same reason as q93

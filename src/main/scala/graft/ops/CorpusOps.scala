@@ -798,4 +798,48 @@ object CorpusOps {
     require(k <= Int.MaxValue, "selection too large for limit(); use a threshold")
     raw.orderBy(col("score").desc, col(idCol)).limit(k.toInt)
   }
+
+  /** Bigram collocation mining: the top-K adjacent token pairs ranked by
+    * pointwise mutual information — corpus phrase discovery (the
+    * "New York" detector of Mikolov et al. 2013's phrase pass, and the
+    * vocabulary-extension signal a tokenizer-training pipeline reads).
+    * PMI is kept INTEGER-EXACT for the oracle: with B total bigrams and
+    * unigram counts n_x/n_y,
+    *   score_ppm = (1_000_000 * n_xy * B) div (n_x * n_y)
+    * is a monotone transform of PMI (log of a ratio ranks like the
+    * ratio), computed in the same `div` arithmetic both engines share
+    * (the q115 convention). Long math holds to ~10^6-token corpora
+    * per the factors' product; beyond that lift the expression to
+    * decimal(38,0).
+    *
+    * Shape at scale: two linear hash aggregations (bigrams, unigrams),
+    * two BROADCAST joins against the vocabulary-bounded unigram table,
+    * one TakeOrdered top-K — the corpus is never sorted globally. The
+    * total-bigram scalar is a stat-broadcast (SURVEY §4.1).
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad minCount=$minCount topK=$topK")
+    val base = df.select(graft.core.Cols.wsTokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+    val uni = base.select(explode(col("_t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val bg = base
+      .select(explode(when(col("_n") < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), col("_n") - 1), i =>
+          struct(element_at(col("_t"), i).as("w1"),
+            element_at(col("_t"), i + 1).as("w2"))))).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+    val bTotal = bg.agg(sum("n_xy")).head.getLong(0)
+    bg.filter(col("n_xy") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_x"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_y"))), "w2")
+      .withColumn("score_ppm",
+        expr(s"(1000000 * n_xy * ${bTotal}L) div (n_x * n_y)"))
+      .orderBy(col("score_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "n_xy", "n_x", "n_y", "score_ppm")
+  }
 }

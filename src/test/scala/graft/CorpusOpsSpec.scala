@@ -722,4 +722,30 @@ class CorpusOpsSpec extends SparkSpec {
     // no target doc selected
     assert(sel.forall(_ >= 4))
   }
+
+  test("collocations: exact counts, PMI surrogate ranks the glued pair first") {
+    val docs = Seq(
+      // "new york" always adjacent (a true collocation); "a"/"b" frequent
+      // but independently paired
+      (1L, "new york a b a"),
+      (2L, "b a new york b"),
+      (3L, "a b new york a b"),
+      (4L, "b a b a"),
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.collocations(docs, "text", minCount = 2L, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // corpus: 20 tokens, 16 bigrams; new=3, york=3, "new york"=3
+    val ny = got.find(t => t._1 == "new" && t._2 == "york").get
+    assert(ny == (("new", "york", 3L, 3L, 3L, 1000000L * 3 * 16 / 9)), ny.toString)
+    // the glued pair outranks every frequent-but-independent pair
+    assert(got.head._1 == "new" && got.head._2 == "york", got.head.toString)
+    // counts are exact for an independent pair too: "a b" appears 4x
+    val ab = got.find(t => t._1 == "a" && t._2 == "b").get
+    assert(ab._3 == 4L && ab._4 == 7L && ab._5 == 7L, ab.toString)
+    // ordering is total: score desc, then pair asc
+    val scores = got.map(_._6)
+    assert(scores.sameElements(scores.sortBy(-_)))
+  }
 }
