@@ -288,5 +288,39 @@ object DedupQueries {
           k = 8)
         .orderBy("doc_id")
     },
+
+    // ---- FUZZY decontamination: train docs near-duplicating an eval doc
+    // (trigram-shingle Jaccard >= 0.5) — the paraphrase-tolerant
+    // complement of q68's exact gram overlap. The oracle brute-forces the
+    // same Jaccard over raw shingle strings (q36 convention: hashed sets
+    // and string sets agree absent xxh collisions); candidate generation
+    // completeness is exactly what the hash match proves.
+    QueryDef(
+      "q128_fuzzy_decontam",
+      Some(raw"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> array_to_string(t[i:i+2], ' '))) END AS s
+               FROM toks),
+        tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0),
+        ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0)
+        SELECT tr.doc_id AS id_t, ev.doc_id AS id_e,
+               CAST(len(list_intersect(tr.s, ev.s)) AS DOUBLE)
+                 / len(list_distinct(tr.s || ev.s)) AS jaccard
+        FROM tr JOIN ev ON
+          CAST(len(list_intersect(tr.s, ev.s)) AS DOUBLE)
+            / len(list_distinct(tr.s || ev.s)) >= 0.5
+        ORDER BY id_t, id_e"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextDedup.fuzzyDecontaminate(
+          train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          evalSet = docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          idCol = "doc_id", textCol = "text", threshold = 0.5, shingleLen = 3)
+        .orderBy("id_t", "id_e")
+    },
   )
 }

@@ -872,6 +872,49 @@ object TextDedup {
     * real column before lambdas reference it, per this file's
     * re-evaluation lesson.
     */
+  /** FUZZY decontamination (the GPT-3 appendix-style near-duplicate
+    * eval-overlap filter): flag every train doc whose word-shingle-set
+    * Jaccard against ANY eval doc clears `threshold` — the fuzzy
+    * complement of the exact n-gram overlap in
+    * [[graft.ops.CorpusOps.contamination]] (q68), catching lightly
+    * paraphrased or partially-copied benchmark text an exact gram match
+    * misses.
+    *
+    * Candidate generation is COMPLETE by construction: Jaccard > 0
+    * requires at least one shared shingle, so candidates = the equi-join
+    * of train shingle postings against the BROADCAST eval postings (an
+    * eval benchmark is thousands of docs — kilobytes-to-megabytes of
+    * postings, driver-safe), and the exact merge-scan verify touches
+    * candidates only. A size-ratio prefilter discards pairs that cannot
+    * reach the threshold before the intersection runs. Never all-pairs:
+    * corpus-sized work is one explode + one broadcast-hash join.
+    *
+    * Returns (id_t, id_e, jaccard) flagged pairs; survivors = train
+    * ANTI JOIN this on id_t.
+    */
+  def fuzzyDecontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleLen: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val tr = train.select(col(idCol).as("id_t"),
+      hashedTokenSet(col(textCol), shingleLen).as("toks_t"))
+    val ev = evalSet.select(col(idCol).as("id_e"),
+      hashedTokenSet(col(textCol), shingleLen).as("toks_e"))
+    val cand = tr.select(col("id_t"), explode(col("toks_t")).as("_sh"))
+      .join(broadcast(ev.select(col("id_e"), explode(col("toks_e")).as("_sh"))),
+        "_sh")
+      .select("id_t", "id_e").distinct()
+    cand.join(tr, "id_t").join(broadcast(ev), "id_e")
+      .filter(least(size(col("toks_t")), size(col("toks_e"))).cast("double") /
+        greatest(size(col("toks_t")), size(col("toks_e"))) >= threshold)
+      .withColumn("_i", sortedIntersectSize(col("toks_t"), col("toks_e")))
+      .withColumn("jaccard", col("_i").cast("double") /
+        (size(col("toks_t")) + size(col("toks_e")) - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_t", "id_e", "jaccard")
+  }
+
   /** CROSS-document repeated-span scrub — the inter-document half of
     * Lee et al. 2022 (q125 is the intra-doc half): the corpus is tiled
     * into disjoint k-token spans, and every tile whose text already

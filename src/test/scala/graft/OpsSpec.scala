@@ -149,6 +149,35 @@ class TextDedupSpec extends SparkSpec {
     assert(sig.toSeq == sig2.toSeq)
   }
 
+  test("fuzzy decontamination flags paraphrase-level overlap, not light touch") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // one-word change: most trigram shingles shared -> flagged
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      // verbatim copy -> jaccard 1.0
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      // shares only the tokens, not the trigram order -> clean
+      (3L, "dog lazy the over jumps fox brown quick the"),
+      // unrelated -> clean
+      (4L, "completely different text with no overlap at all"),
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextDedup.fuzzyDecontaminate(
+        train, evalSet, "doc_id", "text", threshold = 0.5, shingleLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    assert(got(2L) == 1.0)
+    // 9 tokens -> 7 trigrams each; doc 1 shares 6 -> 6 / (7+7-6)
+    assert(math.abs(got(1L) - 0.75) < 1e-15, got(1L).toString)
+    // survivors = anti-join on the flagged ids
+    val clean = train.join(
+      graft.ops.TextDedup.fuzzyDecontaminate(train, evalSet, "doc_id", "text",
+        0.5, 3).select(col("id_t").as("doc_id")),
+      Seq("doc_id"), "left_anti").collect().map(_.getLong(0)).sorted.toSeq
+    assert(clean == Seq(3L, 4L))
+  }
+
   test("cross-doc tile scrub: global keep-first, tails untouched") {
     val docs = Seq(
       // doc 1 owns three full tiles (9 tokens, no tail)
