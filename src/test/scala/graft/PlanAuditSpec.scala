@@ -257,6 +257,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("cross-doc tile scrub shuffles on tile text only, never nested-loop") {
+    val p = plan("q126_crossdoc_tile_scrub")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "tile winners join must stay an equi-join")
+    assert(p.contains("partial_min") || p.contains("partial_count") ||
+      p.contains("HashAggregate"), "winner min must partial-aggregate map-side")
+  }
+
+  test("collocations broadcast the unigram table and cut with TakeOrdered") {
+    val p = plan("q127_collocations")
+    assert(p.contains("BroadcastHashJoin"), "unigram joins must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-K must not global-sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("fuzzy decontamination broadcasts the eval side, never all-pairs") {
+    val p = plan("q128_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"), "eval postings must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay an equi-join on the shared shingle")
+  }
+
   test("orphan audit is ONE lazy union plan — zero jobs at build time") {
     // the regression this pins: a per-FK-edge driver count loop would run
     // multi-stage aggregation jobs while BUILDING the frame. Parquet
