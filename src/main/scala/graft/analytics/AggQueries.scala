@@ -502,5 +502,28 @@ object AggQueries {
         .filter(col("n_orders") >= 2)
         .orderBy("part_a", "part_b")
     },
+
+    // ---- PIVOT: source × language count matrix (the reshape surface —
+    // Spark's relational pivot with an EXPLICIT value list, so the plan
+    // is one aggregation with no distinct-values pre-pass; absent cells
+    // filled 0 to match the SQL FILTER formulation).
+    QueryDef(
+      "q131_lang_source_pivot",
+      Some("""
+        SELECT source,
+               count(*) FILTER (lang = 'de') AS de,
+               count(*) FILTER (lang = 'en') AS en,
+               count(*) FILTER (lang = 'es') AS es,
+               count(*) FILTER (lang = 'fr') AS fr,
+               count(*) FILTER (lang = 'zh') AS zh
+        FROM documents GROUP BY source ORDER BY source"""),
+    ) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .count()
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+        .orderBy("source")
+    },
   )
 }

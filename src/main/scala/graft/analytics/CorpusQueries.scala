@@ -492,6 +492,35 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // ---- novel n-gram rate: per new doc (id % 10 <> 0), the fraction of
+    // its distinct 4-grams absent from the reference slice (id % 10 = 0)
+    // — the memorization/novelty diagnostic, integer-exact ppm.
+    QueryDef(
+      "q129_novel_gram_rate",
+      Some(raw"""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+              FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 4)),
+        ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        nw AS (SELECT g.doc_id, count(*) AS n_grams,
+                      CAST(sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_novel
+               FROM g LEFT JOIN ref ON g.gram = ref.gram
+               WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id)
+        SELECT doc_id, n_grams, n_novel,
+               CAST((1000000 * n_novel) // n_grams AS BIGINT) AS novel_ppm
+        FROM nw ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      CorpusOps.novelGramRate(
+          newDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          reference = docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          idCol = "doc_id", textCol = "text", n = 4)
+        .orderBy("doc_id")
+    },
+
     // ---- bigram collocation mining: top-K adjacent token pairs by an
     // integer-exact PMI surrogate (1e6 * n_xy * B div (n_x * n_y), the
     // q115 div convention) — corpus phrase discovery. Deterministic

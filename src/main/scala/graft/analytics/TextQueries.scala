@@ -202,5 +202,33 @@ object TextQueries {
         .orderBy(desc("freq"), asc("tok"))
         .limit(20)
     },
+
+    // ---- per-GROUP top-k (the q35 global pattern, grouped): the 5 most
+    // frequent tokens per source, deterministic ties (count desc, token
+    // asc). The window partitions by source — never a single global
+    // partition — so the rank step parallelizes with the group count.
+    QueryDef(
+      "q130_top_tokens_per_source",
+      Some("""
+        WITH c AS (SELECT source, tok, count(*) AS n FROM
+                     (SELECT source,
+                             unnest(string_split_regex(trim(text), '\s+')) AS tok
+                      FROM documents)
+                   GROUP BY 1, 2),
+        r AS (SELECT source, tok, n,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n DESC, tok) AS rnk FROM c)
+        SELECT source, tok, n, rnk FROM r WHERE rnk <= 5
+        ORDER BY source, rnk"""),
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("n"), asc("tok"))
+      Tables.documents(s, dir)
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .orderBy("source", "rnk")
+    },
   )
 }

@@ -799,6 +799,32 @@ object CorpusOps {
     raw.orderBy(col("score").desc, col(idCol)).limit(k.toInt)
   }
 
+  /** NOVEL n-gram rate — the memorization/novelty diagnostic (the
+    * "novel n-gram fraction" reported in LLM data analyses): per new
+    * doc, how many of its DISTINCT word n-grams never occur in a
+    * reference corpus slice, as an integer-exact ppm ratio. High
+    * novelty = fresh text; near-zero = boilerplate or near-copies of
+    * the reference. Same complete-candidate shape as [[contamination]]
+    * (one explode + one broadcast join), inverted: the LEFT join's
+    * misses are the signal. Docs shorter than n carry no grams and
+    * produce no row (the [[wordGrams]] convention).
+    */
+  def novelGramRate(newDocs: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), graft.core.Cols.wsTokens(col(textCol)).as("_t"))
+      .select(col(idCol), explode(wordGrams(col("_t"), n)).as("gram"))
+      .distinct()
+    val ref = grams(reference).select("gram").distinct()
+      .withColumn("_seen", lit(1))
+    grams(newDocs)
+      .join(broadcast(ref), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_ppm", expr("(1000000 * n_novel) div n_grams"))
+  }
+
   /** Bigram collocation mining: the top-K adjacent token pairs ranked by
     * pointwise mutual information — corpus phrase discovery (the
     * "New York" detector of Mikolov et al. 2013's phrase pass, and the

@@ -723,6 +723,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(sel.forall(_ >= 4))
   }
 
+  test("novel gram rate: copies score 0, fresh text scores 1e6, mixes exact") {
+    val ref = Seq((10L, "r1 r2 r3 r4 r5")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "r1 r2 r3 r4 r5"),      // verbatim copy: 0 novel of 2 4-grams
+      (2L, "n1 n2 n3 n4 n5"),      // fully novel: 2 of 2
+      (3L, "r1 r2 r3 r4 x"),       // 1 of 2 grams novel -> 500000 ppm
+      (4L, "a b c"),               // shorter than n=4: no row
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.novelGramRate(fresh, ref, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((2L, 0L, 0L)))
+    assert(got(2L) == ((2L, 2L, 1000000L)))
+    assert(got(3L) == ((2L, 1L, 500000L)))
+  }
+
   test("collocations: exact counts, PMI surrogate ranks the glued pair first") {
     val docs = Seq(
       // "new york" always adjacent (a true collocation); "a"/"b" frequent
