@@ -901,16 +901,21 @@ object TextDedup {
       hashedTokenSet(col(textCol), shingleLen).as("toks_t"))
     val ev = evalSet.select(col(idCol).as("id_e"),
       hashedTokenSet(col(textCol), shingleLen).as("toks_e"))
-    val cand = tr.select(col("id_t"), explode(col("toks_t")).as("_sh"))
-      .join(broadcast(ev.select(col("id_e"), explode(col("toks_e")).as("_sh"))),
-        "_sh")
-      .select("id_t", "id_e").distinct()
-    cand.join(tr, "id_t").join(broadcast(ev), "id_e")
-      .filter(least(size(col("toks_t")), size(col("toks_e"))).cast("double") /
-        greatest(size(col("toks_t")), size(col("toks_e"))) >= threshold)
-      .withColumn("_i", sortedIntersectSize(col("toks_t"), col("toks_e")))
-      .withColumn("jaccard", col("_i").cast("double") /
-        (size(col("toks_t")) + size(col("toks_e")) - col("_i")))
+    // postings are DISTINCT shingles per doc, so each shared shingle
+    // contributes exactly one joined row per pair — counting rows per
+    // pair IS the exact intersection size. No second pass over the
+    // shingle arrays, no pairwise merge scan: candidate generation and
+    // verification are the same aggregation.
+    val inter = tr.select(col("id_t"), size(col("toks_t")).as("_a"),
+        explode(col("toks_t")).as("_sh"))
+      .join(broadcast(ev.select(col("id_e"), size(col("toks_e")).as("_b"),
+        explode(col("toks_e")).as("_sh"))), "_sh")
+      .groupBy("id_t", "id_e")
+      .agg(count(lit(1)).as("_i"), first(col("_a")).as("_a"),
+        first(col("_b")).as("_b"))
+    inter
+      .withColumn("jaccard",
+        col("_i").cast("double") / (col("_a") + col("_b") - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select("id_t", "id_e", "jaccard")
   }
