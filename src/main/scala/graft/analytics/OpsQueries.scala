@@ -459,6 +459,48 @@ object OpsQueries {
         .orderBy("o_orderkey")
     },
 
+    // ---- MERGE INTO (Delta-style upsert, one full-outer join): source
+    // rows update matched keys (SET *), insert unmatched keys, and a
+    // matched-AND-condition clause deletes; untouched base rows pass
+    // through. Committed through VersionedTable so every merge is a
+    // time-travelable snapshot; the oracle replays the MERGE relationally
+    // from the raw table — the store must be a pure pass-through.
+    QueryDef(
+      "q132_merge_upsert",
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                      FROM orders WHERE o_orderkey % 3 <> 0),
+        src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice * 2 AS o_totalprice
+                FROM orders WHERE o_orderkey % 2 = 0),
+        j AS (SELECT coalesce(b.o_orderkey, s.o_orderkey) AS o_orderkey,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                     ELSE b.o_custkey END AS o_custkey,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                     ELSE b.o_orderstatus END AS o_orderstatus,
+                CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                     ELSE b.o_totalprice END AS o_totalprice,
+                (b.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                  AND coalesce(s.o_orderstatus = 'F'
+                               AND s.o_orderkey % 5 = 0, false)) AS del
+              FROM base b FULL JOIN src s ON b.o_orderkey = s.o_orderkey)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM j WHERE NOT del ORDER BY o_orderkey"""),
+    ) { (s, dir) =>
+      import graft.warehouse.{Merge, VersionedTable}
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val tbl = java.nio.file.Files.createTempDirectory("graft-merge").toString
+      VersionedTable.commit(o.filter(col("o_orderkey") % 3 =!= 0), tbl)
+      Merge.mergeCommit(s, tbl,
+        o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        keys = Seq("o_orderkey"),
+        deleteCond = Some(col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 5 === 0))
+      VersionedTable.read(s, tbl).orderBy("o_orderkey")
+    },
+
     // ---- incremental view maintenance: a (status, count, exact-sum)
     // view built over snapshot v0 is updated from the v0->v1 CDC feed
     // ALONE — never re-scanning v1 — and must equal a direct recompute

@@ -306,6 +306,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() == 2)
   }
 
+  test("merge upsert: update matched, insert unmatched, delete on condition, pass-through") {
+    import graft.warehouse.Merge
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val src = Seq((2L, "B", 99.0), (4L, "d", 40.0), (3L, "die", 0.0))
+      .toDF("k", "v", "x")
+    val out = Merge.mergeUpsert(base, src, Seq("k"),
+        deleteCond = Some(col("v") === "die"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      (1L, "a", 10.0),   // untouched base row passes through
+      (2L, "B", 99.0),   // matched -> source wins
+      (4L, "d", 40.0)))  // unmatched source -> insert; k=3 deleted
+
+    // NULL delete predicate keeps the row (DELETE only on definite TRUE)
+    val src2 = Seq((1L, null.asInstanceOf[String], 11.0)).toDF("k", "v", "x")
+    val out2 = Merge.mergeUpsert(base, src2, Seq("k"),
+        deleteCond = Some(col("v") === "die"))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(out2 == Seq(1L, 2L, 3L))
+
+    // duplicate source keys rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeUpsert(base,
+        Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "v", "x"), Seq("k"))
+    }
+    assert(e.getMessage.contains("more than once"))
+
+    // mergeCommit: versioned — pre-merge state stays time travelable
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    VersionedTable.commit(base, dir)
+    Merge.mergeCommit(spark, dir, src, Seq("k"),
+      deleteCond = Some(col("v") === "die"))
+    assert(VersionedTable.read(spark, dir).count() == 3)
+    assert(VersionedTable.read(spark, dir, asOf = Some(0L)).count() == 3)
+    assert(VersionedTable.read(spark, dir).filter(col("k") === 3L).isEmpty)
+    assert(!VersionedTable.read(spark, dir, asOf = Some(0L))
+      .filter(col("k") === 3L).isEmpty)
+  }
+
   test("purge keeps rows where the predicate is NULL (SQL DELETE semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_purgenull").toString
     // nullable email column: the purge predicate evaluates to NULL on
