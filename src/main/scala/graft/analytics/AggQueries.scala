@@ -503,6 +503,52 @@ object AggQueries {
         .orderBy("part_a", "part_b")
     },
 
+    // ---- distributed PageRank over the co-purchase graph (parts linked
+    // when they share an order, both directions): 4 rounds of INTEGER-
+    // EXACT fixed-point iteration — rank at scale 1e12, floor-div only —
+    // so the oracle UNROLLS the same four rounds as CTEs and hash-matches
+    // bit-for-bit. The Pregel-as-joins shape: one edge join + one dst
+    // aggregation per round, lineage cut every 2 rounds.
+    QueryDef(
+      "q133_part_pagerank",
+      Some {
+        val rounds = (1 to 4).map { k =>
+          s"""r$k AS (SELECT nodes.node,
+               CAST(150000000000 + (85 * coalesce(c.contrib, 0)) // 100
+                    AS BIGINT) AS rank
+             FROM nodes LEFT JOIN (
+               SELECT e.dst AS node,
+                      CAST(sum(r${k - 1}.rank // deg.deg) AS BIGINT) AS contrib
+               FROM e JOIN r${k - 1} ON r${k - 1}.node = e.src
+                      JOIN deg ON deg.src = e.src
+               GROUP BY e.dst) c ON c.node = nodes.node)"""
+        }.mkString(",\n")
+        s"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node,
+                 CAST(1000000000000 // (SELECT count(*) FROM nodes) AS BIGINT)
+                   AS rank FROM nodes),
+        $rounds
+        SELECT node AS part, rank AS rank_e12 FROM r4 ORDER BY part"""
+      },
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.ops.PageRank.pageRank(edges, "src", "dst", iters = 4)
+        .select(col("node").as("part"), col("rank").as("rank_e12"))
+        .orderBy("part")
+    },
+
     // ---- PIVOT: source × language count matrix (the reshape surface —
     // Spark's relational pivot with an EXPLICIT value list, so the plan
     // is one aggregation with no distinct-values pre-pass; absent cells

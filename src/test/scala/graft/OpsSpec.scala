@@ -149,6 +149,28 @@ class TextDedupSpec extends SparkSpec {
     assert(sig.toSeq == sig2.toSeq)
   }
 
+  test("pagerank: hand-computed fixed-point values on cycle and star graphs") {
+    import graft.ops.PageRank
+    // 3-cycle: symmetric flow, every rank identical each round
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r1 = PageRank.pageRank(cyc, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0 = 1e12 div 3 = 333333333333; r1 = 15e10 + (85 * 333333333333) div 100
+    assert(r1.values.toSet == Set(150000000000L + 283333333333L), r1.toString)
+    // two rounds (exercises the checkpoint path): cycle stays uniform
+    val r2 = PageRank.pageRank(cyc, "src", "dst", iters = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(r2.size == 1)
+    // star a->b, c->b: b collects both contributions, a/c keep teleport only
+    val star = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val s1 = PageRank.pageRank(star, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1(2L) == 150000000000L + (85L * 666666666666L) / 100L, s1.toString)
+    assert(s1(1L) == 150000000000L && s1(3L) == 150000000000L)
+    // ranks order the hub first
+    assert(s1.maxBy(_._2)._1 == 2L)
+  }
+
   test("fuzzy decontamination flags paraphrase-level overlap, not light touch") {
     val evalSet = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
