@@ -549,6 +549,35 @@ object AggQueries {
         .orderBy("part")
     },
 
+    // ---- per-part TRIANGLE counts over the co-purchase graph (each
+    // triangle counted at all 3 vertices): wedges under the id
+    // orientation a<b<c close against the edge set in one equi-join —
+    // never a cartesian. The oracle replays the same two self-joins.
+    QueryDef(
+      "q134_copurchase_triangles",
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        roles AS (SELECT a AS part FROM tri UNION ALL
+                  SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        SELECT part, count(*) AS n_triangles FROM roles
+        GROUP BY part ORDER BY part"""),
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.PageRank.triangleCounts(edges, "src", "dst")
+        .orderBy("part")
+    },
+
     // ---- PIVOT: source × language count matrix (the reshape surface —
     // Spark's relational pivot with an EXPLICIT value list, so the plan
     // is one aggregation with no distinct-values pre-pass; absent cells

@@ -61,4 +61,36 @@ object PageRank {
     }
     ranks
   }
+
+  /** Per-vertex TRIANGLE counts (each triangle counted at all three of
+    * its vertices) — the local-clustering building block, and the
+    * classic MapReduce graph benchmark. Edges are canonicalized to
+    * undirected (u < v) pairs; wedges enumerate under the id orientation
+    * (a < b < c), so each triangle closes exactly once and the closure
+    * test is one equi-join against the edge set itself.
+    *
+    * Shape: two self-equi-joins of the (deduplicated, checkpointed) edge
+    * list + one explode-free role union + one aggregation — no
+    * cartesian anywhere. Wedge volume is Σ_b (fwd-deg(b) choose 2) under
+    * the orientation; for skew-heavy graphs swap the id orientation for
+    * degree orientation (same output, bounded wedges) — at that point
+    * the oracle needs the degree table too.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true) // consumed three times below
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    // one explode, not a 3-way union — the union would re-run the
+    // triangle joins once per role
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+  }
 }

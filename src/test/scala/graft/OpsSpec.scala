@@ -171,6 +171,20 @@ class TextDedupSpec extends SparkSpec {
     assert(s1.maxBy(_._2)._1 == 2L)
   }
 
+  test("triangle counts: K4 has 3 per vertex, direction/duplicates ignored") {
+    import graft.ops.PageRank
+    // K4 on {1,2,3,4} with mixed directions and a duplicate edge
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L), (4L, 2L),
+      (3L, 4L)).toDF("src", "dst")
+    val got = PageRank.triangleCounts(e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 holds 4 triangles; each vertex sits in exactly 3
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    // a triangle-free path yields no rows
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(PageRank.triangleCounts(path, "src", "dst").isEmpty)
+  }
+
   test("fuzzy decontamination flags paraphrase-level overlap, not light touch") {
     val evalSet = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
