@@ -136,5 +136,30 @@ object WindowQueries {
           count(lit(1)).as("n_orders"))
         .orderBy("o_custkey")
     },
+
+    // ---- rank-statistics windows: percent_rank / cume_dist / first_value
+    // per customer over order spend (total tie order via the key suffix
+    // so both engines rank identically; the rational rank divisions are
+    // IEEE-exact, so the doubles hash-match bit-for-bit).
+    QueryDef(
+      "q135_order_percentiles",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               first_value(o_orderkey) OVER w AS cheapest_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey"""),
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(w).as("cheapest_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
   )
 }
