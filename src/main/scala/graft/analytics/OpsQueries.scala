@@ -684,5 +684,48 @@ object OpsQueries {
       StatsDrift.statsDrift(s, tbl, 0L, 1L, Seq("o_custkey", "o_totalprice"))
         .orderBy("col_name")
     },
+
+    // ---- mergeable moments sketch: per-batch exact decimal power sums
+    // (n, Σx..Σx⁴) persisted as segments, mean/std/skew/kurtosis served
+    // by MERGING SEGMENTS ONLY — never re-scanning the ingested rows.
+    // Decimal addition is associative, so the served statistics are
+    // bit-identical to a direct single pass (the oracle computes the
+    // direct pass; the hash match proves the merge identity). Every
+    // float op is correctly-rounded IEEE in identical order on both
+    // engines (m2^1.5 spelled m2*sqrt(m2)).
+    QueryDef(
+      "q136_moment_stats",
+      Some(s"""
+        WITH m AS (
+          SELECT l_returnflag, count(l_quantity) AS n,
+                 ${Det.sqlSum("l_quantity")} AS s1,
+                 ${Det.sqlSum("l_quantity*l_quantity")} AS s2,
+                 ${Det.sqlSum("l_quantity*l_quantity*l_quantity")} AS s3,
+                 ${Det.sqlSum("l_quantity*l_quantity*l_quantity*l_quantity")} AS s4
+          FROM lineitem GROUP BY l_returnflag),
+        e AS (SELECT l_returnflag, n, s1/n AS e1, s2/n AS e2,
+                     s3/n AS e3, s4/n AS e4 FROM m),
+        c AS (SELECT l_returnflag, n, e1,
+                     e2 - e1*e1 AS m2,
+                     e3 - 3.0*e1*e2 + 2.0*e1*e1*e1 AS m3,
+                     e4 - 4.0*e1*e3 + 6.0*e1*e1*e2 - 3.0*e1*e1*e1*e1 AS m4
+              FROM e)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n, e1 AS mean,
+               sqrt(m2) AS std_pop,
+               m3 / (m2 * sqrt(m2)) AS skewness,
+               m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+        FROM c ORDER BY l_returnflag"""),
+    ) { (s, dir) =>
+      import graft.ops.SketchStats
+      val li = Tables.lineitem(s, dir)
+      val mDir = java.nio.file.Files.createTempDirectory("graft-mom136").toString
+      (0 until 3).foreach { k =>
+        SketchStats.appendMomentsBatch(
+          li.filter(pmod(col("l_orderkey"), lit(3)) === k),
+          "l_quantity", mDir, s"b$k", groupCols = Seq("l_returnflag"))
+      }
+      SketchStats.momentStats(s, mDir, Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    },
   )
 }

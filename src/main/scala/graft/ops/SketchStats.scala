@@ -193,6 +193,78 @@ object SketchStats {
           .cast("long").as("dev_num"))
   }
 
+  /** Append one ingest batch's exact power-sum moments of `valueCol` —
+    * one row per `groupCols` value holding (n, Σx, Σx², Σx³, Σx⁴) as
+    * fixed-scale decimals — as its own `seg=<batchKey>` partition. The
+    * moments "sketch" is the exact end of the sketch family: decimal
+    * addition is associative and commutative, so serving merged segments
+    * is BIT-IDENTICAL to a single pass over all the data (not just
+    * estimate-equal like HLL), while a segment row is a few hundred
+    * bytes regardless of batch size. Callers must feed values whose
+    * 4th power is exactly representable in double (integers up to
+    * ~2^13, or values with few significant bits) — the decimal cast
+    * then freezes an exact product. Headroom: DECIMAL(38,6) holds
+    * ~10^31; quantity-like values (≤50 ⇒ x⁴ ≤ 6.25e6) keep the sum
+    * exact past 10^12 rows — the 100 TB envelope.
+    */
+  def appendMomentsBatch(df: DataFrame, valueCol: String, dir: String,
+      batchKey: String, groupCols: Seq[String] = Nil): Unit = {
+    checkKey(batchKey)
+    val x = col(valueCol).cast("double")
+    val aggs = Seq(
+      count(x).as("n"),
+      sum(graft.core.Det.dec(x)).as("s1"),
+      sum(graft.core.Det.dec(x * x)).as("s2"),
+      sum(graft.core.Det.dec(x * x * x)).as("s3"),
+      sum(graft.core.Det.dec(x * x * x * x)).as("s4"))
+    val out =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    out.write.mode("overwrite").parquet(s"$dir/seg=$batchKey")
+  }
+
+  /** Serve mean / population std / skewness / excess kurtosis from the
+    * persisted moment segments: merge = pointwise decimal sum (exact),
+    * then one deterministic double conversion per statistic. Every
+    * float op below is correctly-rounded IEEE (+ - * / sqrt; note
+    * m2^1.5 is spelled m2*sqrt(m2) for that reason), so the served
+    * numbers are bit-identical to any direct single-pass computation
+    * using the same formula — the property the oracle hash-checks.
+    */
+  def momentStats(spark: SparkSession, dir: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val segs = spark.read.parquet(dir)
+    val merged =
+      if (groupCols.isEmpty)
+        segs.agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+          sum("s3").as("s3"), sum("s4").as("s4"))
+      else
+        segs.groupBy(groupCols.map(col): _*)
+          .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+            sum("s3").as("s3"), sum("s4").as("s4"))
+    val n = col("n")
+    val e1 = col("s1").cast("double") / n
+    val e2 = col("s2").cast("double") / n
+    val e3 = col("s3").cast("double") / n
+    val e4 = col("s4").cast("double") / n
+    merged
+      .withColumn("_e1", e1).withColumn("_e2", e2)
+      .withColumn("_e3", e3).withColumn("_e4", e4)
+      .withColumn("_m2", col("_e2") - col("_e1") * col("_e1"))
+      .withColumn("_m3", col("_e3") - lit(3.0) * col("_e1") * col("_e2")
+        + lit(2.0) * col("_e1") * col("_e1") * col("_e1"))
+      .withColumn("_m4", col("_e4") - lit(4.0) * col("_e1") * col("_e3")
+        + lit(6.0) * col("_e1") * col("_e1") * col("_e2")
+        - lit(3.0) * col("_e1") * col("_e1") * col("_e1") * col("_e1"))
+      .select((groupCols.map(col) ++ Seq(
+        n.cast("long").as("n"),
+        col("_e1").as("mean"),
+        sqrt(col("_m2")).as("std_pop"),
+        (col("_m3") / (col("_m2") * sqrt(col("_m2")))).as("skewness"),
+        (col("_m4") / (col("_m2") * col("_m2")) - lit(3.0))
+          .as("kurtosis_excess"))): _*)
+  }
+
   def histQuantiles(hist: DataFrame, width: Double,
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),

@@ -223,4 +223,49 @@ class SketchStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(d == Set((0L, 4L, 0L, 16L), (5L, 0L, 4L, 16L)))
   }
+
+  test("moment segments: merged serving is bit-identical to a single pass; retries idempotent") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mom").toString
+    (0 until 3).foreach { k =>
+      SketchStats.appendMomentsBatch(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === k),
+        "l_quantity", dir, s"b$k", groupCols = Seq("l_returnflag"))
+    }
+    def rows(d: String) = SketchStats.momentStats(spark, d, Seq("l_returnflag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val merged = rows(dir)
+    // single-segment pass over all the data: BIT-identical statistics
+    // (decimal sums are associative — this is the sketch's core claim)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_mom1").toString
+    SketchStats.appendMomentsBatch(li, "l_quantity", dir1, "all",
+      groupCols = Seq("l_returnflag"))
+    assert(rows(dir1) == merged, "segment merge must equal single pass exactly")
+    // re-delivered batch overwrites its segment: serving unchanged
+    SketchStats.appendMomentsBatch(
+      li.filter(pmod(col("l_orderkey"), lit(3)) === 1),
+      "l_quantity", dir, "b1", groupCols = Seq("l_returnflag"))
+    assert(rows(dir) == merged, "retried append must not move the stats")
+    // sanity against a known closed form: uniform integers 1..50 have
+    // mean 25.5 and skewness ~0 — served values must sit in range
+    merged.values.foreach { case (n, mean, std, skew, _) =>
+      assert(n > 0 && mean > 20 && mean < 30 && std > 10 && math.abs(skew) < 0.2)
+    }
+  }
+
+  test("moment stats on a planted distribution match hand-computed skew/kurtosis") {
+    import spark.implicits._
+    // x = {1, 2, 9}: μ = 4, m2 = 38/3, m3 = 90/3 = 30, m4 = 722/3
+    val dir = java.nio.file.Files.createTempDirectory("graft_mom2").toString
+    SketchStats.appendMomentsBatch(Seq(1.0, 2.0).toDF("x"), "x", dir, "a")
+    SketchStats.appendMomentsBatch(Seq(9.0).toDF("x"), "x", dir, "b")
+    val r = SketchStats.momentStats(spark, dir).head
+    val (m2, m3, m4) = (38.0 / 3, 30.0, 722.0 / 3)
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 4.0)
+    assert(math.abs(r.getDouble(2) - math.sqrt(m2)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - m3 / (m2 * math.sqrt(m2))) < 1e-12)
+    assert(math.abs(r.getDouble(4) - (m4 / (m2 * m2) - 3.0)) < 1e-12)
+  }
 }
