@@ -315,5 +315,66 @@ object RelQueries {
           AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         ORDER BY c_custkey""")
     },
+
+    // ---- full set-operation surface (§2.6): INTERSECT / EXCEPT on the
+    // buyer key sets of two eras (customer retention/churn/acquisition),
+    // plus the MULTISET variants — EXCEPT ALL / INTERSECT ALL over the
+    // order-priority bags, aggregated to counts so the multiset
+    // semantics (max(m-n,0) / min(m,n) copies) are what the hash
+    // checks. All four ops shuffle on the compared row as the key with
+    // map-side distinct/count — no driver materialization, broadcast
+    // nothing: both sides are fact-sized.
+    QueryDef(
+      "q137_set_ops",
+      Some("""
+        WITH a AS (SELECT o_custkey FROM orders
+                   WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        b AS (SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        pa AS (SELECT o_orderpriority FROM orders
+               WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        pb AS (SELECT o_orderpriority FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        SELECT 'retained' AS tag, CAST(o_custkey AS VARCHAR) AS key,
+               CAST(1 AS BIGINT) AS cnt
+        FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        UNION ALL
+        SELECT 'churned', CAST(o_custkey AS VARCHAR), 1
+        FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        UNION ALL
+        SELECT 'acquired', CAST(o_custkey AS VARCHAR), 1
+        FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+        UNION ALL
+        SELECT 'excess_priority', o_orderpriority, count(*)
+        FROM (SELECT * FROM pa EXCEPT ALL SELECT * FROM pb)
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'common_priority', o_orderpriority, count(*)
+        FROM (SELECT * FROM pa INTERSECT ALL SELECT * FROM pb)
+        GROUP BY o_orderpriority
+        ORDER BY tag, key"""),
+    ) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val cut = lit("1998-01-01").cast("timestamp")
+      val a = orders.filter(col("o_orderdate") < cut).select("o_custkey")
+      val b = orders.filter(col("o_orderdate") >= cut).select("o_custkey")
+      val pa = orders.filter(col("o_orderdate") < cut).select("o_orderpriority")
+      val pb = orders.filter(col("o_orderdate") >= cut).select("o_orderpriority")
+      def keyed(df: DataFrame, tag: String) = df
+        .select(lit(tag).as("tag"),
+          col("o_custkey").cast("string").as("key"), lit(1L).as("cnt"))
+      keyed(a.intersect(b), "retained")
+        .unionByName(keyed(a.except(b), "churned"))
+        .unionByName(keyed(b.except(a), "acquired"))
+        .unionByName(pa.exceptAll(pb).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("excess_priority").as("tag"),
+            col("o_orderpriority").as("key"), col("cnt")))
+        .unionByName(pa.intersectAll(pb).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("common_priority").as("tag"),
+            col("o_orderpriority").as("key"), col("cnt")))
+        .orderBy("tag", "key")
+    },
   )
 }
