@@ -578,6 +578,40 @@ object AggQueries {
         .orderBy("part")
     },
 
+    // ---- single-source BFS shortest hop counts over the co-purchase
+    // graph, from its smallest part id: level-synchronous frontier
+    // expansion (one edge join + one visited anti-join per level) —
+    // integer-exact, so the oracle replays the traversal as a
+    // recursive CTE with row-dedup UNION and takes min(hops) per node.
+    QueryDef(
+      "q138_bfs_hops",
+      Some("""
+        WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        bfs(node, hops) AS (
+          SELECT (SELECT min(src) FROM e), 0
+          UNION
+          SELECT e.dst, bfs.hops + 1 FROM bfs JOIN e ON e.src = bfs.node
+          WHERE bfs.hops < 4)
+        SELECT node AS part, CAST(min(hops) AS INT) AS hops
+        FROM bfs GROUP BY node ORDER BY part"""),
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      // the start scalar is one tiny agg (stat-broadcast class, SURVEY §4.1)
+      val start = edges.agg(min("src")).head.getLong(0)
+      graft.ops.Components.bfsHops(edges, "src", "dst", start, maxHops = 4)
+        .select(col("node").as("part"), col("hops"))
+        .orderBy("part")
+    },
+
     // ---- PIVOT: source × language count matrix (the reshape surface —
     // Spark's relational pivot with an EXPLICIT value list, so the plan
     // is one aggregation with no distinct-values pre-pass; absent cells

@@ -221,4 +221,47 @@ object Components extends org.apache.spark.internal.Logging {
       .localCheckpoint(true)
     (out, iter)
   }
+
+  /** Level-synchronous single-source BFS over directed `edges`
+    * (src, dst columns): returns (node, hops) for every node reachable
+    * from `source` in at most `maxHops` edges, hops = the exact
+    * shortest hop count. The traversal sibling of the CC loop, in the
+    * same Pregel-as-joins shape: each level is ONE equi-join of the
+    * edge list against the current frontier plus one anti-join against
+    * the visited set — integer-exact, so an oracle can replay it as a
+    * recursive CTE bit-for-bit.
+    *
+    * Shape at scale: the frontier/visited frames carry (long, int)
+    * rows, partitioned by node; every level is checkpointed, cutting
+    * both the lineage (the CC-loop lesson — an uncut iterative plan
+    * re-plans quadratically) and the per-level emptiness probe's
+    * recompute. Levels run strictly sequentially — that is BFS; width,
+    * not depth, is where the cluster parallelism goes.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64,
+      s"maxHops must be in [0, 64], got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    var visited = Seq((source, 0)).toDF("node", "hops").localCheckpoint(true)
+    var frontier = visited
+    var k = 0
+    while (k < maxHops && !frontier.isEmpty) {
+      val next = e
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(k + 1))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+      k += 1
+    }
+    visited
+  }
 }

@@ -140,4 +140,23 @@ class ComponentsStressSpec extends SparkSpec {
     (0L until 100L).filterNot(i => (i >= 10 && i <= 19) || (i >= 50 && i <= 54))
       .foreach(i => assert(got(i) == i, s"isolated node $i must self-label"))
   }
+
+  test("BFS hops: exact shortest paths, unreachable nodes absent, cutoff honored") {
+    import spark.implicits._
+    // directed: 0→1→2→3→4 chain, a shortcut 0→3, an off-component 9→10
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (9L, 10L))
+      .toDF("src", "dst")
+    val got = Components.bfsHops(e, "src", "dst", source = 0L, maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the 0→3 shortcut must win over the 3-hop chain path
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2))
+    // cutoff: maxHops 1 stops after the first frontier
+    val cut = Components.bfsHops(e, "src", "dst", source = 0L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cut == Map(0L -> 0, 1L -> 1, 3L -> 1))
+    // a source with no out-edges is just itself at hop 0
+    val lone = Components.bfsHops(e, "src", "dst", source = 10L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lone == Map(10L -> 0))
+  }
 }
