@@ -17,6 +17,62 @@ object VectorQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** The q139 oracle: MMR re-ranking with the greedy loop UNROLLED as k
+    * relational rounds — round r scores every unselected candidate as
+    * `lam*rel - (1-lam)*max(sim to the r-1 already-selected)` and takes
+    * the row_number-1 row (score DESC, relevance-rank ASC tiebreak,
+    * mirroring the engine's struct-argmax). Score literals interpolate
+    * the SAME doubles the engine multiplies by (`1.0 - lam` computed
+    * once in Scala), so both engines evaluate identical IEEE ops.
+    */
+  private def mmrOracle(nQ: Int, topN: Int, k: Int, lam: Double): String = {
+    val oml = 1.0 - lam
+    val rounds = (2 to k).map { r =>
+      s"""mr$r AS (
+        SELECT cv.query_id, cv.neighbor_id, cv.rel_rank, cv.rel,
+               max(sim.s) AS ms
+        FROM cv
+        JOIN sel${r - 1} sl ON sl.query_id = cv.query_id
+        JOIN sim ON sim.query_id = cv.query_id AND sim.i = cv.neighbor_id
+                AND sim.j = sl.neighbor_id
+        LEFT JOIN sel${r - 1} sx ON sx.query_id = cv.query_id
+                AND sx.neighbor_id = cv.neighbor_id
+        WHERE sx.neighbor_id IS NULL
+        GROUP BY cv.query_id, cv.neighbor_id, cv.rel_rank, cv.rel),
+      s$r AS (SELECT query_id, neighbor_id, rel_rank, $r AS mmr_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY $lam*rel - $oml*ms DESC, rel_rank) AS rn FROM mr$r)
+        WHERE rn = 1),
+      sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)"""
+    }.mkString(",\n")
+    s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < $nQ),
+      scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ${cosSql("q.qv", "e.embedding")} AS rel,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSql("q.qv", "e.embedding")} DESC, e.vec_id)
+                     AS rel_rank
+                 FROM q, embeddings e WHERE e.vec_id != q.query_id),
+      cv AS (SELECT scored.query_id, scored.neighbor_id, scored.rel,
+                    CAST(scored.rel_rank AS INT) AS rel_rank,
+                    e.embedding AS v
+             FROM scored JOIN embeddings e ON e.vec_id = scored.neighbor_id
+             WHERE scored.rel_rank <= $topN),
+      sim AS (SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+                     ${cosSql("a.v", "b.v")} AS s
+              FROM cv a JOIN cv b ON a.query_id = b.query_id),
+      s1 AS (SELECT query_id, neighbor_id, rel_rank, 1 AS mmr_rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY $lam*rel - $oml*0.0 DESC, rel_rank) AS rn FROM cv)
+          WHERE rn = 1),
+      sel1 AS (SELECT * FROM s1),
+      $rounds
+      SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+             rel_rank
+      FROM sel$k ORDER BY query_id, mmr_rank"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- exact cosine kNN: top-3 neighbors for the first 8 vectors
     // Output is the neighbor ranking only: raw cosine doubles differ
@@ -135,6 +191,23 @@ object VectorQueries {
     QueryDef("q107_semdedup_survivors", None) { (s, dir) =>
       VectorSim.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         numCells = 16, threshold = 0.35).orderBy("vec_id")
+    },
+
+    // ---- MMR diversified re-ranking (Carbonell & Goldstein 1998) of the
+    // top-20 cosine candidates: greedy redundancy-penalized top-5 with
+    // λ = 0.7, run ROW-LOCALLY per query in pure Catalyst HOFs. The
+    // oracle UNROLLS the 5 greedy rounds as relational CTEs (argmax =
+    // row_number over score DESC, relevance-rank tiebreak) — integer
+    // ranks out, so the hash compares the exact selection, q40-style.
+    QueryDef(
+      "q139_mmr_rerank",
+      Some(mmrOracle(nQ = 8, topN = 20, k = 5, lam = 0.7)),
+    ) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSim.mmrRerank(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        topN = 20, k = 5, lam = 0.7)
+        .orderBy("query_id", "mmr_rank")
     },
   )
 }

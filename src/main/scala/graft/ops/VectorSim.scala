@@ -76,6 +76,73 @@ object VectorSim {
     rankTopK(scored, k)
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking: from each query's `topN` cosine candidates,
+    * greedily select `k` results maximizing
+    * `lam * rel(i) - (1-lam) * max_{s in selected} sim(i, s)` — the
+    * standard redundancy-penalized retrieval cut used on top of
+    * first-stage ANN/BM25 candidates.
+    *
+    * Shape at scale: stage 1 is the existing candidate generator
+    * (broadcast kNN here; any retriever emitting (query_id, neighbor_id,
+    * cosine, rank) works), stage 2 gathers each query's topN candidates
+    * into ONE row and runs the whole greedy loop ROW-LOCALLY in pure
+    * Catalyst higher-order functions — per-query work is O(topN²·dim +
+    * k·topN), zero additional shuffles, no UDF, no driver loop, and
+    * queries rerank embarrassingly parallel. Ties (equal MMR score)
+    * break to the better relevance rank, making the selection exactly
+    * reproducible by the unrolled relational oracle.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, topN: Int, k: Int, lam: Double): DataFrame = {
+    require(k >= 1 && topN >= k, s"need topN >= k >= 1, got topN=$topN k=$k")
+    require(lam >= 0.0 && lam <= 1.0, s"lam must be in [0, 1], got $lam")
+    val cands = cosineTopK(queries, corpus, idCol, vecCol, topN)
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+    // one row per query: candidates ordered by relevance rank (struct
+    // sort on the leading rank field — collect_list order is free)
+    val grouped = cands.groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("rank"), col("neighbor_id").as("id"),
+        col("cosine").as("rel"), col("cv").as("v")))).as("cs"))
+    val n = size(col("cs"))
+    // candidate-pair cosine matrix, row-local (norms computed once)
+    val g2 = grouped
+      .withColumn("ns", transform(col("cs"), c => sqrt(normSq(c.getField("v")))))
+      .withColumn("simM", transform(sequence(lit(0), n - 1), i =>
+        transform(sequence(lit(0), n - 1), j =>
+          dot(element_at(col("cs"), i + 1).getField("v"),
+              element_at(col("cs"), j + 1).getField("v"))
+            / (element_at(col("ns"), i + 1) * element_at(col("ns"), j + 1)))))
+    def score(i: Column, sel: Column) = {
+      val rel = element_at(col("cs"), i + 1).getField("rel")
+      val ms = when(size(sel) === 0, lit(0.0)).otherwise(
+        array_max(transform(sel,
+          s0 => element_at(element_at(col("simM"), i + 1), s0 + 1))))
+      lit(lam) * rel - lit(1.0 - lam) * ms
+    }
+    val idxs = sequence(lit(0), n - 1)
+    // greedy k rounds: argmax by (score, then smaller index) via the
+    // struct-ordered array_max — index rides along negated so the max
+    // on a score tie lands on the BETTER relevance rank
+    val selExpr = aggregate(
+      sequence(lit(1), lit(k)),
+      array().cast("array<int>"),
+      (sel, _) => {
+        val best = array_max(transform(
+          filter(idxs, i => !array_contains(sel, i)),
+          i => struct(score(i, sel).as("s"), (lit(0) - i).as("ni"))))
+        concat(sel, array(lit(0) - best.getField("ni")))
+      })
+    g2.withColumn("sel", selExpr)
+      .select(col("query_id"), col("cs"),
+        posexplode(col("sel")).as(Seq("_p", "_i")))
+      .select(col("query_id"),
+        element_at(col("cs"), col("_i") + 1).getField("id").as("neighbor_id"),
+        (col("_p") + 1).as("mmr_rank"),
+        (col("_i") + 1).as("rel_rank"))
+  }
+
   /** Spherical k-means coarse quantizer for the IVF index: Lloyd's
     * iterations over a BOUNDED deterministic sample, driver-side — the
     * standard IVF build (FAISS trains its quantizer on a sample too).
