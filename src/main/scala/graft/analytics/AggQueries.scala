@@ -612,6 +612,46 @@ object AggQueries {
         .orderBy("part")
     },
 
+    // ---- robust outlier statistics per group: median, MAD (median
+    // absolute deviation), and the count beyond the 3σ-equivalent MAD
+    // fence (1.4826·MAD ≈ σ for normal data) — the outlier screen that
+    // survives the heavy tails that break z-scores. Three small
+    // aggregations shuffling only the group key; the per-row rescans
+    // join the tiny per-group stats back broadcast (stat-broadcast
+    // class, SURVEY §4.1). Exact interpolating percentiles both sides
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`, the q11 contract).
+    QueryDef(
+      "q140_mad_outliers",
+      Some("""
+        WITH med AS (SELECT c_nationkey, quantile_cont(c_acctbal, 0.5) AS med
+                     FROM customer GROUP BY c_nationkey),
+        dev AS (SELECT c.c_nationkey, med.med,
+                       abs(c.c_acctbal - med.med) AS adev
+                FROM customer c JOIN med ON med.c_nationkey = c.c_nationkey),
+        mad AS (SELECT c_nationkey, quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY c_nationkey)
+        SELECT dev.c_nationkey, count(*) AS n, max(dev.med) AS med,
+               max(mad.mad) AS mad,
+               CAST(sum(CASE WHEN adev > 3.0*1.4826*mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON mad.c_nationkey = dev.c_nationkey
+        GROUP BY dev.c_nationkey ORDER BY dev.c_nationkey"""),
+    ) { (s, dir) =>
+      val cust = Tables.customer(s, dir).select("c_nationkey", "c_acctbal")
+      val med = cust.groupBy("c_nationkey")
+        .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+      val dev = cust.join(broadcast(med), "c_nationkey")
+        .withColumn("adev", abs(col("c_acctbal") - col("med")))
+      val mad = dev.groupBy("c_nationkey")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+          sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("c_nationkey")
+    },
+
     // ---- PIVOT: source × language count matrix (the reshape surface —
     // Spark's relational pivot with an EXPLICIT value list, so the plan
     // is one aggregation with no distinct-values pre-pass; absent cells
