@@ -326,6 +326,24 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ---- interpolated Kneser-Ney bigram scoring (the smoothing KenLM
+    // ships): absolute discount D=0.75 + continuation-probability
+    // backoff from fwd/rev distinct-type counts — same count-table-join
+    // shape and determinism scheme (6dp ln, Det per-doc sums) as q92,
+    // four broadcastable model tables instead of two.
+    QueryDef(
+      "q141_kn_lm_score",
+      Some(graft.ops.LmScore.knBigramScoreOracleSql(
+        refPred = "doc_id % 7 = 0", docPred = "doc_id % 7 <> 0")),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.LmScore.knBigramScore(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- BPE vocabulary induction + per-doc compression: train 20 merge
     // rules over the corpus's pre-token frequency table (the one raw-text
     // pass; every round is an aggregation over the small weighted

@@ -45,4 +45,44 @@ class LmScoreSpec extends SparkSpec {
       LmScore.bigramScore(df.withColumnRenamed("doc_id", "g"), df, "g", "text")
     }
   }
+
+  test("knBigramScore matches a hand-computed Kneser-Ney model") {
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (2L, "z"), (3L, "z z")).toDF("doc_id", "text")
+    val out = LmScore.knBigramScore(docs, ref, "doc_id", "text", discount = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // model: cb("a b")=2, cb("b a")=1; cu(a)=2 n1f(a)=1, cu(b)=1
+    // n1f(b)=1; n1r(a)=1, n1r(b)=1; T=2 bigram types, V=2.
+    // doc 1 "a b": max(2-.75,0)/2 + (.75*1/2)*((1+1)/4) = .625+.1875
+    // doc 1 "b c": max(0-.75,0)/1 + (.75*1/1)*((0+1)/4) = 0+.1875, OOV
+    // doc 3 "z z": unseen context -> pure continuation (0+1)/4 = .25, OOV
+    def r6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val lp1 = r6(math.log(0.8125))
+    val lp2 = r6(math.log(0.1875))
+    val avg1 = r6((BigDecimal(lp1) + BigDecimal(lp2)).toDouble / 2)
+    assert(out.length == 2, "the 1-token doc has no bigram and no row")
+    assert(out(0) == ((1L, 2L, 1L, avg1)), s"${out(0)} vs $avg1")
+    assert(out(1) == ((3L, 1L, 1L, r6(math.log(0.25)))), out(1).toString)
+  }
+
+  test("KN: reference-like text outscores gibberish; bounds enforced") {
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "zxq wvu tsr qpo nml"),
+    ).toDF("doc_id", "text")
+    val byId = LmScore.knBigramScore(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(1L)._1 == 0L && byId(2L)._1 == 4L)
+    assert(byId(1L)._2 > byId(2L)._2, "reference-like text must score higher")
+    intercept[IllegalArgumentException] {
+      LmScore.knBigramScore(docs, ref, "doc_id", "text", discount = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      LmScore.knBigramScore(docs.withColumnRenamed("doc_id", "w2"), ref, "w2", "text")
+    }
+  }
 }
