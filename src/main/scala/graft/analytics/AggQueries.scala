@@ -612,6 +612,43 @@ object AggQueries {
         .orderBy("part")
     },
 
+    // ---- Apriori frequent itemsets (size 1-3, support >= 2 orders)
+    // over the order->part baskets: the downward-closure prune bounds
+    // candidate growth (items below support never reach pair counting,
+    // pairs never extend to triples unpruned) — the oracle counts the
+    // SAME sets with bare HAVING clauses, because pruning changes cost,
+    // never answers; the hash match proves exactly that.
+    QueryDef(
+      "q142_frequent_itemsets",
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                    FROM lineitem),
+        l1 AS (SELECT it, count(*) AS support FROM li
+               GROUP BY it HAVING count(*) >= 2),
+        l2 AS (SELECT a.it AS a, b.it AS b, count(*) AS support
+               FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+               GROUP BY a.it, b.it HAVING count(*) >= 2),
+        l3 AS (SELECT a.it AS a, b.it AS b, c.it AS c, count(*) AS support
+               FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+                    JOIN li c ON c.bk = a.bk AND c.it > b.it
+               GROUP BY a.it, b.it, c.it HAVING count(*) >= 2)
+        SELECT 1 AS size, CAST(it AS VARCHAR) AS items, support FROM l1
+        UNION ALL
+        SELECT 2, CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR), support
+        FROM l2
+        UNION ALL
+        SELECT 3, CAST(a AS VARCHAR) || ',' || CAST(b AS VARCHAR) || ',' ||
+               CAST(c AS VARCHAR), support
+        FROM l3
+        ORDER BY size, items"""),
+    ) { (s, dir) =>
+      graft.ops.Itemsets.apriori(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2, maxSize = 3)
+        .orderBy("size", "items")
+    },
+
     // ---- robust outlier statistics per group: median, MAD (median
     // absolute deviation), and the count beyond the 3σ-equivalent MAD
     // fence (1.4826·MAD ≈ σ for normal data) — the outlier screen that
