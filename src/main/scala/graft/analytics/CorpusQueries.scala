@@ -578,6 +578,24 @@ object CorpusQueries {
     // array_join so the driver's no-oracle fingerprint path can sort and
     // hash the frame (pandas cannot lexsort an array column); the typed
     // array<int> API stays on Bpe.encodeTokenIds.
+    // ---- WordPiece induction + greedy-longest-match compression: the
+    // likelihood-scored merge loop (count/(cl*cr)) and the order-free
+    // greedy encoder — the BERT-family counterpart of q93. no_oracle
+    // (iterative argmax training); WordPieceSpec pins exact equality
+    // against an in-memory reference over the real sf0.001 corpus.
+    QueryDef("q143_wordpiece_compression", None) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val freqs = graft.ops.Bpe.wordFreqs(docs, "text")
+      freqs.persist()
+      val rules = graft.ops.WordPiece.trainWordPieceOnFreqs(freqs, nMerges = 20)
+      val out = graft.ops.WordPiece
+        .tokenCompression(docs, "text", "doc_id", freqs, rules)
+        .orderBy("doc_id")
+      out.persist().count() // materialize before releasing the freqs cache
+      freqs.unpersist(false)
+      out
+    },
+
     QueryDef("q104_bpe_token_ids", None) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val freqs = graft.ops.Bpe.wordFreqs(docs, "text")
