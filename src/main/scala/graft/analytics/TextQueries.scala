@@ -230,5 +230,53 @@ object TextQueries {
         .filter(col("rnk") <= 5)
         .orderBy("source", "rnk")
     },
+
+    // ---- multi-phrase dictionary tagging: the top-8 corpus bigrams +
+    // top-4 trigrams (self-mined, deterministic tie-break) matched
+    // against every document in ONE pass via rarest-token anchor joins
+    // (ops/DictTag) — the blocklist/PII/taxonomy tagger at corpus
+    // scale. The oracle brute-forces doc × dict with a positional
+    // slice scan; the hash match proves the anchor pruning drops no
+    // occurrence and overlapping matches all count.
+    QueryDef(
+      "q144_dict_phrase_tags",
+      Some("""
+        WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                    FROM documents),
+        g2 AS (SELECT t[i] || ' ' || t[i+1] AS phrase, count(*) AS c
+               FROM tt, unnest(range(1, len(t))) u(i)
+               WHERE len(t) >= 2 GROUP BY phrase),
+        top2 AS (SELECT phrase FROM g2 ORDER BY c DESC, phrase LIMIT 8),
+        g3 AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS phrase,
+                      count(*) AS c
+               FROM tt, unnest(range(1, len(t) - 1)) u(i)
+               WHERE len(t) >= 3 GROUP BY phrase),
+        top3 AS (SELECT phrase FROM g3 ORDER BY c DESC, phrase LIMIT 4),
+        dict AS (SELECT phrase,
+                   CAST(row_number() OVER (ORDER BY phrase) AS INT)
+                     AS phrase_id
+                 FROM (SELECT phrase FROM top2
+                       UNION ALL SELECT phrase FROM top3)),
+        dt AS (SELECT phrase_id, string_split(phrase, ' ') AS ptoks,
+                      len(string_split(phrase, ' ')) AS plen FROM dict),
+        m AS (SELECT tt.doc_id, dt.phrase_id,
+                len(list_filter(range(1, len(t) - plen + 2),
+                    i -> t[i:i+plen-1] = ptoks)) AS n_matches
+              FROM tt CROSS JOIN dt WHERE len(t) >= plen)
+        SELECT doc_id, phrase_id, CAST(n_matches AS BIGINT) AS n_matches
+        FROM m WHERE n_matches > 0 ORDER BY doc_id, phrase_id"""),
+    ) { (s, dir) =>
+      import graft.ops.{CorpusOps, DictTag}
+      val docs = Tables.documents(s, dir)
+      def topGrams(n: Int, k: Int) = docs
+        .select(explode(CorpusOps.wordGrams(toks, n)).as("phrase"))
+        .groupBy("phrase").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("phrase")).limit(k).select("phrase")
+      val dict = topGrams(2, 8).unionByName(topGrams(3, 4))
+        .withColumn("phrase_id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("phrase")))
+      DictTag.tagDictionary(docs, "doc_id", "text", dict)
+        .orderBy("doc_id", "phrase_id")
+    },
   )
 }
