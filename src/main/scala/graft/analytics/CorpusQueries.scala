@@ -596,6 +596,25 @@ object CorpusQueries {
       out
     },
 
+    // ---- Unigram-LM (SentencePiece) induction + Viterbi compression:
+    // the third subword family — seed substrings, EM forward-backward
+    // over row-local lattices, prune, max-probability encode. no_oracle
+    // (iterative EM); UnigramLmSpec pins op-order-exact reference
+    // equality for trainer AND encoder plus EM likelihood monotonicity.
+    QueryDef("q145_unigram_compression", None) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val freqs = graft.ops.Bpe.wordFreqs(docs, "text")
+      freqs.persist()
+      val vocab = graft.ops.UnigramLm.trainUnigramOnFreqs(freqs,
+        vocabSize = 400, seedSize = 800, emIters = 2)
+      val out = graft.ops.UnigramLm
+        .tokenCompression(docs, "text", "doc_id", vocab)
+        .orderBy("doc_id")
+      out.persist().count() // materialize before releasing the freqs cache
+      freqs.unpersist(false)
+      out
+    },
+
     QueryDef("q104_bpe_token_ids", None) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val freqs = graft.ops.Bpe.wordFreqs(docs, "text")
