@@ -305,4 +305,56 @@ class PlanAuditSpec extends SparkSpec {
         Seq("lineitem.l_orderkey", "lineitem.l_partkey", "orders.o_custkey"))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("dictionary tagging broadcasts the anchor table, never the corpus") {
+    val p = plan("q144_dict_phrase_tags")
+    assert(p.contains("BroadcastHashJoin"), "anchor join must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dictionary matching must never scan doc x phrase")
+  }
+
+  test("moment stats read ONLY the persisted segments, never re-scan the batches") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("mom_plan").toString
+    graft.ops.SketchStats.appendMomentsBatch(li, "l_quantity", dir, "b0",
+      groupCols = Seq("l_returnflag"))
+    val p = graft.ops.SketchStats.momentStats(spark, dir, Seq("l_returnflag"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("lineitem"), "serving must not touch the ingested table")
+    assert(p.contains("seg=") || p.contains(dir.split('/').last),
+      "serving must scan the segment store")
+  }
+
+  test("MMR rerank adds no shuffle beyond the candidate gather") {
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.VectorSim.mmrRerank(
+      emb.filter(col("vec_id") < 4), emb, "vec_id", "embedding",
+      topN = 10, k = 3, lam = 0.7)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the candidate stage IS a broadcast cross (brute-force kNN scans
+    // the corpus once per partition with the tiny query set broadcast —
+    // the designed q40 shape); what must never appear is a non-broadcast
+    // cartesian materializing corpus x corpus
+    assert(!p.contains("CartesianProduct"))
+    // the greedy selection must be projection-side: in the plan TREE
+    // (root-first), every operator ABOVE the candidate-gather aggregate
+    // is a Project/Filter/Generate — no Exchange, no Join. The
+    // formatted details section is excluded (it re-mentions every node).
+    val tree = p.split("\n\n").head.linesIterator.toSeq
+    val aboveAgg = tree.takeWhile(!_.contains("HashAggregate"))
+    assert(aboveAgg.nonEmpty && aboveAgg.forall(l =>
+      !l.contains("Exchange") && !l.contains("Join")),
+      s"greedy MMR must stay row-local after the candidate gather:\n${aboveAgg.mkString("\n")}")
+  }
+
+  test("frequent itemsets stay basket-keyed equi-joins with semi-join pruning") {
+    val p = plan("q142_frequent_itemsets")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "apriori levels must join on the basket key, never cross")
+    assert(p.contains("LeftSemi"), "downward-closure pruning (semi joins) missing")
+  }
 }
