@@ -161,5 +161,42 @@ object WindowQueries {
           first(col("o_orderkey")).over(w).as("cheapest_order"))
         .orderBy("o_custkey", "o_orderkey")
     },
+
+    // ---- per-user EWMA of event values (exponential smoothing,
+    // s_t = α·x_t + (1-α)·s_{t-1}, s_1 = x_1): the recursive smoother
+    // no window frame can express — each user's ordered series folds
+    // ROW-LOCALLY (one groupBy shuffle, then a sequential in-row fold,
+    // embarrassingly parallel across users). Both engines run the
+    // IDENTICAL fold (DuckDB list_reduce seeds with the first element,
+    // exactly this recurrence; α literals interpolated from the same
+    // Scala doubles), so the smoothed doubles hash bit-exact with no
+    // rounding step.
+    {
+      val a = 0.3
+      val b = 1 - a
+      QueryDef(
+        "q146_user_ewma",
+        Some(s"""
+          WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+                     FROM events GROUP BY user_id)
+          SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+                 list_reduce(vals, (acc, x) ->
+                   CAST($a AS DOUBLE) * x + CAST($b AS DOUBLE) * acc) AS ewma
+          FROM g ORDER BY user_id"""),
+      ) { (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+          .withColumn("vals", transform(col("evs"), e => e.getField("value")))
+          .select(col("user_id"), size(col("vals")).as("n_events"),
+            aggregate(
+              slice(col("vals"), lit(2),
+                greatest(size(col("vals")) - 1, lit(0))),
+              element_at(col("vals"), 1),
+              (acc, x) => lit(a) * x + lit(b) * acc).as("ewma"))
+          .orderBy("user_id")
+      }
+    },
   )
 }
