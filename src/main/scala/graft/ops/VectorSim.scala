@@ -97,8 +97,12 @@ object VectorSim {
       vecCol: String, topN: Int, k: Int, lam: Double): DataFrame = {
     require(k >= 1 && topN >= k, s"need topN >= k >= 1, got topN=$topN k=$k")
     require(lam >= 0.0 && lam <= 1.0, s"lam must be in [0, 1], got $lam")
-    val cands = cosineTopK(queries, corpus, idCol, vecCol, topN)
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+    // fetch candidate vectors by STREAMING the corpus past the broadcast
+    // (queries x topN)-sized candidate table — the other join order
+    // would shuffle the whole corpus to meet a few hundred rows
+    val cands = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cosineTopK(queries, corpus, idCol, vecCol, topN)),
         "neighbor_id")
     // one row per query: candidates ordered by relevance rank (struct
     // sort on the leading rank field — collect_list order is free)
@@ -114,6 +118,12 @@ object VectorSim {
           dot(element_at(col("cs"), i + 1).getField("v"),
               element_at(col("cs"), j + 1).getField("v"))
             / (element_at(col("ns"), i + 1) * element_at(col("ns"), j + 1)))))
+      // materialization barrier on a TINY frame (one row per query): the
+      // greedy selection below references simM from inside nested
+      // lambdas, and letting the optimizer inline the ns/simM aliases
+      // there explodes the expression tree (the q63 gram-builder
+      // lesson) — analysis alone was costing seconds
+      .localCheckpoint(true)
     def score(i: Column, sel: Column) = {
       val rel = element_at(col("cs"), i + 1).getField("rel")
       val ms = when(size(sel) === 0, lit(0.0)).otherwise(
