@@ -268,13 +268,32 @@ object TextQueries {
     ) { (s, dir) =>
       import graft.ops.{CorpusOps, DictTag}
       val docs = Tables.documents(s, dir)
-      def topGrams(n: Int, k: Int) = docs
-        .select(explode(CorpusOps.wordGrams(toks, n)).as("phrase"))
+      // ONE corpus pass mines both gram sizes; the per-size top-k cuts
+      // are TakeOrdered jobs over the cached gram-count table, and the
+      // 12-phrase dictionary is assembled on the driver (stat-broadcast
+      // class, SURVEY §4.1) — ids follow UTF-8-binary phrase order to
+      // match the oracle's row_number collation
+      val gramCounts = docs
+        .select(toks.as("_t")) // bind: the gram lambdas would otherwise
+        // re-run the regex split per element access (the q63 lesson)
+        .select(explode(concat(CorpusOps.wordGrams(col("_t"), 2),
+          CorpusOps.wordGrams(col("_t"), 3))).as("phrase"))
         .groupBy("phrase").agg(count(lit(1)).as("c"))
-        .orderBy(desc("c"), asc("phrase")).limit(k).select("phrase")
-      val dict = topGrams(2, 8).unionByName(topGrams(3, 4))
-        .withColumn("phrase_id", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("phrase")))
+        .withColumn("n", size(split(col("phrase"), " ")))
+      gramCounts.persist()
+      def top(n: Int, k: Int) = gramCounts.filter(col("n") === n)
+        .orderBy(desc("c"), asc("phrase")).limit(k)
+        .select("phrase").collect().map(_.getString(0))
+      val phrases = (top(2, 8) ++ top(3, 4)).sortWith { (a, b) =>
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val i = x.zip(y).indexWhere(t => t._1 != t._2)
+        if (i >= 0) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+      }
+      gramCounts.unpersist(false)
+      import s.implicits._
+      val dict = phrases.zipWithIndex
+        .map { case (p, i) => (p, i + 1) }.toSeq
+        .toDF("phrase", "phrase_id")
       DictTag.tagDictionary(docs, "doc_id", "text", dict)
         .orderBy("doc_id", "phrase_id")
     },

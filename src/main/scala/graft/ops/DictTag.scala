@@ -52,15 +52,22 @@ object DictTag {
       .filter(col("_rk") === 1)
       .select(col("tok"), col("phrase_id"), col("ptoks"), col("plen"),
         col("off"))
-    // candidate spans from anchor hits; one row-local slice comparison
-    // verifies the full phrase
-    docToks
-      .select(col(idCol), col("_toks"),
+    // candidate spans from anchor hits. The exploded stream carries ONLY
+    // (id, len, pos, token) — never the token array itself: a Generate
+    // that keeps the array in its output copies the whole document into
+    // every one of its token rows, which is a corpus-size^2-ish blowup.
+    // Verification rejoins the few anchor-hit candidates against the
+    // one-row-per-doc token table and slice-compares row-locally.
+    val cand = docToks
+      .select(col(idCol), size(col("_toks")).as("_len"),
         posexplode(col("_toks")).as(Seq("_p0", "tok")))
       .join(broadcast(anchors), Seq("tok"))
       .withColumn("_start", col("_p0") + 1 - col("off")) // 1-based
       .filter(col("_start") >= 1 &&
-        col("_start") + col("plen") - 1 <= size(col("_toks")))
+        col("_start") + col("plen") - 1 <= col("_len"))
+      .select(col(idCol), col("phrase_id"), col("_start"),
+        col("ptoks"), col("plen"))
+    cand.join(docToks, Seq(idCol))
       .filter(slice(col("_toks"), col("_start"), col("plen")) === col("ptoks"))
       .groupBy(col(idCol), col("phrase_id"))
       .agg(count(lit(1)).as("n_matches"))
