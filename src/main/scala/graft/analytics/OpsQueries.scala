@@ -685,6 +685,30 @@ object OpsQueries {
         .orderBy("col_name")
     },
 
+    // ---- persisted heavy-hitter segments: per-batch bounded
+    // Misra-Gries summaries, served by pointwise sum + ONE relational
+    // shrink (the mergeable-summaries combine). The event-type domain
+    // sits far under the capacity, so no decrement ever fires and the
+    // served counts are EXACT — the hash match against a plain
+    // GROUP BY oracle proves the under-capacity exactness property;
+    // the over-capacity bound lives in SketchStatsSpec.
+    QueryDef(
+      "q147_freq_segments",
+      Some("""
+        SELECT CAST(event_type AS VARCHAR) AS item, count(*) AS cnt
+        FROM events GROUP BY event_type ORDER BY item"""),
+    ) { (s, dir) =>
+      import graft.ops.SketchStats
+      val events = Tables.events(s, dir)
+      val fDir = java.nio.file.Files.createTempDirectory("graft-freq147").toString
+      (0 until 3).foreach { k =>
+        SketchStats.appendFreqBatch(
+          events.filter(pmod(col("event_id"), lit(3)) === k),
+          "event_type", fDir, s"b$k", capacity = 64)
+      }
+      SketchStats.freqItems(s, fDir).orderBy("item")
+    },
+
     // ---- mergeable moments sketch: per-batch exact decimal power sums
     // (n, Σx..Σx⁴) persisted as segments, mean/std/skew/kurtosis served
     // by MERGING SEGMENTS ONLY — never re-scanning the ingested rows.

@@ -193,6 +193,74 @@ object SketchStats {
           .cast("long").as("dev_num"))
   }
 
+  /** Append one ingest batch's Misra-Gries heavy-hitter summary of
+    * `valueCol` (bounded `capacity` entries regardless of batch size;
+    * [[graft.functions.FreqSketch]]) as its own `seg=<batchKey>`
+    * partition — the frequency member of the persisted sketch family.
+    * Idempotent under retries like every segment append here.
+    */
+  def appendFreqBatch(df: DataFrame, valueCol: String, dir: String,
+      batchKey: String, capacity: Int = 64,
+      groupCols: Seq[String] = Nil): Unit = {
+    checkKey(batchKey)
+    require(capacity >= 1 && capacity <= 100000,
+      s"capacity must be in [1, 100000], got $capacity")
+    val sk = graft.functions.FreqSketch
+      .freqSketch(col(valueCol).cast("string"), capacity).as("sk")
+    val out =
+      if (groupCols.isEmpty) df.agg(sk)
+      else df.groupBy(groupCols.map(col): _*).agg(sk)
+    out
+      .select(groupCols.map(col) :+ explode(col("sk")).as("kv"): _*)
+      .select(groupCols.map(col) ++ Seq(col("kv.item").as("item"),
+        col("kv.cnt").as("cnt")): _*)
+      .withColumn("_capacity", lit(capacity))
+      .write.mode("overwrite").parquet(s"$dir/seg=$batchKey")
+  }
+
+  /** Serve the merged heavy-hitter summary from the persisted segments:
+    * pointwise count sum, then ONE shrink back to capacity — subtract
+    * the (capacity+1)-th largest merged count and keep positives (the
+    * Agarwal et al. PODS'12 mergeable-summaries combine, expressed
+    * relationally; the rank window runs over at most
+    * segments x capacity rows per group, never the data). Guarantees
+    * carried: counts are under-estimates by at most n/(capacity+1),
+    * any item above that threshold survives, and while every partial
+    * stayed under capacity no decrement ever fired — counts are then
+    * EXACT, which is what lets q147 hash-match a DuckDB oracle.
+    */
+  def freqItems(spark: SparkSession, dir: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val segs = spark.read.parquet(dir)
+    val caps = segs.select("_capacity").distinct().collect().map(_.getInt(0))
+    require(caps.length == 1,
+      s"freq index at $dir mixes capacities ${caps.sorted.mkString(",")}; " +
+        "rebuild the offending segments with one capacity — a mixed " +
+        "merge would silently weaken every bound")
+    val cap = caps.head
+    val keys = groupCols.map(col)
+    val merged = segs.groupBy((keys :+ col("item")): _*)
+      .agg(sum("cnt").as("cnt"))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), asc("item"))
+    val w = if (groupCols.isEmpty) w0
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(keys: _*).orderBy(desc("cnt"), asc("item"))
+    val ranked = merged.withColumn("_rk", row_number().over(w))
+    // the shrink subtrahend: the (cap+1)-th largest count, NULL (-> 0)
+    // when a group already fits — an aggregate, not a filter, so the
+    // under-capacity case still yields its row
+    val subExpr = max(when(col("_rk") === cap + 1, col("cnt"))).as("_sub")
+    val joined = if (groupCols.isEmpty)
+      ranked.crossJoin(broadcast(ranked.agg(subExpr)))
+    else ranked.join(broadcast(ranked.groupBy(keys: _*).agg(subExpr)),
+      groupCols, "left")
+    joined
+      .withColumn("cnt", col("cnt") - coalesce(col("_sub"), lit(0L)))
+      .filter(col("cnt") > 0)
+      .select((keys ++ Seq(col("item"), col("cnt"))): _*)
+  }
+
   /** Append one ingest batch's exact power-sum moments of `valueCol` —
     * one row per `groupCols` value holding (n, Σx, Σx², Σx³, Σx⁴) as
     * fixed-scale decimals — as its own `seg=<batchKey>` partition. The

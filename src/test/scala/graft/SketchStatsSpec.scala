@@ -224,6 +224,54 @@ class SketchStatsSpec extends SparkSpec {
     assert(d == Set((0L, 4L, 0L, 16L), (5L, 0L, 4L, 16L)))
   }
 
+  test("freq segments: exact under capacity, MG bounds over it, retries idempotent") {
+    import spark.implicits._
+    // under capacity across every batch and the merge: EXACT counts
+    val docs = Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_freq").toString
+    (0 until 3).foreach { k =>
+      SketchStats.appendFreqBatch(
+        docs.filter(pmod(col("event_id"), lit(3)) === k),
+        "event_type", dir, s"b$k", capacity = 64)
+    }
+    def served(d: String) = SketchStats.freqItems(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served(dir) == exact, "under capacity the serve must be exact")
+    // retried append overwrites its segment
+    SketchStats.appendFreqBatch(
+      docs.filter(pmod(col("event_id"), lit(3)) === 1),
+      "event_type", dir, "b1", capacity = 64)
+    assert(served(dir) == exact, "retry must not move the counts")
+
+    // OVER capacity: counts are under-estimates within n/(capacity+1)
+    // and every item above the threshold survives. 600 'hot' + spread
+    // tail, capacity 4 => threshold = n/5
+    val hot = (1 to 600).map(i => (i.toLong, "hot"))
+    val tail = (1 to 300).map(i => (1000L + i, s"t${i % 30}"))
+    val all = hot ++ tail
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_freq2").toString
+    SketchStats.appendFreqBatch(
+      all.filter(_._1 % 2 == 0).toDF("id", "v"), "v", dir2, "b0", capacity = 4)
+    SketchStats.appendFreqBatch(
+      all.filter(_._1 % 2 == 1).toDF("id", "v"), "v", dir2, "b1", capacity = 4)
+    val got = served(dir2)
+    val n = all.size
+    val trueCounts = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (item, cnt) =>
+      assert(cnt <= trueCounts(item), s"$item over-counted: $cnt")
+      assert(trueCounts(item) - cnt <= n / 5 + 1,
+        s"$item under-counted beyond the bound: $cnt vs ${trueCounts(item)}")
+    }
+    trueCounts.filter(_._2 > n / 5).keys.foreach(item =>
+      assert(got.contains(item), s"heavy item $item must survive the merge"))
+    // mixed capacities are rejected loudly
+    SketchStats.appendFreqBatch(all.take(10).toDF("id", "v"), "v", dir2, "b2",
+      capacity = 8)
+    intercept[IllegalArgumentException] { SketchStats.freqItems(spark, dir2) }
+  }
+
   test("moment segments: merged serving is bit-identical to a single pass; retries idempotent") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_mom").toString
