@@ -612,6 +612,59 @@ object AggQueries {
         .orderBy("part")
     },
 
+    // ---- PERSONALIZED PageRank from the 3 smallest parts: teleport
+    // mass restricted to the source set — random-walk-with-restart
+    // proximity, the graph-similarity score under the same integer-exact
+    // fixed-point arithmetic as q133, so the oracle unrolls the same
+    // 3 rounds bit-for-bit with a CASE teleport.
+    QueryDef(
+      "q148_personalized_pagerank",
+      Some {
+        val tp = (1000000000000L * 15L) / 100L / 3L
+        val init = 1000000000000L / 3L
+        val rounds = (1 to 3).map { k =>
+          s"""r$k AS (SELECT nodes.node,
+               CAST((CASE WHEN nodes.node IN (SELECT node FROM srcs)
+                     THEN $tp ELSE 0 END)
+                    + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS rank
+             FROM nodes LEFT JOIN (
+               SELECT e.dst AS node,
+                      CAST(sum(r${k - 1}.rank // deg.deg) AS BIGINT) AS contrib
+               FROM e JOIN r${k - 1} ON r${k - 1}.node = e.src
+                      JOIN deg ON deg.src = e.src
+               GROUP BY e.dst) c ON c.node = nodes.node)"""
+        }.mkString(",\n")
+        s"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        srcs AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node,
+                 CAST(CASE WHEN node IN (SELECT node FROM srcs)
+                      THEN $init ELSE 0 END AS BIGINT) AS rank FROM nodes),
+        $rounds
+        SELECT node AS part, rank AS rank_e12 FROM r3 ORDER BY part"""
+      },
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      val sources = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .orderBy("node").limit(3).collect().map(_.getLong(0)).toSeq
+      graft.ops.PageRank.personalizedPageRank(edges, "src", "dst",
+        sources, iters = 3)
+        .select(col("node").as("part"), col("rank").as("rank_e12"))
+        .orderBy("part")
+    },
+
     // ---- Apriori frequent itemsets (size 1-3, support >= 2 orders)
     // over the order->part baskets: the downward-closure prune bounds
     // candidate growth (items below support never reach pair counting,

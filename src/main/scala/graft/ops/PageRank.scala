@@ -62,6 +62,43 @@ object PageRank {
     ranks
   }
 
+  /** PERSONALIZED PageRank: the teleport mass lands only on `sources`
+    * (split evenly, floor-divided), so ranks measure proximity TO the
+    * source set — the random-walk-with-restart relatedness score under
+    * the same integer-exact fixed-point arithmetic as [[pageRank]]
+    * (an oracle can replay every round bit-for-bit). Same
+    * Pregel-as-joins round shape and lineage hygiene.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], iters: Int, scale: Long = Scale): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(sources.nonEmpty, "personalized PageRank needs a source set")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val teleport = (scale * 15L) / 100L / sources.length
+    val isSrc = col("node").isin(sources: _*)
+    var ranks = nodes.withColumn("rank",
+      when(isSrc, lit(scale / sources.length)).otherwise(lit(0L)))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("rank div deg").as("_c"))
+        .groupBy("node").agg(sum("_c").as("contrib"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSrc, lit(teleport)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
+      if (i % 2 == 0) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Per-vertex TRIANGLE counts (each triangle counted at all three of
     * its vertices) — the local-clustering building block, and the
     * classic MapReduce graph benchmark. Edges are canonicalized to
