@@ -193,6 +193,52 @@ object SketchStats {
           .cast("long").as("dev_num"))
   }
 
+  /** Compact all moment segments into one `base` segment. Decimal sums
+    * are associative, so serving from the compacted segment is
+    * BIT-IDENTICAL to serving from the N inputs. Staged-swap protected
+    * like [[compactHll]]: a crashed merge leaves the live index intact.
+    */
+  def compactMoments(spark: SparkSession, dir: String,
+      groupCols: Seq[String] = Nil): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val tmpPath = new org.apache.hadoop.fs.Path(dir + "_merging")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StagedSwap.recoverOrClearStage(fs, dirPath, tmpPath)
+    val segs = spark.read.parquet(dir)
+    val aggs = Seq(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+      sum("s3").as("s3"), sum("s4").as("s4"))
+    val out =
+      if (groupCols.isEmpty) segs.agg(aggs.head, aggs.tail: _*)
+      else segs.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    out.write.mode("overwrite").parquet(s"$tmpPath/seg=base")
+    StagedSwap.swap(fs, dirPath, tmpPath)
+  }
+
+  /** Compact all heavy-hitter segments into one `base` segment by
+    * pointwise count sum — LOSSLESS: the shrink stays at serve time, so
+    * serving from the compacted segment equals serving from the N
+    * inputs exactly (the compacted segment may carry more than
+    * `capacity` rows; it is storage, kilobytes either way). Mixed
+    * capacities are rejected before anything is staged.
+    */
+  def compactFreq(spark: SparkSession, dir: String,
+      groupCols: Seq[String] = Nil): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val tmpPath = new org.apache.hadoop.fs.Path(dir + "_merging")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StagedSwap.recoverOrClearStage(fs, dirPath, tmpPath)
+    val segs = spark.read.parquet(dir)
+    val caps = segs.select("_capacity").distinct().collect().map(_.getInt(0))
+    require(caps.length == 1,
+      s"freq index at $dir mixes capacities ${caps.sorted.mkString(",")}; " +
+        "repair before compacting")
+    val keys = groupCols.map(col) :+ col("item")
+    segs.groupBy(keys: _*).agg(sum("cnt").as("cnt"))
+      .withColumn("_capacity", lit(caps.head))
+      .write.mode("overwrite").parquet(s"$tmpPath/seg=base")
+    StagedSwap.swap(fs, dirPath, tmpPath)
+  }
+
   /** Append one ingest batch's Misra-Gries heavy-hitter summary of
     * `valueCol` (bounded `capacity` entries regardless of batch size;
     * [[graft.functions.FreqSketch]]) as its own `seg=<batchKey>`

@@ -303,6 +303,41 @@ class SketchStatsSpec extends SparkSpec {
     }
   }
 
+  test("moment and freq compaction serve identically to the input segments") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val mDir0 = java.nio.file.Files.createTempDirectory("graft_momc").toString
+    val mDir = s"$mDir0/mom"
+    (0 until 3).foreach { k =>
+      SketchStats.appendMomentsBatch(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === k),
+        "l_quantity", mDir, s"b$k", groupCols = Seq("l_returnflag"))
+    }
+    def momRows() = SketchStats.momentStats(spark, mDir, Seq("l_returnflag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val before = momRows()
+    SketchStats.compactMoments(spark, mDir, Seq("l_returnflag"))
+    assert(momRows() == before, "compacted moments must serve bit-identically")
+    assert(spark.read.parquet(mDir).inputFiles
+      .forall(_.contains("seg=base")), "compaction must leave one segment")
+
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val fDir0 = java.nio.file.Files.createTempDirectory("graft_freqc").toString
+    val fDir = s"$fDir0/freq"
+    (0 until 3).foreach { k =>
+      SketchStats.appendFreqBatch(
+        ev.filter(pmod(col("event_id"), lit(3)) === k),
+        "event_type", fDir, s"b$k", capacity = 4)
+    }
+    def freqRows() = SketchStats.freqItems(spark, fDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fBefore = freqRows()
+    SketchStats.compactFreq(spark, fDir)
+    assert(freqRows() == fBefore, "compacted freq must serve identically")
+  }
+
   test("moment stats on a planted distribution match hand-computed skew/kurtosis") {
     import spark.implicits._
     // x = {1, 2, 9}: μ = 4, m2 = 38/3, m3 = 90/3 = 30, m4 = 722/3
