@@ -211,6 +211,17 @@ object UnigramLm {
     v.select(col("token"), (col("logp") - lit(z)).as("logp"))
   }
 
+  /** Persist the trained model — the (token, logp) table — under `dir`.
+    * Doubles round-trip bit-exactly through parquet, so a loaded model
+    * segments identically (contract-tested, UnigramLmSpec). */
+  def saveModel(vocab: DataFrame, dir: String): Unit =
+    vocab.select("token", "logp").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted model. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = spark.read.parquet(dir)
+
   /** Viterbi (max-probability) segmentation of every distinct word in
     * `targetWords` under the model: (word, tokens, n_tokens). Words
     * containing a character absent from the vocabulary are segmented

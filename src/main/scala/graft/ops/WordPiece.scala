@@ -99,6 +99,39 @@ object WordPiece {
     chars.unionByName(merged).distinct()
   }
 
+  /** Persist the trained model — merge rules in rank order plus the
+    * piece inventory — as two parquet tables under `dir`; the
+    * self-contained artifact the greedy encoder needs (contract-tested
+    * round trip, WordPieceSpec). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, dir: String,
+      rules: Seq[MergeRule], trainFreqs: DataFrame): Unit = {
+    import spark.implicits._
+    rules.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    pieceInventory(trainFreqs, rules).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pieces")
+  }
+
+  /** Load a persisted model: (rules in rank order, piece inventory). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[MergeRule], DataFrame) = {
+    val rules = spark.read.parquet(s"$dir/merges")
+      .select("rank", "left", "right", "count").collect()
+      .map(r => MergeRule(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
+    (rules, spark.read.parquet(s"$dir/pieces"))
+  }
+
+  /** [[segmentGreedy]] against an explicit piece-inventory table (e.g.
+    * one loaded from a persisted model). The span bound comes from the
+    * longest piece — one tiny aggregate over the bounded inventory. */
+  def segmentGreedyWithPieces(targetWords: DataFrame,
+      piecesIn: DataFrame): DataFrame = {
+    val pieces = piecesIn.select("piece").localCheckpoint(true)
+    val maxLen = math.max(1,
+      pieces.agg(max(length(col("piece")))).head.getInt(0))
+    segmentImpl(targetWords, pieces, maxLen)
+  }
+
   /** Greedy longest-match segmentation of every distinct word in
     * `targetWords` ("word" column) under the piece inventory:
     * (word, tokens array<string>, n_wp_tokens). Candidate spans bounded
@@ -108,6 +141,11 @@ object WordPiece {
       rules: Seq[MergeRule]): DataFrame = {
     val pieces = pieceInventory(trainFreqs, rules).localCheckpoint(true)
     val maxLen = (1 +: rules.map(r => (r.left + r.right).length)).max
+    segmentImpl(targetWords, pieces, maxLen)
+  }
+
+  private def segmentImpl(targetWords: DataFrame, pieces: DataFrame,
+      maxLen: Int): DataFrame = {
     val words = targetWords.select(col("word")).distinct()
     val spans = words
       .select(col("word"),

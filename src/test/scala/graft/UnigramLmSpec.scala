@@ -241,6 +241,24 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("model artifacts round-trip: loaded vocab segments identically") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(60)
+    val freqsDf = Bpe.wordFreqs(docs, "text").localCheckpoint(true)
+    val vocab = UnigramLm.trainUnigramOnFreqs(freqsDf, vocabSize = 80,
+      seedSize = 200, emIters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ug_model").toString
+    UnigramLm.saveModel(vocab, dir)
+    val loaded = UnigramLm.loadModel(spark, dir)
+    // doubles round-trip bit-exactly through parquet
+    assert(loaded.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      vocab.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    def seg(v: org.apache.spark.sql.DataFrame) =
+      UnigramLm.viterbiSegment(freqsDf.select("word"), v, 6)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(seg(loaded) == seg(vocab), "loaded model must segment identically")
+  }
+
   test("compression query: per-doc totals match the per-word Viterbi") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
       .limit(40)

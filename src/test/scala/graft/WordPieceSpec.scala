@@ -141,6 +141,23 @@ class WordPieceSpec extends SparkSpec {
     words.foreach(w => assert(got(w).mkString == w))
   }
 
+  test("model artifacts round-trip: loaded pieces segment identically") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(60)
+    val freqs = Bpe.wordFreqs(docs, "text").localCheckpoint(true)
+    val rules = WordPiece.trainWordPieceOnFreqs(freqs, 8)
+    val dir = java.nio.file.Files.createTempDirectory("wp_model").toString
+    WordPiece.saveModel(spark, dir, rules, freqs)
+    val (loadedRules, pieces) = WordPiece.loadModel(spark, dir)
+    assert(loadedRules == rules, "rules must round-trip in rank order")
+    def seg(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    val direct = seg(WordPiece.segmentGreedy(freqs.select("word"), freqs, rules))
+    val viaModel = seg(WordPiece.segmentGreedyWithPieces(
+      freqs.select("word"), pieces))
+    assert(viaModel == direct, "loaded model must segment identically")
+  }
+
   test("compression query: per-doc totals match the per-word segmentation") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(40)
     val freqs = Bpe.wordFreqs(docs, "text")
