@@ -683,6 +683,32 @@ object Streaming {
       .start()
   }
 
+  /** Streaming heavy-hitter maintenance: every micro-batch appends its
+    * bounded Misra-Gries segment
+    * ([[graft.ops.SketchStats.appendFreqBatch]]); serving merges + one
+    * shrink ([[graft.ops.SketchStats.freqItems]]) between batches. Like
+    * the histogram loop a retry OVERWRITES its own `seg=` partition, so
+    * the layout is idempotent — and like it, NO mid-stream compaction:
+    * counts are ADDITIVE, so a batch folded into `base` and then
+    * replayed after a crash would double-count (the HLL loop tolerates
+    * this because register-max is idempotent by value; counts are not).
+    * Compact with [[graft.ops.SketchStats.compactFreq]] only while the
+    * stream is stopped.
+    */
+  def freqStream(input: DataFrame, freqDir: String, checkpoint: String,
+      valueCol: String, capacity: Int = 64,
+      groupCols: Seq[String] = Nil): StreamingQuery = {
+    val key = runKey(checkpoint)
+    input.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.SketchStats.appendFreqBatch(batch, valueCol, freqDir,
+          s"$key-$batchId", capacity, groupCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

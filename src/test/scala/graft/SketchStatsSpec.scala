@@ -204,6 +204,36 @@ class SketchStatsSpec extends SparkSpec {
     }
   }
 
+  test("streamed heavy-hitter maintenance serves exact counts after every wave") {
+    import graft.streaming.Streaming
+    val work = java.nio.file.Files.createTempDirectory("graft_freqstream").toString
+    val raw = s"$work/raw"
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val waves = (0 until 3).map(k => events.filter(pmod(col("event_id"), lit(3)) === k))
+    var fed = waves.head.limit(0)
+    waves.foreach { w =>
+      w.write.mode("append").parquet(raw)
+      fed = fed.unionByName(w)
+      val q = Streaming.freqStream(
+        spark.readStream.schema(events.schema).parquet(raw),
+        s"$work/freq", s"$work/ckpt", "event_type", capacity = 64)
+      assert(q.awaitTermination(120000), "freq wave timed out")
+      val served = SketchStats.freqItems(spark, s"$work/freq")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val direct = fed.groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // far under capacity: exact after every wave
+      assert(served == direct, "served heavy hitters must be exact after each wave")
+    }
+    // stopped-stream compaction folds the wave segments losslessly
+    val before = SketchStats.freqItems(spark, s"$work/freq")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    SketchStats.compactFreq(spark, s"$work/freq")
+    val after = SketchStats.freqItems(spark, s"$work/freq")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before)
+  }
+
   test("histogram drift: zero on identical shapes, exact cross products on a shift") {
     import spark.implicits._
     def hist(rows: (Long, Long)*) = rows.toDF("bin", "cnt")
