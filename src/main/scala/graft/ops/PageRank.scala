@@ -72,7 +72,10 @@ object PageRank {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       sources: Seq[Long], iters: Int, scale: Long = Scale): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(sources.nonEmpty, "personalized PageRank needs a source set")
+    require(sources.nonEmpty && sources.size <= 10000,
+      s"personalized PageRank needs 1..10000 sources (got ${sources.size}); " +
+        "the teleport set rides the plan as an IN-list literal — for " +
+        "larger seed sets join a teleport table instead")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))

@@ -683,6 +683,30 @@ object Streaming {
       .start()
   }
 
+  /** Streaming moments maintenance: every micro-batch appends its exact
+    * decimal power-sum segment
+    * ([[graft.ops.SketchStats.appendMomentsBatch]]); serving merges
+    * segments only ([[graft.ops.SketchStats.momentStats]]) — decimal
+    * sums are associative, so the served mean/std/skew/kurtosis after
+    * each wave is BIT-identical to a single pass over everything fed so
+    * far. Append-only mid-stream for the same reason as the histogram
+    * and heavy-hitter loops: power sums are additive, so a
+    * compacted-then-replayed batch would double-count; compact with
+    * [[graft.ops.SketchStats.compactMoments]] while stopped.
+    */
+  def momentStream(input: DataFrame, momDir: String, checkpoint: String,
+      valueCol: String, groupCols: Seq[String] = Nil): StreamingQuery = {
+    val key = runKey(checkpoint)
+    input.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.SketchStats.appendMomentsBatch(batch, valueCol, momDir,
+          s"$key-$batchId", groupCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming heavy-hitter maintenance: every micro-batch appends its
     * bounded Misra-Gries segment
     * ([[graft.ops.SketchStats.appendFreqBatch]]); serving merges + one

@@ -204,6 +204,37 @@ class SketchStatsSpec extends SparkSpec {
     }
   }
 
+  test("streamed moments maintenance serves bit-identically to a full pass per wave") {
+    import graft.streaming.Streaming
+    val work = java.nio.file.Files.createTempDirectory("graft_momstream").toString
+    val raw = s"$work/raw"
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val waves = (0 until 3).map(k => li.filter(pmod(col("l_orderkey"), lit(3)) === k))
+    var fed = waves.head.limit(0)
+    waves.foreach { w =>
+      w.write.mode("append").parquet(raw)
+      fed = fed.unionByName(w)
+      val q = Streaming.momentStream(
+        spark.readStream.schema(li.schema).parquet(raw),
+        s"$work/mom", s"$work/ckpt", "l_quantity", Seq("l_returnflag"))
+      assert(q.awaitTermination(120000), "moments wave timed out")
+      val served = SketchStats.momentStats(spark, s"$work/mom", Seq("l_returnflag"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      // bit-identical to a single pass over everything fed so far
+      val dirRef = java.nio.file.Files.createTempDirectory("graft_momref").toString
+      SketchStats.appendMomentsBatch(fed, "l_quantity", dirRef, "all",
+        groupCols = Seq("l_returnflag"))
+      val direct = SketchStats.momentStats(spark, dirRef, Seq("l_returnflag"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      assert(served == direct, "served moments must equal the full pass exactly")
+    }
+  }
+
   test("streamed heavy-hitter maintenance serves exact counts after every wave") {
     import graft.streaming.Streaming
     val work = java.nio.file.Files.createTempDirectory("graft_freqstream").toString
