@@ -85,6 +85,29 @@ object ScaleCurve {
     }
     def corpus(k: Int): DataFrame = spark.read.parquet(s"$work/x$k")
 
+    // q144's base dictionary: the 1x corpus's top bigrams/trigrams, with
+    // the same per-replica rotation map the corpus replication applies
+    def rotPhrase(p: String, i: Int): String = {
+      val rot = rotCls(lower, i) + rotCls(upper, i) + rotCls(digits, i)
+      p.map { c => val j = alphabet.indexOf(c); if (j < 0) c else rot(j) }
+    }
+    val basePhrases: Seq[String] = {
+      import graft.ops.CorpusOps
+      val bound = corpus(1).select(graft.core.Cols.wsTokens(col("text")).as("_t"))
+      val counts = bound
+        .select(explode(concat(CorpusOps.wordGrams(col("_t"), 2),
+          CorpusOps.wordGrams(col("_t"), 3))).as("phrase"))
+        .groupBy("phrase").agg(count(lit(1)).as("c"))
+        .withColumn("n", size(split(col("phrase"), " ")))
+      counts.persist()
+      def top(n: Int, k: Int) = counts.filter(col("n") === n)
+        .orderBy(desc("c"), asc("phrase")).limit(k)
+        .select("phrase").collect().map(_.getString(0)).toSeq
+      val ps = top(2, 8) ++ top(3, 4)
+      counts.unpersist(false)
+      ps
+    }
+
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       "q38_minhash_neardups" -> (d =>
         TextDedup.minhashNearDups(d, "text", "doc_id", threshold = 0.5).count()),
@@ -125,6 +148,48 @@ object ScaleCurve {
             floor(col("doc_id") / 1000000000L).cast("int"),
             pmod(col("doc_id"), lit(1000000000L))).as("nm")),
           "doc_id", "nm", k = 1).count()),
+      // the dictionary GROWS with the corpus (base top-12 phrases plus
+      // their per-replica rotation images — the realistic regime: bigger
+      // corpus, bigger blocklist), and each replica's matches are
+      // isomorphic to the base's, so output must stay linear
+      "q144_dict_phrase_tags" -> { d =>
+        val k = d.agg(max(floor(col("doc_id") / 1000000000L)))
+          .head.getLong(0).toInt + 1
+        val dict = (0 until k).flatMap(i => basePhrases.map(rotPhrase(_, i)))
+          .distinct.sorted.zipWithIndex
+          .map { case (p, j) => (p, j + 1) }
+        import spark.implicits._
+        graft.ops.DictTag.tagDictionary(d, "doc_id", "text",
+          dict.toDF("phrase", "phrase_id")).count()
+      },
+      // replica vocabularies are disjoint, so every KN count table grows
+      // linearly and the score joins stay key-hashed — linear end to end
+      "q141_kn_lm_score" -> (d =>
+        graft.ops.LmScore.knBigramScore(
+          d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text").count()),
+      // tokenizer induction: the merge rounds run over the DISTINCT-WORD
+      // table (grows ~k with disjoint replica vocabs); round count fixed
+      "q143_wordpiece_compression" -> { d =>
+        val freqs = graft.ops.Bpe.wordFreqs(d, "text")
+        freqs.persist()
+        val rules = graft.ops.WordPiece.trainWordPieceOnFreqs(freqs, nMerges = 10)
+        val n = graft.ops.WordPiece
+          .tokenCompression(d, "text", "doc_id", freqs, rules).count()
+        freqs.unpersist(false)
+        n
+      },
+      "q145_unigram_compression" -> { d =>
+        val freqs = graft.ops.Bpe.wordFreqs(d, "text")
+        freqs.persist()
+        val vocab = graft.ops.UnigramLm.trainUnigramOnFreqs(freqs,
+          vocabSize = 300, seedSize = 600, emIters = 1)
+        val n = graft.ops.UnigramLm
+          .tokenCompression(d, "text", "doc_id", vocab).count()
+        freqs.unpersist(false)
+        n
+      },
     )
 
     // one warmup pass at 1x so JIT/codegen compilation is not billed to

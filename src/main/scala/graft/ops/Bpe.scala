@@ -65,12 +65,29 @@ object Bpe {
 
   /** [[trainBpe]] over a precomputed (word, cnt) frequency table. */
   def trainBpeOnFreqs(freqs: DataFrame, nMerges: Int,
-      checkpointEvery: Int = 8): Seq[MergeRule] = {
-    // initial symbols: the word's characters. HOF transform is
-    // interpreted, but it runs ONCE over the vocabulary table (not the
-    // corpus, not per round) — not a hot path.
-    // localCheckpoint once up front: the corpus-sized aggregation behind
-    // `freqs` must not re-run on every round's argmax job
+      checkpointEvery: Int = 8): Seq[MergeRule] =
+    // BPE's merge criterion IS the raw pair frequency
+    trainMergeLoop(freqs, nMerges, checkpointEvery)(
+      (pairs, _) => pairs.withColumn("ord", col("c")))
+
+  /** The merge-training loop shared by BPE and WordPiece: per round,
+    * count adjacent symbol pairs, let `score` attach an ordering column
+    * `ord` (it also sees the current words table, e.g. for unigram
+    * denominators), fuse the (ord DESC, l ASC, r ASC)-maximal pair with
+    * the [[graft.functions.BpeMerge]] kernel. The scoring expression is
+    * the ONLY thing that differs between the two algorithms — one loop
+    * keeps the determinism tie-breaks, exhaustion handling, and
+    * lineage hygiene in one place.
+    *
+    * Initial symbols: the word's characters. HOF transform is
+    * interpreted, but it runs ONCE over the vocabulary table (not the
+    * corpus, not per round) — not a hot path. localCheckpoint once up
+    * front: the corpus-sized aggregation behind `freqs` must not re-run
+    * on every round's argmax job.
+    */
+  private[ops] def trainMergeLoop(freqs: DataFrame, nMerges: Int,
+      checkpointEvery: Int)(
+      score: (DataFrame, DataFrame) => DataFrame): Seq[MergeRule] = {
     var words = freqs.select(
       transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))).as("syms"),
@@ -87,11 +104,12 @@ object Bpe {
             element_at(col("syms"), i + 2).as("r")))).as("p"), col("cnt"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("cnt").as("c"))
-      val top = pairs.orderBy(desc("c"), asc("l"), asc("r")).take(1)
+      val top = score(pairs, words)
+        .orderBy(desc("ord"), asc("l"), asc("r")).take(1)
       if (top.isEmpty) exhausted = true
       else {
-        val (l, rt, c) = (top.head.getString(0), top.head.getString(1),
-          top.head.getLong(2))
+        val (l, rt, c) = (top.head.getAs[String]("l"),
+          top.head.getAs[String]("r"), top.head.getAs[Long]("c"))
         rules += MergeRule(r + 1, l, rt, c)
         words = words.select(BpeMerge.merge(col("syms"), l, rt).as("syms"),
           col("cnt"))

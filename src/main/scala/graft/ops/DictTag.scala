@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * on the rarest token is what bounds fan-out: a phrase containing a
   * stopword never anchors on it, so candidate volume tracks the RARE
   * token's frequency (near the true match count), not the stopword's.
-  * Per-position work is O(anchor hits), corpus pass count is exactly 2
-  * (the df table and the match join) regardless of dictionary size —
-  * versus N full scans for per-phrase matching (q88 does one phrase).
+  * Per-position work is O(anchor hits). Corpus scans: 3 (the df table,
+  * the candidate stream, and the verification rejoin) regardless of
+  * dictionary size — versus N full scans for per-phrase matching (q88
+  * does one phrase); a caller that persists the tokenized corpus pays
+  * one materialization plus two cached reads instead.
   */
 object DictTag {
 

@@ -30,8 +30,12 @@ object Itemsets {
       minSupport: Long, maxSize: Int = 3): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxSize >= 1 && maxSize <= 3, s"maxSize must be 1..3, got $maxSize")
+    // items keep their native (orderable) type — a cast here would
+    // silently NULL non-numeric ids and corrupt every level; NULL items
+    // are excluded explicitly instead (they cannot form an itemset)
     val b = baskets
-      .select(col(basketCol).as("bk"), col(itemCol).cast("long").as("it"))
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .filter(col("it").isNotNull)
       .distinct()
     val l1 = b.groupBy("it").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)

@@ -157,12 +157,6 @@ object SketchStats {
     segs.groupBy("bin").agg(sum("cnt").as("cnt"))
   }
 
-  /** Percentile estimates off a merged histogram: for each q, the LOWER
-    * EDGE (width * bin) of the first bin whose cumulative count reaches
-    * ceil(q * n) — exact to one bin width, integer/decimal arithmetic
-    * only. The window runs over the BIN table (bounded by value range /
-    * width), never the data.
-    */
   /** Distribution drift between two merged histograms (same width): per
     * bin, the INTEGER cross-multiplied L1 deviation
     * `dev_num = |cnt_a * tot_b - cnt_b * tot_a|` — the numerator of
@@ -379,6 +373,12 @@ object SketchStats {
           .as("kurtosis_excess"))): _*)
   }
 
+  /** Percentile estimates off a merged histogram: for each q, the LOWER
+    * EDGE (width * bin) of the first bin whose cumulative count reaches
+    * ceil(q * n) — exact to one bin width, integer/decimal arithmetic
+    * only. The window runs over the BIN table (bounded by value range /
+    * width), never the data.
+    */
   def histQuantiles(hist: DataFrame, width: Double,
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),

@@ -72,9 +72,9 @@ object UnigramLm {
   }
 
   /** One E-step: per-word expected token counts under `vocab`
-    * (token, logp), plus the per-word log-likelihood. Returns
-    * (token, expected) rows; pass `likelihoodOut = true` to instead get
-    * (word, cnt, loglik). All lattice math is row-local.
+    * (token, logp), as (token, e) rows ready for the M-step sum. All
+    * lattice math is row-local; the likelihood view of the same lattice
+    * is [[wordLogLikelihood]].
     */
   private def eStepRows(freqs: DataFrame, vocab: DataFrame,
       maxPieceLen: Int): DataFrame = {
@@ -100,15 +100,22 @@ object UnigramLm {
   }
 
   /** Per-word corpus log-likelihood rows (word, cnt, loglik) under
-    * `vocab` — Σ cnt·loglik is the EM objective. */
+    * `vocab` — Σ cnt·loglik is the EM objective. Every input word gets
+    * a row: one with NO in-vocab substring (all its characters died in
+    * pruning) carries loglik = -inf, the true likelihood of an
+    * uncoverable word — dropping it would make the objective finite
+    * where the model assigns zero mass. */
   def wordLogLikelihood(freqs: DataFrame, vocab: DataFrame,
       maxPieceLen: Int = 6): DataFrame = {
     val withSpans = latticeSpans(freqs, vocab, maxPieceLen)
     val n = length(col("word"))
-    withSpans
+    val covered = withSpans
       .withColumn("_a", forwardAlphas(n))
+      .select(col("word"), element_at(col("_a"), n + 1).as("loglik"))
+    freqs.select(col("word"), col("cnt"))
+      .join(covered, Seq("word"), "left")
       .select(col("word"), col("cnt"),
-        element_at(col("_a"), n + 1).as("loglik"))
+        coalesce(col("loglik"), lit(NegInf)).as("loglik"))
   }
 
   /** (word, cnt, spans sorted by (st, ln, tok) with logp) — the lattice

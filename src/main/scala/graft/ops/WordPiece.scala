@@ -42,50 +42,22 @@ object WordPiece {
     trainWordPieceOnFreqs(Bpe.wordFreqs(docs, textCol), nMerges, checkpointEvery)
   }
 
-  /** [[trainWordPiece]] over a precomputed (word, cnt) frequency table. */
+  /** [[trainWordPiece]] over a precomputed (word, cnt) frequency table.
+    * Runs [[Bpe.trainMergeLoop]] with the likelihood scorer: per round
+    * one extra unigram aggregation (symbol occurrences weighted by word
+    * count — the denominators) joined onto the pair counts. */
   def trainWordPieceOnFreqs(freqs: DataFrame, nMerges: Int,
-      checkpointEvery: Int = 8): Seq[MergeRule] = {
-    var words = freqs.select(
-      transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))).as("syms"),
-      col("cnt"))
-      .localCheckpoint(true)
-    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
-    var r = 0
-    var exhausted = false
-    while (r < nMerges && !exhausted) {
-      val pairs = words
-        .filter(size(col("syms")) >= 2)
-        .select(explode(transform(sequence(lit(0), size(col("syms")) - lit(2)),
-          i => struct(element_at(col("syms"), i + 1).as("l"),
-            element_at(col("syms"), i + 2).as("r")))).as("p"), col("cnt"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("c"))
-      // the per-round unigram table: symbol occurrences weighted by word
-      // count — the denominators of the likelihood score
+      checkpointEvery: Int = 8): Seq[MergeRule] =
+    Bpe.trainMergeLoop(freqs, nMerges, checkpointEvery) { (pairs, words) =>
       val uni = words.select(explode(col("syms")).as("s"), col("cnt"))
         .groupBy("s").agg(sum("cnt").as("cu"))
-      val scored = pairs
+      pairs
         .join(uni.select(col("s").as("l"), col("cu").as("cl")), "l")
         .join(uni.select(col("s").as("r"), col("cu").as("cr")), "r")
         .select(col("l"), col("r"), col("c"),
           (col("c").cast("double") /
-            (col("cl").cast("double") * col("cr").cast("double"))).as("score"))
-      val top = scored.orderBy(desc("score"), asc("l"), asc("r")).take(1)
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, rt, c) = (top.head.getString(0), top.head.getString(1),
-          top.head.getLong(2))
-        rules += MergeRule(r + 1, l, rt, c)
-        words = words.select(BpeMerge.merge(col("syms"), l, rt).as("syms"),
-          col("cnt"))
-        if ((r + 1) % checkpointEvery == 0)
-          words = words.localCheckpoint(true)
-      }
-      r += 1
+            (col("cl").cast("double") * col("cr").cast("double"))).as("ord"))
     }
-    rules.toSeq
-  }
 
   /** The trained piece inventory: every character of the training
     * vocabulary plus every merge's fused output. */
@@ -127,8 +99,10 @@ object WordPiece {
   def segmentGreedyWithPieces(targetWords: DataFrame,
       piecesIn: DataFrame): DataFrame = {
     val pieces = piecesIn.select("piece").localCheckpoint(true)
-    val maxLen = math.max(1,
-      pieces.agg(max(length(col("piece")))).head.getInt(0))
+    // an empty inventory aggregates to a NULL max — floor at 1 (every
+    // position then falls to the <unk> hop) instead of NPE-ing
+    val maxRow = pieces.agg(max(length(col("piece")))).head
+    val maxLen = if (maxRow.isNullAt(0)) 1 else math.max(1, maxRow.getInt(0))
     segmentImpl(targetWords, pieces, maxLen)
   }
 
