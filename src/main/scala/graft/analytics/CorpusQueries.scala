@@ -615,6 +615,23 @@ object CorpusQueries {
       out
     },
 
+    // ---- multinomial Naive Bayes classifier: train add-one-smoothed
+    // token-count models on the 80% slice (doc_id % 5 <> 0), score the
+    // held-out 20% and keep the argmax class — the quality/language
+    // classifier slot of published LLM pipelines, fully oracle-checked
+    // (rounded ln + decimal-exact sums make the argmax bit-stable).
+    QueryDef(
+      "q149_nb_lang_classifier",
+      Some(graft.ops.NaiveBayes.oracleSql(
+        "doc_id % 5 <> 0", "doc_id % 5 = 0")),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.ops.NaiveBayes.trainScore(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+    },
+
     QueryDef("q104_bpe_token_ids", None) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val freqs = graft.ops.Bpe.wordFreqs(docs, "text")
