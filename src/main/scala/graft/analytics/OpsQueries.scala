@@ -557,6 +557,72 @@ object OpsQueries {
       SketchStats.hllDistinct(s, skDir, Seq("source")).orderBy("source")
     },
 
+    // ---- EXACT mergeable distinct via compressed bitmaps
+    // (graft.functions.BitmapOps): per-day bitmap "segments" of active
+    // users roll up to per-type exact distincts by OR-union — the exact
+    // sibling of q97's HLL path, and therefore fully oracle-checkable:
+    // the hash match proves union-exactness (merged-of-parts == whole),
+    // the property that lets bitmap segments compact without error.
+    QueryDef(
+      "q150_bitmap_distinct_rollup",
+      Some("""
+        WITH daily AS (SELECT event_type, day(ts) AS d,
+                              count(DISTINCT user_id) AS du
+                       FROM events GROUP BY 1, 2)
+        SELECT e.event_type,
+               (SELECT count(*) FROM daily WHERE event_type = e.event_type)
+                 AS n_days,
+               count(DISTINCT e.user_id) AS distinct_users,
+               (SELECT CAST(sum(du) AS BIGINT) FROM daily
+                WHERE event_type = e.event_type) AS sum_daily_distinct
+        FROM events e GROUP BY e.event_type ORDER BY e.event_type"""),
+    ) { (s, dir) =>
+      import graft.functions.BitmapOps._
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), dayofmonth(col("ts")).as("d"))
+        .agg(bitmapBuild(col("user_id")).as("bm"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          bitmapCount(bitmapMerge(col("bm"))).as("distinct_users"),
+          sum(bitmapCount(col("bm"))).as("sum_daily_distinct"))
+        .orderBy("event_type")
+    },
+
+    // ---- bitmap INTERSECTION — the op no cardinality sketch offers:
+    // per-type user retention across the month's halves as
+    // |first ∩ second| from two bitmaps built in the same single pass
+    // (conditional inputs; nulls skipped). Oracle: brute-force distinct
+    // set intersection in SQL.
+    QueryDef(
+      "q151_bitmap_retention",
+      Some("""
+        WITH a AS (SELECT DISTINCT event_type, user_id FROM events
+                   WHERE day(ts) <= 15),
+             b AS (SELECT DISTINCT event_type, user_id FROM events
+                   WHERE day(ts) > 15)
+        SELECT event_type,
+               (SELECT count(*) FROM a WHERE a.event_type = t.event_type)
+                 AS users_first_half,
+               (SELECT count(*) FROM b WHERE b.event_type = t.event_type)
+                 AS users_second_half,
+               count(*) AS retained
+        FROM (SELECT event_type, user_id FROM a
+              INTERSECT SELECT event_type, user_id FROM b) t
+        GROUP BY event_type ORDER BY event_type"""),
+    ) { (s, dir) =>
+      import graft.functions.BitmapOps._
+      val d = dayofmonth(col("ts"))
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(
+          bitmapBuild(when(d <= 15, col("user_id"))).as("_a"),
+          bitmapBuild(when(d > 15, col("user_id"))).as("_b"))
+        .select(col("event_type"),
+          bitmapCount(col("_a")).as("users_first_half"),
+          bitmapCount(col("_b")).as("users_second_half"),
+          bitmapAndCount(col("_a"), col("_b")).as("retained"))
+        .orderBy("event_type")
+    },
+
     // ---- entity resolution: edit-distance similarity self-join over
     // customer names (PassJoin pigeonhole blocking + levenshtein verify).
     // The oracle is BRUTE FORCE all-pairs in SQL — the hash match proves

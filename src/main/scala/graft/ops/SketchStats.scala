@@ -373,6 +373,67 @@ object SketchStats {
           .as("kurtosis_excess"))): _*)
   }
 
+  // --------------------------------------------------------------------
+  // Persisted mergeable EXACT distinct-id bitmaps — the exact sibling of
+  // the HLL segments ([[graft.functions.BitmapOps]]): each ingest batch
+  // appends one compressed bitmap row per group, and serving OR-unions
+  // the segments. Union is idempotent BY VALUE (a re-merged or
+  // twice-delivered segment cannot inflate the set), so — like HLL and
+  // unlike the additive histogram/moment/freq segments — compaction is
+  // safe even while a maintenance stream is live. Beyond exact counts,
+  // the persisted bitmaps answer INTERSECTION questions (cross-segment
+  // retention/overlap) that cardinality sketches cannot.
+  // --------------------------------------------------------------------
+
+  /** Append one batch's bitmap(s) of `idCol` (bigint) under
+    * `seg=<batchKey>` (idempotent overwrite), one row per `groupCols`
+    * value or a single global row.
+    */
+  def appendBitmapBatch(df: DataFrame, idCol: String, dir: String,
+      batchKey: String, groupCols: Seq[String] = Nil): Unit = {
+    checkKey(batchKey)
+    val bm = graft.functions.BitmapOps
+      .bitmapBuild(col(idCol).cast("long")).as("bitmap")
+    val out =
+      if (groupCols.isEmpty) df.agg(bm)
+      else df.groupBy(groupCols.map(col): _*).agg(bm)
+    out.write.mode("overwrite").parquet(s"$dir/seg=$batchKey")
+  }
+
+  /** Serve the EXACT distinct count from the persisted bitmap segments —
+    * reads only the bitmaps, never the ingested data. Because the union
+    * is exact and canonical-serialized, serving from N segments equals
+    * serving from any compaction of them byte-for-byte.
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val segs = spark.read.parquet(dir)
+    val cnt = graft.functions.BitmapOps.bitmapCount(
+      graft.functions.BitmapOps.bitmapMerge(col("bitmap"))).as("n_distinct")
+    if (groupCols.isEmpty) segs.agg(cnt)
+    else segs.groupBy(groupCols.map(col): _*).agg(cnt)
+  }
+
+  /** Compact all bitmap segments into one `base` segment (staged-swap
+    * protected). Exact merge: the compacted bitmap is byte-identical to
+    * the OR of the inputs, so every downstream count and intersection is
+    * unchanged.
+    */
+  def compactBitmap(spark: SparkSession, dir: String,
+      groupCols: Seq[String] = Nil): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val tmpPath = new org.apache.hadoop.fs.Path(dir + "_merging")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StagedSwap.recoverOrClearStage(fs, dirPath, tmpPath)
+    val segs = spark.read.parquet(dir)
+    val merged = graft.functions.BitmapOps.bitmapMerge(col("bitmap")).as("bitmap")
+    val out =
+      if (groupCols.isEmpty) segs.agg(merged)
+      else segs.groupBy(groupCols.map(col): _*).agg(merged)
+    out.write.mode("overwrite").parquet(s"$tmpPath/seg=base")
+    StagedSwap.swap(fs, dirPath, tmpPath)
+  }
+
   /** Percentile estimates off a merged histogram: for each q, the LOWER
     * EDGE (width * bin) of the first bin whose cumulative count reaches
     * ceil(q * n) — exact to one bin width, integer/decimal arithmetic
