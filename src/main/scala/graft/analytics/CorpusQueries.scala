@@ -615,6 +615,35 @@ object CorpusQueries {
       out
     },
 
+    // ---- WEIGHTED sampling without replacement (Efraimidis–Spirakis),
+    // 5 docs per source with probability ∝ n_chars: u from the q100
+    // integer hash, key = round(ln(u),6)/w (the IEEE-safe spelling of
+    // u^(1/w) ordering), per-source top-k. Hash-checked end to end —
+    // both engines rank the identical keys.
+    QueryDef(
+      "q152_weighted_sample",
+      Some("""
+        WITH h AS (SELECT doc_id, source, n_chars,
+                     ((doc_id % 100000007 + 42) * 2654435761) % 4294967296 AS hv
+                   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        k AS (SELECT doc_id, source, n_chars,
+                round(ln((hv + 0.5) / 4294967296.0), 6) /
+                  CAST(n_chars AS DOUBLE) AS wkey
+              FROM h),
+        r AS (SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY wkey DESC, doc_id) AS rn
+              FROM k)
+        SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
+        ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      graft.ops.Sampling.weightedSampleExact(
+        Tables.documents(s, dir), "doc_id", "n_chars",
+        k = 5, seed = 42L, strataCol = Some("source"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // ---- multinomial Naive Bayes classifier: train add-one-smoothed
     // token-count models on the 80% slice (doc_id % 5 <> 0), score the
     // held-out 20% and keep the argmax class — the quality/language

@@ -66,4 +66,44 @@ object Sampling {
       .filter(col("_srn") <= n)
       .drop("_srn")
   }
+
+  /** WEIGHTED sampling without replacement, k per stratum — the
+    * Efraimidis–Spirakis (2006, public literature) one-pass scheme the
+    * size-proportional curation steps need (e.g. "sample documents with
+    * probability ∝ length"): each row draws u ~ U(0,1) and the k largest
+    * keys u^(1/w) win. Rows with weight <= 0 or NULL are excluded (they
+    * have zero selection mass; excluding them also keeps the key total).
+    *
+    * Determinism/oracle scheme: u derives from [[seededRank]]'s integer
+    * hash as (h + 0.5)/2^32 — exactly representable, bit-identical
+    * cross-engine — and the key is ranked as round(ln(u), 6) / w, the
+    * same ordering as u^(1/w) (exp is monotone; pow itself is NOT
+    * correctly rounded, ln-then-divide is the IEEE-safe spelling). Ties
+    * (possible after rounding) break by the id for a total order.
+    *
+    * Scale shape: one shuffle keyed by the stratum, per-stratum sort
+    * bounded by stratum size, no global sort; with no strataCol the
+    * plan is TakeOrderedAndProject (bounded per-partition heaps), never
+    * a full sort.
+    */
+  def weightedSampleExact(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 42L, strataCol: Option[String] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("_wkey") && !df.columns.contains("_wrn"),
+      "_wkey/_wrn are reserved by weightedSampleExact; rename them on the input")
+    val u = (seededRank(col(idCol), seed) + lit(0.5)) / lit(4294967296.0)
+    val key = round(log(u), 6) / col(weightCol).cast("double")
+    val pos = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_wkey", key)
+    strataCol match {
+      case Some(s) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(s).orderBy(col("_wkey").desc, col(idCol))
+        pos.withColumn("_wrn", row_number().over(w))
+          .filter(col("_wrn") <= k)
+          .drop("_wrn")
+      case None =>
+        pos.orderBy(col("_wkey").desc, col(idCol)).limit(k)
+    }
+  }
 }

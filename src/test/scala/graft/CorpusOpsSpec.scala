@@ -219,6 +219,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("weightedSampleExact: matches the in-memory ES reference; excludes non-positive weights") {
+    import graft.ops.Sampling
+    val rows = (0L until 60L).map(i => (i, (i % 7 + 1) * 10.0)) ++
+      Seq((100L, 0.0), (101L, -3.0)) // zero selection mass, must be excluded
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSampleExact(df, "id", "w", k = 10, seed = 42L)
+      .select("id").as[Long].collect().toSet
+    // independent mirror of the key chain (same hash, same rounding)
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = rows.filter(_._2 > 0).map { case (id, w) =>
+      val hv = ((id % 100000007L + 42L) * 2654435761L) % 4294967296L
+      (id, round6(StrictMath.log((hv + 0.5) / 4294967296.0)) / w)
+    }.sortBy { case (id, k) => (-k, id) }.take(10).map(_._1).toSet
+    assert(got == ref)
+    assert(!got.contains(100L) && !got.contains(101L))
+    // per-stratum variant keeps k per stratum
+    val strat = (rows.map { case (id, w) => (id, w, s"s${id % 2}") })
+      .toDF("id", "w", "src")
+    val out = Sampling.weightedSampleExact(strat, "id", "w", k = 8,
+      strataCol = Some("src"))
+    assert(out.groupBy("src").count().collect()
+      .forall(_.getLong(1) == 8L))
+  }
+
+  test("weightedSampleExact: selection frequency tracks weight across seeds") {
+    import graft.ops.Sampling
+    // one heavy item (w=500) among 50 light (w=1): with k=5 the heavy
+    // item's ES inclusion probability is >0.99 — across 15 seeds it must
+    // almost always appear; any light item must not always appear
+    val df = ((0L until 50L).map(i => (i, 1.0)) :+ (99L, 500.0)).toDF("id", "w")
+    val picks = (1L to 15L).map { seed =>
+      Sampling.weightedSampleExact(df, "id", "w", k = 5, seed = seed)
+        .select("id").as[Long].collect().toSet
+    }
+    assert(picks.count(_.contains(99L)) >= 13,
+      s"heavy item picked only ${picks.count(_.contains(99L))}/15 times")
+    val lightAlways = (0L until 50L).filter(i => picks.forall(_.contains(i)))
+    assert(lightAlways.isEmpty, s"light items $lightAlways picked every time")
+  }
+
   test("reserved output columns on the input are rejected, not clobbered") {
     import graft.ops.CorpusOps
     val withKeep = Seq((1L, "x", true)).toDF("id", "text", "keep")
