@@ -198,5 +198,71 @@ object WindowQueries {
           .orderBy("user_id")
       }
     },
+
+    // ---- per-user HOLT double exponential smoothing (level + linear
+    // trend; Holt 1957): l_t = α·x_t + (1-α)·(l_{t-1}+b_{t-1}),
+    // b_t = β·(l_t-l_{t-1}) + (1-β)·b_{t-1}, seeded l_2 = x_2,
+    // b_2 = x_2-x_1 — the q146 row-local fold upgraded to a PAIR
+    // accumulator. Both engines fold the identical pair recurrence
+    // (DuckDB list_reduce seeds with a prepended [l, b] PAIR-LIST — not
+    // a struct: DuckDB 1.0 updates struct accumulator fields in place
+    // sequentially, so a struct's trend field would read the
+    // already-updated level; list accumulators evaluate both elements
+    // against the old state. The new level is inlined twice in the
+    // trend update in BOTH lambdas, so op order matches term-for-term)
+    // — only +,-,* on doubles, hence bit-exact with no rounding step.
+    // Users with < 2 events have no defined trend and are excluded.
+    {
+      val a = 0.5
+      val b = 0.3
+      QueryDef(
+        "q153_user_holt_trend",
+        Some(s"""
+          WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+                     FROM events GROUP BY user_id HAVING count(*) >= 2),
+          st AS (SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+                   list_reduce(
+                     list_prepend(
+                       [vals[2], vals[2] - vals[1]],
+                       list_transform(vals[3:], x ->
+                         [x, CAST(0 AS DOUBLE)])),
+                     (acc, e) ->
+                       [CAST($a AS DOUBLE) * e[1] +
+                          CAST(${1 - a} AS DOUBLE) * (acc[1] + acc[2]),
+                        CAST($b AS DOUBLE) *
+                          ((CAST($a AS DOUBLE) * e[1] +
+                            CAST(${1 - a} AS DOUBLE) * (acc[1] + acc[2]))
+                           - acc[1]) +
+                          CAST(${1 - b} AS DOUBLE) * acc[2]]) AS r
+                 FROM g)
+          SELECT user_id, n_events, r[1] AS level, r[2] AS trend,
+                 r[1] + r[2] AS forecast
+          FROM st ORDER BY user_id"""),
+      ) { (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+          .withColumn("vals", transform(col("evs"), e => e.getField("value")))
+          .filter(size(col("vals")) >= 2)
+          .select(col("user_id"), size(col("vals")).as("n_events"),
+            aggregate(
+              slice(col("vals"), lit(3),
+                greatest(size(col("vals")) - 2, lit(0))),
+              struct(
+                element_at(col("vals"), 2).as("l"),
+                (element_at(col("vals"), 2) - element_at(col("vals"), 1)).as("b")),
+              (acc, x) => struct(
+                (lit(a) * x + lit(1 - a) *
+                  (acc.getField("l") + acc.getField("b"))).as("l"),
+                (lit(b) * ((lit(a) * x + lit(1 - a) *
+                  (acc.getField("l") + acc.getField("b"))) - acc.getField("l"))
+                  + lit(1 - b) * acc.getField("b")).as("b"))).as("r"))
+          .select(col("user_id"), col("n_events"),
+            col("r.l").as("level"), col("r.b").as("trend"),
+            (col("r.l") + col("r.b")).as("forecast"))
+          .orderBy("user_id")
+      }
+    },
   )
 }
