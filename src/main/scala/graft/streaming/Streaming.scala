@@ -733,6 +733,37 @@ object Streaming {
       .start()
   }
 
+  /** Streaming EXACT-distinct bitmap maintenance: every micro-batch
+    * appends its compressed-bitmap segment
+    * ([[graft.ops.SketchStats.appendBitmapBatch]]); serving OR-unions
+    * segments only ([[graft.ops.SketchStats.bitmapDistinct]]). Bitmap
+    * union is idempotent BY VALUE — a batch folded into `base` and then
+    * replayed after a crash re-asserts the same set membership, never
+    * double-counts — so, like the HLL loop and unlike the additive
+    * histogram/moment/freq loops, mid-stream compaction is safe
+    * (`compactEvery`).
+    */
+  def bitmapStream(input: DataFrame, bmDir: String, checkpoint: String,
+      idCol: String, groupCols: Seq[String] = Nil,
+      compactEvery: Int = 0): StreamingQuery = {
+    val key = runKey(checkpoint)
+    input.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        recoverStage(sp, bmDir, "_merging")
+        val p = new org.apache.hadoop.fs.Path(bmDir)
+        val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+            fs.exists(p))
+          graft.ops.SketchStats.compactBitmap(sp, bmDir, groupCols)
+        graft.ops.SketchStats.appendBitmapBatch(batch, idCol, bmDir,
+          s"$key-$batchId", groupCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---- stateful sessionization -------------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

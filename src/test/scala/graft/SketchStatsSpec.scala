@@ -412,4 +412,32 @@ class SketchStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - m3 / (m2 * math.sqrt(m2))) < 1e-12)
     assert(math.abs(r.getDouble(4) - (m4 / (m2 * m2) - 3.0)) < 1e-12)
   }
+
+  test("streamed bitmap maintenance with mid-stream compaction serves EXACT counts per wave") {
+    import graft.streaming.Streaming
+    val work = java.nio.file.Files.createTempDirectory("graft_bmstream").toString
+    val raw = s"$work/raw"; val bm = s"$work/bm"; val ckpt = s"$work/ckpt"
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val waves = (0 until 3).map(k => events.filter(pmod(col("event_id"), lit(3)) === k))
+    var fed = waves.head.limit(0)
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.write.mode("append").parquet(raw)
+      fed = fed.unionByName(w)
+      val q = Streaming.bitmapStream(
+        spark.readStream.schema(events.schema).parquet(raw),
+        bm, ckpt, "user_id", Seq("event_type"), compactEvery = 2)
+      assert(q.awaitTermination(120000), s"bitmap wave $k timed out")
+      val served = SketchStats.bitmapDistinct(spark, bm, Seq("event_type"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val direct = fed.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the bitmap path is EXACT after every wave — including the wave
+      // where mid-stream compaction fired (idempotent by value)
+      assert(served == direct, s"wave $k: served=$served direct=$direct")
+    }
+    val segs = new java.io.File(bm).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segs.contains("seg=base") && segs.size == 2, segs.toString)
+  }
 }
