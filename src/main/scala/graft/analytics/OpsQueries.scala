@@ -759,6 +759,22 @@ object OpsQueries {
     // GROUP BY oracle proves the under-capacity exactness property;
     // the over-capacity bound lives in SketchStatsSpec.
     QueryDef(
+      "q154_als_recommendations",
+      None, // iterative MF — no SQL oracle; RecommenderSpec carries the
+            // metric gate (beats global-mean baseline RMSE) and the
+            // top-k shape/ordering contracts
+    ) { (s, dir) =>
+      import graft.ml.Recommender
+      val ratings = Recommender.purchaseRatings(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))
+      val model = Recommender.fit(ratings,
+        Recommender.Config(rank = 8, maxIter = 8))
+      Recommender.recommendItems(model, k = 3)
+        .filter(col("c_custkey") <= 100)
+        .orderBy("c_custkey", "rank")
+    },
+
+    QueryDef(
       "q147_freq_segments",
       Some("""
         SELECT CAST(event_type AS VARCHAR) AS item, count(*) AS cnt
