@@ -414,6 +414,33 @@ private[analytics] object DuckXxh {
     * within the shard (ties to doc_id). Mirrors the q84 registration in
     * `RankQueries`.
     */
+  /** The q156 oracle: seeded ±1 random projection of `embeddings` —
+    * sign(i,j) = parity of xxhash64(i·dOut + j) through this module's
+    * XXH64 chain, signed sums as exact DECIMAL(38,6), one double divide
+    * by the same √dOut literal Spark uses (mirrors
+    * [[graft.ops.VectorSim.signProject]] bit for bit).
+    */
+  def signProjectOracle(dIn: Int, dOut: Int): String = {
+    val (ctes, last, out) = hashLongChain("sp",
+      u64("CAST(pk AS HUGEINT)"), "42::HUGEINT", "pj0")
+    val all = Seq(
+      s"pj0 AS MATERIALIZED (SELECT CAST(t1.i AS INT) AS i, " +
+        s"CAST(t2.j AS INT) AS j, t1.i * $dOut + t2.j AS pk " +
+        s"FROM range($dIn) t1(i), range($dOut) t2(j))") ++ ctes ++ Seq(
+      s"sgn AS MATERIALIZED (SELECT i, j, ($out) % 2 = 0 AS pos FROM $last)",
+      s"ex AS MATERIALIZED (SELECT vec_id, CAST(r.i0 AS INT) AS i, " +
+        "CAST(embedding[CAST(r.i0 AS INT) + 1] AS DOUBLE) AS x " +
+        s"FROM embeddings, range($dIn) r(i0))",
+      "pr AS (SELECT e.vec_id, s.j AS dim, " +
+        "CAST(SUM(CASE WHEN s.pos THEN CAST(e.x AS DECIMAL(38,6)) " +
+        "ELSE -CAST(e.x AS DECIMAL(38,6)) END) AS DOUBLE) / " +
+        s"CAST(${math.sqrt(dOut.toDouble)} AS DOUBLE) AS value " +
+        "FROM ex e JOIN sgn s ON e.i = s.i GROUP BY 1, 2)",
+    )
+    "WITH " + all.mkString(",\n") +
+      "\nSELECT vec_id, dim, value FROM pr ORDER BY vec_id, dim"
+  }
+
   def shardAssignOracle(nShards: Int): String = {
     val (ctes, last, out) = hashLongChain("sh",
       u64("CAST(doc_id AS HUGEINT)"), "42::HUGEINT", "shsrc")

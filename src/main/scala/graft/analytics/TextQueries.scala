@@ -297,5 +297,60 @@ object TextQueries {
       DictTag.tagDictionary(docs, "doc_id", "text", dict)
         .orderBy("doc_id", "phrase_id")
     },
+
+    // ---- per-source Zipf slope: least-squares fit of ln(freq) on
+    // ln(rank) over each source's top-100 token frequencies — the
+    // lexical-health diagnostic (natural text sits near -1; templated or
+    // scraped-boilerplate sources flatten). One exploded-token groupBy,
+    // a per-source window rank (bounded top-100), and the covariance
+    // sums — x/y rounded 6dp after ln, power sums decimal-exact, the
+    // closing slope/intercept arithmetic mirrored term-for-term.
+    QueryDef(
+      "q155_zipf_slope",
+      Some(s"""
+        WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                     FROM documents),
+        tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY source, tok),
+        rk AS (SELECT source, c,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY c DESC, tok ASC) AS r
+               FROM tc),
+        xy AS (SELECT source,
+                 round(ln(CAST(r AS DOUBLE)), 6) AS x,
+                 round(ln(CAST(c AS DOUBLE)), 6) AS y
+               FROM rk WHERE r <= 100),
+        s AS (SELECT source, count(*) AS n,
+                ${Det.sqlSum("x")} AS sx, ${Det.sqlSum("y")} AS sy,
+                ${Det.sqlSum("x * y")} AS sxy, ${Det.sqlSum("x * x")} AS sxx
+              FROM xy GROUP BY source)
+        SELECT source, CAST(n AS INT) AS n_ranks,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS zipf_slope,
+               (sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n
+                 AS intercept
+        FROM s ORDER BY source"""),
+    ) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("c").desc, col("tok").asc)
+      val xy = Tables.documents(s, dir)
+        .select(col("source"), explode(toks).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= 100)
+        .select(col("source"),
+          round(log(col("r").cast("double")), 6).as("x"),
+          round(log(col("c").cast("double")), 6).as("y"))
+      xy.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),
+          Det.dsum(col("x") * col("y")).as("sxy"),
+          Det.dsum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("n").cast("int").as("n_ranks"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))).as("zipf_slope"),
+          ((col("sy") - (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n")) * col("sx")) /
+            col("n")).as("intercept"))
+        .orderBy("source")
+    },
   )
 }

@@ -209,5 +209,19 @@ object VectorQueries {
         topN = 20, k = 5, lam = 0.7)
         .orderBy("query_id", "mmr_rank")
     },
+
+    // ---- seeded ±1 random projection (Achlioptas/JL) 64 -> 16 dims:
+    // the ANN front end that shortens vectors before indexing. The
+    // implicit sign matrix is re-derived from the XXH64 parity inside a
+    // row-local decimal-exact fold (zero shuffles), and the oracle
+    // replays hash, signs, and sums bit-for-bit in SQL.
+    QueryDef(
+      "q156_random_projection",
+      Some(DuckXxh.signProjectOracle(dIn = 64, dOut = 16)),
+    ) { (s, dir) =>
+      VectorSim.signProject(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dIn = 64, dOut = 16)
+        .orderBy("vec_id", "dim")
+    },
   )
 }

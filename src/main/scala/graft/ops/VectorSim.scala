@@ -1161,4 +1161,42 @@ object VectorSim {
     base.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cell"))
   }
+
+  /** Seeded ±1 RANDOM PROJECTION to `dOut` dimensions (Achlioptas 2003's
+    * database-friendly Johnson–Lindenstrauss map, public literature) —
+    * the dimensionality-reduction front end of an ANN stack: project
+    * once, then index/search the short vectors. The projection matrix is
+    * NEVER materialized: s(i,j) = ±1 from the parity of
+    * xxhash64(i·dOut + j), recomputed inside the row-local fold, so the
+    * operator is ZERO-shuffle, zero-broadcast, and identically seeded on
+    * every executor. y_j = (Σ_i ±x_i) / √dOut with the signed sum
+    * accumulated as an exact DECIMAL(38,6) (order-free — the [[graft.core.Det]]
+    * scheme inside a HOF), then ONE double division — so the projected
+    * values are bit-reproducible and DuckDB-oracle-checkable through the
+    * re-implemented XXH64 chain ([[graft.analytics.DuckXxh.signProjectOracle]]).
+    *
+    * Output: one row per (id, dim) with the projected value — exploded,
+    * not an array, so every sink/driver path can hash it.
+    */
+  def signProject(vecs: DataFrame, idCol: String, vecCol: String,
+      dIn: Int, dOut: Int): DataFrame = {
+    require(dIn > 0 && dOut > 0, s"dims must be positive, got $dIn -> $dOut")
+    val zero = lit(BigDecimal(0))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val inv = lit(math.sqrt(dOut.toDouble))
+    vecs.select(col(idCol), col(vecCol).as("_v"))
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), lit(dOut - 1)), j => struct(
+          j.as("dim"),
+          (aggregate(
+            sequence(lit(0), lit(dIn - 1)), zero,
+            (acc, i) => {
+              val x = element_at(col("_v"), i + 1).cast("double")
+                .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+              acc + when(
+                pmod(xxhash64(i.cast("long") * dOut + j), lit(2L)) === 0, x)
+                .otherwise(-x)
+            }).cast("double") / inv).as("value")))).as("p"))
+      .select(col(idCol), col("p.dim").as("dim"), col("p.value").as("value"))
+  }
 }

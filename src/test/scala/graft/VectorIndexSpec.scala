@@ -482,4 +482,25 @@ class VectorIndexSpec extends SparkSpec {
       VectorSim.mmrRerank(q, emb, "vec_id", "embedding", 5, 3, 1.5)
     }
   }
+
+  test("signProject preserves norms on average (JL contract) and is deterministic") {
+    val emb = Tables.embeddings(spark, sf001)
+    val proj = VectorSim.signProject(emb, "vec_id", "embedding", 64, 32)
+    val pn = proj.groupBy("vec_id")
+      .agg(sum(col("value") * col("value")).as("pn"))
+    val on = emb.select(col("vec_id"),
+      aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")).as("on"))
+    val ratios = pn.join(on, "vec_id")
+      .select((col("pn") / col("on")).as("r")).collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    // E[||Px||^2] = ||x||^2 for a ±1/sqrt(d) JL map; at dOut=32 the mean
+    // over the corpus concentrates tightly around 1
+    assert(mean > 0.85 && mean < 1.15, s"mean norm ratio $mean")
+    // re-derived sign matrix: same projection on every run
+    val a = proj.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val b = VectorSim.signProject(emb, "vec_id", "embedding", 64, 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
 }
