@@ -758,6 +758,40 @@ object OpsQueries {
     // served counts are EXACT — the hash match against a plain
     // GROUP BY oracle proves the under-capacity exactness property;
     // the over-capacity bound lives in SketchStatsSpec.
+    // ---- incremental KLL quantiles: three ingest batches each append a
+    // bounded quantile summary per event_type; serving merges summaries
+    // only. At this group size nothing compacts, so the served
+    // estimates are EXACT and the oracle replays the shared quantile
+    // definition (smallest value whose cumulative count reaches
+    // ceil(q·n)) directly in SQL — the q147 under-capacity pattern for
+    // ranks. Over-capacity error bounds live in SketchStatsSpec.
+    QueryDef(
+      "q157_kll_quantiles",
+      Some("""
+        WITH s AS (SELECT event_type, value, count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, value,
+                sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+                sum(c) OVER (PARTITION BY event_type) AS n
+              FROM s),
+        qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q)
+        SELECT event_type, q, min(value) AS est
+        FROM w CROSS JOIN qs WHERE cum >= ceil(q * n)
+        GROUP BY event_type, q ORDER BY event_type, q"""),
+    ) { (s, dir) =>
+      import graft.ops.SketchStats
+      val events = Tables.events(s, dir)
+      val kDir = java.nio.file.Files.createTempDirectory("graft-kll157").toString
+      (0 until 3).foreach { k =>
+        SketchStats.appendKllBatch(
+          events.filter(pmod(col("event_id"), lit(3)) === k),
+          "value", kDir, s"b$k", k = 4096, groupCols = Seq("event_type"))
+      }
+      SketchStats.kllQuantiles(s, kDir, Seq(0.25, 0.5, 0.75, 0.95),
+        Seq("event_type"))
+        .orderBy("event_type", "q")
+    },
+
     QueryDef(
       "q154_als_recommendations",
       None, // iterative MF — no SQL oracle; RecommenderSpec carries the

@@ -434,6 +434,80 @@ object SketchStats {
     StagedSwap.swap(fs, dirPath, tmpPath)
   }
 
+  // --------------------------------------------------------------------
+  // Persisted mergeable KLL quantile segments — the rank sibling of the
+  // histogram segments for UNKNOWN value ranges (no bin width to choose):
+  // each batch appends one bounded summary per group; serving merges
+  // summaries only. Like the freq/moment segments (and unlike HLL or
+  // bitmaps), merged state is NOT idempotent by value — a batch replayed
+  // after compaction would re-enter the summary — so compaction runs
+  // only while ingestion is stopped. k is a frozen parameter (the lgK
+  // pattern): mixed-k segments are rejected loudly.
+  // --------------------------------------------------------------------
+
+  /** Append one batch's KLL summaries of `valueCol` under
+    * `seg=<batchKey>` (idempotent overwrite).
+    */
+  def appendKllBatch(df: DataFrame, valueCol: String, dir: String,
+      batchKey: String, k: Int = 1024, groupCols: Seq[String] = Nil): Unit = {
+    checkKey(batchKey)
+    val sk = graft.functions.KllSketch
+      .kllBuild(col(valueCol).cast("double"), k).as("sketch")
+    val out =
+      if (groupCols.isEmpty) df.agg(sk)
+      else df.groupBy(groupCols.map(col): _*).agg(sk)
+    out.withColumn("kll_k", lit(k))
+      .write.mode("overwrite").parquet(s"$dir/seg=$batchKey")
+  }
+
+  /** Serve quantile estimates from the persisted KLL segments — one row
+    * per (group, q). Under capacity (group count <= k per batch and no
+    * compaction depth) the estimates are EXACT.
+    */
+  def kllQuantiles(spark: SparkSession, dir: String, qs: Seq[Double],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val segs = spark.read.parquet(dir)
+    val ks = segs.select("kll_k").distinct().collect().map(_.getInt(0))
+    require(ks.length == 1,
+      s"KLL index at $dir mixes k values ${ks.sorted.mkString(",")}; " +
+        "rebuild the offending segments with one k")
+    val merged = {
+      val m = graft.functions.KllSketch.kllMerge(col("sketch")).as("sketch")
+      if (groupCols.isEmpty) segs.agg(m)
+      else segs.groupBy(groupCols.map(col): _*).agg(m)
+    }
+    qs.map { q =>
+      merged.select((groupCols.map(col) :+ lit(q).as("q") :+
+        graft.functions.KllSketch.kllQuantile(col("sketch"), lit(q))
+          .as("est")): _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Compact all KLL segments into one `base` segment (staged-swap
+    * protected; ingestion must be stopped — see class note).
+    */
+  def compactKll(spark: SparkSession, dir: String,
+      groupCols: Seq[String] = Nil): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val tmpPath = new org.apache.hadoop.fs.Path(dir + "_merging")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StagedSwap.recoverOrClearStage(fs, dirPath, tmpPath)
+    val segs = spark.read.parquet(dir)
+    val ks = segs.select("kll_k").distinct().collect().map(_.getInt(0))
+    require(ks.length == 1,
+      s"KLL index at $dir mixes k values ${ks.sorted.mkString(",")}; " +
+        "repair before compacting")
+    val m = graft.functions.KllSketch.kllMerge(col("sketch")).as("sketch")
+    val out =
+      if (groupCols.isEmpty) segs.agg(m)
+      else segs.groupBy(groupCols.map(col): _*).agg(m)
+    out.withColumn("kll_k", lit(ks.head))
+      .write.mode("overwrite").parquet(s"$tmpPath/seg=base")
+    StagedSwap.swap(fs, dirPath, tmpPath)
+  }
+
   /** Percentile estimates off a merged histogram: for each q, the LOWER
     * EDGE (width * bin) of the first bin whose cumulative count reaches
     * ceil(q * n) — exact to one bin width, integer/decimal arithmetic

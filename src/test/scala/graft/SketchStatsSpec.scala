@@ -413,6 +413,76 @@ class SketchStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - (m4 / (m2 * m2) - 3.0)) < 1e-12)
   }
 
+  test("KLL: weight conservation, over-capacity rank-error bound, merge-order robustness") {
+    import graft.functions.KllSketch
+    val n = 100000
+    val rnd = new scala.util.Random(3)
+    val data = Array.fill(n)(rnd.nextDouble() * 1000.0)
+    val sorted = data.sorted
+    def rankOf(v: Double): Int = {
+      // rank of the estimate in the true data (count of values <= v)
+      var lo = 0; var hi = n
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (sorted(m) <= v) lo = m + 1 else hi = m }
+      lo
+    }
+    val sk = new KllSketch.KllSummary(256)
+    data.foreach(sk.add)
+    // the compaction pairing must conserve total weight EXACTLY
+    assert(sk.totalWeight == n.toLong, s"weight ${sk.totalWeight} != $n")
+    assert(sk.count == n.toLong)
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val maxErr = qs.map { q =>
+      math.abs(rankOf(sk.quantile(q)) - math.ceil(q * n)).toInt
+    }.max
+    assert(maxErr <= (0.05 * n).toInt, s"rank error $maxErr > 5% of $n")
+    // merge-order robustness: 4 partials in two different merge shapes
+    val parts = data.grouped(n / 4 + 1).map { chunk =>
+      val p = new KllSketch.KllSummary(256); chunk.foreach(p.add); p
+    }.toSeq
+    def mergedErr(order: Seq[Int]): Int = {
+      val m = new KllSketch.KllSummary(256)
+      order.foreach(i => m.merge(KllSketch.deserialize(parts(i).serialize())))
+      assert(m.totalWeight == n.toLong)
+      qs.map(q => math.abs(rankOf(m.quantile(q)) - math.ceil(q * n)).toInt).max
+    }
+    assert(mergedErr(Seq(0, 1, 2, 3)) <= (0.05 * n).toInt)
+    assert(mergedErr(Seq(3, 1, 0, 2)) <= (0.05 * n).toInt)
+  }
+
+  test("KLL segments: under-capacity exactness, lossless compaction, mixed-k gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kllseg").toString
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    (0 until 3).foreach { k =>
+      SketchStats.appendKllBatch(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === k),
+        "l_quantity", dir, s"b$k", k = 65536, groupCols = Seq("l_returnflag"))
+    }
+    def serve() = SketchStats
+      .kllQuantiles(spark, dir, Seq(0.5, 0.9), Seq("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val served = serve()
+    // under capacity nothing compacts: the median is the exact
+    // ceil(q*n)-th value per group
+    val groups = li.select("l_returnflag").distinct().collect().map(_.getString(0))
+    groups.foreach { g =>
+      val vals = li.filter(col("l_returnflag") === g)
+        .select(col("l_quantity").cast("double")).collect().map(_.getDouble(0)).sorted
+      Seq(0.5, 0.9).foreach { q =>
+        val want = vals(math.ceil(q * vals.length).toInt - 1)
+        assert(served((g, q)) == want, s"group $g q$q: ${served((g, q))} != $want")
+      }
+    }
+    SketchStats.compactKll(spark, dir, Seq("l_returnflag"))
+    assert(serve() == served, "stopped-stream compaction must not move exact estimates")
+    val segs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segs == Set("seg=base"))
+    SketchStats.appendKllBatch(li.limit(10), "l_quantity", dir, "bad", k = 128)
+    intercept[IllegalArgumentException] {
+      SketchStats.kllQuantiles(spark, dir, Seq(0.5))
+    }
+  }
+
   test("streamed bitmap maintenance with mid-stream compaction serves EXACT counts per wave") {
     import graft.streaming.Streaming
     val work = java.nio.file.Files.createTempDirectory("graft_bmstream").toString
