@@ -578,6 +578,48 @@ object AggQueries {
         .orderBy("part")
     },
 
+    // ---- label-propagation communities over the co-purchase graph:
+    // 3 synchronous rounds, most-frequent-neighbor label with min-label
+    // tie-break — a deterministic integer function of the previous
+    // labeling, so the oracle UNROLLS the rounds as CTEs (the q133
+    // fixed-point pattern applied to community detection).
+    QueryDef(
+      "q160_copurchase_communities",
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+        s1 AS (SELECT s.u AS node, l.lab, count(*) AS c
+               FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2),
+        l1 AS (SELECT node, lab FROM (SELECT node, lab,
+                 row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, lab ASC) AS rn FROM s1) WHERE rn = 1),
+        s2 AS (SELECT s.u AS node, l.lab, count(*) AS c
+               FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2),
+        l2 AS (SELECT node, lab FROM (SELECT node, lab,
+                 row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, lab ASC) AS rn FROM s2) WHERE rn = 1),
+        s3 AS (SELECT s.u AS node, l.lab, count(*) AS c
+               FROM sym s JOIN l2 l ON l.node = s.v GROUP BY 1, 2),
+        l3 AS (SELECT node, lab FROM (SELECT node, lab,
+                 row_number() OVER (PARTITION BY node
+                   ORDER BY c DESC, lab ASC) AS rn FROM s3) WHERE rn = 1)
+        SELECT node AS part, lab AS community FROM l3 ORDER BY part"""),
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      graft.ops.Components.labelPropagation(edges, "src", "dst", rounds = 3)
+        .select(col("node").as("part"), col("lab").as("community"))
+        .orderBy("part")
+    },
+
     // ---- single-source BFS shortest hop counts over the co-purchase
     // graph, from its smallest part id: level-synchronous frontier
     // expansion (one edge join + one visited anti-join per level) —

@@ -661,6 +661,43 @@ object CorpusQueries {
         "doc_id", "text", "lang")
     },
 
+    // ---- distributed word-embedding training (spark.ml Word2Vec,
+    // skip-gram): the producer of the engine's embedding surface. Output
+    // = top-3 vocabulary neighbors of the corpus' 10 most frequent
+    // tokens. no_oracle (stochastic-by-parallelism, like every hogwild
+    // embedding trainer); EmbeddingsSpec pins planted co-occurrence →
+    // cosine-proximity structure and output shape.
+    QueryDef("q159_word2vec_synonyms", None) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val top = docs
+        .select(explode(graft.core.Cols.wsTokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("tok")).limit(10)
+        .collect().map(_.getString(0)).toSeq // 10 strings — stat-broadcast class
+      val model = graft.ml.Embeddings.word2vec(docs, "text",
+        vectorSize = 16, minCount = 2, maxIter = 1)
+      graft.ml.Embeddings.topSynonyms(model, top, k = 3)
+        .orderBy("token", "rank")
+    },
+
+    // ---- compression-ratio quality signal (Gopher-style): DEFLATE
+    // size / raw size per document, row-local custom expression
+    // (functions/DeflateSize) — boilerplate and machine-generated text
+    // compress far below natural prose. no_oracle (zlib bit streams are
+    // engine-build-specific); FunctionsSpec pins JVM-reference equality,
+    // repetition monotonicity, and codegen agreement.
+    QueryDef("q158_compressibility", None) { (s, dir) =>
+      import graft.functions.DeflateSize.deflateSize
+      Tables.documents(s, dir)
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+          deflateSize(col("text")).as("z_bytes"))
+        .withColumn("ratio",
+          when(col("n_bytes") > 0,
+            round(col("z_bytes").cast("double") / col("n_bytes"), 6)))
+        .withColumn("compressible", col("ratio") < 0.4)
+        .orderBy("doc_id")
+    },
+
     QueryDef("q104_bpe_token_ids", None) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val freqs = graft.ops.Bpe.wordFreqs(docs, "text")

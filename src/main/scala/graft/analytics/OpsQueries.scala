@@ -802,7 +802,7 @@ object OpsQueries {
       val ratings = Recommender.purchaseRatings(
         Tables.orders(s, dir), Tables.lineitem(s, dir))
       val model = Recommender.fit(ratings,
-        Recommender.Config(rank = 8, maxIter = 8))
+        Recommender.Config(rank = 8, maxIter = 5))
       Recommender.recommendItems(model, k = 3)
         .filter(col("c_custkey") <= 100)
         .orderBy("c_custkey", "rank")

@@ -264,4 +264,43 @@ object Components extends org.apache.spark.internal.Logging {
     }
     visited
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007, public
+    * literature) — community detection over an undirected graph: every
+    * node starts labeled with its own id; each round it adopts the most
+    * frequent label among its neighbors, ties to the SMALLEST label.
+    * The min-tie-break makes each round a deterministic integer
+    * function of the previous labeling (no randomized visit order), so
+    * the whole run is DuckDB-oracle-checkable by unrolling the rounds
+    * as CTEs — the q133 fixed-point pattern for communities.
+    *
+    * Scale shape: one join + hash agg + per-node bounded window per
+    * round over the symmetrized edge list; lineage cut per round
+    * (`localCheckpoint`) like the CC/BFS loops. A fixed small round
+    * count is the published guidance (LP converges in a handful of
+    * sweeps; synchronous LP may two-cycle on bipartite structures, which
+    * a fixed count sidesteps deterministically).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true) // re-read every round
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("c").desc, col("lab").asc)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy("u", "lab").agg(count(lit(1)).as("c"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("lab"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

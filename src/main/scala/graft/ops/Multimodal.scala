@@ -147,7 +147,11 @@ object Multimodal {
         val o = off.toInt // bounded by b.length here, safe
         val id = tag(b, o)
         val len = leInt(b, o + 4)
-        if (id == "fmt " && off + 16 + 4 <= b.length) byteRate = leInt(b, o + 16)
+        // require the chunk to DECLARE >= 16 bytes of fmt fields (same
+        // guard as parseWavPcm): a malformed shorter fmt must not read
+        // the following chunk's bytes as a byte-rate
+        if (id == "fmt " && len >= 16 && off + 16 + 4 <= b.length)
+          byteRate = leInt(b, o + 16)
         else if (id == "data" && byteRate > 0) return Some(len * 1000L / byteRate)
         off += 8L + len + (len & 1L) // chunks are word-aligned
       }

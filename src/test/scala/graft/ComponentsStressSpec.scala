@@ -159,4 +159,23 @@ class ComponentsStressSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(lone == Map(10L -> 0))
   }
+
+  test("label propagation: two planted cliques converge to two min-id communities") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    // two 5-cliques joined by ONE bridge edge: LP must keep them as two
+    // communities labeled by each clique's min id (the bridge's single
+    // vote can never outnumber 4 intra-clique votes)
+    val e = (clique(1L to 5L) ++ clique(11L to 15L) :+ ((5L, 11L)))
+      .toDF("src", "dst")
+    val got = Components.labelPropagation(e, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L), s"clique A labels: $got")
+    assert((11L to 15L).forall(got(_) == 11L), s"clique B labels: $got")
+    // deterministic: same input, same labeling
+    val again = Components.labelPropagation(e, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }

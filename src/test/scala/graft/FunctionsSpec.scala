@@ -504,3 +504,47 @@ class TopKPairsSpec extends SparkSpec {
       .collect().head.getSeq[Int](0).toSeq == Seq(3))
   }
 }
+
+class DeflateSizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deflate_size: JVM-reference equality, repetition monotonicity, codegen agreement, nulls") {
+    import graft.functions.DeflateSize
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "ab" * 500,
+      "x7#q!m zK9@pL w3$vR8 yT2&nB5 cF6*dH1 jS4%gA0",
+      "")
+    def ref(s: String): Int = {
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192); var t = 0
+        while (!d.finished()) t += d.deflate(buf)
+        t
+      } finally d.end()
+    }
+    val df = texts.toDF("t")
+    val got = df.select(DeflateSize.deflateSize(col("t"))).collect().map(_.getInt(0)).toSeq
+    assert(got == texts.map(ref))
+    // repetitive text must compress far better than diverse text of the
+    // same length (the quality signal the ratio thresholds)
+    val rep = ref("ab" * 500).toDouble / 1000
+    val div = ref(scala.util.Random.shuffle(
+      (1 to 250).map(i => f"w$i%03d").toList).mkString(" ").take(1000)).toDouble / 1000
+    assert(rep < div * 0.2, s"repetitive ratio $rep vs diverse $div")
+    // interpreted agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(DeflateSize.deflateSize(col("t")))
+        .collect().map(_.getInt(0)).toSeq
+      assert(interp == got)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(Seq((null: String)).toDF("t")
+      .select(DeflateSize.deflateSize(col("t"))).collect().head.isNullAt(0))
+  }
+}
