@@ -190,6 +190,28 @@ object ScaleCurve {
         freqs.unpersist(false)
         n
       },
+      // labels = the 5 base langs shared across replicas (replica
+      // vocabularies are disjoint, so the count table grows linearly and
+      // the test-token x 5-class cross stays linear); classifying against
+      // a class set that itself grew with the corpus would be quadratic
+      // by definition, which is the caller's lever, not the operator's
+      "q149_nb_lang_classifier" -> { d =>
+        val labeled = d.withColumn("lang", substring_index(col("blk"), "_", 1))
+        graft.ops.NaiveBayes.trainScore(
+          labeled.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          labeled.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", "lang").count()
+      },
+      // row-local fold, zero shuffles: the purest linear cell — any
+      // super-linear step here would indict the harness, not the operator
+      "q156_random_projection" -> { d =>
+        graft.ops.VectorSim.signProject(
+          d.select(col("doc_id"),
+            transform(sequence(lit(0), lit(31)),
+              i => pmod(xxhash64(col("doc_id") * 37 + i), lit(1000L))
+                .cast("float") / 1000f).as("emb")),
+          "doc_id", "emb", dIn = 32, dOut = 8).count()
+      },
     )
 
     // one warmup pass at 1x so JIT/codegen compilation is not billed to
