@@ -9,7 +9,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelQueries.defs ++ AggQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ VectorQueries.defs ++ OpsQueries.defs ++
-      WindowQueries.defs ++ CorpusQueries.defs ++ RankQueries.defs
+      WindowQueries.defs ++ CorpusQueries.defs ++ RankQueries.defs ++
+      StatQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

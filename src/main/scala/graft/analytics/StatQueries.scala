@@ -1,0 +1,287 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Det, Tables}
+
+/** Statistical-process and sequence analytics: Benford digit audit,
+  * per-user autocorrelation, Markov event transitions, per-group OLS trend,
+  * wide→long unpivot, and offline mean-shift changepoint scoring.
+  *
+  * Scale notes: every query here is one shuffle on its natural key
+  * (user_id / nation / digit) plus bounded per-key window work; nothing
+  * collects to the driver and no window spans more than one key's rows, so
+  * the plans survive a 1000-executor scale-up unchanged. All floating
+  * aggregation goes through [[Det]] exact-decimal sums so Spark (any
+  * partitioning) and the DuckDB oracle agree bit-for-bit.
+  */
+object StatQueries {
+  import Det.sqlSum
+
+  /** Benford expected first-digit mass, computed once in Scala and inlined
+    * into both the plan and the oracle SQL. The oracle side parses it via
+    * CAST('…' AS VARCHAR→DOUBLE) — a correctly-rounded string→double, so
+    * Double.toString round-trips to identical bits. (A bare numeric
+    * literal would parse as DECIMAL first, whose decimal→double cast
+    * double-rounds: JVM log10(4/3) differs from libm by 1 ulp and the
+    * decimal path lands on the wrong neighbor.) */
+  private val benford: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- Benford's-law first-digit audit over order totals: a classic
+    // fraud/data-quality screen. First digit via exact integer-part
+    // string (FLOOR is IEEE-exact; bigint→string identical on both
+    // engines — no log10/power float boundary risk). chi² kept as
+    // per-digit terms so no float sum ordering exists at all.
+    QueryDef(
+      "q161_benford_digits",
+      Some(s"""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM orders WHERE o_totalprice >= 1
+        ), g AS (
+          SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit
+        ), t AS (
+          SELECT digit, n_obs, SUM(n_obs) OVER () AS n_total,
+                 CASE ${benford.map { case (d, e) => s"WHEN digit = $d THEN CAST('$e' AS DOUBLE)" }.mkString(" ")} END AS p_exp
+          FROM g
+        )
+        SELECT digit, n_obs,
+               CAST(n_obs AS DOUBLE) / n_total AS p_obs, p_exp,
+               (n_obs - n_total * p_exp) * (n_obs - n_total * p_exp)
+                 / (n_total * p_exp) AS chi2_term
+        FROM t ORDER BY digit"""),
+    ) { (s, dir) =>
+      val pExp = benford.tail.foldLeft(
+        when(col("digit") === benford.head._1, lit(benford.head._2))) {
+        case (acc, (d, e)) => acc.when(col("digit") === d, lit(e))
+      }
+      val g = Tables.orders(s, dir)
+        .filter(col("o_totalprice") >= 1)
+        .select(substring(floor(col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        .withColumn("n_total", sum("n_obs").over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("p_exp", pExp)
+      g.select(col("digit"), col("n_obs"),
+          (col("n_obs").cast("double") / col("n_total")).as("p_obs"),
+          col("p_exp"),
+          ((col("n_obs") - col("n_total") * col("p_exp")) *
+            (col("n_obs") - col("n_total") * col("p_exp")) /
+            (col("n_total") * col("p_exp"))).as("chi2_term"))
+        .orderBy("digit")
+    },
+
+    // ---- per-user lag-1 autocorrelation of event values: one window pass
+    // to form (x, lag x) pairs, then the q15 exact-power-sum Pearson per
+    // user. Zero-variance users are filtered by a predicate over
+    // bit-identical doubles, so both engines drop the same rows.
+    QueryDef(
+      "q162_user_acf",
+      Some(s"""
+        WITH pairs AS (
+          SELECT user_id, value AS y,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+          FROM events
+        ), s AS (
+          SELECT user_id, COUNT(*) AS n_pairs,
+                 ${sqlSum("x")} AS sx, ${sqlSum("y")} AS sy,
+                 ${sqlSum("x * x")} AS sxx, ${sqlSum("y * y")} AS syy,
+                 ${sqlSum("x * y")} AS sxy
+          FROM pairs WHERE x IS NOT NULL
+          GROUP BY user_id HAVING COUNT(*) >= 30
+        )
+        SELECT user_id, n_pairs,
+               (sxy - sx * sy / n_pairs) /
+               (sqrt(sxx - sx * sx / n_pairs) * sqrt(syy - sy * sy / n_pairs)) AS acf1
+        FROM s
+        WHERE (sxx - sx * sx / n_pairs) > 0 AND (syy - sy * sy / n_pairs) > 0
+        ORDER BY user_id"""),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("value").as("y"),
+          lag(col("value"), 1).over(w).as("x"))
+        .filter(col("x").isNotNull)
+      val st = pairs.groupBy("user_id").agg(
+          count(lit(1)).as("n_pairs"),
+          Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),
+          Det.dsum(col("x") * col("x")).as("sxx"),
+          Det.dsum(col("y") * col("y")).as("syy"),
+          Det.dsum(col("x") * col("y")).as("sxy"))
+        .filter(col("n_pairs") >= 30)
+      st.select(col("user_id"), col("n_pairs"),
+          ((col("sxy") - col("sx") * col("sy") / col("n_pairs")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n_pairs")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n_pairs")))).as("acf1"))
+        .filter((col("sxx") - col("sx") * col("sx") / col("n_pairs")) > 0 &&
+          (col("syy") - col("sy") * col("sy") / col("n_pairs")) > 0)
+        .orderBy("user_id")
+    },
+
+    // ---- first-order Markov transition matrix over per-user event-type
+    // sequences: P(next | prev) = pair count / prev row-total (one window
+    // division — deterministic). The per-user lag shuffle partitions on
+    // user_id; the pair aggregation on (prev, next) is bounded by
+    // |event_type|², so the result is dimension-table sized at any SF.
+    QueryDef(
+      "q163_event_transitions",
+      Some("""
+        WITH seq AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+                 event_type AS next_type
+          FROM events
+        )
+        SELECT prev_type, next_type, COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) /
+                 SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS p
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+        ORDER BY prev_type, next_type"""),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(lag(col("event_type"), 1).over(w).as("prev_type"),
+          col("event_type").as("next_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum("n").over(Window.partitionBy("prev_type")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // ---- per-nation OLS revenue trend: monthly revenue (exact decimal
+    // sums) regressed on the month index CENTERED at the corpus-min month
+    // (t = 0,1,2,…). Centering matters twice: it keeps every decimal sum
+    // under 2^53/10^6 so the decimal→double cast is a single identical
+    // rounding on both engines (uncentered midx·rev sums hit double-
+    // rounding ulp skew at ~1e12), and it kills the n·sxy − sx·sy
+    // catastrophic cancellation that amplified those ulps 1e5×. Intercept
+    // is therefore AT the first month (t = 0). Closed-form slope from
+    // integer x-sums (exact) and decimal y-sums.
+    QueryDef(
+      "q164_nation_trend",
+      Some(s"""
+        WITH m0 AS (
+          SELECT MIN(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)) AS mn
+          FROM orders
+        ), monthly AS (
+          SELECT c_nationkey AS nationkey,
+                 (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate))
+                   - (SELECT mn FROM m0) AS midx,
+                 ${sqlSum("l_extendedprice * (1 - l_discount)")} AS rev
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ), s AS (
+          SELECT nationkey, COUNT(*) AS n_months,
+                 SUM(midx) AS sx, SUM(midx * midx) AS sxx,
+                 ${sqlSum("rev")} AS sy, ${sqlSum("midx * rev")} AS sxy
+          FROM monthly GROUP BY nationkey
+        )
+        SELECT nationkey, n_months,
+               (n_months * sxy - sx * sy) / (n_months * sxx - sx * sx) AS slope,
+               (sy - (n_months * sxy - sx * sy) / (n_months * sxx - sx * sx) * sx)
+                 / n_months AS intercept
+        FROM s ORDER BY nationkey"""),
+    ) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val midxRaw = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+      // stat-broadcast scalar (SURVEY §4.1): one tiny agg job, re-enters
+      // the plan as a broadcast 1-row frame — no driver collect
+      val m0 = orders.agg(min(midxRaw).as("mn"))
+      val monthly = Tables.lineitem(s, dir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(m0))
+        .groupBy(col("c_nationkey").as("nationkey"),
+          (midxRaw - col("mn")).as("midx"))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val st = monthly.groupBy("nationkey").agg(
+        count(lit(1)).as("n_months"),
+        sum("midx").as("sx"), sum(col("midx") * col("midx")).as("sxx"),
+        Det.dsum(col("rev")).as("sy"),
+        Det.dsum(col("midx") * col("rev")).as("sxy"))
+      val slope = (col("n_months") * col("sxy") - col("sx") * col("sy")) /
+        (col("n_months") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("nationkey"), col("n_months"),
+          slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / col("n_months")).as("intercept"))
+        .orderBy("nationkey")
+    },
+
+    // ---- wide→long unpivot (melt): the reshape inverse of q131's pivot.
+    // Spark's native Unpivot node (one narrow projection, no shuffle);
+    // oracle is the equivalent UNION ALL.
+    QueryDef(
+      "q165_unpivot_metrics",
+      Some("""
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        ORDER BY p_partkey, metric"""),
+    ) { (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "value")
+        .orderBy("p_partkey", "metric")
+    },
+
+    // ---- offline mean-shift changepoint per user: for every split t of
+    // the ordered value sequence, score |mean(1..t) − mean(t+1..n)| from
+    // exact cumulative decimal sums, then keep the argmax split. The
+    // scores are bit-identical on both engines, so the argmax (ties → min
+    // t) is too. One user_id shuffle; windows stay within one user.
+    QueryDef(
+      "q166_mean_shift",
+      Some("""
+        WITH o AS (
+          SELECT user_id, value,
+                 ROW_NUMBER() OVER w AS t,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n,
+                 SUM(CAST(value AS DECIMAL(38,6))) OVER w AS cum,
+                 SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id) AS total
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), scored AS (
+          SELECT user_id, n, t,
+                 CAST(cum AS DOUBLE) / t AS before_mean,
+                 CAST(total - cum AS DOUBLE) / (n - t) AS after_mean,
+                 abs(CAST(cum AS DOUBLE) / t - CAST(total - cum AS DOUBLE) / (n - t)) AS shift
+          FROM o WHERE t < n AND n >= 20
+        )
+        SELECT user_id, n, t AS split_t, before_mean, after_mean, shift
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY shift DESC, t) AS rk FROM scored)
+        WHERE rk = 1 ORDER BY user_id"""),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val whole = Window.partitionBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val o = Tables.events(s, dir)
+        .select(col("user_id"),
+          row_number().over(w).as("t"),
+          count(lit(1)).over(whole).as("n"),
+          sum(Det.dec(col("value"))).over(w).as("cum"),
+          sum(Det.dec(col("value"))).over(whole).as("total"))
+      val scored = o.filter(col("t") < col("n") && col("n") >= 20)
+        .select(col("user_id"), col("n"), col("t"),
+          (col("cum").cast("double") / col("t")).as("before_mean"),
+          ((col("total") - col("cum")).cast("double") / (col("n") - col("t"))).as("after_mean"),
+          abs(col("cum").cast("double") / col("t") -
+            (col("total") - col("cum")).cast("double") / (col("n") - col("t"))).as("shift"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("user_id").orderBy(desc("shift"), asc("t"))))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("n"), col("t").as("split_t"),
+          col("before_mean"), col("after_mean"), col("shift"))
+        .orderBy("user_id")
+    },
+  )
+}
