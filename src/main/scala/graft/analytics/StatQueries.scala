@@ -283,5 +283,164 @@ object StatQueries {
           col("before_mean"), col("after_mean"), col("shift"))
         .orderBy("user_id")
     },
+
+    // ---- Kaplan-Meier survival per market segment at fixed horizons:
+    // the churn-engine's survival-analysis slot. Duration = days between
+    // a customer's first and last order; the event ("churned") fires when
+    // the last order predates the corpus cutoff by > 90 days, else the
+    // customer is right-censored at its duration. Per segment the KM
+    // steps are (t, d_i deaths, n_i at-risk) — all integers, so the step
+    // factors (n_i-d_i)/n_i are single-rounded identical doubles — and
+    // S(h) folds their ordered product exactly like the q146 EWMA fold
+    // (both engines multiply the same doubles in the same order: no
+    // exp/ln, no float-sum ordering). Risk sets come from a descending
+    // cumulative count, never a self-join; horizon fan-out is 5x on
+    // customer-grain data, so the plan is two keyed shuffles at any SF.
+    QueryDef(
+      "q167_km_survival",
+      Some(s"""
+        WITH cut AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS cutoff FROM orders),
+        cust AS (
+          SELECT c_mktsegment AS segment,
+                 date_diff('day', MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) AS t,
+                 CASE WHEN MAX(CAST(o_orderdate AS DATE)) < (SELECT cutoff FROM cut) - 90
+                      THEN 1 ELSE 0 END AS ev
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY o_custkey, c_mktsegment
+        ), steps AS (
+          SELECT segment, t, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS c_t
+          FROM cust GROUP BY segment, t
+        ), risk AS (
+          SELECT segment, t, d,
+                 SUM(c_t) OVER (PARTITION BY segment ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+          FROM steps
+        ), fac AS (
+          SELECT segment, t,
+                 CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS f
+          FROM risk WHERE d > 0
+        ), facs AS (
+          SELECT segment, list(struct_pack(t := t, f := f) ORDER BY t) AS fs
+          FROM fac GROUP BY segment
+        ), h(horizon_days) AS (VALUES (30), (90), (180), (365), (730)),
+        cnt AS (
+          SELECT segment, horizon_days,
+                 CAST(SUM(CASE WHEN t >= horizon_days THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+                 CAST(SUM(CASE WHEN ev = 1 AND t <= horizon_days THEN 1 ELSE 0 END) AS BIGINT) AS events_le_h
+          FROM cust CROSS JOIN h GROUP BY segment, horizon_days
+        )
+        SELECT c.segment, c.horizon_days, c.n_at_risk, c.events_le_h,
+               list_reduce(
+                 list_prepend(CAST(1 AS DOUBLE),
+                   list_transform(
+                     list_filter(f.fs, s -> s.t <= c.horizon_days),
+                     s -> s.f)),
+                 (acc, x) -> acc * x) AS survival
+        FROM cnt c JOIN facs f ON c.segment = f.segment
+        ORDER BY c.segment, c.horizon_days"""),
+    ) { (s, dir) =>
+      val cut = Tables.orders(s, dir)
+        .agg(max(col("o_orderdate").cast("date")).as("cutoff"))
+      val cust = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"), col("c_mktsegment").as("segment"))
+        .agg(min(col("o_orderdate").cast("date")).as("first_o"),
+          max(col("o_orderdate").cast("date")).as("last_o"))
+        .crossJoin(broadcast(cut)) // stat-broadcast scalar (SURVEY §4.1)
+        .select(col("segment"),
+          datediff(col("last_o"), col("first_o")).as("t"),
+          when(col("last_o") < date_sub(col("cutoff"), 90), 1).otherwise(0).as("ev"))
+      val steps = cust.groupBy("segment", "t")
+        .agg(sum("ev").cast("long").as("d"), count(lit(1)).as("c_t"))
+      val risk = steps.withColumn("n",
+        sum("c_t").over(Window.partitionBy("segment").orderBy(desc("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val facs = risk.filter(col("d") > 0)
+        .select(col("segment"), struct(col("t"), ((col("n") - col("d")).cast("double") /
+          col("n").cast("double")).as("f")).as("tf"))
+        .groupBy("segment").agg(array_sort(collect_list(col("tf"))).as("fs"))
+      val horizons = Seq(30, 90, 180, 365, 730)
+      val cnt = cust
+        .select(col("segment"), col("t"), col("ev"),
+          explode(array(horizons.map(lit(_)): _*)).as("horizon_days"))
+        .groupBy("segment", "horizon_days")
+        .agg(sum(when(col("t") >= col("horizon_days"), 1).otherwise(0)).cast("long").as("n_at_risk"),
+          sum(when(col("ev") === 1 && col("t") <= col("horizon_days"), 1).otherwise(0)).cast("long").as("events_le_h"))
+      cnt.join(facs, "segment")
+        .select(col("segment"), col("horizon_days"), col("n_at_risk"), col("events_le_h"),
+          aggregate(
+            filter(col("fs"), x => x.getField("t") <= col("horizon_days")),
+            lit(1.0),
+            (acc, x) => acc * x.getField("f")).as("survival"))
+        .orderBy("segment", "horizon_days")
+    },
+
+    // ---- chi-square test of independence (order priority x customer
+    // segment) with Cramér's V: the categorical-association audit. Every
+    // cell stat derives from integer counts; expected counts and chi²
+    // terms are per-cell doubles (identical single roundings), and the
+    // chi² TOTAL goes through the exact-decimal window sum — per-cell
+    // 6dp-rounded terms summed exactly, so no float-sum ordering exists
+    // on either engine (the q161 per-term discipline, plus a total).
+    // Contingency shape is |priority| x |segment| = dimension-sized at
+    // any SF; the only data-sized work is one groupBy on the fact join.
+    QueryDef(
+      "q168_chi2_independence",
+      Some("""
+        WITH obs AS (
+          SELECT o_orderpriority AS priority, c_mktsegment AS segment,
+                 COUNT(*) AS n_obs
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT priority, segment, n_obs,
+                 SUM(n_obs) OVER (PARTITION BY priority) AS row_n,
+                 SUM(n_obs) OVER (PARTITION BY segment) AS col_n,
+                 SUM(n_obs) OVER () AS n,
+                 COUNT(DISTINCT priority) OVER () AS r,
+                 COUNT(DISTINCT segment) OVER () AS c
+          FROM obs
+        ), cell AS (
+          SELECT priority, segment, n_obs, r, c, n,
+                 CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE) AS n_exp
+          FROM tot
+        ), term AS (
+          SELECT priority, segment, n_obs, n_exp, r, c, n,
+                 (n_obs - n_exp) * (n_obs - n_exp) / n_exp AS chi2_term
+          FROM cell
+        )
+        SELECT priority, segment, n_obs, n_exp, chi2_term,
+               CAST(SUM(CAST(chi2_term AS DECIMAL(38,6))) OVER () AS DOUBLE) AS chi2_total,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+               sqrt(CAST(SUM(CAST(chi2_term AS DECIMAL(38,6))) OVER () AS DOUBLE)
+                    / (n * least(r - 1, c - 1))) AS cramers_v
+        FROM term ORDER BY priority, segment"""),
+    ) { (s, dir) =>
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val obs = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority").as("priority"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_obs"))
+      val tot = obs
+        .withColumn("row_n", sum("n_obs").over(Window.partitionBy("priority")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("col_n", sum("n_obs").over(Window.partitionBy("segment")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("n", sum("n_obs").over(whole))
+        .withColumn("r", size(collect_set("priority").over(whole)))
+        .withColumn("c", size(collect_set("segment").over(whole)))
+      val cell = tot.withColumn("n_exp",
+        col("row_n").cast("double") * col("col_n").cast("double") / col("n").cast("double"))
+      val term = cell.withColumn("chi2_term",
+        (col("n_obs") - col("n_exp")) * (col("n_obs") - col("n_exp")) / col("n_exp"))
+      val chi2Total = sum(Det.dec(col("chi2_term"))).over(whole).cast("double")
+      term.select(col("priority"), col("segment"), col("n_obs"), col("n_exp"),
+          col("chi2_term"),
+          chi2Total.as("chi2_total"),
+          ((col("r") - 1) * (col("c") - 1)).cast("long").as("dof"),
+          sqrt(chi2Total / (col("n") * least(col("r") - 1, col("c") - 1))).as("cramers_v"))
+        .orderBy("priority", "segment")
+    },
   )
 }

@@ -95,4 +95,36 @@ class StatQueriesSpec extends SparkSpec {
       assert(all.forall { case (t, sft) => sft < bs || (sft == bs && t >= bt) })
     }
   }
+
+  test("q167: survival is monotone non-increasing in horizon, within (0, 1]") {
+    val rows = run("q167_km_survival").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byH = rs.sortBy(_._2)
+      assert(byH.map(_._2).toSeq == Seq(30, 90, 180, 365, 730))
+      // S(h) non-increasing, n_at_risk non-increasing as horizon grows
+      byH.map(_._4).toSeq.sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+      byH.map(_._3).toSeq.sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+      byH.foreach { case (_, _, _, s) => assert(s > 0.0 && s <= 1.0) }
+    }
+  }
+
+  test("q168: dof matches the 5x5 table and V^2 * n * min(r-1,c-1) = chi2") {
+    val rows = run("q168_chi2_independence").collect()
+    assert(rows.length == 25)
+    val chi2 = rows.head.getDouble(5)
+    rows.foreach { r =>
+      assert(r.getDouble(5) == chi2) // total identical on every row
+      assert(r.getLong(6) == 16L)
+      assert(r.getDouble(4) >= 0.0)
+    }
+    val n = rows.map(_.getLong(2)).sum
+    val v = rows.head.getDouble(7)
+    assert(math.abs(v * v * n * 4 - chi2) < 1e-9 * math.max(chi2, 1.0))
+    // decimal-sum discipline: total == 6dp-rounded term sum, exactly
+    val termSum = rows.map(r => BigDecimal(r.getDouble(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(chi2 == termSum.toDouble)
+  }
 }
