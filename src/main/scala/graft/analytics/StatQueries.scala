@@ -442,5 +442,230 @@ object StatQueries {
           sqrt(chi2Total / (col("n") * least(col("r") - 1, col("c") - 1))).as("cramers_v"))
         .orderBy("priority", "segment")
     },
+
+    // ---- mutual information between corpus facets (lang x source) with
+    // per-cell PMI and normalized MI: the association profiler a mixture
+    // designer reads before reweighting. Determinism is the NB/LmScore
+    // scheme: every ln argument is a ratio of exact integer products cast
+    // once to double, each ln is rounded to 6 dp (ln's last ulp is
+    // engine-specific), per-cell terms are then double products of
+    // identical values, and ALL totals (MI, both entropies) go through
+    // exact-decimal window sums. H(X) sums on the cell grain via
+    // H(X) = -sum p_xy ln p_x (margins of p_xy), so one grain carries
+    // every statistic. Cell count is |lang| x |source| — dimension-sized.
+    QueryDef(
+      "q169_facet_mutual_info",
+      Some("""
+        WITH c AS (
+          SELECT lang, source, COUNT(*) AS n_xy FROM documents GROUP BY 1, 2
+        ), t AS (
+          SELECT lang, source, n_xy,
+                 SUM(n_xy) OVER (PARTITION BY lang) AS n_x,
+                 SUM(n_xy) OVER (PARTITION BY source) AS n_y,
+                 SUM(n_xy) OVER () AS n
+          FROM c
+        ), term AS (
+          SELECT lang, source, n_xy,
+                 CAST(n_xy AS DOUBLE) / n AS p_xy,
+                 round(ln(CAST(n_xy * n AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 6) AS pmi,
+                 round(ln(CAST(n_x AS DOUBLE) / n), 6) AS ln_px,
+                 round(ln(CAST(n_y AS DOUBLE) / n), 6) AS ln_py
+          FROM t
+        )
+        SELECT lang, source, n_xy, p_xy, pmi,
+               CAST(SUM(CAST(p_xy * pmi AS DECIMAL(38,6))) OVER () AS DOUBLE) AS mi_total,
+               CAST(SUM(CAST(-(p_xy * ln_px) AS DECIMAL(38,6))) OVER () AS DOUBLE) AS h_lang,
+               CAST(SUM(CAST(-(p_xy * ln_py) AS DECIMAL(38,6))) OVER () AS DOUBLE) AS h_source,
+               CAST(SUM(CAST(p_xy * pmi AS DECIMAL(38,6))) OVER () AS DOUBLE) /
+                 sqrt(CAST(SUM(CAST(-(p_xy * ln_px) AS DECIMAL(38,6))) OVER () AS DOUBLE) *
+                      CAST(SUM(CAST(-(p_xy * ln_py) AS DECIMAL(38,6))) OVER () AS DOUBLE)) AS nmi
+        FROM term ORDER BY lang, source"""),
+    ) { (s, dir) =>
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      def wsum(c: org.apache.spark.sql.Column) =
+        sum(Det.dec(c)).over(whole).cast("double")
+      val t = Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+        .withColumn("n_x", sum("n_xy").over(Window.partitionBy("lang")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("n_y", sum("n_xy").over(Window.partitionBy("source")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("n", sum("n_xy").over(whole))
+      val term = t.select(col("lang"), col("source"), col("n_xy"),
+        (col("n_xy").cast("double") / col("n")).as("p_xy"),
+        round(log((col("n_xy") * col("n")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")), 6).as("pmi"),
+        round(log(col("n_x").cast("double") / col("n")), 6).as("ln_px"),
+        round(log(col("n_y").cast("double") / col("n")), 6).as("ln_py"))
+      val mi = wsum(col("p_xy") * col("pmi"))
+      val hx = wsum(-(col("p_xy") * col("ln_px")))
+      val hy = wsum(-(col("p_xy") * col("ln_py")))
+      term.select(col("lang"), col("source"), col("n_xy"), col("p_xy"), col("pmi"),
+          mi.as("mi_total"), hx.as("h_lang"), hy.as("h_source"),
+          (mi / sqrt(hx * hy)).as("nmi"))
+        .orderBy("lang", "source")
+    },
+
+    // ---- per-user HOLT-WINTERS additive triple smoothing (level + trend
+    // + season-4) over daily activity sums: the q153 pair fold upgraded
+    // to a 6-slot accumulator [l, b, s1..s4]. Seeds l=x_1, b=0, s_i=0
+    // (zero-seeded additive HW); each step rotates the seasonal slots.
+    // The new level is inlined VERBATIM in the trend and season updates
+    // in both lambdas so op order matches term-for-term; daily inputs
+    // are exact-decimal sums cast once to double — only +,-,* after
+    // that, hence bit-exact. Per-user series are bounded by the date
+    // range, so collect_list stays row-local at any SF.
+    {
+      val a = 0.5; val b = 0.3; val g = 0.2
+      QueryDef(
+        "q170_user_holt_winters",
+        Some(s"""
+          WITH d AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   ${sqlSum("value")} AS x
+            FROM events GROUP BY 1, 2
+          ), gl AS (
+            SELECT user_id, list(x ORDER BY day) AS vals
+            FROM d GROUP BY user_id HAVING COUNT(*) >= 12
+          ), st AS (
+            SELECT user_id, CAST(len(vals) AS INT) AS n_days,
+              list_reduce(
+                list_prepend(
+                  [vals[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                   CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                  list_transform(vals[2:], x ->
+                    [x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+                (acc, e) ->
+                  [CAST($a AS DOUBLE) * (e[1] - acc[3]) +
+                     CAST(${1 - a} AS DOUBLE) * (acc[1] + acc[2]),
+                   CAST($b AS DOUBLE) *
+                     ((CAST($a AS DOUBLE) * (e[1] - acc[3]) +
+                       CAST(${1 - a} AS DOUBLE) * (acc[1] + acc[2])) - acc[1]) +
+                     CAST(${1 - b} AS DOUBLE) * acc[2],
+                   acc[4], acc[5], acc[6],
+                   CAST($g AS DOUBLE) *
+                     (e[1] - (CAST($a AS DOUBLE) * (e[1] - acc[3]) +
+                       CAST(${1 - a} AS DOUBLE) * (acc[1] + acc[2]))) +
+                     CAST(${1 - g} AS DOUBLE) * acc[3]]) AS r
+            FROM gl)
+          SELECT user_id, n_days, r[1] AS level, r[2] AS trend,
+                 r[3] AS s_next, r[1] + r[2] + r[3] AS forecast
+          FROM st ORDER BY user_id"""),
+      ) { (s, dir) =>
+        val daily = Tables.events(s, dir)
+          .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+          .agg(Det.dsum(col("value")).as("x"))
+        val gl = daily.groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("dx"))
+          .withColumn("vals", transform(col("dx"), e => e.getField("x")))
+          .filter(size(col("vals")) >= 12)
+        def lvl(acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =
+          lit(a) * (x - acc.getField("s1")) +
+            lit(1 - a) * (acc.getField("l") + acc.getField("b"))
+        gl.select(col("user_id"), size(col("vals")).as("n_days"),
+            aggregate(
+              slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+              struct(element_at(col("vals"), 1).as("l"), lit(0.0).as("b"),
+                lit(0.0).as("s1"), lit(0.0).as("s2"), lit(0.0).as("s3"),
+                lit(0.0).as("s4")),
+              (acc, x) => struct(
+                lvl(acc, x).as("l"),
+                (lit(b) * (lvl(acc, x) - acc.getField("l")) +
+                  lit(1 - b) * acc.getField("b")).as("b"),
+                acc.getField("s2").as("s1"), acc.getField("s3").as("s2"),
+                acc.getField("s4").as("s3"),
+                (lit(g) * (x - lvl(acc, x)) +
+                  lit(1 - g) * acc.getField("s1")).as("s4"))).as("r"))
+          .select(col("user_id"), col("n_days"),
+            col("r.l").as("level"), col("r.b").as("trend"),
+            col("r.s1").as("s_next"),
+            (col("r.l") + col("r.b") + col("r.s1")).as("forecast"))
+          .orderBy("user_id")
+      }
+    },
+
+    // ---- k-means customer segmentation, 3 UNROLLED Lloyd rounds (k=4)
+    // on (account balance, lifetime spend): the q133 fixed-point pattern
+    // applied to clustering. Everything is deterministic: init centroids
+    // are the 4 smallest custkeys' points, assignment is rank-1 by
+    // (squared distance, centroid id) — distances are identical double
+    // expressions on both engines — and centroid updates are exact-
+    // decimal means. Each round is one broadcast(k rows) + one customer-
+    // grain shuffle; rounds are a fixed constant, so the plan is 3 keyed
+    // shuffles at any SF — never an iterative driver loop.
+    QueryDef(
+      "q171_kmeans_segments",
+      Some(s"""
+        WITH pts AS (
+          SELECT o_custkey AS ck, MIN(c_acctbal) AS x,
+                 ${sqlSum("o_totalprice")} AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY o_custkey
+        ), init AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY ck) AS cid, x AS cx, y AS cy
+          FROM (SELECT ck, x, y FROM pts ORDER BY ck LIMIT 4)
+        ), a1 AS (
+          SELECT ck, x, y, cid FROM (
+            SELECT p.ck, p.x, p.y, i.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.ck ORDER BY
+                     (p.x - i.cx) * (p.x - i.cx) + (p.y - i.cy) * (p.y - i.cy),
+                     i.cid) AS rn
+            FROM pts p CROSS JOIN init i) WHERE rn = 1
+        ), c1 AS (
+          SELECT cid, ${sqlSum("x")} / COUNT(*) AS cx,
+                 ${sqlSum("y")} / COUNT(*) AS cy
+          FROM a1 GROUP BY cid
+        ), a2 AS (
+          SELECT ck, x, y, cid FROM (
+            SELECT p.ck, p.x, p.y, i.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.ck ORDER BY
+                     (p.x - i.cx) * (p.x - i.cx) + (p.y - i.cy) * (p.y - i.cy),
+                     i.cid) AS rn
+            FROM pts p CROSS JOIN c1 i) WHERE rn = 1
+        ), c2 AS (
+          SELECT cid, ${sqlSum("x")} / COUNT(*) AS cx,
+                 ${sqlSum("y")} / COUNT(*) AS cy
+          FROM a2 GROUP BY cid
+        ), a3 AS (
+          SELECT ck, x, y, cid FROM (
+            SELECT p.ck, p.x, p.y, i.cid,
+                   ROW_NUMBER() OVER (PARTITION BY p.ck ORDER BY
+                     (p.x - i.cx) * (p.x - i.cx) + (p.y - i.cy) * (p.y - i.cy),
+                     i.cid) AS rn
+            FROM pts p CROSS JOIN c2 i) WHERE rn = 1
+        )
+        SELECT cid AS cluster_id, COUNT(*) AS n_points,
+               ${sqlSum("x")} / COUNT(*) AS cx,
+               ${sqlSum("y")} / COUNT(*) AS cy
+        FROM a3 GROUP BY cid ORDER BY cid"""),
+    ) { (s, dir) =>
+      // each round re-reads the point table; persist once (Verify/Bench
+      // clear the cache between queries)
+      val pts = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(min(col("c_acctbal")).as("x"), Det.dsum(col("o_totalprice")).as("y"))
+        .persist()
+      val init = pts.orderBy("ck").limit(4)
+        .select(row_number().over(Window.orderBy("ck")).as("cid"),
+          col("x").as("cx"), col("y").as("cy"))
+      def assign(cents: org.apache.spark.sql.DataFrame) = pts
+        .crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(Window.partitionBy("ck").orderBy(
+          (col("x") - col("cx")) * (col("x") - col("cx")) +
+            (col("y") - col("cy")) * (col("y") - col("cy")), col("cid"))))
+        .filter(col("rn") === 1).select("ck", "x", "y", "cid")
+      def recenter(a: org.apache.spark.sql.DataFrame) = a.groupBy("cid")
+        .agg((Det.dsum(col("x")) / count(lit(1))).as("cx"),
+          (Det.dsum(col("y")) / count(lit(1))).as("cy"))
+      val a3 = assign(recenter(assign(recenter(assign(init)))))
+      a3.groupBy(col("cid").as("cluster_id"))
+        .agg(count(lit(1)).as("n_points"),
+          (Det.dsum(col("x")) / count(lit(1))).as("cx"),
+          (Det.dsum(col("y")) / count(lit(1))).as("cy"))
+        .orderBy("cluster_id")
+    },
   )
 }

@@ -127,4 +127,86 @@ class StatQueriesSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
     assert(chi2 == termSum.toDouble)
   }
+
+  test("q169: cell masses sum to 1, entropies positive, nmi in [0, 1]") {
+    val rows = run("q169_facet_mutual_info").collect()
+    assert(rows.nonEmpty)
+    val pSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(pSum - 1.0) < 1e-9)
+    val r0 = rows.head
+    rows.foreach { r => // totals identical on every row
+      assert(r.getDouble(5) == r0.getDouble(5))
+      assert(r.getDouble(6) == r0.getDouble(6))
+      assert(r.getDouble(7) == r0.getDouble(7))
+    }
+    assert(r0.getDouble(6) > 0 && r0.getDouble(7) > 0)
+    // MI >= 0 up to the 6dp-ln rounding slack; NMI bounded by 1 likewise
+    assert(r0.getDouble(5) > -1e-3)
+    assert(r0.getDouble(8) <= 1.0 + 1e-3)
+  }
+
+  test("q170: engine fold == in-memory Holt-Winters reference per user") {
+    import org.apache.spark.sql.functions._
+    val got = run("q170_user_holt_winters").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    // recompute the identical zero-seeded additive HW fold in plain Scala
+    // over the same exact-decimal daily sums — exact double equality
+    val daily = graft.core.Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(graft.core.Det.dsum(col("value")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+      .groupBy(_._1)
+    val (a, b, g) = (0.5, 0.3, 0.2)
+    got.keys.toSeq.sorted.take(5).foreach { u =>
+      val vals = daily(u).sortBy(_._2).map(_._3)
+      assert(vals.length >= 12)
+      var st = Array(vals.head, 0.0, 0.0, 0.0, 0.0, 0.0)
+      vals.tail.foreach { x =>
+        val l2 = a * (x - st(2)) + (1 - a) * (st(0) + st(1))
+        st = Array(l2,
+          b * (l2 - st(0)) + (1 - b) * st(1),
+          st(3), st(4), st(5),
+          g * (x - l2) + (1 - g) * st(2))
+      }
+      assert(got(u) == ((st(0), st(1), st(2))))
+    }
+  }
+
+  test("q171: engine k-means == in-memory Lloyd reference on sf0.001") {
+    import org.apache.spark.sql.functions._
+    def d6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pts = graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(min(col("c_acctbal")).as("x"),
+        graft.core.Det.dsum(col("o_totalprice")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    var cents = pts.take(4).zipWithIndex.map { case ((_, x, y), i) => (i + 1, x, y) }
+    var sizes = Map.empty[Int, Int]
+    for (_ <- 1 to 3) {
+      val assigned = pts.map { case (_, x, y) =>
+        val cid = cents.map { case (c, cx, cy) =>
+          ((x - cx) * (x - cx) + (y - cy) * (y - cy), c) }.min._2
+        (cid, x, y)
+      }
+      sizes = assigned.groupBy(_._1).map { case (c, ps) => c -> ps.length }
+      cents = assigned.groupBy(_._1).toArray.sortBy(_._1).map { case (c, ps) =>
+        (c, ps.map(p => d6(p._2)).sum.toDouble / ps.length,
+          ps.map(p => d6(p._3)).sum.toDouble / ps.length)
+      }
+    }
+    // after 3 loop turns, cents = means over the 3rd assignment and sizes
+    // its cluster sizes — exactly the engine's output row set
+    val gotRows = run("q171_kmeans_segments").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(gotRows.map(r => (r._1, r._3, r._4)).toSeq ==
+      cents.map(c => (c._1, c._2, c._3)).toSeq)
+    assert(gotRows.map(r => r._1 -> r._2.toInt).toMap == sizes)
+    assert(gotRows.map(_._2).sum == pts.length)
+  }
 }
