@@ -6,7 +6,10 @@ import graft.core.{Det, Tables}
 
 /** Statistical-process and sequence analytics: Benford digit audit,
   * per-user autocorrelation, Markov event transitions, per-group OLS trend,
-  * wide→long unpivot, and offline mean-shift changepoint scoring.
+  * wide→long unpivot, offline mean-shift changepoint scoring, Kaplan-Meier
+  * survival, chi-square independence, facet mutual information, Holt-Winters
+  * seasonal smoothing, unrolled k-means, Welch's t-test, and sequential-
+  * pattern (funnel) mining.
   *
   * Scale notes: every query here is one shuffle on its natural key
   * (user_id / nation / digit) plus bounded per-key window work; nothing
@@ -666,6 +669,149 @@ object StatQueries {
           (Det.dsum(col("x")) / count(lit(1))).as("cx"),
           (Det.dsum(col("y")) / count(lit(1))).as("cy"))
         .orderBy("cluster_id")
+    },
+
+    // ---- Welch's unequal-variance t-test over every market-segment pair
+    // on order value: the A/B-comparison primitive. t and the Welch-
+    // Satterthwaite df are SCALE-INVARIANT, so their power sums run on
+    // the metric scaled to ~unit magnitude by 2^17 (a BINARY-EXACT
+    // exponent shift): at 1e10 magnitudes (the raw squares) a double's
+    // ulp reaches the 6dp decimal boundary and Spark's shortest-string
+    // vs DuckDB's exact-binary double→decimal rounding diverge; a
+    // power-of-TEN scale is no better — cents/1e5 lands exactly on the
+    // .5 tie at the 7th decimal, where the engines' tie rules differ.
+    // /2^17 keeps the doubles generic (no decimal ties) with the 6dp
+    // rounding 1e9 ulps above binary noise. Display means
+    // come from the unscaled (safe-magnitude) first moment. The pair
+    // join is over the 5-row stats table — dimension-sized at any SF.
+    QueryDef(
+      "q172_welch_ttest",
+      Some(s"""
+        WITH st AS (
+          SELECT c_mktsegment AS segment, COUNT(*) AS n,
+                 ${sqlSum("o_totalprice")} AS sx,
+                 ${sqlSum("o_totalprice / 131072")} AS s1,
+                 ${sqlSum("(o_totalprice / 131072) * (o_totalprice / 131072)")} AS s2
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1
+        ), m AS (
+          SELECT segment, n, sx / n AS mean,
+                 (s2 - s1 * s1 / n) / (n - 1) AS var, s1 / n AS mean_s
+          FROM st
+        )
+        SELECT a.segment AS seg_a, b.segment AS seg_b, a.n AS n_a, b.n AS n_b,
+               a.mean AS mean_a, b.mean AS mean_b,
+               (a.mean_s - b.mean_s) / sqrt(a.var / a.n + b.var / b.n) AS t_stat,
+               (a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n) /
+                 ((a.var / a.n) * (a.var / a.n) / (a.n - 1) +
+                  (b.var / b.n) * (b.var / b.n) / (b.n - 1)) AS df
+        FROM m a JOIN m b ON a.segment < b.segment
+        ORDER BY seg_a, seg_b"""),
+    ) { (s, dir) =>
+      val xs = col("o_totalprice") / 131072
+      val st = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sx"),
+          Det.dsum(xs).as("s1"),
+          Det.dsum(xs * xs).as("s2"))
+      val m = st.select(col("segment"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var"),
+        (col("s1") / col("n")).as("mean_s"))
+      val a = m.select(col("segment").as("seg_a"), col("n").as("n_a"),
+        col("mean").as("mean_a"), col("var").as("var_a"), col("mean_s").as("mean_sa"))
+      val b = m.select(col("segment").as("seg_b"), col("n").as("n_b"),
+        col("mean").as("mean_b"), col("var").as("var_b"), col("mean_s").as("mean_sb"))
+      val sea = col("var_a") / col("n_a"); val seb = col("var_b") / col("n_b")
+      a.join(b, col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+          col("mean_a"), col("mean_b"),
+          ((col("mean_sa") - col("mean_sb")) / sqrt(sea + seb)).as("t_stat"),
+          ((sea + seb) * (sea + seb) /
+            (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1))).as("df"))
+        .orderBy("seg_a", "seg_b")
+    },
+
+    // ---- sequential-pattern support ("a then b within 7 days") for every
+    // ordered event-type pair — the funnel-mining primitive, WITHOUT the
+    // per-user self-join that kills it at scale: one per-user window pass
+    // carries a running "last time each type was seen" (frame ends at
+    // 1 PRECEDING, so 'before' means strictly earlier in (ts, event_id)
+    // sequence order), every event then emits its qualifying (prev type,
+    // this type) pairs, and support counts distinct users per pair. All
+    // time math is integer microseconds. One user_id shuffle + a
+    // |types|²-sized aggregate at any SF.
+    QueryDef(
+      "q173_seq_patterns",
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events
+        ), lasts AS (
+          SELECT user_id, event_type AS next_type, us,
+                 max(CASE WHEN event_type = 'click' THEN us END)
+                   OVER w AS l_click,
+                 max(CASE WHEN event_type = 'error' THEN us END)
+                   OVER w AS l_error,
+                 max(CASE WHEN event_type = 'purchase' THEN us END)
+                   OVER w AS l_purchase,
+                 max(CASE WHEN event_type = 'signup' THEN us END)
+                   OVER w AS l_signup,
+                 max(CASE WHEN event_type = 'view' THEN us END)
+                   OVER w AS l_view
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), ex AS (
+          SELECT user_id, p.prev_type, next_type, us,
+                 CASE p.prev_type WHEN 'click' THEN l_click
+                   WHEN 'error' THEN l_error WHEN 'purchase' THEN l_purchase
+                   WHEN 'signup' THEN l_signup WHEN 'view' THEN l_view
+                 END AS l_us
+          FROM lasts CROSS JOIN (VALUES ('click'), ('error'), ('purchase'),
+            ('signup'), ('view')) AS p(prev_type)
+        ), hits AS (
+          SELECT user_id, prev_type, next_type
+          FROM ex
+          WHERE prev_type <> next_type AND l_us IS NOT NULL
+            AND us - l_us <= 604800000000
+          GROUP BY 1, 2, 3
+        ), tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM e)
+        SELECT prev_type, next_type,
+               COUNT(*) AS n_users_pattern,
+               CAST(COUNT(*) AS DOUBLE) / (SELECT n_users FROM tot) AS support
+        FROM hits
+        GROUP BY prev_type, next_type
+        ORDER BY prev_type, next_type"""),
+    ) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      val withLasts = types.foldLeft(e) { case (df, t) =>
+        df.withColumn(s"l_$t",
+          max(when(col("event_type") === t, col("us"))).over(w))
+      }.withColumnRenamed("event_type", "next_type")
+      val horizonUs = 7L * 86400L * 1000000L
+      val pairs = withLasts.select(col("user_id"), col("next_type"), col("us"),
+          explode(array(types.map(t =>
+            struct(lit(t).as("prev_type"), col(s"l_$t").as("l_us"))): _*)).as("p"))
+        .filter(col("p.prev_type") =!= col("next_type") &&
+          col("p.l_us").isNotNull &&
+          (col("us") - col("p.l_us")) <= horizonUs)
+        .select(col("user_id"), col("p.prev_type").as("prev_type"), col("next_type"))
+        .distinct()
+      val tot = e.agg(countDistinct("user_id").as("n_users"))
+      pairs.groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n_users_pattern"))
+        .crossJoin(broadcast(tot)) // stat-broadcast scalar (SURVEY §4.1)
+        .select(col("prev_type"), col("next_type"), col("n_users_pattern"),
+          (col("n_users_pattern").cast("double") / col("n_users")).as("support"))
+        .orderBy("prev_type", "next_type")
     },
   )
 }

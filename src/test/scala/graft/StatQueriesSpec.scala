@@ -209,4 +209,38 @@ class StatQueriesSpec extends SparkSpec {
     assert(gotRows.map(r => r._1 -> r._2.toInt).toMap == sizes)
     assert(gotRows.map(_._2).sum == pts.length)
   }
+
+  test("q172: t sign follows mean order, df within Welch bounds, all pairs") {
+    val rows = run("q172_welch_ttest").collect()
+    assert(rows.length == 10) // C(5,2) segment pairs
+    rows.foreach { r =>
+      val (na, nb) = (r.getLong(2), r.getLong(3))
+      val (ma, mb) = (r.getDouble(4), r.getDouble(5))
+      val t = r.getDouble(6); val df = r.getDouble(7)
+      assert(math.signum(t) == math.signum(ma - mb))
+      assert(df >= math.min(na, nb) - 1 && df <= na + nb - 2)
+    }
+  }
+
+  test("q173: pattern supports == brute-force a-before-b-within-7d replay") {
+    val got = run("q173_seq_patterns").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val evs = graft.core.Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime, r.getLong(3)))
+    val horizonMs = 7L * 86400L * 1000L
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ref = collection.mutable.Map.empty[(String, String), Set[Long]]
+    evs.groupBy(_._1).foreach { case (u, es) =>
+      val seq = es.sortBy(e => (e._3, e._4))
+      for (i <- seq.indices; j <- 0 until i) {
+        val (a, b) = (seq(j)._2, seq(i)._2)
+        if (a != b && seq(i)._3 - seq(j)._3 <= horizonMs) {
+          val k = (a, b)
+          ref(k) = ref.getOrElse(k, Set.empty) + u
+        }
+      }
+    }
+    assert(got == ref.map { case (k, us) => k -> us.size.toLong }.toMap)
+  }
 }
