@@ -734,6 +734,126 @@ object StatQueries {
         .orderBy("seg_a", "seg_b")
     },
 
+    // ---- logistic-regression churn model trained by 3 UNROLLED full-
+    // batch gradient-descent rounds — distributed trainable ML with a
+    // bit-exact SQL oracle. Determinism stack: features are INTEGER-
+    // valued (floor of binary-shifted values — exact in double), so every
+    // gradient term (sg - y) * x is an exact ≤6-decimal value and the
+    // DECIMAL(38,6) cast never rounds — crucial, because a fractional
+    // binary-scaled feature (k/32) times a 6dp sigmoid lands EXACTLY on
+    // the .5 tie of the 6dp cast on half its rows, where Spark's
+    // shortest-string and DuckDB's exact-binary tie rules disagree. The
+    // sigmoid itself is rounded to 6 dp (exp's last ulp is engine-
+    // specific — the NB/LmScore scheme) and the weight updates are
+    // identical double trees — so round-k weights, and therefore
+    // round-k+1 sigmoids, agree bit-for-bit. Each
+    // round is ONE pass over the customer-grain features (broadcast of a
+    // 1-row weight frame + an agg) — never a driver loop; 3 rounds = 3
+    // scans of a persisted frame at any SF.
+    QueryDef(
+      "q174_logreg_gd",
+      Some(s"""
+        WITH cut AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS cutoff FROM orders),
+        f AS (
+          SELECT o_custkey AS ck,
+                 FLOOR(MIN(c_acctbal) / 1024) AS x1,
+                 CAST(COUNT(*) AS DOUBLE) AS x2,
+                 FLOOR((${sqlSum("o_totalprice")} / COUNT(*)) / 16384) AS x3,
+                 CASE WHEN MAX(CAST(o_orderdate AS DATE)) < (SELECT cutoff FROM cut) - 90
+                      THEN 1 ELSE 0 END AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY o_custkey
+        ),
+        w0 AS (SELECT CAST(0 AS DOUBLE) AS wa, CAST(0 AS DOUBLE) AS wb,
+                      CAST(0 AS DOUBLE) AS wc, CAST(0 AS DOUBLE) AS wd),
+        r1 AS (SELECT f.*, round(CAST(1 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
+               FROM f, w0),
+        g1 AS (SELECT COUNT(*) AS n, ${sqlSum("sg - y")} AS ga,
+                 ${sqlSum("(sg - y) * x1")} AS gb, ${sqlSum("(sg - y) * x2")} AS gc,
+                 ${sqlSum("(sg - y) * x3")} AS gd FROM r1),
+        w1 AS (SELECT wa - CAST(0.05 AS DOUBLE) * (ga / n) AS wa,
+                      wb - CAST(0.05 AS DOUBLE) * (gb / n) AS wb,
+                      wc - CAST(0.05 AS DOUBLE) * (gc / n) AS wc,
+                      wd - CAST(0.05 AS DOUBLE) * (gd / n) AS wd FROM w0, g1),
+        r2 AS (SELECT f.*, round(CAST(1 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
+               FROM f, w1),
+        g2 AS (SELECT COUNT(*) AS n, ${sqlSum("sg - y")} AS ga,
+                 ${sqlSum("(sg - y) * x1")} AS gb, ${sqlSum("(sg - y) * x2")} AS gc,
+                 ${sqlSum("(sg - y) * x3")} AS gd FROM r2),
+        w2 AS (SELECT wa - CAST(0.05 AS DOUBLE) * (ga / n) AS wa,
+                      wb - CAST(0.05 AS DOUBLE) * (gb / n) AS wb,
+                      wc - CAST(0.05 AS DOUBLE) * (gc / n) AS wc,
+                      wd - CAST(0.05 AS DOUBLE) * (gd / n) AS wd FROM w1, g2),
+        r3 AS (SELECT f.*, round(CAST(1 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
+               FROM f, w2),
+        g3 AS (SELECT COUNT(*) AS n, ${sqlSum("sg - y")} AS ga,
+                 ${sqlSum("(sg - y) * x1")} AS gb, ${sqlSum("(sg - y) * x2")} AS gc,
+                 ${sqlSum("(sg - y) * x3")} AS gd FROM r3),
+        w3 AS (SELECT wa - CAST(0.05 AS DOUBLE) * (ga / n) AS wa,
+                      wb - CAST(0.05 AS DOUBLE) * (gb / n) AS wb,
+                      wc - CAST(0.05 AS DOUBLE) * (gc / n) AS wc,
+                      wd - CAST(0.05 AS DOUBLE) * (gd / n) AS wd FROM w2, g3),
+        sc AS (SELECT f.y, round(CAST(1 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
+               FROM f, w3)
+        SELECT (SELECT COUNT(*) FROM f) AS n,
+               (SELECT wa FROM w3) AS w_intercept,
+               (SELECT wb FROM w3) AS w_acctbal,
+               (SELECT wc FROM w3) AS w_orders,
+               (SELECT wd FROM w3) AS w_avgval,
+               (SELECT CAST(SUM(CASE WHEN (sg >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+                FROM sc) AS n_correct,
+               (SELECT ${sqlSum("-round(ln(greatest(least(CASE WHEN y = 1 THEN sg ELSE CAST(1 AS DOUBLE) - sg END, CAST('0.999999' AS DOUBLE)), CAST('0.000001' AS DOUBLE))), 6)")} /
+                  COUNT(*) FROM sc) AS logloss_avg"""),
+    ) { (s, dir) =>
+      val cut = Tables.orders(s, dir)
+        .agg(max(col("o_orderdate").cast("date")).as("cutoff"))
+      val f = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(min(col("c_acctbal")).as("ab"), count(lit(1)).as("cnt"),
+          Det.dsum(col("o_totalprice")).as("sx"),
+          max(col("o_orderdate").cast("date")).as("last_o"))
+        .crossJoin(broadcast(cut)) // stat-broadcast scalar (SURVEY §4.1)
+        .select(col("ck"), floor(col("ab") / 1024).cast("double").as("x1"),
+          col("cnt").cast("double").as("x2"),
+          floor((col("sx") / col("cnt")) / 16384).cast("double").as("x3"),
+          when(col("last_o") < date_sub(col("cutoff"), 90), 1).otherwise(0).as("y"))
+        .persist()
+      def sig(r: org.apache.spark.sql.DataFrame) = r.withColumn("sg",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("wa") + col("wb") * col("x1") +
+          col("wc") * col("x2") + col("wd") * col("x3")))), 6))
+      def step(w: org.apache.spark.sql.DataFrame) = {
+        val g = sig(f.crossJoin(broadcast(w))).agg(
+          count(lit(1)).as("n"),
+          Det.dsum(col("sg") - col("y")).as("ga"),
+          Det.dsum((col("sg") - col("y")) * col("x1")).as("gb"),
+          Det.dsum((col("sg") - col("y")) * col("x2")).as("gc"),
+          Det.dsum((col("sg") - col("y")) * col("x3")).as("gd"))
+        w.crossJoin(g).select(
+          (col("wa") - lit(0.05) * (col("ga") / col("n"))).as("wa"),
+          (col("wb") - lit(0.05) * (col("gb") / col("n"))).as("wb"),
+          (col("wc") - lit(0.05) * (col("gc") / col("n"))).as("wc"),
+          (col("wd") - lit(0.05) * (col("gd") / col("n"))).as("wd"))
+      }
+      val w0 = f.sparkSession.range(1).select(lit(0.0).as("wa"),
+        lit(0.0).as("wb"), lit(0.0).as("wc"), lit(0.0).as("wd"))
+      val w3 = step(step(step(w0)))
+      val scored = sig(f.crossJoin(broadcast(w3)))
+      val pTrue = when(col("y") === 1, col("sg")).otherwise(lit(1.0) - col("sg"))
+      scored.agg(
+          count(lit(1)).as("n"),
+          first(col("wa")).as("w_intercept"), first(col("wb")).as("w_acctbal"),
+          first(col("wc")).as("w_orders"), first(col("wd")).as("w_avgval"),
+          sum(when((col("sg") >= 0.5) === (col("y") === 1), 1).otherwise(0))
+            .cast("long").as("n_correct"),
+          (Det.dsum(-round(log(greatest(least(pTrue, lit(0.999999)),
+            lit(0.000001))), 6)) / count(lit(1))).as("logloss_avg"))
+    },
+
     // ---- sequential-pattern support ("a then b within 7 days") for every
     // ordered event-type pair — the funnel-mining primitive, WITHOUT the
     // per-user self-join that kills it at scale: one per-user window pass

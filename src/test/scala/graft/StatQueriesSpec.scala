@@ -243,4 +243,47 @@ class StatQueriesSpec extends SparkSpec {
     }
     assert(got == ref.map { case (k, us) => k -> us.size.toLong }.toMap)
   }
+
+  test("q174: engine GD training == in-memory logistic-regression replay") {
+    import org.apache.spark.sql.functions._
+    def d6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = d6(x).toDouble // Spark round(x, 6) semantics
+    val cut = graft.core.Tables.orders(spark, dir)
+      .agg(max(col("o_orderdate").cast("date"))).collect()(0).getDate(0)
+    val f = graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("c_acctbal")).as("ab"), count(lit(1)).as("cnt"),
+        graft.core.Det.dsum(col("o_totalprice")).as("sx"),
+        max(col("o_orderdate").cast("date")).as("last_o"))
+      .collect().map { r =>
+        val x1 = math.floor(r.getDouble(1) / 1024)
+        val x2 = r.getLong(2).toDouble
+        val x3 = math.floor(r.getDouble(3) / r.getLong(2) / 16384)
+        val y = if (r.getDate(4).toLocalDate.isBefore(
+          cut.toLocalDate.minusDays(90))) 1 else 0
+        (x1, x2, x3, y)
+      }
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val n = f.length
+      val sg = f.map { case (x1, x2, x3, _) =>
+        r6(1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3)))) }
+      def gsum(term: ((Double, Double, Double, Int), Double) => Double) =
+        f.zip(sg).map { case (p, s) => d6(term(p, s)) }.sum.toDouble
+      val ga = gsum { case ((_, _, _, y), s) => s - y }
+      val gb = gsum { case ((x1, _, _, y), s) => (s - y) * x1 }
+      val gc = gsum { case ((_, x2, _, y), s) => (s - y) * x2 }
+      val gd = gsum { case ((_, _, x3, y), s) => (s - y) * x3 }
+      w = Array(w(0) - 0.05 * (ga / n), w(1) - 0.05 * (gb / n),
+        w(2) - 0.05 * (gc / n), w(3) - 0.05 * (gd / n))
+    }
+    val got = run("q174_logreg_gd").collect()(0)
+    assert((got.getDouble(1), got.getDouble(2), got.getDouble(3), got.getDouble(4))
+      == ((w(0), w(1), w(2), w(3))))
+    assert(got.getLong(0) == f.length)
+    assert(got.getLong(5) > f.length / 2) // better than coin flip on train
+  }
 }
