@@ -744,6 +744,43 @@ object AggQueries {
         .orderBy("size", "items")
     },
 
+    // ---- association rules x → y from q142's frequent pairs, with
+    // confidence and lift: the recommendation layer over the itemset
+    // lattice. Every statistic is a single division of exact integer
+    // counts (deterministic under any partitioning); the basket total
+    // broadcasts as a 1-row frame. Oracle recounts the same pairs with
+    // bare HAVING — pruning changes cost, never answers (q142's proof
+    // carried to the rule layer).
+    QueryDef(
+      "q175_association_rules",
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                    FROM lineitem),
+        nb AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM li),
+        l1 AS (SELECT it, count(*) AS support FROM li
+               GROUP BY it HAVING count(*) >= 2),
+        l2 AS (SELECT a.it AS a, b.it AS b, count(*) AS support_ab
+               FROM li a JOIN li b ON a.bk = b.bk AND a.it < b.it
+               GROUP BY a.it, b.it HAVING count(*) >= 2),
+        d AS (SELECT a AS x, b AS y, support_ab FROM l2
+              UNION ALL
+              SELECT b AS x, a AS y, support_ab FROM l2)
+        SELECT d.x AS antecedent, d.y AS consequent,
+               sx.support AS support_x, sy.support AS support_y,
+               d.support_ab, (SELECT n_baskets FROM nb) AS n_baskets,
+               CAST(d.support_ab AS DOUBLE) / sx.support AS confidence,
+               (CAST(d.support_ab AS DOUBLE) / sx.support) /
+                 (CAST(sy.support AS DOUBLE) / (SELECT n_baskets FROM nb)) AS lift
+        FROM d JOIN l1 sx ON sx.it = d.x JOIN l1 sy ON sy.it = d.y
+        ORDER BY antecedent, consequent"""),
+    ) { (s, dir) =>
+      graft.ops.Itemsets.rules(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy("antecedent", "consequent")
+    },
+
     // ---- robust outlier statistics per group: median, MAD (median
     // absolute deviation), and the count beyond the 3σ-equivalent MAD
     // fence (1.4826·MAD ≈ σ for normal data) — the outlier screen that

@@ -77,4 +77,42 @@ object Itemsets {
     }
     res
   }
+
+  /** Association rules x → y from the frequent pairs: confidence =
+    * supp(xy)/supp(x), lift = confidence / (supp(y)/n_baskets). Both
+    * directions of every frequent unordered pair are emitted. All
+    * statistics are single divisions of exact integer counts, so the
+    * doubles are deterministic under any partitioning; the basket total
+    * re-enters the plan as a broadcast 1-row frame (stat-broadcast,
+    * SURVEY §4.1). Shuffle keys are basket/item — never a cross
+    * product — so the plan scales like [[apriori]]'s L2 level.
+    */
+  def rules(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val b = baskets
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .filter(col("it").isNotNull)
+      .distinct()
+    val nb = b.agg(countDistinct("bk").as("n_baskets"))
+    val l1 = b.groupBy("it").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val fb = b.join(l1.select("it"), Seq("it"), "left_semi")
+    val l2 = fb.as("u").join(fb.as("v"),
+        col("u.bk") === col("v.bk") && col("u.it") < col("v.it"))
+      .groupBy(col("u.it").as("a"), col("v.it").as("b"))
+      .agg(count(lit(1)).as("support_ab"))
+      .filter(col("support_ab") >= minSupport)
+    val directed = l2.select(col("a").as("x"), col("b").as("y"), col("support_ab"))
+      .unionByName(l2.select(col("b").as("x"), col("a").as("y"), col("support_ab")))
+    directed
+      .join(l1.select(col("it").as("x"), col("support").as("support_x")), "x")
+      .join(l1.select(col("it").as("y"), col("support").as("support_y")), "y")
+      .crossJoin(broadcast(nb))
+      .select(col("x").as("antecedent"), col("y").as("consequent"),
+        col("support_x"), col("support_y"), col("support_ab"), col("n_baskets"),
+        (col("support_ab").cast("double") / col("support_x")).as("confidence"),
+        ((col("support_ab").cast("double") / col("support_x")) /
+          (col("support_y").cast("double") / col("n_baskets"))).as("lift"))
+  }
 }

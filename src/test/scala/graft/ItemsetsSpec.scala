@@ -45,4 +45,21 @@ class ItemsetsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { run(b, 0) }
     intercept[IllegalArgumentException] { run(b, 2, maxSize = 4) }
   }
+
+  test("rules: exact confidence and lift on planted baskets, both directions") {
+    // baskets: {1,2} x3, {1} x1, {2,3} x1 — 5 baskets; pair (1,2) supp 3
+    // supp(1)=4, supp(2)=4: conf(1→2)=3/4, lift = (3/4)/(4/5) = 15/16
+    val b = Seq(
+      10L -> 1L, 10L -> 2L, 11L -> 1L, 11L -> 2L, 12L -> 1L, 12L -> 2L,
+      13L -> 1L, 14L -> 2L, 14L -> 3L)
+    val got = Itemsets.rules(b.toDF("bk", "it"), "bk", "it", minSupport = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    // frequent pairs: (1,2) supp 3; (2,3) supp 1 -> pruned
+    assert(got.keySet == Set(1L -> 2L, 2L -> 1L))
+    assert(got(1L -> 2L) == ((4L, 4L, 3L, 5L, 3.0 / 4, (3.0 / 4) / (4.0 / 5))))
+    assert(got(2L -> 1L) == ((4L, 4L, 3L, 5L, 3.0 / 4, (3.0 / 4) / (4.0 / 5))))
+  }
 }
