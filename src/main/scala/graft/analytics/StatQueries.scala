@@ -31,6 +31,97 @@ object StatQueries {
   private val benford: Seq[(Int, Double)] =
     (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
 
+  /** Shared CTE chain for the q174/q177 logistic model: integer features,
+    * zero-init weights, 3 unrolled GD rounds to `w3`. Interpolated into
+    * both oracles so the trained model is defined ONCE. */
+  private val logregCtes: String = s"""
+        cut AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS cutoff FROM orders),
+        f AS (
+          SELECT o_custkey AS ck,
+                 FLOOR(MIN(c_acctbal) / 1024) AS x1,
+                 CAST(COUNT(*) AS DOUBLE) AS x2,
+                 FLOOR((${sqlSum("o_totalprice")} / COUNT(*)) / 16384) AS x3,
+                 CASE WHEN MAX(CAST(o_orderdate AS DATE)) < (SELECT cutoff FROM cut) - 90
+                      THEN 1 ELSE 0 END AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY o_custkey
+        ),
+        w0 AS (SELECT CAST(0 AS DOUBLE) AS wa, CAST(0 AS DOUBLE) AS wb,
+                      CAST(0 AS DOUBLE) AS wc, CAST(0 AS DOUBLE) AS wd),
+        r1 AS (SELECT f.*, round(CAST(1 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
+               FROM f, w0),
+        g1 AS (SELECT COUNT(*) AS n, ${sqlSum("sg - y")} AS ga,
+                 ${sqlSum("(sg - y) * x1")} AS gb, ${sqlSum("(sg - y) * x2")} AS gc,
+                 ${sqlSum("(sg - y) * x3")} AS gd FROM r1),
+        w1 AS (SELECT wa - CAST(0.05 AS DOUBLE) * (ga / n) AS wa,
+                      wb - CAST(0.05 AS DOUBLE) * (gb / n) AS wb,
+                      wc - CAST(0.05 AS DOUBLE) * (gc / n) AS wc,
+                      wd - CAST(0.05 AS DOUBLE) * (gd / n) AS wd FROM w0, g1),
+        r2 AS (SELECT f.*, round(CAST(1 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
+               FROM f, w1),
+        g2 AS (SELECT COUNT(*) AS n, ${sqlSum("sg - y")} AS ga,
+                 ${sqlSum("(sg - y) * x1")} AS gb, ${sqlSum("(sg - y) * x2")} AS gc,
+                 ${sqlSum("(sg - y) * x3")} AS gd FROM r2),
+        w2 AS (SELECT wa - CAST(0.05 AS DOUBLE) * (ga / n) AS wa,
+                      wb - CAST(0.05 AS DOUBLE) * (gb / n) AS wb,
+                      wc - CAST(0.05 AS DOUBLE) * (gc / n) AS wc,
+                      wd - CAST(0.05 AS DOUBLE) * (gd / n) AS wd FROM w1, g2),
+        r3 AS (SELECT f.*, round(CAST(1 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
+               FROM f, w2),
+        g3 AS (SELECT COUNT(*) AS n, ${sqlSum("sg - y")} AS ga,
+                 ${sqlSum("(sg - y) * x1")} AS gb, ${sqlSum("(sg - y) * x2")} AS gc,
+                 ${sqlSum("(sg - y) * x3")} AS gd FROM r3),
+        w3 AS (SELECT wa - CAST(0.05 AS DOUBLE) * (ga / n) AS wa,
+                      wb - CAST(0.05 AS DOUBLE) * (gb / n) AS wb,
+                      wc - CAST(0.05 AS DOUBLE) * (gc / n) AS wc,
+                      wd - CAST(0.05 AS DOUBLE) * (gd / n) AS wd FROM w2, g3),
+        scored AS (SELECT f.*, round(CAST(1 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg,
+                 wa, wb, wc, wd
+               FROM f, w3)"""
+
+  /** Spark side of the same model: customer-grain feature frame
+    * (persisted) scored under the round-3 weights; carries ck, x1-x3, y,
+    * the weights, and the 6dp sigmoid `sg`. */
+  private def logregScored(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val cut = Tables.orders(s, dir)
+      .agg(max(col("o_orderdate").cast("date")).as("cutoff"))
+    val f = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(min(col("c_acctbal")).as("ab"), count(lit(1)).as("cnt"),
+        Det.dsum(col("o_totalprice")).as("sx"),
+        max(col("o_orderdate").cast("date")).as("last_o"))
+      .crossJoin(broadcast(cut)) // stat-broadcast scalar (SURVEY §4.1)
+      .select(col("ck"), floor(col("ab") / 1024).cast("double").as("x1"),
+        col("cnt").cast("double").as("x2"),
+        floor((col("sx") / col("cnt")) / 16384).cast("double").as("x3"),
+        when(col("last_o") < date_sub(col("cutoff"), 90), 1).otherwise(0).as("y"))
+      .persist()
+    def sig(r: org.apache.spark.sql.DataFrame) = r.withColumn("sg",
+      round(lit(1.0) / (lit(1.0) + exp(-(col("wa") + col("wb") * col("x1") +
+        col("wc") * col("x2") + col("wd") * col("x3")))), 6))
+    def step(w: org.apache.spark.sql.DataFrame) = {
+      val g = sig(f.crossJoin(broadcast(w))).agg(
+        count(lit(1)).as("n"),
+        Det.dsum(col("sg") - col("y")).as("ga"),
+        Det.dsum((col("sg") - col("y")) * col("x1")).as("gb"),
+        Det.dsum((col("sg") - col("y")) * col("x2")).as("gc"),
+        Det.dsum((col("sg") - col("y")) * col("x3")).as("gd"))
+      w.crossJoin(g).select(
+        (col("wa") - lit(0.05) * (col("ga") / col("n"))).as("wa"),
+        (col("wb") - lit(0.05) * (col("gb") / col("n"))).as("wb"),
+        (col("wc") - lit(0.05) * (col("gc") / col("n"))).as("wc"),
+        (col("wd") - lit(0.05) * (col("gd") / col("n"))).as("wd"))
+    }
+    val w0 = s.range(1).select(lit(0.0).as("wa"),
+      lit(0.0).as("wb"), lit(0.0).as("wc"), lit(0.0).as("wd"))
+    sig(f.crossJoin(broadcast(step(step(step(w0))))))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ---- Benford's-law first-digit audit over order totals: a classic
     // fraud/data-quality screen. First digit via exact integer-part
@@ -753,96 +844,18 @@ object StatQueries {
     QueryDef(
       "q174_logreg_gd",
       Some(s"""
-        WITH cut AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS cutoff FROM orders),
-        f AS (
-          SELECT o_custkey AS ck,
-                 FLOOR(MIN(c_acctbal) / 1024) AS x1,
-                 CAST(COUNT(*) AS DOUBLE) AS x2,
-                 FLOOR((${sqlSum("o_totalprice")} / COUNT(*)) / 16384) AS x3,
-                 CASE WHEN MAX(CAST(o_orderdate AS DATE)) < (SELECT cutoff FROM cut) - 90
-                      THEN 1 ELSE 0 END AS y
-          FROM orders JOIN customer ON o_custkey = c_custkey
-          GROUP BY o_custkey
-        ),
-        w0 AS (SELECT CAST(0 AS DOUBLE) AS wa, CAST(0 AS DOUBLE) AS wb,
-                      CAST(0 AS DOUBLE) AS wc, CAST(0 AS DOUBLE) AS wd),
-        r1 AS (SELECT f.*, round(CAST(1 AS DOUBLE) /
-                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
-               FROM f, w0),
-        g1 AS (SELECT COUNT(*) AS n, ${sqlSum("sg - y")} AS ga,
-                 ${sqlSum("(sg - y) * x1")} AS gb, ${sqlSum("(sg - y) * x2")} AS gc,
-                 ${sqlSum("(sg - y) * x3")} AS gd FROM r1),
-        w1 AS (SELECT wa - CAST(0.05 AS DOUBLE) * (ga / n) AS wa,
-                      wb - CAST(0.05 AS DOUBLE) * (gb / n) AS wb,
-                      wc - CAST(0.05 AS DOUBLE) * (gc / n) AS wc,
-                      wd - CAST(0.05 AS DOUBLE) * (gd / n) AS wd FROM w0, g1),
-        r2 AS (SELECT f.*, round(CAST(1 AS DOUBLE) /
-                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
-               FROM f, w1),
-        g2 AS (SELECT COUNT(*) AS n, ${sqlSum("sg - y")} AS ga,
-                 ${sqlSum("(sg - y) * x1")} AS gb, ${sqlSum("(sg - y) * x2")} AS gc,
-                 ${sqlSum("(sg - y) * x3")} AS gd FROM r2),
-        w2 AS (SELECT wa - CAST(0.05 AS DOUBLE) * (ga / n) AS wa,
-                      wb - CAST(0.05 AS DOUBLE) * (gb / n) AS wb,
-                      wc - CAST(0.05 AS DOUBLE) * (gc / n) AS wc,
-                      wd - CAST(0.05 AS DOUBLE) * (gd / n) AS wd FROM w1, g2),
-        r3 AS (SELECT f.*, round(CAST(1 AS DOUBLE) /
-                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
-               FROM f, w2),
-        g3 AS (SELECT COUNT(*) AS n, ${sqlSum("sg - y")} AS ga,
-                 ${sqlSum("(sg - y) * x1")} AS gb, ${sqlSum("(sg - y) * x2")} AS gc,
-                 ${sqlSum("(sg - y) * x3")} AS gd FROM r3),
-        w3 AS (SELECT wa - CAST(0.05 AS DOUBLE) * (ga / n) AS wa,
-                      wb - CAST(0.05 AS DOUBLE) * (gb / n) AS wb,
-                      wc - CAST(0.05 AS DOUBLE) * (gc / n) AS wc,
-                      wd - CAST(0.05 AS DOUBLE) * (gd / n) AS wd FROM w2, g3),
-        sc AS (SELECT f.y, round(CAST(1 AS DOUBLE) /
-                 (CAST(1 AS DOUBLE) + exp(-(wa + wb * x1 + wc * x2 + wd * x3))), 6) AS sg
-               FROM f, w3)
+        WITH $logregCtes
         SELECT (SELECT COUNT(*) FROM f) AS n,
                (SELECT wa FROM w3) AS w_intercept,
                (SELECT wb FROM w3) AS w_acctbal,
                (SELECT wc FROM w3) AS w_orders,
                (SELECT wd FROM w3) AS w_avgval,
                (SELECT CAST(SUM(CASE WHEN (sg >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
-                FROM sc) AS n_correct,
+                FROM scored) AS n_correct,
                (SELECT ${sqlSum("-round(ln(greatest(least(CASE WHEN y = 1 THEN sg ELSE CAST(1 AS DOUBLE) - sg END, CAST('0.999999' AS DOUBLE)), CAST('0.000001' AS DOUBLE))), 6)")} /
-                  COUNT(*) FROM sc) AS logloss_avg"""),
+                  COUNT(*) FROM scored) AS logloss_avg"""),
     ) { (s, dir) =>
-      val cut = Tables.orders(s, dir)
-        .agg(max(col("o_orderdate").cast("date")).as("cutoff"))
-      val f = Tables.orders(s, dir)
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_custkey").as("ck"))
-        .agg(min(col("c_acctbal")).as("ab"), count(lit(1)).as("cnt"),
-          Det.dsum(col("o_totalprice")).as("sx"),
-          max(col("o_orderdate").cast("date")).as("last_o"))
-        .crossJoin(broadcast(cut)) // stat-broadcast scalar (SURVEY §4.1)
-        .select(col("ck"), floor(col("ab") / 1024).cast("double").as("x1"),
-          col("cnt").cast("double").as("x2"),
-          floor((col("sx") / col("cnt")) / 16384).cast("double").as("x3"),
-          when(col("last_o") < date_sub(col("cutoff"), 90), 1).otherwise(0).as("y"))
-        .persist()
-      def sig(r: org.apache.spark.sql.DataFrame) = r.withColumn("sg",
-        round(lit(1.0) / (lit(1.0) + exp(-(col("wa") + col("wb") * col("x1") +
-          col("wc") * col("x2") + col("wd") * col("x3")))), 6))
-      def step(w: org.apache.spark.sql.DataFrame) = {
-        val g = sig(f.crossJoin(broadcast(w))).agg(
-          count(lit(1)).as("n"),
-          Det.dsum(col("sg") - col("y")).as("ga"),
-          Det.dsum((col("sg") - col("y")) * col("x1")).as("gb"),
-          Det.dsum((col("sg") - col("y")) * col("x2")).as("gc"),
-          Det.dsum((col("sg") - col("y")) * col("x3")).as("gd"))
-        w.crossJoin(g).select(
-          (col("wa") - lit(0.05) * (col("ga") / col("n"))).as("wa"),
-          (col("wb") - lit(0.05) * (col("gb") / col("n"))).as("wb"),
-          (col("wc") - lit(0.05) * (col("gc") / col("n"))).as("wc"),
-          (col("wd") - lit(0.05) * (col("gd") / col("n"))).as("wd"))
-      }
-      val w0 = f.sparkSession.range(1).select(lit(0.0).as("wa"),
-        lit(0.0).as("wb"), lit(0.0).as("wc"), lit(0.0).as("wd"))
-      val w3 = step(step(step(w0)))
-      val scored = sig(f.crossJoin(broadcast(w3)))
+      val scored = logregScored(s, dir)
       val pTrue = when(col("y") === 1, col("sg")).otherwise(lit(1.0) - col("sg"))
       scored.agg(
           count(lit(1)).as("n"),
@@ -932,6 +945,139 @@ object StatQueries {
         .select(col("prev_type"), col("next_type"), col("n_users_pattern"),
           (col("n_users_pattern").cast("double") / col("n_users")).as("support"))
         .orderBy("prev_type", "next_type")
+    },
+
+    // ---- join-key skew diagnostic: the pre-flight check before any big
+    // join — per candidate key, the heavy-hitter ratio, hot-key count,
+    // count percentiles, and the exact Gini coefficient of the key
+    // distribution. Everything derives from integer key counts: Gini's
+    // Σ rank·count is an exact integer (rank ties share equal counts, so
+    // any tie order yields the same sum), percentiles use the exact
+    // interpolating definition both engines share (the q11 contract),
+    // and the closing arithmetic is identical double trees. One shuffle
+    // per audited key; output is 3 rows whatever the fact size. (At
+    // extreme key cardinalities Σ rank·count approaches int64 range —
+    // swap s1 to a DECIMAL(38,0) sum before a 1e9-key audit.)
+    QueryDef(
+      "q176_join_key_skew",
+      Some("""
+        WITH keys AS (
+          SELECT 'l_partkey' AS key_name, CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+          UNION ALL
+          SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+          UNION ALL
+          SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        ), c AS (
+          SELECT key_name, k, COUNT(*) AS cnt FROM keys GROUP BY key_name, k
+        ), r AS (
+          SELECT key_name, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY key_name ORDER BY cnt, k) AS i
+          FROM c
+        ), s AS (
+          SELECT key_name, COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 MAX(cnt) AS max_cnt, SUM(i * cnt) AS s1,
+                 quantile_cont(cnt, 0.5) AS p50_cnt,
+                 quantile_cont(cnt, 0.99) AS p99_cnt
+          FROM r GROUP BY key_name
+        ), m AS (
+          SELECT key_name, n_keys, n_rows, max_cnt, s1, p50_cnt, p99_cnt,
+                 CAST(n_rows AS DOUBLE) / n_keys AS mean_cnt
+          FROM s
+        )
+        SELECT m.key_name, m.n_keys, m.n_rows, m.max_cnt, m.p50_cnt, m.p99_cnt,
+               m.mean_cnt,
+               CAST(m.max_cnt AS DOUBLE) / m.mean_cnt AS skew_ratio,
+               CAST(2 * m.s1 AS DOUBLE) / (CAST(m.n_keys AS DOUBLE) * m.n_rows)
+                 - CAST(m.n_keys + 1 AS DOUBLE) / m.n_keys AS gini,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM c
+                WHERE c.key_name = m.key_name
+                  AND c.cnt > 10 * CAST(m.n_rows AS DOUBLE) / m.n_keys) AS n_hot
+        FROM m ORDER BY key_name"""),
+    ) { (s, dir) =>
+      val keys = Tables.lineitem(s, dir)
+        .select(lit("l_partkey").as("key_name"), col("l_partkey").cast("string").as("k"))
+        .unionByName(Tables.lineitem(s, dir)
+          .select(lit("l_suppkey").as("key_name"), col("l_suppkey").cast("string").as("k")))
+        .unionByName(Tables.orders(s, dir)
+          .select(lit("o_custkey").as("key_name"), col("o_custkey").cast("string").as("k")))
+      val c = keys.groupBy("key_name", "k").agg(count(lit(1)).as("cnt")).persist()
+      val r = c.withColumn("i", row_number().over(
+        Window.partitionBy("key_name").orderBy("cnt", "k")))
+      val st = r.groupBy("key_name").agg(
+        count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"), sum(col("i") * col("cnt")).as("s1"),
+        expr("percentile(cnt, 0.5)").as("p50_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+        .withColumn("mean_cnt", col("n_rows").cast("double") / col("n_keys"))
+      val hot = c.join(broadcast(st.select("key_name", "n_rows", "n_keys")), "key_name")
+        .filter(col("cnt") > lit(10) * (col("n_rows").cast("double") / col("n_keys")))
+        .groupBy("key_name").agg(count(lit(1)).as("n_hot"))
+      st.join(hot, Seq("key_name"), "left")
+        .select(col("key_name"), col("n_keys"), col("n_rows"), col("max_cnt"),
+          col("p50_cnt"), col("p99_cnt"), col("mean_cnt"),
+          (col("max_cnt").cast("double") / col("mean_cnt")).as("skew_ratio"),
+          ((lit(2) * col("s1")).cast("double") /
+            (col("n_keys").cast("double") * col("n_rows")) -
+            (col("n_keys") + 1).cast("double") / col("n_keys")).as("gini"),
+          coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+        .orderBy("key_name")
+    },
+
+    // ---- split-conformal calibration of the q174 model (alpha = 0.1):
+    // the distribution-free coverage guarantee layer. The customer set
+    // splits by ck parity; the calibration half takes the standard
+    // conformal quantile — the ceil((n_cal+1)·0.9)-th smallest
+    // nonconformity a = 1 − p̂(true class) — as an ORDER STATISTIC
+    // (row_number over bit-identical doubles with a ck tie-break, so
+    // both engines select the same row), and the eval half reports
+    // coverage a ≤ q̂. The trained model is the SAME shared CTE chain /
+    // scored frame as q174 — defined once, consumed twice. One extra
+    // shuffle (the rank) over the customer grain.
+    QueryDef(
+      "q177_conformal_coverage",
+      Some(s"""
+        WITH $logregCtes,
+        cal AS (
+          SELECT ck, CASE WHEN y = 1 THEN CAST(1 AS DOUBLE) - sg ELSE sg END AS a
+          FROM scored WHERE ck % 2 = 0
+        ), kk AS (
+          SELECT COUNT(*) AS n_cal,
+                 CAST(CEIL((COUNT(*) + 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) AS k
+          FROM cal
+        ), qh AS (
+          SELECT a AS qhat FROM
+            (SELECT a, ROW_NUMBER() OVER (ORDER BY a, ck) AS rn FROM cal), kk
+          WHERE rn = k
+        ), ev AS (
+          SELECT CASE WHEN y = 1 THEN CAST(1 AS DOUBLE) - sg ELSE sg END AS a
+          FROM scored WHERE ck % 2 = 1
+        )
+        SELECT (SELECT n_cal FROM kk) AS n_cal, (SELECT k FROM kk) AS k_rank,
+               (SELECT qhat FROM qh) AS qhat,
+               COUNT(*) AS n_eval,
+               CAST(SUM(CASE WHEN a <= (SELECT qhat FROM qh) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               CAST(SUM(CASE WHEN a <= (SELECT qhat FROM qh) THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS coverage
+        FROM ev"""),
+    ) { (s, dir) =>
+      val scored = logregScored(s, dir)
+      val aCol = when(col("y") === 1, lit(1.0) - col("sg")).otherwise(col("sg")).as("a")
+      val cal = scored.filter(col("ck") % 2 === 0).select(col("ck"), aCol)
+      val kk = cal.agg(count(lit(1)).as("n_cal"),
+        ceil((count(lit(1)) + 1) * lit(0.9)).cast("long").as("k"))
+      val qh = cal
+        .withColumn("rn", row_number().over(Window.orderBy("a", "ck")))
+        .crossJoin(broadcast(kk))
+        .filter(col("rn") === col("k"))
+        .select(col("n_cal"), col("k").as("k_rank"), col("a").as("qhat"))
+      scored.filter(col("ck") % 2 === 1).select(aCol)
+        .crossJoin(broadcast(qh)) // 1-row threshold frame
+        .agg(first(col("n_cal")).as("n_cal"), first(col("k_rank")).as("k_rank"),
+          first(col("qhat")).as("qhat"),
+          count(lit(1)).as("n_eval"),
+          sum(when(col("a") <= col("qhat"), 1).otherwise(0)).cast("long").as("n_covered"),
+          (sum(when(col("a") <= col("qhat"), 1).otherwise(0)).cast("double") /
+            count(lit(1))).as("coverage"))
     },
   )
 }

@@ -244,11 +244,15 @@ class StatQueriesSpec extends SparkSpec {
     assert(got == ref.map { case (k, us) => k -> us.size.toLong }.toMap)
   }
 
-  test("q174: engine GD training == in-memory logistic-regression replay") {
+  private def d6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  private def r6(x: Double) = d6(x).toDouble // Spark round(x, 6) semantics
+
+  /** In-memory replay of the q174 model: customer features (ck, x1-x3, y)
+    * and the weights after 3 GD rounds, matching the engine bit-for-bit.
+    */
+  private lazy val logregReplay: (Array[(Long, Double, Double, Double, Int)], Array[Double]) = {
     import org.apache.spark.sql.functions._
-    def d6(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    def r6(x: Double) = d6(x).toDouble // Spark round(x, 6) semantics
     val cut = graft.core.Tables.orders(spark, dir)
       .agg(max(col("o_orderdate").cast("date"))).collect()(0).getDate(0)
     val f = graft.core.Tables.orders(spark, dir)
@@ -264,26 +268,68 @@ class StatQueriesSpec extends SparkSpec {
         val x3 = math.floor(r.getDouble(3) / r.getLong(2) / 16384)
         val y = if (r.getDate(4).toLocalDate.isBefore(
           cut.toLocalDate.minusDays(90))) 1 else 0
-        (x1, x2, x3, y)
+        (r.getLong(0), x1, x2, x3, y)
       }
     var w = Array(0.0, 0.0, 0.0, 0.0)
     for (_ <- 1 to 3) {
       val n = f.length
-      val sg = f.map { case (x1, x2, x3, _) =>
+      val sg = f.map { case (_, x1, x2, x3, _) =>
         r6(1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3)))) }
-      def gsum(term: ((Double, Double, Double, Int), Double) => Double) =
+      def gsum(term: ((Long, Double, Double, Double, Int), Double) => Double) =
         f.zip(sg).map { case (p, s) => d6(term(p, s)) }.sum.toDouble
-      val ga = gsum { case ((_, _, _, y), s) => s - y }
-      val gb = gsum { case ((x1, _, _, y), s) => (s - y) * x1 }
-      val gc = gsum { case ((_, x2, _, y), s) => (s - y) * x2 }
-      val gd = gsum { case ((_, _, x3, y), s) => (s - y) * x3 }
+      val ga = gsum { case ((_, _, _, _, y), s) => s - y }
+      val gb = gsum { case ((_, x1, _, _, y), s) => (s - y) * x1 }
+      val gc = gsum { case ((_, _, x2, _, y), s) => (s - y) * x2 }
+      val gd = gsum { case ((_, _, _, x3, y), s) => (s - y) * x3 }
       w = Array(w(0) - 0.05 * (ga / n), w(1) - 0.05 * (gb / n),
         w(2) - 0.05 * (gc / n), w(3) - 0.05 * (gd / n))
     }
+    (f, w)
+  }
+
+  test("q174: engine GD training == in-memory logistic-regression replay") {
+    val (f, w) = logregReplay
     val got = run("q174_logreg_gd").collect()(0)
     assert((got.getDouble(1), got.getDouble(2), got.getDouble(3), got.getDouble(4))
       == ((w(0), w(1), w(2), w(3))))
     assert(got.getLong(0) == f.length)
     assert(got.getLong(5) > f.length / 2) // better than coin flip on train
+  }
+
+  test("q177: engine conformal threshold and coverage == in-memory replay") {
+    val (f, w) = logregReplay
+    val scored = f.map { case (ck, x1, x2, x3, y) =>
+      val sg = r6(1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3))))
+      (ck, y, if (y == 1) 1.0 - sg else sg)
+    }
+    val cal = scored.filter(_._1 % 2 == 0)
+    val k = math.ceil((cal.length + 1) * 0.9).toLong
+    val qhat = cal.map(c => (c._3, c._1)).sorted.apply(k.toInt - 1)._1
+    val ev = scored.filter(_._1 % 2 == 1)
+    val covered = ev.count(_._3 <= qhat)
+    val got = run("q177_conformal_coverage").collect()(0)
+    assert(got.getLong(0) == cal.length && got.getLong(1) == k)
+    assert(got.getDouble(2) == qhat)
+    assert(got.getLong(3) == ev.length && got.getLong(4) == covered)
+    assert(got.getDouble(5) == covered.toDouble / ev.length)
+  }
+
+  test("q176: exact Gini and hot-key count match an in-memory recount") {
+    import org.apache.spark.sql.functions._
+    val cnts = graft.core.Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0).toString, r.getLong(1)))
+    val k = cnts.length.toLong; val nrows = cnts.map(_._2).sum
+    val s1 = cnts.sortBy(c => (c._2, c._1)).zipWithIndex
+      .map { case ((_, c), i) => (i + 1) * c }.sum
+    val gini = 2.0 * s1 / (k.toDouble * nrows) - (k + 1).toDouble / k
+    val mean = nrows.toDouble / k
+    val nhot = cnts.count(_._2 > 10 * mean).toLong
+    val got = run("q176_join_key_skew").collect()
+      .find(_.getString(0) == "o_custkey").get
+    assert(got.getLong(1) == k && got.getLong(2) == nrows)
+    assert(got.getDouble(8) == gini)
+    assert(got.getLong(9) == nhot)
+    assert(got.getDouble(7) >= 1.0) // max/mean skew ratio
   }
 }
