@@ -8,8 +8,9 @@ import graft.core.{Det, Tables}
   * per-user autocorrelation, Markov event transitions, per-group OLS trend,
   * wide→long unpivot, offline mean-shift changepoint scoring, Kaplan-Meier
   * survival, chi-square independence, facet mutual information, Holt-Winters
-  * seasonal smoothing, unrolled k-means, Welch's t-test, and sequential-
-  * pattern (funnel) mining.
+  * seasonal smoothing, unrolled k-means, Welch's t-test, sequential-
+  * pattern (funnel) mining, unrolled logistic-regression GD training,
+  * join-key skew diagnostics, and split-conformal calibration.
   *
   * Scale notes: every query here is one shuffle on its natural key
   * (user_id / nation / digit) plus bounded per-key window work; nothing
@@ -1027,12 +1028,17 @@ object StatQueries {
     // the distribution-free coverage guarantee layer. The customer set
     // splits by ck parity; the calibration half takes the standard
     // conformal quantile — the ceil((n_cal+1)·0.9)-th smallest
-    // nonconformity a = 1 − p̂(true class) — as an ORDER STATISTIC
-    // (row_number over bit-identical doubles with a ck tie-break, so
-    // both engines select the same row), and the eval half reports
-    // coverage a ≤ q̂. The trained model is the SAME shared CTE chain /
-    // scored frame as q174 — defined once, consumed twice. One extra
-    // shuffle (the rank) over the customer grain.
+    // nonconformity a = 1 − p̂(true class) — as an ORDER STATISTIC with
+    // a ck tie-break, so both engines select the same row. The engine
+    // side selects it with the DISTRIBUTED pattern (range-repartition on
+    // the sort key, partition-local row_number, tiny per-partition
+    // offset table broadcast back) — a global row_number window would
+    // funnel the whole calibration set through ONE task at 100 TB. The
+    // global rank is offset+local regardless of where the sampled range
+    // boundaries land, so the selected row is exact under any
+    // partitioning; the oracle's global ROW_NUMBER replays it. The
+    // trained model is the SAME shared CTE chain / scored frame as
+    // q174 — defined once, consumed twice.
     QueryDef(
       "q177_conformal_coverage",
       Some(s"""
@@ -1065,8 +1071,17 @@ object StatQueries {
       val cal = scored.filter(col("ck") % 2 === 0).select(col("ck"), aCol)
       val kk = cal.agg(count(lit(1)).as("n_cal"),
         ceil((count(lit(1)) + 1) * lit(0.9)).cast("long").as("k"))
-      val qh = cal
-        .withColumn("rn", row_number().over(Window.orderBy("a", "ck")))
+      val calR = cal.repartitionByRange(32, col("a"), col("ck"))
+        .withColumn("pid", spark_partition_id())
+      val offs = calR.groupBy("pid").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum("c").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "off") // <= one row per partition: tiny
+      val qh = calR
+        .withColumn("rn_local", row_number().over(
+          Window.partitionBy("pid").orderBy("a", "ck")))
+        .join(broadcast(offs), "pid")
+        .withColumn("rn", col("off") + col("rn_local"))
         .crossJoin(broadcast(kk))
         .filter(col("rn") === col("k"))
         .select(col("n_cal"), col("k").as("k_rank"), col("a").as("qhat"))
@@ -1078,6 +1093,188 @@ object StatQueries {
           sum(when(col("a") <= col("qhat"), 1).otherwise(0)).cast("long").as("n_covered"),
           (sum(when(col("a") <= col("qhat"), 1).otherwise(0)).cast("double") /
             count(lit(1))).as("coverage"))
+    },
+
+    // ---- log-rank test (Mantel-Cox) between two segments' survival
+    // curves — the hypothesis-test companion to q167: at every event
+    // time, group-1's observed vs expected deaths under the null, with
+    // the hypergeometric variance. Every per-step statistic derives from
+    // INTEGER risk-set counts (e1 = n1·d/n and v's integer products cast
+    // once — pairwise products stay < n², inside int64 to ~1e8
+    // customers), per-step terms are decimal-summed, and the closing
+    // z/χ² arithmetic is one identical double tree. Same two shuffles as
+    // q167 at any SF.
+    QueryDef(
+      "q178_logrank_test",
+      Some("""
+        WITH cut AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS cutoff FROM orders),
+        cust AS (
+          SELECT c_mktsegment AS segment,
+                 date_diff('day', MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) AS t,
+                 CASE WHEN MAX(CAST(o_orderdate AS DATE)) < (SELECT cutoff FROM cut) - 90
+                      THEN 1 ELSE 0 END AS ev
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+          GROUP BY o_custkey, c_mktsegment
+        ), steps AS (
+          SELECT t,
+                 CAST(SUM(ev) AS BIGINT) AS d,
+                 CAST(SUM(CASE WHEN segment = 'BUILDING' THEN ev ELSE 0 END) AS BIGINT) AS d1,
+                 COUNT(*) AS c_t,
+                 CAST(SUM(CASE WHEN segment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS c1_t
+          FROM cust GROUP BY t
+        ), risk AS (
+          SELECT t, d, d1,
+                 SUM(c_t) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+                 SUM(c1_t) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+          FROM steps
+        ), term AS (
+          SELECT t, d, d1, n, n1,
+                 CAST(n1 * d AS DOUBLE) / n AS e1,
+                 CASE WHEN n > 1 THEN
+                   CAST(d * (n - d) AS DOUBLE) * CAST(n1 * (n - n1) AS DOUBLE) /
+                     (CAST(n AS DOUBLE) * n * (n - 1))
+                 ELSE CAST(0 AS DOUBLE) END AS v
+          FROM risk WHERE d > 0
+        ), agg AS (
+          SELECT COUNT(*) AS n_steps,
+                 CAST(SUM(d1) AS BIGINT) AS o1,
+                 CAST(SUM(CAST(e1 AS DECIMAL(38,6))) AS DOUBLE) AS e1_total,
+                 CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS v_total
+          FROM term
+        )
+        SELECT n_steps, o1, e1_total, v_total,
+               (o1 - e1_total) / sqrt(v_total) AS z,
+               (o1 - e1_total) * (o1 - e1_total) / v_total AS chi2
+        FROM agg"""),
+    ) { (s, dir) =>
+      val cut = Tables.orders(s, dir)
+        .agg(max(col("o_orderdate").cast("date")).as("cutoff"))
+      val cust = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(col("o_custkey"), col("c_mktsegment").as("segment"))
+        .agg(min(col("o_orderdate").cast("date")).as("first_o"),
+          max(col("o_orderdate").cast("date")).as("last_o"))
+        .crossJoin(broadcast(cut)) // stat-broadcast scalar (SURVEY §4.1)
+        .select(col("segment"),
+          datediff(col("last_o"), col("first_o")).as("t"),
+          when(col("last_o") < date_sub(col("cutoff"), 90), 1).otherwise(0).as("ev"))
+      val steps = cust.groupBy("t").agg(
+        sum("ev").cast("long").as("d"),
+        sum(when(col("segment") === "BUILDING", col("ev")).otherwise(0))
+          .cast("long").as("d1"),
+        count(lit(1)).as("c_t"),
+        sum(when(col("segment") === "BUILDING", 1).otherwise(0))
+          .cast("long").as("c1_t"))
+      val wDesc = Window.orderBy(desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val term = steps
+        .withColumn("n", sum("c_t").over(wDesc))
+        .withColumn("n1", sum("c1_t").over(wDesc))
+        .filter(col("d") > 0)
+        .select(col("d1"),
+          ((col("n1") * col("d")).cast("double") / col("n")).as("e1"),
+          when(col("n") > 1,
+            (col("d") * (col("n") - col("d"))).cast("double") *
+              (col("n1") * (col("n") - col("n1"))).cast("double") /
+              (col("n").cast("double") * col("n") * (col("n") - 1)))
+            .otherwise(lit(0.0)).as("v"))
+      val agg = term.agg(
+        count(lit(1)).as("n_steps"),
+        sum("d1").cast("long").as("o1"),
+        Det.dsum(col("e1")).as("e1_total"),
+        Det.dsum(col("v")).as("v_total"))
+      agg.select(col("n_steps"), col("o1"), col("e1_total"), col("v_total"),
+        ((col("o1") - col("e1_total")) / sqrt(col("v_total"))).as("z"),
+        ((col("o1") - col("e1_total")) * (col("o1") - col("e1_total")) /
+          col("v_total")).as("chi2"))
+    },
+
+    // ---- per-user CUSUM drift detector (Page 1954): S_t = max(0,
+    // S_{t-1} + (x_t − μ − 0.5σ)), alarm when S crosses 4σ — the offline
+    // replay of the classic streaming change detector, as a row-local
+    // fold (the q146 family) with a 4-slot state [S, S_max, first_cross,
+    // step]. Per-user μ/σ come from exact power sums and enter the fold
+    // as bit-identical constants; the fold itself is only +,-,*,max and
+    // comparisons on identical doubles, so S paths, maxima, and the
+    // first-crossing index agree bit-for-bit. One user_id shuffle.
+    QueryDef(
+      "q179_cusum_drift",
+      Some(s"""
+        WITH st AS (
+          SELECT user_id, COUNT(*) AS n,
+                 ${sqlSum("value")} AS sx, ${sqlSum("value * value")} AS sxx
+          FROM events GROUP BY user_id HAVING COUNT(*) >= 20
+        ), p AS (
+          SELECT user_id, n, sx / n AS mu,
+                 sqrt(sxx / n - (sx / n) * (sx / n)) AS sd
+          FROM st
+        ), g AS (
+          SELECT e.user_id, p.n, p.mu, p.sd,
+                 list(e.value ORDER BY e.ts, e.event_id) AS vals
+          FROM events e JOIN p ON e.user_id = p.user_id
+          GROUP BY e.user_id, p.n, p.mu, p.sd
+        ), f AS (
+          SELECT user_id, n, mu, sd,
+            list_reduce(
+              list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                            CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                list_transform(vals, x -> [x, CAST(0 AS DOUBLE),
+                                           CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+              (acc, e) ->
+                [greatest(CAST(0 AS DOUBLE),
+                   acc[1] + (e[1] - mu - CAST(0.5 AS DOUBLE) * sd)),
+                 greatest(acc[2],
+                   greatest(CAST(0 AS DOUBLE),
+                     acc[1] + (e[1] - mu - CAST(0.5 AS DOUBLE) * sd))),
+                 CASE WHEN acc[3] > 0 THEN acc[3]
+                      WHEN greatest(CAST(0 AS DOUBLE),
+                        acc[1] + (e[1] - mu - CAST(0.5 AS DOUBLE) * sd))
+                        > CAST(4 AS DOUBLE) * sd
+                      THEN acc[4] + 1 ELSE CAST(0 AS DOUBLE) END,
+                 acc[4] + 1]) AS r
+          FROM g)
+        SELECT user_id, n, mu, sd, r[2] AS cusum_max,
+               CAST(r[3] AS BIGINT) AS first_cross_t
+        FROM f ORDER BY user_id"""),
+    ) { (s, dir) =>
+      val st = Tables.events(s, dir).groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          Det.dsum(col("value")).as("sx"),
+          Det.dsum(col("value") * col("value")).as("sxx"))
+        .filter(col("n") >= 20)
+        .select(col("user_id"), col("n"),
+          (col("sx") / col("n")).as("mu"),
+          sqrt(col("sxx") / col("n") -
+            (col("sx") / col("n")) * (col("sx") / col("n"))).as("sd"))
+      val g = Tables.events(s, dir)
+        .join(broadcast(st), "user_id")
+        .groupBy("user_id", "n", "mu", "sd")
+        .agg(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+        .withColumn("vals", transform(col("evs"), e => e.getField("value")))
+      def sNew(acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =
+        greatest(lit(0.0),
+          acc.getField("s") + (x - col("mu") - lit(0.5) * col("sd")))
+      g.select(col("user_id"), col("n"), col("mu"), col("sd"),
+          aggregate(col("vals"),
+            struct(lit(0.0).as("s"), lit(0.0).as("m"),
+              lit(0.0).as("c"), lit(0.0).as("i")),
+            (acc, x) => struct(
+              sNew(acc, x).as("s"),
+              greatest(acc.getField("m"), sNew(acc, x)).as("m"),
+              when(acc.getField("c") > 0, acc.getField("c"))
+                .when(sNew(acc, x) > lit(4.0) * col("sd"),
+                  acc.getField("i") + 1)
+                .otherwise(lit(0.0)).as("c"),
+              (acc.getField("i") + 1).as("i"))).as("r"))
+        .select(col("user_id"), col("n"), col("mu"), col("sd"),
+          col("r.m").as("cusum_max"),
+          col("r.c").cast("long").as("first_cross_t"))
+        .orderBy("user_id")
     },
   )
 }

@@ -88,6 +88,17 @@ object Multimodal {
         Some((leInt(b, 18).toInt, math.abs(leInt(b, 22).toInt)))
       else None
 
+    /** GIF87a/GIF89a: 6-byte version magic, then the logical screen
+      * descriptor's width/height as little-endian u16 at offsets 6/8.
+      */
+    def parseGif(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 10 && b(0) == 'G'.toByte && b(1) == 'I'.toByte &&
+          b(2) == 'F'.toByte && b(3) == '8'.toByte &&
+          (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte)
+        Some((((b(7) & 0xFF) << 8) | (b(6) & 0xFF),
+          ((b(9) & 0xFF) << 8) | (b(8) & 0xFF)))
+      else None
+
     /** Index of the first SOF0/SOF1/SOF2 marker byte in a JPEG stream
       * (baseline / extended-sequential / progressive — the frames that
       * carry dimensions), or None. Walks the marker segments per
@@ -190,7 +201,8 @@ object Multimodal {
       val b = row.payload
       val h = b.foldLeft(1125899906842597L)((acc, x) => 31 * acc + x)
       val dims = row.kind match {
-        case "image" => parsePng(b).orElse(parseBmp(b)).orElse(parseJpeg(b))
+        case "image" =>
+          parsePng(b).orElse(parseBmp(b)).orElse(parseJpeg(b)).orElse(parseGif(b))
         case _ => None
       }
       val durMs = row.kind match {
@@ -258,6 +270,13 @@ object Multimodal {
         Array(0xFF, 0xC0).map(_.toByte) ++ be16(17) ++ // SOF0, len 17
         Array[Byte](8) ++ be16(h) ++ be16(w) ++
         Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+
+    private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+
+    /** GIF89a logical screen descriptor (no color table, no frames — a
+      * header fixture like [[png]]/[[bmp]]/[[jpeg]]). */
+    def gif(w: Int, h: Int): Array[Byte] =
+      ascii("GIF89a") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
 
     /** 44-byte canonical header; data length chosen so duration is exact
       * at byteRate 16000 (8 kHz mono 16-bit).
@@ -334,6 +353,8 @@ object Multimodal {
       // decode is documented PNG-only): exercises the SOF dim parser on
       // the same plumbing the corpus-scale path runs
       val jpeg = kind == "image" && rnd.nextInt(4) == 0
+      // ...and a quarter of the remaining images are GIF header fixtures
+      val gif = kind == "image" && !jpeg && rnd.nextInt(4) == 0
       val width = if (kind == "image") 8 + rnd.nextInt(25)
         else if (kind == "video") 64 + rnd.nextInt(1024) else 0
       val height = if (kind == "image") 8 + rnd.nextInt(25)
@@ -342,6 +363,9 @@ object Multimodal {
       val payload = kind match {
         case "image" if jpeg =>
           MediaHeaders.jpeg(width, height) ++
+            Array.fill(64 + rnd.nextInt(192))(rnd.nextInt(256).toByte)
+        case "image" if gif =>
+          MediaHeaders.gif(width, height) ++
             Array.fill(64 + rnd.nextInt(192))(rnd.nextInt(256).toByte)
         case "image" =>
           PngCodec.encode(syntheticPixels(width, height, rnd), rnd.nextInt(5))
@@ -356,7 +380,8 @@ object Multimodal {
       }
       MediaRow(i, kind, payload,
         mime = kind match {
-          case "image" => if (jpeg) "image/jpeg" else "image/png"
+          case "image" =>
+            if (jpeg) "image/jpeg" else if (gif) "image/gif" else "image/png"
           case "audio" => "audio/wav"; case _ => "video/mp4"
         },
         width = width, height = height, duration_ms = durationMs)
@@ -457,7 +482,10 @@ object Multimodal {
             val patched =
               if (MediaCodec.parsePng(b).isDefined) { be(b, 16, targetW); be(b, 20, targetH); true }
               else if (MediaCodec.parseBmp(b).isDefined) { le(b, 18, targetW); le(b, 22, targetH); true }
-              else MediaCodec.jpegSofOffset(b) match {
+              else if (MediaCodec.parseGif(b).isDefined) {
+                b(6) = targetW.toByte; b(7) = (targetW >> 8).toByte
+                b(8) = targetH.toByte; b(9) = (targetH >> 8).toByte; true
+              } else MediaCodec.jpegSofOffset(b) match {
                 case Some(m) =>
                   b(m + 4) = (targetH >> 8).toByte; b(m + 5) = targetH.toByte
                   b(m + 6) = (targetW >> 8).toByte; b(m + 7) = targetW.toByte

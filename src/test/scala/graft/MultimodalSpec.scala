@@ -70,6 +70,17 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.parsePng(Array.empty[Byte]).isEmpty)
   }
 
+  test("GIF parser: header fixture round-trips; garbage refused") {
+    assert(MediaCodec.parseGif(MediaHeaders.gif(320, 200)).contains((320, 200)))
+    assert(MediaCodec.parseGif(MediaHeaders.gif(1, 1)).contains((1, 1)))
+    assert(MediaCodec.parseGif(MediaHeaders.gif(65535, 65535)).contains((65535, 65535)))
+    assert(MediaCodec.parseGif(MediaHeaders.png(8, 8)).isEmpty) // wrong magic
+    assert(MediaCodec.parseGif("GIF88a".getBytes("US-ASCII") ++
+      Array.fill[Byte](8)(1)).isEmpty) // unknown version
+    assert(MediaCodec.parseGif(MediaHeaders.gif(320, 200).take(9)).isEmpty)
+    assert(MediaCodec.parseGif(Array.empty[Byte]).isEmpty)
+  }
+
   test("BMP parser: little-endian dims, top-down (negative height) normalized") {
     assert(MediaCodec.parseBmp(MediaHeaders.bmp(800, 600)).contains((800, 600)))
     val topDown = MediaHeaders.bmp(800, -600)

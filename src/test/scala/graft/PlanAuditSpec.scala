@@ -354,4 +354,46 @@ class PlanAuditSpec extends SparkSpec {
       "apriori levels must join on the basket key, never cross")
     assert(p.contains("LeftSemi"), "downward-closure pruning (semi joins) missing")
   }
+
+  test("funnel mining is one window pass — no per-user self-join") {
+    val p = plan("q173_seq_patterns")
+    assert(p.contains("Window"), "expected the running last-seen window")
+    assert(!p.contains("CartesianProduct"), "funnel degraded to a cartesian")
+    // the only nested-loop allowed is the 1-row total broadcast (the
+    // stat-broadcast scalar); a second one would be a real self-join.
+    // Count in the TREE section only (FormattedMode repeats node names
+    // in the details section below the blank line)
+    assert(p.split("\n\n").head.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "funnel grew a per-user self-join")
+    // one data-sized exchange feeds the window (user_id); the rest of
+    // the plan is the bounded |types|^2 aggregate + the tiny total
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 4, s"funnel plan grew $exchanges exchanges")
+  }
+
+  test("GD training broadcasts the 1-row weight frame every round") {
+    val p = plan("q174_logreg_gd")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "weight frames must broadcast, never shuffle the feature side")
+    // the feature frame is persisted: rounds must reuse InMemoryTableScan,
+    // not re-run the orders x customer join per round
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"),
+      "GD rounds must reuse the persisted feature frame")
+  }
+
+  test("k-means rounds broadcast the centroid table, never shuffle it") {
+    val p = plan("q171_kmeans_segments")
+    assert(!p.contains("CartesianProduct"),
+      "assignment must be broadcast x stream, not cartesian shuffle")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "centroids lost their broadcast")
+  }
+
+  test("KM survival risk sets come from windows, never a self-join") {
+    val p = plan("q167_km_survival")
+    assert(p.contains("Window"), "expected the descending cumulative risk window")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "risk sets must not be computed by a duration self-join")
+  }
 }

@@ -2,10 +2,13 @@ package graft
 
 import graft.analytics.StatQueries
 
-/** Invariant contracts for the statistical-process queries q161-q166.
-  * Exact-value correctness is the driver's DuckDB oracle (all six carry
-  * oracle SQL); these contracts pin the mathematical invariants that a
-  * hash match alone would not explain, over the real sf0.001 tables.
+/** Contracts for the statistical-process queries q161-q177. Exact-value
+  * correctness is the driver's DuckDB oracle (every query here carries
+  * oracle SQL); these tests pin the mathematical invariants a hash match
+  * alone would not explain — and, for the fold/iterative operators
+  * (Holt-Winters, k-means, logistic GD, conformal), full in-memory
+  * replays that must match the engine bit-for-bit — over the real
+  * sf0.001 tables.
   */
 class StatQueriesSpec extends SparkSpec {
 
@@ -331,5 +334,78 @@ class StatQueriesSpec extends SparkSpec {
     assert(got.getDouble(8) == gini)
     assert(got.getLong(9) == nhot)
     assert(got.getDouble(7) >= 1.0) // max/mean skew ratio
+  }
+
+  test("q178: log-rank O1/E1/V match an in-memory KM-step replay; z^2 == chi2") {
+    import org.apache.spark.sql.functions._
+    val cut = graft.core.Tables.orders(spark, dir)
+      .agg(max(col("o_orderdate").cast("date"))).collect()(0).getDate(0)
+    val cs = graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .groupBy(col("o_custkey"), col("c_mktsegment"))
+      .agg(min(col("o_orderdate").cast("date")).as("f"),
+        max(col("o_orderdate").cast("date")).as("l"))
+      .collect().map { r =>
+        val t = (r.getDate(3).toLocalDate.toEpochDay -
+          r.getDate(2).toLocalDate.toEpochDay).toInt
+        val ev = r.getDate(3).toLocalDate.isBefore(cut.toLocalDate.minusDays(90))
+        (r.getString(1), t, if (ev) 1 else 0)
+      }
+    val steps = cs.groupBy(_._2).toSeq.sortBy(-_._1) // t desc for risk cumsum
+    var n = 0L; var n1 = 0L
+    val terms = collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    steps.foreach { case (_, rows) =>
+      n += rows.length; n1 += rows.count(_._1 == "BUILDING")
+      val d = rows.map(_._3).sum.toLong
+      val d1 = rows.filter(_._1 == "BUILDING").map(_._3).sum.toLong
+      if (d > 0) {
+        val e1 = (n1 * d).toDouble / n
+        val v = if (n > 1)
+          (d * (n - d)).toDouble * (n1 * (n - n1)).toDouble /
+            (n.toDouble * n * (n - 1)) else 0.0
+        terms += ((d1, e1, v))
+      }
+    }
+    val o1 = terms.map(_._1).sum
+    val e1t = terms.map(t => d6(t._2)).sum.toDouble
+    val vt = terms.map(t => d6(t._3)).sum.toDouble
+    val got = run("q178_logrank_test").collect()(0)
+    assert(got.getLong(0) == terms.length && got.getLong(1) == o1)
+    assert(got.getDouble(2) == e1t && got.getDouble(3) == vt)
+    assert(got.getDouble(4) == (o1 - e1t) / math.sqrt(vt))
+    assert(got.getDouble(5) == (o1 - e1t) * (o1 - e1t) / vt)
+  }
+
+  test("q179: engine CUSUM fold == in-memory replay; crossing index sane") {
+    import org.apache.spark.sql.functions._
+    val got = run("q179_cusum_drift").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    val evs = graft.core.Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    got.keys.toSeq.sorted.take(5).foreach { u =>
+      val vals = evs(u).sortBy(e => (e._2, e._3)).map(_._4)
+      val n = vals.length
+      val sx = vals.map(d6).sum.toDouble
+      val sxx = vals.map(v => d6(v * v)).sum.toDouble
+      val mu = sx / n
+      val sd = math.sqrt(sxx / n - (sx / n) * (sx / n))
+      var st = (0.0, 0.0, 0.0, 0.0) // (S, Smax, firstCross, i)
+      vals.foreach { x =>
+        val sN = math.max(0.0, st._1 + (x - mu - 0.5 * sd))
+        val i = st._4 + 1
+        val c = if (st._3 > 0) st._3 else if (sN > 4.0 * sd) i else 0.0
+        st = (sN, math.max(st._2, sN), c, i)
+      }
+      val (gn, gmu, gsd, gmax, gcross) = got(u)
+      assert(gn == n && gmu == mu && gsd == sd)
+      assert(gmax == st._2 && gcross == st._3.toLong)
+      assert(gcross >= 0 && gcross <= n)
+    }
   }
 }
