@@ -1276,5 +1276,100 @@ object StatQueries {
           col("r.c").cast("long").as("first_cross_t"))
         .orderBy("user_id")
     },
+
+    // ---- EXACT ROC AUC of the q174 model via the Mann-Whitney rank
+    // identity: AUC = (R1 − n1(n1+1)/2) / (n1·n0) with midrank ties.
+    // The rank pass runs over the DISTINCT-SCORE table, which the 6dp
+    // sigmoid BOUNDS at ≤1e6+1 rows whatever the corpus size — so the
+    // ordered-prefix window is dimension-sized, never a data-sized
+    // global sort. Midranks are integers-or-halves (exact in double and
+    // in DECIMAL(38,6)), R1 is a decimal-exact sum, and the closing
+    // division is one rounding — bit-exact on both engines.
+    QueryDef(
+      "q180_roc_auc",
+      Some(s"""
+        WITH $logregCtes,
+        g AS (
+          SELECT sg, COUNT(*) AS cnt,
+                 CAST(SUM(y) AS BIGINT) AS n1g
+          FROM scored GROUP BY sg
+        ), r AS (
+          SELECT sg, cnt, n1g,
+                 COALESCE(SUM(cnt) OVER (ORDER BY sg
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM g
+        ), u AS (
+          SELECT CAST(SUM(CAST(n1g * (off + (cnt + 1) / CAST(2 AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS r1,
+                 CAST(SUM(n1g) AS BIGINT) AS n1,
+                 CAST(SUM(cnt - n1g) AS BIGINT) AS n0
+          FROM r
+        )
+        SELECT n1, n0, r1,
+               (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2) /
+                 (CAST(n1 AS DOUBLE) * n0) AS auc
+        FROM u"""),
+    ) { (s, dir) =>
+      val g = logregScored(s, dir)
+        .groupBy("sg").agg(count(lit(1)).as("cnt"),
+          sum("y").cast("long").as("n1g"))
+      val r = g.withColumn("off",
+        coalesce(sum("cnt").over(Window.orderBy("sg")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val u = r.agg(
+        Det.dsum(col("n1g") * (col("off") + (col("cnt") + 1) / lit(2.0))).as("r1"),
+        sum("n1g").cast("long").as("n1"),
+        sum(col("cnt") - col("n1g")).cast("long").as("n0"))
+      u.select(col("n1"), col("n0"), col("r1"),
+        ((col("r1") - col("n1").cast("double") * (col("n1") + 1) / 2) /
+          (col("n1").cast("double") * col("n0"))).as("auc"))
+    },
+
+    // ---- calibration/reliability table + Brier score for the q174
+    // model: predicted-probability deciles vs observed churn rate. Bin
+    // edges are exact (floor of sg·10 clamped to 9); per-bin stats are
+    // integer counts and decimal-exact score sums. The Brier TERM is
+    // computed as ((sg−y)·1000)² — an exact 6-decimal integer-valued
+    // quantity, so the decimal cast never rounds (the q174 lesson:
+    // (sg−y)² alone has 12 decimals and can land on the cast's .5 tie)
+    // — then rescaled by 1e6 once at the end.
+    QueryDef(
+      "q181_calibration_bins",
+      Some(s"""
+        WITH $logregCtes,
+        b AS (
+          SELECT LEAST(CAST(FLOOR(sg * 10) AS BIGINT), 9) AS bin, sg, y
+          FROM scored
+        ), binstats AS (
+          SELECT bin, COUNT(*) AS n,
+                 ${sqlSum("sg")} AS sum_pred,
+                 CAST(SUM(y) AS BIGINT) AS n_pos
+          FROM b GROUP BY bin
+        ), brier AS (
+          SELECT ${sqlSum("((sg - y) * 1000) * ((sg - y) * 1000)")} AS bsum,
+                 COUNT(*) AS n_all
+          FROM b
+        )
+        SELECT bin, n, sum_pred / n AS mean_pred,
+               CAST(n_pos AS DOUBLE) / n AS frac_pos,
+               (SELECT bsum / 1000000 / n_all FROM brier) AS brier
+        FROM binstats ORDER BY bin"""),
+    ) { (s, dir) =>
+      val b = logregScored(s, dir)
+        .select(least(floor(col("sg") * 10).cast("long"), lit(9L)).as("bin"),
+          col("sg"), col("y"))
+      val binstats = b.groupBy("bin").agg(count(lit(1)).as("n"),
+        Det.dsum(col("sg")).as("sum_pred"),
+        sum("y").cast("long").as("n_pos"))
+      val brier = b.agg(
+        Det.dsum(((col("sg") - col("y")) * 1000) *
+          ((col("sg") - col("y")) * 1000)).as("bsum"),
+        count(lit(1)).as("n_all"))
+      binstats.crossJoin(broadcast(brier)) // 1-row stat broadcast
+        .select(col("bin"), col("n"),
+          (col("sum_pred") / col("n")).as("mean_pred"),
+          (col("n_pos").cast("double") / col("n")).as("frac_pos"),
+          (col("bsum") / 1000000 / col("n_all")).as("brier"))
+        .orderBy("bin")
+    },
   )
 }

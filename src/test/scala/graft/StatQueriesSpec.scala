@@ -408,4 +408,43 @@ class StatQueriesSpec extends SparkSpec {
       assert(gcross >= 0 && gcross <= n)
     }
   }
+
+  test("q180: engine AUC == in-memory midrank Mann-Whitney replay") {
+    val (f, w) = logregReplay
+    val scored = f.map { case (_, x1, x2, x3, y) =>
+      (r6(1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3)))), y) }
+    val groups = scored.groupBy(_._1).toSeq.sortBy(_._1)
+    var off = 0L
+    var r1 = BigDecimal(0)
+    groups.foreach { case (_, rows) =>
+      val cnt = rows.length; val n1g = rows.count(_._2 == 1)
+      r1 += d6(n1g * (off + (cnt + 1) / 2.0))
+      off += cnt
+    }
+    val n1 = scored.count(_._2 == 1).toLong
+    val n0 = scored.length - n1
+    val auc = (r1.toDouble - n1.toDouble * (n1 + 1) / 2) / (n1.toDouble * n0)
+    val got = run("q180_roc_auc").collect()(0)
+    assert(got.getLong(0) == n1 && got.getLong(1) == n0)
+    assert(got.getDouble(2) == r1.toDouble && got.getDouble(3) == auc)
+    // no chance-beating claim at sf0.001: 3 GD rounds on ~1500 rows beat
+    // the coin flip on ACCURACY via the majority class while the RANKING
+    // can sit either side of 0.5 — the contract here is exactness
+    assert(auc > 0.0 && auc <= 1.0)
+  }
+
+  test("q181: bins partition the cohort; Brier matches the exact replay") {
+    val (f, w) = logregReplay
+    val scored = f.map { case (_, x1, x2, x3, y) =>
+      (r6(1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3)))), y) }
+    val brier = scored.map { case (sg, y) =>
+      d6(((sg - y) * 1000) * ((sg - y) * 1000)) }.sum.toDouble / 1000000 / scored.length
+    val rows = run("q181_calibration_bins").collect()
+    assert(rows.map(_.getLong(1)).sum == f.length)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) == brier)
+    }
+  }
 }
