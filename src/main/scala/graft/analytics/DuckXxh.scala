@@ -463,6 +463,42 @@ private[analytics] object DuckXxh {
     * [[graft.ops.CorpusOps.budgetSample]]'s greedy fill exactly
     * (integer-only — no float surface).
     */
+  /** The q183 oracle: deterministic Poisson(1) bootstrap CI over the
+    * per-customer spend metric. Replicate weights derive from
+    * xxhash64(ck*B + b) mod 1e6 against the integer inverse-CDF
+    * thresholds interpolated by the caller — the same draws the engine
+    * makes — then replicate means and exact interpolating percentiles.
+    */
+  def bootstrapCiOracle(b: Int, thresholds: Seq[Long]): String = {
+    val (ctes, last, out) = hashLongChain("bs",
+      u64("CAST(ck * " + b + " + rb AS HUGEINT)"), "42::HUGEINT", "bssrc")
+    val caseW = thresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN bucket < $t THEN $k" }
+      .mkString(" ") + s" ELSE ${thresholds.length}"
+    val all = Seq(
+      "bsy AS MATERIALIZED (SELECT o_custkey AS ck, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS x " +
+        "FROM orders GROUP BY o_custkey)",
+      s"bssrc AS MATERIALIZED (SELECT ck, x, CAST(r.b AS BIGINT) AS rb " +
+        s"FROM bsy, range($b) r(b))") ++ ctes ++ Seq(
+      s"hbs AS MATERIALIZED (SELECT ck, x, rb, " +
+        s"CAST((((${signed(out)}) % 1000000) + 1000000) % 1000000 AS BIGINT) AS bucket FROM $last)",
+      s"wbs AS (SELECT ck, x, rb, CASE $caseW END AS w FROM hbs)",
+      "rep AS (SELECT rb, CAST(SUM(w) AS BIGINT) AS nw, " +
+        "CAST(SUM(CAST(w * x AS DECIMAL(38,6))) AS DOUBLE) AS wx FROM wbs GROUP BY rb)",
+      "rm AS (SELECT rb, wx / nw AS mean_b FROM rep)",
+      "pt AS (SELECT COUNT(*) AS n, " +
+        "CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean FROM bsy)",
+    )
+    "WITH " + all.mkString(",\n") +
+      s"""
+      SELECT (SELECT n FROM pt) AS n, (SELECT mean FROM pt) AS mean,
+             quantile_cont(mean_b, 0.025) AS ci_lo,
+             quantile_cont(mean_b, 0.975) AS ci_hi,
+             COUNT(*) AS n_replicates
+      FROM rm"""
+  }
+
   def budgetSampleOracle(base: Long, step: Long): String = {
     val (ctes, last, out) = hashLongChain("bg",
       u64("CAST(doc_id AS HUGEINT)"), "42::HUGEINT", "bgsrc")

@@ -1371,5 +1371,107 @@ object StatQueries {
           (col("bsum") / 1000000 / col("n_all")).as("brier"))
         .orderBy("bin")
     },
+
+    // ---- Theil-Sen robust trend per nation: the median of all pairwise
+    // monthly-revenue slopes — the estimator that shrugs off the outlier
+    // months that pull q164's OLS line. The pair set is months², and
+    // months are bounded by the DATE RANGE, not the data volume, so the
+    // per-nation self-join is dimension-sized at any SF (~84 months →
+    // ≤3.5k pairs). Slopes are single divisions of exact-decimal revenue
+    // deltas by integer month gaps; the median is the exact
+    // interpolating percentile both engines share (the q11 contract).
+    QueryDef(
+      "q182_theilsen_trend",
+      Some(s"""
+        WITH m0 AS (
+          SELECT MIN(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)) AS mn
+          FROM orders
+        ), monthly AS (
+          SELECT c_nationkey AS nationkey,
+                 (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate))
+                   - (SELECT mn FROM m0) AS midx,
+                 ${sqlSum("l_extendedprice * (1 - l_discount)")} AS rev
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a.nationkey, (b.rev - a.rev) / (b.midx - a.midx) AS slope
+          FROM monthly a JOIN monthly b
+            ON a.nationkey = b.nationkey AND a.midx < b.midx
+        )
+        SELECT nationkey, COUNT(*) AS n_pairs,
+               quantile_cont(slope, 0.5) AS theilsen_slope
+        FROM pairs GROUP BY nationkey ORDER BY nationkey"""),
+    ) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val midxRaw = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+      val m0 = orders.agg(min(midxRaw).as("mn"))
+      val monthly = Tables.lineitem(s, dir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(m0)) // stat-broadcast scalar (SURVEY §4.1)
+        .groupBy(col("c_nationkey").as("nationkey"),
+          (midxRaw - col("mn")).as("midx"))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val a = monthly.select(col("nationkey"), col("midx").as("mi"), col("rev").as("ri"))
+      val b = monthly.select(col("nationkey"), col("midx").as("mj"), col("rev").as("rj"))
+      a.join(b, Seq("nationkey")).filter(col("mi") < col("mj"))
+        .select(col("nationkey"),
+          ((col("rj") - col("ri")) / (col("mj") - col("mi"))).as("slope"))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile(slope, 0.5)").as("theilsen_slope"))
+        .orderBy("nationkey")
+    },
+
+    // ---- deterministic Poisson(1) bootstrap CI for mean customer spend
+    // (the Poisson/online bootstrap of Oza-Russell / Chamandy et al.):
+    // replicate weights are EXACT functions of xxhash64(ck·B + b) mod
+    // 1e6 against integer inverse-CDF thresholds — so the engine and the
+    // oracle (which replays the full XXH64 chain in SQL) draw identical
+    // resamples, replicate means are decimal-exact weighted sums, and
+    // the 95% interval is the exact interpolating percentile over B=48
+    // replicate means. ONE pass over a B-fold fan-out — the classic
+    // scale answer to "bootstrap 100 TB without B shuffles of the data".
+    {
+      val B = 48
+      // cumulative Poisson(1) CDF x 1e6, floored: the draw thresholds
+      val thresholds: Seq[Long] = {
+        var cum = 0.0; var fact = 1.0
+        (0 to 6).map { k =>
+          if (k > 0) fact *= k
+          cum += math.exp(-1.0) / fact
+          math.floor(cum * 1e6).toLong
+        }
+      }
+      QueryDef(
+        "q183_bootstrap_ci",
+        Some(DuckXxh.bootstrapCiOracle(B, thresholds)),
+      ) { (s, dir) =>
+        val y = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(Det.dsum(col("o_totalprice")).as("x"))
+          .persist()
+        val fan = y.select(col("ck"), col("x"),
+          explode(array((0 until B).map(b => lit(b.toLong)): _*)).as("rb"))
+        val bucket = pmod(xxhash64(col("ck") * B + col("rb")), lit(1000000L))
+        val w = thresholds.zipWithIndex.foldLeft(
+          when(lit(false), 0)) { case (acc, (t, k)) =>
+            acc.when(bucket < t, k) }.otherwise(thresholds.length)
+        val rep = fan.withColumn("w", w)
+          .groupBy("rb")
+          .agg(sum("w").cast("long").as("nw"),
+            Det.dsum(col("w") * col("x")).as("wx"))
+          .select(col("rb"), (col("wx") / col("nw")).as("mean_b"))
+        val pt = y.agg(count(lit(1)).as("n"),
+          (Det.dsum(col("x")) / count(lit(1))).as("mean"))
+        rep.crossJoin(broadcast(pt)) // 1-row stat broadcast
+          .agg(first("n").as("n"), first("mean").as("mean"),
+            expr("percentile(mean_b, 0.025)").as("ci_lo"),
+            expr("percentile(mean_b, 0.975)").as("ci_hi"),
+            count(lit(1)).as("n_replicates"))
+      }
+    },
   )
 }

@@ -447,4 +447,81 @@ class StatQueriesSpec extends SparkSpec {
       assert(r.getDouble(4) == brier)
     }
   }
+
+  /** Exact interpolating percentile — Spark `percentile` / DuckDB
+    * `quantile_cont` semantics: rank p·(n−1) over the sorted values,
+    * interpolated as lower·(1−frac) + higher·frac. The algebraic twin
+    * lower + frac·(higher−lower) rounds DIFFERENTLY by 1 ulp on real
+    * data — both engines use the two-product form, measured, so the
+    * replay must too.
+    */
+  private def pctl(vs: Seq[Double], p: Double): Double = {
+    val sorted = vs.sorted
+    val r = p * (sorted.length - 1)
+    val lo = math.floor(r).toInt; val hi = math.ceil(r).toInt
+    if (lo == hi) sorted(lo)
+    else sorted(lo) * (1 - (r - lo)) + sorted(hi) * (r - lo)
+  }
+
+  test("q182: Theil-Sen medians == in-memory pairwise-slope replay") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.core.Tables.orders(spark, dir)
+    val midx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+    val mn = orders.agg(min(midx)).collect()(0).getLong(0)
+    val monthly = graft.core.Tables.lineitem(spark, dir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), (midx - mn).as("midx"))
+      .agg(graft.core.Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val got = run("q182_theilsen_trend").collect()
+      .map(r => r.getAs[Number](0).longValue -> (r.getLong(1), r.getDouble(2))).toMap
+    got.keys.toSeq.sorted.take(3).foreach { nk =>
+      val ms = monthly(nk).sortBy(_._2)
+      val slopes = for {
+        i <- ms.indices; j <- (i + 1) until ms.length
+      } yield (ms(j)._3 - ms(i)._3) / (ms(j)._2 - ms(i)._2)
+      assert(got(nk)._1 == slopes.length)
+      assert(got(nk)._2 == pctl(slopes.toSeq, 0.5))
+    }
+  }
+
+  test("q183: bootstrap draws, replicate means, and CI == exact replay") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val B = 48
+    val thresholds: Seq[Long] = {
+      var cum = 0.0; var fact = 1.0
+      (0 to 6).map { k =>
+        if (k > 0) fact *= k
+        cum += math.exp(-1.0) / fact
+        math.floor(cum * 1e6).toLong
+      }
+    }
+    val y = graft.core.Tables.orders(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.col("o_custkey"))
+      .agg(graft.core.Det.dsum(
+        org.apache.spark.sql.functions.col("o_totalprice")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val means = (0 until B).map { b =>
+      var nw = 0L; var wx = BigDecimal(0)
+      y.foreach { case (ck, x) =>
+        val h = XXH64.hashLong(ck * B + b, 42L)
+        val bucket = ((h % 1000000) + 1000000) % 1000000
+        val w = thresholds.indexWhere(bucket < _) match {
+          case -1 => thresholds.length; case k => k
+        }
+        nw += w; wx += d6(w * x)
+      }
+      wx.toDouble / nw
+    }
+    val mean = y.map(p => d6(p._2)).sum.toDouble / y.length
+    val got = run("q183_bootstrap_ci").collect()(0)
+    assert(got.getLong(0) == y.length && got.getDouble(1) == mean)
+    assert(got.getDouble(2) == pctl(means, 0.025))
+    assert(got.getDouble(3) == pctl(means, 0.975))
+    assert(got.getLong(4) == B)
+    assert(got.getDouble(2) <= mean && mean <= got.getDouble(3))
+  }
 }
