@@ -798,4 +798,47 @@ object Streaming {
           }
       }
   }
+
+  // ---- streaming CUSUM drift monitor -------------------------------------
+
+  final case class DriftEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double, mu: Double, sd: Double)
+  final case class DriftState(s: Double, sMax: Double, crossAt: Long, seen: Long)
+  final case class DriftUpdate(user_id: Long, n_seen: Long, cusum: Double,
+      cusum_max: Double, first_cross_t: Long, alarm: Boolean)
+
+  /** The LIVE counterpart of the offline q179 CUSUM query: per-key Page
+    * CUSUM S_t = max(0, S_{t-1} + (x_t − μ − 0.5σ)) with an alarm at
+    * 4σ, maintained with flatMapGroupsWithState. Baseline μ/σ ride ON
+    * THE ROWS (attach them with a stream-static join against the
+    * warehouse baseline table — state stays O(1) per key and no driver
+    * map is ever built). Within a batch rows fold in (ts) order, so a
+    * replayed in-order stream computes EXACTLY the offline fold — the
+    * StreamingSpec parity contract. Emits one update per (key, batch);
+    * `alarm` flags the batch in which S first crossed.
+    */
+  def cusumDriftStream(events: Dataset[DriftEvent]): Dataset[DriftUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DriftState, DriftUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[DriftEvent], state: GroupState[DriftState]) =>
+          val evs = rows.toSeq.sortBy(_.ts.getTime)
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(DriftState(0.0, 0.0, 0L, 0L))
+            val crossedBefore = st.crossAt > 0
+            evs.foreach { e =>
+              val sN = math.max(0.0, st.s + (e.value - e.mu - 0.5 * e.sd))
+              val i = st.seen + 1
+              val c = if (st.crossAt > 0) st.crossAt
+                      else if (sN > 4.0 * e.sd) i else 0L
+              st = DriftState(sN, math.max(st.sMax, sN), c, i)
+            }
+            state.update(st)
+            Iterator(DriftUpdate(userId, st.seen, st.s, st.sMax, st.crossAt,
+              alarm = !crossedBefore && st.crossAt > 0))
+          }
+      }
+  }
 }

@@ -157,4 +157,50 @@ class StreamingSpec extends SparkSpec {
       s"streamed closed sessions != batch sessions: $got vs $expect")
     assert(expect.size == 3, "fixture must produce 3 sessions")
   }
+
+  test("streaming CUSUM matches the offline fold and alarms exactly once") {
+    import spark.implicits._
+    // planted series: user 1 drifts upward after step 6 (values jump from
+    // ~mu to mu + 3sd), user 2 stays in control
+    val mu = 10.0; val sd = 2.0
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ev(u: Long, i: Int, v: Double) = Streaming.DriftEvent(
+      u, new java.sql.Timestamp(t0.getTime + i * 1000L), v, mu, sd)
+    val u1 = (1 to 6).map(i => ev(1, i, 10.0 + (i % 2))) ++
+      (7 to 12).map(i => ev(1, i, 16.0))
+    val u2 = (1 to 12).map(i => ev(2, i, 10.0 + (i % 3) - 1))
+    val batches = Seq(
+      (u1.take(4) ++ u2.take(4)), (u1.slice(4, 9) ++ u2.slice(4, 9)),
+      (u1.drop(9) ++ u2.drop(9)))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.DriftEvent](spark, 1)
+    val q = Streaming.cusumDriftStream(ms.toDS())
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    val out = spark.sql("SELECT * FROM drift_out").as[Streaming.DriftUpdate]
+      .collect()
+    // offline fold replay (the q179 recurrence) over each full series
+    def offline(vals: Seq[Double]) = {
+      var s = 0.0; var smax = 0.0; var cross = 0L; var i = 0L
+      vals.foreach { x =>
+        s = math.max(0.0, s + (x - mu - 0.5 * sd)); i += 1
+        smax = math.max(smax, s)
+        if (cross == 0L && s > 4.0 * sd) cross = i
+      }
+      (s, smax, cross)
+    }
+    val fin1 = out.filter(_.user_id == 1).maxBy(_.n_seen)
+    val fin2 = out.filter(_.user_id == 2).maxBy(_.n_seen)
+    val (s1, m1, c1) = offline(u1.map(_.value))
+    val (s2, m2, c2) = offline(u2.map(_.value))
+    assert((fin1.cusum, fin1.cusum_max, fin1.first_cross_t) == ((s1, m1, c1)))
+    assert((fin2.cusum, fin2.cusum_max, fin2.first_cross_t) == ((s2, m2, c2)))
+    assert(c1 > 0 && c2 == 0, "planted drift must alarm; in-control must not")
+    // the alarm fires in exactly ONE batch update for the drifting user
+    assert(out.count(u => u.user_id == 1 && u.alarm) == 1)
+    assert(out.count(u => u.user_id == 2 && u.alarm) == 0)
+    // one update per (user, non-empty batch)
+    assert(out.count(_.user_id == 1) == 3 && out.count(_.user_id == 2) == 3)
+  }
 }
