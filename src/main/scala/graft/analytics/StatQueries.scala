@@ -1473,5 +1473,135 @@ object StatQueries {
             count(lit(1)).as("n_replicates"))
       }
     },
+
+    // ---- depth-3 sequential patterns ("a then b then c", pairwise-
+    // distinct types, each hop within 7 days) — the PrefixSpan-style
+    // deepening of q173, still with ZERO self-joins: window pass 1
+    // marks each event that completes a qualifying (a,b) hop with its
+    // completion time (|types|² bounded columns), window pass 2 carries
+    // the running LATEST completion per ordered pair (latest tb is
+    // optimal for the c-hop, so no completion history is lost), and
+    // each event emits its qualifying triples. The ORACLE is the brute-
+    // force triple self-join — the hash match PROVES the two-pass
+    // windowed formulation computes exactly the quadratic definition
+    // (the q108 blocking-completeness pattern). Two user_id window
+    // passes + a |types|³ aggregate at any SF.
+    QueryDef(
+      "q184_seq_patterns3",
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events
+        ), trip AS (
+          SELECT e1.user_id, e1.event_type AS a_type,
+                 e2.event_type AS b_type, e3.event_type AS c_type
+          FROM e e1
+          JOIN e e2 ON e1.user_id = e2.user_id
+            AND (e1.us < e2.us OR (e1.us = e2.us AND e1.event_id < e2.event_id))
+            AND e2.us - e1.us <= 604800000000
+            AND e1.event_type <> e2.event_type
+          JOIN e e3 ON e2.user_id = e3.user_id
+            AND (e2.us < e3.us OR (e2.us = e3.us AND e2.event_id < e3.event_id))
+            AND e3.us - e2.us <= 604800000000
+            AND e3.event_type <> e2.event_type
+            AND e3.event_type <> e1.event_type
+          GROUP BY 1, 2, 3, 4
+        ), tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM e)
+        SELECT a_type, b_type, c_type, COUNT(*) AS n_users_pattern,
+               CAST(COUNT(*) AS DOUBLE) / (SELECT n_users FROM tot) AS support
+        FROM trip GROUP BY a_type, b_type, c_type
+        ORDER BY a_type, b_type, c_type"""),
+    ) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val horizonUs = 7L * 86400L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+      // pass 1: running last-seen per type, then per-ordered-pair
+      // completion stamps on the completing event
+      val withLasts = types.foldLeft(e) { case (df, t) =>
+        df.withColumn(s"l_$t",
+          max(when(col("event_type") === t, col("us"))).over(w))
+      }
+      val pairs = for (a <- types; b <- types if a != b) yield (a, b)
+      val withPc = pairs.foldLeft(withLasts) { case (df, (a, b)) =>
+        df.withColumn(s"pc_${a}_$b",
+          when(col("event_type") === b && col(s"l_$a").isNotNull &&
+            (col("us") - col(s"l_$a")) <= horizonUs, col("us")))
+      }
+      // pass 2: running latest completion per ordered pair
+      val withLp = pairs.foldLeft(withPc) { case (df, (a, b)) =>
+        df.withColumn(s"lp_${a}_$b", max(col(s"pc_${a}_$b")).over(w))
+      }
+      val hits = withLp.select(col("user_id"),
+          col("event_type").as("c_type"), col("us"),
+          explode(array(pairs.map { case (a, b) =>
+            struct(lit(a).as("a_type"), lit(b).as("b_type"),
+              col(s"lp_${a}_$b").as("lp")) }: _*)).as("p"))
+        .filter(col("p.b_type") =!= col("c_type") &&
+          col("p.a_type") =!= col("c_type") &&
+          col("p.lp").isNotNull &&
+          (col("us") - col("p.lp")) <= horizonUs)
+        .select(col("user_id"), col("p.a_type").as("a_type"),
+          col("p.b_type").as("b_type"), col("c_type"))
+        .distinct()
+      val tot = e.agg(countDistinct("user_id").as("n_users"))
+      hits.groupBy("a_type", "b_type", "c_type")
+        .agg(count(lit(1)).as("n_users_pattern"))
+        .crossJoin(broadcast(tot)) // stat-broadcast scalar (SURVEY §4.1)
+        .select(col("a_type"), col("b_type"), col("c_type"),
+          col("n_users_pattern"),
+          (col("n_users_pattern").cast("double") / col("n_users")).as("support"))
+        .orderBy("a_type", "b_type", "c_type")
+    },
+
+    // ---- winsorized (trimmed) mean of order value per segment: the
+    // robust center that ignores the tails z-means chase. The p5/p95
+    // fences are exact interpolating percentiles (the q11 contract)
+    // computed per segment and joined back BROADCAST (stat-broadcast,
+    // SURVEY §4.1); the trimmed mean is a decimal-exact sum over the
+    // fence-filtered rows — the filter compares bit-identical doubles,
+    // so both engines keep the same rows. Two segment-keyed passes.
+    QueryDef(
+      "q185_trimmed_mean",
+      Some(s"""
+        WITH f AS (
+          SELECT c_mktsegment AS segment,
+                 quantile_cont(o_totalprice, 0.05) AS p05,
+                 quantile_cont(o_totalprice, 0.95) AS p95
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1
+        ), d AS (
+          SELECT c_mktsegment AS segment, o_totalprice AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT d.segment, COUNT(*) AS n_all,
+               CAST(SUM(CASE WHEN v >= p05 AND v <= p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               f.p05, f.p95,
+               ${sqlSum("CASE WHEN v >= p05 AND v <= p95 THEN v END")} /
+                 SUM(CASE WHEN v >= p05 AND v <= p95 THEN 1 ELSE 0 END) AS trimmed_mean
+        FROM d JOIN f ON d.segment = f.segment
+        GROUP BY d.segment, f.p05, f.p95
+        ORDER BY d.segment"""),
+    ) { (s, dir) =>
+      val d = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_totalprice").as("v"))
+      val f = d.groupBy("segment").agg(
+        expr("percentile(v, 0.05)").as("p05"),
+        expr("percentile(v, 0.95)").as("p95"))
+      val kept = col("v") >= col("p05") && col("v") <= col("p95")
+      d.join(broadcast(f), "segment")
+        .groupBy("segment", "p05", "p95")
+        .agg(count(lit(1)).as("n_all"),
+          sum(when(kept, 1).otherwise(0)).cast("long").as("n_kept"),
+          (Det.dsum(when(kept, col("v"))) /
+            sum(when(kept, 1).otherwise(0))).as("trimmed_mean"))
+        .select(col("segment"), col("n_all"), col("n_kept"), col("p05"),
+          col("p95"), col("trimmed_mean"))
+        .orderBy("segment")
+    },
   )
 }

@@ -524,4 +524,52 @@ class StatQueriesSpec extends SparkSpec {
     assert(got.getLong(4) == B)
     assert(got.getDouble(2) <= mean && mean <= got.getDouble(3))
   }
+
+  test("q184: triple supports == brute-force a<b<c within-horizon replay") {
+    val got = run("q184_seq_patterns3").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val evs = graft.core.Tables.events(spark, dir)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime, r.getLong(3)))
+    val h = 7L * 86400L * 1000L
+    val ref = collection.mutable.Map.empty[(String, String, String), Set[Long]]
+    evs.groupBy(_._1).foreach { case (u, es) =>
+      val q = es.sortBy(e => (e._3, e._4))
+      for (i <- q.indices; j <- (i + 1) until q.length if q(j)._3 - q(i)._3 <= h;
+           k <- (j + 1) until q.length if q(k)._3 - q(j)._3 <= h) {
+        val (a, b, c) = (q(i)._2, q(j)._2, q(k)._2)
+        if (a != b && b != c && a != c) {
+          val key = (a, b, c)
+          ref(key) = ref.getOrElse(key, Set.empty) + u
+        }
+      }
+    }
+    assert(got == ref.map { case (k, us) => k -> us.size.toLong }.toMap)
+  }
+
+  test("q185: trimmed means == in-memory fence replay; ~90% kept") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val got = run("q185_trimmed_mean").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == d.keySet)
+    d.foreach { case (seg, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val p05 = pctl(vs, 0.05); val p95 = pctl(vs, 0.95)
+      val kept = vs.filter(v => v >= p05 && v <= p95)
+      val tm = kept.map(d6).sum.toDouble / kept.length
+      val (nAll, nKept, g05, g95, gtm) = got(seg)
+      assert(nAll == vs.length && nKept == kept.length)
+      assert(g05 == p05 && g95 == p95 && gtm == tm)
+      assert(nKept >= (vs.length * 0.88).toLong && nKept <= vs.length)
+      assert(gtm >= p05 && gtm <= p95)
+    }
+  }
 }
