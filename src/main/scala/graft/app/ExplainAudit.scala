@@ -22,7 +22,9 @@ object ExplainAudit {
       "q99_incremental_exact_dedup", "q101_bloom_incremental_dedup",
       "q102_importance_weights", "q105_daily_gap_fill",
       "q108_fuzzy_name_pairs", "q109_click_purchase_funnel",
-      "q111_copurchase_pairs")
+      "q111_copurchase_pairs", "q167_km_survival", "q171_kmeans_segments",
+      "q173_seq_patterns", "q174_logreg_gd", "q176_join_key_skew",
+      "q183_bootstrap_ci", "q184_seq_patterns3")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

@@ -572,4 +572,45 @@ class StatQueriesSpec extends SparkSpec {
       assert(gtm >= p05 && gtm <= p95)
     }
   }
+
+  test("q186: principal axis, eigenvalues, and top-5 == closed-form replay") {
+    import org.apache.spark.sql.functions._
+    val pts = graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey").as("ck"))
+      .agg((min(col("c_acctbal")) / 8192).as("x"),
+        (graft.core.Det.dsum(col("o_totalprice")) / count(lit(1)) / 131072).as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val n = pts.length
+    def psum(f: ((Long, Double, Double)) => Double) =
+      pts.map(p => d6(f(p))).sum.toDouble
+    val sx = psum(_._2); val sy = psum(_._3)
+    val sxx = psum(p => p._2 * p._2); val syy = psum(p => p._3 * p._3)
+    val sxy = psum(p => p._2 * p._3)
+    val mx = sx / n; val my = sy / n
+    val vx = sxx / n - (sx / n) * (sx / n)
+    val vy = syy / n - (sy / n) * (sy / n)
+    val cxy = sxy / n - (sx / n) * (sy / n)
+    val th = math.atan2(2 * cxy, vx - vy) / 2
+    val axx = r6(math.cos(th)); val axy = r6(math.sin(th))
+    val disc = math.sqrt((vx - vy) * (vx - vy) / 4 + cxy * cxy)
+    val l1 = (vx + vy) / 2 + disc; val l2 = (vx + vy) / 2 - disc
+    val top = pts.map { case (ck, x, y) =>
+      (ck, (x - mx) * axx + (y - my) * axy) }
+      .sortBy(p => (-p._2, p._1)).take(5)
+    val rows = run("q186_pca_axis").collect()
+    assert(rows.length == 5)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == n)
+      assert(r.getDouble(1) == axx && r.getDouble(2) == axy)
+      assert(r.getDouble(3) == l1 && r.getDouble(4) == l2)
+      assert(r.getDouble(5) == l1 / (l1 + l2))
+      assert(r.getInt(6) == i + 1)
+      assert(r.getLong(7) == top(i)._1 && r.getDouble(8) == top(i)._2)
+    }
+    // the axis is (6dp-rounded) unit and lambda1 dominates
+    assert(math.abs(axx * axx + axy * axy - 1.0) < 3e-6)
+    assert(l1 >= l2 && l2 >= -1e-12)
+  }
 }
