@@ -841,4 +841,67 @@ object Streaming {
           }
       }
   }
+
+  // ---- streaming funnel (CEP-lite) pattern matcher ----------------------
+
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  final case class FunnelState(stageAt: Seq[Long], matches: Long)
+  final case class FunnelMatch(user_id: Long, matched_ts: java.sql.Timestamp,
+      n_matches: Long)
+
+  /** LIVE ordered-pattern detection — the streaming counterpart of the
+    * batch funnel miners (q173 depth-2, q184 depth-3): emit a match
+    * every time a user completes `pattern` (stage i strictly after
+    * stage i−1, each hop within `horizonMs`). State is ONE timestamp
+    * per prefix stage — the running "latest completion per prefix",
+    * exactly the batch formulation's invariant (latest prefix
+    * completion is optimal for the next hop), so state is O(k) per key
+    * forever. Within a batch, events fold in ts order; stages update
+    * DESCENDING so one event never completes two consecutive stages.
+    * Replayed in order, matches equal the batch definition — the
+    * StreamingSpec parity contract.
+    */
+  def funnelMatchStream(events: Dataset[FunnelEvent], pattern: Seq[String],
+      horizonMs: Long): Dataset[FunnelMatch] = {
+    require(pattern.size >= 2, s"pattern needs >= 2 stages, got $pattern")
+    require(pattern.sliding(2).forall(p => p(0) != p(1)),
+      s"consecutive stages must differ, got $pattern")
+    import events.sparkSession.implicits._
+    val k = pattern.size
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val evs = rows.toSeq.sortBy(_.ts.getTime)
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption.getOrElse(
+              FunnelState(Seq.fill(k)(Long.MinValue), 0L))
+            val stages = st.stageAt.toArray
+            var matches = st.matches
+            val out = Seq.newBuilder[FunnelMatch]
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              // descending: stage i reads stage i-1 as of BEFORE this event
+              var i = k - 1
+              while (i >= 1) {
+                if (e.event_type == pattern(i) &&
+                    stages(i - 1) != Long.MinValue &&
+                    t - stages(i - 1) <= horizonMs) {
+                  stages(i) = t
+                  if (i == k - 1) {
+                    matches += 1
+                    out += FunnelMatch(userId, e.ts, matches)
+                  }
+                }
+                i -= 1
+              }
+              if (e.event_type == pattern.head) stages(0) = t
+            }
+            state.update(FunnelState(stages.toSeq, matches))
+            out.result().iterator
+          }
+      }
+  }
 }

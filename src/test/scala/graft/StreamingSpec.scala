@@ -203,4 +203,60 @@ class StreamingSpec extends SparkSpec {
     // one update per (user, non-empty batch)
     assert(out.count(_.user_id == 1) == 3 && out.count(_.user_id == 2) == 3)
   }
+
+  test("streaming funnel matches equal the batch definition across batches") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ev(u: Long, minutes: Int, t: String) = Streaming.FunnelEvent(
+      u, new java.sql.Timestamp(t0.getTime + minutes * 60000L), t)
+    val h = 60L * 60000L // 1 hour per hop
+    // user 1: two full signup->click->purchase completions, one broken hop
+    val u1 = Seq(ev(1, 0, "signup"), ev(1, 10, "click"), ev(1, 20, "purchase"),
+      ev(1, 30, "signup"), ev(1, 100, "click"), // 70 min: hop 1 broken
+      ev(1, 110, "signup"), ev(1, 115, "click"), ev(1, 130, "purchase"))
+    // user 2: stages out of order never match
+    val u2 = Seq(ev(2, 0, "purchase"), ev(2, 5, "click"), ev(2, 10, "signup"))
+    // user 3: completion spans batch boundaries (state carries prefixes)
+    val u3 = Seq(ev(3, 0, "signup"), ev(3, 50, "click"), ev(3, 95, "purchase"))
+    val batches = Seq(
+      u1.take(4) ++ u2 ++ u3.take(1),
+      u1.slice(4, 6) ++ u3.slice(1, 2),
+      u1.drop(6) ++ u3.drop(2))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.FunnelEvent](spark, 1)
+    val q = Streaming.funnelMatchStream(ms.toDS(),
+        Seq("signup", "click", "purchase"), h)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    val out = spark.sql("SELECT * FROM funnel_out").as[Streaming.FunnelMatch]
+      .collect()
+    // batch replay of the same definition (the q184 brute force)
+    def batchMatches(evsAll: Seq[Streaming.FunnelEvent]): Int = {
+      val q3 = evsAll.sortBy(_.ts.getTime)
+      var n = 0
+      // per-completion count: every purchase with a qualifying latest
+      // (signup->click) prefix — the q173/q184 latest-prefix invariant
+      var lastSignup = Long.MinValue; var lastSC = Long.MinValue
+      q3.foreach { e =>
+        val t = e.ts.getTime
+        if (e.event_type == "purchase" && lastSC != Long.MinValue &&
+          t - lastSC <= h) n += 1
+        if (e.event_type == "click" && lastSignup != Long.MinValue &&
+          t - lastSignup <= h) lastSC = t
+        if (e.event_type == "signup") lastSignup = t
+      }
+      n
+    }
+    val byUser = (u1 ++ u2 ++ u3).groupBy(_.user_id)
+    byUser.foreach { case (u, evsAll) =>
+      assert(out.count(_.user_id == u) == batchMatches(evsAll),
+        s"user $u stream/batch mismatch")
+    }
+    assert(out.count(_.user_id == 1) == 2) // exactly the two planted runs
+    assert(out.count(_.user_id == 2) == 0)
+    assert(out.count(_.user_id == 3) == 1) // completed across 3 batches
+    // n_matches is a per-user running count
+    assert(out.filter(_.user_id == 1).map(_.n_matches).sorted.toSeq == Seq(1L, 2L))
+  }
 }
