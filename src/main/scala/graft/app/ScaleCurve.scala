@@ -214,20 +214,86 @@ object ScaleCurve {
       },
     )
 
+    // ---- events replication for the sequence/drift family: new users
+    // per replica (offset ids), identical per-user series — pattern and
+    // fold structure is exactly replica-isomorphic, so funnel supports,
+    // CUSUM folds, and GD gradients must all scale linearly in users
+    val baseEvents = graft.core.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    def replicatedEvents(k: Int): DataFrame = (0 until k).map { i =>
+      baseEvents.select(
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        (col("user_id") + lit(i.toLong * 1000000000L)).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+    scales.foreach { k =>
+      replicatedEvents(k).write.mode("overwrite").parquet(s"$work/ev_x$k")
+      ()
+    }
+    def eventsAt(k: Int): DataFrame = spark.read.parquet(s"$work/ev_x$k")
+
+    val evOps: Seq[(String, DataFrame => Long)] = Seq(
+      // one window pass + bounded pair aggregate: user-count linear
+      "q173_seq_patterns(events)" -> { d =>
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val e = d.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        val withLasts = types.foldLeft(e) { case (df, t) =>
+          df.withColumn(s"l_$t",
+            max(when(col("event_type") === t, col("us"))).over(w))
+        }
+        withLasts.select(col("user_id"), col("event_type").as("next_type"),
+            col("us"),
+            explode(array(types.map(t =>
+              struct(lit(t).as("prev_type"), col(s"l_$t").as("l_us"))): _*)).as("p"))
+          .filter(col("p.prev_type") =!= col("next_type") &&
+            col("p.l_us").isNotNull &&
+            (col("us") - col("p.l_us")) <= 604800000000L)
+          .select(col("user_id"), col("p.prev_type"), col("next_type"))
+          .distinct().count()
+      },
+      // row-local fold per user after one stats pass: user-count linear
+      "q179_cusum_fold(events)" -> { d =>
+        val st = d.groupBy("user_id").agg(
+            count(lit(1)).as("n"),
+            graft.core.Det.dsum(col("value")).as("sx"),
+            graft.core.Det.dsum(col("value") * col("value")).as("sxx"))
+          .filter(col("n") >= 20)
+          .select(col("user_id"),
+            (col("sx") / col("n")).as("mu"),
+            sqrt(col("sxx") / col("n") -
+              (col("sx") / col("n")) * (col("sx") / col("n"))).as("sd"))
+        d.join(broadcast(st), "user_id")
+          .groupBy("user_id", "mu", "sd")
+          .agg(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("evs"))
+          .withColumn("vals", transform(col("evs"), e => e.getField("value")))
+          .select(col("user_id"),
+            aggregate(col("vals"), lit(0.0), (acc, x) =>
+              greatest(lit(0.0), acc + (x - col("mu") - lit(0.5) * col("sd"))))
+              .as("s"))
+          .count()
+      },
+    )
+
     // one warmup pass at 1x so JIT/codegen compilation is not billed to
     // the first measured cell
     ops.foreach { case (_, f) => f(corpus(1)); () }
+    evOps.foreach { case (_, f) => f(eventsAt(1)); () }
 
     var ok = true
     println(f"${"query"}%-36s ${"1x(s)"}%8s ${"4x(s)"}%8s ${"16x(s)"}%8s " +
       f"${"4x/1x"}%6s ${"16x/4x"}%6s")
-    ops.foreach { case (name, f) =>
+    def measure(name: String, f: DataFrame => Long, at: Int => DataFrame): Unit = {
       val t = scales.map { k =>
         // constant rows per shuffle partition across scales — see scaladoc
         spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * k).toString)
         val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          f(corpus(k))
+          f(at(k))
           (System.nanoTime() - t0) / 1e9
         }
         runs.min
@@ -238,6 +304,8 @@ object ScaleCurve {
       println(f"$name%-36s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f " +
         f"$r41%6.2f $r164%6.2f ${if (pass) "" else "  <-- SUPER-LINEAR"}")
     }
+    ops.foreach { case (name, f) => measure(name, f, corpus) }
+    evOps.foreach { case (name, f) => measure(name, f, eventsAt) }
     spark.stop()
     if (!ok) sys.exit(2)
   }
