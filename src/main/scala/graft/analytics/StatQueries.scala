@@ -1701,5 +1701,137 @@ object StatQueries {
           col("rk"), col("ck").as("top_ck"), col("pc1"))
         .orderBy("rk")
     },
+
+    // ---- Spearman rank correlation (balance vs lifetime spend, per
+    // segment): Pearson on MIDRANKS — ranks with average-rank ties are
+    // integers-or-halves, exact in double AND in DECIMAL(38,6), so the
+    // rank power sums are exact and the closing correlation is one
+    // identical double tree (the q180 midrank machinery applied to
+    // correlation). Midranks per segment via two rank+count windows —
+    // (rank() + (tie_count−1)/2) — never a self-join; two segment-keyed
+    // shuffles at any SF.
+    QueryDef(
+      "q187_spearman_corr",
+      Some(s"""
+        WITH d AS (
+          SELECT c_mktsegment AS segment, o_custkey AS ck,
+                 MIN(c_acctbal) AS x, ${sqlSum("o_totalprice")} AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, o_custkey
+        ), r AS (
+          SELECT segment,
+                 RANK() OVER (PARTITION BY segment ORDER BY x)
+                   + (COUNT(*) OVER (PARTITION BY segment, x) - 1) / CAST(2 AS DOUBLE) AS rx,
+                 RANK() OVER (PARTITION BY segment ORDER BY y)
+                   + (COUNT(*) OVER (PARTITION BY segment, y) - 1) / CAST(2 AS DOUBLE) AS ry
+          FROM d
+        ), st AS (
+          SELECT segment, COUNT(*) AS n,
+                 ${sqlSum("rx")} AS sx, ${sqlSum("ry")} AS sy,
+                 ${sqlSum("rx * rx")} AS sxx, ${sqlSum("ry * ry")} AS syy,
+                 ${sqlSum("rx * ry")} AS sxy
+          FROM r GROUP BY segment
+        )
+        SELECT segment, n,
+               (sxy - sx * sy / n) /
+               (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS spearman_rho
+        FROM st ORDER BY segment"""),
+    ) { (s, dir) =>
+      val d = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_custkey").as("ck"))
+        .agg(min(col("c_acctbal")).as("x"),
+          Det.dsum(col("o_totalprice")).as("y"))
+      def midrank(c: String) =
+        rank().over(Window.partitionBy("segment").orderBy(c)) +
+          (count(lit(1)).over(Window.partitionBy("segment", c)) - 1) / lit(2.0)
+      val r = d.select(col("segment"),
+        midrank("x").as("rx"), midrank("y").as("ry"))
+      val st = r.groupBy("segment").agg(count(lit(1)).as("n"),
+        Det.dsum(col("rx")).as("sx"), Det.dsum(col("ry")).as("sy"),
+        Det.dsum(col("rx") * col("rx")).as("sxx"),
+        Det.dsum(col("ry") * col("ry")).as("syy"),
+        Det.dsum(col("rx") * col("ry")).as("sxy"))
+      st.select(col("segment"), col("n"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("spearman_rho"))
+        .orderBy("segment")
+    },
+
+    // ---- Mann-Kendall trend test per nation over the monthly revenue
+    // series — the nonparametric companion to q164/q182, on the SAME
+    // bounded month-pair set (months² is date-range-bounded, never
+    // data-sized). S = Σ sign(rev_j − rev_i) is an exact INTEGER (signs
+    // of bit-identical double differences); Var(S) = n(n−1)(2n+5)/18 is
+    // exact integer arithmetic over 18; the normal-approximation z uses
+    // the continuity correction sign(S)·(|S|−1). Distinct monthly
+    // revenues make tie corrections vacuous by construction — asserted,
+    // not assumed, by the spec's replay.
+    QueryDef(
+      "q188_mann_kendall",
+      Some(s"""
+        WITH m0 AS (
+          SELECT MIN(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)) AS mn
+          FROM orders
+        ), monthly AS (
+          SELECT c_nationkey AS nationkey,
+                 (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate))
+                   - (SELECT mn FROM m0) AS midx,
+                 ${sqlSum("l_extendedprice * (1 - l_discount)")} AS rev
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a.nationkey,
+                 CASE WHEN b.rev > a.rev THEN 1
+                      WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sg
+          FROM monthly a JOIN monthly b
+            ON a.nationkey = b.nationkey AND a.midx < b.midx
+        ), st AS (
+          SELECT p.nationkey, CAST(SUM(sg) AS BIGINT) AS s_stat,
+                 (SELECT COUNT(*) FROM monthly m
+                  WHERE m.nationkey = p.nationkey) AS n_months
+          FROM pairs p GROUP BY p.nationkey
+        )
+        SELECT nationkey, n_months, s_stat,
+               CAST(n_months * (n_months - 1) * (2 * n_months + 5) AS DOUBLE) / 18 AS var_s,
+               CASE WHEN s_stat > 0 THEN (s_stat - 1) /
+                      sqrt(CAST(n_months * (n_months - 1) * (2 * n_months + 5) AS DOUBLE) / 18)
+                    WHEN s_stat < 0 THEN (s_stat + 1) /
+                      sqrt(CAST(n_months * (n_months - 1) * (2 * n_months + 5) AS DOUBLE) / 18)
+                    ELSE CAST(0 AS DOUBLE) END AS z
+        FROM st ORDER BY nationkey"""),
+    ) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val midxRaw = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+      val m0 = orders.agg(min(midxRaw).as("mn"))
+      val monthly = Tables.lineitem(s, dir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(m0)) // stat-broadcast scalar (SURVEY §4.1)
+        .groupBy(col("c_nationkey").as("nationkey"),
+          (midxRaw - col("mn")).as("midx"))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .persist()
+      val a = monthly.select(col("nationkey"), col("midx").as("mi"), col("rev").as("ri"))
+      val b = monthly.select(col("nationkey"), col("midx").as("mj"), col("rev").as("rj"))
+      val st = a.join(b, Seq("nationkey")).filter(col("mi") < col("mj"))
+        .select(col("nationkey"),
+          when(col("rj") > col("ri"), 1).when(col("rj") < col("ri"), -1)
+            .otherwise(0).as("sg"))
+        .groupBy("nationkey").agg(sum("sg").cast("long").as("s_stat"))
+        .join(monthly.groupBy("nationkey").agg(count(lit(1)).as("n_months")),
+          "nationkey")
+      val varS = (col("n_months") * (col("n_months") - 1) *
+        (lit(2) * col("n_months") + 5)).cast("double") / 18
+      st.select(col("nationkey"), col("n_months"), col("s_stat"),
+          varS.as("var_s"),
+          when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(varS))
+            .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(varS))
+            .otherwise(lit(0.0)).as("z"))
+        .orderBy("nationkey")
+    },
   )
 }

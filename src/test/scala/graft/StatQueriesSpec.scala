@@ -613,4 +613,70 @@ class StatQueriesSpec extends SparkSpec {
     assert(math.abs(axx * axx + axy * axy - 1.0) < 3e-6)
     assert(l1 >= l2 && l2 >= -1e-12)
   }
+
+  test("q187: Spearman rho == in-memory midrank replay, within [-1, 1]") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(min(col("c_acctbal")).as("x"),
+        graft.core.Det.dsum(col("o_totalprice")).as("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+      .groupBy(_._1)
+    def midranks(vs: Seq[Double]): Seq[Double] = {
+      val sorted = vs.sorted
+      val firstRank = sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2).min + 1) }
+      val cnt = vs.groupBy(identity).map { case (v, g) => v -> g.size }
+      vs.map(v => firstRank(v) + (cnt(v) - 1) / 2.0)
+    }
+    val got = run("q187_spearman_corr").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    d.foreach { case (seg, rows) =>
+      val rx = midranks(rows.map(_._2).toSeq)
+      val ry = midranks(rows.map(_._3).toSeq)
+      val n = rows.length
+      def ds(vs: Seq[Double]) = vs.map(d6).sum.toDouble
+      val sx = ds(rx); val sy = ds(ry)
+      val sxx = ds(rx.map(v => v * v)); val syy = ds(ry.map(v => v * v))
+      val sxy = ds(rx.zip(ry).map { case (a, b) => a * b })
+      val rho = (sxy - sx * sy / n) /
+        (math.sqrt(sxx - sx * sx / n) * math.sqrt(syy - sy * sy / n))
+      assert(got(seg) == rho)
+      assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12)
+    }
+  }
+
+  test("q188: Mann-Kendall S/z == in-memory replay; monthly revenues tie-free") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.core.Tables.orders(spark, dir)
+    val midx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+    val mn = orders.agg(min(midx)).collect()(0).getLong(0)
+    val monthly = graft.core.Tables.lineitem(spark, dir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), (midx - mn).as("midx"))
+      .agg(graft.core.Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val got = run("q188_mann_kendall").collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    monthly.foreach { case (nk, rows) =>
+      // the tie-correction-free variance is valid because monthly decimal
+      // revenues are pairwise distinct — assert, don't assume
+      assert(rows.map(_._3).distinct.length == rows.length)
+      val ms = rows.sortBy(_._2)
+      var sStat = 0L
+      for (i <- ms.indices; j <- (i + 1) until ms.length)
+        sStat += (if (ms(j)._3 > ms(i)._3) 1 else if (ms(j)._3 < ms(i)._3) -1 else 0)
+      val n = ms.length.toLong
+      val varS = (n * (n - 1) * (2 * n + 5)).toDouble / 18
+      val z = if (sStat > 0) (sStat - 1) / math.sqrt(varS)
+        else if (sStat < 0) (sStat + 1) / math.sqrt(varS) else 0.0
+      assert(got(nk) == ((n, sStat, z)))
+    }
+  }
 }
