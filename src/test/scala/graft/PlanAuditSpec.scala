@@ -396,4 +396,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
       "risk sets must not be computed by a duration self-join")
   }
+
+  test("Spearman midranks come from rank windows, never a self-join") {
+    val p = plan("q187_spearman_corr")
+    assert(p.contains("Window"), "expected the rank/count midrank windows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "midranks degraded to a per-value self-join")
+  }
+
+  test("AUC ranks run over the bounded distinct-score table") {
+    val p = plan("q180_roc_auc")
+    // the only aggregation wider than |distinct scores| is the input
+    // group-by; the rank window and final sums are dimension-sized
+    assert(p.contains("Window"), "expected the ordered-prefix rank window")
+    assert(!p.contains("CartesianProduct"), "AUC must never cross-join")
+  }
+
+  test("bootstrap fan-out is one generate + keyed aggregate, no data re-shuffle per replicate") {
+    val p = plan("q183_bootstrap_ci")
+    assert(p.split("\n\n").head.linesIterator.exists(_.contains("Generate")),
+      "expected the B-fold explode fan-out")
+    assert(!p.contains("CartesianProduct"), "bootstrap must never cross-join the data side")
+    val exchanges = p.split("\n\n").head.linesIterator
+      .count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 6, s"bootstrap plan grew $exchanges exchanges")
+  }
 }
