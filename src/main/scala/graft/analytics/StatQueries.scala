@@ -1833,5 +1833,117 @@ object StatQueries {
             .otherwise(lit(0.0)).as("z"))
         .orderBy("nationkey")
     },
+
+    // ---- James-Stein shrinkage of per-nation mean order values: the
+    // empirical-Bayes estimator that dominates raw group means when
+    // estimating 25 means at once — small-sample nations shrink toward
+    // the grand mean. Closed form, fully deterministic: group means from
+    // exact decimal sums, the shrinkage factor 1 − (k−3)·σ̄²/Σ(x̄_i−μ)²
+    // from identical double trees (σ̄² = pooled within variance / mean
+    // group size; Σ over the 25-row group table via the exact-decimal
+    // window sum), clamped at 0. Group table is dimension-sized; the
+    // only data-sized work is one keyed aggregation.
+    QueryDef(
+      "q189_james_stein",
+      Some(s"""
+        WITH g AS (
+          SELECT c_nationkey AS nationkey, COUNT(*) AS n,
+                 ${sqlSum("o_totalprice")} AS sx,
+                 ${sqlSum("(o_totalprice / 131072) * (o_totalprice / 131072)")} AS s2,
+                 ${sqlSum("o_totalprice / 131072")} AS s1
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1
+        ), m AS (
+          SELECT nationkey, n, sx / n AS mean,
+                 (s2 - s1 * s1 / n) / (n - 1) AS var_s
+          FROM g
+        ), t AS (
+          SELECT nationkey, n, mean, var_s,
+                 COUNT(*) OVER () AS k,
+                 CAST(SUM(CAST(mean AS DECIMAL(38,6))) OVER () AS DOUBLE) /
+                   COUNT(*) OVER () AS grand,
+                 CAST(SUM(CAST(var_s / n AS DECIMAL(38,6))) OVER () AS DOUBLE) /
+                   COUNT(*) OVER () AS avg_se2
+          FROM m
+        ), d AS (
+          SELECT nationkey, n, mean, k, grand, avg_se2,
+                 CAST(SUM(CAST((mean / 131072 - grand / 131072) *
+                   (mean / 131072 - grand / 131072) AS DECIMAL(38,6))) OVER () AS DOUBLE) AS ssd
+          FROM t
+        )
+        SELECT nationkey, n, mean, grand,
+               greatest(CAST(0 AS DOUBLE),
+                 1 - (k - 3) * avg_se2 / (ssd * 131072 * 131072)) AS shrink,
+               grand + greatest(CAST(0 AS DOUBLE),
+                 1 - (k - 3) * avg_se2 / (ssd * 131072 * 131072)) * (mean - grand)
+                 AS js_mean
+        FROM d ORDER BY nationkey"""),
+    ) { (s, dir) =>
+      val xs = col("o_totalprice") / 131072
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val g = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sx"),
+          Det.dsum(xs * xs).as("s2"), Det.dsum(xs).as("s1"))
+      val m = g.select(col("nationkey"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var_s"))
+      val t = m
+        .withColumn("k", count(lit(1)).over(whole))
+        .withColumn("grand",
+          sum(Det.dec(col("mean"))).over(whole).cast("double") / count(lit(1)).over(whole))
+        .withColumn("avg_se2",
+          sum(Det.dec(col("var_s") / col("n"))).over(whole).cast("double") /
+            count(lit(1)).over(whole))
+      val dd = t.withColumn("ssd",
+        sum(Det.dec((col("mean") / 131072 - col("grand") / 131072) *
+          (col("mean") / 131072 - col("grand") / 131072))).over(whole).cast("double"))
+      val shrink = greatest(lit(0.0),
+        lit(1) - (col("k") - 3) * col("avg_se2") /
+          (col("ssd") * 131072 * 131072))
+      dd.select(col("nationkey"), col("n"), col("mean"), col("grand"),
+          shrink.as("shrink"),
+          (col("grand") + shrink * (col("mean") - col("grand"))).as("js_mean"))
+        .orderBy("nationkey")
+    },
+
+    // ---- Herfindahl-Hirschman concentration of corpus sources per
+    // language: Σ share² — the mixture-design diagnostic ("is this
+    // lang's data dominated by one source?"). Shares are single
+    // divisions of exact integers; share² terms are identical doubles
+    // and the HHI total goes through the exact-decimal window sum. The
+    // cell table is |lang| x |source| — dimension-sized at any SF.
+    QueryDef(
+      "q190_source_concentration",
+      Some("""
+        WITH c AS (
+          SELECT lang, source, COUNT(*) AS n_docs
+          FROM documents GROUP BY 1, 2
+        ), t AS (
+          SELECT lang, source, n_docs,
+                 CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang) AS share
+          FROM c
+        )
+        SELECT lang, source, n_docs, share,
+               CAST(SUM(CAST(share * share AS DECIMAL(38,6)))
+                 OVER (PARTITION BY lang) AS DOUBLE) AS hhi,
+               COUNT(*) OVER (PARTITION BY lang) AS n_sources
+        FROM t ORDER BY lang, source"""),
+    ) { (s, dir) =>
+      val byLang = Window.partitionBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          col("n_docs").cast("double") / sum("n_docs").over(byLang))
+        .select(col("lang"), col("source"), col("n_docs"), col("share"),
+          sum(Det.dec(col("share") * col("share"))).over(byLang)
+            .cast("double").as("hhi"),
+          count(lit(1)).over(byLang).as("n_sources"))
+        .orderBy("lang", "source")
+    },
   )
 }

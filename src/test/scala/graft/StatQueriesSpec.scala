@@ -679,4 +679,41 @@ class StatQueriesSpec extends SparkSpec {
       assert(got(nk) == ((n, sStat, z)))
     }
   }
+
+  test("q189: shrinkage lies in [0,1] and every JS mean is a convex pull") {
+    val rows = run("q189_james_stein").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 25)
+    val grand = rows.head._4
+    rows.foreach { case (_, n, mean, g, shrink, js) =>
+      assert(g == grand) // identical on every row
+      assert(shrink >= 0.0 && shrink <= 1.0)
+      // js between grand and the raw mean (inclusive), on the same side
+      assert(js >= math.min(grand, mean) - 1e-9 &&
+        js <= math.max(grand, mean) + 1e-9)
+      assert(js == grand + shrink * (mean - grand))
+      assert(n > 0)
+    }
+    // shrinkage must actually bite: not everything stays at the raw mean
+    assert(rows.exists { case (_, _, mean, _, _, js) => js != mean })
+  }
+
+  test("q190: shares sum to 1 per lang and HHI respects its exact bounds") {
+    val rows = run("q190_source_concentration").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-9)
+      val hhi = rs.head._5; val nSrc = rs.head._6
+      rs.foreach(r => assert(r._5 == hhi && r._6 == nSrc))
+      assert(nSrc == rs.length)
+      // 1/n <= HHI <= 1, with 6dp-term rounding slack
+      assert(hhi >= 1.0 / nSrc - 1e-3 && hhi <= 1.0 + 1e-3)
+      // decimal-sum discipline: hhi == 6dp-rounded share^2 sum, exactly
+      val termSum = rs.map(r => d6(r._4 * r._4)).sum
+      assert(hhi == termSum.toDouble)
+    }
+  }
 }
