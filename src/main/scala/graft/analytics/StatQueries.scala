@@ -1945,5 +1945,122 @@ object StatQueries {
           count(lit(1)).over(byLang).as("n_sources"))
         .orderBy("lang", "source")
     },
+
+    // ---- Cohen's kappa between the q174 model's prediction and a
+    // rule-based labeler (negative balance OR single order → churn):
+    // the inter-annotator-agreement metric, here auditing how much the
+    // trained model actually adds over the heuristic. Every input is an
+    // integer confusion-matrix count; observed/expected agreement and
+    // kappa are single divisions and one identical double tree. Reuses
+    // the SHARED scored frame — one aggregation over it.
+    QueryDef(
+      "q191_cohens_kappa",
+      Some(s"""
+        WITH $logregCtes,
+        lab AS (
+          SELECT CASE WHEN sg >= 0.5 THEN 1 ELSE 0 END AS model_churn,
+                 CASE WHEN x1 < 0 OR x2 <= CAST(1 AS DOUBLE) THEN 1 ELSE 0 END AS rule_churn
+          FROM scored
+        ), cm AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(model_churn * rule_churn) AS BIGINT) AS n11,
+                 CAST(SUM(model_churn * (1 - rule_churn)) AS BIGINT) AS n10,
+                 CAST(SUM((1 - model_churn) * rule_churn) AS BIGINT) AS n01,
+                 CAST(SUM((1 - model_churn) * (1 - rule_churn)) AS BIGINT) AS n00
+          FROM lab
+        )
+        SELECT n, n11, n10, n01, n00,
+               CAST(n11 + n00 AS DOUBLE) / n AS po,
+               (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n) +
+               (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n) AS pe,
+               (CAST(n11 + n00 AS DOUBLE) / n -
+                ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n) +
+                 (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))) /
+               (1 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n) +
+                 (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n))) AS kappa
+        FROM cm"""),
+    ) { (s, dir) =>
+      val lab = logregScored(s, dir).select(
+        when(col("sg") >= 0.5, 1).otherwise(0).as("model_churn"),
+        when(col("x1") < 0 || col("x2") <= lit(1.0), 1).otherwise(0).as("rule_churn"))
+      val cm = lab.agg(count(lit(1)).as("n"),
+        sum(col("model_churn") * col("rule_churn")).cast("long").as("n11"),
+        sum(col("model_churn") * (lit(1) - col("rule_churn"))).cast("long").as("n10"),
+        sum((lit(1) - col("model_churn")) * col("rule_churn")).cast("long").as("n01"),
+        sum((lit(1) - col("model_churn")) * (lit(1) - col("rule_churn"))).cast("long").as("n00"))
+      val po = (col("n11") + col("n00")).cast("double") / col("n")
+      val pe = ((col("n11") + col("n10")).cast("double") / col("n")) *
+          ((col("n11") + col("n01")).cast("double") / col("n")) +
+        ((col("n01") + col("n00")).cast("double") / col("n")) *
+          ((col("n10") + col("n00")).cast("double") / col("n"))
+      cm.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        po.as("po"), pe.as("pe"), ((po - pe) / (lit(1) - pe)).as("kappa"))
+    },
+
+    // ---- population stability index between order-value distributions
+    // of the corpus' first and second half-years — the model-monitoring
+    // drift metric (PSI > 0.2 = retrain). Fixed price-band edges make
+    // bin populations exact integers; shares are single divisions; each
+    // PSI term (p−q)·ln(p/q) uses a 6dp-rounded ln of an integer-ratio
+    // argument and the total is an exact-decimal window sum (the q169
+    // discipline). The split date is the corpus midpoint month —
+    // integer month arithmetic on both engines.
+    QueryDef(
+      "q192_psi_drift",
+      Some(s"""
+        WITH mm AS (
+          SELECT MIN(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)) AS mn,
+                 MAX(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)) AS mx
+          FROM orders
+        ), d AS (
+          SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 7) AS band,
+                 CASE WHEN (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate))
+                        <= ((SELECT mn FROM mm) + (SELECT mx FROM mm)) / 2
+                      THEN 0 ELSE 1 END AS half
+          FROM orders
+        ), c AS (
+          SELECT band,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+          FROM d GROUP BY band
+          HAVING SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) > 0
+             AND SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) > 0
+        ), t AS (
+          SELECT band, n_ref, n_cur,
+                 CAST(n_ref AS DOUBLE) / SUM(n_ref) OVER () AS p_ref,
+                 CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS p_cur,
+                 round(ln(CAST(n_cur * SUM(n_ref) OVER () AS DOUBLE) /
+                          CAST(n_ref * SUM(n_cur) OVER () AS DOUBLE)), 6) AS ln_ratio
+          FROM c
+        )
+        SELECT band, n_ref, n_cur, p_ref, p_cur,
+               (p_cur - p_ref) * ln_ratio AS psi_term,
+               CAST(SUM(CAST((p_cur - p_ref) * ln_ratio AS DECIMAL(38,6))) OVER () AS DOUBLE) AS psi_total
+        FROM t ORDER BY band"""),
+    ) { (s, dir) =>
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val midx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+      val mm = Tables.orders(s, dir).agg(min(midx).as("mn"), max(midx).as("mx"))
+      val d = Tables.orders(s, dir)
+        .crossJoin(broadcast(mm)) // stat-broadcast scalar (SURVEY §4.1)
+        .select(least(floor(col("o_totalprice") / 50000).cast("long"), lit(7L)).as("band"),
+          when(midx <= (col("mn") + col("mx")) / 2, 0).otherwise(1).as("half"))
+      val c = d.groupBy("band").agg(
+          sum(when(col("half") === 0, 1).otherwise(0)).cast("long").as("n_ref"),
+          sum(when(col("half") === 1, 1).otherwise(0)).cast("long").as("n_cur"))
+        .filter(col("n_ref") > 0 && col("n_cur") > 0)
+      val t = c
+        .withColumn("p_ref", col("n_ref").cast("double") / sum("n_ref").over(whole))
+        .withColumn("p_cur", col("n_cur").cast("double") / sum("n_cur").over(whole))
+        .withColumn("ln_ratio", round(log(
+          (col("n_cur") * sum("n_ref").over(whole)).cast("double") /
+            (col("n_ref") * sum("n_cur").over(whole)).cast("double")), 6))
+      t.select(col("band"), col("n_ref"), col("n_cur"), col("p_ref"), col("p_cur"),
+          ((col("p_cur") - col("p_ref")) * col("ln_ratio")).as("psi_term"),
+          sum(Det.dec((col("p_cur") - col("p_ref")) * col("ln_ratio")))
+            .over(whole).cast("double").as("psi_total"))
+        .orderBy("band")
+    },
   )
 }

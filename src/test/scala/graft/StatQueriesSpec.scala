@@ -716,4 +716,38 @@ class StatQueriesSpec extends SparkSpec {
       assert(hhi == termSum.toDouble)
     }
   }
+
+  test("q191: kappa identity holds and confusion counts partition the cohort") {
+    val r = run("q191_cohens_kappa").collect()(0)
+    val (n, n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n11 + n10 + n01 + n00 == n)
+    val po = r.getDouble(5); val pe = r.getDouble(6); val kappa = r.getDouble(7)
+    assert(po == (n11 + n00).toDouble / n)
+    assert(kappa == (po - pe) / (1 - pe))
+    assert(kappa >= -1.0 - 1e-12 && kappa <= 1.0 + 1e-12)
+    val (f, w) = logregReplay
+    assert(n == f.length)
+  }
+
+  test("q192: PSI terms replay exactly and bands partition both halves") {
+    val rows = run("q192_psi_drift").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val totalRef = rows.map(_._2).sum; val totalCur = rows.map(_._3).sum
+    val psi = rows.head._7
+    rows.foreach { case (band, nRef, nCur, pRef, pCur, term, tot) =>
+      assert(band >= 0 && band <= 7)
+      assert(nRef > 0 && nCur > 0)
+      assert(pRef == nRef.toDouble / totalRef && pCur == nCur.toDouble / totalCur)
+      val lnr = r6(math.log(
+        (nCur * totalRef).toDouble / (nRef * totalCur).toDouble))
+      assert(term == (pCur - pRef) * lnr)
+      assert(tot == psi)
+    }
+    // decimal-sum discipline on the total
+    assert(psi == rows.map(r => d6(r._6)).sum.toDouble)
+    assert(psi >= -1e-9) // PSI is a sum of (p-q)ln(p/q) terms: non-negative
+  }
 }
