@@ -32,6 +32,29 @@ object StatQueries {
   private val benford: Seq[(Int, Double)] =
     (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
 
+  /** DISTRIBUTED exact global rank over `sortCols` (1-based, dense row
+    * numbering): range-repartition on the sort key, partition-local
+    * row_number, tiny per-partition offset table broadcast back — the
+    * global rank is offset+local wherever the sampled range boundaries
+    * land, so the result is exact under any partitioning and no task
+    * ever sees more than its slice (a global row_number window would
+    * funnel everything through ONE task at 100 TB). Callers supply a
+    * total-order key (include a unique tie-break column). */
+  private def globalRank(df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val r = df.repartitionByRange(32, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val offs = r.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum("_c").over(Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off") // <= one row per partition: tiny
+    r.withColumn("_rn_local", row_number().over(
+        Window.partitionBy("_pid").orderBy(sortCols: _*)))
+      .join(broadcast(offs), "_pid")
+      .withColumn("rn", col("_off") + col("_rn_local"))
+      .drop("_pid", "_off", "_rn_local")
+  }
+
   /** Shared CTE chain for the q174/q177 logistic model: integer features,
     * zero-init weights, 3 unrolled GD rounds to `w3`. Interpolated into
     * both oracles so the trained model is defined ONCE. */
@@ -1075,17 +1098,7 @@ object StatQueries {
       val cal = scored.filter(col("ck") % 2 === 0).select(col("ck"), aCol)
       val kk = cal.agg(count(lit(1)).as("n_cal"),
         ceil((count(lit(1)) + 1) * lit(0.9)).cast("long").as("k"))
-      val calR = cal.repartitionByRange(32, col("a"), col("ck"))
-        .withColumn("pid", spark_partition_id())
-      val offs = calR.groupBy("pid").agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(sum("c").over(Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("pid", "off") // <= one row per partition: tiny
-      val qh = calR
-        .withColumn("rn_local", row_number().over(
-          Window.partitionBy("pid").orderBy("a", "ck")))
-        .join(broadcast(offs), "pid")
-        .withColumn("rn", col("off") + col("rn_local"))
+      val qh = globalRank(cal, Seq(col("a"), col("ck")))
         .crossJoin(broadcast(kk))
         .filter(col("rn") === col("k"))
         .select(col("n_cal"), col("k").as("k_rank"), col("a").as("qhat"))
@@ -2061,6 +2074,69 @@ object StatQueries {
           sum(Det.dec((col("p_cur") - col("p_ref")) * col("ln_ratio")))
             .over(whole).cast("double").as("psi_total"))
         .orderBy("band")
+    },
+
+    // ---- gain/lift deciles for the q174 model: rank customers by
+    // score, cut into 10 equal buckets, and report each decile's churn
+    // capture vs random targeting — the campaign-planning view of model
+    // quality (q181's calibration sibling). NTILE over the
+    // deterministic (score desc, ck) order gives identical bucket
+    // assignment on both engines; everything after is integer counts,
+    // exact cumulative window sums, and single divisions. The rank pass
+    // uses the same bounded-distinct-score argument as q180 at scale.
+    QueryDef(
+      "q193_gain_lift",
+      Some(s"""
+        WITH $logregCtes,
+        r AS (
+          SELECT y, NTILE(10) OVER (ORDER BY sg DESC, ck) AS decile
+          FROM scored
+        ), d AS (
+          SELECT decile, COUNT(*) AS n,
+                 CAST(SUM(y) AS BIGINT) AS n_pos
+          FROM r GROUP BY decile
+        )
+        SELECT decile, n, n_pos,
+               CAST(n_pos AS DOUBLE) / n AS pos_rate,
+               CAST(SUM(n_pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+               CAST(SUM(n_pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+                 SUM(n_pos) OVER () AS cum_capture,
+               (CAST(n_pos AS DOUBLE) / n) /
+                 (CAST(SUM(n_pos) OVER () AS DOUBLE) / SUM(n) OVER ()) AS lift
+        FROM d ORDER BY decile"""),
+    ) { (s, dir) =>
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = Window.partitionBy(lit(1)).orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // distributed NTILE: exact global rank (the q177 pattern), then the
+      // SQL-standard bucket formula — first (n mod 10) buckets take the
+      // extra row — so assignment matches the oracle's NTILE bit-for-bit
+      // without a single-task global sort
+      val scored = logregScored(s, dir)
+      val nTot = scored.agg(count(lit(1)).as("n_total"))
+      val ranked = globalRank(scored.select(col("y"), col("sg"), col("ck")),
+          Seq(desc("sg"), asc("ck")))
+        .crossJoin(broadcast(nTot)) // stat-broadcast scalar (SURVEY §4.1)
+      val q10 = col("n_total") / 10
+      val rem = col("n_total") % 10
+      val decile = when(col("rn") <= rem * (q10 + 1),
+          (col("rn") - 1) / (q10 + 1) + 1)
+        .otherwise(rem + (col("rn") - 1 - rem * (q10 + 1)) / q10 + 1)
+      val r = ranked.select(col("y"), decile.cast("int").as("decile"))
+      val d = r.groupBy("decile").agg(count(lit(1)).as("n"),
+        sum("y").cast("long").as("n_pos"))
+      d.select(col("decile"), col("n"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+          sum("n_pos").over(cum).cast("long").as("cum_pos"),
+          (sum("n_pos").over(cum).cast("double") /
+            sum("n_pos").over(whole)).as("cum_capture"),
+          ((col("n_pos").cast("double") / col("n")) /
+            (sum("n_pos").over(whole).cast("double") /
+              sum("n").over(whole))).as("lift"))
+        .orderBy("decile")
     },
   )
 }

@@ -750,4 +750,40 @@ class StatQueriesSpec extends SparkSpec {
     assert(psi == rows.map(r => d6(r._6)).sum.toDouble)
     assert(psi >= -1e-9) // PSI is a sum of (p-q)ln(p/q) terms: non-negative
   }
+
+  test("q193: decile assignment, captures, and lifts == exact NTILE replay") {
+    val (f, w) = logregReplay
+    val scored = f.map { case (ck, x1, x2, x3, y) =>
+      (ck, y, r6(1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3)))))
+    }.sortBy(p => (-p._3, p._1))
+    val n = scored.length
+    val q10 = n / 10; val rem = n % 10
+    def bucket(rn: Int): Int =
+      if (rn <= rem * (q10 + 1)) (rn - 1) / (q10 + 1) + 1
+      else rem + (rn - 1 - rem * (q10 + 1)) / q10 + 1
+    val byDecile = scored.zipWithIndex
+      .map { case (p, i) => (bucket(i + 1), p._2) }.groupBy(_._1)
+    val totPos = scored.count(_._2 == 1).toLong
+    val rows = run("q193_gain_lift").collect()
+    assert(rows.length == 10)
+    var cum = 0L
+    rows.foreach { r =>
+      val dec = r.getInt(0)
+      val ref = byDecile(dec)
+      assert(r.getLong(1) == ref.length)
+      val nPos = ref.count(_._2 == 1).toLong
+      assert(r.getLong(2) == nPos)
+      cum += nPos
+      assert(r.getLong(4) == cum)
+      assert(r.getDouble(5) == cum.toDouble / totPos)
+    }
+    assert(rows.map(_.getLong(1)).sum == n)
+    // NTILE shape: sizes differ by at most 1, first buckets larger
+    val sizes = rows.sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1 && sizes.toSeq == sizes.sortBy(-_).toSeq)
+    // cumulative capture is monotone and ends at exactly 1
+    val caps = rows.sortBy(_.getInt(0)).map(_.getDouble(5))
+    caps.toSeq.sliding(2).foreach { case Seq(a, b) => assert(b >= a) }
+    assert(caps.last == 1.0)
+  }
 }
