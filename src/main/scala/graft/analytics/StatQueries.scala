@@ -2138,5 +2138,117 @@ object StatQueries {
               sum("n").over(whole))).as("lift"))
         .orderBy("decile")
     },
+
+    // ---- one-way ANOVA F-test of order value across the 5 segments:
+    // the omnibus companion to q172's pairwise Welch tests. Between/
+    // within sums of squares derive ENTIRELY from per-group power sums
+    // of the 2^17-scaled metric (the q172 magnitude lesson): SSB =
+    // Σ s1_g²/n_g − S1²/N and SSW = Σ s2_g − Σ s1_g²/n_g, where the
+    // cross-group Σs run over the 5-row group table through exact-
+    // decimal window sums. One keyed aggregation + a dimension-sized
+    // projection at any SF.
+    QueryDef(
+      "q194_anova_f",
+      Some(s"""
+        WITH g AS (
+          SELECT c_mktsegment AS segment, COUNT(*) AS n,
+                 ${sqlSum("o_totalprice / 131072")} AS s1,
+                 ${sqlSum("(o_totalprice / 131072) * (o_totalprice / 131072)")} AS s2
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1
+        ), t AS (
+          SELECT segment, n, s1, s2,
+                 COUNT(*) OVER () AS k,
+                 CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+                 CAST(SUM(CAST(s1 AS DECIMAL(38,6))) OVER () AS DOUBLE) AS s1_all,
+                 CAST(SUM(CAST(s2 AS DECIMAL(38,6))) OVER () AS DOUBLE) AS s2_all,
+                 CAST(SUM(CAST(s1 * s1 / n AS DECIMAL(38,6))) OVER () AS DOUBLE) AS sb
+          FROM g
+        )
+        SELECT segment, n, k, n_total,
+               sb - s1_all * s1_all / n_total AS ssb,
+               s2_all - sb AS ssw,
+               ((sb - s1_all * s1_all / n_total) / (k - 1)) /
+                 ((s2_all - sb) / (n_total - k)) AS f_stat
+        FROM t ORDER BY segment"""),
+    ) { (s, dir) =>
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val xs = col("o_totalprice") / 131072
+      val g = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), Det.dsum(xs).as("s1"), Det.dsum(xs * xs).as("s2"))
+      val t = g
+        .withColumn("k", count(lit(1)).over(whole))
+        .withColumn("n_total", sum("n").over(whole).cast("long"))
+        .withColumn("s1_all", sum(Det.dec(col("s1"))).over(whole).cast("double"))
+        .withColumn("s2_all", sum(Det.dec(col("s2"))).over(whole).cast("double"))
+        .withColumn("sb",
+          sum(Det.dec(col("s1") * col("s1") / col("n"))).over(whole).cast("double"))
+      val ssb = col("sb") - col("s1_all") * col("s1_all") / col("n_total")
+      val ssw = col("s2_all") - col("sb")
+      t.select(col("segment"), col("n"), col("k"), col("n_total"),
+          ssb.as("ssb"), ssw.as("ssw"),
+          ((ssb / (col("k") - 1)) / (ssw / (col("n_total") - col("k")))).as("f_stat"))
+        .orderBy("segment")
+    },
+
+    // ---- multi-lag autocorrelation table (lags 1-3 per user): q162's
+    // lag-1 generalized — one window pass PER LAG (a fixed 3-way fan
+    // of the same user_id shuffle), exact power-sum Pearson per (user,
+    // lag). The ACF decay profile is the seasonality/memory diagnostic
+    // feeding the q170 smoother's parameter choices.
+    QueryDef(
+      "q195_acf_lags",
+      Some(s"""
+        WITH pairs AS (
+          SELECT user_id, l.lag AS lag_k, value AS y,
+                 CASE l.lag WHEN 1 THEN lag(value, 1) OVER w
+                            WHEN 2 THEN lag(value, 2) OVER w
+                            ELSE lag(value, 3) OVER w END AS x
+          FROM events CROSS JOIN (VALUES (1), (2), (3)) AS l(lag)
+          WINDOW w AS (PARTITION BY user_id, l.lag ORDER BY ts, event_id)
+        ), st AS (
+          SELECT user_id, lag_k, COUNT(*) AS n_pairs,
+                 ${sqlSum("x")} AS sx, ${sqlSum("y")} AS sy,
+                 ${sqlSum("x * x")} AS sxx, ${sqlSum("y * y")} AS syy,
+                 ${sqlSum("x * y")} AS sxy
+          FROM pairs WHERE x IS NOT NULL
+          GROUP BY user_id, lag_k HAVING COUNT(*) >= 30
+        )
+        SELECT user_id, lag_k, n_pairs,
+               (sxy - sx * sy / n_pairs) /
+               (sqrt(sxx - sx * sx / n_pairs) * sqrt(syy - sy * sy / n_pairs)) AS acf
+        FROM st
+        WHERE (sxx - sx * sx / n_pairs) > 0 AND (syy - sy * sy / n_pairs) > 0
+        ORDER BY user_id, lag_k"""),
+    ) { (s, dir) =>
+      val lags = Seq(1, 2, 3)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          explode(array(lags.map(lit(_)): _*)).as("lag_k"))
+      val w = Window.partitionBy("user_id", "lag_k").orderBy("ts", "event_id")
+      val x = when(col("lag_k") === 1, lag(col("value"), 1).over(w))
+        .when(col("lag_k") === 2, lag(col("value"), 2).over(w))
+        .otherwise(lag(col("value"), 3).over(w))
+      val pairs = e.select(col("user_id"), col("lag_k"),
+          col("value").as("y"), x.as("x"))
+        .filter(col("x").isNotNull)
+      val st = pairs.groupBy("user_id", "lag_k").agg(
+          count(lit(1)).as("n_pairs"),
+          Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),
+          Det.dsum(col("x") * col("x")).as("sxx"),
+          Det.dsum(col("y") * col("y")).as("syy"),
+          Det.dsum(col("x") * col("y")).as("sxy"))
+        .filter(col("n_pairs") >= 30)
+      st.select(col("user_id"), col("lag_k"), col("n_pairs"),
+          ((col("sxy") - col("sx") * col("sy") / col("n_pairs")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n_pairs")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n_pairs")))).as("acf"))
+        .filter((col("sxx") - col("sx") * col("sx") / col("n_pairs")) > 0 &&
+          (col("syy") - col("sy") * col("sy") / col("n_pairs")) > 0)
+        .orderBy("user_id", "lag_k")
+    },
   )
 }

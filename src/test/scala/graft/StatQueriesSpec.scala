@@ -786,4 +786,33 @@ class StatQueriesSpec extends SparkSpec {
     caps.toSeq.sliding(2).foreach { case Seq(a, b) => assert(b >= a) }
     assert(caps.last == 1.0)
   }
+
+  test("q194: F decomposition is consistent and identical on every row") {
+    val rows = run("q194_anova_f").collect()
+    assert(rows.length == 5)
+    val r0 = rows.head
+    val (k, nTot, ssb, ssw, f) = (r0.getLong(2), r0.getLong(3),
+      r0.getDouble(4), r0.getDouble(5), r0.getDouble(6))
+    rows.foreach { r =>
+      assert(r.getLong(2) == k && r.getLong(3) == nTot)
+      assert(r.getDouble(4) == ssb && r.getDouble(5) == ssw && r.getDouble(6) == f)
+    }
+    assert(k == 5 && rows.map(_.getLong(1)).sum == nTot)
+    assert(ssb >= -1e-9 && ssw > 0)
+    assert(f == (ssb / (k - 1)) / (ssw / (nTot - k)))
+  }
+
+  test("q195: lag-1 rows reproduce q162 exactly; all lags bounded") {
+    val q162 = run("q162_user_acf").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = run("q195_acf_lags").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, lagK, nPairs, acf) =>
+      assert(lagK >= 1 && lagK <= 3 && nPairs >= 30)
+      assert(acf >= -1.0 - 1e-12 && acf <= 1.0 + 1e-12)
+    }
+    val lag1 = rows.filter(_._2 == 1).map(r => r._1 -> (r._3, r._4)).toMap
+    assert(lag1 == q162) // the generalization must agree with its base case
+  }
 }
