@@ -55,6 +55,37 @@ object StatQueries {
       .drop("_pid", "_off", "_rn_local")
   }
 
+  /** DISTRIBUTED exact global prefix sum of long columns `valCols` over
+    * the total order `sortCols` (inclusive running totals, emitted as
+    * `cum_<name>`): the cumulative sibling of [[globalRank]] — range-
+    * repartition on the sort key, partition-local window cumsum, tiny
+    * per-partition total table turned into exclusive offsets and
+    * broadcast back. Exact for integer values wherever the sampled range
+    * boundaries land; no task ever windows more than its slice (a global
+    * ORDER BY cumsum would funnel everything through ONE task at 100 TB).
+    * Caller must pass rows UNIQUE on `sortCols` (grouped-by-key frames)
+    * so the per-partition order composes into one global total order. */
+  private def globalCumSum(df: org.apache.spark.sql.DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      valCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val r = df.repartitionByRange(32, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val totals = valCols.map(v => sum(v).as(s"_t_$v"))
+    val offs = r.groupBy("_pid").agg(totals.head, totals.tail: _*)
+    val offs2 = offs.select(col("_pid") +: valCols.map(v =>
+      coalesce(sum(s"_t_$v").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as(s"_off_$v")): _*) // <= one row per partition: tiny
+    val w = Window.partitionBy("_pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = valCols.foldLeft(r)((acc, v) =>
+      acc.withColumn(s"_l_$v", sum(v).over(w)))
+    val joined = valCols.foldLeft(local.join(broadcast(offs2), "_pid"))(
+      (acc, v) => acc.withColumn(s"cum_$v", col(s"_off_$v") + col(s"_l_$v")))
+    joined.drop("_pid" +: valCols.flatMap(v =>
+      Seq(s"_l_$v", s"_off_$v")): _*)
+  }
+
   /** Shared CTE chain for the q174/q177 logistic model: integer features,
     * zero-init weights, 3 unrolled GD rounds to `w3`. Interpolated into
     * both oracles so the trained model is defined ONCE. */
@@ -2249,6 +2280,133 @@ object StatQueries {
         .filter((col("sxx") - col("sx") * col("sx") / col("n_pairs")) > 0 &&
           (col("syy") - col("sy") * col("sy") / col("n_pairs")) > 0)
         .orderBy("user_id", "lag_k")
+    },
+
+    // ---- two-sample Kolmogorov-Smirnov test: BUILDING vs AUTOMOBILE
+    // order-value distributions. The exact D statistic needs the two
+    // ECDFs at every pooled value — group by value (one shuffle), then a
+    // DISTRIBUTED prefix sum ([[globalCumSum]]) gives both cumulative
+    // counts without a single-task global window. The max |F1−F2| is
+    // kept as the INTEGER numerator |cum1·n2 − cum2·n1| (playbook rule
+    // 10) so D and everything after it derive from exact integers; the
+    // one transcendental (Smirnov's asymptotic tail) is rounded to 6dp
+    // before the final exact doubling/clamp (rule 4).
+    QueryDef(
+      "q196_ks_test",
+      Some("""
+        WITH d AS (
+          SELECT o_totalprice AS v,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS f
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        ), g AS (
+          SELECT v, CAST(SUM(f) AS BIGINT) AS c1,
+                 CAST(SUM(1 - f) AS BIGINT) AS c2
+          FROM d GROUP BY v
+        ), t AS (
+          SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM g
+        ), c AS (
+          SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+                 SUM(c2) OVER (ORDER BY v) AS cum2 FROM g
+        ), mx AS (
+          SELECT CAST(MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS BIGINT) AS d_num
+          FROM c, t
+        )
+        SELECT t.n1, t.n2, mx.d_num,
+               CAST(mx.d_num AS DOUBLE) / (t.n1 * t.n2) AS d_stat,
+               LEAST(CAST(1 AS DOUBLE),
+                 2 * round(exp(-2 * (CAST(mx.d_num AS DOUBLE) / (t.n1 * t.n2))
+                                  * (CAST(mx.d_num AS DOUBLE) / (t.n1 * t.n2))
+                                  * t.n1 * t.n2 / (t.n1 + t.n2)), 6)) AS p_approx
+        FROM mx, t"""),
+    ) { (s, dir) =>
+      val d = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("o_totalprice").as("v"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("f"))
+      val g = d.groupBy("v")
+        .agg(sum("f").as("c1"), sum(lit(1L) - col("f")).as("c2"))
+      val t = g.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val c = globalCumSum(g, Seq(col("v")), Seq("c1", "c2"))
+      val mx = c.crossJoin(broadcast(t))
+        .agg(max(abs(col("cum_c1") * col("n2") - col("cum_c2") * col("n1")))
+          .as("d_num"))
+      // the D expression, spelled once and inlined twice VERBATIM so both
+      // uses share the oracle's exact operation order
+      def ds = col("d_num").cast("double") / (col("n1") * col("n2"))
+      mx.crossJoin(broadcast(t)).select(
+        col("n1"), col("n2"), col("d_num"), ds.as("d_stat"),
+        least(lit(1.0), lit(2) * round(exp(
+          lit(-2) * ds * ds * col("n1") * col("n2") /
+            (col("n1") + col("n2"))), 6)).as("p_approx"))
+    },
+
+    // ---- Mann-Whitney U (Wilcoxon rank-sum) over the same two samples:
+    // the nonparametric companion to q172's Welch t. Pooled midranks come
+    // from the SAME grouped-value prefix-sum shape as q196 — midrank(v) =
+    // cum_before + (cnt+1)/2, so the rank sum is kept DOUBLED
+    // (Σ c1·(2·cb + cnt + 1)) and stays a pure BIGINT, as does the tie
+    // term Σ(t³−t); U, its mean, and the tie-corrected normal z are a
+    // handful of final double ops over exact integers (rule 10). No
+    // continuity correction — documented, mirrored in the oracle.
+    QueryDef(
+      "q197_mann_whitney",
+      Some("""
+        WITH d AS (
+          SELECT o_totalprice AS v,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS f
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        ), g AS (
+          SELECT v, CAST(SUM(f) AS BIGINT) AS c1,
+                 CAST(SUM(1 - f) AS BIGINT) AS c2
+          FROM d GROUP BY v
+        ), t AS (
+          SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM g
+        ), c AS (
+          SELECT c1, c1 + c2 AS cnt,
+                 SUM(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS cb FROM g
+        ), s AS (
+          SELECT CAST(SUM(c1 * (2 * cb + cnt + 1)) AS BIGINT) AS r1t,
+                 CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie FROM c
+        )
+        SELECT n1, n2,
+               CAST(r1t - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+               n1 * n2 - CAST(r1t - n1 * (n1 + 1) AS DOUBLE) / 2 AS u2,
+               (CAST(r1t - n1 * (n1 + 1) AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2) /
+               sqrt(CAST(n1 AS DOUBLE) * n2 / 12 *
+                    ((n1 + n2 + 1) - CAST(tie AS DOUBLE) /
+                     ((n1 + n2) * (CAST(n1 AS DOUBLE) + n2 - 1)))) AS z
+        FROM s, t"""),
+    ) { (s, dir) =>
+      val d = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("o_totalprice").as("v"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("f"))
+      val g = d.groupBy("v")
+        .agg(sum("f").as("c1"), sum(lit(1L) - col("f")).as("c2"))
+      val t = g.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val g2 = g.withColumn("cnt", col("c1") + col("c2"))
+      val c = globalCumSum(g2, Seq(col("v")), Seq("cnt"))
+        .withColumn("cb", col("cum_cnt") - col("cnt"))
+      val sums = c.agg(
+        sum(col("c1") * (lit(2L) * col("cb") + col("cnt") + 1)).as("r1t"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie"))
+      // u1 spelled once, inlined VERBATIM wherever the oracle repeats it
+      def u1 = (col("r1t") - col("n1") * (col("n1") + 1)).cast("double") / 2
+      sums.crossJoin(broadcast(t)).select(
+        col("n1"), col("n2"), u1.as("u1"),
+        (col("n1") * col("n2") - u1).as("u2"),
+        ((u1 - col("n1").cast("double") * col("n2") / 2) /
+          sqrt(col("n1").cast("double") * col("n2") / 12 *
+            ((col("n1") + col("n2") + 1) - col("tie").cast("double") /
+              ((col("n1") + col("n2")) *
+                (col("n1").cast("double") + col("n2") - 1))))).as("z"))
     },
   )
 }

@@ -815,4 +815,54 @@ class StatQueriesSpec extends SparkSpec {
     val lag1 = rows.filter(_._2 == 1).map(r => r._1 -> (r._3, r._4)).toMap
     assert(lag1 == q162) // the generalization must agree with its base case
   }
+
+  /** The two q196/q197 samples, collected once: (value, isBuilding). */
+  private lazy val ksSamples: Array[(Double, Boolean)] = {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("o_totalprice"), col("c_mktsegment") === "BUILDING")
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+  }
+
+  test("q196: KS D numerator == exact in-memory ECDF replay; p in [0,1]") {
+    val r = run("q196_ks_test").collect().head
+    val (n1, n2, dNum, dStat, p) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4))
+    val s1 = ksSamples.filter(_._2).map(_._1)
+    val s2 = ksSamples.filterNot(_._2).map(_._1)
+    assert(n1 == s1.length && n2 == s2.length)
+    // exact replay: max over pooled values of |cum1*n2 - cum2*n1|
+    val expected = ksSamples.map(_._1).distinct.map { v =>
+      math.abs(s1.count(_ <= v) * n2 - s2.count(_ <= v) * n1)
+    }.max
+    assert(dNum == expected)
+    assert(dStat == dNum.toDouble / (n1 * n2))
+    assert(dStat >= 0.0 && dStat <= 1.0 && p >= 0.0 && p <= 1.0)
+  }
+
+  test("q197: U1+U2 == n1*n2; U from exact in-memory midrank replay") {
+    val r = run("q197_mann_whitney").collect().head
+    val (n1, n2, u1, u2, z) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(u1 + u2 == (n1 * n2).toDouble) // exact: both halves of a long
+    // midrank replay over the pooled sort (doubled ranks stay integral)
+    val pooled = ksSamples.sortBy(_._1)
+    val byValue = pooled.map(_._1).distinct.sorted
+    val rankTwice = {
+      var before = 0L
+      byValue.map { v =>
+        val cnt = pooled.count(_._1 == v)
+        val mrT = 2 * before + cnt + 1 // doubled midrank: integer
+        before += cnt
+        v -> mrT
+      }.toMap
+    }
+    val r1t = pooled.filter(_._2).map(p => rankTwice(p._1)).sum
+    val expectedU1 = (r1t - n1 * (n1 + 1)).toDouble / 2
+    assert(u1 == expectedU1)
+    assert(!z.isNaN && math.abs(z) < 50)
+  }
 }
