@@ -2408,5 +2408,214 @@ object StatQueries {
               ((col("n1") + col("n2")) *
                 (col("n1").cast("double") + col("n2") - 1))))).as("z"))
     },
+
+    // ---- Kruskal-Wallis H across ALL 5 segments: the k-sample
+    // generalization of q197 (and the nonparametric twin of q194's
+    // ANOVA). Same grouped-value prefix-sum shape: doubled pooled
+    // midranks (2·cum − cnt + 1, pure BIGINT) join back to per-(value,
+    // segment) counts, so each group's DOUBLED rank sum r2_g = Σ c·mr2
+    // is an exact integer; H = 3·Σ(r2_g²/n_g)/(N(N+1)) − 3(N+1) and the
+    // tie correction are a handful of final double ops (Σ over the
+    // 5-row group table goes through an exact DECIMAL window sum, the
+    // q194 pattern). BIGINT headroom: r2_g ≤ 2N² holds to N ~ 2·10⁹
+    // rows per run; beyond that the rank sums would move to
+    // DECIMAL(38,0) — documented, not hit at any graded SF.
+    QueryDef(
+      "q198_kruskal_wallis",
+      Some("""
+        WITH d AS (
+          SELECT o_totalprice AS v, c_mktsegment AS segment
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ), gs AS (
+          SELECT v, segment, COUNT(*) AS c FROM d GROUP BY v, segment
+        ), gv AS (
+          SELECT v, CAST(SUM(c) AS BIGINT) AS cnt FROM gs GROUP BY v
+        ), cm AS (
+          SELECT v, 2 * SUM(cnt) OVER (ORDER BY v) - cnt + 1 AS mr2 FROM gv
+        ), g AS (
+          SELECT segment, CAST(SUM(gs.c * cm.mr2) AS BIGINT) AS r2,
+                 CAST(SUM(gs.c) AS BIGINT) AS n
+          FROM gs JOIN cm USING (v) GROUP BY segment
+        ), t AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+                 CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie FROM gv
+        ), w AS (
+          SELECT segment, n, r2, n_total, tie,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS k,
+                 CAST(SUM(CAST(CAST(r2 AS DOUBLE) * r2 / n AS DECIMAL(38,6)))
+                      OVER () AS DOUBLE) AS sr
+          FROM g, t
+        )
+        SELECT segment, n, r2, k, n_total,
+               3.0 * sr / (CAST(n_total AS DOUBLE) * (n_total + 1))
+                 - 3.0 * (n_total + 1) AS h,
+               (3.0 * sr / (CAST(n_total AS DOUBLE) * (n_total + 1))
+                 - 3.0 * (n_total + 1)) /
+               (1 - CAST(tie AS DOUBLE) /
+                 (CAST(n_total AS DOUBLE) * n_total * n_total - n_total)) AS h_c
+        FROM w ORDER BY segment"""),
+    ) { (s, dir) =>
+      val d = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("o_totalprice").as("v"), col("c_mktsegment").as("segment"))
+      val gs = d.groupBy("v", "segment").agg(count(lit(1)).as("c"))
+      val gv = gs.groupBy("v").agg(sum("c").as("cnt"))
+      val cm = globalCumSum(gv, Seq(col("v")), Seq("cnt"))
+        .select(col("v"),
+          (lit(2L) * col("cum_cnt") - col("cnt") + 1).as("mr2"))
+      val g = gs.join(cm, "v").groupBy("segment")
+        .agg(sum(col("c") * col("mr2")).as("r2"), sum("c").as("n"))
+      val t = gv.agg(sum("cnt").cast("long").as("n_total"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .cast("long").as("tie"))
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val w = g.crossJoin(broadcast(t))
+        .withColumn("k", count(lit(1)).over(whole))
+        .withColumn("sr", sum(Det.dec(
+          col("r2").cast("double") * col("r2") / col("n")))
+          .over(whole).cast("double"))
+      // h spelled once, inlined VERBATIM both times the oracle uses it
+      def h = lit(3.0) * col("sr") /
+        (col("n_total").cast("double") * (col("n_total") + 1)) -
+        lit(3.0) * (col("n_total") + 1)
+      w.select(col("segment"), col("n"), col("r2"), col("k"), col("n_total"),
+          h.as("h"),
+          (h / (lit(1) - col("tie").cast("double") /
+            (col("n_total").cast("double") * col("n_total") * col("n_total") -
+              col("n_total")))).as("h_c"))
+        .orderBy("segment")
+    },
+
+    // ---- Brown-Forsythe homogeneity-of-variance test across the 5
+    // segments: q194's ANOVA applied to |x − median_g|, the robust
+    // pre-check that validates ANOVA's equal-variance assumption. Two
+    // determinism lessons are load-bearing here (both MEASURED failures
+    // before this shape): (1) the per-group median is exact but never
+    // buffers raw values (percentile() holds a whole group in one task
+    // at 100 TB) — cents-integer HISTOGRAM per segment, per-segment
+    // cumulative window, bracket rows (N+1)÷2 and N÷2+1, average; every
+    // step exact integer < 2^53, so it bit-matches the oracle's
+    // independent quantile_cont. (2) SSB is a catastrophic cancellation
+    // (sb − S²/N differ in their 10th digit), so even ONE per-row
+    // DECIMAL(38,6) rounding disagreement is fatal, and median-centered
+    // deviations are exactly dyadic — they LAND on 6dp rounding ties
+    // where HALF_UP(Spark-from-string) vs exact-binary(DuckDB) split.
+    // Answer: no doubles until the end — deviations w = |2·cents −
+    // 2·med| are pure BIGINTs, power sums are DECIMAL(38,0) (w² ≤ 2.6e15
+    // < 2^53), and the k=5 group table PIVOTS to one row where sb,
+    // Σs1, Σs2 are spelled as explicit LEFT-ASSOCIATED double chains —
+    // identical operation order on both engines by construction, no
+    // window, no cast ambiguity. F is invariant to the 2·cents scaling;
+    // ssb/ssw are in (2·cents)² units.
+    QueryDef(
+      "q199_brown_forsythe",
+      Some {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val pivot = segs.zipWithIndex.flatMap { case (sg, i) => Seq(
+          s"MAX(CASE WHEN segment = '$sg' THEN n END) AS n_$i",
+          s"MAX(CASE WHEN segment = '$sg' THEN s1 END) AS s1_$i",
+          s"MAX(CASE WHEN segment = '$sg' THEN s2 END) AS s2_$i")
+        }.mkString(",\n                 ")
+        val casts = (0 to 4).flatMap(i => Seq(
+          s"CAST(s1_$i AS DOUBLE) AS a$i", s"CAST(s2_$i AS DOUBLE) AS b$i"))
+          .mkString(",\n                 ")
+        def chain(terms: Seq[String]) =
+          terms.tail.foldLeft(terms.head)((acc, t) => s"($acc + $t)")
+        val sb = chain((0 to 4).map(i => s"a$i * a$i / n_$i"))
+        val s1All = chain((0 to 4).map(i => s"a$i"))
+        val s2All = chain((0 to 4).map(i => s"b$i"))
+        s"""
+        WITH j AS (
+          SELECT c_mktsegment AS segment,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ), m AS (
+          SELECT segment, quantile_cont(cents, 0.5) AS med, COUNT(*) AS n
+          FROM j GROUP BY segment
+        ), wd AS (
+          SELECT j.segment,
+                 ABS(2 * cents - CAST(2 * med AS BIGINT)) AS w
+          FROM j JOIN m ON j.segment = m.segment
+        ), g AS (
+          SELECT segment, COUNT(*) AS n,
+                 SUM(CAST(w AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(w * w AS DECIMAL(38,0))) AS s2
+          FROM wd GROUP BY segment
+        ), p AS (
+          SELECT $pivot
+          FROM g
+        ), d AS (
+          SELECT n_0, n_1, n_2, n_3, n_4,
+                 CAST(n_0 + n_1 + n_2 + n_3 + n_4 AS BIGINT) AS n_total,
+                 $casts
+          FROM p
+        ), f AS (
+          SELECT n_total, $sb AS sb, $s1All AS s1_all, $s2All AS s2_all
+          FROM d
+        )
+        SELECT m.segment, m.n, m.med,
+               sb - s1_all * s1_all / n_total AS ssb,
+               s2_all - sb AS ssw,
+               ((sb - s1_all * s1_all / n_total) / 4) /
+                 ((s2_all - sb) / (n_total - 5)) AS f_stat
+        FROM m CROSS JOIN f ORDER BY segment"""
+      },
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val j = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val hist = j.groupBy("segment", "cents").agg(count(lit(1)).as("cnt"))
+      val wcum = Window.partitionBy("segment").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wall = Window.partitionBy("segment")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val h2 = hist.withColumn("cum", sum("cnt").over(wcum))
+        .withColumn("nseg", sum("cnt").over(wall))
+      val lo = expr("(nseg + 1) div 2")
+      val hi = expr("nseg div 2 + 1")
+      val m = h2.groupBy("segment").agg(
+        ((min(when(col("cum") >= lo, col("cents"))) +
+          min(when(col("cum") >= hi, col("cents")))).cast("double") / 2)
+          .as("med"),
+        sum("cnt").as("n"))
+      val wd = j.join(broadcast(m.select("segment", "med")), "segment")
+        .select(col("segment"),
+          abs(lit(2L) * col("cents") - (lit(2) * col("med")).cast("long")).as("w"))
+      val g = wd.groupBy("segment").agg(count(lit(1)).as("n"),
+        sum(col("w").cast(DecimalType(38, 0))).as("s1"),
+        sum((col("w") * col("w")).cast(DecimalType(38, 0))).as("s2"))
+      val p = {
+        val aggs = segs.zipWithIndex.flatMap { case (sg, i) => Seq(
+          max(when(col("segment") === sg, col("n"))).as(s"n_$i"),
+          max(when(col("segment") === sg, col("s1"))).as(s"s1_$i"),
+          max(when(col("segment") === sg, col("s2"))).as(s"s2_$i"))
+        }
+        g.agg(aggs.head, aggs.tail: _*)
+      }
+      val d = p.select(
+        (0 to 4).map(i => col(s"n_$i")) ++ Seq(
+          (0 to 4).map(i => col(s"n_$i")).reduceLeft(_ + _)
+            .cast("long").as("n_total")) ++
+        (0 to 4).flatMap(i => Seq(
+          col(s"s1_$i").cast("double").as(s"a$i"),
+          col(s"s2_$i").cast("double").as(s"b$i"))): _*)
+      // explicit left-associated chains: identical op order to the oracle
+      val f = d.select(col("n_total"),
+        (0 to 4).map(i => col(s"a$i") * col(s"a$i") / col(s"n_$i"))
+          .reduceLeft(_ + _).as("sb"),
+        (0 to 4).map(i => col(s"a$i")).reduceLeft(_ + _).as("s1_all"),
+        (0 to 4).map(i => col(s"b$i")).reduceLeft(_ + _).as("s2_all"))
+      val ssb = col("sb") - col("s1_all") * col("s1_all") / col("n_total")
+      val ssw = col("s2_all") - col("sb")
+      m.crossJoin(broadcast(f))
+        .select(col("segment"), col("n"), col("med"),
+          ssb.as("ssb"), ssw.as("ssw"),
+          ((ssb / 4) / (ssw / (col("n_total") - 5))).as("f_stat"))
+        .orderBy("segment")
+    },
   )
 }

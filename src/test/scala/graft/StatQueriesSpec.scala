@@ -865,4 +865,71 @@ class StatQueriesSpec extends SparkSpec {
     assert(u1 == expectedU1)
     assert(!z.isNaN && math.abs(z) < 50)
   }
+
+  /** All (value, segment) pairs for the k-sample q198/q199 tests. */
+  private lazy val segSamples: Array[(Double, String)] = {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_totalprice"), col("c_mktsegment"))
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+  }
+
+  test("q198: doubled rank sums == exact midrank replay; Σr2 = N(N+1)") {
+    val rows = run("q198_kruskal_wallis").collect()
+    val n = segSamples.length.toLong
+    assert(rows.map(_.getLong(2)).sum == n * (n + 1)) // Σ 2·R_g over all g
+    // exact replay: doubled pooled midranks by value, summed per segment
+    val byValue = segSamples.map(_._1).distinct.sorted
+    val mr2 = {
+      var before = 0L
+      byValue.map { v =>
+        val cnt = segSamples.count(_._1 == v)
+        val m = 2 * before + cnt + 1
+        before += cnt
+        v -> m
+      }.toMap
+    }
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val mine = segSamples.filter(_._2 == seg)
+      assert(r.getLong(1) == mine.length)
+      assert(r.getLong(2) == mine.map(p => mr2(p._1)).sum)
+      assert(r.getLong(3) == 5L && r.getLong(4) == n)
+      val h = r.getDouble(5)
+      val hc = r.getDouble(6)
+      assert(h > 0 && h.isFinite && hc >= h) // tie correction inflates H
+    }
+  }
+
+  test("q199: medians == exact sort replay; F matches |dev| ANOVA replay") {
+    val rows = run("q199_brown_forsythe").collect()
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val cents = segSamples.filter(_._2 == seg)
+        .map(p => math.round(p._1 * 100)).sorted
+      val n = cents.length
+      val lo = cents((n - 1) / 2) // 0-based (n+1)/2-th
+      val hi = cents(n / 2)
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == (lo + hi).toDouble / 2)
+    }
+    // full replay of the w = |2·cents − 2·med| ANOVA over exact BigInts
+    val groups = segSamples.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, g) =>
+      val cents = g.map(p => math.round(p._1 * 100)).sorted
+      val med2 = cents((cents.length - 1) / 2) + cents(cents.length / 2)
+      val w = cents.map(c => math.abs(2 * c - med2))
+      (w.length.toLong, w.map(BigInt(_)).sum, w.map(x => BigInt(x) * x).sum)
+    }
+    val (s1d, s2d) = (groups.map(g => g._2.toDouble), groups.map(g => g._3.toDouble))
+    val nT = groups.map(_._1).sum
+    val sb = groups.zip(s1d).map { case (g, a) => a * a / g._1 }.reduceLeft(_ + _)
+    val ssb = sb - math.pow(s1d.reduceLeft(_ + _), 2) / nT
+    val ssw = s2d.reduceLeft(_ + _) - sb
+    val f = (ssb / 4) / (ssw / (nT - 5))
+    // replay uses the same left-assoc order, so agreement is near-exact
+    assert(math.abs(rows.head.getDouble(5) - f) / f < 1e-12)
+    assert(rows.map(_.getDouble(5)).distinct.length == 1) // global F repeated
+  }
 }
