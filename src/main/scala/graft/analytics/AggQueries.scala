@@ -843,5 +843,76 @@ object AggQueries {
         .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
         .orderBy("source")
     },
+
+    // ---- Adamic-Adar link prediction over the co-purchase graph: score
+    // UNLINKED part pairs by Σ 1/ln(deg(w)) over common neighbors w —
+    // the classic "who should be bundled next" recommender signal
+    // (complements q134's triangles, which close over EXISTING links).
+    // Wedge generation through each common neighbor is the q134 shape
+    // (bounded by co-purchase degree, never corpus-quadratic); existing
+    // edges are removed with an anti-join. Each transcendental term
+    // round(1/ln(deg), 6) is rounded BEFORE the exact DECIMAL sum
+    // (playbook rule: deg is a small integer so both engines' ln()
+    // agree to ≫6dp away from rounding boundaries), making the score
+    // deterministic under any partitioning. The co-purchase graph is
+    // DENSE at the wedge level (1.8M scored pairs at sf0.01), so the
+    // output is the recommender's actual shape — top-5 suggestions per
+    // part by (aa, cn, id) — via a per-part window over its candidates,
+    // not an all-pairs dump.
+    QueryDef(
+      "q201_adamic_adar",
+      Some(s"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        wedge AS (
+          SELECT s1.u AS a, s2.u AS b, s1.v AS w
+          FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+        ), cand AS (
+          SELECT a, b, count(*) AS cn,
+                 ${sqlSum("round(1 / ln(deg), 6)")} AS aa
+          FROM wedge JOIN deg ON deg.u = wedge.w
+          GROUP BY a, b HAVING count(*) >= 2
+        ), unlinked AS (
+          SELECT a, b, cn, aa
+          FROM cand ANTI JOIN e ON cand.a = e.u AND cand.b = e.v
+        )
+        SELECT a AS part_a, b AS part_b, cn, aa, rk
+        FROM (SELECT a, b, cn, aa,
+                     row_number() OVER (PARTITION BY a
+                       ORDER BY aa DESC, cn DESC, b) AS rk
+              FROM unlinked)
+        WHERE rk <= 5 ORDER BY part_a, rk"""),
+    ) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      val wedge = sym.as("s1").join(sym.as("s2"),
+          col("s1.v") === col("s2.v") && col("s1.u") < col("s2.u"))
+        .select(col("s1.u").as("a"), col("s2.u").as("b"), col("s1.v").as("w"))
+      val cand = wedge.join(deg, col("w") === deg("u"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("cn"),
+          dsum(round(lit(1) / log(col("deg")), 6)).as("aa"))
+        .filter(col("cn") >= 2)
+      val unlinked = cand
+        .join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
+      val w = Window.partitionBy("a").orderBy(desc("aa"), desc("cn"), asc("b"))
+      unlinked.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("cn"), col("aa"), col("rk"))
+        .orderBy("part_a", "rk")
+    },
   )
 }

@@ -2617,5 +2617,83 @@ object StatQueries {
           ((ssb / 4) / (ssw / (col("n_total") - 5))).as("f_stat"))
         .orderBy("segment")
     },
+
+    // ---- Gini coefficient + Lorenz deciles of customer lifetime spend:
+    // the inequality view of q190's source-concentration HHI, computed
+    // from the classic rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over
+    // the (spend, custkey) total order. Ranks come from [[globalRank]]
+    // (never a single-task global window), Σi·xᵢ is an exact
+    // DECIMAL(19,0)×DECIMAL(19,0)→(38,0) product sum in integer cents
+    // (headroom to ~10¹⁸ customers × 10¹⁹ cents of mass), deciles use
+    // q193's distributed exact-NTILE formula, and the Lorenz cumulative
+    // runs over the 10-row decile table. The only doubles are the final
+    // share/gini divisions, spelled identically in both engines.
+    QueryDef(
+      "q200_gini_lorenz",
+      Some("""
+        WITH sp AS (
+          SELECT o_custkey AS ck,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+          FROM orders GROUP BY o_custkey
+        ), r AS (
+          SELECT spend,
+                 row_number() OVER (ORDER BY spend, ck) AS rn,
+                 NTILE(10) OVER (ORDER BY spend, ck) AS decile
+          FROM sp
+        ), t AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(spend AS DECIMAL(38,0))) AS total,
+                 SUM(CAST(rn AS DECIMAL(19,0)) * CAST(spend AS DECIMAL(19,0))) AS ixsum
+          FROM r
+        ), d AS (
+          SELECT decile, COUNT(*) AS n_cust,
+                 SUM(CAST(spend AS DECIMAL(38,0))) AS dspend
+          FROM r GROUP BY decile
+        )
+        SELECT decile, n_cust,
+               CAST(dspend AS BIGINT) AS spend_cents,
+               CAST(SUM(dspend) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_spend_cents,
+               CAST(SUM(dspend) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+                 CAST(total AS DOUBLE) AS cum_share,
+               2 * CAST(ixsum AS DOUBLE) /
+                 (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) -
+                 CAST(n + 1 AS DOUBLE) / n AS gini
+        FROM d CROSS JOIN t ORDER BY decile"""),
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val sp = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend"))
+      val ranked = globalRank(sp, Seq(col("spend"), col("ck")))
+      val t = ranked.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("spend").cast(DecimalType(38, 0))).as("total"),
+        sum(col("rn").cast(DecimalType(19, 0)) *
+          col("spend").cast(DecimalType(19, 0))).as("ixsum"))
+      // q193's exact-NTILE formula over the distributed rank
+      val withN = ranked.crossJoin(broadcast(t.select("n")))
+      val q10 = col("n") / 10
+      val rem = col("n") % 10
+      val decile = when(col("rn") <= rem * (q10 + 1),
+          (col("rn") - 1) / (q10 + 1) + 1)
+        .otherwise(rem + (col("rn") - 1 - rem * (q10 + 1)) / q10 + 1)
+      val d = withN.select(decile.cast("int").as("decile"), col("spend"))
+        .groupBy("decile").agg(count(lit(1)).as("n_cust"),
+          sum(col("spend").cast(DecimalType(38, 0))).as("dspend"))
+      val cum = Window.partitionBy(lit(1)).orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.crossJoin(broadcast(t))
+        .select(col("decile"), col("n_cust"),
+          col("dspend").cast("long").as("spend_cents"),
+          sum("dspend").over(cum).cast("long").as("cum_spend_cents"),
+          (sum("dspend").over(cum).cast("double") /
+            col("total").cast("double")).as("cum_share"),
+          (lit(2) * col("ixsum").cast("double") /
+            (col("n").cast("double") * col("total").cast("double")) -
+            (col("n") + 1).cast("double") / col("n")).as("gini"))
+        .orderBy("decile")
+    },
   )
 }

@@ -932,4 +932,78 @@ class StatQueriesSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(5) - f) / f < 1e-12)
     assert(rows.map(_.getDouble(5)).distinct.length == 1) // global F repeated
   }
+
+  test("q200: Lorenz deciles partition customers; gini == exact BigInt replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q200_gini_lorenz").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val spends = graft.core.Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sorted // (spend, custkey) total order, as the query ranks
+    // NTILE sizes: first (n mod 10) deciles take the extra row
+    val n = spends.length
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.sum == n)
+    assert((1 to 10).forall(i =>
+      sizes(i - 1) == n / 10 + (if (i <= n % 10) 1 else 0)))
+    // exact integer replay of decile spend + cumulative
+    var cum = BigInt(0)
+    var idx = 0
+    rows.foreach { r =>
+      val take = spends.slice(idx, idx + r.getLong(1).toInt)
+      idx += take.length
+      val ds = take.map(p => BigInt(p._1)).sum
+      cum += ds
+      assert(BigInt(r.getLong(2)) == ds)
+      assert(BigInt(r.getLong(3)) == cum)
+    }
+    assert(rows.last.getDouble(4) == 1.0) // Lorenz curve ends at 1
+    assert(rows.map(_.getDouble(4)).toSeq == rows.map(_.getDouble(4)).sorted.toSeq)
+    // gini replay with the query's exact operation order
+    val total = spends.map(p => BigInt(p._1)).sum
+    val ixsum = spends.zipWithIndex.map { case ((s, _), i) => BigInt(i + 1) * s }.sum
+    val g = 2 * ixsum.toDouble / (n.toDouble * total.toDouble) -
+      (n + 1).toDouble / n
+    assert(rows.head.getDouble(5) == g)
+    assert(g > 0 && g < 1)
+  }
+
+  test("q201: suggestions are unlinked, <=5 per part, AA == rounded-term replay") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q201_adamic_adar")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    // rebuild the co-purchase graph in memory (sf0.001 is small)
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, _, _, _) => assert(!edges.contains((a, b))) }
+    val byPart = rows.groupBy(_._1)
+    byPart.values.foreach { g =>
+      assert(g.length <= 5)
+      assert(g.map(_._5).sorted.toSeq == (1 to g.length)) // rk is 1..k
+      // rk order agrees with (aa desc, cn desc, b asc)
+      val ord = g.sortBy(_._5).toSeq
+      assert(ord == ord.sortBy(t => (-t._4, -t._3, t._2)))
+    }
+    // AA score replay for every suggestion of the smallest part
+    val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def roundedTerm(deg: Int): BigDecimal =
+      BigDecimal(1.0 / math.log(deg.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val a0 = rows.map(_._1).min
+    byPart(a0).foreach { case (a, b, cn, aa, _) =>
+      val common = adj(a).intersect(adj(b))
+      assert(common.size.toLong == cn && cn >= 2)
+      val expect = common.toSeq.map(w => roundedTerm(adj(w).size)).sum
+      assert(aa == expect.toDouble)
+    }
+  }
 }
