@@ -456,6 +456,36 @@ private[analytics] object DuckXxh {
       "FROM sh2 ORDER BY doc_id"
   }
 
+  /** The q202 oracle: a FULL SQL replay of the count-min sketch over
+    * events.user_id — bucket = pmod(xxhash64(user_id·depth + d), width)
+    * through the same XXH64 chain, cells aggregated over all events,
+    * point estimates as min-over-depth of each key's cells. Integer-only,
+    * collisions included, so the hash match proves the sketch EXACTLY
+    * (not merely within the ε·n bound).
+    */
+  def cmSketchOracle(width: Int, depth: Int): String = {
+    val ds = (0 until depth).map(d => s"($d)").mkString(", ")
+    val (ctes, last, out) = hashLongChain("cm",
+      u64(s"CAST(user_id * $depth + d AS HUGEINT)"), "42::HUGEINT", "cmsrc")
+    val all = Seq(
+      "ev AS MATERIALIZED (SELECT user_id FROM events)",
+      s"cmsrc AS MATERIALIZED (SELECT DISTINCT user_id, d " +
+        s"FROM ev CROSS JOIN (VALUES $ds) AS dd(d))",
+    ) ++ ctes ++ Seq(
+      s"hb AS MATERIALIZED (SELECT user_id, d, " +
+        s"CAST(((${signed(out)} % $width) + $width) % $width AS BIGINT) " +
+        s"AS bucket FROM $last)",
+      "cells AS MATERIALIZED (SELECT d, bucket, count(*) AS cnt " +
+        "FROM ev JOIN hb USING (user_id) GROUP BY d, bucket)",
+      "est AS (SELECT user_id, CAST(min(cnt) AS BIGINT) AS cm_est " +
+        "FROM hb JOIN cells USING (d, bucket) GROUP BY user_id)",
+      "exact AS (SELECT user_id, count(*) AS exact_cnt FROM ev GROUP BY user_id)",
+    )
+    "WITH " + all.mkString(",\n") +
+      "\nSELECT user_id, exact_cnt, cm_est, cm_est - exact_cnt AS overcount " +
+      "FROM exact JOIN est USING (user_id) ORDER BY user_id"
+  }
+
   /** The q91 oracle: token-budget mixture over `documents` — per source,
     * keep docs in xxhash64(doc_id) order while the cumulative n_chars
     * BEFORE the doc is under the source's budget

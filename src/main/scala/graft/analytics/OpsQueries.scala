@@ -792,6 +792,38 @@ object OpsQueries {
         .orderBy("event_type", "q")
     },
 
+    // ---- persisted count-min frequency segments: three ingest batches
+    // each append a depth×width cell table; per-user event counts are
+    // served by cell-wise segment sum + min-over-depth probe — bounded
+    // memory however many keys exist. The oracle replays the ENTIRE
+    // sketch (XXH64 bucketing, cell aggregation, min-probe) in SQL via
+    // DuckXxh, so the hash match proves the estimate exactly — every
+    // collision included — not just within the ε·n bound; the signature
+    // over-count property (est ≥ exact, with equality iff no collision
+    // survived all rows of depth) is visible in the `overcount` column.
+    // Merge-associativity and compaction contracts live in
+    // SketchStatsSpec.
+    QueryDef(
+      "q202_cm_frequency",
+      Some(DuckXxh.cmSketchOracle(width = 1024, depth = 4)),
+    ) { (s, dir) =>
+      import graft.ops.SketchStats
+      val events = Tables.events(s, dir)
+      val cmDir = java.nio.file.Files.createTempDirectory("graft-cm202").toString
+      (0 until 3).foreach { k =>
+        SketchStats.appendCmBatch(
+          events.filter(pmod(col("event_id"), lit(3)) === k),
+          "user_id", cmDir, s"b$k", width = 1024, depth = 4)
+      }
+      val keys = events.select("user_id").distinct()
+      SketchStats.cmEstimates(s, cmDir, keys)
+        .join(events.groupBy("user_id").agg(count(lit(1)).as("exact_cnt")),
+          "user_id")
+        .select(col("user_id"), col("exact_cnt"), col("cm_est"),
+          (col("cm_est") - col("exact_cnt")).as("overcount"))
+        .orderBy("user_id")
+    },
+
     QueryDef(
       "q154_als_recommendations",
       None, // iterative MF — no SQL oracle; RecommenderSpec carries the

@@ -529,4 +529,94 @@ object SketchStats {
         .select(lit(q).as("q"), (col("bin") * width).as("est"))
     }.reduce(_.unionByName(_))
   }
+
+  // --------------------------------------------------------------------
+  // Persisted mergeable COUNT-MIN sketches — bounded-memory frequency
+  // estimation for key domains too large for exact per-key counters
+  // (the frequency sibling of the HLL segments). Each batch appends its
+  // own depth×width cell table (cnt per (d, bucket) where bucket =
+  // pmod(xxhash64(key·depth + d), width)); the corpus sketch is served
+  // by summing cells across segments (exact, order-free, associative —
+  // CM merge IS cell addition, so segments-summed equals a single-pass
+  // build bit-for-bit). A point estimate min_d cell(d, h_d(key)) only
+  // ever OVER-counts (collisions add, never subtract) with the standard
+  // ε=e/width, δ=e^−depth guarantee. The estimate itself — including
+  // every collision — is deterministic integer arithmetic over the
+  // public XXH64, so the q202 oracle replays the whole sketch in SQL
+  // and hash-matches exactly, not just within the error bound.
+  // Width/depth are frozen parameters (the lgK pattern): mixed-geometry
+  // segments are rejected loudly — cells from different geometries are
+  // not addable.
+  // --------------------------------------------------------------------
+
+  /** Cells of one batch's CM sketch of `keyCol` (a long-typed key):
+    * (d, bucket, cnt) rows, at most depth·width of them regardless of
+    * batch size. Written under `seg=<batchKey>` (idempotent overwrite).
+    */
+  def appendCmBatch(df: DataFrame, keyCol: String, dir: String,
+      batchKey: String, width: Int = 256, depth: Int = 4): Unit = {
+    checkKey(batchKey)
+    require(width >= 2 && depth >= 1 && depth <= 16,
+      s"CM geometry out of range: width=$width depth=$depth")
+    val cells = df.select(col(keyCol).cast("long").as("k"))
+      .withColumn("d", explode(array((0 until depth).map(lit(_)): _*)))
+      .select(col("d"),
+        pmod(xxhash64(col("k") * depth + col("d")), lit(width.toLong))
+          .as("bucket"))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
+    cells.withColumn("cm_width", lit(width)).withColumn("cm_depth", lit(depth))
+      .write.mode("overwrite").parquet(s"$dir/seg=$batchKey")
+  }
+
+  /** Geometry of a CM index, validated across segments. */
+  private def cmGeometry(segs: DataFrame, dir: String): (Int, Int) = {
+    val geos = segs.select("cm_width", "cm_depth").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    require(geos.length == 1,
+      s"CM index at $dir mixes geometries ${geos.sorted.mkString(",")}; " +
+        "rebuild the offending segments with one width×depth — cells " +
+        "from different geometries are not addable")
+    geos.head
+  }
+
+  /** Point-estimate frequencies for every key of `keys` (a one-column
+    * frame of long keys, e.g. the distinct key domain or a probe list)
+    * from the persisted CM segments: merged cells = Σ segments, then
+    * est(key) = min over d of the key's cell. Reads ONLY the sketch
+    * segments — depth·width rows per batch, independent of ingested
+    * volume; the probe join touches depth rows per key.
+    */
+  def cmEstimates(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
+    val keyCol = keys.columns.head
+    val segs = spark.read.parquet(dir)
+    val (width, depth) = cmGeometry(segs, dir)
+    val merged = segs.groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+    val probes = keys.select(col(keyCol).cast("long").as("k")).distinct()
+      .withColumn("d", explode(array((0 until depth).map(lit(_)): _*)))
+      .withColumn("bucket",
+        pmod(xxhash64(col("k") * depth + col("d")), lit(width.toLong)))
+    probes.join(merged, Seq("d", "bucket"))
+      .groupBy("k").agg(min("cnt").as("cm_est"))
+      .select(col("k").as(keyCol), col("cm_est"))
+  }
+
+  /** Compact all CM segments into one `base` segment: cell-wise sum,
+    * staged-swap protected. Serving from the compacted segment is
+    * IDENTICAL to serving from the N inputs (cell addition is
+    * associative); like freq/moments/KLL, replaying an already-merged
+    * batch would double-count, so compaction runs with ingestion
+    * stopped.
+    */
+  def compactCm(spark: SparkSession, dir: String): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val tmpPath = new org.apache.hadoop.fs.Path(dir + "_merging")
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StagedSwap.recoverOrClearStage(fs, dirPath, tmpPath)
+    val segs = spark.read.parquet(dir)
+    val (width, depth) = cmGeometry(segs, dir)
+    segs.groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+      .withColumn("cm_width", lit(width)).withColumn("cm_depth", lit(depth))
+      .write.mode("overwrite").parquet(s"$tmpPath/seg=base")
+    StagedSwap.swap(fs, dirPath, tmpPath)
+  }
 }

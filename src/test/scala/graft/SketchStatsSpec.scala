@@ -510,4 +510,43 @@ class SketchStatsSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(segs.contains("seg=base") && segs.size == 2, segs.toString)
   }
+
+  test("CM segments: over-count property, merge == single pass, lossless compaction, mixed-geometry gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cm").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    (0 until 3).foreach { k =>
+      SketchStats.appendCmBatch(
+        events.filter(pmod(col("event_id"), lit(3)) === k),
+        "user_id", dir, s"b$k", width = 4, depth = 4)
+    }
+    val keys = events.select("user_id").distinct()
+    def serve(d: String) = SketchStats.cmEstimates(spark, d, keys)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = serve(dir)
+    val exact = events.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // CM never under-counts, and width=4 over this key domain forces
+    // real collisions — the bound must do actual work here
+    assert(exact.keySet == served.keySet)
+    exact.foreach { case (k, c) => assert(served(k) >= c, s"under-count at $k") }
+    assert(exact.exists { case (k, c) => served(k) > c },
+      "width=4 should collide somewhere; widen the test domain")
+    // segments-summed == one single-pass sketch of all rows (merge is
+    // exact cell addition, not an approximation of it)
+    val one = java.nio.file.Files.createTempDirectory("graft_cm1").toString
+    SketchStats.appendCmBatch(events, "user_id", one, "all", width = 4, depth = 4)
+    assert(serve(one) == served)
+    // compaction preserves every estimate and leaves a single base segment
+    SketchStats.compactCm(spark, dir)
+    assert(serve(dir) == served)
+    val segs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segs == Set("seg=base"))
+    // mixed geometry is rejected loudly, not silently mis-added
+    SketchStats.appendCmBatch(events.limit(10), "user_id", dir, "bad",
+      width = 8, depth = 4)
+    intercept[IllegalArgumentException] {
+      SketchStats.cmEstimates(spark, dir, keys)
+    }
+  }
 }
