@@ -733,6 +733,30 @@ object Streaming {
       .start()
   }
 
+  /** Streaming count-min maintenance: every micro-batch appends its
+    * bounded depth×width cell segment
+    * ([[graft.ops.SketchStats.appendCmBatch]]); serving sums cells across
+    * segments + min-probes ([[graft.ops.SketchStats.cmEstimates]])
+    * between batches. A retry OVERWRITES its own `seg=` partition, so
+    * the layout is idempotent — and like the freq/moments loops, NO
+    * mid-stream compaction: cell counts are ADDITIVE, so a batch folded
+    * into `base` and then replayed after a crash would double-count.
+    * Compact with [[graft.ops.SketchStats.compactCm]] only while the
+    * stream is stopped.
+    */
+  def cmStream(input: DataFrame, cmDir: String, checkpoint: String,
+      keyCol: String, width: Int = 256, depth: Int = 4): StreamingQuery = {
+    val key = runKey(checkpoint)
+    input.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.SketchStats.appendCmBatch(batch, keyCol, cmDir,
+          s"$key-$batchId", width, depth)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming EXACT-distinct bitmap maintenance: every micro-batch
     * appends its compressed-bitmap segment
     * ([[graft.ops.SketchStats.appendBitmapBatch]]); serving OR-unions

@@ -549,4 +549,38 @@ class SketchStatsSpec extends SparkSpec {
       SketchStats.cmEstimates(spark, dir, keys)
     }
   }
+
+  test("streamed CM maintenance serves identically to a batch build per wave; rerun idempotent") {
+    import graft.streaming.Streaming
+    val work = java.nio.file.Files.createTempDirectory("graft_cmstream").toString
+    val raw = s"$work/raw"; val cm = s"$work/cm"; val ckpt = s"$work/ckpt"
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val keys = events.select("user_id").distinct()
+    def serve() = SketchStats.cmEstimates(spark, cm, keys)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val waves = (0 until 3).map(k => events.filter(pmod(col("event_id"), lit(3)) === k))
+    var fed = waves.head.limit(0)
+    var last = Map.empty[Long, Long]
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.write.mode("append").parquet(raw)
+      fed = fed.unionByName(w)
+      val q = Streaming.cmStream(
+        spark.readStream.schema(events.schema).parquet(raw),
+        cm, ckpt, "user_id", width = 4, depth = 4)
+      assert(q.awaitTermination(120000), s"CM wave $k timed out")
+      last = serve()
+      // cell addition is exact: streamed segments == one batch build
+      val one = java.nio.file.Files.createTempDirectory(s"graft_cm1s$k").toString
+      SketchStats.appendCmBatch(fed, "user_id", one, "all", width = 4, depth = 4)
+      val direct = SketchStats.cmEstimates(spark, one, keys)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last == direct, s"wave $k diverged from batch build")
+    }
+    // an AvailableNow rerun with nothing new appends nothing: idempotent
+    val q = Streaming.cmStream(
+      spark.readStream.schema(events.schema).parquet(raw),
+      cm, ckpt, "user_id", width = 4, depth = 4)
+    assert(q.awaitTermination(120000))
+    assert(serve() == last, "rerun with no new data must not move estimates")
+  }
 }
