@@ -2695,5 +2695,182 @@ object StatQueries {
             (col("n") + 1).cast("double") / col("n")).as("gini"))
         .orderBy("decile")
     },
+
+    // ---- McNemar's paired test: does the trained q174 model beat the
+    // q191 hand rule on the SAME customers? Only the DISCORDANT pairs
+    // carry signal — b = model right / rule wrong, c = the reverse —
+    // and χ² = (b−c)²/(b+c). Everything through b and c is exact
+    // integer counting on one aggregation pass; the statistic is two
+    // final double ops. (No continuity correction — documented,
+    // mirrored in the oracle.)
+    QueryDef(
+      "q203_mcnemar_test",
+      Some(s"""
+        WITH $logregCtes,
+        lab AS (
+          SELECT CASE WHEN (CASE WHEN sg >= 0.5 THEN 1 ELSE 0 END) = y
+                      THEN 1 ELSE 0 END AS model_ok,
+                 CASE WHEN (CASE WHEN x1 < 0 OR x2 <= CAST(1 AS DOUBLE)
+                            THEN 1 ELSE 0 END) = y
+                      THEN 1 ELSE 0 END AS rule_ok
+          FROM scored
+        ), cm AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(model_ok * (1 - rule_ok)) AS BIGINT) AS b,
+                 CAST(SUM((1 - model_ok) * rule_ok) AS BIGINT) AS c,
+                 CAST(SUM(model_ok * rule_ok) AS BIGINT) AS both_ok,
+                 CAST(SUM((1 - model_ok) * (1 - rule_ok)) AS BIGINT) AS both_wrong
+          FROM lab
+        )
+        SELECT n, both_ok, both_wrong, b, c,
+               CAST((b - c) * (b - c) AS DOUBLE) / (b + c) AS chi2
+        FROM cm"""),
+    ) { (s, dir) =>
+      val modelPred = when(col("sg") >= 0.5, 1).otherwise(0)
+      val rulePred = when(col("x1") < 0 || col("x2") <= lit(1.0), 1).otherwise(0)
+      val lab = logregScored(s, dir).select(
+        when(modelPred === col("y"), 1).otherwise(0).as("model_ok"),
+        when(rulePred === col("y"), 1).otherwise(0).as("rule_ok"))
+      val cm = lab.agg(count(lit(1)).as("n"),
+        sum(col("model_ok") * (lit(1) - col("rule_ok"))).cast("long").as("b"),
+        sum((lit(1) - col("model_ok")) * col("rule_ok")).cast("long").as("c"),
+        sum(col("model_ok") * col("rule_ok")).cast("long").as("both_ok"),
+        sum((lit(1) - col("model_ok")) * (lit(1) - col("rule_ok")))
+          .cast("long").as("both_wrong"))
+      cm.select(col("n"), col("both_ok"), col("both_wrong"), col("b"), col("c"),
+        (((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+          (col("b") + col("c"))).as("chi2"))
+    },
+
+    // ---- first-order partial correlation r(qty, price | discount) on
+    // lineitem: does the qty↔price relation survive controlling for the
+    // discount? All three pairwise Pearsons come from ONE aggregation of
+    // exact-decimal power sums, then r_xy.z = (r_xy − r_xz·r_yz)/
+    // √((1−r_xz²)(1−r_yz²)) is a fixed chain of double ops spelled
+    // identically in the oracle. Scaling rule (MEASURED failure): the
+    // 2^17 binary scaling that protects plain sums makes PRODUCT terms
+    // exactly dyadic, which lands on 6dp DECIMAL ties where the engines'
+    // rounding splits — so the price scales by 10² instead, keeping
+    // every product's exact decimal ≤ 6 digits (the cast then never
+    // rounds: qty·y has 4, y·z exactly 6). Second MEASURED constraint:
+    // a decimal sum whose INTERNAL scaled integer exceeds 2^53 casts to
+    // double NON-correctly-rounded in DuckDB (int128→double double-
+    // rounds) while Java's BigDecimal is correctly rounded — Σy² at
+    // scale 6 is 2.2e16 internally and split the engines by 1 ulp — so
+    // the y² sum uses DECIMAL(38,2) (tie-free: k² ≡ 50 mod 100 has no
+    // solutions; internally 2.2e12). Correlations are scale-invariant.
+    QueryDef(
+      "q204_partial_corr",
+      Some(s"""
+        WITH m AS (
+          SELECT COUNT(*) AS n,
+                 ${sqlSum("l_quantity")} AS sx,
+                 ${sqlSum("l_extendedprice / 100")} AS sy,
+                 ${sqlSum("l_discount")} AS sz,
+                 ${sqlSum("l_quantity * l_quantity")} AS sxx,
+                 CAST(SUM(CAST((l_extendedprice / 100) * (l_extendedprice / 100)
+                      AS DECIMAL(38,2))) AS DOUBLE) AS syy,
+                 ${sqlSum("l_discount * l_discount")} AS szz,
+                 ${sqlSum("l_quantity * (l_extendedprice / 100)")} AS sxy,
+                 ${sqlSum("l_quantity * l_discount")} AS sxz,
+                 ${sqlSum("(l_extendedprice / 100) * l_discount")} AS syz
+          FROM lineitem
+        ), r AS (
+          SELECT n,
+            (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS r_xy,
+            (sxz - sx * sz / n) / (sqrt(sxx - sx * sx / n) * sqrt(szz - sz * sz / n)) AS r_xz,
+            (syz - sy * sz / n) / (sqrt(syy - sy * sy / n) * sqrt(szz - sz * sz / n)) AS r_yz
+          FROM m
+        )
+        SELECT n, r_xy, r_xz, r_yz,
+               (r_xy - r_xz * r_yz) /
+                 sqrt((1 - r_xz * r_xz) * (1 - r_yz * r_yz)) AS r_partial
+        FROM r"""),
+    ) { (s, dir) =>
+      val x = col("l_quantity")
+      val y = col("l_extendedprice") / 100
+      val z = col("l_discount")
+      val m = Tables.lineitem(s, dir).agg(count(lit(1)).as("n"),
+        Det.dsum(x).as("sx"), Det.dsum(y).as("sy"), Det.dsum(z).as("sz"),
+        Det.dsum(x * x).as("sxx"),
+        sum((y * y).cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+          .cast("double").as("syy"),
+        Det.dsum(z * z).as("szz"), Det.dsum(x * y).as("sxy"),
+        Det.dsum(x * z).as("sxz"), Det.dsum(y * z).as("syz"))
+      def corr(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+        (col(sab) - col(sa) * col(sb) / col("n")) /
+          (sqrt(col(saa) - col(sa) * col(sa) / col("n")) *
+            sqrt(col(sbb) - col(sb) * col(sb) / col("n")))
+      val r = m.select(col("n"),
+        corr("sxy", "sx", "sy", "sxx", "syy").as("r_xy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").as("r_xz"),
+        corr("syz", "sy", "sz", "syy", "szz").as("r_yz"))
+      r.select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+        ((col("r_xy") - col("r_xz") * col("r_yz")) /
+          sqrt((lit(1) - col("r_xz") * col("r_xz")) *
+            (lit(1) - col("r_yz") * col("r_yz")))).as("r_partial"))
+    },
+
+    // ---- post-hoc pairwise contrasts after q194's omnibus ANOVA: all
+    // 10 segment pairs with mean difference, pooled-MSW standard error
+    // √(MSW·(1/n₁+1/n₂)), and the t statistic — which pairs actually
+    // drive a significant F. Group power sums are q194's exact-decimal
+    // aggregates; MSW comes from ONE single-row aggregate over the
+    // 5-row group table (plain decimal sums — exact and order-free, no
+    // window); the pair join is 5×5 dimension-sized. Means are in the
+    // /2^17-scaled metric like q194's (t is scale-invariant).
+    QueryDef(
+      "q205_pairwise_contrasts",
+      Some(s"""
+        WITH g AS (
+          SELECT c_mktsegment AS segment, COUNT(*) AS n,
+                 ${sqlSum("o_totalprice / 131072")} AS s1,
+                 ${sqlSum("(o_totalprice / 131072) * (o_totalprice / 131072)")} AS s2
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1
+        ), w AS (
+          SELECT CAST(SUM(CAST(s2 AS DECIMAL(38,6))) AS DOUBLE) AS s2_all,
+                 CAST(SUM(CAST(s1 * s1 / n AS DECIMAL(38,6))) AS DOUBLE) AS sb,
+                 CAST(SUM(n) AS BIGINT) AS n_total,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM g
+        )
+        SELECT g1.segment AS seg_a, g2.segment AS seg_b,
+               g1.n AS n_a, g2.n AS n_b,
+               g1.s1 / g1.n AS mean_a, g2.s1 / g2.n AS mean_b,
+               g1.s1 / g1.n - g2.s1 / g2.n AS diff,
+               sqrt(((s2_all - sb) / (n_total - k)) *
+                    (1.0 / g1.n + 1.0 / g2.n)) AS se,
+               (g1.s1 / g1.n - g2.s1 / g2.n) /
+                 sqrt(((s2_all - sb) / (n_total - k)) *
+                      (1.0 / g1.n + 1.0 / g2.n)) AS t_stat
+        FROM g g1 JOIN g g2 ON g1.segment < g2.segment CROSS JOIN w
+        ORDER BY seg_a, seg_b"""),
+    ) { (s, dir) =>
+      val xs = col("o_totalprice") / 131072
+      val g = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), Det.dsum(xs).as("s1"), Det.dsum(xs * xs).as("s2"))
+      val w = g.agg(
+        sum(Det.dec(col("s2"))).cast("double").as("s2_all"),
+        sum(Det.dec(col("s1") * col("s1") / col("n"))).cast("double").as("sb"),
+        sum("n").cast("long").as("n_total"),
+        count(lit(1)).cast("long").as("k"))
+      val g1 = g.select(col("segment").as("seg_a"), col("n").as("n_a"),
+        col("s1").as("s1_a"))
+      val g2 = g.select(col("segment").as("seg_b"), col("n").as("n_b"),
+        col("s1").as("s1_b"))
+      val meanA = col("s1_a") / col("n_a")
+      val meanB = col("s1_b") / col("n_b")
+      val msw = (col("s2_all") - col("sb")) / (col("n_total") - col("k"))
+      val se = sqrt(msw * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      g1.join(g2, col("seg_a") < col("seg_b")).crossJoin(broadcast(w))
+        .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+          meanA.as("mean_a"), meanB.as("mean_b"),
+          (meanA - meanB).as("diff"), se.as("se"),
+          ((meanA - meanB) / se).as("t_stat"))
+        .orderBy("seg_a", "seg_b")
+    },
   )
 }

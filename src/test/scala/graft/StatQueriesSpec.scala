@@ -1006,4 +1006,66 @@ class StatQueriesSpec extends SparkSpec {
       assert(aa == expect.toDouble)
     }
   }
+
+  test("q203: discordant counts == exact replay; cells partition n; chi2 identity") {
+    val r = run("q203_mcnemar_test").collect().head
+    val (n, bothOk, bothWrong, b, c, chi2) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert(bothOk + bothWrong + b + c == n)
+    assert(chi2 == ((b - c) * (b - c)).toDouble / (b + c))
+    // exact replay from the in-memory model (the q174 bit-exact weights)
+    val (f, w) = logregReplay
+    val (rb, rc) = f.foldLeft((0L, 0L)) { case ((accB, accC), (_, x1, x2, x3, y)) =>
+      val sg = r6(1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3))))
+      val model = if (sg >= 0.5) 1 else 0
+      val rule = if (x1 < 0 || x2 <= 1.0) 1 else 0
+      val mOk = model == y; val rOk = rule == y
+      (accB + (if (mOk && !rOk) 1 else 0), accC + (if (!mOk && rOk) 1 else 0))
+    }
+    assert(b == rb && c == rc && b + c > 0)
+  }
+
+  test("q204: correlations bounded; partial-corr identity from own outputs") {
+    val r = run("q204_partial_corr").collect().head
+    val (rxy, rxz, ryz, rp) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    Seq(rxy, rxz, ryz, rp).foreach(v => assert(math.abs(v) <= 1.0))
+    // the output must satisfy its own defining identity bit-for-bit
+    assert(rp == (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz)))
+    // and a plain double-sum replay agrees to float-noise level
+    val rows = graft.core.Tables.lineitem(spark, dir)
+      .selectExpr("l_quantity", "l_extendedprice / 100", "l_discount")
+      .collect().map(x => (x.getDouble(0), x.getDouble(1), x.getDouble(2)))
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map(p => p._1 * p._2).sum
+      (sab - sa * sb / n) /
+        (math.sqrt(a.map(v => v * v).sum - sa * sa / n) *
+          math.sqrt(b.map(v => v * v).sum - sb * sb / n))
+    }
+    val (xs, ys, zs) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    assert(math.abs(rxy - corr(xs, ys)) < 1e-9)
+    assert(math.abs(ryz - corr(ys, zs)) < 1e-9)
+  }
+
+  test("q205: all 10 pairs; t == diff/se from own outputs; means == group replay") {
+    val rows = run("q205_pairwise_contrasts").collect()
+    assert(rows.length == 10) // C(5,2) ordered pairs, seg_a < seg_b
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val (diff, se, t) = (r.getDouble(6), r.getDouble(7), r.getDouble(8))
+      assert(t == diff / se && se > 0)
+      assert(diff == r.getDouble(4) - r.getDouble(5))
+    }
+    // group means replayed from the raw join (scaled metric)
+    val means = segSamples.groupBy(_._2).map { case (seg, g) =>
+      seg -> g.map(_._1 / 131072).sum / g.length
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) - means(r.getString(0))) < 1e-6)
+      assert(math.abs(r.getDouble(5) - means(r.getString(1))) < 1e-6)
+    }
+  }
 }
