@@ -421,4 +421,41 @@ class PlanAuditSpec extends SparkSpec {
       .count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 6, s"bootstrap plan grew $exchanges exchanges")
   }
+
+  test("rank-test prefix sums broadcast the per-partition offset table") {
+    // globalCumSum's whole point is that NO window spans the full data —
+    // the offsets re-enter as a broadcast; a SortMergeJoin on _pid would
+    // mean the tiny table shuffled the big side
+    Seq("q196_ks_test", "q197_mann_whitney", "q198_kruskal_wallis").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name lost the offset broadcast")
+      // 1-row totals legitimately enter as broadcast cross joins (the
+      // stat-broadcast scalar pattern); a CartesianProduct — both sides
+      // unbroadcast — is the failure this contract guards against
+      assert(!p.contains("CartesianProduct"),
+        s"$name degraded to an unbroadcast cartesian")
+    }
+  }
+
+  test("Adamic-Adar wedges close as equi-joins with the degree side broadcastable") {
+    val p = plan("q201_adamic_adar")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge/anti joins must stay hash/sort-merge equi-joins")
+    assert(p.contains("LeftAnti"), "existing-edge removal lost its anti-join")
+  }
+
+  test("CM serving reads only sketch segments and probe keys, never re-scans events per cell") {
+    import org.apache.spark.sql.functions._
+    val events = graft.core.Tables.events(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmplan").toString
+    graft.ops.SketchStats.appendCmBatch(events, "user_id", dir, "b0", 64, 4)
+    val served = graft.ops.SketchStats.cmEstimates(spark, dir,
+      events.select("user_id").distinct())
+    val p = served.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // exactly two scan families: the segment parquet and the probe keys
+    assert(p.contains(dir.split('/').last), "expected the segment scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the probe join must stay an equi-join on (d, bucket)")
+  }
 }
