@@ -510,6 +510,40 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // ---- corpus-wide chunk-level exact dedup (the C4/RefinedWeb
+    // boilerplate scrub): 100-char non-overlapping chunks, each distinct
+    // chunk survives only at its FIRST (doc_id, chunk_idx) occurrence,
+    // docs reassembled from survivors. Sits between q37 (whole-doc
+    // dedup) and q125 (within-doc spans) in the dedup ladder; exact-dup
+    // docs collapse to empty cleaned text while unique docs reassemble
+    // bit-identically. Integer/string-only — no float surface.
+    QueryDef(
+      "q206_chunk_dedup",
+      Some("""
+        WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        k AS (SELECT doc_id, text,
+                CASE WHEN len <= 100 THEN 0
+                     ELSE CAST(floor((len - 100 + 100 - 1) / 100.0) AS BIGINT) END AS kmax
+              FROM d),
+        c AS (SELECT doc_id, unnest(range(0, kmax + 1)) AS ck, text FROM k),
+        ch AS (SELECT doc_id, ck,
+                      substr(text, CAST(ck * 100 + 1 AS INT), 100) AS chunk_text,
+                      doc_id * 1048576 + ck AS pos
+               FROM c),
+        f AS (SELECT chunk_text, min(pos) AS first_pos FROM ch GROUP BY chunk_text)
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               CAST(SUM(CASE WHEN pos = first_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN pos = first_pos THEN ch.chunk_text END,
+                                   '' ORDER BY ck), '') AS cleaned_text
+        FROM ch JOIN f ON ch.chunk_text = f.chunk_text
+        GROUP BY doc_id ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      CorpusOps.chunkDedup(Tables.documents(s, dir), "text", "doc_id",
+          chunkLen = 100)
+        .orderBy("doc_id")
+    },
+
     // ---- novel n-gram rate: per new doc (id % 10 <> 0), the fraction of
     // its distinct 4-grams absent from the reference slice (id % 10 = 0)
     // — the memorization/novelty diagnostic, integer-exact ppm.

@@ -778,6 +778,41 @@ object CorpusOps {
         length(col("c.txt")).cast("long").as("chunk_len"))
   }
 
+  /** Corpus-wide chunk-level exact dedup (the C4/RefinedWeb boilerplate
+    * scrub at chunk granularity, between q37's whole-doc dedup and q125's
+    * within-doc span scrub): split each doc into NON-overlapping
+    * chunkLen-char chunks, keep only each distinct chunk's FIRST
+    * occurrence in (doc_id, chunk_idx) order, and reassemble documents
+    * from their surviving chunks (empty-string join, so an untouched doc
+    * reassembles to EXACTLY its original text). One chunk-keyed shuffle
+    * (group + same-key join back, exchange reused) + one doc-keyed
+    * re-aggregation; first-occurrence is a distributed min over the
+    * integer position doc_id·2^20 + idx — no window, no driver state.
+    * At 100 TB the group key would be xxhash64(chunk) rather than the
+    * chunk string (7-8x less shuffle volume); the string key here keeps
+    * the oracle collision-free by construction.
+    */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+      chunkLen: Int): DataFrame = {
+    val chunks = chunkDocs(df, textCol, idCol, chunkLen, overlap = 0)
+      .withColumn("_pos", col(idCol) * (1L << 20) + col("chunk_idx"))
+    // documents beyond 2^20 chunks would alias positions — refuse loudly
+    val guarded = chunks.withColumn("_pos",
+      when(col("chunk_idx") < (1L << 20), col("_pos"))
+        .otherwise(raise_error(concat(lit("chunkDedup: doc "), col(idCol),
+          lit(" exceeds 2^20 chunks")))))
+    val first = guarded.groupBy("chunk_text").agg(min("_pos").as("_first"))
+    val kept = guarded.join(first, "chunk_text")
+      .withColumn("_kept", (col("_pos") === col("_first")).cast("int"))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("_kept").cast("long").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_kept") === 1,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          c => c.getField("chunk_text")), "").as("cleaned_text"))
+  }
+
   /** Deterministic top-fraction selection over [[importanceWeights]]
     * output: the ceil(fraction * n_raw) NON-target docs with the highest
     * score, ties to the lowest id (total order, so the selected set is

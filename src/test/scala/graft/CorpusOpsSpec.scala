@@ -806,4 +806,19 @@ class CorpusOpsSpec extends SparkSpec {
     val scores = got.map(_._6)
     assert(scores.sameElements(scores.sortBy(-_)))
   }
+
+  test("chunkDedup: first occurrence survives, untouched docs reassemble exactly") {
+    val a = "x" * 100 + "y" * 100            // doc 1: two unique chunks
+    val b = "x" * 100 + "z" * 100            // doc 2: first chunk dups doc 1's
+    val c = "x" * 100 + "y" * 100            // doc 3: exact dup of doc 1
+    val d = "q" * 37                          // doc 4: one short unique chunk
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val got = CorpusOps.chunkDedup(df, "text", "doc_id", chunkLen = 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 2L, 2L, a)))       // untouched: exact round-trip
+    assert(got(1) == ((2L, 2L, 1L, "z" * 100))) // shared chunk removed
+    assert(got(2) == ((3L, 2L, 0L, "")))      // exact dup fully scrubbed
+    assert(got(3) == ((4L, 1L, 1L, d)))       // short doc intact
+  }
 }
