@@ -2872,5 +2872,126 @@ object StatQueries {
           ((meanA - meanB) / se).as("t_stat"))
         .orderBy("seg_a", "seg_b")
     },
+
+    // ---- Mantel-Haenszel stratified odds ratio: does a positive
+    // account balance associate with high-value ordering AFTER
+    // controlling for nation? One 2×2 (exposed = acctbal > 5000,
+    // outcome = any order > 420k) per nation stratum; OR_MH =
+    // Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) pools them without the small-stratum
+    // instability of per-stratum ORs. Cells are exact integers from one
+    // customer-grain pass; the two Σs run over the 25-row stratum table
+    // through exact-decimal window sums of small-magnitude terms (the
+    // q194 regime — a·d/n ≤ n/4).
+    QueryDef(
+      "q207_mh_odds",
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS expo,
+                 CASE WHEN EXISTS (SELECT 1 FROM orders
+                                   WHERE o_custkey = c_custkey
+                                     AND o_totalprice > 420000)
+                      THEN 1 ELSE 0 END AS outc
+          FROM customer
+        ), g AS (
+          SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(expo * outc) AS BIGINT) AS a,
+                 CAST(SUM(expo * (1 - outc)) AS BIGINT) AS b,
+                 CAST(SUM((1 - expo) * outc) AS BIGINT) AS c,
+                 CAST(SUM((1 - expo) * (1 - outc)) AS BIGINT) AS d
+          FROM cust GROUP BY c_nationkey
+        ), w AS (
+          SELECT nation, n, a, b, c, d,
+                 CAST(SUM(CAST(CAST(a AS DOUBLE) * d / n AS DECIMAL(38,6)))
+                      OVER () AS DOUBLE) AS s_ad,
+                 CAST(SUM(CAST(CAST(b AS DOUBLE) * c / n AS DECIMAL(38,6)))
+                      OVER () AS DOUBLE) AS s_bc
+          FROM g
+        )
+        SELECT nation, n, a, b, c, d, s_ad / s_bc AS or_mh
+        FROM w ORDER BY nation"""),
+    ) { (s, dir) =>
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 420000)
+        .select(col("o_custkey")).distinct().withColumn("outc", lit(1))
+      val cust = Tables.customer(s, dir)
+        .join(big, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey"),
+          when(col("c_acctbal") > 5000, 1).otherwise(0).as("expo"),
+          coalesce(col("outc"), lit(0)).as("outc"))
+      val g = cust.groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("expo") * col("outc")).cast("long").as("a"),
+          sum(col("expo") * (lit(1) - col("outc"))).cast("long").as("b"),
+          sum((lit(1) - col("expo")) * col("outc")).cast("long").as("c"),
+          sum((lit(1) - col("expo")) * (lit(1) - col("outc"))).cast("long").as("d"))
+      val whole = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("s_ad",
+          sum(Det.dec(col("a").cast("double") * col("d") / col("n")))
+            .over(whole).cast("double"))
+        .withColumn("s_bc",
+          sum(Det.dec(col("b").cast("double") * col("c") / col("n")))
+            .over(whole).cast("double"))
+        .select(col("nation"), col("n"), col("a"), col("b"), col("c"), col("d"),
+          (col("s_ad") / col("s_bc")).as("or_mh"))
+        .orderBy("nation")
+    },
+
+    // ---- two-sample Cramér-von Mises: the INTEGRAL companion to
+    // q196's sup-norm KS over the same two segment samples — sensitive
+    // to distribution-wide shape differences a single extreme gap
+    // misses. Same grouped-value prefix-sum machinery; each pooled
+    // value contributes cnt·(F1−F2)², where F1−F2 =
+    // (cum1·n2 − cum2·n1)/(n1·n2) is one deterministic division of
+    // exact integers, the square stays ≤ 1 (the q194 decimal regime),
+    // and T = Σ·n1·n2/N² is a fixed final chain.
+    QueryDef(
+      "q208_cvm_test",
+      Some(s"""
+        WITH d AS (
+          SELECT o_totalprice AS v,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS f
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        ), g AS (
+          SELECT v, CAST(SUM(f) AS BIGINT) AS c1,
+                 CAST(SUM(1 - f) AS BIGINT) AS c2
+          FROM d GROUP BY v
+        ), t AS (
+          SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM g
+        ), c AS (
+          SELECT c1 + c2 AS cnt,
+                 SUM(c1) OVER (ORDER BY v) AS cum1,
+                 SUM(c2) OVER (ORDER BY v) AS cum2 FROM g
+        ), s AS (
+          SELECT ${sqlSum("cnt * (((cum1 * t.n2 - cum2 * t.n1) / (CAST(t.n1 AS DOUBLE) * t.n2)) * ((cum1 * t.n2 - cum2 * t.n1) / (CAST(t.n1 AS DOUBLE) * t.n2)))")} AS sq
+          FROM c, t
+        )
+        SELECT t.n1, t.n2, s.sq,
+               s.sq * t.n1 * t.n2 /
+                 (CAST(t.n1 + t.n2 AS DOUBLE) * (t.n1 + t.n2)) AS t_cvm
+        FROM s, t"""),
+    ) { (s, dir) =>
+      val d = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(col("o_totalprice").as("v"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("f"))
+      val g = d.groupBy("v")
+        .agg(sum("f").as("c1"), sum(lit(1L) - col("f")).as("c2"))
+      val t = g.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val c = globalCumSum(g.withColumn("cnt", col("c1") + col("c2")),
+        Seq(col("v")), Seq("c1", "c2"))
+      // F1−F2, spelled once and inlined VERBATIM like the oracle's square
+      def fd = (col("cum_c1") * col("n2") - col("cum_c2") * col("n1")) /
+        (col("n1").cast("double") * col("n2"))
+      val sq = c.crossJoin(broadcast(t))
+        .agg(Det.dsum(col("cnt") * (fd * fd)).as("sq"))
+      sq.crossJoin(broadcast(t)).select(col("n1"), col("n2"), col("sq"),
+        (col("sq") * col("n1") * col("n2") /
+          ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2"))))
+          .as("t_cvm"))
+    },
   )
 }

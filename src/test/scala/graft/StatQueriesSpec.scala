@@ -1068,4 +1068,37 @@ class StatQueriesSpec extends SparkSpec {
       assert(math.abs(r.getDouble(5) - means(r.getString(1))) < 1e-6)
     }
   }
+
+  test("q207: cells partition each stratum; OR_MH == decimal-rounded replay") {
+    val rows = run("q207_mh_odds").collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) == r.getLong(1))
+    }
+    val orMh = rows.head.getDouble(6)
+    assert(rows.forall(_.getDouble(6) == orMh)) // global value repeated
+    // replay with the query's own decimal discipline: d6(a·d/n) sums
+    val sAd = rows.map(r => d6(r.getLong(2).toDouble * r.getLong(5) / r.getLong(1))).sum
+    val sBc = rows.map(r => d6(r.getLong(3).toDouble * r.getLong(4) / r.getLong(1))).sum
+    assert(orMh == sAd.toDouble / sBc.toDouble)
+    assert(orMh > 0 && orMh.isFinite)
+  }
+
+  test("q208: t_cvm identity from own outputs; sq == ECDF-square replay") {
+    val r = run("q208_cvm_test").collect().head
+    val (n1, n2, sq, t) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(t == sq * n1 * n2 / ((n1 + n2).toDouble * (n1 + n2)))
+    assert(sq >= 0 && t >= 0)
+    // replay over the same pooled samples as q196 (shared ksSamples)
+    val s1 = ksSamples.filter(_._2).map(_._1)
+    val s2 = ksSamples.filterNot(_._2).map(_._1)
+    assert(n1 == s1.length && n2 == s2.length)
+    val expected = ksSamples.map(_._1).distinct.map { v =>
+      val cnt = ksSamples.count(_._1 == v)
+      val fd = (s1.count(_ <= v).toLong * n2 - s2.count(_ <= v).toLong * n1) /
+        (n1.toDouble * n2)
+      d6(cnt * (fd * fd))
+    }.sum
+    assert(sq == expected.toDouble)
+  }
 }
