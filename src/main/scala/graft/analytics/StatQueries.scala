@@ -2993,5 +2993,172 @@ object StatQueries {
           ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2"))))
           .as("t_cvm"))
     },
+
+    // ---- Durbin-Watson autocorrelation of q164's OLS residuals: is
+    // the monthly-revenue trend fit leaving serially-correlated errors
+    // (DW ≪ 2) that would invalidate its standard errors? The fit runs
+    // on monthly revenue held as EXACT INTEGER e4-units (p·(1−d) has 4
+    // decimals, so ×10⁴ is exact — a /2^17-scaled per-row term hit a
+    // real 6dp dyadic tie here, playbook rule 3), integer power sums
+    // (all decimal→double casts < 2^53, rule 11), and residuals scaled
+    // back by 2^34 to unit magnitude before the Σ(Δe)²/Σe² decimal
+    // sums (DW is scale-invariant). The lag runs in a per-nation window
+    // over the ≤80-row month table ordered by month index (observed
+    // sequence; calendar gaps documented as adjacent).
+    QueryDef(
+      "q209_durbin_watson",
+      Some(s"""
+        WITH m0 AS (
+          SELECT MIN(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)) AS mn
+          FROM orders
+        ), monthly AS (
+          SELECT c_nationkey AS nationkey,
+                 (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate))
+                   - (SELECT mn FROM m0) AS midx,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                      * 10000 AS BIGINT) AS rev4
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ), st AS (
+          SELECT nationkey, COUNT(*) AS n_months,
+                 CAST(SUM(midx) AS BIGINT) AS sx,
+                 CAST(SUM(midx * midx) AS BIGINT) AS sxx,
+                 CAST(SUM(CAST(rev4 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(midx * rev4 AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+          FROM monthly GROUP BY nationkey
+        ), fit AS (
+          SELECT nationkey, n_months,
+                 (n_months * sxy - sx * sy) / (n_months * sxx - sx * sx) AS slope,
+                 (sy - (n_months * sxy - sx * sy) / (n_months * sxx - sx * sx) * sx)
+                   / n_months AS icept
+          FROM st
+        ), e AS (
+          SELECT m.nationkey, fit.n_months, m.midx,
+                 (m.rev4 - (fit.slope * m.midx + fit.icept)) / 17179869184 AS e
+          FROM monthly m JOIN fit ON m.nationkey = fit.nationkey
+        ), l AS (
+          SELECT nationkey, n_months, e,
+                 lag(e) OVER (PARTITION BY nationkey ORDER BY midx) AS ep
+          FROM e
+        )
+        SELECT nationkey, CAST(MAX(n_months) AS BIGINT) AS n_months,
+               ${sqlSum("(e - ep) * (e - ep)")} /
+                 ${sqlSum("e * e")} AS dw
+        FROM l GROUP BY nationkey ORDER BY nationkey"""),
+    ) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val midxRaw = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+      val m0 = orders.agg(min(midxRaw).as("mn"))
+      val monthly = Tables.lineitem(s, dir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(m0))
+        .groupBy(col("c_nationkey").as("nationkey"),
+          (midxRaw - col("mn")).as("midx"))
+        .agg((sum(Det.dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          * 10000).cast("long").as("rev4"))
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val st = monthly.groupBy("nationkey").agg(
+        count(lit(1)).as("n_months"),
+        sum("midx").cast("long").as("sx"),
+        sum(col("midx") * col("midx")).cast("long").as("sxx"),
+        sum(col("rev4").cast(dec0)).cast("double").as("sy"),
+        sum((col("midx") * col("rev4")).cast(dec0)).cast("double").as("sxy"))
+      // slope spelled once, inlined VERBATIM both times like the oracle
+      def slope = (col("n_months") * col("sxy") - col("sx") * col("sy")) /
+        (col("n_months") * col("sxx") - col("sx") * col("sx"))
+      val fit = st.select(col("nationkey"), col("n_months"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n_months")).as("icept"))
+      val e = monthly.join(fit, "nationkey")
+        .select(col("nationkey"), col("n_months"), col("midx"),
+          ((col("rev4") - (col("slope") * col("midx") + col("icept"))) /
+            17179869184L).as("e"))
+      val w = Window.partitionBy("nationkey").orderBy("midx")
+      val l = e.withColumn("ep", lag("e", 1).over(w))
+      l.groupBy("nationkey")
+        .agg(max("n_months").cast("long").as("n_months"),
+          (Det.dsum((col("e") - col("ep")) * (col("e") - col("ep"))) /
+            Det.dsum(col("e") * col("e"))).as("dw"))
+        .orderBy("nationkey")
+    },
+
+    // ---- Cochran-Armitage trend test: does recency-churn fall
+    // MONOTONICALLY across account-balance quintiles (the dose-response
+    // question q168's unordered chi-square cannot ask)? Quintiles via
+    // q193's distributed exact NTILE over (acctbal, custkey); churn =
+    // no order in the corpus' last 180 days. T = Σ w·(r_g − n_g·R/N)
+    // with scores w = 1..5 and its variance are a handful of double ops
+    // over EXACT integer group counts — integer statistics to the last
+    // step (playbook rule 10).
+    QueryDef(
+      "q210_cochran_armitage",
+      Some("""
+        WITH cut AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+        act AS (
+          SELECT o_custkey, MAX(o_orderdate) AS last_o FROM orders GROUP BY o_custkey
+        ), lab AS (
+          SELECT c_custkey, c_acctbal,
+                 CASE WHEN act.last_o IS NULL
+                        OR act.last_o < (SELECT mx FROM cut) - INTERVAL 180 DAY
+                      THEN 1 ELSE 0 END AS churn
+          FROM customer LEFT JOIN act ON c_custkey = o_custkey
+        ), q AS (
+          SELECT churn, NTILE(5) OVER (ORDER BY c_acctbal, c_custkey) AS g
+          FROM lab
+        ), gr AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(churn) AS BIGINT) AS r
+          FROM q GROUP BY g
+        ), t AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_total, CAST(SUM(r) AS BIGINT) AS r_total,
+                 CAST(SUM(g * n) AS BIGINT) AS swn, CAST(SUM(g * g * n) AS BIGINT) AS swwn,
+                 CAST(SUM(g * r) AS BIGINT) AS swr
+          FROM gr
+        )
+        SELECT gr.g, gr.n, gr.r,
+               CAST(gr.r AS DOUBLE) / gr.n AS churn_rate,
+               (swr - CAST(swn AS DOUBLE) * r_total / n_total) /
+               sqrt((CAST(r_total AS DOUBLE) / n_total) *
+                    (1 - CAST(r_total AS DOUBLE) / n_total) *
+                    (swwn - CAST(swn AS DOUBLE) * swn / n_total)) AS z_trend
+        FROM gr CROSS JOIN t ORDER BY g"""),
+    ) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val cut = orders.agg(max("o_orderdate").as("mx"))
+      val act = orders.groupBy("o_custkey").agg(max("o_orderdate").as("last_o"))
+      val lab = Tables.customer(s, dir)
+        .join(act, col("c_custkey") === col("o_custkey"), "left")
+        .crossJoin(broadcast(cut))
+        .select(col("c_custkey"), col("c_acctbal"),
+          when(col("last_o").isNull ||
+            col("last_o") < date_sub(col("mx"), 180), 1).otherwise(0).as("churn"))
+      val ranked = globalRank(lab, Seq(col("c_acctbal"), col("c_custkey")))
+      val nTot = lab.agg(count(lit(1)).as("n_all"))
+      val withN = ranked.crossJoin(broadcast(nTot))
+      val q5 = col("n_all") / 5
+      val rem = col("n_all") % 5
+      val gcol = when(col("rn") <= rem * (q5 + 1), (col("rn") - 1) / (q5 + 1) + 1)
+        .otherwise(rem + (col("rn") - 1 - rem * (q5 + 1)) / q5 + 1)
+      val gr = withN.select(gcol.cast("int").as("g"), col("churn"))
+        .groupBy("g").agg(count(lit(1)).cast("long").as("n"),
+          sum("churn").cast("long").as("r"))
+      val t = gr.agg(sum("n").cast("long").as("n_total"),
+        sum("r").cast("long").as("r_total"),
+        sum(col("g") * col("n")).cast("long").as("swn"),
+        sum(col("g") * col("g") * col("n")).cast("long").as("swwn"),
+        sum(col("g") * col("r")).cast("long").as("swr"))
+      def p = col("r_total").cast("double") / col("n_total")
+      gr.crossJoin(broadcast(t))
+        .select(col("g"), col("n"), col("r"),
+          (col("r").cast("double") / col("n")).as("churn_rate"),
+          ((col("swr") - col("swn").cast("double") * col("r_total") / col("n_total")) /
+            sqrt(p * (lit(1) - p) *
+              (col("swwn") - col("swn").cast("double") * col("swn") / col("n_total"))))
+            .as("z_trend"))
+        .orderBy("g")
+    },
   )
 }

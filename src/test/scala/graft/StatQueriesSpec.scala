@@ -1101,4 +1101,61 @@ class StatQueriesSpec extends SparkSpec {
     }.sum
     assert(sq == expected.toDouble)
   }
+
+  test("q209: DW in (0,4); month counts match q164; residual replay exact") {
+    val rows = run("q209_durbin_watson").collect()
+    assert(rows.length == 25)
+    rows.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(2) < 4))
+    val q164 = run("q164_nation_trend").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == q164(r.getAs[Number](0).longValue)))
+    // exact replay for three nations: integer e4 fit + scaled residuals
+    import org.apache.spark.sql.functions._
+    val monthly = graft.core.Tables.lineitem(spark, dir)
+      .join(graft.core.Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.core.Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("m"))
+      .agg((sum(graft.core.Det.dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        * 10000).cast("long").as("rev4"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2)))
+    val mn = monthly.map(_._2).min
+    val got = rows.map(r => r.getAs[Number](0).longValue -> r.getDouble(2)).toMap
+    monthly.groupBy(_._1).toSeq.sortBy(_._1).take(3).foreach { case (nk, ms) =>
+      val pts = ms.map(p => (p._2 - mn, p._3)).sortBy(_._1)
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sy = pts.map(p => BigInt(p._2)).sum.toDouble
+      val sxy = pts.map(p => BigInt(p._1) * p._2).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      val es = pts.map { case (x, y) => (y - (slope * x + icept)) / 17179869184L.toDouble }
+      val de2 = es.toSeq.sliding(2).collect { case Seq(a, b) => d6((b - a) * (b - a)) }.sum
+      val e2 = es.map(e => d6(e * e)).sum
+      assert(got(nk) == de2.toDouble / e2.toDouble, s"nation $nk")
+    }
+  }
+
+  test("q210: quintiles partition customers; z_trend == integer-count replay") {
+    val rows = run("q210_cochran_armitage").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 5))
+    val nCust = graft.core.Tables.customer(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    rows.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0 && rate <= 1 && rate == r.getLong(2).toDouble / r.getLong(1))
+    }
+    val z = rows.head.getDouble(4)
+    assert(rows.forall(_.getDouble(4) == z)) // global statistic repeated
+    // replay from the emitted integer counts with the query's op order
+    val (nT, rT) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    val swn = rows.map(r => r.getInt(0) * r.getLong(1)).sum
+    val swwn = rows.map(r => r.getInt(0).toLong * r.getInt(0) * r.getLong(1)).sum
+    val swr = rows.map(r => r.getInt(0) * r.getLong(2)).sum
+    val p = rT.toDouble / nT
+    val expect = (swr - swn.toDouble * rT / nT) /
+      math.sqrt(p * (1 - p) * (swwn - swn.toDouble * swn / nT))
+    assert(z == expect)
+  }
 }
