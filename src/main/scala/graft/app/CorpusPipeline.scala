@@ -97,14 +97,26 @@ object CorpusPipeline {
     val exact = TextDedup.exactDedupBest(kept, "text", "doc_id", "n_tokens")
     val nExact = exact.count()
 
+    // ---- stage 3b: boilerplate-share filter — drop docs MORE THAN HALF
+    // made of chunks already seen earlier in the corpus (the RefinedWeb
+    // heavily-duplicated-page drop, on q206's chunk-dedup machinery).
+    // FILTER only, never a rewrite: stage-2 n_tokens stays valid for the
+    // packing/budget stages downstream
+    val chunkShare = graft.ops.CorpusOps
+      .chunkDedup(exact, "text", "doc_id", chunkLen = 100)
+      .filter(col("n_kept") * 2 >= col("n_chunks"))
+      .select("doc_id")
+    val scrubbed = exact.join(chunkShare, Seq("doc_id"))
+    val nScrubbed = scrubbed.count()
+
     // ---- stage 4: near-dup cluster dedup — one representative per
     // MinHash-LSH connected component. 8 bands x 16 rows targets
     // J ~ (1/8)^(1/16) ~ 0.88 — dedup wants "same doc, light edits", not
     // the J ~ 0.42 the analysis default (32x4) would transitively chain
     // into giant clusters on a near-dup-dense crawl
-    val clusters = TextDedup.minhashDedupClusters(exact, "text", "doc_id",
+    val clusters = TextDedup.minhashDedupClusters(scrubbed, "text", "doc_id",
       numHashes = 128, bands = 8)
-    val reps = exact.join(
+    val reps = scrubbed.join(
       clusters.filter(col("id") === col("cluster_rep"))
         .select(col("id").as("doc_id")),
       Seq("doc_id"))
@@ -253,7 +265,8 @@ object CorpusPipeline {
       |jsonl ingest:      $nIngested good, $nQuarantined quarantined
       |quality filter:    $nIngested -> $nKept  (dropped: $reasonCounts)
       |exact dedup:       $nKept -> $nExact
-      |near-dup dedup:    $nExact -> $nReps cluster representatives
+      |boilerplate scrub: $nExact -> $nScrubbed (docs <50%% duplicated chunks kept)
+      |near-dup dedup:    $nScrubbed -> $nReps cluster representatives
       |semantic dedup:    $nReps -> $nSemReps embedding-cluster representatives
       |decontamination:   $nTrain train -> $nClean clean (eval split held out; ${if (usedHash) "hashed-gram" else "string-gram"} path, path-agreement diff=$nFlagDiff)
       |lm quality:        $nClean -> $nLmKept (bottom decile cut at $lmCut%.6f over $nLmScored scored)
@@ -267,7 +280,8 @@ object CorpusPipeline {
 
     val ok = nQuarantined == nCorrupt && nKept <= nIngested &&
       nPlantedKept > 0 && nExact <= nKept - nPlantedKept &&
-      nReps <= nExact && nSemReps <= nReps && nSemReps > 0 &&
+      nScrubbed <= nExact && nScrubbed > 0 &&
+      nReps <= nScrubbed && nSemReps <= nReps && nSemReps > 0 &&
       nClean <= nTrain && nFlagDiff == 0 &&
       nLmKept <= nClean && nLmKept > 0 &&
       nMixed <= nLmKept && nBudgeted <= nMixed && budgetOk &&

@@ -212,6 +212,21 @@ object ScaleCurve {
                 .cast("float") / 1000f).as("emb")),
           "doc_id", "emb", dIn = 32, dOut = 8).count()
       },
+      // chunk-level dedup: replica vocabularies are disjoint, so chunk
+      // groups never cross replicas — one chunk-keyed shuffle that must
+      // stay linear in corpus bytes
+      "q206_chunk_dedup" -> (d =>
+        graft.ops.CorpusOps.chunkDedup(d, "text", "doc_id",
+          chunkLen = 100).count()),
+      // count-min build + probe: cell table bounded (depth x width) however
+      // many rows; build is one pass, serving joins depth rows per key
+      "q202_cm_frequency" -> { d =>
+        val cmDir = java.nio.file.Files.createTempDirectory("graft_cmscale").toString
+        graft.ops.SketchStats.appendCmBatch(d, "doc_id", cmDir, "all",
+          width = 4096, depth = 4)
+        graft.ops.SketchStats.cmEstimates(spark, cmDir,
+          d.select("doc_id").distinct()).count()
+      },
     )
 
     // ---- events replication for the sequence/drift family: new users
