@@ -42,8 +42,16 @@ object StatQueries {
     * total-order key (include a unique tie-break column). */
   private def globalRank(df: org.apache.spark.sql.DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    // PERSIST is load-bearing, not a cache hint (measured, q211):
+    // repartitionByRange samples with a run-dependent seed, and this
+    // frame feeds TWO subplans (offsets + local ranks). Without the
+    // persist, a plan in which the optimizer does not reuse the exchange
+    // re-samples per branch — offsets computed against one boundary set,
+    // local ranks against another, silently corrupting ranks. The persist
+    // pins ONE materialized partitioning for both branches.
     val r = df.repartitionByRange(32, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .persist()
     val offs = r.groupBy("_pid").agg(count(lit(1)).as("_c"))
       .withColumn("_off", coalesce(sum("_c").over(Window.orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -68,8 +76,11 @@ object StatQueries {
   private def globalCumSum(df: org.apache.spark.sql.DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column],
       valCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // persist() is load-bearing — see [[globalRank]]: two subplans must
+    // observe the SAME sampled range boundaries
     val r = df.repartitionByRange(32, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .persist()
     val totals = valCols.map(v => sum(v).as(s"_t_$v"))
     val offs = r.groupBy("_pid").agg(totals.head, totals.tail: _*)
     val offs2 = offs.select(col("_pid") +: valCols.map(v =>
@@ -3159,6 +3170,121 @@ object StatQueries {
               (col("swwn") - col("swn").cast("double") * col("swn") / col("n_total"))))
             .as("z_trend"))
         .orderBy("g")
+    },
+
+    // ---- Jonckheere-Terpstra ordered-alternative test: do ORDER VALUES
+    // shift monotonically up the acctbal quintiles (q210's continuous
+    // sibling — CA asks it of a rate, JT of a whole distribution)?
+    // J = Σ_{i<j} U_ij over the 10 ordered quintile pairs, all computed
+    // from ONE grouped-value table (cents, c1..c5) + ONE multi-column
+    // distributed prefix sum ([[globalCumSum]] with 5 value columns):
+    // DOUBLED U2_ij = Σ_v c_j·(2·cum_i − c_i) is a pure integer
+    // (DECIMAL(38,0) sums), and z uses the standard NO-TIE variance —
+    // documented approximation, exact integer inputs (cents ties across
+    // 60k orders are rare but present; the tie-corrected variance's
+    // triple sum is not worth its complexity for a monitoring statistic).
+    QueryDef(
+      "q211_jonckheere",
+      Some {
+        val pairs = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i, j)
+        val uexprs = pairs.map { case (i, j) =>
+          s"CAST(SUM(CAST(c$j * (2 * cum$i - c$i) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS u2_${i}_$j"
+        }.mkString(",\n                 ")
+        val puSelects = pairs.map { case (i, j) =>
+          s"SELECT $i AS g_lo, $j AS g_hi, u2_${i}_$j AS u2 FROM u"
+        }.mkString("\n          UNION ALL ")
+        val cs = (1 to 5).map(i =>
+          s"CAST(SUM(CASE WHEN g = $i THEN 1 ELSE 0 END) AS BIGINT) AS c$i")
+          .mkString(",\n                 ")
+        val cums = (1 to 5).map(i =>
+          s"SUM(c$i) OVER (ORDER BY v) AS cum$i").mkString(",\n                 ")
+        val j2 = pairs.map { case (i, j) => s"u2_${i}_$j" }
+          .reduce((a, b) => s"($a + $b)")
+        s"""
+        WITH lab AS (
+          SELECT c_custkey, NTILE(5) OVER (ORDER BY c_acctbal, c_custkey) AS g
+          FROM customer
+        ), d AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, g
+          FROM orders JOIN lab ON o_custkey = c_custkey
+        ), gv AS (
+          SELECT v, $cs
+          FROM d GROUP BY v
+        ), cm AS (
+          SELECT v, c1, c2, c3, c4, c5, $cums
+          FROM gv
+        ), u AS (
+          SELECT $uexprs
+          FROM cm
+        ), nn AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+                 CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * cnt) AS DECIMAL(38,0)) AS sum_n2,
+                 CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * cnt * (2 * cnt + 3)) AS DECIMAL(38,0)) AS sum_n23
+          FROM (SELECT g, COUNT(*) AS cnt FROM d GROUP BY g)
+        ), jj AS (
+          SELECT CAST($j2 AS DECIMAL(38,0)) AS j2 FROM u
+        )
+        SELECT g_lo, g_hi, CAST(u2 AS DECIMAL(38,0)) AS u2, jj.j2,
+               (CAST(jj.j2 AS DOUBLE) / 2 -
+                 (CAST(nn.n_total AS DOUBLE) * nn.n_total - CAST(nn.sum_n2 AS DOUBLE)) / 4) /
+               sqrt((CAST(nn.n_total AS DOUBLE) * nn.n_total * (2 * nn.n_total + 3)
+                     - CAST(nn.sum_n23 AS DOUBLE)) / 72) AS z_jt
+        FROM ($puSelects) pu
+        CROSS JOIN jj CROSS JOIN nn
+        ORDER BY g_lo, g_hi"""
+      },
+    ) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val pairsIdx = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i, j)
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ranked = globalRank(cust, Seq(col("c_acctbal"), col("c_custkey")))
+      val nCust = cust.agg(count(lit(1)).as("n_all"))
+      val withN = ranked.crossJoin(broadcast(nCust))
+      val q5 = col("n_all") / 5
+      val rem = col("n_all") % 5
+      val gcol = when(col("rn") <= rem * (q5 + 1), (col("rn") - 1) / (q5 + 1) + 1)
+        .otherwise(rem + (col("rn") - 1 - rem * (q5 + 1)) / q5 + 1)
+      val lab = withN.select(col("c_custkey"), gcol.cast("int").as("g"))
+      val d = Tables.orders(s, dir)
+        .join(lab, col("o_custkey") === col("c_custkey"))
+        .select(round(col("o_totalprice") * 100).cast("long").as("v"), col("g"))
+      val gv = {
+        val cs = (1 to 5).map(i =>
+          sum(when(col("g") === i, 1L).otherwise(0L)).as(s"c$i"))
+        d.groupBy("v").agg(cs.head, cs.tail: _*)
+      }
+      val cm = globalCumSum(gv, Seq(col("v")), (1 to 5).map(i => s"c$i"))
+      val u = cm.agg(
+        pairsIdx.map { case (i, j) =>
+          sum((col(s"c$j") * (lit(2L) * col(s"cum_c$i") - col(s"c$i")))
+            .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as(s"u2_${i}_$j")
+        }.head,
+        pairsIdx.map { case (i, j) =>
+          sum((col(s"c$j") * (lit(2L) * col(s"cum_c$i") - col(s"c$i")))
+            .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as(s"u2_${i}_$j")
+        }.tail: _*)
+      val nn = d.groupBy("g").agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt").cast("long").as("n_total"),
+          sum(col("cnt").cast(DecimalType(19, 0)) * col("cnt"))
+            .cast(DecimalType(38, 0)).as("sum_n2"),
+          sum(col("cnt").cast(DecimalType(19, 0)) * col("cnt") *
+            (lit(2L) * col("cnt") + 3)).cast(DecimalType(38, 0)).as("sum_n23"))
+      val j2 = u.select(pairsIdx.map { case (i, j) => col(s"u2_${i}_$j") }
+        .reduce(_ + _).cast(DecimalType(38, 0)).as("j2"))
+      // one row per ordered pair, the doubled U as exact decimal
+      val pu = pairsIdx.map { case (i, j) =>
+        u.select(lit(i).as("g_lo"), lit(j).as("g_hi"),
+          col(s"u2_${i}_$j").cast(DecimalType(38, 0)).as("u2"))
+      }.reduce(_ unionByName _)
+      val z = (col("j2").cast("double") / 2 -
+        (col("n_total").cast("double") * col("n_total") -
+          col("sum_n2").cast("double")) / 4) /
+        sqrt((col("n_total").cast("double") * col("n_total") *
+          (lit(2) * col("n_total") + 3) - col("sum_n23").cast("double")) / 72)
+      pu.crossJoin(broadcast(j2)).crossJoin(broadcast(nn))
+        .select(col("g_lo"), col("g_hi"), col("u2"), col("j2"), z.as("z_jt"))
+        .orderBy("g_lo", "g_hi")
     },
   )
 }

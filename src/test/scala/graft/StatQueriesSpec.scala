@@ -1158,4 +1158,52 @@ class StatQueriesSpec extends SparkSpec {
       math.sqrt(p * (1 - p) * (swwn - swn.toDouble * swn / nT))
     assert(z == expect)
   }
+
+  test("q211: U2 pairs == brute-force doubled Mann-Whitney counts; J2 = ΣU2") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q211_jonckheere").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet == (for (i <- 1 to 5; j <- (i + 1) to 5) yield (i, j)).toSet)
+    // replay: quintile labels via the same exact-NTILE order, then
+    // brute-force pairwise 2·#{x<y} + #{x=y} per ordered quintile pair
+    val cust = graft.core.Tables.customer(spark, dir)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getDouble(1), r.getLong(0))).sorted
+    val n = cust.length
+    val gOf = cust.zipWithIndex.map { case ((_, ck), idx) =>
+      val rn = idx + 1L
+      val q5 = n / 5; val rem = n % 5
+      val g = if (rn <= rem * (q5 + 1)) (rn - 1) / (q5 + 1) + 1
+      else rem + (rn - 1 - rem * (q5 + 1)) / q5 + 1
+      ck -> g.toInt
+    }.toMap
+    val vals = graft.core.Tables.orders(spark, dir)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (gOf(r.getLong(0)), r.getLong(1)))
+    val byG = vals.groupBy(_._1).map { case (g, v) => g -> v.map(_._2) }
+    var j2 = BigInt(0)
+    for (i <- 1 to 5; j <- (i + 1) to 5) {
+      val (xs, ys) = (byG(i), byG(j))
+      var u2 = BigInt(0)
+      // O(n log n) per pair via sorting, not all-pairs: count via merge
+      val xsS = xs.sorted
+      ys.foreach { y =>
+        val lt = xsS.search(y)(Ordering.Long) match {
+          case scala.collection.Searching.Found(k) =>
+            var k0 = k; while (k0 > 0 && xsS(k0 - 1) == y) k0 -= 1; k0
+          case scala.collection.Searching.InsertionPoint(k) => k
+        }
+        var hi = lt; while (hi < xsS.length && xsS(hi) == y) hi += 1
+        u2 += 2L * lt + (hi - lt)
+      }
+      assert(rows((i, j))._1 == BigDecimal(u2), s"pair ($i,$j)")
+      j2 += u2
+    }
+    assert(rows((1, 2))._2 == BigDecimal(j2))
+    val z = rows((1, 2))._3
+    assert(rows.values.forall(v => v._2 == BigDecimal(j2) && v._3 == z))
+    assert(!z.isNaN && math.abs(z) < 100)
+  }
 }
