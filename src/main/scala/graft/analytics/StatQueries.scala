@@ -3286,5 +3286,51 @@ object StatQueries {
         .select(col("g_lo"), col("g_hi"), col("u2"), col("j2"), z.as("z_jt"))
         .orderBy("g_lo", "g_hi")
     },
+
+    // ---- length-bucketed training batches: sort docs by token length,
+    // cut into fixed-size batches of 32 — the standard padding-
+    // minimizing batch layout for sequence training (dynamic batching's
+    // deterministic cousin; pairs with q69's packing, which fills fixed
+    // windows instead of grouping similar lengths). Batch assignment is
+    // (rank − 1) div 32 over the (len, doc_id) total order via
+    // [[globalRank]]; per-batch padding waste B·max − Σlen and
+    // efficiency in ppm are pure integers. The whole query is one
+    // rank pass + one batch-keyed aggregation.
+    QueryDef(
+      "q212_length_batches",
+      Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok_len
+          FROM documents
+        ), r AS (
+          SELECT tok_len,
+                 CAST((row_number() OVER (ORDER BY tok_len, doc_id) - 1) // 32
+                      AS BIGINT) AS batch_id
+          FROM d
+        )
+        SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(tok_len) AS BIGINT) AS min_len,
+               CAST(MAX(tok_len) AS BIGINT) AS max_len,
+               CAST(SUM(tok_len) AS BIGINT) AS sum_len,
+               CAST(COUNT(*) * MAX(tok_len) - SUM(tok_len) AS BIGINT) AS pad_tokens,
+               CAST((1000000 * SUM(tok_len)) // (COUNT(*) * MAX(tok_len))
+                    AS BIGINT) AS efficiency_ppm
+        FROM r GROUP BY batch_id ORDER BY batch_id"""),
+    ) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(graft.core.Cols.wsTokens(col("text"))).cast("long").as("tok_len"))
+      val ranked = globalRank(d, Seq(col("tok_len"), col("doc_id")))
+      val r = ranked.select(col("tok_len"),
+        expr("(rn - 1) div 32").as("batch_id"))
+      r.groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min("tok_len").as("min_len"), max("tok_len").as("max_len"),
+          sum("tok_len").as("sum_len"),
+          (count(lit(1)) * max("tok_len") - sum("tok_len")).as("pad_tokens"),
+          expr("(1000000 * sum(tok_len)) div (count(1) * max(tok_len))")
+            .as("efficiency_ppm"))
+        .orderBy("batch_id")
+    },
   )
 }

@@ -1206,4 +1206,35 @@ class StatQueriesSpec extends SparkSpec {
     assert(rows.values.forall(v => v._2 == BigDecimal(j2) && v._3 == z))
     assert(!z.isNaN && math.abs(z) < 100)
   }
+
+  test("q212: batches are length-contiguous; padding beats id-ordered batching") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q212_length_batches").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    val lens = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.core.Cols.wsTokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(rows.map(_._2).sum == lens.length)
+    // all full batches of 32 except possibly the last
+    rows.init.foreach(r => assert(r._2 == 32))
+    assert(rows.last._2 <= 32 && rows.last._2 > 0)
+    // identities + length-contiguity across batches
+    rows.foreach { r =>
+      assert(r._6 == r._2 * r._4 - r._5) // pad = n·max − sum
+      assert(r._7 == 1000000L * r._5 / (r._2 * r._4))
+      assert(r._3 <= r._4)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, "sorted batching must be length-contiguous")
+    case _ => }
+    // padding waste must not exceed the naive id-ordered batching's
+    val sortedPad = rows.map(_._6).sum
+    val naive = lens.sortBy(_._2).map(_._1).grouped(32)
+      .map(g => g.length * g.max - g.sum).sum
+    assert(sortedPad <= naive,
+      s"length bucketing ($sortedPad pad) must beat id order ($naive)")
+  }
 }
