@@ -3332,5 +3332,90 @@ object StatQueries {
             .as("efficiency_ppm"))
         .orderBy("batch_id")
     },
+
+    // ---- classical seasonal decomposition of segment monthly revenue
+    // (the X-11 ancestor: centered MA-12 trend with half-weight ends,
+    // per-month-of-year seasonal index from the detrended series —
+    // q170's Holt-Winters smooths forward, this EXPLAINS the calendar).
+    // Determinism inherits q209's shape: revenue as exact e4 integers
+    // on a ZERO-FILLED month spine (missing (segment, month) cells are
+    // real zeros — without the spine the window would silently span
+    // gaps), the 24·trend numerator is a pure-integer window
+    // (x[−6] + x[+6] + 2·Σ[−5..+5]), and the seasonal index averages
+    // the 2^34-scaled detrended values through exact-decimal sums.
+    // Windows run per segment over the ≤80-row month table.
+    QueryDef(
+      "q213_seasonal_decomp",
+      Some(s"""
+        WITH mm AS (
+          SELECT MIN(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)) AS mn,
+                 MAX(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)) AS mx
+          FROM orders
+        ), raw AS (
+          SELECT c_mktsegment AS segment,
+                 (EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate))
+                   - (SELECT mn FROM mm) AS midx,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 10000 AS BIGINT) AS rev4
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ), spine AS (
+          SELECT segment, unnest(range(0, (SELECT mx - mn FROM mm) + 1)) AS midx
+          FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)
+        ), filled AS (
+          SELECT spine.segment, spine.midx,
+                 COALESCE(raw.rev4, 0) AS rev4,
+                 (spine.midx + (SELECT mn FROM mm)) % 12 AS moy
+          FROM spine LEFT JOIN raw
+            ON spine.segment = raw.segment AND spine.midx = raw.midx
+        ), tr AS (
+          SELECT segment, midx, moy, rev4,
+                 lag(rev4, 6)  OVER w + lead(rev4, 6) OVER w +
+                   2 * SUM(rev4) OVER (PARTITION BY segment ORDER BY midx
+                     ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS num24
+          FROM filled
+          WINDOW w AS (PARTITION BY segment ORDER BY midx)
+        ), dt AS (
+          SELECT segment, moy,
+                 (rev4 - CAST(num24 AS DOUBLE) / 24) / 17179869184 AS d
+          FROM tr WHERE num24 IS NOT NULL
+        )
+        SELECT segment, CAST(moy AS BIGINT) AS moy,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               ${sqlSum("d")} / COUNT(*) AS seasonal
+        FROM dt GROUP BY segment, moy ORDER BY segment, moy"""),
+    ) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val midxRaw = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+      val mm = orders.agg(min(midxRaw).as("mn"), max(midxRaw).as("mx"))
+      val raw = orders
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(mm))
+        .groupBy(col("c_mktsegment").as("segment"), (midxRaw - col("mn")).as("midx"))
+        .agg((sum(Det.dec(col("o_totalprice"))) * 10000).cast("long").as("rev4"))
+      val spine = Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("segment")).distinct()
+        .crossJoin(broadcast(mm))
+        .select(col("segment"), col("mn"),
+          explode(sequence(lit(0L), col("mx") - col("mn"))).as("midx"))
+      val filled = spine.join(raw, Seq("segment", "midx"), "left")
+        .select(col("segment"), col("midx"),
+          coalesce(col("rev4"), lit(0L)).as("rev4"),
+          pmod(col("midx") + col("mn"), lit(12L)).as("moy"))
+      val w = Window.partitionBy("segment").orderBy("midx")
+      val inner = Window.partitionBy("segment").orderBy("midx")
+        .rowsBetween(-5, 5)
+      val tr = filled.withColumn("num24",
+        lag("rev4", 6).over(w) + lead("rev4", 6).over(w) +
+          lit(2L) * sum("rev4").over(inner))
+      val dt = tr.filter(col("num24").isNotNull)
+        .select(col("segment"), col("moy"),
+          ((col("rev4") - col("num24").cast("double") / 24) / 17179869184L)
+            .as("d"))
+      dt.groupBy("segment", "moy")
+        .agg(count(lit(1)).as("n_obs"), (Det.dsum(col("d")) / count(lit(1))).as("seasonal"))
+        .select(col("segment"), col("moy").cast("long").as("moy"),
+          col("n_obs").cast("long").as("n_obs"), col("seasonal"))
+        .orderBy("segment", "moy")
+    },
   )
 }

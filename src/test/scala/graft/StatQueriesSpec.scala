@@ -1237,4 +1237,40 @@ class StatQueriesSpec extends SparkSpec {
     assert(sortedPad <= naive,
       s"length bucketing ($sortedPad pad) must beat id order ($naive)")
   }
+
+  test("q213: 12 moy rows per segment; seasonal == exact spine replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q213_seasonal_decomp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val segs = rows.map(_._1).distinct.sorted
+    segs.foreach { sg =>
+      assert(rows.filter(_._1 == sg).map(_._2).sorted.toSeq == (0L to 11L))
+    }
+    // exact replay for the first segment: zero-filled spine, integer
+    // MA-24 numerator, 2^34-scaled detrended means via d6 sums
+    val raw = graft.core.Tables.orders(spark, dir)
+      .join(graft.core.Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("m"))
+      .agg((sum(graft.core.Det.dec(col("o_totalprice"))) * 10000).cast("long").as("rev4"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mn = raw.map(_._2).min; val mx = raw.map(_._2).max
+    val sg = segs.head
+    val byM = raw.filter(_._1 == sg).map(p => (p._2 - mn) -> p._3).toMap
+    val xs = (0L to (mx - mn)).map(i => byM.getOrElse(i, 0L)).toArray
+    val expect = rows.filter(_._1 == sg).map(r => r._2 -> (r._3, r._4)).toMap
+    val acc = scala.collection.mutable.Map[Long, List[Double]]()
+    for (t <- 6 until xs.length - 6) {
+      val num24 = xs(t - 6) + xs(t + 6) + 2L * (t - 5 to t + 5).map(xs(_)).sum
+      val d = (xs(t) - num24.toDouble / 24) / 17179869184L.toDouble
+      val moy = (t + mn) % 12
+      acc(moy) = d :: acc.getOrElse(moy, Nil)
+    }
+    acc.foreach { case (moy, ds) =>
+      val (nObs, seasonal) = expect(moy)
+      assert(nObs == ds.length, s"moy $moy")
+      assert(seasonal == ds.map(d6).sum.toDouble / ds.length, s"moy $moy")
+    }
+  }
 }
