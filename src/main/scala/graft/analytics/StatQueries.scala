@@ -3417,5 +3417,118 @@ object StatQueries {
           col("n_obs").cast("long").as("n_obs"), col("seasonal"))
         .orderBy("segment", "moy")
     },
+
+    // ---- Monroe et al. "Fightin' Words" log-odds with a Dirichlet
+    // prior: which words distinguish the src0-src9 slice from the rest
+    // of the corpus — the statistically-grounded replacement for raw
+    // frequency diffs (q86's vocab drift counts what changed; this
+    // scores HOW SURPRISINGLY). Integer counts from one token pass;
+    // each ln is 6dp-rounded (rule 4) before the fixed δ/σ chain; the
+    // top-25 per direction goes through TakeOrdered on (z, word) — a
+    // distributed top-k, never a vocabulary-wide single-task window.
+    QueryDef(
+      "q214_log_odds_words",
+      Some(raw"""
+        WITH toks AS (
+          SELECT length(source) = 4 AS grp_a,
+                 unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents
+        ), yc AS (
+          SELECT w, CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+                 CAST(SUM(CASE WHEN grp_a THEN 0 ELSE 1 END) AS BIGINT) AS yb
+          FROM toks GROUP BY w
+        ), t AS (
+          SELECT CAST(SUM(ya) AS BIGINT) AS na, CAST(SUM(yb) AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM yc
+        ), z AS (
+          SELECT w, ya, yb,
+                 (round(ln((ya + 0.01) / (na + 0.01 * v - ya - 0.01)), 6) -
+                  round(ln((yb + 0.01) / (nb + 0.01 * v - yb - 0.01)), 6)) /
+                 sqrt(1.0 / (ya + 0.01) + 1.0 / (yb + 0.01)) AS z
+          FROM yc CROSS JOIN t
+          WHERE ya + yb >= 10
+        ), top AS (
+          SELECT 'a' AS direction, w, ya, yb, z,
+                 row_number() OVER (ORDER BY z DESC, w) AS rk
+          FROM z
+        ), bot AS (
+          SELECT 'b' AS direction, w, ya, yb, z,
+                 row_number() OVER (ORDER BY z ASC, w) AS rk
+          FROM z
+        )
+        SELECT direction, rk, w, ya, yb, z FROM top WHERE rk <= 25
+        UNION ALL
+        SELECT direction, rk, w, ya, yb, z FROM bot WHERE rk <= 25
+        ORDER BY direction, rk"""),
+    ) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select((length(col("source")) === 4).as("grp_a"),
+          explode(graft.core.Cols.wsTokens(col("text"))).as("w"))
+      val yc = toks.groupBy("w").agg(
+        sum(when(col("grp_a"), 1L).otherwise(0L)).as("ya"),
+        sum(when(col("grp_a"), 0L).otherwise(1L)).as("yb"))
+      val t = yc.agg(sum("ya").as("na"), sum("yb").as("nb"),
+        count(lit(1)).as("v"))
+      val zc = (round(log((col("ya") + 0.01) /
+          (col("na") + lit(0.01) * col("v") - col("ya") - 0.01)), 6) -
+        round(log((col("yb") + 0.01) /
+          (col("nb") + lit(0.01) * col("v") - col("yb") - 0.01)), 6)) /
+        sqrt(lit(1.0) / (col("ya") + 0.01) + lit(1.0) / (col("yb") + 0.01))
+      val z = yc.crossJoin(broadcast(t))
+        .filter(col("ya") + col("yb") >= 10)
+        .select(col("w"), col("ya"), col("yb"), zc.as("z"))
+      z.persist() // two top-k cuts over the same scored vocabulary
+      val top = z.orderBy(desc("z"), asc("w")).limit(25)
+        .withColumn("direction", lit("a"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(desc("z"), asc("w"))))
+      val bot = z.orderBy(asc("z"), asc("w")).limit(25)
+        .withColumn("direction", lit("b"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(asc("z"), asc("w"))))
+      top.unionByName(bot)
+        .select(col("direction"), col("rk"), col("w"), col("ya"), col("yb"), col("z"))
+        .orderBy("direction", "rk")
+    },
+
+    // ---- dispersion (variance-to-mean) index of daily event counts per
+    // type: the burstiness diagnostic — VMR ≈ 1 is Poisson arrivals,
+    // ≫ 1 is clumped traffic (q123's burst heads found WHERE; this
+    // quantifies HOW MUCH per stream). Daily counts are exact integers,
+    // Σc and Σc² exact BIGINTs over observed days (spine-free by
+    // design: zero-days would need a calendar join and shift VMR —
+    // documented choice, identical in the oracle), final mean/VMR a
+    // fixed double chain.
+    QueryDef(
+      "q215_dispersion_index",
+      Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS sum_c,
+               CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+               CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_daily,
+               (CAST(SUM(c * c) AS DOUBLE) / COUNT(*) -
+                (CAST(SUM(c) AS DOUBLE) / COUNT(*)) * (CAST(SUM(c) AS DOUBLE) / COUNT(*))) /
+                 (CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS vmr
+        FROM daily GROUP BY event_type ORDER BY event_type"""),
+    ) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      def mean = sum("c").cast("double") / count(lit(1))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("c").cast("long").as("sum_c"),
+          sum(col("c") * col("c")).cast("long").as("sum_c2"),
+          mean.as("mean_daily"),
+          ((sum(col("c") * col("c")).cast("double") / count(lit(1)) -
+            mean * mean) / mean).as("vmr"))
+        .orderBy("event_type")
+    },
   )
 }

@@ -1273,4 +1273,48 @@ class StatQueriesSpec extends SparkSpec {
       assert(seasonal == ds.map(d6).sum.toDouble / ds.length, s"moy $moy")
     }
   }
+
+  test("q214: 25 words per direction, ordered; z == rounded-ln replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q214_log_odds_words").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val (tops, bots) = rows.partition(_._1 == "a")
+    assert(tops.map(_._2).sorted.toSeq == (1 to 25) &&
+      bots.map(_._2).sorted.toSeq == (1 to 25))
+    assert(tops.sortBy(_._2).map(_._6).reverse.toSeq ==
+      tops.map(_._6).sorted.toSeq) // rk follows z desc
+    assert(bots.sortBy(_._2).map(_._6).toSeq == bots.map(_._6).sorted.toSeq)
+    // exact replay of z for every emitted word from raw counts
+    val toks = graft.core.Tables.documents(spark, dir)
+      .select((length(col("source")) === 4).as("a"),
+        explode(graft.core.Cols.wsTokens(col("text"))).as("w"))
+      .collect().map(r => (r.getBoolean(0), r.getString(1)))
+    val byW = toks.groupBy(_._2)
+    val vocab = byW.size.toLong
+    val na = toks.count(_._1).toLong; val nb = toks.size - na
+    def r6d(x: Double) = d6(x).toDouble
+    rows.foreach { case (_, _, w, ya, yb, z) =>
+      val g = byW(w)
+      assert(g.count(_._1).toLong == ya && (g.size - ya) == yb)
+      val expect = (r6d(math.log((ya + 0.01) / (na + 0.01 * vocab - ya - 0.01))) -
+        r6d(math.log((yb + 0.01) / (nb + 0.01 * vocab - yb - 0.01)))) /
+        math.sqrt(1.0 / (ya + 0.01) + 1.0 / (yb + 0.01))
+      assert(z == expect, w)
+    }
+  }
+
+  test("q215: VMR identity from own sums; totals partition the event count") {
+    val rows = run("q215_dispersion_index").collect()
+    assert(rows.nonEmpty)
+    val total = graft.core.Tables.events(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val (n, sc, sc2, mean, vmr) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(mean == sc.toDouble / n)
+      assert(vmr == (sc2.toDouble / n - mean * mean) / mean)
+      assert(vmr >= 0)
+    }
+  }
 }
