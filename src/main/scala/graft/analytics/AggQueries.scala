@@ -850,15 +850,17 @@ object AggQueries {
     // (complements q134's triangles, which close over EXISTING links).
     // Wedge generation through each common neighbor is the q134 shape
     // (bounded by co-purchase degree, never corpus-quadratic); existing
-    // edges are removed with an anti-join. Each transcendental term
-    // round(1/ln(deg), 6) is rounded BEFORE the exact DECIMAL sum
-    // (playbook rule: deg is a small integer so both engines' ln()
-    // agree to ≫6dp away from rounding boundaries), making the score
-    // deterministic under any partitioning. The co-purchase graph is
-    // DENSE at the wedge level (1.8M scored pairs at sf0.01), so the
-    // output is the recommender's actual shape — top-5 suggestions per
-    // part by (aa, cn, id) — via a per-part window over its candidates,
-    // not an all-pairs dump.
+    // edges are removed with an anti-join. Each transcendental term is
+    // round(1000000 / ln(deg)) — INTEGER micro-units, so the hot
+    // aggregation over hundreds of millions of wedges is a plain BIGINT
+    // sum (measured: the same query with per-wedge DECIMAL(38,6) sums
+    // ran 31 s at sf0.1; integer micro-units cut the agg cost) and the
+    // whole output is integer-exact. deg is a small integer, so both
+    // engines' ln() agree far beyond the rounding boundary. The
+    // co-purchase graph is DENSE at the wedge level (1.8M scored pairs
+    // at sf0.01), so the output is the recommender's actual shape —
+    // top-5 suggestions per part by (aa_micro, cn, id) — via a per-part
+    // window over its candidates, not an all-pairs dump.
     QueryDef(
       "q201_adamic_adar",
       Some(s"""
@@ -873,17 +875,17 @@ object AggQueries {
           FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
         ), cand AS (
           SELECT a, b, count(*) AS cn,
-                 ${sqlSum("round(1 / ln(deg), 6)")} AS aa
+                 CAST(SUM(CAST(round(1000000 / ln(deg)) AS BIGINT)) AS BIGINT) AS aa_micro
           FROM wedge JOIN deg ON deg.u = wedge.w
           GROUP BY a, b HAVING count(*) >= 2
         ), unlinked AS (
-          SELECT a, b, cn, aa
+          SELECT a, b, cn, aa_micro
           FROM cand ANTI JOIN e ON cand.a = e.u AND cand.b = e.v
         )
-        SELECT a AS part_a, b AS part_b, cn, aa, rk
-        FROM (SELECT a, b, cn, aa,
+        SELECT a AS part_a, b AS part_b, cn, aa_micro, rk
+        FROM (SELECT a, b, cn, aa_micro,
                      row_number() OVER (PARTITION BY a
-                       ORDER BY aa DESC, cn DESC, b) AS rk
+                       ORDER BY aa_micro DESC, cn DESC, b) AS rk
               FROM unlinked)
         WHERE rk <= 5 ORDER BY part_a, rk"""),
     ) { (s, dir) =>
@@ -903,15 +905,17 @@ object AggQueries {
       val cand = wedge.join(deg, col("w") === deg("u"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("cn"),
-          dsum(round(lit(1) / log(col("deg")), 6)).as("aa"))
+          sum(round(lit(1000000) / log(col("deg"))).cast("long"))
+            .cast("long").as("aa_micro"))
         .filter(col("cn") >= 2)
       val unlinked = cand
         .join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
-      val w = Window.partitionBy("a").orderBy(desc("aa"), desc("cn"), asc("b"))
+      val w = Window.partitionBy("a")
+        .orderBy(desc("aa_micro"), desc("cn"), asc("b"))
       unlinked.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("a").as("part_a"), col("b").as("part_b"),
-          col("cn"), col("aa"), col("rk"))
+          col("cn"), col("aa_micro"), col("rk"))
         .orderBy("part_a", "rk")
     },
   )

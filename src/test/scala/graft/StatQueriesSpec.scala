@@ -973,7 +973,7 @@ class StatQueriesSpec extends SparkSpec {
   test("q201: suggestions are unlinked, <=5 per part, AA == rounded-term replay") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q201_adamic_adar")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
     // rebuild the co-purchase graph in memory (sf0.001 is small)
     val li = graft.core.Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey").distinct()
@@ -992,18 +992,16 @@ class StatQueriesSpec extends SparkSpec {
       val ord = g.sortBy(_._5).toSeq
       assert(ord == ord.sortBy(t => (-t._4, -t._3, t._2)))
     }
-    // AA score replay for every suggestion of the smallest part
+    // AA micro-unit score replay for every suggestion of the smallest part
     val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    def roundedTerm(deg: Int): BigDecimal =
-      BigDecimal(1.0 / math.log(deg.toDouble))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def microTerm(deg: Int): Long =
+      math.round(1000000.0 / math.log(deg.toDouble))
     val a0 = rows.map(_._1).min
-    byPart(a0).foreach { case (a, b, cn, aa, _) =>
+    byPart(a0).foreach { case (a, b, cn, aaMicro, _) =>
       val common = adj(a).intersect(adj(b))
       assert(common.size.toLong == cn && cn >= 2)
-      val expect = common.toSeq.map(w => roundedTerm(adj(w).size)).sum
-      assert(aa == expect.toDouble)
+      assert(aaMicro == common.toSeq.map(w => microTerm(adj(w).size)).sum)
     }
   }
 
