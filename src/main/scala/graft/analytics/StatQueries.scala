@@ -40,7 +40,7 @@ object StatQueries {
     * ever sees more than its slice (a global row_number window would
     * funnel everything through ONE task at 100 TB). Callers supply a
     * total-order key (include a unique tie-break column). */
-  private def globalRank(df: org.apache.spark.sql.DataFrame,
+  private[graft] def globalRank(df: org.apache.spark.sql.DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
     // PERSIST is load-bearing, not a cache hint (measured, q211):
     // repartitionByRange samples with a run-dependent seed, and this
@@ -73,7 +73,7 @@ object StatQueries {
     * ORDER BY cumsum would funnel everything through ONE task at 100 TB).
     * Caller must pass rows UNIQUE on `sortCols` (grouped-by-key frames)
     * so the per-partition order composes into one global total order. */
-  private def globalCumSum(df: org.apache.spark.sql.DataFrame,
+  private[graft] def globalCumSum(df: org.apache.spark.sql.DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column],
       valCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     // persist() is load-bearing — see [[globalRank]]: two subplans must
