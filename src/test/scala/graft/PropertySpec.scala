@@ -202,4 +202,41 @@ object GraftProps extends Properties("graft") {
         rows(maintained) == rows(direct)
       }
     }
+
+  // pins the q211 regression: globalRank/globalCumSum ride a SAMPLED
+  // range exchange consumed by two subplans — without the persist, the
+  // branches can see different boundaries and silently corrupt results
+  // (SURVEY playbook rule 13). Property: for ANY data + duplicate
+  // structure, rank and 5-column cumsum equal the single-threaded replay.
+  private val rankRows = Gen.listOfN(60,
+    Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 5L)))
+    .suchThat(_.nonEmpty)
+
+  property("globalRank == sorted replay for any duplicate structure") =
+    forAll(rankRows) { xs =>
+      val withId = xs.zipWithIndex.map { case ((v, w), i) => (v, w, i.toLong) }
+      val df = withId.toDF("v", "w", "id")
+      val got = graft.analytics.StatQueries
+        .globalRank(df, Seq(col("v"), col("id")))
+        .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = withId.sortBy(t => (t._1, t._3)).zipWithIndex
+        .map { case (t, i) => t._3 -> (i + 1L) }.toMap
+      got == expect
+    }
+
+  property("globalCumSum (2 cols) == sorted replay") =
+    forAll(rankRows) { xs =>
+      val grouped = xs.groupBy(_._1).toSeq
+        .map { case (v, g) => (v, g.map(_._2).sum, g.length.toLong) }
+      val df = grouped.toDF("v", "s", "c")
+      val got = graft.analytics.StatQueries
+        .globalCumSum(df, Seq(col("v")), Seq("s", "c"))
+        .collect().map(r => r.getLong(0) -> (r.getAs[Long]("cum_s"), r.getAs[Long]("cum_c")))
+        .toMap
+      var (rs, rc) = (0L, 0L)
+      grouped.sortBy(_._1).forall { case (v, s, c) =>
+        rs += s; rc += c
+        got(v) == ((rs, rc))
+      }
+    }
 }
