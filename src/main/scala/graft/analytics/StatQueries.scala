@@ -3530,5 +3530,60 @@ object StatQueries {
             mean * mean) / mean).as("vmr"))
         .orderBy("event_type")
     },
+
+    // ---- KS separation of the q174 model's scores: max distance
+    // between the churner and non-churner score ECDFs — the classic
+    // credit-scoring discrimination metric, completing the model-eval
+    // family (AUC q180, calibration q181, gain/lift q193). q196's
+    // machinery over the model's own output: scores are 6dp-rounded
+    // sigmoids so grouping by score is exact, the D numerator
+    // max|cum1·n2 − cum2·n1| is a pure integer via the distributed
+    // prefix sum, and the operating threshold is the LOWEST score
+    // attaining the max (integer argmax, score tie-break).
+    QueryDef(
+      "q216_score_ks",
+      Some(s"""
+        WITH $logregCtes,
+        g AS (
+          SELECT sg, CAST(SUM(y) AS BIGINT) AS c1,
+                 CAST(SUM(1 - y) AS BIGINT) AS c2
+          FROM scored GROUP BY sg
+        ), t AS (
+          SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+          FROM g
+        ), c AS (
+          SELECT sg,
+                 SUM(c1) OVER (ORDER BY sg) AS cum1,
+                 SUM(c2) OVER (ORDER BY sg) AS cum2 FROM g
+        ), d AS (
+          SELECT sg, ABS(cum1 * t.n2 - cum2 * t.n1) AS dn FROM c, t
+        ), mx AS (
+          SELECT CAST(MAX(dn) AS BIGINT) AS d_num FROM d
+        ), th AS (
+          SELECT MIN(sg) AS threshold FROM d, mx WHERE dn = d_num
+        )
+        SELECT t.n1, t.n2, mx.d_num,
+               CAST(mx.d_num AS DOUBLE) / (t.n1 * t.n2) AS ks,
+               th.threshold
+        FROM mx, t, th"""),
+    ) { (s, dir) =>
+      val g = logregScored(s, dir).groupBy("sg")
+        .agg(sum("y").cast("long").as("c1"),
+          sum(lit(1) - col("y")).cast("long").as("c2"))
+      val t = g.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val d = globalCumSum(g, Seq(col("sg")), Seq("c1", "c2"))
+        .crossJoin(broadcast(t))
+        .select(col("sg"),
+          abs(col("cum_c1") * col("n2") - col("cum_c2") * col("n1")).as("dn"))
+      d.persist() // read twice: the max and the argmin threshold
+      val mx = d.agg(max("dn").cast("long").as("d_num"))
+      val th = d.crossJoin(broadcast(mx))
+        .filter(col("dn") === col("d_num"))
+        .agg(min("sg").as("threshold"))
+      mx.crossJoin(broadcast(t)).crossJoin(broadcast(th))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double") / (col("n1") * col("n2"))).as("ks"),
+          col("threshold"))
+    },
   )
 }

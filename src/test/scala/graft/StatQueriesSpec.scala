@@ -1315,4 +1315,24 @@ class StatQueriesSpec extends SparkSpec {
       assert(vmr >= 0)
     }
   }
+
+  test("q216: KS numerator/threshold == exact score-ECDF replay") {
+    val r = run("q216_score_ks").collect().head
+    val (n1, n2, dNum, ks, thr) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4))
+    assert(ks == dNum.toDouble / (n1 * n2) && ks > 0 && ks <= 1)
+    // replay from the bit-exact model scores
+    val (f, w) = logregReplay
+    val scored = f.map { case (_, x1, x2, x3, y) =>
+      (r6(1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3)))), y)
+    }
+    val s1 = scored.filter(_._2 == 1).map(_._1)
+    val s2 = scored.filter(_._2 == 0).map(_._1)
+    assert(n1 == s1.length && n2 == s2.length)
+    val byScore = scored.map(_._1).distinct.sorted.map { v =>
+      v -> math.abs(s1.count(_ <= v).toLong * n2 - s2.count(_ <= v).toLong * n1)
+    }
+    assert(dNum == byScore.map(_._2).max)
+    assert(thr == byScore.filter(_._2 == dNum).map(_._1).min)
+  }
 }
