@@ -3585,5 +3585,123 @@ object StatQueries {
           (col("d_num").cast("double") / (col("n1") * col("n2"))).as("ks"),
           col("threshold"))
     },
+
+    // ---- lead-lag cross-correlation of daily clicks vs purchases at
+    // lags −3..+3: do clicks PRECEDE purchases (peak at positive lag) —
+    // the cross-series sibling of q195's within-series ACF. Both daily
+    // series are zero-filled on the shared day spine (a missing day is
+    // a real zero, and without the spine the lag join would silently
+    // skip calendar gaps); counts are exact integers, so every power
+    // sum is a pure BIGINT and r's divisions are the only doubles. The
+    // 7-way lag fan joins day-shifted copies of the ≤days-sized series.
+    QueryDef(
+      "q217_lead_lag_xcorr",
+      Some("""
+        WITH bounds AS (
+          SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+          FROM events
+        ), spine AS (
+          SELECT unnest(range(0, datediff('day', d0, d1) + 1)) AS di FROM bounds
+        ), daily AS (
+          SELECT datediff('day', (SELECT d0 FROM bounds), CAST(ts AS DATE)) AS di,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY 1
+        ), filled AS (
+          SELECT spine.di, COALESCE(daily.x, 0) AS x, COALESCE(daily.y, 0) AS y
+          FROM spine LEFT JOIN daily ON spine.di = daily.di
+        ), lags AS (
+          SELECT CAST(unnest([-3, -2, -1, 0, 1, 2, 3]) AS BIGINT) AS lag_k
+        ), pairs AS (
+          SELECT l.lag_k, a.x, b.y
+          FROM lags l JOIN filled a ON true
+          JOIN filled b ON b.di = a.di + l.lag_k
+        ), st AS (
+          SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM pairs GROUP BY lag_k
+        )
+        SELECT lag_k, n_days,
+               (sxy - CAST(sx AS DOUBLE) * sy / n_days) /
+               (sqrt(sxx - CAST(sx AS DOUBLE) * sx / n_days) *
+                sqrt(syy - CAST(sy AS DOUBLE) * sy / n_days)) AS r
+        FROM st ORDER BY lag_k"""),
+    ) { (s, dir) =>
+      val bounds = Tables.events(s, dir)
+        .agg(min(col("ts").cast("date")).as("d0"),
+          max(col("ts").cast("date")).as("d1"))
+      val daily = Tables.events(s, dir)
+        .crossJoin(broadcast(bounds))
+        .groupBy(datediff(col("ts").cast("date"), col("d0")).cast("long").as("di"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val spine = bounds.select(
+        explode(sequence(lit(0L), datediff(col("d1"), col("d0")).cast("long")))
+          .as("di"))
+      val filled = spine.join(daily, Seq("di"), "left")
+        .select(col("di"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      filled.persist() // both sides of the 7-way lag join
+      val lags = s.range(-3, 4).select(col("id").as("lag_k"))
+      val a = filled.select(col("di"), col("x"))
+      val b = filled.select(col("di").as("dj"), col("y"))
+      val pairs = lags.crossJoin(a)
+        .join(b, col("dj") === col("di") + col("lag_k"))
+      val st = pairs.groupBy("lag_k").agg(
+        count(lit(1)).as("n_days"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+      st.select(col("lag_k"), col("n_days"),
+          ((col("sxy") - col("sx").cast("double") * col("sy") / col("n_days")) /
+            (sqrt(col("sxx") - col("sx").cast("double") * col("sx") / col("n_days")) *
+              sqrt(col("syy") - col("sy").cast("double") * col("sy") / col("n_days"))))
+            .as("r"))
+        .orderBy("lag_k")
+    },
+
+    // ---- log-log price elasticity per part brand: the OLS slope of
+    // round(ln qty, 6) on round(ln unit-price, 6) — the classic demand
+    // elasticity read (slope ≈ %Δqty per %Δprice). Both transcendentals
+    // are 6dp-rounded BEFORE the exact-decimal power sums (rule 4); the
+    // per-brand fit is the q164 closed form. One scan + one brand-keyed
+    // aggregation at any scale.
+    QueryDef(
+      "q218_price_elasticity",
+      Some(s"""
+        WITH d AS (
+          SELECT p_brand AS brand,
+                 round(ln(l_quantity), 6) AS lx,
+                 round(ln(l_extendedprice / l_quantity), 6) AS lp
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), st AS (
+          SELECT brand, COUNT(*) AS n,
+                 ${sqlSum("lp")} AS sx, ${sqlSum("lp * lp")} AS sxx,
+                 ${sqlSum("lx")} AS sy, ${sqlSum("lp * lx")} AS sxy
+          FROM d GROUP BY brand
+        )
+        SELECT brand, CAST(n AS BIGINT) AS n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS elasticity,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS icept
+        FROM st ORDER BY brand"""),
+    ) { (s, dir) =>
+      val d = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          round(log(col("l_quantity")), 6).as("lx"),
+          round(log(col("l_extendedprice") / col("l_quantity")), 6).as("lp"))
+      val st = d.groupBy("brand").agg(count(lit(1)).as("n"),
+        Det.dsum(col("lp")).as("sx"), Det.dsum(col("lp") * col("lp")).as("sxx"),
+        Det.dsum(col("lx")).as("sy"), Det.dsum(col("lp") * col("lx")).as("sxy"))
+      def slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("brand"), col("n").cast("long").as("n"),
+          slope.as("elasticity"),
+          ((col("sy") - slope * col("sx")) / col("n")).as("icept"))
+        .orderBy("brand")
+    },
   )
 }

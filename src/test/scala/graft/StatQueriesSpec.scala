@@ -1335,4 +1335,56 @@ class StatQueriesSpec extends SparkSpec {
     assert(dNum == byScore.map(_._2).max)
     assert(thr == byScore.filter(_._2 == dNum).map(_._1).min)
   }
+
+  test("q217: lag 0 matches direct correlation; r bounded; full lag fan") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q217_lead_lag_xcorr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).sorted.toSeq == (-3L to 3L))
+    rows.foreach { case (_, n, r) =>
+      assert(n >= 20 && math.abs(r) <= 1.0 + 1e-12)
+    }
+    // exact replay at lag 0 from raw daily counts with zero-fill
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("ts").cast("date").cast("string"), col("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val days = ev.map(_._1).distinct.sorted
+    val all = (0 until (java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(days.head), java.time.LocalDate.parse(days.last)) + 1).toInt)
+      .map(i => java.time.LocalDate.parse(days.head).plusDays(i).toString)
+    val x = all.map(d => ev.count(e => e._1 == d && e._2 == "click").toLong)
+    val y = all.map(d => ev.count(e => e._1 == d && e._2 == "purchase").toLong)
+    val n = all.length
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map(p => p._1 * p._2).sum
+    val r0 = (sxy - sx.toDouble * sy / n) /
+      (math.sqrt(x.map(v => v * v).sum - sx.toDouble * sx / n) *
+        math.sqrt(y.map(v => v * v).sum - sy.toDouble * sy / n))
+    val got0 = rows.find(_._1 == 0L).get
+    assert(got0._2 == n && got0._3 == r0)
+  }
+
+  test("q218: every brand present; elasticity == rounded-ln power-sum replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q218_price_elasticity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .join(graft.core.Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._2).sum == li.length)
+    val byBrand = li.groupBy(_._1)
+    rows.take(3).foreach { case (brand, n, el, ic) =>
+      val g = byBrand(brand)
+      assert(n == g.length)
+      val pts = g.map(p => (r6(math.log(p._3 / p._2)), r6(math.log(p._2))))
+      val sx = pts.map(p => d6(p._1)).sum.toDouble
+      val sxx = pts.map(p => d6(p._1 * p._1)).sum.toDouble
+      val sy = pts.map(p => d6(p._2)).sum.toDouble
+      val sxy = pts.map(p => d6(p._1 * p._2)).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(el == slope && ic == (sy - slope * sx) / n, brand)
+    }
+  }
 }
