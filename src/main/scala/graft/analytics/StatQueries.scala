@@ -3703,5 +3703,125 @@ object StatQueries {
           ((col("sy") - slope * col("sx")) / col("n")).as("icept"))
         .orderBy("brand")
     },
+
+    // ---- two-proportion z-test + Wilson intervals: strong-purchase
+    // conversion (a purchase event with value ≥ 150) among clickers,
+    // even- vs odd-id users — the A/B-test readout (q172 compares
+    // means, this compares RATES; the parity split is the synthetic
+    // stand-in for an assignment flag and keeps both arms populated at
+    // every SF). Per-arm counts are exact integers from one pass, the
+    // pooled z and each arm's Wilson 95% bounds are fixed double chains
+    // over those integers (z* = 1.96 spelled as a literal in both
+    // engines).
+    QueryDef(
+      "q219_two_proportion",
+      Some("""
+        WITH u AS (
+          SELECT e.user_id,
+                 CASE WHEN e.user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS seg,
+                 MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                          THEN 1 ELSE 0 END) AS conv
+          FROM events e
+          WHERE EXISTS (SELECT 1 FROM events e2
+                        WHERE e2.user_id = e.user_id AND e2.event_type = 'click')
+          GROUP BY 1, 2
+        ), g AS (
+          SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(conv) AS BIGINT) AS x
+          FROM u GROUP BY seg
+        ), p AS (
+          SELECT MAX(CASE WHEN seg = 'even' THEN n END) AS n1,
+                 MAX(CASE WHEN seg = 'even' THEN x END) AS x1,
+                 MAX(CASE WHEN seg = 'odd' THEN n END) AS n2,
+                 MAX(CASE WHEN seg = 'odd' THEN x END) AS x2
+          FROM g
+        )
+        SELECT seg, n, x, CAST(x AS DOUBLE) / n AS rate,
+               (CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                 - 1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
+                               + 1.96 * 1.96 / (4.0 * n * n))) /
+                 (1 + 1.96 * 1.96 / n) AS wilson_lo,
+               (CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                 + 1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
+                               + 1.96 * 1.96 / (4.0 * n * n))) /
+                 (1 + 1.96 * 1.96 / n) AS wilson_hi,
+               (CAST(p.x1 AS DOUBLE) / p.n1 - CAST(p.x2 AS DOUBLE) / p.n2) /
+                 sqrt((CAST(p.x1 + p.x2 AS DOUBLE) / (p.n1 + p.n2)) *
+                      (1 - CAST(p.x1 + p.x2 AS DOUBLE) / (p.n1 + p.n2)) *
+                      (1.0 / p.n1 + 1.0 / p.n2)) AS z_pooled
+        FROM g CROSS JOIN p ORDER BY seg"""),
+    ) { (s, dir) =>
+      val clickers = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id")).distinct()
+      val u = Tables.events(s, dir)
+        .join(clickers, Seq("user_id"), "left_semi")
+        .groupBy(col("user_id"),
+          when(col("user_id") % 2 === 0, "even").otherwise("odd").as("seg"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 150, 1)
+          .otherwise(0)).as("conv"))
+      val g = u.groupBy("seg").agg(count(lit(1)).cast("long").as("n"),
+        sum("conv").cast("long").as("x"))
+      val p = g.agg(
+        max(when(col("seg") === "even", col("n"))).as("n1"),
+        max(when(col("seg") === "even", col("x"))).as("x1"),
+        max(when(col("seg") === "odd", col("n"))).as("n2"),
+        max(when(col("seg") === "odd", col("x"))).as("x2"))
+      def rate = col("x").cast("double") / col("n")
+      val z2 = lit(1.96) * lit(1.96)
+      def halfW = lit(1.96) * sqrt(rate * (lit(1) - rate) / col("n") +
+        z2 / (lit(4.0) * col("n") * col("n")))
+      def center = rate + z2 / (lit(2) * col("n"))
+      def pPool = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2"))
+      g.crossJoin(broadcast(p))
+        .select(col("seg"), col("n"), col("x"), rate.as("rate"),
+          ((center - halfW) / (lit(1) + z2 / col("n"))).as("wilson_lo"),
+          ((center + halfW) / (lit(1) + z2 / col("n"))).as("wilson_hi"),
+          ((col("x1").cast("double") / col("n1") -
+            col("x2").cast("double") / col("n2")) /
+            sqrt(pPool * (lit(1) - pPool) *
+              (lit(1.0) / col("n1") + lit(1.0) / col("n2")))).as("z_pooled"))
+        .orderBy("seg")
+    },
+
+    // ---- per-user event-mix Shannon entropy + effective diversity
+    // (Hill number e^H): how concentrated is each user's behavior across
+    // the 5 event types — the per-entity sibling of q169's corpus-level
+    // MI. Counts are exact integers; each pᵢ·ln(pᵢ) term is a
+    // 6dp-rounded ln of an integer ratio (rule 4) entering an exact
+    // decimal sum; e^H is one rounded exp. One user-keyed aggregation
+    // of a (user × ≤5)-row table.
+    QueryDef(
+      "q220_event_entropy",
+      Some(s"""
+        WITH c AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), t AS (
+          SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_types
+          FROM c GROUP BY user_id
+        ), h AS (
+          SELECT c.user_id, t.n, t.n_types,
+                 ${sqlSum("-(CAST(c AS DOUBLE) / n) * round(ln(CAST(c AS DOUBLE) / n), 6)")} AS entropy
+          FROM c JOIN t ON c.user_id = t.user_id
+          GROUP BY c.user_id, t.n, t.n_types
+        )
+        SELECT user_id, n, n_types, entropy,
+               round(exp(entropy), 6) AS effective_types
+        FROM h ORDER BY user_id"""),
+    ) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val t = c.groupBy("user_id").agg(sum("c").cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_types"))
+      val h = c.join(t, "user_id")
+        .groupBy("user_id", "n", "n_types")
+        .agg(Det.dsum(-(col("c").cast("double") / col("n")) *
+          round(log(col("c").cast("double") / col("n")), 6)).as("entropy"))
+      h.select(col("user_id"), col("n"), col("n_types"), col("entropy"),
+          round(exp(col("entropy")), 6).as("effective_types"))
+        .orderBy("user_id")
+    },
   )
 }

@@ -1387,4 +1387,56 @@ class StatQueriesSpec extends SparkSpec {
       assert(el == slope && ic == (sy - slope * sx) / n, brand)
     }
   }
+
+  test("q219: arms partition clickers; Wilson brackets rate; z == integer replay") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q219_two_proportion").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("even", "odd"))
+    val ev = graft.core.Tables.events(spark, dir)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val clickers = ev.filter(_._2 == "click").map(_._1).toSet
+    val conv = clickers.toSeq.map(u => u ->
+      (if (ev.exists(e => e._1 == u && e._2 == "purchase" && e._3 >= 150)) 1L else 0L))
+    val byArm = conv.groupBy(p => if (p._1 % 2 == 0) "even" else "odd")
+      .map { case (a, g) => a -> (g.size.toLong, g.map(_._2).sum) }
+    rows.foreach { case (seg, n, x, rate, lo, hi, _) =>
+      assert(byArm(seg) == ((n, x)))
+      assert(rate == x.toDouble / n)
+      assert(lo < rate && rate < hi && lo > 0 && hi < 1)
+    }
+    // pooled z replay with the query's exact op order
+    val (n1, x1) = byArm("even"); val (n2, x2) = byArm("odd")
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    val z = (x1.toDouble / n1 - x2.toDouble / n2) /
+      math.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(rows.head._7 == z && rows.forall(_._7 == z))
+  }
+
+  test("q220: entropy in [0, ln(types)]; effective types bracket n_types; replay") {
+    val rows = run("q220_event_entropy").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, types, h, eff) =>
+      assert(types >= 1 && n >= types)
+      assert(h >= -1e-9 && h <= math.log(types.toDouble) + 1e-3)
+      assert(eff == r6(math.exp(h)))
+      assert(eff <= types + 1e-3)
+    }
+    // exact replay for the 3 smallest users
+    import org.apache.spark.sql.functions._
+    val counts = graft.core.Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    rows.sortBy(_._1).take(3).foreach { case (u, n, _, h, _) =>
+      val cs = counts(u).map(_._2)
+      assert(cs.sum == n)
+      val expect = cs.map { c =>
+        d6(-(c.toDouble / n) * r6(math.log(c.toDouble / n)))
+      }.sum.toDouble
+      assert(h == expect, s"user $u")
+    }
+  }
 }
