@@ -32,55 +32,166 @@ object StatQueries {
   private val benford: Seq[(Int, Double)] =
     (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
 
+  /** Perf-cache switch for the rank/prefix-sum helpers. Correctness NEVER
+    * depends on it (see [[detSliceId]]); StatDeterminismSpec flips it off
+    * and asserts bit-identical results, proving cache-independence. */
+  @volatile private[graft] var perfCacheEnabled: Boolean = true
+
+  private def maybeCache(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (perfCacheEnabled)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    else df
+
+  /** `.perfCache()` = [[maybeCache]] as a chainable method. MEMORY_ONLY:
+    * evicted blocks recompute (every cached frame here is a Det-exact
+    * aggregate, so recompute yields the same values) instead of spilling
+    * to disk and accumulating for the session lifetime (ADVICE r11). */
+  private implicit class PerfCacheOps(df: org.apache.spark.sql.DataFrame) {
+    def perfCache(): org.apache.spark.sql.DataFrame = maybeCache(df)
+  }
+
+  /** Exact floor-division of two non-negative integral columns (values
+    * < 2^53). Spark's `/` on integral columns is DOUBLE division, and
+    * truncating its inexact quotient misassigns buckets whenever the
+    * divisor does not divide the dividend. `a - pmod(a,b)` is an exact
+    * multiple of `b`, and double division of an exact multiple is
+    * correctly rounded to the exact integer quotient. */
+  private def idiv(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** SQL-standard NTILE(k) computed from a 1-based exact global rank `rn`
+    * ([[globalRank]]) and the total count `n`: the first (n mod k)
+    * buckets take floor(n/k)+1 rows, the rest floor(n/k). All-integer
+    * arithmetic via [[idiv]] — the float `/` this replaces shifted the
+    * bucket threshold for any n not divisible by k (hidden at TPC-H SFs
+    * where every tested count was a multiple of 5/10). When n < k the
+    * `otherwise` branch (divide by q=0) is never selected: rn <= n =
+    * rem·(q+1) always holds, and CaseWhen evaluates branches lazily. */
+  private[graft] def ntileFromRank(rn: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val q = idiv(n, lit(k.toLong))
+    val rem = n - q * k
+    when(rn <= rem * (q + 1), idiv(rn - 1, q + 1) + 1)
+      .otherwise(rem + idiv(rn - lit(1) - rem * (q + 1), q) + 1)
+  }
+
+  /** DETERMINISTIC equi-depth slice id for a distributed total order:
+    * the replacement for sampled `repartitionByRange` partition ids.
+    * `bucketKey` must be a non-null numeric column monotone
+    * NON-DECREASING in the caller's sort order (negate it for a
+    * descending primary key); rows with equal keys always share a slice.
+    *
+    * Two exact passes over `df` — (min, max, count), then a fixed
+    * 4096-bin equi-width histogram of the key — are collected on the
+    * driver (≤ 4096 tiny rows) and folded into BOUNDARY LITERALS, so the
+    * returned expression depends ONLY on the data values: never on
+    * sampled RDD ids, cache state, or recompute timing. That kills the
+    * round-11 q211 flake class for good: `repartitionByRange` samples
+    * with a run-dependent seed, so the offsets and local-rank branches
+    * could observe DIFFERENT boundaries whenever the persist pin was
+    * evicted or the plan split the cached subtree — a silent rank
+    * corruption that surfaced only under another environment's memory
+    * state. Here both branches recompute the same pure expression.
+    *
+    * Slices are equi-depth up to fine-bin granularity (boundaries read
+    * off the exact histogram), so skewed keys still spread across
+    * slices; a single fine bin holding more than n/nSlices rows (a
+    * heavy tie cluster) degrades parallelism for its slice only, never
+    * correctness. */
+  private def detSliceId(df: org.apache.spark.sql.DataFrame,
+      bucketKey: org.apache.spark.sql.Column,
+      nSlices: Int = 32): org.apache.spark.sql.Column = {
+    val fineBins = 4096
+    val st = df.agg(min(bucketKey.cast("double")).as("mn"),
+      max(bucketKey.cast("double")).as("mx"), count(lit(1)).as("n")).head()
+    if (st.isNullAt(0) || st.getDouble(0) >= st.getDouble(1)) return lit(0)
+    val mn = st.getDouble(0); val mx = st.getDouble(1); val n = st.getLong(2)
+    def fineOf(c: org.apache.spark.sql.Column) = least(
+      floor((c.cast("double") - lit(mn)) / lit(mx - mn) * fineBins),
+      lit(fineBins - 1)).cast("int")
+    val hist = df.groupBy(fineOf(bucketKey).as("_fb"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // slice i begins at the first fine bin AFTER cumulative count
+    // reaches ceil(i·n/nSlices); a heavy bin crossing several targets
+    // just yields fewer distinct boundaries (correct, less parallel)
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cum = 0L; var target = 1
+    hist.foreach { case (b, c) =>
+      cum += c
+      while (target < nSlices &&
+        cum >= (target.toLong * n + nSlices - 1) / nSlices) {
+        bounds += b + 1; target += 1
+      }
+    }
+    // bin→slice as ONE array literal + getItem, not a when-chain: the
+    // slice id appears in a groupBy key, a window partition and a join
+    // key, and a 31-term CASE tree re-compiled per operator cost a
+    // measured ~1.5 s of janino time PER HELPER CALL on 15k rows
+    val sliceOfBin = new Array[Int](fineBins)
+    val bs = bounds.distinct.filter(_ < fineBins)
+    var bi = 0
+    var bin = 0
+    while (bin < fineBins) {
+      if (bi < bs.length && bin >= bs(bi)) bi += 1
+      sliceOfBin(bin) = bi
+      bin += 1
+    }
+    coalesce(lit(sliceOfBin).getItem(fineOf(bucketKey)), lit(0))
+  }
+
   /** DISTRIBUTED exact global rank over `sortCols` (1-based, dense row
-    * numbering): range-repartition on the sort key, partition-local
-    * row_number, tiny per-partition offset table broadcast back — the
-    * global rank is offset+local wherever the sampled range boundaries
-    * land, so the result is exact under any partitioning and no task
-    * ever sees more than its slice (a global row_number window would
-    * funnel everything through ONE task at 100 TB). Callers supply a
-    * total-order key (include a unique tie-break column). */
+    * numbering): deterministic equi-depth slice assignment
+    * ([[detSliceId]] — boundary literals, not sampled ranges), slice-
+    * local row_number, tiny per-slice offset table broadcast back — the
+    * global rank is offset+local, exact under any partitioning, and no
+    * task ever sees more than its slice (a global row_number window
+    * would funnel everything through ONE task at 100 TB). Callers supply
+    * a total-order key (include a unique tie-break column); `bucketKey`
+    * defaults to the first sort column and must be numeric, non-null and
+    * monotone in the sort order (pass e.g. `Some(-col("x"))` when the
+    * primary key is descending). */
   private[graft] def globalRank(df: org.apache.spark.sql.DataFrame,
-      sortCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
-    // PERSIST is load-bearing, not a cache hint (measured, q211):
-    // repartitionByRange samples with a run-dependent seed, and this
-    // frame feeds TWO subplans (offsets + local ranks). Without the
-    // persist, a plan in which the optimizer does not reuse the exchange
-    // re-samples per branch — offsets computed against one boundary set,
-    // local ranks against another, silently corrupting ranks. The persist
-    // pins ONE materialized partitioning for both branches.
-    val r = df.repartitionByRange(32, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist()
+      sortCols: Seq[org.apache.spark.sql.Column],
+      bucketKey: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.DataFrame = {
+    // cache is a PERF hint only (input feeds 4 passes: stats, histogram,
+    // offsets, ranks); eviction recomputes the same values — every
+    // upstream aggregate is Det-exact — and the slice id is a pure
+    // expression over those values, so results cannot drift
+    val in = maybeCache(df)
+    val r = in.withColumn("_pid", detSliceId(in, bucketKey.getOrElse(sortCols.head)))
     val offs = r.groupBy("_pid").agg(count(lit(1)).as("_c"))
       .withColumn("_off", coalesce(sum("_c").over(Window.orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_off") // <= one row per partition: tiny
-    r.withColumn("_rn_local", row_number().over(
+      .select("_pid", "_off") // <= one row per slice: tiny
+    // the OUTPUT is cached too: several consumers fan out over the ranked
+    // frame (q211 builds 10 union branches), and without this each branch
+    // would replay the slice window + offset join (measured 3.4 s -> 13.7 s
+    // on q211 when only the input was cached)
+    maybeCache(r.withColumn("_rn_local", row_number().over(
         Window.partitionBy("_pid").orderBy(sortCols: _*)))
       .join(broadcast(offs), "_pid")
       .withColumn("rn", col("_off") + col("_rn_local"))
-      .drop("_pid", "_off", "_rn_local")
+      .drop("_pid", "_off", "_rn_local"))
   }
 
   /** DISTRIBUTED exact global prefix sum of long columns `valCols` over
     * the total order `sortCols` (inclusive running totals, emitted as
-    * `cum_<name>`): the cumulative sibling of [[globalRank]] — range-
-    * repartition on the sort key, partition-local window cumsum, tiny
-    * per-partition total table turned into exclusive offsets and
-    * broadcast back. Exact for integer values wherever the sampled range
-    * boundaries land; no task ever windows more than its slice (a global
-    * ORDER BY cumsum would funnel everything through ONE task at 100 TB).
-    * Caller must pass rows UNIQUE on `sortCols` (grouped-by-key frames)
-    * so the per-partition order composes into one global total order. */
+    * `cum_<name>`): the cumulative sibling of [[globalRank]] —
+    * deterministic slice assignment ([[detSliceId]]), slice-local window
+    * cumsum, tiny per-slice total table turned into exclusive offsets
+    * and broadcast back. Exact for integer values; no task ever windows
+    * more than its slice (a global ORDER BY cumsum would funnel
+    * everything through ONE task at 100 TB). Caller must pass rows
+    * UNIQUE on `sortCols` (grouped-by-key frames) so the per-slice order
+    * composes into one global total order. */
   private[graft] def globalCumSum(df: org.apache.spark.sql.DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column],
-      valCols: Seq[String]): org.apache.spark.sql.DataFrame = {
-    // persist() is load-bearing — see [[globalRank]]: two subplans must
-    // observe the SAME sampled range boundaries
-    val r = df.repartitionByRange(32, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist()
+      valCols: Seq[String],
+      bucketKey: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.DataFrame = {
+    val in = maybeCache(df) // perf hint only — see [[globalRank]]
+    val r = in.withColumn("_pid", detSliceId(in, bucketKey.getOrElse(sortCols.head)))
     val totals = valCols.map(v => sum(v).as(s"_t_$v"))
     val offs = r.groupBy("_pid").agg(totals.head, totals.tail: _*)
     val offs2 = offs.select(col("_pid") +: valCols.map(v =>
@@ -93,8 +204,9 @@ object StatQueries {
       acc.withColumn(s"_l_$v", sum(v).over(w)))
     val joined = valCols.foldLeft(local.join(broadcast(offs2), "_pid"))(
       (acc, v) => acc.withColumn(s"cum_$v", col(s"_off_$v") + col(s"_l_$v")))
-    joined.drop("_pid" +: valCols.flatMap(v =>
-      Seq(s"_l_$v", s"_off_$v")): _*)
+    // output cached for fan-out consumers — see [[globalRank]]
+    maybeCache(joined.drop("_pid" +: valCols.flatMap(v =>
+      Seq(s"_l_$v", s"_off_$v")): _*))
   }
 
   /** Shared CTE chain for the q174/q177 logistic model: integer features,
@@ -151,11 +263,39 @@ object StatQueries {
 
   /** Spark side of the same model: customer-grain feature frame
     * (persisted) scored under the round-3 weights; carries ck, x1-x3, y,
-    * the weights, and the 6dp sigmoid `sg`. */
-  private def logregScored(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    * the weights, and the 6dp sigmoid `sg`.
+    *
+    * MEMOIZED per (session, dir): ~8 queries consume this frame, and
+    * before the memo each one rebuilt and RE-persisted the whole 3-round
+    * GD chain, so cached copies accumulated for the session lifetime
+    * (ADVICE r11). One entry per data dir is bounded; `clearCache()`
+    * merely drops the blocks — the memoized plan recomputes the same
+    * values (Det-exact sums + 6dp rounding), so reuse is always safe. */
+  private val logregMemo =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+  private def logregScored(s: org.apache.spark.sql.SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame = {
+    val (f, scored) = logregMemo.computeIfAbsent((s, dir), _ => logregBuild(s, dir))
+    // RE-register the caches if an external clearCache() (Verify/Bench
+    // run queries back-to-back with one between each) dropped them —
+    // otherwise every later consumer would replay the 3-round GD chain
+    // with the feature frame scanned 4x uncached
+    if (perfCacheEnabled) {
+      if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        f.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      if (scored.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    }
+    scored
+  }
+  /** Test hook: drop memoized frames so a spec can rebuild them under a
+    * different [[perfCacheEnabled]] state. */
+  private[graft] def resetLogregMemo(): Unit = logregMemo.clear()
+  private def logregBuild(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val cut = Tables.orders(s, dir)
       .agg(max(col("o_orderdate").cast("date")).as("cutoff"))
-    val f = Tables.orders(s, dir)
+    val f0 = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_custkey").as("ck"))
       .agg(min(col("c_acctbal")).as("ab"), count(lit(1)).as("cnt"),
@@ -166,7 +306,7 @@ object StatQueries {
         col("cnt").cast("double").as("x2"),
         floor((col("sx") / col("cnt")) / 16384).cast("double").as("x3"),
         when(col("last_o") < date_sub(col("cutoff"), 90), 1).otherwise(0).as("y"))
-      .persist()
+    val f = maybeCache(f0)
     def sig(r: org.apache.spark.sql.DataFrame) = r.withColumn("sg",
       round(lit(1.0) / (lit(1.0) + exp(-(col("wa") + col("wb") * col("x1") +
         col("wc") * col("x2") + col("wd") * col("x3")))), 6))
@@ -185,11 +325,12 @@ object StatQueries {
     }
     val w0 = s.range(1).select(lit(0.0).as("wa"),
       lit(0.0).as("wb"), lit(0.0).as("wc"), lit(0.0).as("wd"))
-    // persist the SCORED frame: q177 consumes it three times (calibration
-    // stats, rank selection, eval coverage) and each unpersisted use
-    // would replay the whole 3-round weight chain — a measured 4x on the
-    // sf0.1 bench (6.3 s -> ~1.6 s)
-    sig(f.crossJoin(broadcast(step(step(step(w0)))))).persist()
+    // cache the SCORED frame: q177 consumes it three times (calibration
+    // stats, rank selection, eval coverage) and each uncached use would
+    // replay the whole 3-round weight chain — a measured 4x on the
+    // sf0.1 bench (6.3 s -> ~1.6 s). Perf hint only: recompute yields
+    // the same values (Det sums, 6dp rounding).
+    (f, maybeCache(sig(f.crossJoin(broadcast(step(step(step(w0))))))))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -811,7 +952,7 @@ object StatQueries {
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_custkey").as("ck"))
         .agg(min(col("c_acctbal")).as("x"), Det.dsum(col("o_totalprice")).as("y"))
-        .persist()
+        .perfCache()
       val init = pts.orderBy("ck").limit(4)
         .select(row_number().over(Window.orderBy("ck")).as("cid"),
           col("x").as("cx"), col("y").as("cy"))
@@ -1070,7 +1211,7 @@ object StatQueries {
           .select(lit("l_suppkey").as("key_name"), col("l_suppkey").cast("string").as("k")))
         .unionByName(Tables.orders(s, dir)
           .select(lit("o_custkey").as("key_name"), col("o_custkey").cast("string").as("k")))
-      val c = keys.groupBy("key_name", "k").agg(count(lit(1)).as("cnt")).persist()
+      val c = keys.groupBy("key_name", "k").agg(count(lit(1)).as("cnt")).perfCache()
       val r = c.withColumn("i", row_number().over(
         Window.partitionBy("key_name").orderBy("cnt", "k")))
       val st = r.groupBy("key_name").agg(
@@ -1511,7 +1652,7 @@ object StatQueries {
         val y = Tables.orders(s, dir)
           .groupBy(col("o_custkey").as("ck"))
           .agg(Det.dsum(col("o_totalprice")).as("x"))
-          .persist()
+          .perfCache()
         val fan = y.select(col("ck"), col("x"),
           explode(array((0 until B).map(b => lit(b.toLong)): _*)).as("rb"))
         val bucket = pmod(xxhash64(col("ck") * B + col("rb")), lit(1000000L))
@@ -1724,7 +1865,7 @@ object StatQueries {
         .groupBy(col("o_custkey").as("ck"))
         .agg((min(col("c_acctbal")) / 8192).as("x"),
           (Det.dsum(col("o_totalprice")) / count(lit(1)) / 131072).as("y"))
-        .persist()
+        .perfCache()
       val st = pts.agg(count(lit(1)).as("n"),
         Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),
         Det.dsum(col("x") * col("x")).as("sxx"),
@@ -1869,7 +2010,7 @@ object StatQueries {
         .groupBy(col("c_nationkey").as("nationkey"),
           (midxRaw - col("mn")).as("midx"))
         .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-        .persist()
+        .perfCache()
       val a = monthly.select(col("nationkey"), col("midx").as("mi"), col("rev").as("ri"))
       val b = monthly.select(col("nationkey"), col("midx").as("mj"), col("rev").as("rj"))
       val st = a.join(b, Seq("nationkey")).filter(col("mi") < col("mj"))
@@ -2160,13 +2301,10 @@ object StatQueries {
       val scored = logregScored(s, dir)
       val nTot = scored.agg(count(lit(1)).as("n_total"))
       val ranked = globalRank(scored.select(col("y"), col("sg"), col("ck")),
-          Seq(desc("sg"), asc("ck")))
+          Seq(desc("sg"), asc("ck")),
+          bucketKey = Some(-col("sg"))) // negated: monotone in the DESC order
         .crossJoin(broadcast(nTot)) // stat-broadcast scalar (SURVEY §4.1)
-      val q10 = col("n_total") / 10
-      val rem = col("n_total") % 10
-      val decile = when(col("rn") <= rem * (q10 + 1),
-          (col("rn") - 1) / (q10 + 1) + 1)
-        .otherwise(rem + (col("rn") - 1 - rem * (q10 + 1)) / q10 + 1)
+      val decile = ntileFromRank(col("rn"), col("n_total"), 10)
       val r = ranked.select(col("y"), decile.cast("int").as("decile"))
       val d = r.groupBy("decile").agg(count(lit(1)).as("n"),
         sum("y").cast("long").as("n_pos"))
@@ -2685,11 +2823,7 @@ object StatQueries {
           col("spend").cast(DecimalType(19, 0))).as("ixsum"))
       // q193's exact-NTILE formula over the distributed rank
       val withN = ranked.crossJoin(broadcast(t.select("n")))
-      val q10 = col("n") / 10
-      val rem = col("n") % 10
-      val decile = when(col("rn") <= rem * (q10 + 1),
-          (col("rn") - 1) / (q10 + 1) + 1)
-        .otherwise(rem + (col("rn") - 1 - rem * (q10 + 1)) / q10 + 1)
+      val decile = ntileFromRank(col("rn"), col("n"), 10)
       val d = withN.select(decile.cast("int").as("decile"), col("spend"))
         .groupBy("decile").agg(count(lit(1)).as("n_cust"),
           sum(col("spend").cast(DecimalType(38, 0))).as("dspend"))
@@ -3062,14 +3196,20 @@ object StatQueries {
       val orders = Tables.orders(s, dir)
       val midxRaw = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
       val m0 = orders.agg(min(midxRaw).as("mn"))
-      val monthly = Tables.lineitem(s, dir)
+      // cache the ~|nations|·|months| aggregate: TWO consumers (the OLS
+      // stats `st` and the residual frame `e`) would otherwise each run
+      // the full lineitem⋈orders⋈customer scan+shuffle — a measured 5.6 s
+      // vs 0.5 s for q164's single-pass twin, and a doubled fact-table
+      // scan at 100 TB (VERDICT r11 #2). Perf hint only: recompute
+      // yields the same values (Det-exact sums).
+      val monthly = maybeCache(Tables.lineitem(s, dir)
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .crossJoin(broadcast(m0))
         .groupBy(col("c_nationkey").as("nationkey"),
           (midxRaw - col("mn")).as("midx"))
         .agg((sum(Det.dec(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          * 10000).cast("long").as("rev4"))
+          * 10000).cast("long").as("rev4")))
       val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
       val st = monthly.groupBy("nationkey").agg(
         count(lit(1)).as("n_months"),
@@ -3149,10 +3289,7 @@ object StatQueries {
       val ranked = globalRank(lab, Seq(col("c_acctbal"), col("c_custkey")))
       val nTot = lab.agg(count(lit(1)).as("n_all"))
       val withN = ranked.crossJoin(broadcast(nTot))
-      val q5 = col("n_all") / 5
-      val rem = col("n_all") % 5
-      val gcol = when(col("rn") <= rem * (q5 + 1), (col("rn") - 1) / (q5 + 1) + 1)
-        .otherwise(rem + (col("rn") - 1 - rem * (q5 + 1)) / q5 + 1)
+      val gcol = ntileFromRank(col("rn"), col("n_all"), 5)
       val gr = withN.select(gcol.cast("int").as("g"), col("churn"))
         .groupBy("g").agg(count(lit(1)).cast("long").as("n"),
           sum("churn").cast("long").as("r"))
@@ -3241,14 +3378,14 @@ object StatQueries {
       val ranked = globalRank(cust, Seq(col("c_acctbal"), col("c_custkey")))
       val nCust = cust.agg(count(lit(1)).as("n_all"))
       val withN = ranked.crossJoin(broadcast(nCust))
-      val q5 = col("n_all") / 5
-      val rem = col("n_all") % 5
-      val gcol = when(col("rn") <= rem * (q5 + 1), (col("rn") - 1) / (q5 + 1) + 1)
-        .otherwise(rem + (col("rn") - 1 - rem * (q5 + 1)) / q5 + 1)
+      val gcol = ntileFromRank(col("rn"), col("n_all"), 5)
       val lab = withN.select(col("c_custkey"), gcol.cast("int").as("g"))
+      // cached: TWO consumers (gv's per-value counts and nn's per-group
+      // totals) would otherwise each run the orders⋈quintile join
       val d = Tables.orders(s, dir)
         .join(lab, col("o_custkey") === col("c_custkey"))
         .select(round(col("o_totalprice") * 100).cast("long").as("v"), col("g"))
+        .perfCache()
       val gv = {
         val cs = (1 to 5).map(i =>
           sum(when(col("g") === i, 1L).otherwise(0L)).as(s"c$i"))
@@ -3478,7 +3615,7 @@ object StatQueries {
       val z = yc.crossJoin(broadcast(t))
         .filter(col("ya") + col("yb") >= 10)
         .select(col("w"), col("ya"), col("yb"), zc.as("z"))
-      z.persist() // two top-k cuts over the same scored vocabulary
+      z.perfCache() // two top-k cuts over the same scored vocabulary
       val top = z.orderBy(desc("z"), asc("w")).limit(25)
         .withColumn("direction", lit("a"))
         .withColumn("rk", row_number().over(
@@ -3575,7 +3712,7 @@ object StatQueries {
         .crossJoin(broadcast(t))
         .select(col("sg"),
           abs(col("cum_c1") * col("n2") - col("cum_c2") * col("n1")).as("dn"))
-      d.persist() // read twice: the max and the argmin threshold
+      d.perfCache() // read twice: the max and the argmin threshold
       val mx = d.agg(max("dn").cast("long").as("d_num"))
       val th = d.crossJoin(broadcast(mx))
         .filter(col("dn") === col("d_num"))
@@ -3643,7 +3780,7 @@ object StatQueries {
       val filled = spine.join(daily, Seq("di"), "left")
         .select(col("di"), coalesce(col("x"), lit(0L)).as("x"),
           coalesce(col("y"), lit(0L)).as("y"))
-      filled.persist() // both sides of the 7-way lag join
+      filled.perfCache() // both sides of the 7-way lag join
       val lags = s.range(-3, 4).select(col("id").as("lag_k"))
       val a = filled.select(col("di"), col("x"))
       val b = filled.select(col("di").as("dj"), col("y"))
