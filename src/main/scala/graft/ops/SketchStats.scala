@@ -595,7 +595,13 @@ object SketchStats {
       .withColumn("d", explode(array((0 until depth).map(lit(_)): _*)))
       .withColumn("bucket",
         pmod(xxhash64(col("k") * depth + col("d")), lit(width.toLong)))
-    probes.join(merged, Seq("d", "bucket"))
+    // LEFT join + zero-fill: a probe key hashing to an empty (never
+    // ingested) cell must contribute that cell's count of 0 to the
+    // min-over-depth — an inner join dropped the zero cell, so a
+    // never-seen key either vanished from the output or took min over
+    // only its COLLISION cells (ADVICE r11)
+    probes.join(merged, Seq("d", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy("k").agg(min("cnt").as("cm_est"))
       .select(col("k").as(keyCol), col("cm_est"))
   }

@@ -826,7 +826,7 @@ object Streaming {
   // ---- streaming CUSUM drift monitor -------------------------------------
 
   final case class DriftEvent(user_id: Long, ts: java.sql.Timestamp,
-      value: Double, mu: Double, sd: Double)
+      event_id: Long, value: Double, mu: Double, sd: Double)
   final case class DriftState(s: Double, sMax: Double, crossAt: Long, seen: Long)
   final case class DriftUpdate(user_id: Long, n_seen: Long, cusum: Double,
       cusum_max: Double, first_cross_t: Long, alarm: Boolean)
@@ -836,10 +836,13 @@ object Streaming {
     * 4σ, maintained with flatMapGroupsWithState. Baseline μ/σ ride ON
     * THE ROWS (attach them with a stream-static join against the
     * warehouse baseline table — state stays O(1) per key and no driver
-    * map is ever built). Within a batch rows fold in (ts) order, so a
-    * replayed in-order stream computes EXACTLY the offline fold — the
-    * StreamingSpec parity contract. Emits one update per (key, batch);
-    * `alarm` flags the batch in which S first crossed.
+    * map is ever built). Within a batch rows fold in (ts, event_id)
+    * order — the SAME total order the batch q179 windows sort by, so
+    * equal-timestamp events fold deterministically instead of in
+    * iterator arrival order (ADVICE r11) and a replayed in-order stream
+    * computes EXACTLY the offline fold — the StreamingSpec parity
+    * contract. Emits one update per (key, batch); `alarm` flags the
+    * batch in which S first crossed.
     */
   def cusumDriftStream(events: Dataset[DriftEvent]): Dataset[DriftUpdate] = {
     import events.sparkSession.implicits._
@@ -847,7 +850,7 @@ object Streaming {
       .flatMapGroupsWithState[DriftState, DriftUpdate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[DriftEvent], state: GroupState[DriftState]) =>
-          val evs = rows.toSeq.sortBy(_.ts.getTime)
+          val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           if (evs.isEmpty) Iterator.empty
           else {
             var st = state.getOption.getOrElse(DriftState(0.0, 0.0, 0L, 0L))
@@ -869,7 +872,7 @@ object Streaming {
   // ---- streaming funnel (CEP-lite) pattern matcher ----------------------
 
   final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
-      event_type: String)
+      event_id: Long, event_type: String)
   final case class FunnelState(stageAt: Seq[Long], matches: Long)
   final case class FunnelMatch(user_id: Long, matched_ts: java.sql.Timestamp,
       n_matches: Long)
@@ -881,10 +884,16 @@ object Streaming {
     * per prefix stage — the running "latest completion per prefix",
     * exactly the batch formulation's invariant (latest prefix
     * completion is optimal for the next hop), so state is O(k) per key
-    * forever. Within a batch, events fold in ts order; stages update
-    * DESCENDING so one event never completes two consecutive stages.
-    * Replayed in order, matches equal the batch definition — the
-    * StreamingSpec parity contract.
+    * forever. Within a batch, events fold in (ts, event_id) order — the
+    * batch miners' exact window order, so ts ties break
+    * deterministically (ADVICE r11) — and stages update DESCENDING so
+    * one event never completes two consecutive stages. A hop requires
+    * `t >= prefix` as well as the horizon: a replayed OLDER event (a
+    * later batch carrying a timestamp before the stored prefix) must
+    * not complete a hop the batch definition — where the prefix is
+    * always in the PRECEDING frame — could never see. Replayed in
+    * order, matches equal the batch definition — the StreamingSpec
+    * parity contract.
     */
   def funnelMatchStream(events: Dataset[FunnelEvent], pattern: Seq[String],
       horizonMs: Long): Dataset[FunnelMatch] = {
@@ -897,7 +906,7 @@ object Streaming {
       .flatMapGroupsWithState[FunnelState, FunnelMatch](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val evs = rows.toSeq.sortBy(_.ts.getTime)
+          val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           if (evs.isEmpty) Iterator.empty
           else {
             val st = state.getOption.getOrElse(
@@ -912,6 +921,7 @@ object Streaming {
               while (i >= 1) {
                 if (e.event_type == pattern(i) &&
                     stages(i - 1) != Long.MinValue &&
+                    t >= stages(i - 1) &&
                     t - stages(i - 1) <= horizonMs) {
                   stages(i) = t
                   if (i == k - 1) {

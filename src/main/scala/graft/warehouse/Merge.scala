@@ -33,8 +33,12 @@ object Merge {
       s"keys ${keys.mkString(",")} missing from schema")
     // loud on duplicate source keys — MERGE's "cannot update the same
     // row twice" rule; silently letting both through would make the
-    // survivor partition-order-dependent
-    val dup = source.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    // survivor partition-order-dependent. NULL-bearing keys are exempt:
+    // SQL MERGE's ON clause never matches NULL = NULL, so two NULL-key
+    // source rows update nothing — they are two legal INSERTs, not a
+    // double update (groupBy would have lumped them as one key).
+    val dup = source.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1).select(keys.map(col): _*).take(1)
     require(dup.isEmpty,
       s"source holds key ${dup.headOption.mkString} more than once; " +

@@ -62,6 +62,11 @@ object Scd {
       require(dup.isEmpty,
         s"change batch holds key ${dup.headOption.map(_.get(0)).orNull} more than " +
           "once; dedup the batch (latest-wins) before applying")
+      // a NULL natural key can never match a member (SQL equality) —
+      // applying it would "insert" a NULL-keyed ghost version; reject
+      // loudly (same definitely-true discipline as purge/mergeUpsert)
+      require(changes.filter(col(keyCol).isNull).take(1).isEmpty,
+        s"change batch holds a NULL $keyCol; a NULL key matches no member")
     }
     val verCols = Seq("valid_from", "valid_to", "is_current")
     val dimCols = keyCol +: trackedCols.toIndexedSeq
@@ -73,8 +78,14 @@ object Scd {
 
     val cur = dim.filter(col("is_current"))
     val hist = dim.filter(!col("is_current")).select(outCols: _*)
-    val d = cur.select((dimCols ++ verCols).map(c => col(c).as(s"d_$c")): _*)
-    val c = changes.select(dimCols.map(cc => col(cc).as(s"c_$cc")): _*)
+    // presence MARKERS, not key-nullness, decide which side matched:
+    // inferring "no dimension match" from d_key IS NULL would misread a
+    // NULL-keyed current row (which joins nothing) as a brand-new member
+    // and silently replace its values with the change side's NULLs
+    val d = cur.select((dimCols ++ verCols).map(c => col(c).as(s"d_$c")) :+
+      lit(true).as("_in_d"): _*)
+    val c = changes.select(dimCols.map(cc => col(cc).as(s"c_$cc")) :+
+      lit(true).as("_in_c"): _*)
     val j = d.join(c, col(s"d_$keyCol") === col(s"c_$keyCol"), "full_outer")
 
     // null-safe inequality: a tracked value moving to/from NULL is a change
@@ -97,8 +108,8 @@ object Scd {
     val closed = outRow(dVals, col("d_valid_from"), effDate, lit(false))
     val opened = outRow(cVals, effDate, lit(null), lit(true))
     val disposition =
-      when(col(s"d_$keyCol").isNull, array(opened)) // brand-new member
-        .when(col(s"c_$keyCol").isNull || !differs, array(asIs)) // untouched / no-op
+      when(col("_in_d").isNull, array(opened)) // brand-new member
+        .when(col("_in_c").isNull || !differs, array(asIs)) // untouched / no-op
         .otherwise(array(closed, opened)) // close out + successor version
 
     hist.union(j.select(inline(disposition)))

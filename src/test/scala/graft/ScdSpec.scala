@@ -88,4 +88,29 @@ class ScdSpec extends SparkSpec {
         Seq("seg", "bal"), eff)
     }
   }
+
+  test("scd2Apply NULL keys: dim row passes through untouched; change row rejected") {
+    // a NULL-keyed current row joins no change (SQL equality) — it must
+    // pass through AS IS, not be misread as a brand-new member and have
+    // its values replaced by the change side's NULLs
+    val dimN = Seq(
+      (java.lang.Long.valueOf(1L), "A", 1.0),
+      (null.asInstanceOf[java.lang.Long], "GHOST", 9.0))
+      .toDF("k", "seg", "bal")
+      .withColumn("valid_from", lit(d("2024-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val out = Scd.scd2Apply(dimN, Seq((1L, "A2", 2.0)).toDF("k", "seg", "bal"),
+      "k", Seq("seg", "bal"), eff)
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getBoolean(5))).toSet
+    assert(out == Set((Some(1L), "A", false), (Some(1L), "A2", true),
+      (None, "GHOST", true)), s"got $out")
+    // a NULL-keyed CHANGE row can never match a member — rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Scd.scd2Apply(dimN,
+        Seq((null.asInstanceOf[java.lang.Long], "X", 1.0)).toDF("k", "seg", "bal"),
+        "k", Seq("seg", "bal"), eff)
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
 }

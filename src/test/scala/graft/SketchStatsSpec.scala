@@ -542,6 +542,22 @@ class SketchStatsSpec extends SparkSpec {
     val segs = new java.io.File(dir).listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(segs == Set("seg=base"))
+    // a NEVER-ingested probe key stays in the output and estimates from
+    // ALL its depth cells including empty ones (ADVICE r11: the old
+    // inner join dropped empty cells, so an unseen key vanished or took
+    // min over only its collision cells). In a wide sketch the unseen
+    // key's cells are all empty -> the correct CM estimate is exactly 0.
+    val wide = java.nio.file.Files.createTempDirectory("graft_cmw").toString
+    SketchStats.appendCmBatch(events, "user_id", wide, "all",
+      width = 1 << 20, depth = 4)
+    val unseen = spark.range(1).select(lit(-987654321L).as("user_id"))
+    val est = SketchStats.cmEstimates(spark, wide, unseen).collect()
+    assert(est.length == 1 && est.head.getLong(1) == 0L,
+      s"unseen key must estimate 0 in a wide sketch, got ${est.toSeq}")
+    // and in the width-4 sketch the unseen key still appears, bounded
+    // above by the heaviest cell (min over REAL collision cells)
+    val est4 = SketchStats.cmEstimates(spark, one, unseen).collect()
+    assert(est4.length == 1 && est4.head.getLong(1) >= 0L)
     // mixed geometry is rejected loudly, not silently mis-added
     SketchStats.appendCmBatch(events.limit(10), "user_id", dir, "bad",
       width = 8, depth = 4)

@@ -165,7 +165,7 @@ class StreamingSpec extends SparkSpec {
     val mu = 10.0; val sd = 2.0
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def ev(u: Long, i: Int, v: Double) = Streaming.DriftEvent(
-      u, new java.sql.Timestamp(t0.getTime + i * 1000L), v, mu, sd)
+      u, new java.sql.Timestamp(t0.getTime + i * 1000L), i.toLong, v, mu, sd)
     val u1 = (1 to 6).map(i => ev(1, i, 10.0 + (i % 2))) ++
       (7 to 12).map(i => ev(1, i, 16.0))
     val u2 = (1 to 12).map(i => ev(2, i, 10.0 + (i % 3) - 1))
@@ -208,7 +208,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def ev(u: Long, minutes: Int, t: String) = Streaming.FunnelEvent(
-      u, new java.sql.Timestamp(t0.getTime + minutes * 60000L), t)
+      u, new java.sql.Timestamp(t0.getTime + minutes * 60000L), minutes.toLong, t)
     val h = 60L * 60000L // 1 hour per hop
     // user 1: two full signup->click->purchase completions, one broken hop
     val u1 = Seq(ev(1, 0, "signup"), ev(1, 10, "click"), ev(1, 20, "purchase"),
@@ -258,5 +258,76 @@ class StreamingSpec extends SparkSpec {
     assert(out.count(_.user_id == 3) == 1) // completed across 3 batches
     // n_matches is a per-user running count
     assert(out.filter(_.user_id == 1).map(_.n_matches).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("funnel ties break on (ts, event_id) and a replayed older event never hops") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ev(u: Long, minutes: Int, id: Long, t: String) = Streaming.FunnelEvent(
+      u, new java.sql.Timestamp(t0.getTime + minutes * 60000L), id, t)
+    val h = 60L * 60000L
+    // user 1: signup and click share ONE timestamp; event_id order says
+    // signup (id 1) precedes click (id 2), so the hop is legal — the
+    // batch window frame (ORDER BY us, event_id ROWS ... 1 PRECEDING)
+    // sees the signup. Deterministic regardless of iterator order.
+    val u1 = Seq(ev(1, 0, 1, "signup"), ev(1, 0, 2, "click"),
+      ev(1, 10, 3, "purchase"))
+    // user 2: same timestamps but ids REVERSED — click (id 1) precedes
+    // signup (id 2) in the total order, so no prefix exists at the click
+    val u2 = Seq(ev(2, 0, 2, "signup"), ev(2, 0, 1, "click"),
+      ev(2, 10, 3, "purchase"))
+    // user 3: batch 1 advances the prefix to t=50; batch 2 REPLAYS an
+    // older click (t=10 < 50) — within horizon of the stored signup if
+    // gaps were unsigned, but it must not complete stage 2 "before"
+    // stage 1 was last set... then a purchase in horizon of nothing
+    val u3b1 = Seq(ev(3, 50, 1, "signup"))
+    val u3b2 = Seq(ev(3, 10, 2, "click"))
+    val u3b3 = Seq(ev(3, 60, 3, "purchase"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.FunnelEvent](spark, 1)
+    val q = Streaming.funnelMatchStream(ms.toDS(),
+        Seq("signup", "click", "purchase"), h)
+      .writeStream.format("memory").queryName("funnel_tie_out")
+      .outputMode("append").start()
+    Seq(u1 ++ u2 ++ u3b1, u3b2, u3b3).foreach { b =>
+      ms.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val out = spark.sql("SELECT * FROM funnel_tie_out")
+      .as[Streaming.FunnelMatch].collect()
+    assert(out.count(_.user_id == 1) == 1, "equal-ts hop with id order must match")
+    assert(out.count(_.user_id == 2) == 0, "reversed id order must not match")
+    assert(out.count(_.user_id == 3) == 0, "replayed older event must not hop")
+  }
+
+  test("CUSUM equal-ts events fold in event_id order, not iterator order") {
+    import spark.implicits._
+    val mu = 10.0; val sd = 2.0
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // two equal-ts values whose fold order changes cusum_max: folding
+    // +8 then -8 peaks at 7, folding -8 then +8 peaks at 7 too — use
+    // asymmetric values: +9 then -20 (clamps to 0) peaks at 8; -20 then
+    // +9 peaks at 8 as well after clamp... pick values where order
+    // matters through the clamp: x=+9 (s=8), then x=+2 (s=9) vs
+    // x=+2 (s=1), then x=+9 (s=9): same end, max differs (8+1=9 both).
+    // Simplest order-sensitive observable: first_cross_t (the 1-based
+    // index of the first 4sd crossing).
+    def ev(id: Long, v: Double) = Streaming.DriftEvent(
+      1L, t0, id, v, mu, sd) // ALL the same timestamp
+    // id order: +20 (s=9 > 8 = 4sd: cross at 1), then -20 (s=0)
+    // reversed iterator order would cross at index 2 instead
+    val evs = Seq(ev(2, -10.0), ev(1, 30.0)) // shuffled arrival
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.DriftEvent](spark, 1)
+    val q = Streaming.cusumDriftStream(ms.toDS())
+      .writeStream.format("memory").queryName("drift_tie_out")
+      .outputMode("append").start()
+    ms.addData(evs); q.processAllAvailable(); q.stop()
+    val out = spark.sql("SELECT * FROM drift_tie_out")
+      .as[Streaming.DriftUpdate].collect()
+    assert(out.length == 1)
+    // fold in id order: x=30 -> s = 30-10-1 = 19 > 8 crosses at 1;
+    // then x=-10 clamps to 0. Iterator-order folding could report 2.
+    assert(out.head.first_cross_t == 1L,
+      s"expected cross at id-ordered index 1, got ${out.head.first_cross_t}")
+    assert(out.head.cusum == 0.0 && out.head.n_seen == 2L)
   }
 }

@@ -335,6 +335,22 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("more than once"))
 
+    // NULL keys never match (SQL MERGE ON NULL = NULL is not TRUE):
+    // a NULL-key base row passes through UNtouched, a NULL-key source
+    // row INSERTS (it can never be an update), and two NULL-key source
+    // rows are two inserts, not a rejected double-update
+    val baseN = Seq((java.lang.Long.valueOf(1L), "a", 10.0),
+      (null.asInstanceOf[java.lang.Long], "nb", 20.0)).toDF("k", "v", "x")
+    val srcN = Seq((null.asInstanceOf[java.lang.Long], "ns1", 1.0),
+      (null.asInstanceOf[java.lang.Long], "ns2", 2.0),
+      (java.lang.Long.valueOf(1L), "A", 11.0)).toDF("k", "v", "x")
+    val outN = Merge.mergeUpsert(baseN, srcN, Seq("k"),
+        deleteCond = Some(col("v") === "die"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(outN == Set((Some(1L), "A"), (None, "nb"),
+      (None, "ns1"), (None, "ns2")),
+      s"NULL-key rows must pass through / insert, got $outN")
+
     // mergeCommit: versioned — pre-merge state stays time travelable
     val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
     VersionedTable.commit(base, dir)
