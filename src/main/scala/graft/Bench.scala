@@ -37,9 +37,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the headline on BOTH sides of the full JSON: the driver keeps a
+    // bounded stdout tail, and once the registry outgrew it the one big
+    // line got cut mid-JSON ("parsed": null in BENCH_r09/r11). A compact
+    // first line survives head-keeping capture, a compact last line
+    // survives tail-keeping capture; the full per-query record lives in
+    // SPARK_GRAFT_BENCH_OUT either way.
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","reps":$reps}"""
+    println(headline)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
     println(json)
+    println(headline)
     // also write the JSON to a file: stdout tail capture truncates once the
     // registry outgrows the tail window (BENCH_r09 kept 55/82 timings), and
     // the file survives intact regardless of suite size

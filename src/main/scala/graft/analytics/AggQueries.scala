@@ -889,6 +889,10 @@ object AggQueries {
               FROM unlinked)
         WHERE rk <= 5 ORDER BY part_a, rk"""),
     ) { (s, dir) =>
+      // degree-BLOCKED wedge generation (graft.ops.LinkPredict): exact
+      // same scores, but a hub common-neighbor spreads over
+      // ceil(deg/1024)² reducer cells instead of stragglering one task
+      // with deg² wedge rows (VERDICT r11 scale-killer watch)
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val e = li.as("a").join(li.as("b"),
@@ -896,24 +900,8 @@ object AggQueries {
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct()
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .distinct()
-      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
-      val wedge = sym.as("s1").join(sym.as("s2"),
-          col("s1.v") === col("s2.v") && col("s1.u") < col("s2.u"))
-        .select(col("s1.u").as("a"), col("s2.u").as("b"), col("s1.v").as("w"))
-      val cand = wedge.join(deg, col("w") === deg("u"))
-        .groupBy("a", "b")
-        .agg(count(lit(1)).as("cn"),
-          sum(round(lit(1000000) / log(col("deg"))).cast("long"))
-            .cast("long").as("aa_micro"))
-        .filter(col("cn") >= 2)
-      val unlinked = cand
-        .join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
-      val w = Window.partitionBy("a")
-        .orderBy(desc("aa_micro"), desc("cn"), asc("b"))
-      unlinked.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      graft.ops.LinkPredict.adamicAdarTopK(e, "u", "v",
+          minCommon = 2, topK = 5)
         .select(col("a").as("part_a"), col("b").as("part_b"),
           col("cn"), col("aa_micro"), col("rk"))
         .orderBy("part_a", "rk")

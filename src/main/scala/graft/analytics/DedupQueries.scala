@@ -322,5 +322,20 @@ object DedupQueries {
           idCol = "doc_id", textCol = "text", threshold = 0.5, shingleLen = 3)
         .orderBy("id_t", "id_e")
     },
+
+    // ---- image perceptual-hash near-dups: dHash-64 over REAL decoded
+    // PNG pixels (graft.ops.PngCodec IDAT inflate), pairs via q39's
+    // pigeonhole widened to 8×8-bit chunks (exact for Hamming ≤ 7).
+    // no_oracle (binary surface — DuckDB cannot inflate PNGs); the
+    // planted-transform contracts live in ImageHashSpec: a re-encode,
+    // a 3/4 nearest resize, and a 2px border crop of each base image
+    // must be found, distinct bases must not pair.
+    QueryDef("q221_image_phash_neardups", None) { (s, dir) =>
+      import graft.ops.ImageHash
+      val corpus = ImageHash.plantedPngCorpus(s, nBase = 150)
+      val hashes = ImageHash.pngHashes(corpus, "media_id", "png")
+      ImageHash.phashNearDups(hashes, "media_id", "dhash", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
   )
 }

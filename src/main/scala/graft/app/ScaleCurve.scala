@@ -294,10 +294,42 @@ object ScaleCurve {
       },
     )
 
+    // ---- co-purchase graph replication for the link-prediction cell:
+    // disjoint replica graphs (offset vertex ids), identical per-replica
+    // wedge structure, so Adamic-Adar candidate generation must scale
+    // linearly in replicas. Base graph = a deterministic 10% order slice
+    // of sfDir's lineitem (the full sf0.1 graph's 148M wedges would make
+    // a 16x cell minutes-long without adding scaling signal).
+    val li0 = graft.core.Tables.lineitem(spark, sfDir)
+      .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val baseEdges = li0.as("a").join(li0.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    scales.foreach { k =>
+      (0 until k).map { i =>
+        baseEdges.select((col("u") + lit(i.toLong * 1000000000L)).as("u"),
+          (col("v") + lit(i.toLong * 1000000000L)).as("v"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$work/edges_x$k")
+      ()
+    }
+    def edgesAt(k: Int): DataFrame = spark.read.parquet(s"$work/edges_x$k")
+    val graphOps: Seq[(String, DataFrame => Long)] = Seq(
+      // wedge volume is Σ deg² — replica-disjoint, so linear in k; the
+      // hot/cold blocked join bounds any one center's cell fan-out
+      "q201_adamic_adar(edges)" -> (d =>
+        graft.ops.LinkPredict.adamicAdarTopK(d, "u", "v",
+          minCommon = 2, topK = 5).count()),
+    )
+
     // one warmup pass at 1x so JIT/codegen compilation is not billed to
     // the first measured cell
     ops.foreach { case (_, f) => f(corpus(1)); () }
     evOps.foreach { case (_, f) => f(eventsAt(1)); () }
+    graphOps.foreach { case (_, f) => f(edgesAt(1)); () }
 
     var ok = true
     println(f"${"query"}%-36s ${"1x(s)"}%8s ${"4x(s)"}%8s ${"16x(s)"}%8s " +
@@ -321,6 +353,7 @@ object ScaleCurve {
     }
     ops.foreach { case (name, f) => measure(name, f, corpus) }
     evOps.foreach { case (name, f) => measure(name, f, eventsAt) }
+    graphOps.foreach { case (name, f) => measure(name, f, edgesAt) }
     spark.stop()
     if (!ok) sys.exit(2)
   }

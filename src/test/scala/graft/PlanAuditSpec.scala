@@ -437,11 +437,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("Adamic-Adar wedges close as equi-joins with the degree side broadcastable") {
+  test("Adamic-Adar wedges close as equi-joins with a blocked hot-hub branch") {
     val p = plan("q201_adamic_adar")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "wedge/anti joins must stay hash/sort-merge equi-joins")
     assert(p.contains("LeftAnti"), "existing-edge removal lost its anti-join")
+    // the skew guard (VERDICT r11): the plan must carry BOTH wedge
+    // branches — the plain cold join and the hot branch's rank-cut
+    // block replication (explode over a generated block sequence) whose
+    // (v, i, j) join key spreads a hub over B² reducer cells
+    assert(p.contains("explode(sequence("),
+      "hot-hub blocked wedge branch (explode over block ids) missing")
+    assert(p.contains("Union"),
+      "cold/hot wedge branches must union before the pair aggregation")
   }
 
   test("CM serving reads only sketch segments and probe keys, never re-scans events per cell") {
