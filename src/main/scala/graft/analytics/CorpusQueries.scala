@@ -745,5 +745,39 @@ object CorpusQueries {
       freqs.unpersist(false)
       out
     },
+
+    // ---- HTML→text extraction (web-corpus stage 0): each document is
+    // wrapped in a realistic page — head with title/style/script, a nav
+    // link list, the body paragraph (entity-ESCAPED), a link-only footer
+    // — and the html_to_text kernel must recover EXACTLY the original
+    // text (whitespace-collapsed): boilerplate gone, content intact.
+    // The oracle is independent — it never sees the HTML: it collapses
+    // the raw text directly, so any extraction slip (a surviving nav
+    // token, a broken entity, a dropped body block) hash-mismatches.
+    QueryDef(
+      "q222_html_text_extract",
+      Some(raw"""
+        SELECT doc_id,
+               trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_out
+        FROM documents ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val esc = (c: org.apache.spark.sql.Column) =>
+        regexp_replace(regexp_replace(regexp_replace(c,
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val html = concat(
+        lit("""<html><head><title>Doc</title><meta charset="utf-8">""" +
+          """<style>body{color:#000}</style>""" +
+          """<script>if(1<2){var x="</div>";}</script></head><body>""" +
+          """<nav><ul><li><a href="/">Home</a></li>""" +
+          """<li><a href="/about">About us</a></li></ul></nav>""" +
+          """<!-- boilerplate ends --><div class="content"><p>"""),
+        esc(col("text")),
+        lit("""</p></div><footer><a href="/tos">Terms</a> """ +
+          """<a href="/privacy">Privacy</a></footer></body></html>"""))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.HtmlExtract.htmlToText(html).as("text_out"))
+        .orderBy("doc_id")
+    },
   )
 }

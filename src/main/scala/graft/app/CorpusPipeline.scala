@@ -41,9 +41,30 @@ object CorpusPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
 
+    // ---- stage 0: the crawl delivers PAGES, not text — wrap every doc
+    // in a realistic HTML page (head/script/style, a nav link list, a
+    // link-only footer) and run the html_to_text extraction kernel. The
+    // round-trip gate proves chrome removal lost NO content before the
+    // funnel begins: extracted text must equal the raw text collapsed.
+    val rawDocs = graft.core.Tables.documents(spark, sfDir)
+    val pageHtml = concat(
+      lit("<html><head><title>t</title><style>p{}</style>" +
+        "<script>if(1<2){}</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><p>"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;")),
+      lit("</p><footer><a href=\"/t\">Terms</a></footer></body></html>"))
+    val extracted = rawDocs
+      .withColumn("_html", pageHtml)
+      .withColumn("_extracted", graft.functions.HtmlExtract.htmlToText(col("_html")))
+    val nExtractBad = extracted.filter(col("_extracted") =!=
+      trim(regexp_replace(col("text"), lit("\\s+"), lit(" ")))).count()
+    val docs = extracted
+      .select(col("doc_id"), col("_extracted").as("text"),
+        col("lang"), col("source"))
+
     // ---- land the corpus as JSONL with planted exact dups + corrupt lines
     // (the wire format a crawl actually delivers)
-    val docs = graft.core.Tables.documents(spark, sfDir)
     val jsonlDir = s"$work/raw_jsonl"
     val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
     val dups = docs.filter(col("doc_id") % 10 === 0)
@@ -262,6 +283,7 @@ object CorpusPipeline {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""
       |== graft corpus pipeline ==
+      |html extraction:   ${extracted.count()} pages -> text ($nExtractBad round-trip mismatches)
       |jsonl ingest:      $nIngested good, $nQuarantined quarantined
       |quality filter:    $nIngested -> $nKept  (dropped: $reasonCounts)
       |exact dedup:       $nKept -> $nExact
@@ -278,7 +300,7 @@ object CorpusPipeline {
       |wall time:         $secs%.1f s
       |""".stripMargin)
 
-    val ok = nQuarantined == nCorrupt && nKept <= nIngested &&
+    val ok = nExtractBad == 0 && nQuarantined == nCorrupt && nKept <= nIngested &&
       nPlantedKept > 0 && nExact <= nKept - nPlantedKept &&
       nScrubbed <= nExact && nScrubbed > 0 &&
       nReps <= nScrubbed && nSemReps <= nReps && nSemReps > 0 &&

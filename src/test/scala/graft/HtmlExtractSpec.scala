@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.HtmlExtract
+
+/** Crafted-fixture contracts for the html_to_text stage-0 kernel
+  * (VERDICT r11 task 6): nav/footer/script/style/head boilerplate
+  * dropped, body text preserved in document order, entities decoded,
+  * and the interpreted and codegen paths agree. The end-to-end
+  * round-trip gate is q222's DuckDB oracle (the oracle collapses the
+  * raw text and never sees the HTML).
+  */
+class HtmlExtractSpec extends SparkSpec {
+
+  private def extract(html: String): String =
+    HtmlExtract.kernel(UTF8String.fromString(html)).toString
+
+  test("boilerplate dropped, body preserved in order") {
+    val html =
+      """<html><head><title>Site</title><style>p{x:1}</style>
+        |<script>var a = "<p>not text</p>";</script></head>
+        |<body><nav><a href="/">Home</a> <a href="/x">Products</a></nav>
+        |<h1>The headline</h1>
+        |<p>First paragraph with an <a href="/in">inline link</a> inside.</p>
+        |<p>Second   paragraph,
+        |   wrapped lines.</p>
+        |<footer><a href="/tos">Terms</a> <a href="/p">Privacy</a></footer>
+        |</body></html>""".stripMargin
+    assert(extract(html) ==
+      "The headline First paragraph with an inline link inside. " +
+        "Second paragraph, wrapped lines.")
+  }
+
+  test("entities decode; stray ampersands and angle brackets stay literal") {
+    assert(extract("<p>a &amp; b &lt;tag&gt; &quot;q&quot; &#65;&#x42; &nbsp;c</p>") ==
+      "a & b <tag> \"q\" AB c")
+    assert(extract("<p>AT&T and a < b</p>") == "AT&T and a < b")
+    assert(extract("<p>broken &unknownentity; stays</p>") ==
+      "broken &unknownentity; stays")
+  }
+
+  test("quoted '>' inside attributes does not truncate the tag") {
+    assert(extract("""<p><img alt="a>b" src="x.png">text after</p>""") ==
+      "text after")
+  }
+
+  test("comments and unterminated structures are safe") {
+    assert(extract("<p>keep <!-- drop <p>this</p> --> both</p>") == "keep both")
+    assert(extract("<p>tail <!-- never closed") == "tail")
+    assert(extract("<p>open <script>never closed") == "open")
+  }
+
+  test("link-density rule: link lists drop, linky-but-texty blocks survive") {
+    // all-link block: dropped
+    assert(extract("""<div><a href="/a">One</a> <a href="/b">Two</a></div>""") == "")
+    // anchor text under a third of the block: kept, anchors inlined
+    assert(extract(
+      """<div>A long sentence of body prose that has one <a href="/x">tiny</a>
+        | link within it and plenty of surrounding words.</div>""".stripMargin)
+      .startsWith("A long sentence"))
+    // exactly at the 1/3 threshold: dropped (>= is boilerplate)
+    assert(extract("""<div><a href="/x">ab</a>cdef</div>""") == "")
+  }
+
+  test("interpreted path (codegen off) agrees with codegen path") {
+    import spark.implicits._
+    val html = Seq(
+      """<html><head><script>x<1</script></head><body><nav><a href="/">N</a></nav><p>Alpha &amp; beta</p></body>""",
+      """<p>plain</p>""",
+      """<div><a href="/">only links</a></div>""").toDF("h")
+    val expr = HtmlExtract.htmlToText(col("h"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted =
+      try html.select(expr).collect().map(_.getString(0)).toSeq
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    val codegen = html.select(expr).collect().map(_.getString(0)).toSeq
+    assert(interpreted == codegen)
+    assert(codegen == Seq("Alpha & beta", "plain", ""))
+  }
+}
