@@ -337,5 +337,20 @@ object DedupQueries {
       ImageHash.phashNearDups(hashes, "media_id", "dhash", maxHamming = 6)
         .orderBy("id_a", "id_b")
     },
+
+    // ---- audio fingerprint near-dups: 64-bit energy-derivative hash
+    // over REAL decoded PCM16 (Multimodal.parseWavPcm), gain-invariant
+    // by construction (raw-sum comparisons over equal frames), pairs
+    // via the same 8×8-bit pigeonhole join as q221. no_oracle (binary
+    // surface); AudioHashSpec pins the planted-transform contracts:
+    // half/quarter-gain and 2:1-decimated clones land at Hamming 0,
+    // distinct recordings never pair.
+    QueryDef("q224_audio_fingerprint_neardups", None) { (s, dir) =>
+      import graft.ops.AudioHash
+      val corpus = AudioHash.plantedWavCorpus(s, nBase = 150)
+      val hashes = AudioHash.wavHashes(corpus, "media_id", "wav")
+      AudioHash.fingerprintNearDups(hashes, "media_id", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
   )
 }

@@ -352,5 +352,70 @@ object TextQueries {
             col("n")).as("intercept"))
         .orderBy("source")
     },
+
+    // ---- PII detection + redaction (the compliance stage every
+    // training corpus runs before release): emails, IPv4s, US-format
+    // phones and 13-19-digit card runs are counted, then redacted to
+    // typed placeholders in detection order (emails first — their local
+    // parts contain digits/dots the later patterns could half-match).
+    // PII is PLANTED deterministically per doc (ids drive the values)
+    // so the gate exercises every pattern on every row; the patterns
+    // use only the regex subset with identical Java/RE2 semantics
+    // (character classes, bounded repetition, \b) — no lookaround, no
+    // backreferences. Pure codegen regexp functions, zero shuffles.
+    QueryDef(
+      "q223_pii_redaction",
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id ||
+                 '@example.com from 10.' || (doc_id % 200) ||
+                 '.0.1 call (415) 555-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                 ' card 4111111111111' ||
+                 lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' end' AS t2
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(t2,
+                 '\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(t2,
+                 '\([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(t2,
+                 '\b[0-9]{13,19}\b')) AS BIGINT) AS n_card,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b', '<IP>', 'g'),
+                 '\([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                 '\b[0-9]{13,19}\b', '<CARD>', 'g') AS redacted
+        FROM t ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])" +
+        "(\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\\b"
+      val phone = "\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+      val card = "\\b[0-9]{13,19}\\b"
+      val t2 = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0.1 call (415) 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" card 4111111111111"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit(" end"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"),
+          regexp_count(col("t2"), lit(email)).cast("long").as("n_email"),
+          regexp_count(col("t2"), lit(ip)).cast("long").as("n_ip"),
+          regexp_count(col("t2"), lit(phone)).cast("long").as("n_phone"),
+          regexp_count(col("t2"), lit(card)).cast("long").as("n_card"),
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("t2"),
+            lit(email), lit("<EMAIL>")),
+            lit(ip), lit("<IP>")),
+            lit(phone), lit("<PHONE>")),
+            lit(card), lit("<CARD>")).as("redacted"))
+        .orderBy("doc_id")
+    },
   )
 }
