@@ -352,5 +352,28 @@ object DedupQueries {
       AudioHash.fingerprintNearDups(hashes, "media_id", maxHamming = 6)
         .orderBy("id_a", "id_b")
     },
+
+    // ---- INCREMENTAL image dedup: a fresh crawl batch probes the
+    // persisted fingerprint index (8 chunk rows per image) — old-new
+    // pairs only, survivors are the probes with no match. The multimodal
+    // sibling of q79/q101's incremental text dedup. no_oracle (binary
+    // surface); ImageHashSpec pins survivors == planted-new and every
+    // clone matched to its OWN base.
+    QueryDef("q226_incremental_image_dedup", None) { (s, dir) =>
+      import graft.ops.ImageHash
+      val off = 1000000L
+      val corpus = ImageHash.plantedPngCorpus(s, nBase = 120, cloneOffset = off)
+      val hashes = ImageHash.pngHashes(corpus, "media_id", "png")
+      val index = hashes.filter(col("media_id") < off) // the prior corpus
+      val probe = hashes.filter(col("media_id") >= off) // the fresh batch
+      val matches = ImageHash.phashMatches(probe, index,
+        "media_id", "dhash", maxHamming = 6)
+      // one row per probe: its matched base (or NULL = survivor)
+      probe.select("media_id")
+        .join(matches.withColumnRenamed("id_probe", "media_id"),
+          Seq("media_id"), "left")
+        .select(col("media_id"), col("id_index").as("dup_of"), col("hamming"))
+        .orderBy("media_id")
+    },
   )
 }

@@ -3960,5 +3960,88 @@ object StatQueries {
           round(exp(col("entropy")), 6).as("effective_types"))
         .orderBy("user_id")
     },
+
+    // ---- Theil T inequality index of customer lifetime spend, decomposed
+    // within/between nations (the ADDITIVELY decomposable complement of
+    // q200's Gini — Gini cannot split inequality into a within-group and
+    // a between-group share). Spend is exact integer cents; the per-row
+    // ratio r = x·n_g / sum_g is computed as a division of two
+    // exact-integer double casts (x·n_g stays < 2^53 up to ~sf100 —
+    // beyond that the cast rounds deterministically on both engines, the
+    // determinism contract survives); each transcendental ln is 6dp-
+    // rounded before entering a Det decimal sum (playbook rule 4), and
+    // the within/between assembly is a handful of identically-spelled
+    // double ops. One customer-grain aggregation + one 25-row group
+    // table: the plan is two shuffles at any scale.
+    QueryDef(
+      "q227_theil_index",
+      Some(s"""
+        WITH sp AS (
+          SELECT c_nationkey AS nk, o_custkey AS ck,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_nationkey, o_custkey
+        ), g AS (
+          SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_g, CAST(SUM(x) AS BIGINT) AS sum_g
+          FROM sp GROUP BY nk
+        ), t AS (
+          SELECT CAST(SUM(sum_g) AS BIGINT) AS total,
+                 CAST(SUM(n_g) AS BIGINT) AS n_total FROM g
+        ), w AS (
+          SELECT sp.nk,
+                 ${sqlSum("(CAST(x * n_g AS DOUBLE) / CAST(sum_g AS DOUBLE))" +
+          " * round(ln(CAST(x * n_g AS DOUBLE) / CAST(sum_g AS DOUBLE)), 6)")} AS tsum
+          FROM sp JOIN g ON sp.nk = g.nk GROUP BY sp.nk
+        ), p AS (
+          SELECT g.nk, g.n_g, g.sum_g,
+                 w.tsum / g.n_g AS theil_within,
+                 CAST(g.sum_g AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+                 (CAST(g.sum_g AS DOUBLE) / CAST(t.total AS DOUBLE)) *
+                   round(ln((CAST(g.sum_g AS DOUBLE) * CAST(t.n_total AS DOUBLE)) /
+                     (CAST(t.total AS DOUBLE) * CAST(g.n_g AS DOUBLE))), 6) AS bterm,
+                 (CAST(g.sum_g AS DOUBLE) / CAST(t.total AS DOUBLE)) *
+                   (w.tsum / g.n_g) AS wterm
+          FROM g JOIN w ON g.nk = w.nk CROSS JOIN t
+        ), agg AS (
+          SELECT ${sqlSum("bterm")} AS t_between, ${sqlSum("wterm")} AS t_within
+          FROM p
+        )
+        SELECT nk AS nationkey, n_g AS n_cust, sum_g AS spend_cents,
+               theil_within, share,
+               agg.t_between, agg.t_within,
+               agg.t_between + agg.t_within AS theil_total
+        FROM p CROSS JOIN agg ORDER BY nationkey"""),
+    ) { (s, dir) =>
+      val sp = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), col("o_custkey").as("ck"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("x"))
+      val g = sp.groupBy("nk").agg(count(lit(1)).as("n_g"),
+        sum("x").cast("long").as("sum_g"))
+      val t = g.agg(sum("sum_g").cast("long").as("total"),
+        sum("n_g").cast("long").as("n_total"))
+      // r spelled ONCE, inlined twice VERBATIM like the oracle
+      def r = (col("x") * col("n_g")).cast("double") / col("sum_g").cast("double")
+      val w = sp.join(broadcast(g), "nk")
+        .groupBy("nk").agg(Det.dsum(r * round(log(r), 6)).as("tsum"))
+      val p = g.join(w, "nk").crossJoin(broadcast(t))
+        .select(col("nk"), col("n_g"), col("sum_g"),
+          (col("tsum") / col("n_g")).as("theil_within"),
+          (col("sum_g").cast("double") / col("total").cast("double")).as("share"),
+          ((col("sum_g").cast("double") / col("total").cast("double")) *
+            round(log((col("sum_g").cast("double") * col("n_total").cast("double")) /
+              (col("total").cast("double") * col("n_g").cast("double"))), 6)).as("bterm"),
+          ((col("sum_g").cast("double") / col("total").cast("double")) *
+            (col("tsum") / col("n_g"))).as("wterm"))
+        .perfCache() // 25 rows, TWO consumers (the global agg + the output)
+      val agg = p.agg(Det.dsum(col("bterm")).as("t_between"),
+        Det.dsum(col("wterm")).as("t_within"))
+      p.crossJoin(broadcast(agg))
+        .select(col("nk").as("nationkey"), col("n_g").as("n_cust"),
+          col("sum_g").as("spend_cents"), col("theil_within"), col("share"),
+          col("t_between"), col("t_within"),
+          (col("t_between") + col("t_within")).as("theil_total"))
+        .orderBy("nationkey")
+    },
   )
 }

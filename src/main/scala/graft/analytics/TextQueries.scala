@@ -417,5 +417,54 @@ object TextQueries {
             lit(card), lit("<CARD>")).as("redacted"))
         .orderBy("doc_id")
     },
+
+    // ---- URL extraction + per-domain stats (the crawl-curation ledger:
+    // which domains feed the corpus, how many docs cite them — the
+    // aggregation a domain-blocklist filter runs against). URLs are
+    // PLANTED deterministically (ids drive subdomain/site/path) so every
+    // doc contributes two; extraction regex uses the Java/RE2-identical
+    // subset, domains via one regexp_extract. One explode + one
+    // domain-keyed aggregation — the 100 TB shape.
+    QueryDef(
+      "q225_url_domains",
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' see https://sub' || (doc_id % 40) || '.example' ||
+                 (doc_id % 7) || '.com/p/' || doc_id ||
+                 ' and http://www.ref' || (doc_id % 13) || '.org/x?q=1' AS t2
+          FROM documents),
+        u AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(t2,
+                   'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./?=_%-]*)?', 0)) AS url
+          FROM t),
+        d AS (
+          SELECT doc_id, url,
+                 regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+          FROM u)
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM d GROUP BY domain ORDER BY domain"""),
+    ) { (s, dir) =>
+      val urlRe = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./?=_%-]*)?"
+      val t2 = concat(col("text"),
+        lit(" see https://sub"), (col("doc_id") % 40).cast("string"),
+        lit(".example"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string"),
+        lit(" and http://www.ref"), (col("doc_id") % 13).cast("string"),
+        lit(".org/x?q=1"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"),
+          explode(expr(s"regexp_extract_all(t2, '$urlRe', 0)")).as("url"))
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "https?://([A-Za-z0-9.-]+)", 1).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy("domain")
+    },
   )
 }

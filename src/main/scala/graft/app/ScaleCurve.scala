@@ -294,12 +294,45 @@ object ScaleCurve {
       },
     )
 
+    // one warmup pass at 1x so JIT/codegen compilation is not billed to
+    // the first measured cell
+    ops.foreach { case (_, f) => f(corpus(1)); () }
+    evOps.foreach { case (_, f) => f(eventsAt(1)); () }
+
+    var ok = true
+    println(f"${"query"}%-36s ${"1x(s)"}%8s ${"4x(s)"}%8s ${"16x(s)"}%8s " +
+      f"${"4x/1x"}%6s ${"16x/4x"}%6s")
+    def measure(name: String, f: DataFrame => Long, at: Int => DataFrame): Unit = {
+      val t = scales.map { k =>
+        // constant rows per shuffle partition across scales — see scaladoc
+        spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * k).toString)
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          f(at(k))
+          (System.nanoTime() - t0) / 1e9
+        }
+        runs.min
+      }
+      val r41 = t(1) / t(0); val r164 = t(2) / t(1)
+      val pass = r41 <= slack * 4 && r164 <= slack * 4
+      ok &&= pass
+      println(f"$name%-36s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f " +
+        f"$r41%6.2f $r164%6.2f ${if (pass) "" else "  <-- SUPER-LINEAR"}")
+    }
+    ops.foreach { case (name, f) => measure(name, f, corpus) }
+    evOps.foreach { case (name, f) => measure(name, f, eventsAt) }
+
     // ---- co-purchase graph replication for the link-prediction cell:
     // disjoint replica graphs (offset vertex ids), identical per-replica
     // wedge structure, so Adamic-Adar candidate generation must scale
     // linearly in replicas. Base graph = a deterministic 10% order slice
     // of sfDir's lineitem (the full sf0.1 graph's 148M wedges would make
     // a 16x cell minutes-long without adding scaling signal).
+    // Prepared + warmed + measured AFTER the long-standing cells: when
+    // this section ran BEFORE them, the extra pre-measurement JVM
+    // history (JIT/codegen/GC state) pushed q38's 16x cell from its
+    // documented ~34 s to 46-55 s on identical binaries — the same
+    // order-dependent shared-JVM class adjudicated in bench_notes_r12.
     val li0 = graft.core.Tables.lineitem(spark, sfDir)
       .filter(pmod(col("l_orderkey"), lit(10)) === 0)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -324,35 +357,7 @@ object ScaleCurve {
         graft.ops.LinkPredict.adamicAdarTopK(d, "u", "v",
           minCommon = 2, topK = 5).count()),
     )
-
-    // one warmup pass at 1x so JIT/codegen compilation is not billed to
-    // the first measured cell
-    ops.foreach { case (_, f) => f(corpus(1)); () }
-    evOps.foreach { case (_, f) => f(eventsAt(1)); () }
-    graphOps.foreach { case (_, f) => f(edgesAt(1)); () }
-
-    var ok = true
-    println(f"${"query"}%-36s ${"1x(s)"}%8s ${"4x(s)"}%8s ${"16x(s)"}%8s " +
-      f"${"4x/1x"}%6s ${"16x/4x"}%6s")
-    def measure(name: String, f: DataFrame => Long, at: Int => DataFrame): Unit = {
-      val t = scales.map { k =>
-        // constant rows per shuffle partition across scales — see scaladoc
-        spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * k).toString)
-        val runs = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          f(at(k))
-          (System.nanoTime() - t0) / 1e9
-        }
-        runs.min
-      }
-      val r41 = t(1) / t(0); val r164 = t(2) / t(1)
-      val pass = r41 <= slack * 4 && r164 <= slack * 4
-      ok &&= pass
-      println(f"$name%-36s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f " +
-        f"$r41%6.2f $r164%6.2f ${if (pass) "" else "  <-- SUPER-LINEAR"}")
-    }
-    ops.foreach { case (name, f) => measure(name, f, corpus) }
-    evOps.foreach { case (name, f) => measure(name, f, eventsAt) }
+    graphOps.foreach { case (_, f) => f(edgesAt(1)); () } // warmup
     graphOps.foreach { case (name, f) => measure(name, f, edgesAt) }
     spark.stop()
     if (!ok) sys.exit(2)

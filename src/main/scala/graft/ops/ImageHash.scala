@@ -158,6 +158,39 @@ object ImageHash {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Incremental near-dup matching: which PROBE hashes are within
+    * `maxHamming` of an already-INDEXED hash? The per-ingest-batch shape
+    * (the multimodal sibling of the q79/q101 incremental text dedup):
+    * the index side persists as 8 (chunk, value, id, hash) rows per
+    * image, a fresh batch joins its own chunks against it — old-new
+    * pairs only, never old-old — and survivors are the probes with no
+    * match. Returns (probe id, matched index id, hamming), one row per
+    * matching pair (first-agreeing-chunk dedup, as the self-join). */
+  def phashMatches(probe: DataFrame, index: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"pigeonhole over 8 chunks is exact only for maxHamming <= 7, got $maxHamming")
+    def chunksOf(df: DataFrame, ids: String, ph: String) =
+      df.select(col(idCol).as(ids), col(hashCol).as(ph),
+        explode(array((0 until 8).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col(hashCol), c * 8).bitwiseAND(0xFFL).as("ch"))
+        }: _*)).as("c"))
+        .select(col(ids), col(ph), col("c.chunk").as("chunk"), col("c.ch").as("ch"))
+    val p = chunksOf(probe, "id_probe", "ph_p")
+    val ix = chunksOf(index, "id_index", "ph_i")
+    val firstCollidingChunk = (0 until 8).reverse
+      .foldLeft(lit(-1)) { (acc, c) =>
+        when(shiftright(col("ph_p"), c * 8).bitwiseAND(0xFFL) ===
+          shiftright(col("ph_i"), c * 8).bitwiseAND(0xFFL), c).otherwise(acc)
+      }
+    p.join(ix, Seq("chunk", "ch"))
+      .filter(col("chunk") === firstCollidingChunk)
+      .withColumn("hamming", bit_count(col("ph_p").bitwiseXOR(col("ph_i"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_probe"), col("id_index"), col("hamming"))
+  }
+
   // ---- deterministic planted-transform corpus (the q221 surface) ------
 
   /** splitmix64 finalizer — the per-image corner-value hash. */

@@ -70,6 +70,20 @@ object Sinks {
     all.filter(col("dt") === latest)
   }
 
+  /** ORC sink/scan (zlib, the ORC default) — the interchange format a
+    * Hive-side consumer asks for; same dt-partition layout as the
+    * parquet gold sink so `readLatestGold`'s pruning story carries over.
+    * Spark bundles the ORC datasource, so the pair closes the
+    * "columnar format the warehouse didn't pick" gap without any new
+    * dependency.
+    */
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("compression", "zlib").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S7: CTAS backup of a registered table (reference
     * data_warehouse.py:191-218) and stats collection for the CBO
     * (the VACUUM/ANALYZE analog).

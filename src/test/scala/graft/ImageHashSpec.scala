@@ -79,4 +79,18 @@ class ImageHashSpec extends SparkSpec {
     val cross = pairs.filter { case (a, b) => a % off != b % off }
     assert(cross.isEmpty, s"distinct bases paired: ${cross.take(5)}")
   }
+
+  test("incremental probe-vs-index matching: every clone hits its own base, only its base") {
+    import org.apache.spark.sql.functions._
+    val off = 1000000L
+    val corpus = ImageHash.plantedPngCorpus(spark, nBase = 120, cloneOffset = off)
+    val hashes = ImageHash.pngHashes(corpus, "media_id", "png")
+    val matches = ImageHash.phashMatches(
+        hashes.filter(col("media_id") >= off), // fresh batch = the clones
+        hashes.filter(col("media_id") < off),  // prior corpus = the bases
+        "media_id", "dhash", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches == (0L until 120L).map(i => (i + off, i)).toSet,
+      s"expected each clone matched to exactly its base; got ${matches.size} pairs")
+  }
 }

@@ -75,4 +75,22 @@ class SinksSpec extends SparkSpec {
     StageCache.cached(spark, base, key)(compute)
     assert(computes == 2)
   }
+
+  test("ORC sink/scan round-trips values, schema, and pushes filters down") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
+    val df = graft.core.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select("c_custkey", "c_name", "c_acctbal")
+    graft.warehouse.Sinks.writeOrc(df, dir)
+    val back = graft.warehouse.Sinks.readOrc(spark, dir)
+    assert(back.schema == df.schema)
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      df.orderBy("c_custkey").collect().toSeq)
+    // predicate pushdown reaches the ORC scan (same contract as parquet)
+    val plan = back.filter(col("c_custkey") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_custkey"),
+      s"expected pushed filter in ORC scan:\n$plan")
+  }
 }
