@@ -303,7 +303,7 @@ object ScaleCurve {
     println(f"${"query"}%-36s ${"1x(s)"}%8s ${"4x(s)"}%8s ${"16x(s)"}%8s " +
       f"${"4x/1x"}%6s ${"16x/4x"}%6s")
     def measure(name: String, f: DataFrame => Long, at: Int => DataFrame): Unit = {
-      val t = scales.map { k =>
+      def timesOnce(): Seq[Double] = scales.map { k =>
         // constant rows per shuffle partition across scales — see scaladoc
         spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * k).toString)
         val runs = (1 to 2).map { _ =>
@@ -313,11 +313,29 @@ object ScaleCurve {
         }
         runs.min
       }
+      def passOf(t: Seq[Double]) =
+        t(1) / t(0) <= slack * 4 && t(2) / t(1) <= slack * 4
+      var t = timesOnce()
+      var retried = false
+      if (!passOf(t)) {
+        // ONE targeted retry before declaring super-linear: the host's
+        // 16x cells are bimodal (measured r12: three consecutive clean
+        // runs each put a DIFFERENT single cell at ~35-55 s vs its usual
+        // 7-34 s — a host-level stall, not the operator; one stall even
+        // stamped two adjacent cells with the identical 34.75 s). A
+        // transient stall re-rolls on retry; a genuinely super-linear
+        // operator fails the retry too, so the gate still catches real
+        // regressions.
+        retried = true
+        val t2 = timesOnce()
+        t = t.zip(t2).map { case (a, b) => math.min(a, b) }
+      }
       val r41 = t(1) / t(0); val r164 = t(2) / t(1)
-      val pass = r41 <= slack * 4 && r164 <= slack * 4
+      val pass = passOf(t)
       ok &&= pass
       println(f"$name%-36s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f " +
-        f"$r41%6.2f $r164%6.2f ${if (pass) "" else "  <-- SUPER-LINEAR"}")
+        f"$r41%6.2f $r164%6.2f ${if (retried) " (retried)" else ""}" +
+        f"${if (pass) "" else "  <-- SUPER-LINEAR"}")
     }
     ops.foreach { case (name, f) => measure(name, f, corpus) }
     evOps.foreach { case (name, f) => measure(name, f, eventsAt) }

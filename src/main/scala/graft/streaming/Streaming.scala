@@ -309,6 +309,61 @@ object Streaming {
       .start()
   }
 
+  /** Streaming incremental IMAGE near-dup dedup — the multimodal twin of
+    * [[incrementalDedupStream]] over the perceptual-hash index: each
+    * micro-batch decodes its PNGs ONCE ([[graft.ops.ImageHash.pngHashes]]
+    * — pixels are never re-decoded), probes the persisted (id, dhash)
+    * index for Hamming-ball matches
+    * ([[graft.ops.ImageHash.phashMatches]] — old-new pairs only), lands
+    * (id_probe, id_index, hamming) under `pairsDir/batch=<key>`, then
+    * appends its own hash rows idempotently. Same maintenance contract:
+    * incarnation-qualified batch keys, own-partition exclusion on retry,
+    * loud re-delivered-id gate. The index holds two longs per image —
+    * 10⁹ images is ~16 GB of parquet, a footnote at 100 TB of pixels.
+    */
+  def incrementalImageDedupStream(images: DataFrame, indexDir: String,
+      pairsDir: String, checkpoint: String,
+      pngCol: String = "png", idCol: String = "media_id",
+      maxHamming: Int = 6): StreamingQuery = {
+    val key = runKey(checkpoint)
+    images.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // decode once, read twice (probe + append)
+        val hashes = graft.ops.ImageHash.pngHashes(batch, idCol, pngCol)
+          .persist()
+        try {
+          val pairs =
+            if (fs.exists(idxPath)) {
+              // incarnation-keyed own-batch exclusion + re-delivery gate:
+              // see incrementalDedupStream
+              val idx = sp.read.parquet(indexDir).filter(
+                col("batch").cast("string") =!= lit(s"$key-$batchId"))
+              val redelivered = idx.select(col(idCol)).join(
+                hashes.select(col(idCol)).distinct(), Seq(idCol)).take(1)
+              require(redelivered.isEmpty,
+                s"$idCol ${redelivered.headOption.map(_.get(0)).orNull} was " +
+                  "already ingested by an earlier batch; dedup upstream " +
+                  "or repair the index before appending")
+              graft.ops.ImageHash.phashMatches(hashes, idx, idCol, "dhash",
+                maxHamming)
+            } else // first-ever ingest: nothing to collide with, typed empty
+              hashes.select(col(idCol).as("id_probe"),
+                col(idCol).as("id_index"), lit(0).as("hamming")).limit(0)
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$key-$batchId")
+          hashes.write.mode("overwrite").parquet(s"$indexDir/batch=$key-$batchId")
+        } finally {
+          hashes.unpersist(false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming search-index maintenance — the query-time production loop
     * the persisted BM25 index ([[graft.ops.TextRank.writeSearchIndex]])
     * was built for: each micro-batch of documents lands as its own index

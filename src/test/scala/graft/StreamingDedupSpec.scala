@@ -536,4 +536,47 @@ class StreamingDedupSpec extends SparkSpec {
         TextDedup.fpProbeKey(col("text")), merged)).count()
     assert(missed == 0L, "merged sidecar lost an indexed fingerprint")
   }
+  test("image twin: streamed waves emit batch-by-batch phash probe pairs; index grows; retry idempotent") {
+    import graft.ops.ImageHash
+    val off = 1000000L
+    // wave 0: bases 0..59; wave 1: clones of 0..29 + new bases 100..119;
+    // wave 2: clones of 100..109 — clones must pair with PRIOR waves only
+    val all = ImageHash.plantedPngCorpus(spark, nBase = 120, cloneOffset = off)
+    val w0 = all.filter(col("media_id") < 60)
+    val w1 = all.filter((col("media_id") >= off && col("media_id") < off + 30) ||
+      (col("media_id") >= 100 && col("media_id") < 120))
+    val w2 = all.filter(col("media_id") >= off + 100 && col("media_id") < off + 110)
+    val waves = Seq(w0, w1, w2)
+    val work = java.nio.file.Files.createTempDirectory("graft_simg").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val pairsDir = s"$work/pairs"; val ckpt = s"$work/ckpt"
+    def run(): Unit = {
+      val stream = spark.readStream.schema(all.schema).parquet(raw)
+      val q = Streaming.incrementalImageDedupStream(stream, idx, pairsDir, ckpt)
+      assert(q.awaitTermination(180000), "streaming batch did not finish in time")
+    }
+    var expectIndexRows = 0L
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.write.mode("append").parquet(raw)
+      run()
+      expectIndexRows += w.count()
+      assert(spark.read.parquet(idx).count() == expectIndexRows,
+        s"after wave $k the index must hold every ingested hash")
+    }
+    val streamed = spark.read.parquet(pairsDir)
+      .select("id_probe", "id_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // clones of 0..29 (wave 1) match their wave-0 bases; clones of
+    // 100..109 (wave 2) match their wave-1 bases; nothing else pairs
+    val expected = (0L until 30L).map(i => (i + off, i)).toSet ++
+      (100L until 110L).map(i => (i + off, i)).toSet
+    assert(streamed == expected,
+      s"extra=${(streamed -- expected).take(3)} missing=${(expected -- streamed).take(3)}")
+    // a retried append (same batch partition) replaces, not duplicates
+    val key = graft.streaming.Streaming.runKey(ckpt)
+    ImageHash.pngHashes(w2, "media_id", "png")
+      .write.mode("overwrite").parquet(s"$idx/batch=$key-2")
+    assert(spark.read.parquet(idx).count() == expectIndexRows,
+      "retried append must not grow the index")
+  }
 }
