@@ -4043,5 +4043,133 @@ object StatQueries {
           (col("t_between") + col("t_within")).as("theil_total"))
         .orderBy("nationkey")
     },
+
+    // ---- RFM segmentation (the classic CRM cube the reference's churn
+    // features quantize one axis at a time): recency/frequency/monetary
+    // quintiles over ordering customers, each via the DISTRIBUTED exact
+    // NTILE (three [[globalRank]] passes — three more consumers of the
+    // deterministic boundary-literal path), segment = "r-f-m" string,
+    // per-segment counts + exact monetary stats. All-integer inputs
+    // (days, counts, cents); no single-task global window anywhere.
+    QueryDef(
+      "q228_rfm_segments",
+      Some("""
+        WITH cut AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+        c AS (
+          SELECT o_custkey AS ck,
+                 date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT mx FROM cut)) AS recency_days,
+                 CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary
+          FROM orders GROUP BY o_custkey
+        ), q AS (
+          SELECT ck, recency_days, freq, monetary,
+                 NTILE(5) OVER (ORDER BY recency_days, ck) AS r_q,
+                 NTILE(5) OVER (ORDER BY freq, ck) AS f_q,
+                 NTILE(5) OVER (ORDER BY monetary, ck) AS m_q
+          FROM c
+        )
+        SELECT r_q || '-' || f_q || '-' || m_q AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(MIN(monetary) AS BIGINT) AS min_cents,
+               CAST(MAX(monetary) AS BIGINT) AS max_cents,
+               CAST(SUM(monetary) AS BIGINT) AS sum_cents
+        FROM q GROUP BY 1 ORDER BY segment"""),
+    ) { (s, dir) =>
+      val cut = Tables.orders(s, dir)
+        .agg(max(col("o_orderdate").cast("date")).as("mx"))
+      val c = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_o"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
+            .as("monetary"))
+        .crossJoin(broadcast(cut)) // stat-broadcast scalar (SURVEY §4.1)
+        .select(col("ck"), datediff(col("mx"), col("last_o")).as("recency_days"),
+          col("freq"), col("monetary"))
+      val nTot = c.agg(count(lit(1)).as("n_all"))
+      // three chained rank passes; each adds its quintile then drops rn
+      def addQ(df: org.apache.spark.sql.DataFrame, v: String, out: String) =
+        globalRank(df, Seq(col(v), col("ck")))
+          .crossJoin(broadcast(nTot))
+          .withColumn(out, ntileFromRank(col("rn"), col("n_all"), 5).cast("int"))
+          .drop("rn", "n_all")
+      val q = addQ(addQ(addQ(c, "recency_days", "r_q"), "freq", "f_q"),
+        "monetary", "m_q")
+      q.select(concat_ws("-", col("r_q"), col("f_q"), col("m_q")).as("segment"),
+          col("monetary"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_cust"),
+          min("monetary").as("min_cents"), max("monetary").as("max_cents"),
+          sum("monetary").cast("long").as("sum_cents"))
+        .orderBy("segment")
+    },
+
+    // ---- exact median inter-order gap per market segment (order-cadence
+    // distribution — the time-between-purchases statistic retention
+    // models bin on). Gaps are integer DAYS, so the scale-safe shape is
+    // value-grouped counts + a per-segment prefix sum over ≤ a few
+    // thousand DISTINCT gap values (never a per-row window): median =
+    // the DuckDB-interpolating average of the two middle ranks, selected
+    // by cumulative count. Exact integers until the final /2.
+    QueryDef(
+      "q229_order_gap_median",
+      Some("""
+        WITH o AS (
+          SELECT c_mktsegment AS segment, o_custkey AS ck,
+                 CAST(o_orderdate AS DATE) AS d,
+                 lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS pd
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ), g AS (
+          SELECT segment, date_diff('day', pd, d) AS gap
+          FROM o WHERE pd IS NOT NULL
+        ), vc AS (
+          SELECT segment, gap, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM g GROUP BY segment, gap
+        ), cm AS (
+          SELECT segment, gap, cnt,
+                 SUM(cnt) OVER (PARTITION BY segment ORDER BY gap) AS cum,
+                 SUM(cnt) OVER (PARTITION BY segment) AS n
+          FROM vc
+        ), med AS (
+          SELECT segment, MAX(n) AS n_gaps,
+                 MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS lo,
+                 MIN(CASE WHEN cum >= n // 2 + 1 THEN gap END) AS hi
+          FROM cm GROUP BY segment
+        )
+        SELECT segment, CAST(n_gaps AS BIGINT) AS n_gaps,
+               CAST(lo AS BIGINT) AS median_lo, CAST(hi AS BIGINT) AS median_hi,
+               (CAST(lo AS DOUBLE) + CAST(hi AS DOUBLE)) / 2 AS median_gap_days
+        FROM med ORDER BY segment"""),
+    ) { (s, dir) =>
+      val w = Window.partitionBy("ck").orderBy(col("d"), col("o_orderkey"))
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_custkey").as("ck"),
+          col("o_orderdate").cast("date").as("d"), col("o_orderkey"))
+        .withColumn("pd", lag("d", 1).over(w))
+      val g = o.filter(col("pd").isNotNull)
+        .select(col("segment"), datediff(col("d"), col("pd")).as("gap"))
+      val vc = g.groupBy("segment", "gap").agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("segment").orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wn = Window.partitionBy("segment")
+      val cm = vc.withColumn("cum", sum("cnt").over(wc))
+        .withColumn("n", sum("cnt").over(wn))
+      // rank thresholds as cross-multiplied integers (no division at
+      // all): lo = value at rank ceil(n/2)  <=>  2·cum >= n;
+      //        hi = value at rank floor(n/2)+1  <=>  2·cum >= n+1
+      val med = cm.groupBy("segment").agg(
+        max("n").as("n_gaps"),
+        min(when(col("cum") * 2 >= col("n"), col("gap"))).as("lo"),
+        min(when(col("cum") * 2 >= col("n") + 1, col("gap"))).as("hi"))
+      med.select(col("segment"), col("n_gaps").cast("long").as("n_gaps"),
+          col("lo").cast("long").as("median_lo"),
+          col("hi").cast("long").as("median_hi"),
+          ((col("lo").cast("double") + col("hi").cast("double")) / 2)
+            .as("median_gap_days"))
+        .orderBy("segment")
+    },
   )
 }

@@ -1439,4 +1439,49 @@ class StatQueriesSpec extends SparkSpec {
       assert(h == expect, s"user $u")
     }
   }
+
+  test("q227: Theil decomposition T = T_between + sum(share_g * T_g); shares sum to 1") {
+    val rows = run("q227_theil_index").collect()
+    assert(rows.length == 25)
+    val shares = rows.map(_.getDouble(4))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val tb = rows.head.getDouble(5); val tw = rows.head.getDouble(6)
+    val tt = rows.head.getDouble(7)
+    assert(tt == tb + tw)
+    assert(tb >= -1e-9 && tw >= -1e-9, "Theil components are non-negative")
+    // T_within is the share-weighted sum of the per-nation Theils (up to
+    // the 6dp decimal summation the engine and oracle share)
+    val direct = rows.map(r => r.getDouble(4) * r.getDouble(3)).sum
+    assert(math.abs(tw - direct) < 1e-5)
+  }
+
+  test("q228: RFM segments partition ordering customers; labels in 1..5") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q228_rfm_segments").collect()
+    val nOrdering = graft.core.Tables.orders(spark, dir)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nOrdering,
+      "segments must partition the ordering customers")
+    rows.foreach { r =>
+      val parts = r.getString(0).split("-").map(_.toInt)
+      assert(parts.length == 3 && parts.forall(p => p >= 1 && p <= 5))
+      assert(r.getLong(2) <= r.getLong(3), "min<=max monetary per segment")
+    }
+  }
+
+  test("q229: median gap brackets per segment; gap count identity") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q229_order_gap_median").collect()
+    assert(rows.length == 5)
+    val orders = graft.core.Tables.orders(spark, dir)
+    val nOrders = orders.count()
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nOrders - nCust,
+      "every customer contributes exactly (orders-1) gaps")
+    rows.foreach { r =>
+      val lo = r.getLong(2); val hi = r.getLong(3); val m = r.getDouble(4)
+      assert(lo <= hi && m == (lo + hi) / 2.0)
+      assert(lo >= 0, "gaps are non-negative days")
+    }
+  }
 }
