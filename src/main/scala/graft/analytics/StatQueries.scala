@@ -78,9 +78,11 @@ object StatQueries {
 
   /** DETERMINISTIC equi-depth slice id for a distributed total order:
     * the replacement for sampled `repartitionByRange` partition ids.
-    * `bucketKey` must be a non-null numeric column monotone
-    * NON-DECREASING in the caller's sort order (negate it for a
-    * descending primary key); rows with equal keys always share a slice.
+    * `bucketKey` must be a non-null, FINITE (no NaN/Inf — their slice-0
+    * fallback would disagree with Spark's NaN-last sort order) numeric
+    * column monotone NON-DECREASING in the caller's sort order (negate
+    * it for a descending primary key); rows with equal keys always
+    * share a slice.
     *
     * Two exact passes over `df` — (min, max, count), then a fixed
     * 4096-bin equi-width histogram of the key — are collected on the
@@ -4119,7 +4121,7 @@ object StatQueries {
           SELECT c_mktsegment AS segment, o_custkey AS ck,
                  CAST(o_orderdate AS DATE) AS d,
                  lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey) AS pd
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS pd
           FROM orders JOIN customer ON o_custkey = c_custkey
         ), g AS (
           SELECT segment, date_diff('day', pd, d) AS gap

@@ -437,6 +437,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("row-local kernels stay shuffle-free: html_to_text and PII redaction") {
+    // the 100 TB claim for the stage-0 kernels is ZERO data movement:
+    // scan → project(kernel) → the dump's final sort. Exactly one
+    // exchange (the output ordering), no join, no aggregate.
+    Seq("q222_html_text_extract", "q223_pii_redaction").foreach { name =>
+      val p = plan(name)
+      val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= 1, s"$name grew $exchanges exchanges (want <=1, the output sort)")
+      assert(!p.contains("Join"), s"$name must not join")
+      assert(!p.contains("HashAggregate"), s"$name must not aggregate")
+    }
+    // the URL ledger is one explode + ONE domain-keyed aggregation
+    val p = plan("q225_url_domains")
+    assert(!p.contains("Join"), "q225 must not join")
+    assert(p.contains("Generate"), "q225 lost its URL explode")
+  }
+
   test("Adamic-Adar wedges close as equi-joins with a blocked hot-hub branch") {
     val p = plan("q201_adamic_adar")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
