@@ -368,11 +368,18 @@ object DedupQueries {
       val probe = hashes.filter(col("media_id") >= off) // the fresh batch
       val matches = ImageHash.phashMatches(probe, index,
         "media_id", "dhash", maxHamming = 6)
+      // BEST match per probe (min hamming, then smallest index id): a
+      // probe inside the ball of SEVERAL indexed images would otherwise
+      // fan out to one row per match and break the one-row-per-probe
+      // contract (round-12 review finding)
+      val best = matches.groupBy(col("id_probe").as("media_id"))
+        .agg(min(struct(col("hamming"), col("id_index"))).as("_b"))
+        .select(col("media_id"), col("_b.id_index").as("dup_of"),
+          col("_b.hamming").as("hamming"))
       // one row per probe: its matched base (or NULL = survivor)
       probe.select("media_id")
-        .join(matches.withColumnRenamed("id_probe", "media_id"),
-          Seq("media_id"), "left")
-        .select(col("media_id"), col("id_index").as("dup_of"), col("hamming"))
+        .join(best, Seq("media_id"), "left")
+        .select(col("media_id"), col("dup_of"), col("hamming"))
         .orderBy("media_id")
     },
   )

@@ -54,9 +54,14 @@ object CorpusPipeline {
       regexp_replace(regexp_replace(regexp_replace(col("text"),
         lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;")),
       lit("</p><footer><a href=\"/t\">Terms</a></footer></body></html>"))
+    // persisted: the extraction kernel feeds FOUR actions (round-trip
+    // gate, maxId agg, the JSONL landing write, the funnel report) and
+    // would otherwise re-run per action (review finding)
     val extracted = rawDocs
       .withColumn("_html", pageHtml)
       .withColumn("_extracted", graft.functions.HtmlExtract.htmlToText(col("_html")))
+      .persist()
+    val nPages = extracted.count()
     val nExtractBad = extracted.filter(col("_extracted") =!=
       trim(regexp_replace(col("text"), lit("\\s+"), lit(" ")))).count()
     val docs = extracted
@@ -75,6 +80,7 @@ object CorpusPipeline {
       .unionByName(spark.range(nCorrupt).select(
         concat(lit("{\"doc_id\": "), col("id"), lit(", \"text\": ")).as("line")))
     jsonLines.coalesce(4).write.mode("overwrite").text(jsonlDir)
+    extracted.unpersist(false)
 
     // ---- stage 1: schema-enforced ingest with quarantine
     val schema = new StructType()
@@ -283,7 +289,7 @@ object CorpusPipeline {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""
       |== graft corpus pipeline ==
-      |html extraction:   ${extracted.count()} pages -> text ($nExtractBad round-trip mismatches)
+      |html extraction:   $nPages pages -> text ($nExtractBad round-trip mismatches)
       |jsonl ingest:      $nIngested good, $nQuarantined quarantined
       |quality filter:    $nIngested -> $nKept  (dropped: $reasonCounts)
       |exact dedup:       $nKept -> $nExact

@@ -122,6 +122,21 @@ object HtmlExtract {
         if (s.regionMatches(false, i, "<!--", 0, 4)) {
           val end = s.indexOf("-->", i + 4)
           i = if (end < 0) n else end + 3
+        } else if (s.regionMatches(false, i, "<![CDATA[", 0, 9)) {
+          // CDATA payload is literal text (XHTML); the wrapper is markup
+          val end = s.indexOf("]]>", i + 9)
+          val stop = if (end < 0) n else end
+          var k = i + 9
+          while (k < stop) { appendText(s.charAt(k)); k += 1 }
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          // markup declarations and processing instructions — <!DOCTYPE
+          // html>, <?xml ...?> — are markup, not text: every real crawled
+          // page starts with one, and leaking it verbatim polluted the
+          // extracted corpus text (round-12 review finding)
+          var k = i + 2
+          while (k < n && s.charAt(k) != '>') k += 1
+          i = math.min(k + 1, n)
         } else {
           // tag: read the name, then scan to '>' honoring quotes
           var j = i + 1
@@ -133,14 +148,17 @@ object HtmlExtract {
           var quote: Char = 0
           var k = j
           var done = false
+          var lastSolid: Char = 0 // last non-space char before '>' (outside quotes)
           while (k < n && !done) {
             val ch = s.charAt(k)
             if (quote != 0) { if (ch == quote) quote = 0 }
-            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '"' || ch == '\'') { quote = ch; lastSolid = ch }
             else if (ch == '>') done = true
+            else if (!isWs(ch)) lastSolid = ch
             k += 1
           }
           val afterTag = if (done) k else n
+          val selfClosing = done && lastSolid == '/'
           if (name.isEmpty) {
             // stray '<' that is not a tag: literal text
             appendText('<')
@@ -153,8 +171,11 @@ object HtmlExtract {
               i = skipToCloseTag(name, afterTag)
             } else {
               if (name == "a") {
+                // a self-closing <a/> opens nothing: counting it would
+                // leave linkDepth stuck >0 and silently classify the
+                // whole rest of the document as link text (review finding)
                 if (closing) linkDepth = math.max(0, linkDepth - 1)
-                else linkDepth += 1
+                else if (!selfClosing) linkDepth += 1
               }
               if (BlockTags.contains(name)) flushBlock()
               i = afterTag

@@ -63,6 +63,20 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("""<div><a href="/x">ab</a>cdef</div>""") == "")
   }
 
+  test("doctype/PI/CDATA are markup, self-closing anchors don't poison link depth") {
+    // every real crawled page starts with a doctype — it must never leak
+    assert(extract("<!DOCTYPE html><html><body><p>Hi</p></body></html>") == "Hi")
+    assert(extract("""<?xml version="1.0"?><p>x</p>""") == "x")
+    // CDATA wrapper is markup, payload is literal text
+    assert(extract("<p>a <![CDATA[b <raw> c]]> d</p>") == "a b <raw> c d")
+    assert(extract("<p>tail <![CDATA[never closed") == "tail never closed")
+    // a self-closing <a/> opens nothing: later text is NOT link text
+    assert(extract(
+      """<p><a href="/x"/>all of this body text must survive the density rule
+        | because the anchor closed itself</p>""".stripMargin)
+      .startsWith("all of this body text"))
+  }
+
   test("interpreted path (codegen off) agrees with codegen path") {
     import spark.implicits._
     val html = Seq(
