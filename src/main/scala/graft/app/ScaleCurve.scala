@@ -386,6 +386,40 @@ object ScaleCurve {
     )
     graphOps.foreach { case (_, f) => f(edgesAt(1)); () } // warmup
     graphOps.foreach { case (name, f) => measure(name, f, edgesAt) }
+
+    // ---- multimodal replication: k× more planted-clone images/audio
+    // (disjoint id spaces, one clone per base) — decode + hash is
+    // row-local and the pigeonhole pair join is keyed on 8 chunk rows
+    // per item, so both cells must scale linearly in corpus size
+    scales.foreach { k =>
+      graft.ops.ImageHash.plantedPngCorpus(spark, nBase = 150 * k)
+        .write.mode("overwrite").parquet(s"$work/img_x$k")
+      graft.ops.AudioHash.plantedWavCorpus(spark, nBase = 300 * k)
+        .write.mode("overwrite").parquet(s"$work/wav_x$k")
+      ()
+    }
+    def imagesAt(k: Int): DataFrame = spark.read.parquet(s"$work/img_x$k")
+    def wavsAt(k: Int): DataFrame = spark.read.parquet(s"$work/wav_x$k")
+    val mediaOps: Seq[(String, DataFrame => Long)] = Seq(
+      "q221_image_phash(images)" -> { d =>
+        val n = graft.ops.ImageHash.phashNearDups(
+          graft.ops.ImageHash.pngHashes(d, "media_id", "png"),
+          "media_id", "dhash", maxHamming = 6).count()
+        d.sparkSession.catalog.clearCache()
+        n
+      },
+      "q224_audio_fp(wavs)" -> { d =>
+        val n = graft.ops.AudioHash.fingerprintNearDups(
+          graft.ops.AudioHash.wavHashes(d, "media_id", "wav"),
+          "media_id", maxHamming = 6).count()
+        d.sparkSession.catalog.clearCache()
+        n
+      },
+    )
+    def mediaAt(name: String): Int => DataFrame =
+      if (name.contains("audio")) wavsAt else imagesAt
+    mediaOps.foreach { case (name, f) => f(mediaAt(name)(1)); () } // warmup
+    mediaOps.foreach { case (name, f) => measure(name, f, mediaAt(name)) }
     spark.stop()
     if (!ok) sys.exit(2)
   }
