@@ -144,6 +144,30 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    // ---- dedup cluster-SIZE distribution: the curation ledger "how
+    // much mass does near-dup dedup remove" — per cluster size, how many
+    // clusters and how many documents (size 1 = unique docs; Σ n_docs =
+    // corpus). q55's cluster assignment + two aggregations; the oracle
+    // replays the full hash→band→star→component chain in recursive SQL
+    // and folds it the same way.
+    QueryDef("q230_dedup_cluster_sizes",
+      Some(DuckXxh.minhashClusterSizesOracle(numHashes = 128, bands = 8)),
+    ) { (s, dir) =>
+      // DEDUP banding (8 bands x 16 rows, J ~ 0.88 — the CorpusPipeline
+      // stage-4 setting): the q55 analysis default (32x4, J ~ 0.42)
+      // transitively chains this corpus into ONE 500-doc cluster, which
+      // makes a size DISTRIBUTION degenerate by construction
+      val clusters = TextDedup.minhashDedupClusters(
+        Tables.documents(s, dir), "text", "doc_id",
+        numHashes = 128, bands = 8)
+      val sz = clusters.groupBy("cluster_rep")
+        .agg(count(lit(1)).as("cluster_size"))
+      sz.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size") * count(lit(1))).as("n_docs"))
+        .orderBy("cluster_size")
+    },
+
     // ---- exact-substring near-dup pairs via winnowing (the MOSS
     // blocking scheme): pairs sharing >= 2 winnow-SELECTED char 12-grams,
     // compared as strings — any pair sharing a >= w+k-1 = 21-char

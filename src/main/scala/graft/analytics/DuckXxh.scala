@@ -241,6 +241,26 @@ private[analytics] object DuckXxh {
       "\nSELECT id, min(lab) AS cluster_rep FROM reach GROUP BY id ORDER BY id"
   }
 
+  /** The q230 oracle: the q55 cluster assignment folded to its SIZE
+    * DISTRIBUTION — per cluster size, how many clusters and how many
+    * documents. Same recursive-CTE component chain, two more
+    * aggregations. */
+  def minhashClusterSizesOracle(numHashes: Int = 128, bands: Int = 32): String = {
+    val ctes = bucketsCtes(numHashes, bands) ++ Seq(
+      "withrep AS MATERIALIZED (SELECT doc_id, min(doc_id) OVER (PARTITION BY b, bh) AS rep FROM buckets)",
+      "star AS MATERIALIZED (SELECT DISTINCT doc_id AS src, rep AS dst FROM withrep WHERE doc_id != rep)",
+      "sym AS MATERIALIZED (SELECT src, dst FROM star UNION SELECT dst, src FROM star)",
+      reachSql("SELECT doc_id AS id FROM documents", "sym"),
+      "clus AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)",
+      "sz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM clus GROUP BY rep)",
+    )
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      """
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sz GROUP BY cluster_size ORDER BY cluster_size"""
+  }
+
   /** The q38 oracle: MinHash-LSH near-dup pairs — candidates share ≥1
     * band bucket, verified by exact token-set Jaccard ≥ threshold
     * (mirrors [[graft.ops.TextDedup.minhashNearDups]]; Jaccard over the
