@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17's 240 MB default code cache churns under a multi-hundred-
+  // query codegen session (the adjudicated r12 bench-swing mechanism);
+  // 1 GiB holds the whole suite's JIT output without flushing
+  "-XX:ReservedCodeCacheSize=1g",
 )

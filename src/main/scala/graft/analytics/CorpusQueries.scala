@@ -756,9 +756,13 @@ object CorpusQueries {
     // token, a broken entity, a dropped body block) hash-mismatches.
     QueryDef(
       "q222_html_text_extract",
+      // explicit whitespace class, not RE2 '\s': the kernel's isWs
+      // matches Java \s INCLUDING vertical tab \x0B, which RE2's \s
+      // excludes — a document containing \x0B would hash-mismatch
+      // (ADVICE r12, low; the q223/q225 RE2-identical-subset discipline)
       Some(raw"""
         SELECT doc_id,
-               trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_out
+               trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text_out
         FROM documents ORDER BY doc_id"""),
     ) { (s, dir) =>
       val esc = (c: org.apache.spark.sql.Column) =>

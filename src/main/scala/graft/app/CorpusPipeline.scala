@@ -62,8 +62,10 @@ object CorpusPipeline {
       .withColumn("_extracted", graft.functions.HtmlExtract.htmlToText(col("_html")))
       .persist()
     val nPages = extracted.count()
+    // explicit class == the kernel's isWs definition (incl. \x0B), so
+    // the gate and the q222 oracle share one whitespace alphabet
     val nExtractBad = extracted.filter(col("_extracted") =!=
-      trim(regexp_replace(col("text"), lit("\\s+"), lit(" ")))).count()
+      trim(regexp_replace(col("text"), lit("[ \\t\\n\\x0B\\f\\r]+"), lit(" ")))).count()
     val docs = extracted
       .select(col("doc_id"), col("_extracted").as("text"),
         col("lang"), col("source"))

@@ -99,16 +99,28 @@ object HtmlExtract {
     }
 
     // case-insensitive search for `</name` from `from`; returns the index
-    // AFTER the closing '>' of that end tag (or n if unterminated)
-    def skipToCloseTag(name: String, from: Int): Int = {
+    // AFTER the closing '>' of that end tag (or n if unterminated).
+    // `stopAtOpen` (when non-null) mirrors real parsers' implicit-close
+    // rule: an opening `<stopAtOpen` tag ends the skip AT the '<' so the
+    // tag itself is then processed normally — an unterminated <head> on
+    // a malformed crawled page must not swallow the whole body
+    // (ADVICE r12, low).
+    def skipToCloseTag(name: String, from: Int, stopAtOpen: String = null): Int = {
       var i = from
       val target = "</" + name
+      val stop = if (stopAtOpen == null) null else "<" + stopAtOpen
       while (i < n) {
-        if (s.charAt(i) == '<' && i + target.length <= n &&
-          s.regionMatches(true, i, target, 0, target.length)) {
-          var j = i + target.length
-          while (j < n && s.charAt(j) != '>') j += 1
-          return math.min(j + 1, n)
+        if (s.charAt(i) == '<') {
+          if (i + target.length <= n &&
+            s.regionMatches(true, i, target, 0, target.length)) {
+            var j = i + target.length
+            while (j < n && s.charAt(j) != '>') j += 1
+            return math.min(j + 1, n)
+          }
+          if (stop != null && i + stop.length <= n &&
+            s.regionMatches(true, i, stop, 0, stop.length) &&
+            (i + stop.length == n || !s.charAt(i + stop.length).isLetterOrDigit))
+            return i
         }
         i += 1
       }
@@ -168,7 +180,7 @@ object HtmlExtract {
               i = skipToCloseTag(name, afterTag)
             } else if (!closing && name == "head") {
               flushBlock()
-              i = skipToCloseTag(name, afterTag)
+              i = skipToCloseTag(name, afterTag, stopAtOpen = "body")
             } else {
               if (name == "a") {
                 // a self-closing <a/> opens nothing: counting it would

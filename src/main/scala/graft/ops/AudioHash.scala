@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object AudioHash {
 
-  /** 64-bit energy-derivative fingerprint; 0L when fewer than 130
-    * samples (65 frames of ≥2). */
+  /** 64-bit energy-derivative fingerprint. 0L is a RESERVED sentinel
+    * returned when the clip is too short to frame (fewer than 130
+    * samples = 65 frames of ≥2); [[wavHashes]] treats such clips like
+    * undecodable payloads (quarantine) — keeping them would pair every
+    * short clip with every other at Hamming 0 and collapse them into
+    * one false near-dup cluster (ADVICE r12, medium). */
   def energyHash64(samples: Array[Int]): Long = {
     val frames = 65
     val flen = samples.length / frames
@@ -53,7 +57,10 @@ object AudioHash {
 
   /** Decode + hash a WAV corpus: (id, wav binary) → (id, ahash64).
     * Row-local binary work via mapPartitions (the sanctioned multimodal
-    * decode shape); undecodable payloads are dropped (quarantine path).
+    * decode shape); undecodable payloads AND too-short-to-frame clips
+    * (< 130 samples, the [[energyHash64]] 0L sentinel) are dropped to
+    * the same quarantine path — a frameless clip carries no signal, and
+    * keeping the sentinel would cluster all short clips together.
     */
   def wavHashes(audio: DataFrame, idCol: String, wavCol: String): DataFrame = {
     val spark = audio.sparkSession
@@ -61,8 +68,9 @@ object AudioHash {
     audio.select(col(idCol).cast("long"), col(wavCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, wav) =>
-        Multimodal.parseWavPcm(wav).map { case (_, _, samples) =>
-          (id, energyHash64(samples))
+        Multimodal.parseWavPcm(wav).collect {
+          case (_, _, samples) if samples.length >= 130 =>
+            (id, energyHash64(samples))
         }
       })
       .toDF(idCol, "fp")

@@ -38,6 +38,18 @@ import org.apache.spark.sql.functions._
   */
 object LinkPredict {
 
+  /** Memoized cached adjacency per (session, canonicalized edge plan):
+    * the ADVICE r12 leak was one orphaned MEMORY_ONLY frame PER
+    * invocation for the session lifetime; keying the cache on the input
+    * plan bounds it to one entry per distinct edge set (the
+    * logregScored/sliceMemo pattern) and repeated invocations — the
+    * Verify/Bench/ScaleCurve shape — reuse the same blocks. Eviction or
+    * an external clearCache() recomputes identical values (the frame is
+    * a pure join of exact aggregates). */
+  private val adjMemo =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, DataFrame]
+  private[graft] def resetAdjMemo(): Unit = adjMemo.clear()
+
   /** Top-`topK` Adamic-Adar candidates per left vertex over the
     * undirected graph `edges` (one row per edge, `uCol` < `vCol`,
     * distinct). Score in integer micro-units: Σ_w round(10⁶ / ln deg w)
@@ -57,8 +69,12 @@ object LinkPredict {
     // is born with each wedge — the wedge table (the biggest frame in
     // the job) never joins the degree table at all
     val deg = sym.groupBy("u").agg(count(lit(1)).cast("int").as("_cdeg"))
-    val adj = sym.join(deg.withColumnRenamed("u", "v"), "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val adjPlain = sym.join(deg.withColumnRenamed("u", "v"), "v")
+    val adj = adjMemo.computeIfAbsent(
+      (edges.sparkSession, adjPlain.queryExecution.analyzed.canonicalized),
+      _ => adjPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    if (adj.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val aaOf = (cdeg: org.apache.spark.sql.Column) =>
       round(lit(1000000) / log(cdeg)).cast("long")
     // HOT/COLD split on the center degree — the AQE-skew-join pattern,
@@ -95,9 +111,35 @@ object LinkPredict {
       .filter(col("_ua") < col("_ub"))
       .select(col("_ua").as("a"), col("_ub").as("b"),
         aaOf(col("_cdeg")).as("_aa"))
-    val cand = coldWedges.unionByName(hotWedges).groupBy("a", "b")
-      .agg(count(lit(1)).as("cn"), sum("_aa").cast("long").as("aa_micro"))
-      .filter(col("cn") >= minCommon)
+    // wedge aggregation key: the wedge table is the biggest frame in the
+    // job (148M rows at sf0.1), so when both endpoint ids fit in 31 bits
+    // pack (a, b) into ONE 64-bit key — half the shuffle key bytes and a
+    // single-long grouping for the partial/final hash aggregate (VERDICT
+    // r12 task 3). The id-width probe is one column-pruned agg over the
+    // EDGE list (graph-sized, not wedge-sized); ids beyond 31 bits (or
+    // negative) keep the exact two-column key — a 20B-vertex graph at
+    // 100 TB must not silently alias.
+    val wedges = coldWedges.unionByName(hotWedges)
+    val idStats = e.agg(max(greatest(col("u"), col("v"))).cast("long").as("mx"),
+      min(least(col("u"), col("v"))).cast("long").as("mn")).head()
+    val packable = !idStats.isNullAt(0) &&
+      idStats.getLong(1) >= 0L && idStats.getLong(0) < (1L << 31)
+    val cand = if (packable) {
+      // projection collapses below the union, so the map side of the
+      // aggregate exchange carries (pk, _aa) only
+      wedges.select((shiftleft(col("a").cast("long"), 32) +
+          col("b").cast("long")).as("_pk"), col("_aa"))
+        .groupBy("_pk")
+        .agg(count(lit(1)).as("cn"), sum("_aa").cast("long").as("aa_micro"))
+        .filter(col("cn") >= minCommon)
+        .select(shiftright(col("_pk"), 32).as("a"),
+          col("_pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
+          col("cn"), col("aa_micro"))
+    } else {
+      wedges.groupBy("a", "b")
+        .agg(count(lit(1)).as("cn"), sum("_aa").cast("long").as("aa_micro"))
+        .filter(col("cn") >= minCommon)
+    }
     val unlinked = cand
       .join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
     val w = Window.partitionBy("a")

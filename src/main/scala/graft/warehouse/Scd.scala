@@ -62,12 +62,16 @@ object Scd {
       require(dup.isEmpty,
         s"change batch holds key ${dup.headOption.map(_.get(0)).orNull} more than " +
           "once; dedup the batch (latest-wins) before applying")
-      // a NULL natural key can never match a member (SQL equality) —
-      // applying it would "insert" a NULL-keyed ghost version; reject
-      // loudly (same definitely-true discipline as purge/mergeUpsert)
-      require(changes.filter(col(keyCol).isNull).take(1).isEmpty,
-        s"change batch holds a NULL $keyCol; a NULL key matches no member")
     }
+    // a NULL natural key can never match a member (SQL equality) —
+    // applying it would "insert" a NULL-keyed ghost open version; reject
+    // loudly. OUTSIDE the validateKeys block (ADVICE r12): this is a
+    // correctness invariant, not a dedup optimization — the documented
+    // validateKeys=false opt-out for pre-deduped batches must not also
+    // opt out of ghost-row prevention, and the probe is O(1)-cheap
+    // (take(1) on a column-pruned filter of the small batch).
+    require(changes.filter(col(keyCol).isNull).take(1).isEmpty,
+      s"change batch holds a NULL $keyCol; a NULL key matches no member")
     val verCols = Seq("valid_from", "valid_to", "is_current")
     val dimCols = keyCol +: trackedCols.toIndexedSeq
     require((dimCols ++ verCols).forall(dim.columns.contains),

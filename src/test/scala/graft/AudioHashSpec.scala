@@ -38,13 +38,20 @@ class AudioHashSpec extends SparkSpec {
   test("too-short and undecodable payloads are dropped, not crashed") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    // ADVICE r12 (medium): a short clip used to survive with the 0L
+    // sentinel, so EVERY short clip paired with every other at Hamming 0
+    // — one false near-dup cluster. Short clips now take the same
+    // quarantine path as undecodable payloads.
     val rows = Seq(
       (1L, AudioHash.wavPcm16(AudioHash.patternPcm(1L))),
-      (2L, AudioHash.wavPcm16(Array.fill(64)(100))), // < 130 samples -> fp 0
+      (2L, AudioHash.wavPcm16(Array.fill(64)(100))), // < 130 samples: dropped
+      (4L, AudioHash.wavPcm16(Array.fill(100)(700))), // < 130 samples: dropped
       (3L, Array[Byte](1, 2, 3, 4))).toDF("media_id", "wav")
-    val got = AudioHash.wavHashes(rows, "media_id", "wav")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.keySet == Set(1L, 2L) && got(2L) == 0L)
+    val hashes = AudioHash.wavHashes(rows, "media_id", "wav")
+    val got = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L))
+    // and therefore the two short clips can never pair as near-dups
+    assert(AudioHash.fingerprintNearDups(hashes, "media_id").count() == 0L)
   }
 
   test("planted clones all found at Hamming 0; distinct recordings never pair") {

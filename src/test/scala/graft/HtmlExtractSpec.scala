@@ -51,6 +51,19 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("<p>open <script>never closed") == "open")
   }
 
+  test("unterminated <head> implicitly closes at <body> (ADVICE r12)") {
+    // malformed crawled page: no </head> — the body must survive
+    assert(extract("<html><head><title>T</title><body><p>Body kept</p></body>") ==
+      "Body kept")
+    // <body with attributes, mixed case
+    assert(extract("<head><title>T</title><BODY class=\"x\"><p>Still here</p>") ==
+      "Still here")
+    // a tag merely PREFIXED by 'body' must not end the skip
+    assert(extract("<head><bodyguard>nope</bodyguard><body><p>ok</p>") == "ok")
+    // genuinely headless head with no body at all: whole doc is head
+    assert(extract("<head><title>T</title><meta x=1>") == "")
+  }
+
   test("link-density rule: link lists drop, linky-but-texty blocks survive") {
     // all-link block: dropped
     assert(extract("""<div><a href="/a">One</a> <a href="/b">Two</a></div>""") == "")

@@ -112,5 +112,14 @@ class ScdSpec extends SparkSpec {
         "k", Seq("seg", "bal"), eff)
     }
     assert(e.getMessage.contains("NULL"))
+    // ... and the rejection is a correctness INVARIANT, not part of the
+    // dedup validation: the validateKeys=false opt-out (pre-deduped
+    // batches) must still refuse a NULL-keyed ghost (ADVICE r12)
+    val e2 = intercept[IllegalArgumentException] {
+      Scd.scd2Apply(dimN,
+        Seq((null.asInstanceOf[java.lang.Long], "X", 1.0)).toDF("k", "seg", "bal"),
+        "k", Seq("seg", "bal"), eff, validateKeys = false)
+    }
+    assert(e2.getMessage.contains("NULL"))
   }
 }

@@ -57,6 +57,7 @@ class StatDeterminismSpec extends SparkSpec {
   private def freshState(): Unit = {
     spark.catalog.clearCache()
     StatQueries.resetLogregMemo()
+    StatQueries.resetSliceMemo()
   }
 
   test("rank/prefix-sum consumers: run-twice with clearCache() is bit-identical") {

@@ -1159,9 +1159,10 @@ class StatQueriesSpec extends SparkSpec {
 
   test("q211: U2 pairs == brute-force doubled Mann-Whitney counts; J2 = ΣU2") {
     import org.apache.spark.sql.functions._
-    val rows = run("q211_jonckheere").collect()
+    val raw = run("q211_jonckheere").collect()
+    val rows = raw
       .map(r => ((r.getInt(0), r.getInt(1)),
-        (BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)), r.getDouble(4))))
+        (BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)))))
       .toMap
     assert(rows.keySet == (for (i <- 1 to 5; j <- (i + 1) to 5) yield (i, j)).toSet)
     // replay: quintile labels via the same exact-NTILE order, then
@@ -1200,8 +1201,24 @@ class StatQueriesSpec extends SparkSpec {
       j2 += u2
     }
     assert(rows((1, 2))._2 == BigDecimal(j2))
-    val z = rows((1, 2))._3
-    assert(rows.values.forall(v => v._2 == BigDecimal(j2) && v._3 == z))
+    assert(rows.values.forall(v => v._2 == BigDecimal(j2)))
+    // the z statistic lives HERE, not in the driver-facing projection
+    // (r12 verdict task 1: the closing sqrt chain over raw doubles was
+    // the last driver-oracle divergence channel). Replay it bit-exactly
+    // from the emitted exact-typed variance inputs, in the documented
+    // no-tie-variance op order.
+    val h = raw.head
+    val (nT, sn2, sn23) =
+      (h.getLong(4), BigDecimal(h.getDecimal(5)), BigDecimal(h.getDecimal(6)))
+    assert(raw.forall(r => r.getLong(4) == nT &&
+      BigDecimal(r.getDecimal(5)) == sn2 && BigDecimal(r.getDecimal(6)) == sn23))
+    // n_total = |orders joined to quintiles|; Σn_g² and Σn_g²(2n_g+3)
+    val cnts = byG.map { case (_, v) => BigInt(v.length) }
+    assert(nT == cnts.sum.toLong)
+    assert(sn2 == BigDecimal(cnts.map(c => c * c).sum))
+    assert(sn23 == BigDecimal(cnts.map(c => c * c * (2 * c + 3)).sum))
+    val z = (j2.toDouble / 2 - (nT.toDouble * nT - sn2.toDouble) / 4) /
+      math.sqrt((nT.toDouble * nT * (2 * nT + 3) - sn23.toDouble) / 72)
     assert(!z.isNaN && math.abs(z) < 100)
   }
 

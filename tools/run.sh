@@ -14,6 +14,12 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# ReservedCodeCacheSize=1g: JDK 17 defaults to 240 MB, and a 226-query
+# session compiles enough whole-stage-codegen classes to churn it —
+# the adjudicated mechanism behind the r11/r12 phantom bench swings
+# (q201 +10 s in the driver record on identical code). 1 GiB holds the
+# full suite's JIT output without flushing (VERDICT r12 task 2).
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
+  -XX:ReservedCodeCacheSize=1g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$JAR:/opt/spark/jars/*" "$@"
