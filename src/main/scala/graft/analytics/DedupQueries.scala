@@ -406,5 +406,24 @@ object DedupQueries {
         .select(col("media_id"), col("dup_of"), col("hamming"))
         .orderBy("media_id")
     },
+
+    // ---- VIDEO near-dup dedup: the last cell of the multimodal matrix
+    // (text/image/audio are q36-39/q221/q224). Real embedded-PNG
+    // keyframe extraction (Multimodal.sampleFrames) composed with
+    // q221's dHash + per-frame-index pigeonhole join; two videos pair
+    // when >= 3 of their 4 aligned sample positions match within
+    // Hamming 6. Each planted clone transforms the whole video
+    // (re-encode / 3/4 resize / 2px crop) AND swaps its last frame, so
+    // the >=k-of-n rule is load-bearing on every pair. no_oracle
+    // (binary surface — DuckDB cannot walk MP4 containers or inflate
+    // PNG frames); VideoHashSpec pins planted-clone recall, zero false
+    // pairs, and the k-threshold boundary.
+    QueryDef("q233_video_phash_neardups", None) { (s, dir) =>
+      import graft.ops.VideoHash
+      val corpus = VideoHash.plantedMp4Corpus(s, nBase = 150)
+      val hashes = VideoHash.frameHashes(corpus)
+      VideoHash.videoNearDups(hashes, "media_id", minFrames = 3, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
   )
 }

@@ -466,5 +466,98 @@ object TextQueries {
           countDistinct("doc_id").as("n_docs"))
         .orderBy("domain")
     },
+
+    // ---- domain blocklist filtering (the curation step the q225 ledger
+    // feeds — the UT1/adult-domain-list shape, VERDICT r12 task 6):
+    // normalize each cited host (lowercase, strip port, strip leading
+    // www., fold to the registrable two-label domain), anti-match docs
+    // against a broadcast blocklist — a doc citing ANY blocked domain is
+    // dropped — and keep the per-domain audit ledger: url/doc counts,
+    // blocked flag, and how many citing docs SURVIVE the doc-level
+    // filter (a doc citing both a good and a blocked domain is dropped,
+    // so survivors of good domains shrink too — the cross-domain effect
+    // a per-URL filter would miss). URLs are planted deterministically
+    // with case/port/www noise so every normalization rule is load-
+    // bearing; the blocklist is DATA (inline VALUES on both sides), so
+    // the whole chain replays in SQL — full oracle hash. Plan shape:
+    // explode + broadcast-joined tiny blocklist + doc-keyed then
+    // domain-keyed aggregation; nothing corpus-quadratic.
+    QueryDef(
+      "q231_domain_blocklist",
+      Some(raw"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' https://sub' || (doc_id % 40) || '.shop' ||
+                 (doc_id % 9) || '.com/p/' || doc_id ||
+                 ' http://WWW.Shop' || (doc_id % 9) || '.COM:8080/cart' ||
+                 ' https://cdn.ads' || (doc_id % 5) || '.net/b.js' AS t2
+          FROM documents),
+        u AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(t2,
+                   'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[A-Za-z0-9./?=_%-]*)?', 0)) AS url
+          FROM t),
+        n AS (
+          SELECT doc_id,
+                 regexp_extract(
+                   regexp_replace(regexp_replace(
+                     lower(regexp_extract(url,
+                       'https?://([A-Za-z0-9.-]+(:[0-9]+)?)', 1)),
+                     ':[0-9]+$$', ''), '^www\.', ''),
+                   '[a-z0-9-]+\.[a-z0-9-]+$$', 0) AS dom
+          FROM u),
+        b AS (SELECT * FROM (VALUES ('ads0.net'), ('ads2.net'), ('ads4.net'),
+                                    ('shop3.com'), ('shop7.com')) AS v(bdom)),
+        m AS (
+          SELECT n.doc_id, n.dom,
+                 CASE WHEN b.bdom IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM n LEFT JOIN b ON n.dom = b.bdom),
+        doc AS (
+          SELECT doc_id, MAX(hit) AS doc_blocked FROM m GROUP BY doc_id)
+        SELECT m.dom AS domain,
+               CAST(MAX(m.hit) AS BIGINT) AS blocked,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT m.doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT CASE WHEN doc.doc_blocked = 0
+                                        THEN m.doc_id END) AS BIGINT)
+                 AS n_docs_surviving
+        FROM m JOIN doc ON m.doc_id = doc.doc_id
+        GROUP BY m.dom ORDER BY domain"""),
+    ) { (s, dir) =>
+      val urlRe = "https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[A-Za-z0-9./?=_%-]*)?"
+      val t2 = concat(col("text"),
+        lit(" https://sub"), (col("doc_id") % 40).cast("string"),
+        lit(".shop"), (col("doc_id") % 9).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string"),
+        lit(" http://WWW.Shop"), (col("doc_id") % 9).cast("string"),
+        lit(".COM:8080/cart"),
+        lit(" https://cdn.ads"), (col("doc_id") % 5).cast("string"),
+        lit(".net/b.js"))
+      val host = regexp_extract(col("url"),
+        "https?://([A-Za-z0-9.-]+(:[0-9]+)?)", 1)
+      val dom = graft.ops.CorpusOps.registrableDomain(host)
+      val blocklist = {
+        import s.implicits._
+        Seq("ads0.net", "ads2.net", "ads4.net", "shop3.com", "shop7.com")
+          .toDF("bdom")
+      }
+      val m = Tables.documents(s, dir)
+        .select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"),
+          explode(expr(s"regexp_extract_all(t2, '$urlRe', 0)")).as("url"))
+        .select(col("doc_id"), dom.as("dom"))
+        .join(broadcast(blocklist), col("dom") === col("bdom"), "left")
+        .select(col("doc_id"), col("dom"),
+          when(col("bdom").isNotNull, 1).otherwise(0).as("hit"))
+      val doc = m.groupBy("doc_id").agg(max("hit").as("doc_blocked"))
+      m.join(doc, "doc_id")
+        .groupBy(col("dom").as("domain"))
+        .agg(max("hit").cast("long").as("blocked"),
+          count(lit(1)).as("n_urls"),
+          countDistinct("doc_id").as("n_docs"),
+          countDistinct(when(col("doc_blocked") === 0, col("doc_id")))
+            .as("n_docs_surviving"))
+        .orderBy("domain")
+    },
   )
 }

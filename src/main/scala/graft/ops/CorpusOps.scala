@@ -287,6 +287,24 @@ object CorpusOps {
     counted.withColumn("text_redacted", redacted)
   }
 
+  /** Registrable-domain normalization for a host (or host:port) column —
+    * the canonical key a domain blocklist/allowlist joins on (q231, the
+    * UT1-list shape): lowercase, strip a trailing `:port`, strip ONE
+    * leading `www.`, then fold to the last two dot-separated labels
+    * (the eTLD+1 approximation — a public-suffix list drops in here
+    * without touching callers; under the two-label fold `a.co.uk` folds
+    * to `co.uk`, documented and deterministic). Hosts with no dot (bare
+    * names, e.g. `localhost`) or a trailing dot normalize to '' — the
+    * caller's quarantine convention, never a throw. Pure codegen regexp
+    * chain in the Java/RE2-identical subset, so the same rules replay
+    * verbatim in a DuckDB oracle. */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(
+      regexp_replace(regexp_replace(lower(host),
+        lit(":[0-9]+$"), lit("")),
+        lit("^www\\."), lit("")),
+      "[a-z0-9-]+\\.[a-z0-9-]+$", 0)
+
   /** Compiled quality filter with an audit trail: `rules` are (name,
     * keep-predicate) pairs; the output gains `keep` (all predicates hold)
     * and `drop_reasons` (comma-joined names of the failed rules, in rule

@@ -821,4 +821,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2) == ((3L, 2L, 0L, "")))      // exact dup fully scrubbed
     assert(got(3) == ((4L, 1L, 1L, d)))       // short doc intact
   }
+
+  test("registrableDomain: case/port/www folds; undotted hosts quarantine to ''") {
+    val fixtures = Seq(
+      "WWW.Example.COM:8080" -> "example.com", // all three rules at once
+      "sub12.shop4.com" -> "shop4.com",        // subdomain folds
+      "cdn.ads3.net" -> "ads3.net",
+      "www.ref.org" -> "ref.org",
+      "wwwx.ref.org" -> "ref.org",             // 'www' must match a full label
+      "EXAMPLE.com" -> "example.com",
+      "a.b.c.d.co" -> "d.co",                  // deep chains fold to two labels
+      "example.com:443" -> "example.com",
+      "localhost" -> "",                        // no dot: quarantine, not throw
+      "example.com." -> "")                     // trailing dot: quarantine
+    val df = fixtures.map(_._1).toDF("host")
+      .select(col("host"), CorpusOps.registrableDomain(col("host")).as("dom"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (h, want) =>
+      assert(got(h) == want, s"host $h: got '${got(h)}', want '$want'")
+    }
+  }
 }

@@ -454,6 +454,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), "q225 lost its URL explode")
   }
 
+  test("domain blocklist joins the tiny list as a broadcast, never a cartesian") {
+    // q231's blocklist is a handful of rows: it must enter the per-URL
+    // frame as a BroadcastHashJoin (at 100 TB the URL side never moves
+    // for it); the doc-level rejoin is doc_id-keyed and may shuffle
+    val p = plan("q231_domain_blocklist")
+    assert(p.contains("BroadcastHashJoin"), "q231 lost the blocklist broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q231 degraded to a non-equi join")
+    assert(p.contains("Generate"), "q231 lost its URL explode")
+  }
+
   test("Adamic-Adar wedges close as equi-joins with a blocked hot-hub branch") {
     val p = plan("q201_adamic_adar")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
