@@ -783,5 +783,69 @@ object CorpusQueries {
           graft.functions.HtmlExtract.htmlToText(html).as("text_out"))
         .orderBy("doc_id")
     },
+
+    // ---- WARC container ingest → HTML → text (stage -1 + stage 0 of
+    // the web-corpus funnel end-to-end, VERDICT r12 task 4): each batch
+    // of 20 documents is packed into a REAL multi-record WARC container
+    // — warcinfo preamble, one HTTP/1.1 response record per page
+    // (Content-Length framed, CRLF separators, charset=utf-8), and a
+    // PLANTED truncated record at the tail — then the row-local
+    // container walk (ingest/WarcIngest) re-extracts the pages, the
+    // non-HTTP and truncated records quarantine without touching the
+    // output, and the html_to_text kernel recovers the original text.
+    // The oracle never sees the WARC bytes OR the HTML: it collapses
+    // the raw text and reconstructs the URL from doc_id, so any framing
+    // slip (an off-by-one Content-Length, a body cut at the wrong CRLF,
+    // a charset mangle) hash-mismatches. Scale shape: container build
+    // is one 20-row-group shuffle (test scaffolding — production reads
+    // containers straight off object storage), the walk is row-local
+    // mapPartitions, the kernel is codegen — nothing corpus-quadratic.
+    QueryDef(
+      "q232_warc_ingest",
+      Some(raw"""
+        SELECT doc_id,
+               'https://corpus.test/doc/' || doc_id AS url,
+               trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text_out
+        FROM documents ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      import graft.ingest.WarcIngest
+      val esc = (c: org.apache.spark.sql.Column) =>
+        regexp_replace(regexp_replace(regexp_replace(c,
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val html = concat(
+        lit("""<html><head><title>Doc</title><style>p{x:1}</style>""" +
+          """<script>if(1<2){var z="</p>";}</script></head><body>""" +
+          """<nav><a href="/">Home</a> <a href="/a">About</a></nav><p>"""),
+        esc(col("text")),
+        lit("""</p><footer><a href="/t">Terms</a> <a href="/p">Priv</a>""" +
+          """</footer></body></html>"""))
+      val pages = Tables.documents(s, dir)
+        .select((col("doc_id") - pmod(col("doc_id"), lit(20L))).as("cid"),
+          col("doc_id"), html.as("html"))
+      import s.implicits._
+      val ts = "2024-01-01T00:00:00Z"
+      val containers = pages.as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+          // 20 pages per group: bounded buffer, sorted for byte-determinism
+          val rows = it.toSeq.sortBy(_._2)
+          val body = WarcIngest.warcinfoRecord(ts) ++
+            rows.toArray.flatMap { case (_, id, page) =>
+              WarcIngest.responseRecord(s"https://corpus.test/doc/$id", ts, page)
+            } ++
+            // planted truncated tail: framed length far past EOF — the
+            // walk must quarantine it, never throw or emit a page
+            ("WARC/1.0\r\nWARC-Type: response\r\n" +
+              "Content-Length: 999999\r\n\r\nshort").getBytes("US-ASCII")
+          (cid, body)
+        }.toDF("cid", "warc")
+      val recs = WarcIngest.readWarc(containers, "cid", "warc")
+      WarcIngest.htmlResponses(recs)
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("url"),
+          graft.functions.HtmlExtract.htmlToText(col("html")).as("text_out"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -54,14 +54,53 @@ object CorpusPipeline {
       regexp_replace(regexp_replace(regexp_replace(col("text"),
         lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;")),
       lit("</p><footer><a href=\"/t\">Terms</a></footer></body></html>"))
+    // ---- stage -1: the crawl actually delivers WARC CONTAINERS, not
+    // pages — pack every 20 pages into a real multi-record container
+    // (warcinfo preamble, Content-Length-framed HTTP response records,
+    // one planted truncated tail each) and run the row-local container
+    // walk. The gate: every page is recovered byte-exactly, every
+    // planted corrupt tail is quarantined (never thrown), and the
+    // structural census matches — the stage-(-1) invariant upstream of
+    // stage 0 (VERDICT r12 task 4).
+    val warcTs = "2024-01-01T00:00:00Z"
+    val nRawDocs = rawDocs.count()
+    val paged = rawDocs.withColumn("_html", pageHtml)
+    val containers = {
+      import spark.implicits._
+      paged.select((col("doc_id") - pmod(col("doc_id"), lit(20L))).as("cid"),
+          col("doc_id"), col("_html"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+          val rows = it.toSeq.sortBy(_._2)
+          val bytes = graft.ingest.WarcIngest.warcinfoRecord(warcTs) ++
+            rows.toArray.flatMap { case (_, id, page) =>
+              graft.ingest.WarcIngest.responseRecord(
+                s"https://corpus.test/doc/$id", warcTs, page)
+            } ++
+            ("WARC/1.0\r\nWARC-Type: response\r\n" +
+              "Content-Length: 999999\r\n\r\nshort").getBytes("US-ASCII")
+          (cid, bytes)
+        }.toDF("cid", "warc")
+    }
+    val warcRecords = graft.ingest.WarcIngest
+      .readWarc(containers, "cid", "warc").persist()
+    val nContainers = containers.count()
+    val nWarcQuarantined = warcRecords.filter(col("reason").isNotNull).count()
+    val nWarcInfo = warcRecords.filter(col("warc_type") === "warcinfo").count()
+    val recoveredPages = graft.ingest.WarcIngest.htmlResponses(warcRecords)
+      .select(regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
+        .cast("long").as("doc_id"), col("html").as("_html"))
+
     // persisted: the extraction kernel feeds FOUR actions (round-trip
     // gate, maxId agg, the JSONL landing write, the funnel report) and
     // would otherwise re-run per action (review finding)
-    val extracted = rawDocs
-      .withColumn("_html", pageHtml)
+    val extracted = rawDocs.drop("_html")
+      .join(recoveredPages, Seq("doc_id"))
       .withColumn("_extracted", graft.functions.HtmlExtract.htmlToText(col("_html")))
       .persist()
     val nPages = extracted.count()
+    warcRecords.unpersist(false)
     // explicit class == the kernel's isWs definition (incl. \x0B), so
     // the gate and the q222 oracle share one whitespace alphabet
     val nExtractBad = extracted.filter(col("_extracted") =!=
@@ -291,6 +330,7 @@ object CorpusPipeline {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""
       |== graft corpus pipeline ==
+      |warc ingest:       $nContainers containers -> $nPages pages ($nWarcQuarantined quarantined tails, $nWarcInfo warcinfo)
       |html extraction:   $nPages pages -> text ($nExtractBad round-trip mismatches)
       |jsonl ingest:      $nIngested good, $nQuarantined quarantined
       |quality filter:    $nIngested -> $nKept  (dropped: $reasonCounts)
@@ -308,7 +348,9 @@ object CorpusPipeline {
       |wall time:         $secs%.1f s
       |""".stripMargin)
 
-    val ok = nExtractBad == 0 && nQuarantined == nCorrupt && nKept <= nIngested &&
+    val ok = nPages == nRawDocs && nWarcQuarantined == nContainers &&
+      nWarcInfo == nContainers &&
+      nExtractBad == 0 && nQuarantined == nCorrupt && nKept <= nIngested &&
       nPlantedKept > 0 && nExact <= nKept - nPlantedKept &&
       nScrubbed <= nExact && nScrubbed > 0 &&
       nReps <= nScrubbed && nSemReps <= nReps && nSemReps > 0 &&
