@@ -61,7 +61,17 @@ object LinkPredict {
   def adamicAdarTopK(edges: DataFrame, uCol: String, vCol: String,
       minCommon: Int = 2, topK: Int = 5, blockSize: Int = 1024): DataFrame = {
     require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
-    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    val ePlain = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    // the edge list feeds FOUR consumers (two union branches of sym, the
+    // id-width probe, the existing-edge anti-join) — cache it through the
+    // same plan-keyed memo as the adjacency so repeated invocations and
+    // the probe's blocking collect don't each replay the caller's
+    // (possibly expensive) edge derivation
+    val e = adjMemo.computeIfAbsent(
+      ("edges", edges.sparkSession, ePlain.queryExecution.analyzed.canonicalized),
+      _ => ePlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // (u < v) + distinct on input => the symmetrized list is distinct by
     // construction; a defensive .distinct() here would be a wasted shuffle
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -71,7 +81,7 @@ object LinkPredict {
     val deg = sym.groupBy("u").agg(count(lit(1)).cast("int").as("_cdeg"))
     val adjPlain = sym.join(deg.withColumnRenamed("u", "v"), "v")
     val adj = adjMemo.computeIfAbsent(
-      (edges.sparkSession, adjPlain.queryExecution.analyzed.canonicalized),
+      ("adj", edges.sparkSession, adjPlain.queryExecution.analyzed.canonicalized),
       _ => adjPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     if (adj.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
@@ -124,24 +134,43 @@ object LinkPredict {
       min(least(col("u"), col("v"))).cast("long").as("mn")).head()
     val packable = !idStats.isNullAt(0) &&
       idStats.getLong(1) >= 0L && idStats.getLong(0) < (1L << 31)
-    val cand = if (packable) {
-      // projection collapses below the union, so the map side of the
-      // aggregate exchange carries (pk, _aa) only
-      wedges.select((shiftleft(col("a").cast("long"), 32) +
+    // the explicit repartition-on-key moves the partial aggregate to the
+    // POST-shuffle side (plan-audited: partial+final run back-to-back in
+    // one stage on already-partitioned data), eliminating the
+    // PRE-shuffle hash probe of every wedge row. Measured at sf0.1
+    // (bench notes r13): 33.6M distinct pairs out of 148M wedges means
+    // that probe bought almost no shuffle reduction and cost
+    // 14.7 -> 10.4 s of aggregation time. The trade is documented, not
+    // universal: a graph whose candidate pairs repeat across MANY common
+    // neighbors (wedges >> pairs) would prefer the map-side partial; AA
+    // candidate generation sits firmly on this side because cn per
+    // surviving pair is small (the minCommon >= 2 filter keeps the long
+    // tail of cn = 1 pairs in the shuffle either way).
+    val unlinked = if (packable) {
+      // projection collapses below the union, so the exchange carries
+      // 16-byte (pk, _aa) rows only; the anti-join then runs ON the
+      // packed key — the candidate side (33.6M rows at sf0.1) keeps its
+      // HashPartitioning(_pk), and in practice AQE broadcasts the
+      // graph-sized packed edge list (plan-audited), so the big side
+      // never moves for the anti-join on either path
+      val cand = wedges.select((shiftleft(col("a").cast("long"), 32) +
           col("b").cast("long")).as("_pk"), col("_aa"))
+        .repartition(col("_pk"))
         .groupBy("_pk")
         .agg(count(lit(1)).as("cn"), sum("_aa").cast("long").as("aa_micro"))
         .filter(col("cn") >= minCommon)
+      val ePk = e.select((shiftleft(col("u").cast("long"), 32) +
+        col("v").cast("long")).as("_pk"))
+      cand.join(ePk, Seq("_pk"), "left_anti")
         .select(shiftright(col("_pk"), 32).as("a"),
           col("_pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
           col("cn"), col("aa_micro"))
     } else {
-      wedges.groupBy("a", "b")
+      val cand = wedges.repartition(col("a"), col("b")).groupBy("a", "b")
         .agg(count(lit(1)).as("cn"), sum("_aa").cast("long").as("aa_micro"))
         .filter(col("cn") >= minCommon)
+      cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
     }
-    val unlinked = cand
-      .join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
     val w = Window.partitionBy("a")
       .orderBy(desc("aa_micro"), desc("cn"), asc("b"))
     unlinked.withColumn("rk", row_number().over(w))
