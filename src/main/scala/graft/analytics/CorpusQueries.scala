@@ -847,5 +847,46 @@ object CorpusQueries {
           graft.functions.HtmlExtract.htmlToText(col("html")).as("text_out"))
         .orderBy("doc_id")
     },
+
+    // ---- WET container round-trip (q232's conversion-record sibling):
+    // a WET record's payload IS the extracted text, so the contract is
+    // byte-exactness — pack each doc's RAW text into a Content-Length-
+    // framed conversion record (UTF-8 bytes; framing is length-based, so
+    // embedded CRLFs or multi-byte runs in the text cannot break record
+    // boundaries), walk the container, and emit the decoded text
+    // UNTOUCHED. The oracle selects the raw text directly: any framing
+    // off-by-one, charset mangle, or replacement-char leak mismatches
+    // the hash on that exact document.
+    QueryDef(
+      "q234_wet_ingest",
+      Some("""
+        SELECT doc_id,
+               'https://corpus.test/doc/' || doc_id AS url,
+               text AS text_out
+        FROM documents ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      import graft.ingest.WarcIngest
+      val pages = Tables.documents(s, dir)
+        .select((col("doc_id") - pmod(col("doc_id"), lit(25L))).as("cid"),
+          col("doc_id"), col("text"))
+      import s.implicits._
+      val ts = "2024-01-01T00:00:00Z"
+      val containers = pages.as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+          val rows = it.toSeq.sortBy(_._2)
+          val body = WarcIngest.warcinfoRecord(ts) ++
+            rows.toArray.flatMap { case (_, id, text) =>
+              WarcIngest.conversionRecord(s"https://corpus.test/doc/$id", ts, text)
+            }
+          (cid, body)
+        }.toDF("cid", "warc")
+      WarcIngest.readWarc(containers, "cid", "warc")
+        .filter(col("reason").isNull && col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("url"), col("body_text").as("text_out"))
+        .orderBy("doc_id")
+    },
   )
 }

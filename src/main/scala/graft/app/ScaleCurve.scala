@@ -420,6 +420,61 @@ object ScaleCurve {
       if (name.contains("audio")) wavsAt else imagesAt
     mediaOps.foreach { case (name, f) => f(mediaAt(name)(1)); () } // warmup
     mediaOps.foreach { case (name, f) => measure(name, f, mediaAt(name)) }
+
+    // ---- round-13 cells: video near-dups (frame fan-out is bounded per
+    // video, the per-frame-index pigeonhole join is keyed — linear in
+    // corpus size) and the WARC container walk (row-local per container;
+    // container COUNT scales, per-container record count is fixed).
+    // Container build is prep, not billed to the measured cell.
+    scales.foreach { k =>
+      graft.ops.VideoHash.plantedMp4Corpus(spark, nBase = 60 * k)
+        .write.mode("overwrite").parquet(s"$work/vid_x$k")
+      ()
+    }
+    locally {
+      import spark.implicits._
+      scales.foreach { k =>
+        corpus(k).select((col("doc_id") - pmod(col("doc_id"), lit(20L))).as("cid"),
+            col("doc_id"),
+            concat(lit("<html><head><title>t</title></head><body><p>"),
+              col("text"), lit("</p></body></html>")).as("_html"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+            val rows = it.toSeq.sortBy(_._2)
+            val bytes = graft.ingest.WarcIngest.warcinfoRecord("2024-01-01T00:00:00Z") ++
+              rows.toArray.flatMap { case (_, id, page) =>
+                graft.ingest.WarcIngest.responseRecord(
+                  s"https://corpus.test/doc/$id", "2024-01-01T00:00:00Z", page)
+              }
+            (cid, bytes)
+          }.toDF("cid", "warc")
+          .write.mode("overwrite").parquet(s"$work/warc_x$k")
+        ()
+      }
+    }
+    def videosAt(k: Int): DataFrame = spark.read.parquet(s"$work/vid_x$k")
+    def warcsAt(k: Int): DataFrame = spark.read.parquet(s"$work/warc_x$k")
+    val r13Ops: Seq[(String, DataFrame => Long, Int => DataFrame)] = Seq(
+      ("q233_video_neardups(videos)", { (d: DataFrame) =>
+        import d.sparkSession.implicits._
+        val n = graft.ops.VideoHash.videoNearDups(
+          graft.ops.VideoHash.frameHashes(d.as[graft.ops.Multimodal.MediaRow]),
+          "media_id", minFrames = 3, maxHamming = 6).count()
+        d.sparkSession.catalog.clearCache()
+        n
+      }, videosAt _),
+      ("q232_warc_walk(containers)", { (d: DataFrame) =>
+        val n = graft.ingest.WarcIngest.htmlResponses(
+            graft.ingest.WarcIngest.readWarc(d, "cid", "warc"))
+          .select(graft.functions.HtmlExtract.htmlToText(col("html")))
+          .count()
+        d.sparkSession.catalog.clearCache()
+        n
+      }, warcsAt _),
+    )
+    r13Ops.foreach { case (_, f, at) => f(at(1)); () } // warmup
+    r13Ops.foreach { case (name, f, at) => measure(name, f, at) }
     spark.stop()
     if (!ok) sys.exit(2)
   }

@@ -364,6 +364,54 @@ object Streaming {
       .start()
   }
 
+  /** Streaming WARC ingestion — stage -1 of the web-corpus funnel as a
+    * continuous loop: each micro-batch of (container id, warc bytes)
+    * rows is walked row-locally ([[graft.ingest.WarcIngest.readWarc]] —
+    * Content-Length framing, HTTP envelope parse, quarantine-not-throw),
+    * clean 200 HTML pages land under `pagesDir/batch=<key>` and every
+    * quarantined/structural record lands under `quarantineDir/batch=
+    * <key>` with its reason — the census is never silently dropped, so
+    * a mis-framing crawler surfaces in the quarantine rate, not as
+    * missing documents. Same maintenance contract as the other loops:
+    * incarnation-qualified batch keys, each batch overwrites its OWN
+    * partition, so a retried micro-batch replaces its previous attempt
+    * (effectively-once without a transactional sink).
+    */
+  def warcIngestStream(containers: DataFrame, pagesDir: String,
+      quarantineDir: String, checkpoint: String,
+      idCol: String = "cid", warcCol: String = "warc"): StreamingQuery = {
+    val key = runKey(checkpoint)
+    containers.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val recs = graft.ingest.WarcIngest.readWarc(batch, idCol, warcCol)
+          .persist() // two consumers: page split + census split
+        try {
+          // the census is the exact COMPLEMENT of the clean-page split
+          // (null-safe: structural records carry NULL content types) —
+          // every record lands on exactly one side, so a non-200
+          // response or a non-HTML payload can never silently vanish
+          // between the sinks
+          val cleanHtml = coalesce(
+            col("reason").isNull && col("warc_type") === "response" &&
+              col("http_status") === 200 &&
+              lower(col("content_type")).contains("text/html"),
+            lit(false))
+          recs.filter(cleanHtml)
+            .select(col("url"), col("fetch_ts"), col("body_text").as("html"))
+            .write.mode("overwrite").parquet(s"$pagesDir/batch=$key-$batchId")
+          recs.filter(!cleanHtml)
+            .write.mode("overwrite")
+            .parquet(s"$quarantineDir/batch=$key-$batchId")
+        } finally {
+          recs.unpersist(false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming search-index maintenance — the query-time production loop
     * the persisted BM25 index ([[graft.ops.TextRank.writeSearchIndex]])
     * was built for: each micro-batch of documents lands as its own index

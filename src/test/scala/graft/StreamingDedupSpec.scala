@@ -579,4 +579,54 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == expectIndexRows,
       "retried append must not grow the index")
   }
+
+  test("streaming WARC ingest: pages land clean, census catches every bad span") {
+    import graft.ingest.WarcIngest
+    import spark.implicits._
+    val ts = "2024-06-01T00:00:00Z"
+    // wave 0: two clean containers; wave 1: one container with a clean
+    // page, a 404, and a truncated tail
+    def container(pages: Seq[(String, String)], bad: Boolean,
+        status: Int = 200): Array[Byte] = {
+      val body = WarcIngest.warcinfoRecord(ts) ++
+        pages.toArray.flatMap { case (u, h) =>
+          WarcIngest.responseRecord(u, ts, h, status = status) }
+      if (bad) body ++ ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "Content-Length: 999999\r\n\r\nx").getBytes("US-ASCII")
+      else body
+    }
+    val w0 = Seq(
+      (0L, container(Seq("https://s.test/0" -> "<p>zero</p>"), bad = false)),
+      (1L, container(Seq("https://s.test/1" -> "<p>one</p>"), bad = false)))
+      .toDF("cid", "warc")
+    val w1 = Seq(
+      (2L, container(Seq("https://s.test/2" -> "<p>two</p>"), bad = true)),
+      (3L, container(Seq("https://s.test/3" -> "<p>gone</p>"), bad = false,
+        status = 404)))
+      .toDF("cid", "warc")
+    val work = java.nio.file.Files.createTempDirectory("graft_swarc").toString
+    val raw = s"$work/raw"; val pagesDir = s"$work/pages"
+    val quarantineDir = s"$work/census"; val ckpt = s"$work/ckpt"
+    def run(): Unit = {
+      val stream = spark.readStream.schema(w0.schema).parquet(raw)
+      val q = Streaming.warcIngestStream(stream, pagesDir, quarantineDir, ckpt)
+      assert(q.awaitTermination(180000), "streaming batch did not finish in time")
+    }
+    Seq(w0, w1).foreach { w => w.write.mode("append").parquet(raw); run() }
+    val pages = spark.read.parquet(pagesDir)
+      .select("url", "html").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // the 404 page is NOT a clean landing; everything else round-trips
+    assert(pages == Map(
+      "https://s.test/0" -> "<p>zero</p>",
+      "https://s.test/1" -> "<p>one</p>",
+      "https://s.test/2" -> "<p>two</p>"))
+    val census = spark.read.parquet(quarantineDir)
+    // 4 warcinfo + 1 truncated tail + the 404 response — the census is
+    // the exact complement of the clean-page split, so the non-200
+    // response appears HERE rather than vanishing between the sinks
+    assert(census.count() == 6)
+    assert(census.filter(col("reason") === "truncated_payload").count() == 1)
+    assert(census.filter(col("http_status") === 404).count() == 1)
+  }
 }
