@@ -541,6 +541,10 @@ object TextQueries {
         Seq("ads0.net", "ads2.net", "ads4.net", "shop3.com", "shop7.com")
           .toDF("bdom")
       }
+      // cached: TWO consumers (the doc-level blocked flag and the final
+      // domain ledger) would otherwise each replay the documents scan +
+      // explode + broadcast match; MEMORY_ONLY recompute is value-
+      // identical and the harness clearCache() bounds the session
       val m = Tables.documents(s, dir)
         .select(col("doc_id"), t2.as("t2"))
         .select(col("doc_id"),
@@ -549,6 +553,7 @@ object TextQueries {
         .join(broadcast(blocklist), col("dom") === col("bdom"), "left")
         .select(col("doc_id"), col("dom"),
           when(col("bdom").isNotNull, 1).otherwise(0).as("hit"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val doc = m.groupBy("doc_id").agg(max("hit").as("doc_blocked"))
       m.join(doc, "doc_id")
         .groupBy(col("dom").as("domain"))

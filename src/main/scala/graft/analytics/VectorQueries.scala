@@ -98,6 +98,37 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- hard-negative mining for contrastive training: per anchor,
+    // the top-3 highest-cosine vectors BELOW the positive threshold
+    // (0.25 = this corpus' q42 near-dup operating point, so paraphrase
+    // positives never leak into the negative set) — the standard dense-
+    // retrieval negative-sampling cut. Same bit-matched cosine SQL as
+    // q40; the threshold comparison lands on identical doubles in both
+    // engines, so the whole selection is oracle-hashable.
+    QueryDef(
+      "q235_hard_negatives",
+      Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id % 40 = 0),
+        sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      ${cosSql("q.qv", "e.embedding")} AS cos
+               FROM q, embeddings e WHERE e.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+          FROM sc WHERE cos < 0.25)
+        WHERE rank <= 3
+        ORDER BY query_id, rank"""),
+    ) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSim.hardNegatives(
+          emb.filter(pmod(col("vec_id"), lit(40)) === 0), emb,
+          "vec_id", "embedding", k = 3, posThreshold = 0.25)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+
     // ---- LSH-bucketed approximate kNN (scale path; rows check)
     QueryDef("q41_cosine_knn_lsh", None) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)

@@ -49,6 +49,8 @@ object LinkPredict {
   private val adjMemo =
     new java.util.concurrent.ConcurrentHashMap[AnyRef, DataFrame]
   private[graft] def resetAdjMemo(): Unit = adjMemo.clear()
+  /** Test hook — the memo-hit contract (see [[graft.core.PlanKey]]). */
+  private[graft] def adjMemoSize: Int = adjMemo.size
 
   /** Top-`topK` Adamic-Adar candidates per left vertex over the
     * undirected graph `edges` (one row per edge, `uCol` < `vCol`,
@@ -68,7 +70,7 @@ object LinkPredict {
     // the probe's blocking collect don't each replay the caller's
     // (possibly expensive) edge derivation
     val e = adjMemo.computeIfAbsent(
-      ("edges", edges.sparkSession, ePlain.queryExecution.analyzed.canonicalized),
+      ("edges", edges.sparkSession, graft.core.PlanKey.of(ePlain)),
       _ => ePlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       e.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
@@ -81,7 +83,7 @@ object LinkPredict {
     val deg = sym.groupBy("u").agg(count(lit(1)).cast("int").as("_cdeg"))
     val adjPlain = sym.join(deg.withColumnRenamed("u", "v"), "v")
     val adj = adjMemo.computeIfAbsent(
-      ("adj", edges.sparkSession, adjPlain.queryExecution.analyzed.canonicalized),
+      ("adj", edges.sparkSession, graft.core.PlanKey.of(adjPlain)),
       _ => adjPlain.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     if (adj.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       adj.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)

@@ -76,6 +76,31 @@ object VectorSim {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per
+    * anchor, the top-`k` HIGHEST-cosine corpus vectors whose similarity
+    * stays BELOW `posThreshold` — similar enough to be informative,
+    * dissimilar enough to be true negatives (the standard dense-retrieval
+    * negative-sampling cut; `posThreshold` should match the corpus'
+    * near-dup/positive operating point so paraphrases never leak into
+    * the negative set). Brute-force scoring with broadcast anchors —
+    * the same exactness baseline as [[cosineTopK]]; at corpus scale the
+    * first-stage candidate generator (IVF/LSH top-N, then this filter +
+    * re-rank) drops in without changing the output contract.
+    */
+  def hardNegatives(
+      anchors: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, posThreshold: Double): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(normSq(col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(normSq(col("cv"))))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cosine") < posThreshold)
+    rankTopK(scored, k)
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * diversified re-ranking: from each query's `topN` cosine candidates,
     * greedily select `k` results maximizing

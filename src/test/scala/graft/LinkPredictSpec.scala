@@ -57,6 +57,40 @@ class LinkPredictSpec extends SparkSpec {
     }
   }
 
+  test("ids beyond 31 bits take the exact two-column path, same answers") {
+    // the 64-bit key packing is gated on ids < 2^31 (a 20B-vertex graph
+    // at 100 TB must not silently alias) — shift every vertex id past
+    // the gate and assert the fallback path matches brute force AND the
+    // packed path's answers on the unshifted graph
+    val off = 1L << 33
+    val shifted = hubEdges.map { case (u, v) => (u + off, v + off) }
+    val expected = bruteForce(shifted, minCommon = 2, topK = 5)
+    val got = LinkPredict.adamicAdarTopK(shifted.toDF("u", "v"), "u", "v", 2, 5)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("cn"), r.getAs[Long]("aa_micro"), r.getAs[Int]("rk")))
+      .toSet
+    assert(got == expected)
+    // shift-invariance: identical structure modulo the id offset
+    val packed = bruteForce(hubEdges, minCommon = 2, topK = 5)
+      .map { case (a, b, cn, aa, rk) => (a + off, b + off, cn, aa, rk) }
+    assert(got == packed)
+  }
+
+  test("edge/adjacency memo HITS across invocations: second run adds no entries") {
+    LinkPredict.resetAdjMemo()
+    val e = hubEdges.toDF("u", "v")
+    LinkPredict.adamicAdarTopK(e, "u", "v", 2, 5).count()
+    val afterFirst = LinkPredict.adjMemoSize
+    assert(afterFirst > 0)
+    spark.catalog.clearCache()
+    LinkPredict.adamicAdarTopK(hubEdges.toDF("u", "v"), "u", "v", 2, 5).count()
+    assert(LinkPredict.adjMemoSize == afterFirst,
+      s"memo grew $afterFirst -> ${LinkPredict.adjMemoSize}: a fresh cached " +
+        "frame leaks per invocation (the ADVICE r12 class)")
+    LinkPredict.resetAdjMemo()
+  }
+
   test("hub wedge cells are bounded: no (v,i,j) cell exceeds blockSize^2") {
     // reproduce the blocked key layout and assert the skew bound the
     // operator exists for: with blockSize=8 and a degree-40 hub, every

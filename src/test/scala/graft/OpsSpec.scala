@@ -281,6 +281,31 @@ class VectorSimSpec extends SparkSpec {
     assert(out(2).getAs[Double]("cosine") == -1.0)
   }
 
+  test("hardNegatives: below-threshold top-k, positives never leak") {
+    // anchor 0: vec 1 is a near-positive (cos ~0.994), vecs 2/3 are true
+    // negatives. With posThreshold 0.9 the near-positive must be EXCLUDED
+    // and the negatives ranked by descending cosine.
+    val out = VectorSim.hardNegatives(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding",
+      k = 3, posThreshold = 0.9)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    assert(out.forall(_.getAs[Double]("cosine") < 0.9))
+    // brute-force replay: same selection from a driver-side scan
+    val all = vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val anchor = all.find(_._1 == 0L).get._2
+    val expect = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(anchor, v)) }
+      .filter(_._2 < 0.9).sortBy { case (id, c) => (-c, id) }
+      .take(3).map(_._1).toSeq
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == expect)
+  }
+
   test("identical vectors land in the same LSH bucket") {
     val dup = Seq((10L, Array(0.5f, -0.2f, 0.3f, 0.9f)),
       (11L, Array(0.5f, -0.2f, 0.3f, 0.9f))).toDF("vec_id", "embedding")

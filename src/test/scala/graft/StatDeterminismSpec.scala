@@ -84,6 +84,22 @@ class StatDeterminismSpec extends SparkSpec {
     }
   }
 
+  test("slice-boundary memo HITS across invocations: second run adds no entries") {
+    freshState()
+    Seq("q211_jonckheere", "q216_score_ks", "q193_gain_lift").foreach { n =>
+      run(n).collect(); ()
+    }
+    val afterFirst = StatQueries.sliceMemoSize
+    assert(afterFirst > 0, "memo never populated")
+    spark.catalog.clearCache() // blocks drop; boundary literals must not
+    Seq("q211_jonckheere", "q216_score_ks", "q193_gain_lift").foreach { n =>
+      run(n).collect(); ()
+    }
+    assert(StatQueries.sliceMemoSize == afterFirst,
+      s"memo grew $afterFirst -> ${StatQueries.sliceMemoSize}: keys fail to " +
+        "canonicalize identically across invocations, boundary collects re-paid")
+  }
+
   test("exact NTILE matches Spark's window NTILE on non-divisible counts") {
     import spark.implicits._
     // n = 25 is ADVICE r11's concrete counterexample (rank 16 must land
