@@ -564,5 +564,94 @@ object TextQueries {
             .as("n_docs_surviving"))
         .orderBy("domain")
     },
+
+    // ---- domain-disjoint train/val split: the standard web-corpus
+    // leakage guard — a near-duplicate of a training page is far more
+    // likely to live on the SAME registrable domain (mirrors, templates,
+    // pagination), so eval contamination is controlled by splitting at
+    // the domain grain, never the document grain. Assignment is
+    // hash-of-domain (xxhash64, seed 42) into 10 buckets, 1 bucket →
+    // 'val': deterministic, stateless, and stable under corpus growth
+    // (a new crawl of an old domain lands on the old side — no
+    // re-shuffling of past assignments). Shuffle-free except the output
+    // sort: the domain fold + hash + bucket rule are one projection.
+    // The oracle replays host extraction, the q231 normalization fold,
+    // and the full XXH64 chain in SQL.
+    QueryDef(
+      "q236_domain_split",
+      Some(DuckXxh.domainSplitOracle(valBuckets = 1, nBuckets = 10)),
+    ) { (s, dir) =>
+      val url = concat(lit("https://Sub"), (col("doc_id") % 7).cast("string"),
+        lit(".Site"), (col("doc_id") % 101).cast("string"),
+        lit(".ORG:8443/d/"), col("doc_id").cast("string"))
+      val host = regexp_extract(url, "https?://([A-Za-z0-9.-]+(:[0-9]+)?)", 1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.ops.CorpusOps.registrableDomain(host).as("domain"))
+        .withColumn("split",
+          when(pmod(xxhash64(col("domain")), lit(10)) < 1, lit("val"))
+            .otherwise(lit("train")))
+        .orderBy("doc_id")
+    },
+
+    // ---- domain mixture reweighting: given per-domain token masses and
+    // a configured target mixture, emit each domain's downsampling rate —
+    // the standard rebalancing step before training-corpus assembly
+    // (over-represented domains are thinned toward the target; the
+    // binding domain — max target/actual ratio — keeps rate 1 so the
+    // pass never upsamples). ALL ratio comparisons are integer cross
+    // products: rate_d = (w_d·n_m)/(w_m·n_d) where (w_m, n_m) is the
+    // binding domain's weight/mass, so the only doubles in the output
+    // are SINGLE divisions of exact BIGINTs (the q215 discipline —
+    // bit-identical across engines). Target weights are derived from the
+    // domain string (stand-in for a configured mixture table) so the
+    // oracle replays them. One keyed aggregation over the corpus, then
+    // a dimension-sized (≤ #domains) aggregate + broadcast scalar — no
+    // global windows over data-sized frames.
+    QueryDef(
+      "q237_mixture_reweight",
+      Some(raw"""
+        WITH dd AS (
+          SELECT doc_id,
+                 'site' || (doc_id % 101) || '.org' AS domain,
+                 len(string_split_regex(trim(text), '\s+')) AS toks
+          FROM documents),
+        g AS (
+          SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(toks) AS BIGINT) AS n_tokens,
+                 CAST(1 + length(domain) % 3 AS BIGINT) AS w
+          FROM dd GROUP BY domain),
+        m AS (
+          SELECT w AS wm, n_tokens AS nm FROM g
+          ORDER BY CAST(w AS DOUBLE) / n_tokens DESC, domain DESC LIMIT 1)
+        SELECT domain, n_docs, n_tokens, w,
+               CAST(w * m.nm AS DOUBLE) / (m.wm * n_tokens) AS sample_rate,
+               CAST(n_tokens * w * m.nm AS DOUBLE) / (m.wm * n_tokens)
+                 AS expected_tokens
+        FROM g, m ORDER BY domain"""),
+    ) { (s, dir) =>
+      val g = Tables.documents(s, dir)
+        .select(concat(lit("site"), (col("doc_id") % 101).cast("string"),
+            lit(".org")).as("domain"),
+          size(split(trim(col("text")), "\\s+")).as("toks"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").cast("long").as("n_tokens"))
+        .withColumn("w", (lit(1) + length(col("domain")) % 3).cast("long"))
+      // binding domain: max w/n ratio, tie-broken on max domain — the
+      // struct max compares (ratio, domain) fieldwise, matching the
+      // oracle's ORDER BY ... DESC, domain DESC LIMIT 1
+      val m = g
+        .agg(max(struct((col("w").cast("double") / col("n_tokens")).as("r"),
+          col("domain"), col("w"), col("n_tokens"))).as("m"))
+        .select(col("m.w").as("wm"), col("m.n_tokens").as("nm"))
+      g.crossJoin(broadcast(m)) // stat-broadcast scalar (SURVEY §4.1)
+        .select(col("domain"), col("n_docs"), col("n_tokens"), col("w"),
+          ((col("w") * col("nm")).cast("double") /
+            (col("wm") * col("n_tokens"))).as("sample_rate"),
+          ((col("n_tokens") * col("w") * col("nm")).cast("double") /
+            (col("wm") * col("n_tokens"))).as("expected_tokens"))
+        .orderBy("domain")
+    },
   )
 }

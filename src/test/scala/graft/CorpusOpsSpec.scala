@@ -841,4 +841,45 @@ class CorpusOpsSpec extends SparkSpec {
       assert(got(h) == want, s"host $h: got '${got(h)}', want '$want'")
     }
   }
+
+  test("q236 domain split: leakage-safe (no domain straddles splits), both sides populated") {
+    val out = graft.analytics.TextQueries.defs
+      .find(_.name == "q236_domain_split").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    // the leakage invariant the operator EXISTS for: every doc of a
+    // domain lands on exactly one side
+    val byDom = out.groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getString(2)).distinct).toMap
+    assert(byDom.values.forall(_.size == 1),
+      "a domain appears in both train and val: leakage")
+    val splits = out.map(_.getString(2)).distinct.toSet
+    assert(splits == Set("train", "val"),
+      s"expected both splits populated at this SF, got $splits")
+    // ~10% of DOMAINS in val (hash buckets are over domains, not docs)
+    val valDoms = byDom.count(_._2.head == "val")
+    assert(valDoms > 0 && valDoms < byDom.size / 3,
+      s"val domain share implausible: $valDoms of ${byDom.size}")
+  }
+
+  test("q237 mixture reweight: binding domain rate 1, rates in (0,1], exact replay") {
+    val rows = graft.analytics.TextQueries.defs
+      .find(_.name == "q237_mixture_reweight").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.forall { case (_, _, _, _, rate, _) => rate > 0 && rate <= 1.0 },
+      "a sampling rate left (0, 1]: the pass must never upsample")
+    assert(rows.count(_._5 == 1.0) >= 1, "no binding domain at rate exactly 1")
+    // driver-side replay of the integer cross-product rule
+    val (wm, nm) = rows.map { case (d, _, n, w, _, _) => (w.toDouble / n, d, w, n) }
+      .maxBy { case (r, d, _, _) => (r, d) } match { case (_, _, w, n) => (w, n) }
+    rows.foreach { case (d, _, n, w, rate, exp) =>
+      assert(rate == (w * nm).toDouble / (wm * n), s"rate mismatch for $d")
+      assert(exp == (n * w * nm).toDouble / (wm * n), s"expected_tokens mismatch for $d")
+    }
+    // expected tokens never exceed actual
+    rows.foreach { case (d, _, n, _, _, exp) =>
+      assert(exp <= n.toDouble, s"$d upsampled: $exp > $n")
+    }
+  }
 }
