@@ -168,6 +168,36 @@ object DedupQueries {
         .orderBy("cluster_size")
     },
 
+    // ---- quality-aware canonical selection: each near-dup cluster
+    // keeps its HIGHEST-vocabulary member (max distinct whitespace
+    // tokens, tie min doc_id) instead of the min-id convention —
+    // production dedup keeps the cleanest copy, not an arbitrary one
+    // (a truncated mirror of a page must lose to the full page). The
+    // argmax key is integer-only, so selection is exact; the oracle
+    // replays the whole hash→band→star→component chain PLUS the argmax
+    // window in recursive SQL. Per-cluster windows partition on the
+    // cluster rep — no global sort, scale-safe.
+    QueryDef("q239_canonical_select",
+      Some(DuckXxh.canonicalSelectOracle(numHashes = 128, bands = 8)),
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val clusters = TextDedup.minhashDedupClusters(docs, "text", "doc_id",
+        numHashes = 128, bands = 8) // the q230 dedup banding (J ~ 0.88)
+      val qual = docs.select(col("doc_id"),
+        size(array_distinct(graft.core.Cols.wsTokens(col("text"))))
+          .cast("long").as("nd"))
+      val w = Window.partitionBy("cluster_rep").orderBy(desc("nd"), asc("id"))
+      val sz = Window.partitionBy("cluster_rep")
+      clusters.join(qual, col("id") === col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cluster_size", count(lit(1)).over(sz))
+        .filter(col("rn") === 1)
+        .select(col("cluster_rep"), col("cluster_size"),
+          col("id").as("canonical_id"), col("nd").as("canonical_nd"))
+        .orderBy("cluster_rep")
+    },
+
     // ---- exact-substring near-dup pairs via winnowing (the MOSS
     // blocking scheme): pairs sharing >= 2 winnow-SELECTED char 12-grams,
     // compared as strings — any pair sharing a >= w+k-1 = 21-char

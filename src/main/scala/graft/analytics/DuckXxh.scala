@@ -261,6 +261,32 @@ SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
 FROM sz GROUP BY cluster_size ORDER BY cluster_size"""
   }
 
+  /** The q239 oracle: quality-aware canonical selection per dedup
+    * cluster — the q55 component chain, then each cluster keeps its
+    * HIGHEST-vocabulary member (max distinct whitespace tokens, tie
+    * min doc_id) instead of the min-id convention. Integer-only argmax,
+    * replayed with the same recursive-CTE chain plus one window. */
+  def canonicalSelectOracle(numHashes: Int = 128, bands: Int = 32): String = {
+    val ctes = bucketsCtes(numHashes, bands) ++ Seq(
+      "withrep AS MATERIALIZED (SELECT doc_id, min(doc_id) OVER (PARTITION BY b, bh) AS rep FROM buckets)",
+      "star AS MATERIALIZED (SELECT DISTINCT doc_id AS src, rep AS dst FROM withrep WHERE doc_id != rep)",
+      "sym AS MATERIALIZED (SELECT src, dst FROM star UNION SELECT dst, src FROM star)",
+      reachSql("SELECT doc_id AS id FROM documents", "sym"),
+      "clus AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)",
+      raw"qual AS MATERIALIZED (SELECT doc_id, CAST(len(list_distinct(" +
+        raw"string_split_regex(trim(text), '\s+'))) AS BIGINT) AS nd FROM documents)",
+      "rk AS (SELECT c.rep, c.id, q.nd, row_number() OVER " +
+        "(PARTITION BY c.rep ORDER BY q.nd DESC, c.id) AS rn " +
+        "FROM clus c JOIN qual q ON q.doc_id = c.id)",
+    )
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      "\nSELECT r.rep AS cluster_rep, s.cluster_size, " +
+      "r.id AS canonical_id, r.nd AS canonical_nd " +
+      "FROM rk r JOIN (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size " +
+      "FROM clus GROUP BY rep) s USING (rep) " +
+      "WHERE r.rn = 1 ORDER BY cluster_rep"
+  }
+
   /** The q38 oracle: MinHash-LSH near-dup pairs — candidates share ≥1
     * band bucket, verified by exact token-set Jaccard ≥ threshold
     * (mirrors [[graft.ops.TextDedup.minhashNearDups]]; Jaccard over the

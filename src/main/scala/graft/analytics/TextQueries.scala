@@ -653,5 +653,105 @@ object TextQueries {
             (col("wm") * col("n_tokens"))).as("expected_tokens"))
         .orderBy("domain")
     },
+
+    // ---- tokenizer fertility per language: subword tokens per
+    // whitespace word, grouped by the q48 language-ID heuristic — the
+    // metric multilingual curation uses to set per-language token
+    // budgets (a high-fertility language consumes more of the training
+    // budget per word, so mixtures are planned in TOKENS, not words).
+    // Composes q48's stopword-argmax langid with q62's BPE-ish
+    // pre-tokenization count; fertility is a SINGLE division of exact
+    // BIGINTs. One projection + one 3-group aggregation — no joins.
+    QueryDef(
+      "q238_token_fertility",
+      Some(s"""
+        WITH t AS (
+          SELECT CASE WHEN s_a >= s_b AND s_a >= s_c THEN 'lang_a'
+                      WHEN s_b >= s_c THEN 'lang_b'
+                      ELSE 'lang_c' END AS predicted,
+                 n_words, n_sub
+          FROM (SELECT doc_id,
+                  len(list_intersect(string_split_regex(trim(text), '\\s+'),
+                      ['table','row','column','scan'])) AS s_a,
+                  len(list_intersect(string_split_regex(trim(text), '\\s+'),
+                      ['spark','batch','query','join'])) AS s_b,
+                  len(list_intersect(string_split_regex(trim(text), '\\s+'),
+                      ['fast','slow','big','small'])) AS s_c,
+                  len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                  len(regexp_extract_all(text, '$bpeTokenPattern')) AS n_sub
+                FROM documents))
+        SELECT predicted, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_words,
+               CAST(SUM(n_sub) AS BIGINT) AS n_subtokens,
+               CAST(SUM(n_sub) AS DOUBLE) / SUM(n_words) AS fertility
+        FROM t GROUP BY predicted ORDER BY predicted"""),
+    ) { (s, dir) =>
+      def hits(words: Seq[String]) = size(array_intersect(
+        graft.core.Cols.wsTokens(col("text")),
+        array(words.map(lit): _*)))
+      Tables.documents(s, dir)
+        .select(
+          when(hits(Seq("table", "row", "column", "scan")) >=
+                 hits(Seq("spark", "batch", "query", "join")) &&
+               hits(Seq("table", "row", "column", "scan")) >=
+                 hits(Seq("fast", "slow", "big", "small")), "lang_a")
+            .when(hits(Seq("spark", "batch", "query", "join")) >=
+                    hits(Seq("fast", "slow", "big", "small")), "lang_b")
+            .otherwise("lang_c").as("predicted"),
+          size(graft.core.Cols.wsTokens(col("text"))).as("n_words"),
+          size(regexp_extract_all(col("text"), lit(bpeTokenPattern), lit(0)))
+            .as("n_sub"))
+        .groupBy("predicted")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").cast("long").as("n_words"),
+          sum("n_sub").cast("long").as("n_subtokens"),
+          (sum("n_sub").cast("double") / sum("n_words")).as("fertility"))
+        .orderBy("predicted")
+    },
+
+    // ---- token-budget corpus assembly: fill HALF the corpus' token
+    // budget with the best documents — rank by vocabulary richness
+    // (distinct whitespace tokens, tie doc_id), take the maximal prefix
+    // whose running token total fits. The cut is the standard "assemble
+    // an N-token training set from the top of the quality ordering"
+    // step; the running total is the DISTRIBUTED exact prefix sum
+    // (globalCumSum: slice-local windows + broadcast offsets — no
+    // single-task global window at any SF), and the budget is read off
+    // the cumsum output's max (the q216 single-subtree discipline, so
+    // the stats chain appears once per consumer). Integer-only ordering
+    // and cut; budget = floor(total/2), identical in both engines.
+    QueryDef(
+      "q240_budget_select",
+      Some(raw"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                   AS BIGINT) AS nd
+          FROM documents),
+        c AS (
+          SELECT doc_id, nd, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY nd DESC, doc_id)
+                   AS BIGINT) AS cum_n_tokens
+          FROM s),
+        t AS (SELECT CAST(MAX(cum_n_tokens) // 2 AS BIGINT) AS budget FROM c)
+        SELECT doc_id, nd, n_tokens, cum_n_tokens
+        FROM c, t WHERE cum_n_tokens <= budget
+        ORDER BY nd DESC, doc_id"""),
+    ) { (s, dir) =>
+      val toks = graft.core.Cols.wsTokens(col("text"))
+      val stats = Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("nd"))
+      val cm = StatQueries.globalCumSum(stats,
+        Seq(desc("nd"), asc("doc_id")), Seq("n_tokens"),
+        bucketKey = Some(-col("nd"))) // negated: monotone in the DESC order
+      val t = cm.agg(floor(max("cum_n_tokens") / 2).cast("long").as("budget"))
+      cm.crossJoin(broadcast(t)) // stat-broadcast scalar (SURVEY §4.1)
+        .filter(col("cum_n_tokens") <= col("budget"))
+        .select(col("doc_id"), col("nd"), col("n_tokens"), col("cum_n_tokens"))
+        .orderBy(desc("nd"), asc("doc_id"))
+    },
   )
 }

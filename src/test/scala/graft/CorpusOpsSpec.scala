@@ -882,4 +882,53 @@ class CorpusOpsSpec extends SparkSpec {
       assert(exp <= n.toDouble, s"$d upsampled: $exp > $n")
     }
   }
+
+  test("q239 canonical select: per-cluster max-nd argmax, sizes partition the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.analytics.DedupQueries.defs
+      .find(_.name == "q239_canonical_select").get.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay: clusters + vocabulary argmax driver-side
+    val clusters = graft.ops.TextDedup.minhashDedupClusters(
+        graft.core.Tables.documents(spark, dir), "text", "doc_id",
+        numHashes = 128, bands = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nd = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(array_distinct(graft.core.Cols.wsTokens(col("text")))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = clusters.groupBy(_._2).map { case (rep, members) =>
+      val ids = members.map(_._1)
+      val canon = ids.map(id => (nd(id), id)).maxBy { case (q, id) => (q, -id) }
+      (rep, ids.size.toLong, canon._2, canon._1)
+    }.toSet
+    assert(out.toSet == expect)
+    assert(out.map(_._2).sum == 500L, "cluster sizes must partition the corpus")
+  }
+
+  test("q240 budget select: maximal prefix under the half-token budget, exact cumsum") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.analytics.TextQueries.defs
+      .find(_.name == "q240_budget_select").get.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver replay of the ordering + prefix sum + cut
+    val stats = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(graft.core.Cols.wsTokens(col("text"))).cast("long"),
+        size(array_distinct(graft.core.Cols.wsTokens(col("text")))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ordered = stats.sortBy { case (id, _, ndv) => (-ndv, id) }
+    val total = stats.map(_._2).sum
+    val budget = total / 2
+    var cum = 0L
+    val expect = ordered.iterator.map { case (id, nt, ndv) =>
+      cum += nt; (id, ndv, nt, cum)
+    }.takeWhile(_._4 <= budget).toSeq
+    assert(out.toSeq == expect, "selection must be the exact maximal prefix")
+    assert(out.nonEmpty && out.last._4 <= budget)
+    // maximality: the next doc in the ordering would burst the budget
+    if (expect.size < ordered.size) {
+      val next = ordered(expect.size)
+      assert(out.last._4 + next._2 > budget, "prefix not maximal")
+    }
+  }
 }
