@@ -589,8 +589,8 @@ object TextQueries {
         .select(col("doc_id"),
           graft.ops.CorpusOps.registrableDomain(host).as("domain"))
         .withColumn("split",
-          when(pmod(xxhash64(col("domain")), lit(10)) < 1, lit("val"))
-            .otherwise(lit("train")))
+          graft.ops.CorpusOps.domainSplit(col("domain"),
+            valBuckets = 1, nBuckets = 10))
         .orderBy("doc_id")
     },
 

@@ -227,6 +227,47 @@ object ScaleCurve {
         graft.ops.SketchStats.cmEstimates(spark, cmDir,
           d.select("doc_id").distinct()).count()
       },
+      // stateless projection + hash bucket: domain-grain split must be
+      // scan-linear (counting only the 'val' side forces the full chain)
+      "q236_domain_split" -> { d =>
+        val host = concat(lit("sub"), (col("doc_id") % 7).cast("string"),
+          lit(".site"), (col("doc_id") % 101).cast("string"), lit(".org"))
+        d.select(graft.ops.CorpusOps.registrableDomain(host).as("domain"))
+          .filter(pmod(xxhash64(col("domain")), lit(10)) < 1).count()
+      },
+      // cluster chain + per-cluster argmax window: replica-isomorphic
+      // clusters keep window partitions bounded, so the argmax adds one
+      // linear pass over the q55 cell's cost
+      "q239_canonical_select" -> { d =>
+        import org.apache.spark.sql.expressions.Window
+        val clusters = TextDedup.minhashDedupClusters(d, "text", "doc_id",
+          numHashes = 128, bands = 8)
+        val qual = d.select(col("doc_id"),
+          size(array_distinct(graft.core.Cols.wsTokens(col("text"))))
+            .cast("long").as("nd"))
+        val w = Window.partitionBy("cluster_rep").orderBy(desc("nd"), asc("id"))
+        val n = clusters.join(qual, col("id") === col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).count()
+        spark.catalog.clearCache()
+        n
+      },
+      // distributed prefix sum at growing n: slice-local windows +
+      // boundary collects must stay linear (the rank-machinery cell)
+      "q240_budget_select" -> { d =>
+        val toks = graft.core.Cols.wsTokens(col("text"))
+        val stats = d.select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("nd"))
+        val cm = graft.analytics.StatQueries.globalCumSum(stats,
+          Seq(desc("nd"), asc("doc_id")), Seq("n_tokens"),
+          bucketKey = Some(-col("nd")))
+        val t = cm.agg(floor(max("cum_n_tokens") / 2).cast("long").as("budget"))
+        val n = cm.crossJoin(broadcast(t))
+          .filter(col("cum_n_tokens") <= col("budget")).count()
+        spark.catalog.clearCache()
+        n
+      },
     )
 
     // ---- events replication for the sequence/drift family: new users

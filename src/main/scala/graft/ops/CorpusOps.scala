@@ -305,6 +305,48 @@ object CorpusOps {
         lit("^www\\."), lit("")),
       "[a-z0-9-]+\\.[a-z0-9-]+$", 0)
 
+  /** Deterministic domain-grain train/val assignment (the q236 rule):
+    * `valBuckets` of `nBuckets` xxhash64 buckets go to 'val'. Stateless
+    * and stable under corpus growth — a new crawl of an old domain lands
+    * on the old side, so past assignments never re-shuffle. */
+  def domainSplit(domain: Column, valBuckets: Int = 1,
+      nBuckets: Int = 10): Column = {
+    require(valBuckets > 0 && valBuckets < nBuckets,
+      s"need 0 < valBuckets < nBuckets, got $valBuckets/$nBuckets")
+    when(pmod(xxhash64(domain), lit(nBuckets)) < valBuckets, lit("val"))
+      .otherwise(lit("train"))
+  }
+
+  /** Append one ingest batch's per-(domain, split) ledger segment —
+    * exact doc/token counts keyed by the [[registrableDomain]] fold and
+    * the [[domainSplit]] assignment — as its own `seg=<batchKey>`
+    * partition (idempotent under retry: the segment overwrites itself).
+    * Counts are additive, so [[domainLedger]] serves by summing segments
+    * only, exact after every wave — the SketchStats maintenance
+    * convention (hist/moments/freq) applied to the corpus-curation
+    * ledger. */
+  def appendDomainLedgerBatch(df: DataFrame, hostCol: Column,
+      tokensCol: Column, dir: String, batchKey: String): Unit = {
+    require(batchKey.nonEmpty && !batchKey.exists(c => c == '/' || c == '='),
+      s"batchKey must be a plain partition value, got '$batchKey'")
+    df.select(registrableDomain(hostCol).as("domain"), tokensCol.as("_t"))
+      .withColumn("split", domainSplit(col("domain")))
+      .groupBy("domain", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("_t").cast("long").as("n_tokens"))
+      .write.mode("overwrite").parquet(s"$dir/seg=$batchKey")
+  }
+
+  /** Serve the merged domain ledger: sum doc/token counts across all
+    * segments. Exact (integer sums are associative), so the served
+    * ledger after each wave is identical to one pass over everything
+    * ingested so far. */
+  def domainLedger(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("domain", "split")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"))
+
   /** Compiled quality filter with an audit trail: `rules` are (name,
     * keep-predicate) pairs; the output gains `keep` (all predicates hold)
     * and `drop_reasons` (comma-joined names of the failed rules, in rule

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -885,6 +885,32 @@ object Streaming {
           graft.ops.SketchStats.compactBitmap(sp, bmDir, groupCols)
         graft.ops.SketchStats.appendBitmapBatch(batch, idCol, bmDir,
           s"$key-$batchId", groupCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming domain-ledger maintenance — split assignment AT INGEST:
+    * every micro-batch folds hosts to registrable domains, assigns the
+    * deterministic train/val bucket ([[graft.ops.CorpusOps.domainSplit]]
+    * — stable under growth, so a later crawl of an old domain lands on
+    * the old side), and appends its exact per-(domain, split) doc/token
+    * counts as a `seg=<runKey>-<batchId>` partition
+    * ([[graft.ops.CorpusOps.appendDomainLedgerBatch]]). Serving sums
+    * segments only ([[graft.ops.CorpusOps.domainLedger]]) — integer
+    * sums are additive, so the served ledger after each wave is exactly
+    * a full pass over everything ingested so far (the hist/moments/freq
+    * maintenance convention applied to the curation ledger).
+    */
+  def domainLedgerStream(docs: DataFrame, ledgerDir: String,
+      checkpoint: String, hostCol: Column,
+      tokensCol: Column): StreamingQuery = {
+    val key = runKey(checkpoint)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.CorpusOps.appendDomainLedgerBatch(batch, hostCol,
+          tokensCol, ledgerDir, s"$key-$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -494,4 +494,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the probe join must stay an equi-join on (d, bucket)")
   }
+
+  test("domain split is one projection: no join, no aggregate, only the output sort") {
+    // q236's 100 TB shape: scan → project(domain fold + hash bucket) →
+    // sort. Any join or aggregate means the split stopped being
+    // stateless.
+    val p = plan("q236_domain_split")
+    assert(!p.contains("Join"), "q236 must not join")
+    assert(!p.contains("HashAggregate"), "q236 must not aggregate")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"q236 grew $exchanges exchanges (want <=1, the output sort)")
+  }
+
+  test("canonical selection windows partition on the cluster rep, never globally") {
+    // q239's argmax runs per cluster: every Window in the plan must
+    // carry a partition spec (an unpartitioned window would funnel the
+    // corpus through one task at 100 TB)
+    val p = plan("q239_canonical_select")
+    assert(p.contains("Window"), "q239 lost its argmax window")
+    // a windowspecdefinition LEADS with its partition columns; the
+    // argmax/size windows must both key on the cluster rep (an
+    // unpartitioned spec would lead with an ASC/DESC order expr or the
+    // frame itself)
+    assert(p.contains("windowspecdefinition(cluster_rep"),
+      "q239's windows must partition on cluster_rep")
+  }
+
+  test("budget select reuses the prefix-sum machinery: slice windows + broadcast offsets") {
+    // q240 must show the globalCumSum shape — windows partitioned by the
+    // slice id and the offset/budget scalars arriving as broadcasts; the
+    // only unpartitioned window allowed is the per-slice offset fold
+    // over the <= nSlices-row totals table
+    val p = plan("q240_budget_select")
+    assert(p.contains("Window"), "q240 lost the slice-local cumsum window")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "q240's offsets/budget must broadcast, not shuffle")
+    assert(!p.contains("CartesianProduct"), "q240 degraded to a cartesian")
+  }
 }

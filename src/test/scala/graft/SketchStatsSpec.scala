@@ -204,6 +204,42 @@ class SketchStatsSpec extends SparkSpec {
     }
   }
 
+  test("streamed domain ledger serves exact counts and stable splits after every wave") {
+    import graft.streaming.Streaming
+    import graft.ops.CorpusOps
+    val work = java.nio.file.Files.createTempDirectory("graft_domstream").toString
+    val raw = s"$work/raw"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val host = concat(lit("Sub"), (col("doc_id") % 7).cast("string"),
+      lit(".Site"), (col("doc_id") % 101).cast("string"), lit(".ORG:8443"))
+    val toks = size(graft.core.Cols.wsTokens(col("text")))
+    val waves = (0 until 3).map(k => docs.filter(pmod(col("doc_id"), lit(3)) === k))
+    var fed = waves.head.limit(0)
+    waves.foreach { w =>
+      w.write.mode("append").parquet(raw)
+      fed = fed.unionByName(w)
+      val q = Streaming.domainLedgerStream(
+        spark.readStream.schema(docs.schema).parquet(raw),
+        s"$work/ledger", s"$work/ckpt", host, toks)
+      assert(q.awaitTermination(120000), "ledger wave timed out")
+      val served = CorpusOps.domainLedger(spark, s"$work/ledger")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val direct = fed
+        .select(CorpusOps.registrableDomain(host).as("domain"), toks.as("t"))
+        .withColumn("split", CorpusOps.domainSplit(col("domain")))
+        .groupBy("domain", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("t").cast("long").as("n_tokens"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(served == direct, "served ledger must be exact after each wave")
+      // split stability: a domain carries ONE split across all waves
+      assert(served.keys.groupBy(_._1).values.forall(_.map(_._2).toSet.size == 1),
+        "a domain changed split between waves")
+    }
+  }
+
   test("streamed moments maintenance serves bit-identically to a full pass per wave") {
     import graft.streaming.Streaming
     val work = java.nio.file.Files.createTempDirectory("graft_momstream").toString
