@@ -753,5 +753,39 @@ object TextQueries {
         .select(col("doc_id"), col("nd"), col("n_tokens"), col("cum_n_tokens"))
         .orderBy(desc("nd"), asc("doc_id"))
     },
+
+    // ---- curriculum staging: assign every document to one of 4
+    // quality quartiles (vocabulary richness ascending, tie doc_id) —
+    // the ordering a curriculum schedule trains over (simple/repetitive
+    // text first, richest last). NTILE is the DISTRIBUTED exact rank +
+    // integer bucket formula (globalRank + ntileFromRank: slice-local
+    // row_number + broadcast offsets — no single-task global sort at
+    // any SF), bit-matching the oracle's NTILE(4) for every n, not just
+    // multiples of 4. Per-doc output so the hash pins every assignment.
+    QueryDef(
+      "q241_curriculum_stages",
+      Some(raw"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                   AS BIGINT) AS nd
+          FROM documents)
+        SELECT doc_id, nd,
+               CAST(NTILE(4) OVER (ORDER BY nd, doc_id) AS INT) AS stage
+        FROM s ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val stats = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(array_distinct(graft.core.Cols.wsTokens(col("text"))))
+            .cast("long").as("nd"))
+      val nTot = stats.agg(count(lit(1)).as("n_total"))
+      val ranked = StatQueries.globalRank(stats,
+        Seq(asc("nd"), asc("doc_id")), bucketKey = Some(col("nd")))
+      ranked.crossJoin(broadcast(nTot)) // stat-broadcast scalar (SURVEY §4.1)
+        .select(col("doc_id"), col("nd"),
+          StatQueries.ntileFromRank(col("rn"), col("n_total"), 4)
+            .cast("int").as("stage"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -37,10 +37,11 @@ class StatDeterminismSpec extends SparkSpec {
     "q177_conformal_coverage", "q193_gain_lift", "q196_ks_test",
     "q197_mann_whitney", "q198_kruskal_wallis", "q200_gini_lorenz",
     "q208_cvm_test", "q210_cochran_armitage", "q211_jonckheere",
-    "q212_length_batches", "q216_score_ks")
+    "q212_length_batches", "q216_score_ks",
+    "q240_budget_select", "q241_curriculum_stages")
 
-  private def run(name: String) =
-    StatQueries.defs.find(_.name == name).get.fn(spark, dir)
+  private def run(name: String) = // merged registry: rank consumers now
+    SparkEntry.queries(name)(spark, dir) // live outside StatQueries too
 
   /** Canonical bit-exact fingerprint: rows sorted, doubles/floats by raw
     * IEEE-754 bits so two runs that differ in the last ulp still fail. */
