@@ -787,5 +787,50 @@ object TextQueries {
             .cast("int").as("stage"))
         .orderBy("doc_id")
     },
+
+    // ---- per-domain contribution cap: keep each domain's top-3
+    // documents by vocabulary richness (tie doc_id) — the standard
+    // anti-domination guard (without it one template-heavy site can
+    // contribute an unbounded share of the corpus; with it every domain
+    // is bounded regardless of crawl depth). One window partitioned on
+    // the domain — never a global sort — plus the kept/dropped ledger
+    // columns so the cut is auditable. Integer-only ranking.
+    QueryDef(
+      "q242_domain_cap",
+      Some(raw"""
+        WITH s AS (
+          SELECT doc_id, 'site' || (doc_id % 101) || '.org' AS domain,
+                 CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                   AS BIGINT) AS nd
+          FROM documents),
+        r AS (
+          SELECT doc_id, domain, nd,
+                 CAST(row_number() OVER (PARTITION BY domain
+                   ORDER BY nd DESC, doc_id) AS INT) AS rk
+          FROM s)
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(MIN(CASE WHEN rk <= 3 THEN doc_id END) AS BIGINT)
+                 AS first_kept_id,
+               CAST(MAX(CASE WHEN rk <= 3 THEN nd END) AS BIGINT) AS best_nd
+        FROM r GROUP BY domain ORDER BY domain"""),
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("site"), (col("doc_id") % 101).cast("string"),
+            lit(".org")).as("domain"),
+          size(array_distinct(graft.core.Cols.wsTokens(col("text"))))
+            .cast("long").as("nd"))
+      val w = Window.partitionBy("domain").orderBy(desc("nd"), asc("doc_id"))
+      st.withColumn("rk", row_number().over(w))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= 3, 1).otherwise(0)).cast("long").as("n_kept"),
+          min(when(col("rk") <= 3, col("doc_id"))).cast("long")
+            .as("first_kept_id"),
+          max(when(col("rk") <= 3, col("nd"))).cast("long").as("best_nd"))
+        .orderBy("domain")
+    },
   )
 }
