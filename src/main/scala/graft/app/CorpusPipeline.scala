@@ -75,8 +75,11 @@ object CorpusPipeline {
           val rows = it.toSeq.sortBy(_._2)
           val bytes = graft.ingest.WarcIngest.warcinfoRecord(warcTs) ++
             rows.toArray.flatMap { case (_, id, page) =>
+              // varied hosts (case/subdomain/port noise included) so the
+              // stage-0b domain fold works on realistic crawl URLs
               graft.ingest.WarcIngest.responseRecord(
-                s"https://corpus.test/doc/$id", warcTs, page)
+                s"https://Sub${id % 7}.Site${id % 101}.test:8080/doc/$id",
+                warcTs, page)
             } ++
             ("WARC/1.0\r\nWARC-Type: response\r\n" +
               "Content-Length: 999999\r\n\r\nshort").getBytes("US-ASCII")
@@ -90,7 +93,8 @@ object CorpusPipeline {
     val nWarcInfo = warcRecords.filter(col("warc_type") === "warcinfo").count()
     val recoveredPages = graft.ingest.WarcIngest.htmlResponses(warcRecords)
       .select(regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
-        .cast("long").as("doc_id"), col("html").as("_html"))
+        .cast("long").as("doc_id"), col("url").as("_url"),
+        col("html").as("_html"))
 
     // persisted: the extraction kernel feeds FOUR actions (round-trip
     // gate, maxId agg, the JSONL landing write, the funnel report) and
@@ -105,6 +109,28 @@ object CorpusPipeline {
     // the gate and the q222 oracle share one whitespace alphabet
     val nExtractBad = extracted.filter(col("_extracted") =!=
       trim(regexp_replace(col("text"), lit("[ \\t\\n\\x0B\\f\\r]+"), lit(" ")))).count()
+
+    // ---- stage 0b: domain ledger + leakage-safe split AT INGEST, on
+    // the REAL recovered URLs (the q236/q225 machinery as a funnel
+    // stage): fold each page's host to its registrable domain, assign
+    // the deterministic train/val bucket, and gate that (a) the fold
+    // recovered every planted domain, (b) the ledger partitions the
+    // recovered pages exactly, and (c) no domain straddles splits — the
+    // leakage invariant the split exists for.
+    val host = regexp_extract(col("_url"), "https?://([A-Za-z0-9.-]+(:[0-9]+)?)", 1)
+    val domLedger = extracted
+      .select(graft.ops.CorpusOps.registrableDomain(host).as("_domain"))
+      .withColumn("_split", graft.ops.CorpusOps.domainSplit(col("_domain")))
+      .groupBy("_domain", "_split").agg(count(lit(1)).as("n_docs"))
+      .persist()
+    val nDomains = domLedger.select("_domain").distinct().count()
+    val nLedgerDocs = domLedger.agg(sum("n_docs")).collect()(0).getLong(0)
+    val nStraddling = domLedger.groupBy("_domain")
+      .agg(countDistinct("_split").as("k")).filter(col("k") > 1).count()
+    val nValDomains = domLedger.filter(col("_split") === "val")
+      .select("_domain").distinct().count()
+    domLedger.unpersist(false)
+
     val docs = extracted
       .select(col("doc_id"), col("_extracted").as("text"),
         col("lang"), col("source"))
@@ -332,6 +358,7 @@ object CorpusPipeline {
       |== graft corpus pipeline ==
       |warc ingest:       $nContainers containers -> $nPages pages ($nWarcQuarantined quarantined tails, $nWarcInfo warcinfo)
       |html extraction:   $nPages pages -> text ($nExtractBad round-trip mismatches)
+      |domain split:      $nDomains domains / $nLedgerDocs pages ledgered, $nValDomains val domains, $nStraddling straddling
       |jsonl ingest:      $nIngested good, $nQuarantined quarantined
       |quality filter:    $nIngested -> $nKept  (dropped: $reasonCounts)
       |exact dedup:       $nKept -> $nExact
@@ -350,6 +377,8 @@ object CorpusPipeline {
 
     val ok = nPages == nRawDocs && nWarcQuarantined == nContainers &&
       nWarcInfo == nContainers &&
+      nDomains == 101 && nLedgerDocs == nPages && nStraddling == 0 &&
+      nValDomains > 0 && nValDomains * 3 < nDomains &&
       nExtractBad == 0 && nQuarantined == nCorrupt && nKept <= nIngested &&
       nPlantedKept > 0 && nExact <= nKept - nPlantedKept &&
       nScrubbed <= nExact && nScrubbed > 0 &&
