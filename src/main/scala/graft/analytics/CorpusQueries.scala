@@ -822,23 +822,11 @@ object CorpusQueries {
       val pages = Tables.documents(s, dir)
         .select((col("doc_id") - pmod(col("doc_id"), lit(20L))).as("cid"),
           col("doc_id"), html.as("html"))
-      import s.implicits._
-      val ts = "2024-01-01T00:00:00Z"
-      val containers = pages.as[(Long, Long, String)]
-        .groupByKey(_._1)
-        .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
-          // 20 pages per group: bounded buffer, sorted for byte-determinism
-          val rows = it.toSeq.sortBy(_._2)
-          val body = WarcIngest.warcinfoRecord(ts) ++
-            rows.toArray.flatMap { case (_, id, page) =>
-              WarcIngest.responseRecord(s"https://corpus.test/doc/$id", ts, page)
-            } ++
-            // planted truncated tail: framed length far past EOF — the
-            // walk must quarantine it, never throw or emit a page
-            ("WARC/1.0\r\nWARC-Type: response\r\n" +
-              "Content-Length: 999999\r\n\r\nshort").getBytes("US-ASCII")
-          (cid, body)
-        }.toDF("cid", "warc")
+      // planted truncated tail: framed length far past EOF — the walk
+      // must quarantine it, never throw or emit a page
+      val containers = WarcIngest.packContainers(pages,
+        "2024-01-01T00:00:00Z", id => s"https://corpus.test/doc/$id",
+        plantTruncatedTail = true)
       val recs = WarcIngest.readWarc(containers, "cid", "warc")
       WarcIngest.htmlResponses(recs)
         .select(
@@ -869,18 +857,9 @@ object CorpusQueries {
       val pages = Tables.documents(s, dir)
         .select((col("doc_id") - pmod(col("doc_id"), lit(25L))).as("cid"),
           col("doc_id"), col("text"))
-      import s.implicits._
-      val ts = "2024-01-01T00:00:00Z"
-      val containers = pages.as[(Long, Long, String)]
-        .groupByKey(_._1)
-        .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
-          val rows = it.toSeq.sortBy(_._2)
-          val body = WarcIngest.warcinfoRecord(ts) ++
-            rows.toArray.flatMap { case (_, id, text) =>
-              WarcIngest.conversionRecord(s"https://corpus.test/doc/$id", ts, text)
-            }
-          (cid, body)
-        }.toDF("cid", "warc")
+      val containers = WarcIngest.packContainers(pages,
+        "2024-01-01T00:00:00Z", id => s"https://corpus.test/doc/$id",
+        conversion = true)
       WarcIngest.readWarc(containers, "cid", "warc")
         .filter(col("reason").isNull && col("warc_type") === "conversion")
         .select(

@@ -533,8 +533,7 @@ object TextQueries {
         lit(".COM:8080/cart"),
         lit(" https://cdn.ads"), (col("doc_id") % 5).cast("string"),
         lit(".net/b.js"))
-      val host = regexp_extract(col("url"),
-        "https?://([A-Za-z0-9.-]+(:[0-9]+)?)", 1)
+      val host = graft.ops.CorpusOps.hostOf(col("url"))
       val dom = graft.ops.CorpusOps.registrableDomain(host)
       val blocklist = {
         import s.implicits._
@@ -584,7 +583,7 @@ object TextQueries {
       val url = concat(lit("https://Sub"), (col("doc_id") % 7).cast("string"),
         lit(".Site"), (col("doc_id") % 101).cast("string"),
         lit(".ORG:8443/d/"), col("doc_id").cast("string"))
-      val host = regexp_extract(url, "https?://([A-Za-z0-9.-]+(:[0-9]+)?)", 1)
+      val host = graft.ops.CorpusOps.hostOf(url)
       Tables.documents(s, dir)
         .select(col("doc_id"),
           graft.ops.CorpusOps.registrableDomain(host).as("domain"))
@@ -626,7 +625,8 @@ object TextQueries {
           ORDER BY CAST(w AS DOUBLE) / n_tokens DESC, domain DESC LIMIT 1)
         SELECT domain, n_docs, n_tokens, w,
                CAST(w * m.nm AS DOUBLE) / (m.wm * n_tokens) AS sample_rate,
-               CAST(n_tokens * w * m.nm AS DOUBLE) / (m.wm * n_tokens)
+               CAST(n_tokens AS DOUBLE) *
+                 (CAST(w * m.nm AS DOUBLE) / (m.wm * n_tokens))
                  AS expected_tokens
         FROM g, m ORDER BY domain"""),
     ) { (s, dir) =>
@@ -645,12 +645,17 @@ object TextQueries {
         .agg(max(struct((col("w").cast("double") / col("n_tokens")).as("r"),
           col("domain"), col("w"), col("n_tokens"))).as("m"))
         .select(col("m.w").as("wm"), col("m.n_tokens").as("nm"))
+      // expected = n · rate as a DOUBLE product of the already-exact
+      // rate — the BIGINT triple product n·w·nm overflows int64 at a
+      // few e9 tokens per domain (review r13), far below the 100 TB
+      // target; both engines now run the identical two-step chain
       g.crossJoin(broadcast(m)) // stat-broadcast scalar (SURVEY §4.1)
         .select(col("domain"), col("n_docs"), col("n_tokens"), col("w"),
           ((col("w") * col("nm")).cast("double") /
             (col("wm") * col("n_tokens"))).as("sample_rate"),
-          ((col("n_tokens") * col("w") * col("nm")).cast("double") /
-            (col("wm") * col("n_tokens"))).as("expected_tokens"))
+          (col("n_tokens").cast("double") *
+            ((col("w") * col("nm")).cast("double") /
+              (col("wm") * col("n_tokens")))).as("expected_tokens"))
         .orderBy("domain")
     },
 

@@ -65,32 +65,25 @@ object CorpusPipeline {
     val warcTs = "2024-01-01T00:00:00Z"
     val nRawDocs = rawDocs.count()
     val paged = rawDocs.withColumn("_html", pageHtml)
-    val containers = {
-      import spark.implicits._
+    // varied hosts (case/subdomain/port noise included) so the stage-0b
+    // domain fold works on realistic crawl URLs; each container carries
+    // a planted truncated tail the walk must quarantine
+    val containers = graft.ingest.WarcIngest.packContainers(
       paged.select((col("doc_id") - pmod(col("doc_id"), lit(20L))).as("cid"),
-          col("doc_id"), col("_html"))
-        .as[(Long, Long, String)]
-        .groupByKey(_._1)
-        .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
-          val rows = it.toSeq.sortBy(_._2)
-          val bytes = graft.ingest.WarcIngest.warcinfoRecord(warcTs) ++
-            rows.toArray.flatMap { case (_, id, page) =>
-              // varied hosts (case/subdomain/port noise included) so the
-              // stage-0b domain fold works on realistic crawl URLs
-              graft.ingest.WarcIngest.responseRecord(
-                s"https://Sub${id % 7}.Site${id % 101}.test:8080/doc/$id",
-                warcTs, page)
-            } ++
-            ("WARC/1.0\r\nWARC-Type: response\r\n" +
-              "Content-Length: 999999\r\n\r\nshort").getBytes("US-ASCII")
-          (cid, bytes)
-        }.toDF("cid", "warc")
-    }
+        col("doc_id"), col("_html")),
+      warcTs,
+      id => s"https://Sub${id % 7}.Site${id % 101}.test:8080/doc/$id",
+      plantTruncatedTail = true)
+    // containers persisted BEFORE the count: the packing groupByKey is
+    // the costliest prep job, and uncached it ran twice — once for this
+    // count, once when warcRecords first materialized (review r13)
+    containers.persist()
+    val nContainers = containers.count()
     val warcRecords = graft.ingest.WarcIngest
       .readWarc(containers, "cid", "warc").persist()
-    val nContainers = containers.count()
     val nWarcQuarantined = warcRecords.filter(col("reason").isNotNull).count()
     val nWarcInfo = warcRecords.filter(col("warc_type") === "warcinfo").count()
+    containers.unpersist(false) // warcRecords is materialized past here
     val recoveredPages = graft.ingest.WarcIngest.htmlResponses(warcRecords)
       .select(regexp_extract(col("url"), "/doc/([0-9]+)$", 1)
         .cast("long").as("doc_id"), col("url").as("_url"),
@@ -117,7 +110,7 @@ object CorpusPipeline {
     // recovered every planted domain, (b) the ledger partitions the
     // recovered pages exactly, and (c) no domain straddles splits — the
     // leakage invariant the split exists for.
-    val host = regexp_extract(col("_url"), "https?://([A-Za-z0-9.-]+(:[0-9]+)?)", 1)
+    val host = graft.ops.CorpusOps.hostOf(col("_url"))
     val domLedger = extracted
       .select(graft.ops.CorpusOps.registrableDomain(host).as("_domain"))
       .withColumn("_split", graft.ops.CorpusOps.domainSplit(col("_domain")))

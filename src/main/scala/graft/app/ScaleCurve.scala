@@ -472,27 +472,16 @@ object ScaleCurve {
         .write.mode("overwrite").parquet(s"$work/vid_x$k")
       ()
     }
-    locally {
-      import spark.implicits._
-      scales.foreach { k =>
-        corpus(k).select((col("doc_id") - pmod(col("doc_id"), lit(20L))).as("cid"),
+    scales.foreach { k =>
+      graft.ingest.WarcIngest.packContainers(
+          corpus(k).select(
+            (col("doc_id") - pmod(col("doc_id"), lit(20L))).as("cid"),
             col("doc_id"),
             concat(lit("<html><head><title>t</title></head><body><p>"),
-              col("text"), lit("</p></body></html>")).as("_html"))
-          .as[(Long, Long, String)]
-          .groupByKey(_._1)
-          .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
-            val rows = it.toSeq.sortBy(_._2)
-            val bytes = graft.ingest.WarcIngest.warcinfoRecord("2024-01-01T00:00:00Z") ++
-              rows.toArray.flatMap { case (_, id, page) =>
-                graft.ingest.WarcIngest.responseRecord(
-                  s"https://corpus.test/doc/$id", "2024-01-01T00:00:00Z", page)
-              }
-            (cid, bytes)
-          }.toDF("cid", "warc")
-          .write.mode("overwrite").parquet(s"$work/warc_x$k")
-        ()
-      }
+              col("text"), lit("</p></body></html>")).as("_html")),
+          "2024-01-01T00:00:00Z", id => s"https://corpus.test/doc/$id")
+        .write.mode("overwrite").parquet(s"$work/warc_x$k")
+      ()
     }
     def videosAt(k: Int): DataFrame = spark.read.parquet(s"$work/vid_x$k")
     def warcsAt(k: Int): DataFrame = spark.read.parquet(s"$work/warc_x$k")

@@ -18,10 +18,15 @@ import org.apache.spark.sql.DataFrame
   * plans print identically) plus an explicit list of every file
   * relation's root paths (treeString alone may truncate or omit
   * locations — two different scale-factor dirs must never collide).
-  * Long literals (e.g. a 4096-entry boundary array) may be truncated in
-  * the treeString; that cannot cause a wrong reuse because such
-  * literals are pure functions of the visible plan + the data at the
-  * listed paths — if both match, the truncated values match too.
+  * The tree is printed with maxFields = Int.MaxValue: the default
+  * truncates each node's field list at 25 ("... N more fields"), so two
+  * plans differing only in a caller-provided 30-element `isin` list
+  * could print identically and WRONGLY share a memo entry (review r13).
+  * Literal VALUES may still be elided per-node (Spark truncates long
+  * individual strings too) — that cannot cause a wrong reuse for
+  * DATA-DERIVED literals (pure functions of the visible plan + the
+  * listed paths), and caller-provided predicates live in the field
+  * lists the untruncated print now covers.
   */
 object PlanKey {
   def of(df: DataFrame): String = {
@@ -44,6 +49,8 @@ object PlanKey {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         l.data.length + ":" + l.data.map(_.toString).mkString("|").hashCode
     }.mkString(";")
-    plan.canonicalized.treeString + "\n#paths=" + paths + "\n#local=" + locals
+    plan.canonicalized.treeString(verbose = false, addSuffix = false,
+      maxFields = Int.MaxValue, printOperatorId = false) +
+      "\n#paths=" + paths + "\n#local=" + locals
   }
 }

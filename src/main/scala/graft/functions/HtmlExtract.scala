@@ -109,6 +109,12 @@ object HtmlExtract {
       var i = from
       val target = "</" + name
       val stop = if (stopAtOpen == null) null else "<" + stopAtOpen
+      // when skipping <head>, nested raw-text elements must be jumped
+      // over FIRST: a literal '<body' (or '</head>') inside a head
+      // script string — document.write("<body ...>") is common real
+      // markup — must neither trigger the implicit-close rule nor end
+      // the head (review r13; the stopAtOpen fix alone regressed this)
+      val nested = if (name == "head") Seq("script", "style") else Nil
       while (i < n) {
         if (s.charAt(i) == '<') {
           if (i + target.length <= n &&
@@ -117,12 +123,33 @@ object HtmlExtract {
             while (j < n && s.charAt(j) != '>') j += 1
             return math.min(j + 1, n)
           }
-          if (stop != null && i + stop.length <= n &&
+          val inner = nested.find(t => i + 1 + t.length <= n &&
+            s.regionMatches(true, i + 1, t, 0, t.length) &&
+            (i + 1 + t.length == n || !s.charAt(i + 1 + t.length).isLetterOrDigit))
+          if (inner.isDefined) {
+            // advance past the nested element's open tag (quote-aware,
+            // as in the main loop), then past its close tag
+            var k = i + 1 + inner.get.length
+            var quote: Char = 0
+            var done = false
+            while (k < n && !done) {
+              val ch = s.charAt(k)
+              if (quote != 0) { if (ch == quote) quote = 0 }
+              else if (ch == '"' || ch == '\'') quote = ch
+              else if (ch == '>') done = true
+              k += 1
+            }
+            i = skipToCloseTag(inner.get, if (done) k else n)
+          } else if (stop != null && i + stop.length <= n &&
             s.regionMatches(true, i, stop, 0, stop.length) &&
-            (i + stop.length == n || !s.charAt(i + stop.length).isLetterOrDigit))
+            (i + stop.length == n || !s.charAt(i + stop.length).isLetterOrDigit)) {
             return i
+          } else {
+            i += 1
+          }
+        } else {
+          i += 1
         }
-        i += 1
       }
       n
     }

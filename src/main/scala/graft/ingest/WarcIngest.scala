@@ -141,7 +141,11 @@ object WarcIngest {
         try Some(v.toLong) catch { case _: Exception => None })
       lenOpt match {
         case None => quarantine("missing_length"); return out.toSeq
-        case Some(len) if len < 0 || hdrEnd + 4 + len > n =>
+        // overflow-safe form: `hdrEnd + 4 + len > n` wraps negative for a
+        // garbled near-Long.MAX Content-Length and would BYPASS the
+        // quarantine (review r13); the subtraction form cannot overflow
+        // (n, hdrEnd are ints)
+        case Some(len) if len < 0 || len > n.toLong - hdrEnd - 4 =>
           quarantine("truncated_payload"); return out.toSeq
         case Some(len) =>
           val p0 = hdrEnd + 4
@@ -246,5 +250,37 @@ object WarcIngest {
       s"WARC-Date: $ts\r\nContent-Type: text/plain; charset=utf-8\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n") ++ payload ++
       asciiBytes("\r\n\r\n")
+  }
+
+  /** Pack `(cid, doc_id, payload)` page rows into real multi-record WARC
+    * containers — one container per `cid`: warcinfo preamble, one
+    * Content-Length-framed record per page (response or WET conversion),
+    * optionally a planted truncated tail the walk must quarantine. The
+    * SINGLE owner of the container-assembly shape (q232/q234, the funnel
+    * stage -1, the scale-curve cell all packed their own copies before —
+    * review r13): pages are sorted by doc_id inside each group so the
+    * container bytes are deterministic, and groups are bounded by the
+    * caller's cid assignment (pages-per-container), so the per-group
+    * buffer is constant-size at any corpus scale.
+    */
+  def packContainers(pages: DataFrame, ts: String, urlOf: Long => String,
+      conversion: Boolean = false,
+      plantTruncatedTail: Boolean = false): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (cid: Long, it: Iterator[(Long, Long, String)]) =>
+        val rows = it.toSeq.sortBy(_._2)
+        val records = rows.toArray.flatMap { case (_, id, payload) =>
+          if (conversion) conversionRecord(urlOf(id), ts, payload)
+          else responseRecord(urlOf(id), ts, payload)
+        }
+        val tail = if (plantTruncatedTail)
+          asciiBytes("WARC/1.0\r\nWARC-Type: response\r\n" +
+            "Content-Length: 999999\r\n\r\nshort")
+        else Array.emptyByteArray
+        (cid, warcinfoRecord(ts) ++ records ++ tail)
+      }.toDF("cid", "warc")
   }
 }

@@ -305,6 +305,13 @@ object CorpusOps {
         lit("^www\\."), lit("")),
       "[a-z0-9-]+\\.[a-z0-9-]+$", 0)
 
+  /** Host (with any port) of an http(s) URL — the canonical extraction
+    * feeding [[registrableDomain]], hoisted so the pattern cannot drift
+    * between the Scala call sites and the oracle SQL that replays it
+    * (review r13). Same Java/RE2-identical regex subset. */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "https?://([A-Za-z0-9.-]+(:[0-9]+)?)", 1)
+
   /** Deterministic domain-grain train/val assignment (the q236 rule):
     * `valBuckets` of `nBuckets` xxhash64 buckets go to 'val'. Stateless
     * and stable under corpus growth — a new crawl of an old domain lands

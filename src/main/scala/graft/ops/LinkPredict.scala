@@ -168,10 +168,15 @@ object LinkPredict {
           col("_pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
           col("cn"), col("aa_micro"))
     } else {
+      // a/b cast to long so the output SCHEMA is identical on both
+      // branches — without it an int-id graph's schema would flip with
+      // the runtime packability probe (review r13)
       val cand = wedges.repartition(col("a"), col("b")).groupBy("a", "b")
         .agg(count(lit(1)).as("cn"), sum("_aa").cast("long").as("aa_micro"))
         .filter(col("cn") >= minCommon)
       cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+          col("cn"), col("aa_micro"))
     }
     val w = Window.partitionBy("a")
       .orderBy(desc("aa_micro"), desc("cn"), asc("b"))

@@ -875,7 +875,8 @@ class CorpusOpsSpec extends SparkSpec {
       .maxBy { case (r, d, _, _) => (r, d) } match { case (_, _, w, n) => (w, n) }
     rows.foreach { case (d, _, n, w, rate, exp) =>
       assert(rate == (w * nm).toDouble / (wm * n), s"rate mismatch for $d")
-      assert(exp == (n * w * nm).toDouble / (wm * n), s"expected_tokens mismatch for $d")
+      assert(exp == n.toDouble * ((w * nm).toDouble / (wm * n)),
+        s"expected_tokens mismatch for $d")
     }
     // expected tokens never exceed actual
     rows.foreach { case (d, _, n, _, _, exp) =>

@@ -64,6 +64,26 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("<head><title>T</title><meta x=1>") == "")
   }
 
+  test("literal '<body'/'</head>' inside head scripts never ends the head (review r13)") {
+    // document.write("<body ...>") is common real markup: the implicit-
+    // close rule must not fire inside a head script string
+    assert(extract("<head><script>document.write(\"<body onload=x>\");" +
+      "</script><title>T</title></head><body><p>Real</p></body>") == "Real")
+    // nor may a literal '</head>' in a script string end the head early
+    assert(extract("<head><script>var s = \"</head><p>leak</p>\";</script>" +
+      "</head><body><p>Only this</p></body>") == "Only this")
+    // same for <style> payloads
+    assert(extract("<head><style>/* <body> */ p{}</style></head>" +
+      "<body><p>Kept</p></body>") == "Kept")
+    // an unterminated nested script still swallows the rest (the
+    // documented unterminated-structure behavior, unchanged)
+    assert(extract("<head><script>var x = '<body>'") == "")
+    // and a REAL <body> after a terminated head script still closes an
+    // unterminated head implicitly
+    assert(extract("<head><script>var b = \"<body>\";</script>" +
+      "<body><p>Implicit</p>") == "Implicit")
+  }
+
   test("link-density rule: link lists drop, linky-but-texty blocks survive") {
     // all-link block: dropped
     assert(extract("""<div><a href="/a">One</a> <a href="/b">Two</a></div>""") == "")
