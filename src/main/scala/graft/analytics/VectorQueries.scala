@@ -129,6 +129,17 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- hard negatives, IVF scale path (rows check — the recall and
+    // unconditional below-threshold contracts live in RecallContractSpec)
+    QueryDef("q243_hard_negatives_ivf", None) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSim.hardNegativesIvf(
+          emb.filter(pmod(col("vec_id"), lit(40)) === 0), emb,
+          "vec_id", "embedding", k = 3, posThreshold = 0.25)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+
     // ---- LSH-bucketed approximate kNN (scale path; rows check)
     QueryDef("q41_cosine_knn_lsh", None) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)

@@ -246,7 +246,18 @@ object VectorSim {
   def cosineTopKIvf(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, numCells: Int = 16, nprobe: Int = 8,
-      sampleN: Int = 4096, iters: Int = 10): DataFrame = {
+      sampleN: Int = 4096, iters: Int = 10): DataFrame =
+    rankTopK(ivfCandidateScores(queries, corpus, idCol, vecCol,
+      numCells, nprobe, sampleN, iters), k)
+
+  /** Shared IVF first stage: train centroids, assign corpus rows to
+    * cells, probe each query's `nprobe` nearest cells, and score the
+    * bounded candidate set with the same bit-matched cosine as the
+    * brute-force paths. Both [[cosineTopKIvf]] and [[hardNegativesIvf]]
+    * re-rank THIS frame — one owner for the cell-join shape. */
+  private def ivfCandidateScores(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, nprobe: Int, sampleN: Int, iters: Int): DataFrame = {
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, numCells, sampleN, iters)
     val cBase = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val cCells = cBase.select(col("neighbor_id"),
@@ -259,10 +270,24 @@ object VectorSim {
       .select("query_id", "neighbor_id")
     val qv = qBase.withColumn("qn", sqrt(normSq(col("qv"))))
     val cv = cBase.withColumn("cn", sqrt(normSq(col("cv"))))
-    val scored = cands.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+    cands.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    rankTopK(scored, k)
   }
+
+  /** The scale path for [[hardNegatives]]: IVF candidate generation
+    * bounds the scored set (nprobe cells per anchor instead of the whole
+    * corpus), then the SAME below-threshold cut and top-k re-rank. The
+    * threshold filter runs on exact cosines of the candidates, so the
+    * positives-never-leak guarantee is UNCONDITIONAL — approximation can
+    * only lose candidate negatives (recall measured in
+    * RecallContractSpec), never admit an above-threshold positive. */
+  def hardNegativesIvf(
+      anchors: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, posThreshold: Double, numCells: Int = 16, nprobe: Int = 8,
+      sampleN: Int = 4096, iters: Int = 10): DataFrame =
+    rankTopK(ivfCandidateScores(anchors, corpus, idCol, vecCol,
+        numCells, nprobe, sampleN, iters)
+      .filter(col("cosine") < posThreshold), k)
 
   /** Product-quantization codebooks (Jégou et al. 2011): the vector is
     * split into `m` subspaces of `dsub` dims and each subspace gets its

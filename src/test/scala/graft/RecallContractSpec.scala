@@ -214,4 +214,28 @@ class RecallContractSpec extends SparkSpec {
     // and clustering labels every document exactly once
     assert(labels.count() == docs.count())
   }
+
+  test("q243 contract: IVF hard negatives never leak positives; recall measured vs exact") {
+    val emb = Tables.embeddings(spark, sf001)
+    val anchors = emb.filter(pmod(col("vec_id"), lit(40)) === 0)
+    val rows = VectorSim.hardNegativesIvf(anchors, emb, "vec_id", "embedding",
+      k = 3, posThreshold = 0.25).collect()
+    // UNCONDITIONAL guarantee: the threshold cut runs on exact cosines of
+    // the candidates, so approximation can never admit a positive
+    assert(rows.forall(_.getAs[Double]("cosine") < 0.25),
+      "an above-threshold (positive) vector leaked into the negative set")
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+    // recall telemetry vs the exact brute-force selection
+    val exact = VectorSim.hardNegatives(anchors, emb, "vec_id", "embedding",
+        k = 3, posThreshold = 0.25)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"q243 IVF hard-negative recall vs exact: $recall%.4f ((${(got & exact).size}/${exact.size}))")
+    // same isotropic-worst-case floor argument as the q60 contract:
+    // 16 cells / probe 8 scans ~half the corpus on random embeddings
+    assert(recall >= 0.5, f"recall $recall%.4f collapsed below floor 0.5")
+  }
 }
