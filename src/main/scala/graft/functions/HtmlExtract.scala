@@ -105,47 +105,79 @@ object HtmlExtract {
     // tag itself is then processed normally — an unterminated <head> on
     // a malformed crawled page must not swallow the whole body
     // (ADVICE r12, low).
+    // Quote-aware scan from `k0` (a position inside a tag, before its
+    // '>') to the character AFTER the tag's '>'. ONE owner for the
+    // tag-end state machine (the main loop and every skip path share it
+    // — review r13: a hand-rolled copy drifted and lost the self-closing
+    // test). Packed return to stay allocation-free in the per-tag hot
+    // path: bits 1+ = after-tag position, bit 0 = self-closing ('/' was
+    // the last solid char before '>', outside quotes).
+    def scanTagEnd(k0: Int): Long = {
+      var quote: Char = 0
+      var k = k0
+      var done = false
+      var lastSolid: Char = 0
+      while (k < n && !done) {
+        val ch = s.charAt(k)
+        if (quote != 0) { if (ch == quote) quote = 0 }
+        else if (ch == '"' || ch == '\'') { quote = ch; lastSolid = ch }
+        else if (ch == '>') done = true
+        else if (!isWs(ch)) lastSolid = ch
+        k += 1
+      }
+      val after = if (done) k else n
+      (after.toLong << 1) | (if (done && lastSolid == '/') 1L else 0L)
+    }
+
     def skipToCloseTag(name: String, from: Int, stopAtOpen: String = null): Int = {
       var i = from
       val target = "</" + name
       val stop = if (stopAtOpen == null) null else "<" + stopAtOpen
       // when skipping <head>, nested raw-text elements must be jumped
-      // over FIRST: a literal '<body' (or '</head>') inside a head
-      // script string — document.write("<body ...>") is common real
-      // markup — must neither trigger the implicit-close rule nor end
-      // the head (review r13; the stopAtOpen fix alone regressed this)
+      // over: a literal '<body' (or '</head>') inside a head script
+      // string — document.write("<body ...>") is common real markup —
+      // must neither trigger the implicit-close rule nor end the head
+      // (review r13; the stopAtOpen fix alone regressed this)
       val nested = if (name == "head") Seq("script", "style") else Nil
       while (i < n) {
         if (s.charAt(i) == '<') {
-          if (i + target.length <= n &&
+          if (s.regionMatches(false, i, "<!--", 0, 4)) {
+            // comments are opaque while skipping too: a '<script' or
+            // '<body' inside a head comment must not trigger the rules
+            // below (review r13)
+            val end = s.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else if (i + target.length <= n &&
             s.regionMatches(true, i, target, 0, target.length)) {
             var j = i + target.length
             while (j < n && s.charAt(j) != '>') j += 1
             return math.min(j + 1, n)
-          }
-          val inner = nested.find(t => i + 1 + t.length <= n &&
-            s.regionMatches(true, i + 1, t, 0, t.length) &&
-            (i + 1 + t.length == n || !s.charAt(i + 1 + t.length).isLetterOrDigit))
-          if (inner.isDefined) {
-            // advance past the nested element's open tag (quote-aware,
-            // as in the main loop), then past its close tag
-            var k = i + 1 + inner.get.length
-            var quote: Char = 0
-            var done = false
-            while (k < n && !done) {
-              val ch = s.charAt(k)
-              if (quote != 0) { if (ch == quote) quote = 0 }
-              else if (ch == '"' || ch == '\'') quote = ch
-              else if (ch == '>') done = true
-              k += 1
-            }
-            i = skipToCloseTag(inner.get, if (done) k else n)
           } else if (stop != null && i + stop.length <= n &&
             s.regionMatches(true, i, stop, 0, stop.length) &&
             (i + stop.length == n || !s.charAt(i + stop.length).isLetterOrDigit)) {
             return i
           } else {
-            i += 1
+            val inner = nested.find(t => i + 1 + t.length <= n &&
+              s.regionMatches(true, i + 1, t, 0, t.length) &&
+              (i + 1 + t.length == n || !s.charAt(i + 1 + t.length).isLetterOrDigit))
+            if (inner.isDefined) {
+              val res = scanTagEnd(i + 1 + inner.get.length)
+              val after = (res >>> 1).toInt
+              // a self-closing <script/> opens no raw-text span — jumping
+              // to a nonexistent close tag swallowed the document
+              // (review r13)
+              i = if ((res & 1L) == 1L) after
+                  else skipToCloseTag(inner.get, after)
+            } else if (i + 1 < n &&
+              (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '/')) {
+              // any other tag is consumed WHOLE (quote-aware) so a
+              // '<script' or '<body' inside a quoted attribute value —
+              // <meta content="use <script> tags"> — cannot false-match
+              // (review r13)
+              i = (scanTagEnd(i + 1) >>> 1).toInt
+            } else {
+              i += 1
+            }
           }
         } else {
           i += 1
@@ -184,28 +216,20 @@ object HtmlExtract {
           val nameStart = j
           while (j < n && (s.charAt(j).isLetterOrDigit)) j += 1
           val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
-          var quote: Char = 0
-          var k = j
-          var done = false
-          var lastSolid: Char = 0 // last non-space char before '>' (outside quotes)
-          while (k < n && !done) {
-            val ch = s.charAt(k)
-            if (quote != 0) { if (ch == quote) quote = 0 }
-            else if (ch == '"' || ch == '\'') { quote = ch; lastSolid = ch }
-            else if (ch == '>') done = true
-            else if (!isWs(ch)) lastSolid = ch
-            k += 1
-          }
-          val afterTag = if (done) k else n
-          val selfClosing = done && lastSolid == '/'
+          val res = scanTagEnd(j)
+          val afterTag = (res >>> 1).toInt
+          val selfClosing = (res & 1L) == 1L
           if (name.isEmpty) {
             // stray '<' that is not a tag: literal text
             appendText('<')
             i += 1
           } else {
-            if (!closing && (name == "script" || name == "style")) {
+            // selfClosing guard on the skips: a self-closing <script/>
+            // or <head/> opens no span — skipping to a nonexistent close
+            // tag would swallow the rest of the document (review r13)
+            if (!closing && !selfClosing && (name == "script" || name == "style")) {
               i = skipToCloseTag(name, afterTag)
-            } else if (!closing && name == "head") {
+            } else if (!closing && !selfClosing && name == "head") {
               flushBlock()
               i = skipToCloseTag(name, afterTag, stopAtOpen = "body")
             } else {

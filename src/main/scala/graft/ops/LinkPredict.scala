@@ -132,10 +132,23 @@ object LinkPredict {
     // negative) keep the exact two-column key — a 20B-vertex graph at
     // 100 TB must not silently alias.
     val wedges = coldWedges.unionByName(hotWedges)
-    val idStats = e.agg(max(greatest(col("u"), col("v"))).cast("long").as("mx"),
-      min(least(col("u"), col("v"))).cast("long").as("mn")).head()
-    val packable = !idStats.isNullAt(0) &&
-      idStats.getLong(1) >= 0L && idStats.getLong(0) < (1L << 31)
+    // static dtype gate FIRST: the numeric width probe may only run on
+    // integral ids — under ANSI mode a cast of a non-numeric id column
+    // THROWS rather than nulling, so string-id graphs crashed in the
+    // probe itself (review r13)
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      e.schema("u").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val packable = integralIds && {
+      val idStats = e.agg(max(greatest(col("u"), col("v"))).cast("long").as("mx"),
+        min(least(col("u"), col("v"))).cast("long").as("mn")).head()
+      !idStats.isNullAt(0) &&
+        idStats.getLong(1) >= 0L && idStats.getLong(0) < (1L << 31)
+    }
     // the explicit repartition-on-key moves the partial aggregate to the
     // POST-shuffle side (plan-audited: partial+final run back-to-back in
     // one stage on already-partitioned data), eliminating the
@@ -168,15 +181,19 @@ object LinkPredict {
           col("_pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
           col("cn"), col("aa_micro"))
     } else {
-      // a/b cast to long so the output SCHEMA is identical on both
-      // branches — without it an int-id graph's schema would flip with
-      // the runtime packability probe (review r13)
+      // INTEGRAL a/b cast to long so the output schema is identical on
+      // both branches (an int-id graph's schema must not flip with the
+      // runtime packability probe); non-numeric ids — which can only
+      // ever take this branch — keep their own type: a blanket long
+      // cast would null/throw on every string id (review r13 x2)
       val cand = wedges.repartition(col("a"), col("b")).groupBy("a", "b")
         .agg(count(lit(1)).as("cn"), sum("_aa").cast("long").as("aa_micro"))
         .filter(col("cn") >= minCommon)
-      cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
-        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+      val unl = cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
+      if (integralIds)
+        unl.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
           col("cn"), col("aa_micro"))
+      else unl
     }
     val w = Window.partitionBy("a")
       .orderBy(desc("aa_micro"), desc("cn"), asc("b"))

@@ -84,6 +84,29 @@ class HtmlExtractSpec extends SparkSpec {
       "<body><p>Implicit</p>") == "Implicit")
   }
 
+  test("self-closing/commented/attr-quoted script markup never swallows the body (review r13)") {
+    // XHTML-style self-closing <script/> in head: opens no raw-text span
+    assert(extract("<head><script src=\"x.js\"/></head><body><p>T</p></body>") == "T")
+    // self-closing <script/> in BODY: same rule on the main-loop path
+    assert(extract("<p>before</p><script src=\"x.js\"/><p>after</p>") ==
+      "before after")
+    // commented-out script (no close tag inside the comment): comments
+    // are opaque during the head skip
+    assert(extract("<head><!-- <script src=a.js> --></head><body><p>T</p></body>") == "T")
+    // a commented '<body' must not implicitly close the head either
+    assert(extract("<head><!-- <body> --><title>x</title></head>" +
+      "<body><p>Real</p></body>") == "Real")
+    // '<script' inside a quoted attribute of another head tag: the tag
+    // is consumed whole, the attr text never matches
+    assert(extract("<head><meta content=\"use <script> tags\"></head>" +
+      "<body><p>Kept</p></body>") == "Kept")
+    // and '<body' inside a quoted attribute must not end the head
+    assert(extract("<head><meta content=\"x <body> y\"><title>t</title>" +
+      "</head><body><p>Still</p></body>") == "Still")
+    // self-closing <head/>: no head span at all, following content kept
+    assert(extract("<head/><body><p>Open</p></body>") == "Open")
+  }
+
   test("link-density rule: link lists drop, linky-but-texty blocks survive") {
     // all-link block: dropped
     assert(extract("""<div><a href="/a">One</a> <a href="/b">Two</a></div>""") == "")

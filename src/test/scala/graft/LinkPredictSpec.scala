@@ -77,6 +77,25 @@ class LinkPredictSpec extends SparkSpec {
     assert(got == packed)
   }
 
+  test("string vertex ids take the fallback path with their own type intact") {
+    // review r13: the schema-parity cast must not null non-numeric ids —
+    // the fallback branch exists precisely for ids that cannot pack
+    // zero-padded ids: lexicographic order == numeric order, so the
+    // brute-force expectation maps over directly
+    def nm(x: Long) = f"n$x%02d"
+    val e = hubEdges.map { case (u, v) => (nm(u), nm(v)) }.toDF("u", "v")
+    val out = LinkPredict.adamicAdarTopK(e, "u", "v", 2, 5).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[String]("a") != null &&
+      r.getAs[String]("b") != null))
+    // same pair structure as the long-id graph, modulo the id mapping
+    val expect = bruteForce(hubEdges, minCommon = 2, topK = 5)
+      .map { case (a, b, cn, aa, rk) => (nm(a), nm(b), cn, aa, rk) }
+    val got = out.map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+      r.getAs[Long]("cn"), r.getAs[Long]("aa_micro"), r.getAs[Int]("rk"))).toSet
+    assert(got == expect)
+  }
+
   test("edge/adjacency memo HITS across invocations: second run adds no entries") {
     LinkPredict.resetAdjMemo()
     val e = hubEdges.toDF("u", "v")
