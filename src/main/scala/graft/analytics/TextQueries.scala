@@ -837,5 +837,61 @@ object TextQueries {
           max(when(col("rk") <= 3, col("nd"))).cast("long").as("best_nd"))
         .orderBy("domain")
     },
+
+    // ---- URL canonicalization: the normalization every URL-keyed
+    // curation step (dedup ledgers, revisit policies, frontier merges)
+    // runs first — scheme/host case fold, default-port strip (443 on
+    // https; non-default ports kept), trailing-slash fold (except the
+    // root path), query parameters SORTED (the same resource fetched
+    // with `?b=2&a=1` and `?a=1&b=2` must collapse), fragment dropped
+    // (client-side only, never part of the resource). Pure codegen
+    // regexp/array chain in the RE2-identical subset; the oracle replays
+    // every rule. One projection, shuffle-free except the output sort.
+    // The planted URLs exercise each rule: mixed-case scheme/host, a
+    // :443 (stripped) vs :8443 (kept) port split, a trailing slash, and
+    // deliberately unsorted parameters.
+    QueryDef(
+      "q244_url_canonicalize",
+      Some(raw"""
+        WITH u AS (
+          SELECT doc_id,
+                 'HTTPS://Sub' || (doc_id % 5) || '.Example' || (doc_id % 50) ||
+                 '.COM' || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8443' END) ||
+                 '/Products/Item' || (doc_id % 7) || '/' ||
+                 '?utm=x&b=' || (doc_id % 3) || '&a=1#sec' || (doc_id % 4) AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(url, '\?([^#]*)', 1) AS query
+          FROM u),
+        c AS (
+          SELECT doc_id, url, scheme,
+                 CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+                      WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+                      ELSE hostport END AS host,
+                 CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+                      ELSE regexp_replace(path, '/+$$', '') END AS cpath,
+                 CASE WHEN query = '' THEN ''
+                      ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+                 END AS cquery
+          FROM p)
+        SELECT doc_id, url AS url_raw,
+               scheme || '://' || host || cpath || cquery AS url_canon
+        FROM c ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val url = concat(lit("HTTPS://Sub"), (col("doc_id") % 5).cast("string"),
+        lit(".Example"), (col("doc_id") % 50).cast("string"), lit(".COM"),
+        when(col("doc_id") % 2 === 0, ":443").otherwise(":8443"),
+        lit("/Products/Item"), (col("doc_id") % 7).cast("string"), lit("/"),
+        lit("?utm=x&b="), (col("doc_id") % 3).cast("string"),
+        lit("&a=1#sec"), (col("doc_id") % 4).cast("string"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url_raw"),
+          graft.ops.CorpusOps.canonicalizeUrl(url).as("url_canon"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -312,6 +312,30 @@ object CorpusOps {
   def hostOf(url: Column): Column =
     regexp_extract(url, "https?://([A-Za-z0-9.-]+(:[0-9]+)?)", 1)
 
+  /** Canonical form of an http(s) URL — the normalization every
+    * URL-keyed curation step runs first (q244): scheme/host case fold,
+    * default-port strip (443/https, 80/http; other ports kept),
+    * trailing-slash fold (except the root path), query parameters
+    * sorted, fragment dropped. Idempotent (canon(canon(u)) == canon(u),
+    * pinned in CorpusOpsSpec) and RE2-identical so the oracle replays
+    * every rule. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val pathStripped = regexp_replace(path, "/+$", "")
+    val cpath = when(pathStripped === "", "/").otherwise(pathStripped)
+    val cquery = when(query === "", "")
+      .otherwise(concat(lit("?"),
+        array_join(array_sort(split(query, "&")), "&")))
+    concat(scheme, lit("://"), host, cpath, cquery)
+  }
+
   /** Deterministic domain-grain train/val assignment (the q236 rule):
     * `valBuckets` of `nBuckets` xxhash64 buckets go to 'val'. Stateless
     * and stable under corpus growth — a new crawl of an old domain lands

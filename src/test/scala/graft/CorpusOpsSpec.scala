@@ -884,6 +884,41 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl: rule fixtures, idempotence, variant collapse") {
+    val fixtures = Seq(
+      // case folds + default https port + fragment drop
+      "HTTPS://Example.COM:443/A#frag" -> "https://example.com/A",
+      // http default port; path case PRESERVED (paths are case-sensitive)
+      "http://h.org:80/Path" -> "http://h.org/Path",
+      // non-default port kept
+      "https://h.org:8443/x" -> "https://h.org:8443/x",
+      // trailing-slash fold, except root
+      "https://h.org/a/b/" -> "https://h.org/a/b",
+      "https://h.org/" -> "https://h.org/",
+      "https://h.org" -> "https://h.org/",
+      // query params sorted; empty-query '?' treated as none
+      "https://h.org/p?b=2&a=1" -> "https://h.org/p?a=1&b=2",
+      "https://h.org/p?z=1#s" -> "https://h.org/p?z=1")
+    val df = fixtures.map(_._1).toDF("u")
+      .select(col("u"), CorpusOps.canonicalizeUrl(col("u")).as("c"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (u, want) =>
+      assert(got(u) == want, s"url $u: got '${got(u)}', want '$want'")
+    }
+    // idempotence: canonicalizing a canonical URL is a fixed point
+    val twice = fixtures.map(_._2).toDF("u")
+      .select(col("u"), CorpusOps.canonicalizeUrl(col("u")).as("c"))
+      .collect()
+    twice.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+    // variant collapse: the same resource under different surface forms
+    val variants = Seq("HTTPS://H.ORG:443/p/?b=2&a=1#x", "https://h.org/p?a=1&b=2",
+      "https://h.org/p/?a=1&b=2#other")
+    val canons = variants.toDF("u")
+      .select(CorpusOps.canonicalizeUrl(col("u"))).collect().map(_.getString(0))
+    assert(canons.distinct.length == 1, s"variants did not collapse: ${canons.mkString(", ")}")
+  }
+
   test("q239 canonical select: per-cluster max-nd argmax, sizes partition the corpus") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.analytics.DedupQueries.defs
