@@ -860,13 +860,15 @@ object TextQueries {
                  '/Products/Item' || (doc_id % 7) || '/' ||
                  '?utm=x&b=' || (doc_id % 3) || '&a=1#sec' || (doc_id % 4) AS url
           FROM documents),
+        b AS (
+          SELECT doc_id, url, regexp_replace(url, '#.*', '') AS base FROM u),
         p AS (
           SELECT doc_id, url,
-                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-                 regexp_extract(url, '\?([^#]*)', 1) AS query
-          FROM u),
+                 lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                 regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                 regexp_extract(base, '\?(.*)', 1) AS query
+          FROM b),
         c AS (
           SELECT doc_id, url, scheme,
                  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')

@@ -112,6 +112,8 @@ object HtmlExtract {
     // test). Packed return to stay allocation-free in the per-tag hot
     // path: bits 1+ = after-tag position, bit 0 = self-closing ('/' was
     // the last solid char before '>', outside quotes).
+    // packed: bits 2+ = after-tag position, bit 1 = a '>' was found
+    // (tag terminated), bit 0 = self-closing
     def scanTagEnd(k0: Int): Long = {
       var quote: Char = 0
       var k = k0
@@ -126,25 +128,27 @@ object HtmlExtract {
         k += 1
       }
       val after = if (done) k else n
-      (after.toLong << 1) | (if (done && lastSolid == '/') 1L else 0L)
+      (after.toLong << 2) | (if (done) 2L else 0L) |
+        (if (done && lastSolid == '/') 1L else 0L)
     }
 
     def skipToCloseTag(name: String, from: Int, stopAtOpen: String = null): Int = {
       var i = from
       val target = "</" + name
       val stop = if (stopAtOpen == null) null else "<" + stopAtOpen
-      // when skipping <head>, nested raw-text elements must be jumped
-      // over: a literal '<body' (or '</head>') inside a head script
-      // string — document.write("<body ...>") is common real markup —
-      // must neither trigger the implicit-close rule nor end the head
-      // (review r13; the stopAtOpen fix alone regressed this)
-      val nested = if (name == "head") Seq("script", "style") else Nil
+      // Two modes (review r13, rounds 2+3). RAW-TEXT mode (script/style):
+      // per HTML5 the content has no tag/comment structure — ONLY the
+      // matching close tag ends the element, so the loop must not
+      // interpret '<!--' or '<ident' (minified JS is full of 'i<n')
+      // inside it. STRUCTURED mode (head): comments are opaque, nested
+      // raw-text elements are jumped (document.write("<body>") must not
+      // implicitly close the head), and other tags are consumed whole so
+      // a '<script'/'<body' inside a quoted attribute cannot false-match.
+      val structured = name == "head"
+      val nested = if (structured) Seq("script", "style") else Nil
       while (i < n) {
         if (s.charAt(i) == '<') {
-          if (s.regionMatches(false, i, "<!--", 0, 4)) {
-            // comments are opaque while skipping too: a '<script' or
-            // '<body' inside a head comment must not trigger the rules
-            // below (review r13)
+          if (structured && s.regionMatches(false, i, "<!--", 0, 4)) {
             val end = s.indexOf("-->", i + 4)
             i = if (end < 0) n else end + 3
           } else if (i + target.length <= n &&
@@ -152,6 +156,8 @@ object HtmlExtract {
             var j = i + target.length
             while (j < n && s.charAt(j) != '>') j += 1
             return math.min(j + 1, n)
+          } else if (!structured) {
+            i += 1
           } else if (stop != null && i + stop.length <= n &&
             s.regionMatches(true, i, stop, 0, stop.length) &&
             (i + stop.length == n || !s.charAt(i + stop.length).isLetterOrDigit)) {
@@ -162,19 +168,18 @@ object HtmlExtract {
               (i + 1 + t.length == n || !s.charAt(i + 1 + t.length).isLetterOrDigit))
             if (inner.isDefined) {
               val res = scanTagEnd(i + 1 + inner.get.length)
-              val after = (res >>> 1).toInt
               // a self-closing <script/> opens no raw-text span — jumping
               // to a nonexistent close tag swallowed the document
-              // (review r13)
-              i = if ((res & 1L) == 1L) after
-                  else skipToCloseTag(inner.get, after)
+              i = if ((res & 1L) == 1L) (res >>> 2).toInt
+                  else skipToCloseTag(inner.get, (res >>> 2).toInt)
             } else if (i + 1 < n &&
               (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '/')) {
-              // any other tag is consumed WHOLE (quote-aware) so a
-              // '<script' or '<body' inside a quoted attribute value —
-              // <meta content="use <script> tags"> — cannot false-match
-              // (review r13)
-              i = (scanTagEnd(i + 1) >>> 1).toInt
+              val res = scanTagEnd(i + 1)
+              // unterminated tag (broken attribute quote in malformed
+              // markup): consuming to EOF would drop the whole body —
+              // fall back to single-step so a later '</head>'/'<body'
+              // still recovers (review r13 round 3)
+              i = if ((res & 2L) == 2L) (res >>> 2).toInt else i + 1
             } else {
               i += 1
             }
@@ -217,7 +222,7 @@ object HtmlExtract {
           while (j < n && (s.charAt(j).isLetterOrDigit)) j += 1
           val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
           val res = scanTagEnd(j)
-          val afterTag = (res >>> 1).toInt
+          val afterTag = (res >>> 2).toInt
           val selfClosing = (res & 1L) == 1L
           if (name.isEmpty) {
             // stray '<' that is not a tag: literal text

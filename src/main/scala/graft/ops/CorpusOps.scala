@@ -320,11 +320,15 @@ object CorpusOps {
     * pinned in CorpusOpsSpec) and RE2-identical so the oracle replays
     * every rule. */
   def canonicalizeUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(url,
+    // fragment stripped FIRST: a '?' may legally appear INSIDE a
+    // fragment ('/p#a?x=1'), and extracting the query from the raw URL
+    // would resurrect fragment content as a phantom query (review r13)
+    val base = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(base,
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val path = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(base, "\\?(.*)", 1)
     val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .otherwise(hostport)

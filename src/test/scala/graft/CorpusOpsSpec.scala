@@ -898,7 +898,10 @@ class CorpusOpsSpec extends SparkSpec {
       "https://h.org" -> "https://h.org/",
       // query params sorted; empty-query '?' treated as none
       "https://h.org/p?b=2&a=1" -> "https://h.org/p?a=1&b=2",
-      "https://h.org/p?z=1#s" -> "https://h.org/p?z=1")
+      "https://h.org/p?z=1#s" -> "https://h.org/p?z=1",
+      // a '?' INSIDE the fragment is fragment content, not a query —
+      // the fragment strips FIRST (review r13)
+      "https://h.org/p#a?x=1" -> "https://h.org/p")
     val df = fixtures.map(_._1).toDF("u")
       .select(col("u"), CorpusOps.canonicalizeUrl(col("u")).as("c"))
     val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap

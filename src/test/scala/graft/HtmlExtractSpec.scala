@@ -107,6 +107,24 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("<head/><body><p>Open</p></body>") == "Open")
   }
 
+  test("raw-text skips stay pure; malformed head markup still recovers (review r13 rd3)") {
+    // minified JS comparison operators: '<n' inside script content must
+    // NOT be parsed as a tag — only '</script' ends raw text
+    assert(extract("<p>before</p><script>if(i<n)f();</script><p>after</p>") ==
+      "before after")
+    // same inside a head script
+    assert(extract("<head><script>if(a<b){c()}</script></head>" +
+      "<body><p>T</p></body>") == "T")
+    // a '<!--' in script content is raw text, not a comment — the close
+    // tag still ends the element
+    assert(extract("<script>var s = \"<!--\";</script><p>after</p>") == "after")
+    // broken attribute quoting in head markup: char-step recovery must
+    // still find '</head>' instead of consuming the document
+    assert(extract("<head><meta content=\"oops></head><body><p>T</p></body>") == "T")
+    // ...and the implicit-close path recovers the same way
+    assert(extract("<head><meta content=\"oops><body><p>Kept</p>") == "Kept")
+  }
+
   test("link-density rule: link lists drop, linky-but-texty blocks survive") {
     // all-link block: dropped
     assert(extract("""<div><a href="/a">One</a> <a href="/b">Two</a></div>""") == "")
