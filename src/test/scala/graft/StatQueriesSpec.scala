@@ -1162,7 +1162,7 @@ class StatQueriesSpec extends SparkSpec {
     val raw = run("q211_jonckheere").collect()
     val rows = raw
       .map(r => ((r.getInt(0), r.getInt(1)),
-        (BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)))))
+        (BigDecimal(r.getLong(2)), BigDecimal(r.getLong(3)))))
       .toMap
     assert(rows.keySet == (for (i <- 1 to 5; j <- (i + 1) to 5) yield (i, j)).toSet)
     // replay: quintile labels via the same exact-NTILE order, then
@@ -1209,9 +1209,9 @@ class StatQueriesSpec extends SparkSpec {
     // no-tie-variance op order.
     val h = raw.head
     val (nT, sn2, sn23) =
-      (h.getLong(4), BigDecimal(h.getDecimal(5)), BigDecimal(h.getDecimal(6)))
+      (h.getLong(4), BigDecimal(h.getLong(5)), BigDecimal(h.getLong(6)))
     assert(raw.forall(r => r.getLong(4) == nT &&
-      BigDecimal(r.getDecimal(5)) == sn2 && BigDecimal(r.getDecimal(6)) == sn23))
+      BigDecimal(r.getLong(5)) == sn2 && BigDecimal(r.getLong(6)) == sn23))
     // n_total = |orders joined to quintiles|; Σn_g² and Σn_g²(2n_g+3)
     val cnts = byG.map { case (_, v) => BigInt(v.length) }
     assert(nT == cnts.sum.toLong)

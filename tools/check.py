@@ -99,6 +99,18 @@ def type_class(t):
 def compare(a, b):
     ta = {f.name: type_class(f.type) for f in a.schema}
     tb = {f.name: type_class(f.type) for f in b.schema}
+    # r14 rule: decimal output columns are FORBIDDEN in the driver-facing
+    # surface even when both sides agree. q211 was driver-hash-red for
+    # three rounds with locally-equal decimal128 values on both sides —
+    # the driver's typed hash of decimal output diverges between its
+    # DuckDB conversion and Spark's parquet decimals. Emit BIGINT (or a
+    # 6dp-rounded DOUBLE per the playbook) instead.
+    deccols = sorted(set(c for c, t in ta.items() if t == "decimal")
+                     | set(c for c, t in tb.items() if t == "decimal"))
+    if deccols:
+        return False, (f"decimal output columns {deccols} — forbidden in "
+                       "the driver-facing surface (q211 r11-r13 lesson); "
+                       "cast to BIGINT on both sides")
     if ta != tb:
         diff = {c: (ta.get(c), tb.get(c)) for c in set(ta) | set(tb)
                 if ta.get(c) != tb.get(c)}
