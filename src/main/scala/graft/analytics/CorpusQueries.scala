@@ -867,5 +867,111 @@ object CorpusQueries {
           col("url"), col("body_text").as("text_out"))
         .orderBy("doc_id")
     },
+
+    // ---- CCNet-style perplexity buckets (Wenzek et al. 2020): per-
+    // LANGUAGE head/middle/tail terciles of the q92 LM quality score —
+    // CCNet buckets each language's documents by LM perplexity and
+    // trains on the head. Bucketing rides the NEW skew-free mechanism
+    // [[StatQueries.groupedRank]]: a per-language window would funnel
+    // the dominant language (English is most of a web corpus) through
+    // ONE task at 100 TB; there, slices come from the GLOBAL score
+    // order, so the hot language spreads over every slice and only the
+    // tiny (slice × lang) offset table is broadcast. The score is
+    // 6dp-rounded on both engines (q92's determinism scheme) and ties
+    // break on doc_id, so the order — and every tercile boundary — is
+    // bit-identical.
+    QueryDef(
+      "q245_ccnet_buckets",
+      Some(s"""
+        WITH sc AS (SELECT doc_id, avg_logprob FROM
+                      (${graft.ops.LmScore.bigramScoreOracleSql(
+        refPred = "doc_id % 7 = 0", docPred = "doc_id % 7 <> 0")}) q92),
+        j AS (SELECT sc.doc_id, d.lang, sc.avg_logprob
+              FROM sc JOIN documents d USING (doc_id)),
+        b AS (SELECT doc_id, lang, avg_logprob,
+                     NTILE(3) OVER (PARTITION BY lang
+                                    ORDER BY avg_logprob DESC, doc_id) AS bucket
+              FROM j)
+        SELECT doc_id, lang, avg_logprob, bucket,
+               CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                           ELSE 'tail' END AS bucket_name
+        FROM b ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = graft.ops.LmScore.bigramScore(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text")
+        .select("doc_id", "avg_logprob")
+      val j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+      val ranked = StatQueries.groupedRank(j, Seq("lang"),
+        Seq(col("avg_logprob").desc, col("doc_id")), -col("avg_logprob"))
+      val bucket = StatQueries.ntileFromRank(col("grn"), col("gn"), 3)
+      ranked.select(col("doc_id"), col("lang"), col("avg_logprob"),
+          bucket.cast("long").as("bucket"),
+          when(bucket === 1, "head").when(bucket === 2, "middle")
+            .otherwise("tail").as("bucket_name"))
+        .orderBy("doc_id")
+    },
+
+    // ---- cross-source n-gram overlap matrix (the FineWeb/Dolma-style
+    // between-slice contamination report): for every source pair, the
+    // count of shared distinct word 4-grams and the Jaccard overlap.
+    // Gram-blocked equi-join — per-gram fan-out is C(s_g, 2) where
+    // s_g <= |sources| is how many sources contain that gram, so join
+    // cost is bounded by source cardinality, never corpus size; the
+    // complete pair matrix materializes from the tiny per-source totals
+    // (|sources|² rows). Grams ride as strings so the oracle needs no
+    // hash replay; a production corpus hashes them first (xxhash64, the
+    // q236 chain) to shrink shuffle keys — identical plan shape.
+    QueryDef(
+      "q246_source_overlap",
+      Some(raw"""
+        WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        g AS (SELECT DISTINCT source, array_to_string(t[i:i+3], ' ') AS gram
+              FROM (SELECT source, t, unnest(range(1, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 4)),
+        tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+        sh AS (SELECT a.source AS src_a, b.source AS src_b,
+                      count(*) AS shared
+               FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT ta.source AS src_a, tb.source AS src_b,
+               COALESCE(sh.shared, 0) AS shared_grams,
+               ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+               CAST(COALESCE(sh.shared, 0) AS DOUBLE) /
+                 (ta.n_grams + tb.n_grams - COALESCE(sh.shared, 0)) AS jaccard
+        FROM tot ta JOIN tot tb ON ta.source < tb.source
+        LEFT JOIN sh ON sh.src_a = ta.source AND sh.src_b = tb.source
+        ORDER BY src_a, src_b"""),
+    ) { (s, dir) =>
+      import graft.analytics.StatQueries.PerfCacheOps
+      // cached: three consumers (totals + both sides of the pair join)
+      val g = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(CorpusOps.wordGrams(graft.core.Cols.wsTokens(col("text")), 4))
+            .as("gram"))
+        .distinct()
+        .perfCache()
+      val tot = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val sh = g.as("a")
+        .join(g.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared"))
+      val pairs = broadcast(tot.as("ta"))
+        .join(broadcast(tot.as("tb")), col("ta.source") < col("tb.source"))
+        .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
+          col("ta.n_grams").as("grams_a"), col("tb.n_grams").as("grams_b"))
+      pairs.join(sh, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("shared"), lit(0L)).as("shared_grams"),
+          col("grams_a"), col("grams_b"),
+          (coalesce(col("shared"), lit(0L)).cast("double") /
+            (col("grams_a") + col("grams_b") - coalesce(col("shared"), lit(0L))))
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
   )
 }

@@ -46,7 +46,7 @@ object StatQueries {
     * evicted blocks recompute (every cached frame here is a Det-exact
     * aggregate, so recompute yields the same values) instead of spilling
     * to disk and accumulating for the session lifetime (ADVICE r11). */
-  private implicit class PerfCacheOps(df: org.apache.spark.sql.DataFrame) {
+  private[graft] implicit class PerfCacheOps(df: org.apache.spark.sql.DataFrame) {
     def perfCache(): org.apache.spark.sql.DataFrame = maybeCache(df)
   }
 

@@ -268,6 +268,35 @@ object ScaleCurve {
         spark.catalog.clearCache()
         n
       },
+      // grouped exact rank (q245's mechanism): slices come from the
+      // GLOBAL order, so per-group cost is data-bounded regardless of
+      // group skew; group count grows with replicas (blk carries the
+      // replica suffix), exercising the (slice × group) offset table
+      "q245_grouped_ntile" -> { d =>
+        val toks = graft.core.Cols.wsTokens(col("text"))
+        val stats = d.select(col("doc_id"), col("blk"),
+          size(array_distinct(toks)).cast("long").as("nd"))
+        val ranked = graft.analytics.StatQueries.groupedRank(stats,
+          Seq("blk"), Seq(desc("nd"), asc("doc_id")), -col("nd"))
+        val n = ranked.filter(graft.analytics.StatQueries
+          .ntileFromRank(col("grn"), col("gn"), 3) === 1).count()
+        spark.catalog.clearCache()
+        n
+      },
+      // source-pair gram overlap (q246): per-gram pair fan-out is
+      // bounded by how many sources share the gram (replicas rotate the
+      // alphabet, so grams never cross replicas — fan-out stays flat
+      // while gram volume scales linearly)
+      "q246_source_overlap" -> { d =>
+        val g = d.select(col("blk"),
+          explode(graft.ops.CorpusOps.wordGrams(
+            graft.core.Cols.wsTokens(col("text")), 4)).as("gram"))
+          .distinct()
+        g.as("a").join(g.as("b"),
+            col("a.gram") === col("b.gram") && col("a.blk") < col("b.blk"))
+          .groupBy(col("a.blk"), col("b.blk")).agg(count(lit(1)))
+          .count()
+      },
     )
 
     // ---- events replication for the sequence/drift family: new users

@@ -970,4 +970,61 @@ class CorpusOpsSpec extends SparkSpec {
       assert(out.last._4 + next._2 > budget, "prefix not maximal")
     }
   }
+
+  test("q245 ccnet buckets: per-language terciles match the SQL NTILE rule") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.analytics.CorpusQueries.defs
+      .find(_.name == "q245_ccnet_buckets").get.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getString(4)))
+    assert(out.nonEmpty)
+    // replay NTILE(3) per language from the emitted scores (scores are
+    // independently gated by q92's oracle; this pins the grouped-rank →
+    // bucket assembly against the SQL-standard NTILE rule)
+    out.groupBy(_._2).foreach { case (lang, docs) =>
+      val ordered = docs.sortBy { case (id, _, sc, _, _) => (-sc, id) }
+      val n = ordered.length; val q = n / 3; val rem = n % 3
+      ordered.zipWithIndex.foreach { case ((id, _, _, bucket, name), idx) =>
+        val rn = idx + 1
+        val expect = if (rn <= rem * (q + 1)) (rn - 1) / (q + 1) + 1
+        else rem + (rn - 1 - rem * (q + 1)) / q + 1
+        assert(bucket == expect, s"lang=$lang doc=$id")
+        assert(name == Seq("head", "middle", "tail")(expect.toInt - 1))
+      }
+    }
+    // every language's bucket sizes differ by at most one
+    out.groupBy(_._2).foreach { case (lang, docs) =>
+      val sizes = docs.groupBy(_._4).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"lang=$lang sizes=$sizes")
+    }
+  }
+
+  test("q246 source overlap: matrix matches brute-force gram-set Jaccard") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.analytics.CorpusQueries.defs
+      .find(_.name == "q246_source_overlap").get.fn(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val bySource = graft.core.Tables.documents(spark, dir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues { docs =>
+        docs.flatMap { case (_, text) =>
+          val t = text.trim.split("\\s+").toSeq
+          if (t.length < 4) Seq.empty
+          else t.sliding(4).map(_.mkString(" ")).toSeq
+        }.toSet
+      }.toMap
+    val srcs = bySource.keys.toSeq.sorted
+    val expectPairs = for (a <- srcs; b <- srcs if a < b) yield (a, b)
+    assert(out.keySet == expectPairs.toSet, "complete pair matrix required")
+    expectPairs.foreach { case (a, b) =>
+      val (shared, ga, gb, jac) = out((a, b))
+      val inter = bySource(a).intersect(bySource(b)).size.toLong
+      assert(shared == inter, s"pair ($a,$b)")
+      assert(ga == bySource(a).size.toLong && gb == bySource(b).size.toLong)
+      assert(jac == inter.toDouble / (ga + gb - inter))
+    }
+  }
 }

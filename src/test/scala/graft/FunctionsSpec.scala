@@ -54,6 +54,78 @@ class FunctionsSpec extends SparkSpec {
   }
 }
 
+class WordGramsExprSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.WordGramsExpr
+
+  /** The composed higher-order formulation WordGramsExpr replaced —
+    * kept here as the independent semantic reference. */
+  private def composed(tokens: org.apache.spark.sql.Column, n: Int) = {
+    val gram = (i: org.apache.spark.sql.Column) =>
+      concat_ws(" ", (0 until n).map(j => element_at(tokens, i + lit(j))): _*)
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tokens) - lit(n - 1)), gram))
+  }
+
+  private lazy val docs = {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "b", "gamma7", "Δδ", "x y".replace(" ", ""), "z")
+    (1 to 200).map { i =>
+      val len = rnd.nextInt(12) // 0..11 tokens
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))))
+    }.toDF("id", "t")
+  }
+
+  test("matches the composed transform/concat_ws formulation for n=1..5") {
+    for (n <- 1 to 5) {
+      val got = docs.select(col("id"), WordGramsExpr.wordGrams(col("t"), n))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val ref = docs.select(col("id"), composed(col("t"), n))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got == ref, s"n=$n")
+    }
+  }
+
+  test("interpreted path (codegen off) agrees with codegen path") {
+    def run() = docs.select(WordGramsExpr.wordGrams(col("t"), 3))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == codegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("edge cases: short arrays empty, null input null, n=1 identity") {
+    val df = Seq(
+      (1L, Some(Seq("a", "b", "c"))),
+      (2L, Some(Seq("a"))),
+      (3L, Some(Seq.empty[String])),
+      (4L, Option.empty[Seq[String]]),
+    ).toDF("id", "t")
+    val rows = df.select(col("id"), WordGramsExpr.wordGrams(col("t"), 2).as("g"),
+        WordGramsExpr.wordGrams(col("t"), 1).as("g1"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1),
+          if (r.isNullAt(2)) null else r.getSeq[String](2))).toMap
+    assert(rows(1L) == ((Seq("a b", "b c"), Seq("a", "b", "c"))))
+    assert(rows(2L) == ((Seq(), Seq("a"))))
+    assert(rows(3L) == ((Seq(), Seq())))
+    assert(rows(4L) == ((null, null)))
+  }
+
+  test("SQL registration works") {
+    WordGramsExpr.register(spark)
+    Seq(Tuple1(Seq("p", "q", "r"))).toDF("t").createOrReplaceTempView("wg_t")
+    val got = spark.sql("SELECT word_grams(t, 2) FROM wg_t")
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("p q", "q r"))
+  }
+}
+
 class LshExprsSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.LshExprs

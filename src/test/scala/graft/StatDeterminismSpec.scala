@@ -38,7 +38,7 @@ class StatDeterminismSpec extends SparkSpec {
     "q197_mann_whitney", "q198_kruskal_wallis", "q200_gini_lorenz",
     "q208_cvm_test", "q210_cochran_armitage", "q211_jonckheere",
     "q212_length_batches", "q216_score_ks",
-    "q240_budget_select", "q241_curriculum_stages")
+    "q240_budget_select", "q241_curriculum_stages", "q245_ccnet_buckets")
 
   private def run(name: String) = // merged registry: rank consumers now
     SparkEntry.queries(name)(spark, dir) // live outside StatQueries too
@@ -120,6 +120,32 @@ class StatDeterminismSpec extends SparkSpec {
             .cast("int").as("b"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(got == expected, s"NTILE($k) mismatch at n=$n")
+    }
+  }
+
+  test("groupedRank matches per-group window row_number under heavy group skew") {
+    import spark.implicits._
+    // one dominant group (the CCNet English case), several small ones,
+    // tie values broken by id; n chosen so group sizes hit every
+    // remainder class mod 3
+    val rows = (1 to 400).map { i =>
+      val g = if (i % 10 < 7) "big" else if (i % 10 < 9) s"mid${i % 2}" else "tiny"
+      (g, (i * 17 % 83).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id")
+    val expected = df.select(col("g"), col("id"),
+        row_number().over(Window.partitionBy("g").orderBy(col("v"), col("id")))
+          .as("rn"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sizes = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = StatQueries.groupedRank(df, Seq("g"),
+        Seq(col("v"), col("id")), col("v"))
+      .select("g", "id", "grn", "gn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == rows.length)
+    got.foreach { case (g, id, grn, gn) =>
+      assert(grn == expected((g, id)).toLong, s"group $g id $id")
+      assert(gn == sizes(g), s"group size for $g")
     }
   }
 
