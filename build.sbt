@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked program's stdout STRAIGHT through instead of routing
+// it through sbt's logger: the logger prefixes every line with
+// "[info] ", which breaks any consumer that json-parses a program's
+// stdout line (the driver's Bench record carried "parsed": null for
+// rounds while the headline JSON line sat there behind the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -37,8 +37,7 @@ object TextDedup {
   def shingles(text: Column, n: Int): Column =
     element_at(transform(array(graft.core.Cols.wsTokens(text)), tk =>
       when(size(tk) < n, array(concat_ws(" ", tk)))
-        .otherwise(transform(sequence(lit(1), size(tk) - (n - 1)),
-          i => concat_ws(" ", slice(tk, i, lit(n)))))), 1)
+        .otherwise(graft.functions.WordGramsExpr.wordGrams(tk, n))), 1)
 
   /** Distinct tokens (or n-gram shingles) hashed once to sorted 64-bit
     * values. Jaccard over the hashed set equals Jaccard over the strings
@@ -987,10 +986,7 @@ object TextDedup {
       s"repeated word), got $k")
     val toks = graft.core.Cols.wsTokens(col(textCol))
     df.select(col(idCol), toks.as("_t"))
-      .withColumn("_g",
-        when(size(col("_t")) < k, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(col("_t")) - (k - 1)),
-            i => concat_ws(" ", slice(col("_t"), i, lit(k))))))
+      .withColumn("_g", graft.functions.WordGramsExpr.wordGrams(col("_t"), k))
       .withColumn("_sg", sort_array(transform(col("_g"),
         (g, i) => struct(g.as("g"), i.as("i")))))
       // 0-based gram start indices that repeat an earlier identical gram

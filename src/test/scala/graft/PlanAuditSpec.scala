@@ -532,4 +532,34 @@ class PlanAuditSpec extends SparkSpec {
       "q240's offsets/budget must broadcast, not shuffle")
     assert(!p.contains("CartesianProduct"), "q240 degraded to a cartesian")
   }
+
+  test("ccnet buckets rank with slice-partitioned windows and a broadcast offset table") {
+    // q245's groupedRank must never window-partition on the language
+    // alone (a dominant language would funnel through one task at
+    // 100 TB): every row_number window partitions on (_pid, lang), and
+    // the (slice x lang) offset/size table arrives as a broadcast
+    val p = plan("q245_ccnet_buckets")
+    assert(p.contains("Window"), "q245 lost the slice-local rank window")
+    assert(p.contains("BroadcastHashJoin"),
+      "q245's offset table must broadcast-join back, not shuffle")
+    assert(!p.contains("CartesianProduct"), "q245 degraded to a cartesian")
+    // the rank window's partition spec includes the slice id — a spec
+    // mentioning the group column without _pid is the skew funnel
+    val windowLines = p.linesIterator.filter(l =>
+      l.contains("row_number()") && l.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, "expected the grouped-rank window in the plan")
+    windowLines.foreach(l =>
+      assert(l.contains("_pid"), s"grouped-rank window lost its slice id: $l"))
+  }
+
+  test("source overlap pair join is gram-keyed, totals matrix from broadcasts") {
+    val p = plan("q246_source_overlap")
+    assert(!p.contains("CartesianProduct"), "q246 degraded to a cartesian")
+    // the |sources|^2 pair frame may come from a nested-loop over the two
+    // TINY totals frames (bounded by source cardinality) — but the
+    // corpus-sized gram self-join must be a hash/sort-merge equi-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "q246's gram self-join must stay an equi-join")
+  }
 }
