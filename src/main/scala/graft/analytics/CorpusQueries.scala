@@ -948,29 +948,51 @@ object CorpusQueries {
     ) { (s, dir) =>
       import graft.analytics.StatQueries.PerfCacheOps
       // cached: three consumers (totals + both sides of the pair join)
-      val g = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(CorpusOps.wordGrams(graft.core.Cols.wsTokens(col("text")), 4))
-            .as("gram"))
-        .distinct()
-        .perfCache()
-      val tot = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
-      val sh = g.as("a")
-        .join(g.as("b"),
-          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-        .agg(count(lit(1)).as("shared"))
-      val pairs = broadcast(tot.as("ta"))
-        .join(broadcast(tot.as("tb")), col("ta.source") < col("tb.source"))
-        .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
-          col("ta.n_grams").as("grams_a"), col("tb.n_grams").as("grams_b"))
-      pairs.join(sh, Seq("src_a", "src_b"), "left")
-        .select(col("src_a"), col("src_b"),
-          coalesce(col("shared"), lit(0L)).as("shared_grams"),
-          col("grams_a"), col("grams_b"),
-          (coalesce(col("shared"), lit(0L)).cast("double") /
-            (col("grams_a") + col("grams_b") - coalesce(col("shared"), lit(0L))))
-            .as("jaccard"))
+      val g = CorpusOps.sourceGrams(Tables.documents(s, dir),
+        "source", "text", 4).perfCache()
+      CorpusOps.overlapMatrix(g).orderBy("src_a", "src_b")
+    },
+
+    // ---- incremental overlap-matrix maintenance (q246's growing-corpus
+    // sibling, the q79/q99 incremental-index pattern): the stored state
+    // is the distinct (source, gram) index plus the prior matrix; an
+    // ingest batch contributes only its genuinely-new pairs, which probe
+    // the index gram-keyed — the old corpus never re-joins against
+    // itself. The ORACLE is the whole point: it computes the full-corpus
+    // batch matrix directly, so the incremental chain must reproduce the
+    // from-scratch answer bit-for-bit (totals, shared counts, jaccard).
+    QueryDef(
+      "q247_incremental_source_overlap",
+      Some(raw"""
+        WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        g AS (SELECT DISTINCT source, array_to_string(t[i:i+3], ' ') AS gram
+              FROM (SELECT source, t, unnest(range(1, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 4)),
+        tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+        sh AS (SELECT a.source AS src_a, b.source AS src_b,
+                      count(*) AS shared
+               FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT ta.source AS src_a, tb.source AS src_b,
+               COALESCE(sh.shared, 0) AS shared_grams,
+               ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+               CAST(COALESCE(sh.shared, 0) AS DOUBLE) /
+                 (ta.n_grams + tb.n_grams - COALESCE(sh.shared, 0)) AS jaccard
+        FROM tot ta JOIN tot tb ON ta.source < tb.source
+        LEFT JOIN sh ON sh.src_a = ta.source AND sh.src_b = tb.source
+        ORDER BY src_a, src_b"""),
+    ) { (s, dir) =>
+      import graft.analytics.StatQueries.PerfCacheOps
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      // stored state stand-ins (q79's in-query convention): the index
+      // and the prior matrix a deployment would read off disk
+      val index = CorpusOps.sourceGrams(old, "source", "text", 4).perfCache()
+      val prior = CorpusOps.overlapMatrix(index)
+      CorpusOps.incrementalOverlapMatrix(index, prior, batch,
+          "source", "text", 4)
         .orderBy("src_a", "src_b")
     },
   )

@@ -999,4 +999,130 @@ object CorpusOps {
       .limit(topK)
       .select("w1", "w2", "n_xy", "n_x", "n_y", "score_ppm")
   }
+
+  // ---------------------------------------------------------------------
+  // Cross-source n-gram overlap matrix (q246/q247): the FineWeb/Dolma-
+  // style between-slice contamination report, plus its incremental
+  // maintenance path. The unit of state is the DISTINCT (source, gram)
+  // pair frame — the same "persisted index" shape as the MinHash
+  // signature index (q79), so a growing corpus updates the matrix from
+  // each ingest batch without re-joining the old corpus against itself.
+  // ---------------------------------------------------------------------
+
+  /** Distinct (source, gram) pairs of a corpus slice — the overlap
+    * index. Grams ride as strings (oracle replays them verbatim); a
+    * production deployment hashes them (xxhash64) to shrink the index.
+    */
+  def sourceGrams(df: DataFrame, sourceCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(sourceCol).as("source"),
+      explode(wordGrams(graft.core.Cols.wsTokens(col(textCol)), n)).as("gram"))
+      .distinct()
+
+  /** Complete pairwise overlap matrix over a (source, gram) index:
+    * (src_a, src_b, shared_grams, grams_a, grams_b, jaccard) for every
+    * source pair src_a < src_b — zero-overlap pairs included (the
+    * complete matrix materializes from the tiny per-source totals).
+    * Gram-blocked equi-join: per-gram fan-out is C(s_g, 2) with s_g
+    * bounded by source cardinality, never corpus size.
+    */
+  def overlapMatrix(index: DataFrame): DataFrame = {
+    val tot = index.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val sh = index.as("a")
+      .join(index.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    assembleMatrix(tot, sh)
+  }
+
+  /** Incremental overlap-matrix update: `index` is the stored DISTINCT
+    * (source, gram) frame of everything ingested so far, `newDocs` the
+    * arriving batch. Returns the matrix of index ∪ batch — bit-equal to
+    * [[overlapMatrix]] over the full corpus (q247's oracle states
+    * exactly that) — while the only corpus-sized joins touch the DELTA:
+    * the batch's genuinely-new (source, gram) pairs probe the index
+    * gram-keyed (new×old) and self-join (new×new); the old×old half is
+    * never recomputed, it arrives as the stored `priorShared` matrix
+    * (dimension-sized: |sources|² rows). New sources appearing first in
+    * the batch fall out naturally — the totals union introduces them and
+    * the complete-matrix assembly gives them rows against every prior
+    * source.
+    */
+  def incrementalOverlapMatrix(index: DataFrame, priorShared: DataFrame,
+      newDocs: DataFrame, sourceCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import graft.analytics.StatQueries.PerfCacheOps
+    val fresh = freshSourceGrams(index, newDocs, sourceCol, textCol, n)
+      .perfCache()
+    val shared = priorShared
+      .select(col("src_a"), col("src_b"), col("shared_grams").as("shared"))
+      .filter(col("shared") > 0)
+      .unionByName(overlapSharedDelta(index, fresh))
+      .groupBy("src_a", "src_b").agg(sum("shared").as("shared"))
+    val tot = index.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      .unionByName(fresh.groupBy("source").agg(count(lit(1)).as("n_grams")))
+      .groupBy("source").agg(sum("n_grams").as("n_grams"))
+    assembleMatrix(tot, shared)
+  }
+
+  /** A batch's genuinely-new index rows: its distinct (source, gram)
+    * pairs anti-joined against the stored index. */
+  private[graft] def freshSourceGrams(index: DataFrame, newDocs: DataFrame,
+      sourceCol: String, textCol: String, n: Int): DataFrame =
+    sourceGrams(newDocs, sourceCol, textCol, n)
+      .join(index, Seq("source", "gram"), "left_anti")
+
+  /** Shared-count DELTA a fresh pair set contributes: every new
+    * cross-source pair (fresh × old, canonically ordered — the two sets
+    * are disjoint per gram by the anti-join, so each pair counts once)
+    * plus pairs born inside the batch (fresh × fresh, a < b). */
+  private[graft] def overlapSharedDelta(index: DataFrame,
+      fresh: DataFrame): DataFrame = {
+    val crossOld = fresh.as("f")
+      .join(index.as("o"), col("f.gram") === col("o.gram") &&
+        col("f.source") =!= col("o.source"))
+      .select(least(col("f.source"), col("o.source")).as("src_a"),
+        greatest(col("f.source"), col("o.source")).as("src_b"))
+    val within = fresh.as("x")
+      .join(fresh.as("y"), col("x.gram") === col("y.gram") &&
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+    crossOld.unionByName(within)
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+  }
+
+  /** Assemble the published matrix from a [[graft.streaming.Streaming
+    * .overlapLedgerStream]] ledger directory: fold the per-batch shared
+    * and totals deltas (dimension-sized — |sources|² rows per batch, not
+    * corpus-sized) and run the shared matrix-assembly tail. Equals
+    * [[overlapMatrix]] over everything the stream has ingested. */
+  def readOverlapLedger(sp: org.apache.spark.sql.SparkSession,
+      ledgerDir: String): DataFrame = {
+    val tot = sp.read.parquet(s"$ledgerDir/totals")
+      .groupBy("source").agg(sum("n_grams").as("n_grams"))
+    val shared = sp.read.parquet(s"$ledgerDir/shared")
+      .groupBy("src_a", "src_b").agg(sum("shared").as("shared"))
+    assembleMatrix(tot, shared)
+  }
+
+  /** Shared tail of the batch and incremental paths: complete pair
+    * matrix from the per-source totals (tiny — broadcast nested loop is
+    * fine at |sources|² rows), shared counts joined in, zero-overlap
+    * pairs kept. jaccard = one division of exact integers (correctly
+    * rounded on any IEEE engine).
+    */
+  private def assembleMatrix(tot: DataFrame, shared: DataFrame): DataFrame = {
+    val pairs = broadcast(tot.as("ta"))
+      .join(broadcast(tot.as("tb")), col("ta.source") < col("tb.source"))
+      .select(col("ta.source").as("src_a"), col("tb.source").as("src_b"),
+        col("ta.n_grams").as("grams_a"), col("tb.n_grams").as("grams_b"))
+    pairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared"), lit(0L)).as("shared_grams"),
+        col("grams_a"), col("grams_b"),
+        (coalesce(col("shared"), lit(0L)).cast("double") /
+          (col("grams_a") + col("grams_b") - coalesce(col("shared"), lit(0L))))
+          .as("jaccard"))
+  }
 }

@@ -525,6 +525,67 @@ object Streaming {
       .start()
   }
 
+  /** Streaming maintenance of the cross-source overlap ledger (the
+    * q246/q247 contamination matrix, kept current under continuous
+    * ingest). State is two stores: the DISTINCT (source, gram) index
+    * (partitioned by batch, the q79-family layout) and a DELTA ledger —
+    * per batch, the shared-count delta its new pairs contribute
+    * (`ledgerDir/shared/batch=<key>`) and its per-source new-gram counts
+    * (`ledgerDir/totals/batch=<key>`). Per micro-batch:
+    *  (a) read the index EXCLUDING this batch's own partition (retry
+    *      correctness: a crashed attempt's append must not make the
+    *      retry see its own rows as "old");
+    *  (b) fresh = the batch's distinct pairs anti-joined to the index —
+    *      corpus-sized work touches only batch × index, never old × old;
+    *  (c) write the shared/totals deltas (dimension-sized: ≤ |sources|²
+    *      rows) and append fresh as the batch's index partition — all
+    *      three writes are per-batch-partition overwrites, so retries
+    *      are idempotent.
+    * The published matrix assembles from the delta fold
+    * ([[graft.ops.CorpusOps.readOverlapLedger]]) and equals
+    * [[graft.ops.CorpusOps.overlapMatrix]] over everything ingested —
+    * the spec pins that equality across waves, duplicate re-delivery
+    * included (re-delivered pairs anti-join away: zero delta).
+    */
+  def overlapLedgerStream(docs: DataFrame, indexDir: String,
+      ledgerDir: String, checkpoint: String, sourceCol: String = "source",
+      textCol: String = "text", n: Int = 4): StreamingQuery = {
+    val key = runKey(checkpoint)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val own = s"$key-$batchId"
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val index =
+          if (fs.exists(idxPath))
+            sp.read.parquet(indexDir)
+              .filter(col("batch").cast("string") =!= lit(own))
+              .select("source", "gram")
+          else // first-ever ingest: typed empty index
+            graft.ops.CorpusOps.sourceGrams(batch, sourceCol, textCol, n)
+              .limit(0)
+        // read three times: shared delta (twice — both join sides) +
+        // totals + index append
+        val fresh = graft.ops.CorpusOps
+          .freshSourceGrams(index, batch, sourceCol, textCol, n).persist()
+        try {
+          graft.ops.CorpusOps.overlapSharedDelta(index, fresh)
+            .write.mode("overwrite").parquet(s"$ledgerDir/shared/batch=$own")
+          fresh.groupBy("source").agg(count(lit(1)).as("n_grams"))
+            .write.mode("overwrite").parquet(s"$ledgerDir/totals/batch=$own")
+          fresh.select("source", "gram")
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$own")
+        } finally {
+          fresh.unpersist(false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming EXACT dedup over a persisted fingerprint index — the
     * unbounded-corpus production shape [[dedupDocStream]]'s watermarked
     * state cannot provide: state-store dedup must expire its keys at the

@@ -999,6 +999,38 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental overlap matrix == batch recompute, incl. a brand-new source") {
+    import spark.implicits._
+    // planted: src_new exists ONLY in the batch; src_a gains grams that
+    // overlap src_b's existing ones; duplicate grams inside the batch
+    // must not double-count (the index is distinct pairs)
+    val old = Seq(
+      ("src_a", "w x y z p q"),
+      ("src_b", "w x y z r s"),
+      ("src_c", "m n o p q r"),
+    ).toDF("source", "text")
+    val batch = Seq(
+      ("src_a", "m n o p q r"), // src_a picks up src_c's grams
+      ("src_new", "w x y z j k"), // new source overlapping a and b
+      ("src_new", "w x y z j k"), // exact dup doc: no extra index rows
+    ).toDF("source", "text")
+    val index = graft.ops.CorpusOps.sourceGrams(old, "source", "text", 4)
+    val prior = graft.ops.CorpusOps.overlapMatrix(index)
+    val inc = graft.ops.CorpusOps.incrementalOverlapMatrix(
+      index, prior, batch, "source", "text", 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val full = graft.ops.CorpusOps.overlapMatrix(
+      graft.ops.CorpusOps.sourceGrams(old.unionByName(batch),
+        "source", "text", 4))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(inc == full)
+    // the new source got complete rows against every prior source
+    assert(inc.count { case (a, b, _, _, _, _) =>
+      a == "src_new" || b == "src_new" } == 3)
+  }
+
   test("q246 source overlap: matrix matches brute-force gram-set Jaccard") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.analytics.CorpusQueries.defs

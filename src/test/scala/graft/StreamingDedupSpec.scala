@@ -456,6 +456,40 @@ class StreamingDedupSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == flaggedIds, "retry must not duplicate flags")
   }
 
+  test("overlap ledger stream: delta fold equals the batch matrix, re-delivery contributes zero") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val work = java.nio.file.Files.createTempDirectory("graft_soverlap").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val ledger = s"$work/ledger"; val ckpt = s"$work/ckpt"
+    // wave 3 re-delivers wave 0 verbatim: its pairs anti-join away
+    val waves = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k)) :+
+      docs.filter(col("doc_id") % 3 === 0)
+    waves.foreach { w =>
+      w.write.mode("append").parquet(raw)
+      val q = Streaming.overlapLedgerStream(
+        spark.readStream.schema(docs.schema).parquet(raw), idx, ledger, ckpt)
+      assert(q.awaitTermination(120000), "overlap ledger wave timed out")
+    }
+    val key = graft.streaming.Streaming.runKey(ckpt)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    // published matrix == from-scratch batch matrix over everything
+    // (the matrix is over DISTINCT pairs, so re-delivery is a no-op on
+    // both sides)
+    val streamed = rows(graft.ops.CorpusOps.readOverlapLedger(spark, ledger))
+    val batch = rows(graft.ops.CorpusOps.overlapMatrix(
+      graft.ops.CorpusOps.sourceGrams(docs, "source", "text", 4)))
+    assert(streamed == batch)
+    // the re-delivered wave's deltas are EMPTY on every store
+    assert(spark.read.parquet(s"$ledger/shared/batch=$key-3").count() == 0)
+    assert(spark.read.parquet(s"$ledger/totals/batch=$key-3").count() == 0)
+    assert(spark.read.parquet(s"$idx/batch=$key-3").count() == 0)
+    // the index never holds a duplicate (source, gram) pair
+    val idxDf = spark.read.parquet(idx)
+    assert(idxDf.count() == idxDf.select("source", "gram").distinct().count())
+  }
+
   test("exact dedup stream: arrival-order survivors, late re-delivery dropped, index fp-unique") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val work = java.nio.file.Files.createTempDirectory("graft_sexact").toString
