@@ -12,19 +12,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * array, as one array — `["a","b","c"]`, n=2 → `["a b", "b c"]`; fewer
   * than n tokens → empty array; null input → null.
   *
-  * Rationale (SURVEY §2 custom-op preference (b)): the composed
-  * formulation — `transform(sequence(1, m-n+1), i -> concat_ws(' ',
-  * element_at(t, i), ...))` — routes through Spark's higher-order-
-  * function machinery, which does NOT participate in whole-stage codegen:
-  * the lambda body is interpreted per element with a bound-variable
-  * indirection per `element_at`. Measured on the sf0.1 documents table
-  * (5k docs, 255k 4-grams): 8.5 s for the composed expression vs 0.24 s
-  * for a flat loop — a 35x penalty paid by EVERY gram consumer
-  * (decontamination, LM scoring, DSIR weighting, collocations,
-  * novel-gram rate, vocab drift, source overlap...). This expression is
-  * that flat loop: one pass over the token array, one `UTF8String
-  * .concatWs` per gram, codegen'd via `doGenCode` so it inlines into the
-  * consuming stage.
+  * Rationale (SURVEY §2 custom-op preference (b)) — this kernel kills
+  * two distinct costs of the composed formulation
+  * (`transform(sequence(1, m-n+1), i -> concat_ws(' ',
+  * element_at(t, i), ...))`):
+  *
+  *  1. **The inlined-child footgun, by construction.** Each
+  *     `element_at(tokens, ...)` re-evaluates the `tokens` expression;
+  *     when a caller inlines `split(trim(text))` instead of binding it
+  *     to a column first, the REGEX TOKENIZATION re-runs n times per
+  *     gram — O(len²) per document. Measured on the sf0.1 documents
+  *     table (5k docs, 255k 4-grams): 8.5 s inlined vs ~0.4 s bound.
+  *     Every old call site carried a "bind `_t` first" comment as the
+  *     defense (CorpusOps.contamination's lesson); q246's first cut
+  *     forgot and paid the 8.5 s. A native UnaryExpression evaluates its
+  *     child exactly once per row, so the footgun class is gone — no
+  *     call-site discipline needed.
+  *  2. **Interpreted higher-order-function overhead.** `transform` does
+  *     not participate in whole-stage codegen; the lambda body is
+  *     interpreted per element. Worth ~0.4 s → 0.25 s on the same table
+  *     (bound-column composed vs this kernel) — small next to (1), but
+  *     it compounds across the dozen gram consumers (decontamination,
+  *     LM scoring, DSIR weighting, collocations, novel-gram rate, vocab
+  *     drift, source overlap).
+  *
+  * One pass over the token array, one `UTF8String.concatWs` per gram,
+  * codegen'd via `doGenCode` so the loop inlines into the consuming
+  * stage.
   *
   * Semantics parity with the composed form: `concat_ws` SKIPS null
   * elements (a null token shortens its grams rather than nulling them) —

@@ -44,10 +44,12 @@ object CorpusOps {
     */
   def wordGrams(tokens: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // native codegen kernel (functions/WordGramsExpr): the composed
-    // transform/sequence/concat_ws form interprets its lambda per element
-    // (higher-order functions skip whole-stage codegen) — measured 35x
-    // slower on the sf0.1 documents table. Same semantics, null-for-null.
+    // native codegen kernel (functions/WordGramsExpr): evaluates `tokens`
+    // exactly ONCE per row — the composed transform/element_at form
+    // re-evaluated an INLINED tokenizer n times per gram (the O(len²)
+    // footgun every call site had to defend against with a "bind _t to a
+    // real column first" dance) — and skips interpreted HOF evaluation.
+    // Same semantics, null-for-null, empty for short docs.
     graft.functions.WordGramsExpr.wordGrams(tokens, n)
   }
 
