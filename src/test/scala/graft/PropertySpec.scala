@@ -224,6 +224,33 @@ object GraftProps extends Properties("graft") {
       got == expect
     }
 
+  // the grouped sibling (q245's mechanism): for ANY group skew and
+  // duplicate structure, per-group rank and group size equal the
+  // single-threaded per-group replay. The generator is deliberately
+  // skewed (one group draws 3/5 of the rows) — the funnel shape the
+  // helper exists to avoid.
+  private val groupedRows = Gen.listOfN(80,
+    Gen.zip(Gen.frequency(3 -> Gen.const("big"), 1 -> Gen.const("mid"),
+      1 -> Gen.const("tiny")), Gen.chooseNum(-30L, 30L)))
+    .suchThat(_.nonEmpty)
+
+  property("groupedRank == per-group sorted replay under any skew") =
+    forAll(groupedRows) { xs =>
+      val withId = xs.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      val df = withId.toDF("g", "v", "id")
+      val got = graft.analytics.StatQueries.groupedRank(df, Seq("g"),
+          Seq(col("v"), col("id")), col("v"))
+        .select("g", "id", "grn", "gn").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val expect = withId.groupBy(_._1).flatMap { case (g, rows) =>
+        val sorted = rows.sortBy(t => (t._2, t._3))
+        sorted.zipWithIndex.map { case (t, i) =>
+          (g, t._3) -> (i + 1L, rows.length.toLong) }
+      }.toMap
+      got == expect
+    }
+
   property("globalCumSum (2 cols) == sorted replay") =
     forAll(rankRows) { xs =>
       val grouped = xs.groupBy(_._1).toSeq
