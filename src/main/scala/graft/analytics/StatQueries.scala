@@ -281,7 +281,12 @@ object StatQueries {
     * for grouping keys of bounded cardinality (languages, sources,
     * shards, status codes). A key with data-scaled cardinality (user id)
     * does not need this helper — its groups are small, a plain grouped
-    * window is already skew-free there. */
+    * window is already skew-free there.
+    *
+    * `groupCols` must be NON-NULL: the offset join is null-strict, so a
+    * null group would silently drop its rows (coalesce a sentinel
+    * upstream — the lang/source columns all callers pass are non-null by
+    * schema). */
   private[graft] def groupedRank(df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String],
       sortCols: Seq[org.apache.spark.sql.Column],

@@ -372,7 +372,12 @@ object ScaleCurve {
     var ok = true
     println(f"${"query"}%-36s ${"1x(s)"}%8s ${"4x(s)"}%8s ${"16x(s)"}%8s " +
       f"${"4x/1x"}%6s ${"16x/4x"}%6s")
+    // targeted rerun filter (comma-separated name prefixes): adjudicating
+    // one bimodal cell should not cost a full-curve session
+    val onlyCells = sys.env.get("SPARK_GRAFT_CURVE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def measure(name: String, f: DataFrame => Long, at: Int => DataFrame): Unit = {
+      if (!onlyCells.forall(_.exists(name.startsWith))) return
       def timesOnce(): Seq[Double] = scales.map { k =>
         // constant rows per shuffle partition across scales — see scaladoc
         spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * k).toString)
