@@ -140,6 +140,41 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- semantic decontamination: the embedding-space sibling of the
+    // n-gram decontam family — flag corpus vectors whose cosine to ANY
+    // eval anchor (vec_id % 40 = 0, the q235 split) reaches 0.25, with
+    // the strongest anchor attributed and the match count. Integer-only
+    // surface (doc_id, n_matches, best_eval_id): the cosine itself stays
+    // internal — engine dot (exact float products, double sum) and the
+    // oracle's decimal chain agree to ~1 ulp, which the 0.25 comparison
+    // and the argmax tolerate on this data (the q235 precedent) but a
+    // raw-double emission would gamble on (playbook rules 10/14).
+    QueryDef(
+      "q248_semantic_decontam",
+      Some(s"""
+        WITH q AS (SELECT vec_id AS eval_id, embedding AS qv
+                   FROM embeddings WHERE vec_id % 40 = 0),
+        hits AS (SELECT e.vec_id AS doc_id, q.eval_id,
+                        ${cosSql("q.qv", "e.embedding")} AS c
+                 FROM embeddings e, q
+                 WHERE e.vec_id % 40 <> 0
+                   AND ${cosSql("q.qv", "e.embedding")} >= 0.25)
+        SELECT doc_id, n_matches, best_eval_id FROM (
+          SELECT doc_id, eval_id AS best_eval_id,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, eval_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n_matches
+          FROM hits) h
+        WHERE rn = 1 ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorSim.semanticDecontam(
+          emb.filter(pmod(col("vec_id"), lit(40)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(40)) =!= 0),
+          "vec_id", "embedding", threshold = 0.25)
+        .orderBy("doc_id")
+    },
+
     // ---- LSH-bucketed approximate kNN (scale path; rows check)
     QueryDef("q41_cosine_knn_lsh", None) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)

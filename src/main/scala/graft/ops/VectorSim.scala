@@ -101,6 +101,41 @@ object VectorSim {
     rankTopK(scored, k)
   }
 
+  /** Semantic decontamination — the EMBEDDING-space sibling of the
+    * n-gram decontam family (q68 exact overlap, q128 fuzzy Jaccard):
+    * flag every corpus vector whose cosine to ANY eval anchor reaches
+    * `threshold`, attributing the strongest anchor (ties to the lower
+    * anchor id) and the match count. The n-gram signals catch verbatim
+    * and near-verbatim leaks; this catches paraphrased eval content
+    * that shares no surface n-grams — pipelines run both and union the
+    * flags (SemDeDup's observation applied to decontamination).
+    *
+    * Shape at scale: eval sets are tiny next to a training corpus, so
+    * the anchor side broadcasts with precomputed norms and the corpus
+    * streams in ONE scan (the q235/hardNegatives shape); per-doc windows
+    * partition on doc_id (bounded by |eval| rows each, skew-free). When
+    * the anchor set outgrows the broadcast budget, put the IVF candidate
+    * stage in front (the q243 path) — same output contract.
+    */
+  def semanticDecontam(evalSet: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(normSq(col("qv"))))
+    val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(normSq(col("cv"))))
+    val hits = c.crossJoin(broadcast(q))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cosine") >= threshold)
+    val w = Window.partitionBy("doc_id")
+    hits
+      .withColumn("rn",
+        row_number().over(w.orderBy(desc("cosine"), col("eval_id"))))
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_matches"), col("eval_id").as("best_eval_id"))
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * diversified re-ranking: from each query's `topN` cosine candidates,
     * greedily select `k` results maximizing

@@ -281,6 +281,29 @@ class VectorSimSpec extends SparkSpec {
     assert(out(2).getAs[Double]("cosine") == -1.0)
   }
 
+  test("semanticDecontam: planted paraphrase flagged with argmax anchor, clean docs pass") {
+    // anchors 0 and 3 are OPPOSITE directions; corpus doc 1 is a
+    // near-clone of anchor 0 (cos ~0.994 to 0, ~-0.994 to 3), doc 2 is
+    // orthogonal to both. τ=0.9: doc 1 flagged with best anchor 0 and
+    // exactly ONE match; doc 2 unflagged.
+    val out = VectorSim.semanticDecontam(
+      vecs.filter($"vec_id".isin(0L, 3L)),
+      vecs.filter($"vec_id".isin(1L, 2L)),
+      "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 0L)))
+    // lowering τ to -1 flags everything, and a doc matching BOTH anchors
+    // (the orthogonal doc 2 at cos 0) counts both with the lower anchor
+    // id attributed on the tie
+    val all = VectorSim.semanticDecontam(
+      vecs.filter($"vec_id".isin(0L, 3L)),
+      vecs.filter($"vec_id".isin(1L, 2L)),
+      "vec_id", "embedding", threshold = -1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(all(1L) == ((2L, 0L))) // matches both, best = anchor 0
+    assert(all(2L) == ((2L, 0L))) // cos 0 to both: tie -> lower anchor id
+  }
+
   test("hardNegatives: below-threshold top-k, positives never leak") {
     // anchor 0: vec 1 is a near-positive (cos ~0.994), vecs 2/3 are true
     // negatives. With posThreshold 0.9 the near-positive must be EXCLUDED
