@@ -13,6 +13,31 @@ import graft.ops.CorpusOps
   */
 object CorpusQueries {
 
+  /** The full-corpus source-overlap matrix in SQL — shared VERBATIM by
+    * q246 (batch) and q247 (incremental): q247's whole contract is that
+    * the incremental chain reproduces this exact matrix, so the two
+    * oracles must be one string (a fix applied to only one copy would
+    * make them silently disagree about what "the same matrix" means). */
+  private val overlapMatrixOracleSql: String = raw"""
+        WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS t
+                      FROM documents),
+        g AS (SELECT DISTINCT source, array_to_string(t[i:i+3], ' ') AS gram
+              FROM (SELECT source, t, unnest(range(1, len(t) - 2)) AS i
+                    FROM toks WHERE len(t) >= 4)),
+        tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+        sh AS (SELECT a.source AS src_a, b.source AS src_b,
+                      count(*) AS shared
+               FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT ta.source AS src_a, tb.source AS src_b,
+               COALESCE(sh.shared, 0) AS shared_grams,
+               ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+               CAST(COALESCE(sh.shared, 0) AS DOUBLE) /
+                 (ta.n_grams + tb.n_grams - COALESCE(sh.shared, 0)) AS jaccard
+        FROM tot ta JOIN tot tb ON ta.source < tb.source
+        LEFT JOIN sh ON sh.src_a = ta.source AND sh.src_b = tb.source
+        ORDER BY src_a, src_b"""
+
   val defs: Seq[QueryDef] = Seq(
     // ---- benchmark decontamination: train docs sharing any word 4-gram
     // with the eval split (doc_id % 50 == 0 here; a real pipeline feeds
@@ -926,25 +951,7 @@ object CorpusQueries {
     // q236 chain) to shrink shuffle keys — identical plan shape.
     QueryDef(
       "q246_source_overlap",
-      Some(raw"""
-        WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS t
-                      FROM documents),
-        g AS (SELECT DISTINCT source, array_to_string(t[i:i+3], ' ') AS gram
-              FROM (SELECT source, t, unnest(range(1, len(t) - 2)) AS i
-                    FROM toks WHERE len(t) >= 4)),
-        tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
-        sh AS (SELECT a.source AS src_a, b.source AS src_b,
-                      count(*) AS shared
-               FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
-               GROUP BY 1, 2)
-        SELECT ta.source AS src_a, tb.source AS src_b,
-               COALESCE(sh.shared, 0) AS shared_grams,
-               ta.n_grams AS grams_a, tb.n_grams AS grams_b,
-               CAST(COALESCE(sh.shared, 0) AS DOUBLE) /
-                 (ta.n_grams + tb.n_grams - COALESCE(sh.shared, 0)) AS jaccard
-        FROM tot ta JOIN tot tb ON ta.source < tb.source
-        LEFT JOIN sh ON sh.src_a = ta.source AND sh.src_b = tb.source
-        ORDER BY src_a, src_b"""),
+      Some(overlapMatrixOracleSql),
     ) { (s, dir) =>
       import graft.analytics.StatQueries.PerfCacheOps
       // cached: three consumers (totals + both sides of the pair join)
@@ -963,25 +970,7 @@ object CorpusQueries {
     // from-scratch answer bit-for-bit (totals, shared counts, jaccard).
     QueryDef(
       "q247_incremental_source_overlap",
-      Some(raw"""
-        WITH toks AS (SELECT source, string_split_regex(trim(text), '\s+') AS t
-                      FROM documents),
-        g AS (SELECT DISTINCT source, array_to_string(t[i:i+3], ' ') AS gram
-              FROM (SELECT source, t, unnest(range(1, len(t) - 2)) AS i
-                    FROM toks WHERE len(t) >= 4)),
-        tot AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
-        sh AS (SELECT a.source AS src_a, b.source AS src_b,
-                      count(*) AS shared
-               FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
-               GROUP BY 1, 2)
-        SELECT ta.source AS src_a, tb.source AS src_b,
-               COALESCE(sh.shared, 0) AS shared_grams,
-               ta.n_grams AS grams_a, tb.n_grams AS grams_b,
-               CAST(COALESCE(sh.shared, 0) AS DOUBLE) /
-                 (ta.n_grams + tb.n_grams - COALESCE(sh.shared, 0)) AS jaccard
-        FROM tot ta JOIN tot tb ON ta.source < tb.source
-        LEFT JOIN sh ON sh.src_a = ta.source AND sh.src_b = tb.source
-        ORDER BY src_a, src_b"""),
+      Some(overlapMatrixOracleSql),
     ) { (s, dir) =>
       import graft.analytics.StatQueries.PerfCacheOps
       val docs = Tables.documents(s, dir)

@@ -69,7 +69,15 @@ case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
       var i = 0
       while (i < cnt) {
         var j = 0
-        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        while (j < n) {
+          // explicit null check: UnsafeArrayData.getUTF8String on a null
+          // slot returns an EMPTY string (no null guard in the unsafe
+          // reader), which would insert a doubled separator instead of
+          // skipping the element — concatWs skips actual nulls, matching
+          // concat_ws (and the composed form) on every array encoding
+          parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+          j += 1
+        }
         out(i) = UTF8String.concatWs(sep, parts: _*)
         i += 1
       }
@@ -98,7 +106,8 @@ case class WordGramsExpr(child: Expression, n: Int) extends UnaryExpression {
           final $u8[] $parts = new $u8[$n];
           for (int $i = 0; $i < $cnt; $i++) {
             for (int $j = 0; $j < $n; $j++) {
-              $parts[$j] = $a.getUTF8String($i + $j);
+              $parts[$j] = $a.isNullAt($i + $j)
+                ? null : $a.getUTF8String($i + $j);
             }
             $out[$i] = $u8.concatWs($sep, $parts);
           }
@@ -120,10 +129,26 @@ object WordGramsExpr {
     org.apache.spark.sql.GraftShim.column(
       WordGramsExpr(org.apache.spark.sql.GraftShim.expression(tokens), n))
 
-  /** SQL registration: `SELECT word_grams(t, 3)`. */
+  /** SQL registration: `SELECT word_grams(t, 3)`. `n` must be an integer
+    * literal (any integral width) — a clear error beats the opaque
+    * ClassCastException/NPE a raw `.eval(null).asInstanceOf[Int]` throws
+    * on BIGINT literals, NULLs, or column references. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_grams",
-      exprs => WordGramsExpr(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "scala_udf")
+      exprs => {
+        require(exprs.length == 2, "word_grams(tokens, n) takes 2 arguments")
+        val nExpr = exprs(1)
+        require(nExpr.foldable,
+          "word_grams: n must be a literal, not a column or expression")
+        val n = nExpr.eval(null) match {
+          case i: Int => i
+          case l: Long => math.toIntExact(l)
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_grams: n must be an integer literal, got $other")
+        }
+        WordGramsExpr(exprs(0), n)
+      }, "scala_udf")
 }

@@ -557,14 +557,26 @@ object Streaming {
         val own = s"$key-$batchId"
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        val index =
-          if (fs.exists(idxPath))
-            sp.read.parquet(indexDir)
-              .filter(col("batch").cast("string") =!= lit(own))
-              .select("source", "gram")
-          else // first-ever ingest: typed empty index
+        // a FIRST batch killed mid-append leaves the index dir existing
+        // with no committed parquet (only _temporary, which the file
+        // index ignores) — a bare fs.exists gate would then crash-loop
+        // schema inference on every retry; treat unreadable-as-empty so
+        // the retry starts from the true prior state (nothing committed)
+        val committed =
+          if (!fs.exists(idxPath)) None
+          else try Some(sp.read.parquet(indexDir)) catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+                  e.getMessage.contains("Unable to infer schema") => None
+          }
+        val index = committed match {
+          case Some(idx) => idx
+            .filter(col("batch").cast("string") =!= lit(own))
+            .select("source", "gram")
+          case None => // first-ever ingest (or its crashed retry)
             graft.ops.CorpusOps.sourceGrams(batch, sourceCol, textCol, n)
               .limit(0)
+        }
         // read three times: shared delta (twice — both join sides) +
         // totals + index append
         val fresh = graft.ops.CorpusOps

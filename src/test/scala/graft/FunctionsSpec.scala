@@ -99,6 +99,45 @@ class WordGramsExprSpec extends SparkSpec {
     }
   }
 
+  test("null token elements are SKIPPED (concat_ws parity) on both codegen paths") {
+    // UnsafeArrayData.getUTF8String has no null guard (returns empty
+    // string), so the kernel must isNullAt-check explicitly or grams
+    // diverge by array encoding — pin against the composed form
+    val df = Seq(
+      (1L, Seq(Some("a"), None, Some("c"), Some("d"))),
+      (2L, Seq(None, None, Some("x"))),
+      (3L, Seq(Some("p"), Some("q"))),
+    ).toDF("id", "t")
+    def run() = df.select(col("id"), WordGramsExpr.wordGrams(col("t"), 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ref = df.select(col("id"), composed(col("t"), 3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(run() == ref)
+    assert(run()(1L) == Seq("a c", "c d")) // null skipped, single space
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == ref)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("SQL registration accepts any integral literal width and rejects non-literals") {
+    WordGramsExpr.register(spark)
+    Seq(Tuple1(Seq("a", "b", "c"))).toDF("t").createOrReplaceTempView("wg_w")
+    // BIGINT literal: the raw asInstanceOf[Int] this replaced threw an
+    // opaque ClassCastException here
+    assert(spark.sql("SELECT word_grams(t, CAST(2 AS BIGINT)) FROM wg_w")
+      .collect()(0).getSeq[String](0) == Seq("a b", "b c"))
+    // a column reference is not foldable at registration: clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_grams(t, id) FROM (SELECT t, 2 AS id FROM wg_w)")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
   test("edge cases: short arrays empty, null input null, n=1 identity") {
     val df = Seq(
       (1L, Some(Seq("a", "b", "c"))),

@@ -490,6 +490,30 @@ class StreamingDedupSpec extends SparkSpec {
     assert(idxDf.count() == idxDf.select("source", "gram").distinct().count())
   }
 
+  test("overlap ledger stream: crashed-first-batch index dir (no committed parquet) does not wedge the retry") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val work = java.nio.file.Files.createTempDirectory("graft_soverlap_cr").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val ledger = s"$work/ledger"; val ckpt = s"$work/ckpt"
+    // simulate batch 0 killed mid-append: the index dir exists with an
+    // uncommitted partition dir but ZERO readable parquet — a bare
+    // fs.exists gate would crash-loop schema inference forever
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idx, "batch=stale-crashed-attempt"))
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(raw)
+    val q = Streaming.overlapLedgerStream(
+      spark.readStream.schema(docs.schema).parquet(raw), idx, ledger, ckpt)
+    assert(q.awaitTermination(120000), "crashed-dir wave timed out")
+    val streamed = graft.ops.CorpusOps.readOverlapLedger(spark, ledger)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.ops.CorpusOps.overlapMatrix(
+      graft.ops.CorpusOps.sourceGrams(docs.filter(col("doc_id") % 2 === 0),
+        "source", "text", 4))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      "retry after a crashed first append must start from the true empty state")
+  }
+
   test("exact dedup stream: arrival-order survivors, late re-delivery dropped, index fp-unique") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val work = java.nio.file.Files.createTempDirectory("graft_sexact").toString
