@@ -10,12 +10,19 @@ import graft.ops.VectorSim
   */
 object VectorQueries {
 
-  private[analytics] def cosSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"CAST(list_sum(list_transform(range(1, 65), i -> " +
-        s"CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
+  private def dotSql(x: String, y: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST(CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
+
+  private[analytics] def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Degenerate-norm exclusion predicate (q248): zero-norm and NaN-norm
+    * vectors carry no direction — mirror of the engine guard. DuckDB,
+    * like Spark, orders NaN greatest, so `> 0` alone would ADMIT a NaN
+    * norm on both engines. */
+  private def normOkSql(x: String): String =
+    s"(${dotSql(x, x)} > 0 AND NOT isnan(${dotSql(x, x)}))"
 
   /** The q139 oracle: MMR re-ranking with the greedy loop UNROLLED as k
     * relational rounds — round r scores every unselected candidate as
@@ -153,11 +160,12 @@ object VectorQueries {
       "q248_semantic_decontam",
       Some(s"""
         WITH q AS (SELECT vec_id AS eval_id, embedding AS qv
-                   FROM embeddings WHERE vec_id % 40 = 0),
+                   FROM embeddings
+                   WHERE vec_id % 40 = 0 AND ${normOkSql("embedding")}),
         hits AS (SELECT e.vec_id AS doc_id, q.eval_id,
                         ${cosSql("q.qv", "e.embedding")} AS c
                  FROM embeddings e, q
-                 WHERE e.vec_id % 40 <> 0
+                 WHERE e.vec_id % 40 <> 0 AND ${normOkSql("e.embedding")}
                    AND ${cosSql("q.qv", "e.embedding")} >= 0.25)
         SELECT doc_id, n_matches, best_eval_id FROM (
           SELECT doc_id, eval_id AS best_eval_id,

@@ -120,17 +120,21 @@ object VectorSim {
   def semanticDecontam(evalSet: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // zero-norm guard: a 0/0 cosine is NaN, and NaN compares GREATEST in
-    // Spark — an all-zero embedding (padding, failed encode) would pass
-    // any threshold against EVERY anchor and report as maximally
-    // contaminated. Direction-free vectors carry no semantic signal:
-    // drop them from both sides instead of emitting garbage flags.
+    // degenerate-norm guard: a 0/0 cosine is NaN, and NaN compares
+    // GREATEST in Spark (nanSafeCompareDoubles — NaN > 0 and
+    // NaN >= threshold are both TRUE), so an all-zero embedding
+    // (padding) OR one carrying a NaN component (failed encode) would
+    // pass any threshold against EVERY anchor and report as maximally
+    // contaminated. Direction-free/poisoned vectors carry no semantic
+    // signal: drop them from both sides instead of emitting garbage
+    // flags. The !isnan leg is load-bearing — `qn > 0` alone is TRUE
+    // for a NaN norm under Spark's NaN-greatest ordering.
     val q = evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("qv"))
       .withColumn("qn", sqrt(normSq(col("qv"))))
-      .filter(col("qn") > 0)
+      .filter(col("qn") > 0 && !isnan(col("qn")))
     val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("cv"))
       .withColumn("cn", sqrt(normSq(col("cv"))))
-      .filter(col("cn") > 0)
+      .filter(col("cn") > 0 && !isnan(col("cn")))
     val hits = c.crossJoin(broadcast(q))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .filter(col("cosine") >= threshold)

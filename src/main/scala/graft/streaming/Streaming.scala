@@ -155,6 +155,42 @@ object Streaming {
     ()
   }
 
+  /** TRUE iff `dir` holds committed, schema-readable parquet — the gate
+    * every maintenance loop must use instead of a bare `fs.exists`: a
+    * FIRST batch killed mid-append leaves the directory existing with
+    * only `_temporary` inside (no committed part files), and the bare
+    * gate then routes every retry into a read that crash-loops schema
+    * inference forever (the round-14 review finding, present verbatim
+    * in all six loops before this helper).
+    *
+    * When the dir is unreadable but any `relatedState` dir already
+    * holds entries, the index did not fail to bootstrap — it LOST data
+    * (manual cleanup, botched repair) while its downstream state
+    * survived; silently answering "empty" there would rebuild from
+    * nothing and corrupt every later fold (double-counted ledger
+    * deltas, re-admitted duplicates), so that case fails loudly.
+    */
+  private def hasCommittedParquet(sp: org.apache.spark.sql.SparkSession,
+      dir: String, relatedState: Seq[String]): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else try { sp.read.parquet(dir).schema; true } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+            e.getMessage.contains("Unable to infer schema") =>
+        val populated = relatedState.filter { s =>
+          val q = new org.apache.hadoop.fs.Path(s)
+          fs.exists(q) && fs.listStatus(q).nonEmpty
+        }
+        require(populated.isEmpty,
+          s"$dir holds no committed parquet but sibling state " +
+            s"${populated.mkString(", ")} is non-empty: the index lost " +
+            "data; repair it instead of rebuilding from empty")
+        false
+    }
+  }
+
   def incrementalDedupStream(docs: DataFrame, indexDir: String,
       pairsDir: String, checkpoint: String,
       textCol: String = "text", idCol: String = "doc_id",
@@ -167,6 +203,8 @@ object Streaming {
         recoverStage(sp, indexDir, "_compacting")
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // committed-data gate, not bare fs.exists — see hasCommittedParquet
+        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(pairsDir))
         // auto-compaction keeps the batch-partition count bounded under
         // continuous ingest. It runs at batch START, excluding this
         // batch's OWN partition: the only possibly-uncommitted state at
@@ -174,13 +212,13 @@ object Streaming {
         // folding it into base would break the retry's own-batch
         // exclusion and re-delivery gate.
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
-            fs.exists(idxPath))
+            idxCommitted)
           graft.ops.TextDedup.compactMinhashIndexExcept(sp, indexDir,
             Set(s"$key-$batchId"))
         val cached = batch.persist() // read twice: probe + signature append
         try {
           val pairs =
-            if (fs.exists(idxPath)) {
+            if (idxCommitted) {
               val idx0 = graft.ops.TextDedup.readMinhashIndex(sp, indexDir)
               // a flat (writeMinhashIndex-shaped) dir would survive exactly
               // one append before partition discovery hits conflicting
@@ -257,16 +295,18 @@ object Streaming {
         recoverStage(sp, indexDir, "_compacting")
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // committed-data gate, not bare fs.exists — see hasCommittedParquet
+        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(pairsDir))
         // batch-start auto-compaction, own partition excluded — see
         // incrementalDedupStream
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
-            fs.exists(idxPath))
+            idxCommitted)
           graft.ops.VectorSim.compactSignIndexExcept(sp, indexDir,
             Set(s"$key-$batchId"))
         val cached = batch.persist() // read twice: probe + signature append
         try {
           val pairs =
-            if (fs.exists(idxPath)) {
+            if (idxCommitted) {
               // incarnation-keyed own-batch exclusion, flat-dir rejection,
               // and re-delivered-id gate: see incrementalDedupStream
               val idx0 = graft.ops.VectorSim.readSignIndex(sp, indexDir)
@@ -331,12 +371,14 @@ object Streaming {
         val sp = batch.sparkSession
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // committed-data gate, not bare fs.exists — see hasCommittedParquet
+        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(pairsDir))
         // decode once, read twice (probe + append)
         val hashes = graft.ops.ImageHash.pngHashes(batch, idCol, pngCol)
           .persist()
         try {
           val pairs =
-            if (fs.exists(idxPath)) {
+            if (idxCommitted) {
               // incarnation-keyed own-batch exclusion + re-delivery gate:
               // see incrementalDedupStream
               val idx = sp.read.parquet(indexDir).filter(
@@ -442,17 +484,20 @@ object Streaming {
         recoverStage(sp, indexDir, "_merging")
         val normsPath = new org.apache.hadoop.fs.Path(s"$indexDir/norms")
         val fs = normsPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // committed-data gate, not bare fs.exists — see hasCommittedParquet
+        val normsCommitted = hasCommittedParquet(sp, s"$indexDir/norms",
+          Seq(s"$indexDir/postings"))
         // batch-start auto-merge, own segment excluded — the streaming
         // twin of mergeSearchIndexSegments; keeps the served segment
         // count bounded under continuous ingest (see
         // incrementalDedupStream for the own-partition reasoning)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
-            fs.exists(normsPath))
+            normsCommitted)
           graft.ops.TextRank.mergeSearchIndexSegmentsExcept(sp, indexDir,
             blockSize, Set(s"$key-$batchId"))
         val cached = batch.persist() // read thrice: gate + postings + norms
         try {
-          if (fs.exists(normsPath)) {
+          if (normsCommitted) {
             // cast FIRST — see incrementalDedupStream's legacy-layout note
             val norms = sp.read.parquet(s"$indexDir/norms")
               .filter(col("seg").cast("string") =!= lit(s"$key-$batchId"))
@@ -555,28 +600,20 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
         val own = s"$key-$batchId"
-        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
-        // a FIRST batch killed mid-append leaves the index dir existing
-        // with no committed parquet (only _temporary, which the file
-        // index ignores) — a bare fs.exists gate would then crash-loop
-        // schema inference on every retry; treat unreadable-as-empty so
-        // the retry starts from the true prior state (nothing committed)
-        val committed =
-          if (!fs.exists(idxPath)) None
-          else try Some(sp.read.parquet(indexDir)) catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-                  e.getMessage.contains("Unable to infer schema") => None
-          }
-        val index = committed match {
-          case Some(idx) => idx
-            .filter(col("batch").cast("string") =!= lit(own))
-            .select("source", "gram")
-          case None => // first-ever ingest (or its crashed retry)
+        // committed-data gate (shared helper): a first batch killed
+        // mid-append leaves the index dir existing with no committed
+        // parquet — treat that as the true empty prior state; an
+        // unreadable index NEXT TO a populated ledger is data loss and
+        // fails loudly inside the helper instead of double-counting
+        val index =
+          if (hasCommittedParquet(sp, indexDir,
+              Seq(s"$ledgerDir/shared", s"$ledgerDir/totals")))
+            sp.read.parquet(indexDir)
+              .filter(col("batch").cast("string") =!= lit(own))
+              .select("source", "gram")
+          else // first-ever ingest (or its crashed retry): typed empty
             graft.ops.CorpusOps.sourceGrams(batch, sourceCol, textCol, n)
               .limit(0)
-        }
         // read three times: shared delta (twice — both join sides) +
         // totals + index append
         val fresh = graft.ops.CorpusOps
@@ -642,12 +679,14 @@ object Streaming {
         recoverStage(sp, indexDir, "_compacting")
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // committed-data gate, not bare fs.exists — see hasCommittedParquet
+        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(cleanDir))
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
-            fs.exists(idxPath))
+            idxCommitted)
           graft.ops.TextDedup.compactMinhashIndexExcept(sp, indexDir,
             Set(s"$key-$batchId"))
         val survivors =
-          if (fs.exists(idxPath)) {
+          if (idxCommitted) {
             val idx = sp.read.parquet(indexDir)
             require(idx.columns.contains("batch"),
               s"$indexDir is not a batch-partitioned fingerprint index")

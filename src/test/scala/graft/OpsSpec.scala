@@ -304,21 +304,26 @@ class VectorSimSpec extends SparkSpec {
     assert(all(2L) == ((2L, 0L))) // cos 0 to both: tie -> lower anchor id
   }
 
-  test("semanticDecontam: zero-norm vectors are dropped, never NaN-flagged") {
+  test("semanticDecontam: zero- and NaN-norm vectors are dropped, never NaN-flagged") {
     // a 0/0 cosine is NaN and NaN compares GREATEST in Spark — without
-    // the norm guard an all-zero embedding (padding, failed encode)
-    // passes ANY threshold against every anchor
-    val withZero = vecs.unionByName(
-      Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    // the norm guard an all-zero embedding (padding) passes ANY
+    // threshold against every anchor; a NaN COMPONENT (failed encode)
+    // gives a NaN norm, and `qn > 0` ALONE admits it (NaN > 0 is true
+    // under nanSafeCompareDoubles) — the !isnan leg is load-bearing
+    val withBad = vecs.unionByName(Seq(
+      (9L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(Float.NaN, 1.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding"))
     val out = VectorSim.semanticDecontam(
-      withZero.filter($"vec_id" === 0L),
-      withZero.filter($"vec_id".isin(1L, 9L)),
+      withBad.filter($"vec_id" === 0L),
+      withBad.filter($"vec_id".isin(1L, 9L, 10L)),
       "vec_id", "embedding", threshold = 0.9)
       .collect().map(_.getLong(0)).toSet
-    assert(out == Set(1L), "zero vector must be excluded, near-clone kept")
-    // zero-norm ANCHORS are dropped too (no NaN rows, no flags from them)
+    assert(out == Set(1L), "zero/NaN vectors must be excluded, near-clone kept")
+    // degenerate ANCHORS are dropped too (no NaN rows, no flags from them)
     val out2 = VectorSim.semanticDecontam(
-      withZero.filter($"vec_id" === 9L), withZero.filter($"vec_id" < 4L),
+      withBad.filter($"vec_id".isin(9L, 10L)),
+      withBad.filter($"vec_id" < 4L),
       "vec_id", "embedding", threshold = -2.0)
     assert(out2.collect().isEmpty)
   }

@@ -514,6 +514,53 @@ class StreamingDedupSpec extends SparkSpec {
       "retry after a crashed first append must start from the true empty state")
   }
 
+  test("exact dedup stream: crashed-first-batch index dir does not wedge (shared gate)") {
+    // same crashed state as the ledger test, against a SIBLING loop —
+    // pins that the committed-parquet gate is shared, not a one-off
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val work = java.nio.file.Files.createTempDirectory("graft_sexact_cr").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val clean = s"$work/clean"; val ckpt = s"$work/ckpt"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idx, "batch=stale-crashed-attempt"))
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(raw)
+    val q = Streaming.incrementalExactDedupStream(
+      spark.readStream.schema(docs.schema).parquet(raw), idx, clean, ckpt)
+    assert(q.awaitTermination(120000), "crashed-dir wave timed out")
+    // first real batch seeds the index as if the dir had been absent
+    val expect = TextDedup.exactDedup(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(clean).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == expect)
+  }
+
+  test("overlap ledger stream: unreadable index NEXT TO a populated ledger fails loudly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val work = java.nio.file.Files.createTempDirectory("graft_soverlap_loss").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val ledger = s"$work/ledger"; val ckpt = s"$work/ckpt"
+    // a healthy first wave populates index + ledger
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(raw)
+    val q1 = Streaming.overlapLedgerStream(
+      spark.readStream.schema(docs.schema).parquet(raw), idx, ledger, ckpt)
+    assert(q1.awaitTermination(120000))
+    // simulate index data loss: parquet gone, dir left behind, ledger intact
+    val idxDir = new java.io.File(idx)
+    def rmContents(d: java.io.File): Unit = d.listFiles().foreach { f =>
+      if (f.isDirectory) { rmContents(f); f.delete() } else f.delete()
+      ()
+    }
+    rmContents(idxDir)
+    // the next wave must fail the batch loudly, not rebuild from empty
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(raw)
+    val q2 = Streaming.overlapLedgerStream(
+      spark.readStream.schema(docs.schema).parquet(raw), idx, ledger, ckpt)
+    val failed = try { q2.awaitTermination(120000); false }
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+    assert(failed, "index loss beside a populated ledger must fail, not double-count")
+  }
+
   test("exact dedup stream: arrival-order survivors, late re-delivery dropped, index fp-unique") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val work = java.nio.file.Files.createTempDirectory("graft_sexact").toString
