@@ -3525,12 +3525,25 @@ object StatQueries {
       // projection casts to BIGINT — exact while |u2| < 2^63, i.e. up to
       // ~2e9 orders per quintile, far past the graded SFs; the z
       // statistic itself lives in StatQueriesSpec's bit-exact replay.
+      // The cast is LOUD: non-ANSI `cast(long)` silently nulls on
+      // overflow while the oracle's CAST(... AS BIGINT) errors — a
+      // silent-vs-loud divergence at some future SF. The range guard
+      // raises on both engines identically instead (10 rows, free).
+      def loudBigint(c: org.apache.spark.sql.Column,
+          name: String): org.apache.spark.sql.Column = {
+        val lo = lit(Long.MinValue).cast(DecimalType(38, 0))
+        val hi = lit(Long.MaxValue).cast(DecimalType(38, 0))
+        when(c.isNull || (c >= lo && c <= hi), c.cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"$name overflows BIGINT: "), c.cast("string"))).cast("long"))
+      }
       pu.crossJoin(broadcast(j2)).crossJoin(broadcast(nn))
         .select(col("g_lo"), col("g_hi"),
-          col("u2").cast("long").as("u2"), col("j2").cast("long").as("j2"),
+          loudBigint(col("u2"), "u2").as("u2"),
+          loudBigint(col("j2"), "j2").as("j2"),
           col("n_total"),
-          col("sum_n2").cast("long").as("sum_n2"),
-          col("sum_n23").cast("long").as("sum_n23"))
+          loudBigint(col("sum_n2"), "sum_n2").as("sum_n2"),
+          loudBigint(col("sum_n23"), "sum_n23").as("sum_n23"))
         .orderBy("g_lo", "g_hi")
     },
 

@@ -20,9 +20,22 @@ object VectorQueries {
   /** Degenerate-norm exclusion predicate (q248): zero-norm and NaN-norm
     * vectors carry no direction — mirror of the engine guard. DuckDB,
     * like Spark, orders NaN greatest, so `> 0` alone would ADMIT a NaN
-    * norm on both engines. */
+    * norm on both engines.
+    *
+    * The guard norm is computed in PLAIN DOUBLE, not the decimal chain:
+    * DuckDB errors on CAST(nan AS DECIMAL) ("out of range for INT128")
+    * BEFORE isnan could observe it, so a decimal-cast guard would make
+    * the oracle query ERROR on NaN-bearing embeddings while the engine
+    * silently filters the row. The double norm keeps isnan reachable;
+    * the cosine VALUE still rides [[dotSql]]'s decimal chain (guard and
+    * value agree on >0 vs ==0 — a sum of squares has no cancellation,
+    * so double-vs-decimal rounding cannot flip its sign). */
+  private def rawNormSql(x: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST($x[i] AS DOUBLE) * CAST($x[i] AS DOUBLE)))"
+
   private def normOkSql(x: String): String =
-    s"(${dotSql(x, x)} > 0 AND NOT isnan(${dotSql(x, x)}))"
+    s"(${rawNormSql(x)} > 0 AND NOT isnan(${rawNormSql(x)}))"
 
   /** The q139 oracle: MMR re-ranking with the greedy loop UNROLLED as k
     * relational rounds — round r scores every unselected candidate as

@@ -169,9 +169,20 @@ object Streaming {
     * survived; silently answering "empty" there would rebuild from
     * nothing and corrupt every later fold (double-counted ledger
     * deltas, re-admitted duplicates), so that case fails loudly.
+    *
+    * `ownBatch` is this attempt's incarnation-qualified batch key:
+    * sibling partitions named `batch=<ownBatch>` / `seg=<ownBatch>` are
+    * IGNORED when classifying relatedState as populated. The write
+    * order in every loop commits sibling output (pairs, ledger deltas,
+    * postings) BEFORE the index append, so the routine batch-0 crash —
+    * killed between the sibling commit and the index append — leaves
+    * exactly one sibling partition, this batch's own, next to an
+    * uncommitted index. That is the bootstrap-retry state, not data
+    * loss: the retry overwrites that very partition anyway. Only
+    * sibling entries from OTHER batches prove the index once held data.
     */
   private def hasCommittedParquet(sp: org.apache.spark.sql.SparkSession,
-      dir: String, relatedState: Seq[String]): Boolean = {
+      dir: String, relatedState: Seq[String], ownBatch: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) false
@@ -181,7 +192,9 @@ object Streaming {
             e.getMessage.contains("Unable to infer schema") =>
         val populated = relatedState.filter { s =>
           val q = new org.apache.hadoop.fs.Path(s)
-          fs.exists(q) && fs.listStatus(q).nonEmpty
+          fs.exists(q) && fs.listStatus(q).exists { st =>
+            !st.getPath.getName.endsWith(s"=$ownBatch")
+          }
         }
         require(populated.isEmpty,
           s"$dir holds no committed parquet but sibling state " +
@@ -204,7 +217,7 @@ object Streaming {
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
         // committed-data gate, not bare fs.exists — see hasCommittedParquet
-        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(pairsDir))
+        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(pairsDir), s"$key-$batchId")
         // auto-compaction keeps the batch-partition count bounded under
         // continuous ingest. It runs at batch START, excluding this
         // batch's OWN partition: the only possibly-uncommitted state at
@@ -296,7 +309,7 @@ object Streaming {
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
         // committed-data gate, not bare fs.exists — see hasCommittedParquet
-        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(pairsDir))
+        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(pairsDir), s"$key-$batchId")
         // batch-start auto-compaction, own partition excluded — see
         // incrementalDedupStream
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
@@ -372,7 +385,7 @@ object Streaming {
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
         // committed-data gate, not bare fs.exists — see hasCommittedParquet
-        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(pairsDir))
+        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(pairsDir), s"$key-$batchId")
         // decode once, read twice (probe + append)
         val hashes = graft.ops.ImageHash.pngHashes(batch, idCol, pngCol)
           .persist()
@@ -486,7 +499,7 @@ object Streaming {
         val fs = normsPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
         // committed-data gate, not bare fs.exists — see hasCommittedParquet
         val normsCommitted = hasCommittedParquet(sp, s"$indexDir/norms",
-          Seq(s"$indexDir/postings"))
+          Seq(s"$indexDir/postings"), s"$key-$batchId")
         // batch-start auto-merge, own segment excluded — the streaming
         // twin of mergeSearchIndexSegments; keeps the served segment
         // count bounded under continuous ingest (see
@@ -607,7 +620,7 @@ object Streaming {
         // fails loudly inside the helper instead of double-counting
         val index =
           if (hasCommittedParquet(sp, indexDir,
-              Seq(s"$ledgerDir/shared", s"$ledgerDir/totals")))
+              Seq(s"$ledgerDir/shared", s"$ledgerDir/totals"), own))
             sp.read.parquet(indexDir)
               .filter(col("batch").cast("string") =!= lit(own))
               .select("source", "gram")
@@ -680,7 +693,7 @@ object Streaming {
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
         // committed-data gate, not bare fs.exists — see hasCommittedParquet
-        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(cleanDir))
+        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(cleanDir), s"$key-$batchId")
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
             idxCommitted)
           graft.ops.TextDedup.compactMinhashIndexExcept(sp, indexDir,

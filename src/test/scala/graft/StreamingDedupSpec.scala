@@ -535,6 +535,56 @@ class StreamingDedupSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == expect)
   }
 
+  test("batch-0 crash DURING the index append (own pairs already committed) does not crash-loop the retry") {
+    // the write order makes this the routine first-batch crash state:
+    // pairs land BEFORE the index append, so a batch-0 kill inside the
+    // append leaves pairsDir/batch=<key>-0 fully committed next to an
+    // index dir holding only an uncommitted attempt. The data-loss gate
+    // must recognize the lone own-batch sibling partition as the
+    // bootstrap-retry state (the retry overwrites it anyway) instead of
+    // wedging every retry on the "index lost data; repair" require.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val wave = docs.filter(col("doc_id") % 2 === 0)
+    val work = java.nio.file.Files.createTempDirectory("graft_sown_cr").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val pairsDir = s"$work/pairs"; val ckpt = s"$work/ckpt"
+    val own = s"${graft.streaming.Streaming.runKey(ckpt)}-0"
+    // attempt 1's committed pairs output (batch 0 emits zero pairs)
+    wave.limit(0)
+      .select(col("doc_id").as("id_new"), col("doc_id").as("id_old"))
+      .write.parquet(s"$pairsDir/batch=$own")
+    // attempt 1's index append, killed mid-write: dir exists, zero
+    // committed parquet
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idx, s"batch=$own", "_temporary"))
+    wave.write.mode("append").parquet(raw)
+    val q = Streaming.incrementalDedupStream(
+      spark.readStream.schema(docs.schema).parquet(raw), idx, pairsDir, ckpt)
+    assert(q.awaitTermination(180000),
+      "retry of a crashed first index append must bootstrap, not wedge")
+    // the retry seeded the index from the true empty prior state
+    assert(TextDedup.readMinhashIndex(spark, idx).select("id").distinct()
+      .count() == wave.count())
+    assert(spark.read.parquet(s"$pairsDir/batch=$own").count() == 0)
+    // ...and a SECOND wave still fails loudly when the index is lost
+    // with OTHER batches' sibling state present (the real data-loss case)
+    val docs2 = docs.filter(col("doc_id") % 2 === 1)
+    def rmContents(d: java.io.File): Unit = d.listFiles().foreach { f =>
+      if (f.isDirectory) { rmContents(f); f.delete() } else f.delete()
+      ()
+    }
+    rmContents(new java.io.File(idx))
+    docs2.write.mode("append").parquet(raw)
+    val q2 = Streaming.incrementalDedupStream(
+      spark.readStream.schema(docs.schema).parquet(raw), idx, pairsDir, ckpt)
+    val failed = try { q2.awaitTermination(180000); false }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+          .exists(t => Option(t.getMessage).exists(_.contains("lost data"))) }
+    assert(failed,
+      "an unreadable index next to OTHER batches' pairs must still fail loudly")
+  }
+
   test("overlap ledger stream: unreadable index NEXT TO a populated ledger fails loudly") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val work = java.nio.file.Files.createTempDirectory("graft_soverlap_loss").toString
