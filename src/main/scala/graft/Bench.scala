@@ -24,6 +24,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // speculative execution (VERDICT r14 task 2): the host's measured
+      // failure mode is a BIMODAL tail — one task of the biggest shuffle
+      // stalls at 35-55 s vs its usual seconds (bench_notes_r12/r14),
+      // exactly the class that dominates a 1000-executor run. A stalled
+      // copy re-launches once a task runs past 2x the stage's 75th
+      // percentile; healthy runs launch almost no copies (the multiplier
+      // is far above same-wave variance), so the A/B cost on clean runs
+      // is noise (tools/bench_notes_r15.md)
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "100ms")
+      .config("spark.speculation.quantile", "0.75")
+      .config("spark.speculation.multiplier", "2.0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries

@@ -455,5 +455,79 @@ object DedupQueries {
       VideoHash.videoNearDups(hashes, "media_id", minFrames = 3, maxHamming = 6)
         .orderBy("id_a", "id_b")
     },
+
+    // ---- ANY-length exact-substring duplicate spans (Lee et al. 2022
+    // ExactSubstr, token granularity — VERDICT r14 task 3): maximal
+    // token intervals covered by a substring of >= 8 tokens occurring
+    // >= 2 times anywhere in the corpus — the true any-length remover
+    // the fixed granularities (q83 winnow, q126 tiles, q206 chunks)
+    // approximate. The oracle is the BRUTE-FORCE replay (q108/q184
+    // blocking-completeness pattern): every 8-gram materialized, global
+    // counts, coverage-run merge — the hash match proves no span was
+    // missed or over-extended. Integer-only surface.
+    QueryDef(
+      "q249_exact_substring_spans",
+      Some(raw"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+              WHERE len(toks) >= 8),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        r AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS nw
+              FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        s AS (SELECT doc_id, pos, SUM(nw) OVER
+                (PARTITION BY doc_id ORDER BY pos) AS isl FROM r)
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+        FROM s GROUP BY doc_id, isl
+        ORDER BY doc_id, span_start"""),
+    ) { (s, dir) =>
+      TextDedup.exactSubstringSpans(Tables.documents(s, dir), "text",
+          "doc_id", minTokens = 8)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // ---- the ExactSubstr REMOVER over q249's spans: every covered
+    // token dropped from every occurrence (the released tool's default;
+    // keep-one variants are q125/q126), scrubbed text hash-checked end
+    // to end against the relational rebuild.
+    QueryDef(
+      "q250_exact_substring_scrub",
+      Some(raw"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+              WHERE len(toks) >= 8),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS p
+                FROM m),
+        nc AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
+        tp AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) - 1 AS p FROM t),
+        kept AS (SELECT tp.doc_id, tp.tok, tp.p FROM tp
+                 WHERE NOT EXISTS (SELECT 1 FROM cov
+                                   WHERE cov.doc_id = tp.doc_id
+                                     AND cov.p = tp.p)),
+        sc AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS scrubbed
+               FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(nc.n_cov, 0) AS BIGINT) AS n_covered,
+               coalesce(sc.scrubbed, '') AS scrubbed_text
+        FROM t LEFT JOIN nc USING (doc_id) LEFT JOIN sc USING (doc_id)
+        ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      TextDedup.exactSubstringScrub(Tables.documents(s, dir), "text",
+          "doc_id", minTokens = 8)
+        .orderBy("doc_id")
+    },
   )
 }

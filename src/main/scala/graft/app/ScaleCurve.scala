@@ -52,6 +52,17 @@ object ScaleCurve {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // speculative execution, same tuning as graft.Bench (VERDICT r14
+      // task 2): the q38 16x cell's documented failure mode is one
+      // stalled tail task in the biggest shuffle (48.9 s vs 4-7 s in
+      // targeted reruns, r14 record); a copy re-launches once a task
+      // runs past 2x the stage's 75th percentile, so a host stall costs
+      // one task re-run instead of the whole cell — the same mitigation
+      // a real cluster runs. A/B in tools/bench_notes_r15.md.
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "100ms")
+      .config("spark.speculation.quantile", "0.75")
+      .config("spark.speculation.multiplier", "2.0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -126,6 +137,12 @@ object ScaleCurve {
       "q83_winnow_dup_pairs" -> (d =>
         TextDedup.winnowDupPairs(d, "text", "doc_id",
           k = 12, w = 10, minShared = 2).count()),
+      // any-length exact-substring spans (r15): gram count + semi join +
+      // per-doc window — replicas' gram spaces are disjoint (Caesar
+      // rotation), so duplicated-gram mass and spans grow linearly
+      "q249_exact_substring" -> (d =>
+        TextDedup.exactSubstringSpans(d, "text", "doc_id",
+          minTokens = 8).count()),
       "q101_bloom_incremental_dedup" -> { d =>
         val old = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
         val fresh = d.filter(pmod(col("doc_id"), lit(7)) === 0)

@@ -292,21 +292,24 @@ object CorpusOps {
 
   /** Registrable-domain normalization for a host (or host:port) column —
     * the canonical key a domain blocklist/allowlist joins on (q231, the
-    * UT1-list shape): lowercase, strip a trailing `:port`, strip ONE
-    * leading `www.`, then fold to the last two dot-separated labels
-    * (the eTLD+1 approximation — a public-suffix list drops in here
-    * without touching callers; under the two-label fold `a.co.uk` folds
-    * to `co.uk`, documented and deterministic). Hosts with no dot (bare
-    * names, e.g. `localhost`) or a trailing dot normalize to '' — the
-    * caller's quarantine convention, never a throw. Pure codegen regexp
-    * chain in the Java/RE2-identical subset, so the same rules replay
-    * verbatim in a DuckDB oracle. */
+    * UT1-list shape), the domain-disjoint split (q236), the per-domain
+    * cap, and the domain ledger. Backed by the REAL Public Suffix List
+    * algorithm over the embedded versioned rule snapshot
+    * ([[PublicSuffixList]], VERDICT r14 task 1): `a.co.uk` folds to
+    * `a.co.uk` (not `co.uk`), `user.github.io` is its own registrable
+    * domain, `www.ck` survives via its exception rule. Unknown TLDs
+    * take the PSL default `*` rule, which degrades to exactly the old
+    * two-label fold — the documented no-list fallback. Bare hosts
+    * (`localhost`), trailing dots, IPv4 literals, and malformed labels
+    * quarantine to '' — the caller convention, never a throw. One
+    * codegen-inlined label walk per row
+    * ([[graft.functions.RegistrableDomainExpr]]); the DuckDB oracle
+    * replays the same rule sets as inline IN-lists
+    * ([[graft.analytics.PslSql]]), so engine and oracle share one rule
+    * source. Persisted fold-keyed state stamps
+    * [[PublicSuffixList.version]] and refuses mixed versions. */
   def registrableDomain(host: Column): Column =
-    regexp_extract(
-      regexp_replace(regexp_replace(lower(host),
-        lit(":[0-9]+$"), lit("")),
-        lit("^www\\."), lit("")),
-      "[a-z0-9-]+\\.[a-z0-9-]+$", 0)
+    graft.functions.RegistrableDomainExpr.registrableDomain(host)
 
   /** Host (with any port) of an http(s) URL — the canonical extraction
     * feeding [[registrableDomain]], hoisted so the pattern cannot drift
@@ -371,19 +374,47 @@ object CorpusOps {
       .withColumn("split", domainSplit(col("domain")))
       .groupBy("domain", "split")
       .agg(count(lit(1)).as("n_docs"), sum("_t").cast("long").as("n_tokens"))
+      // fold-version stamp: the domain KEY is a function of the suffix
+      // list, so segments folded under different list versions are not
+      // additive (one site's counts land under different keys);
+      // domainLedger refuses to sum across versions (frozen-lgK/k
+      // convention)
+      .withColumn("fold_version", lit(PublicSuffixList.version))
       .write.mode("overwrite").parquet(s"$dir/seg=$batchKey")
   }
 
   /** Serve the merged domain ledger: sum doc/token counts across all
     * segments. Exact (integer sums are associative), so the served
     * ledger after each wave is identical to one pass over everything
-    * ingested so far. */
+    * ingested so far.
+    *
+    * Segments record the [[PublicSuffixList.version]] they were folded
+    * under; a ledger holding more than one version (including
+    * pre-version segments, surfaced as null) FAILS LOUDLY — the fold
+    * defines the grouping key, so cross-version sums silently split one
+    * site's counts across two keys. Repair path: re-fold the old
+    * segments from their source batches (counts cannot be re-keyed —
+    * a PSL upgrade can split a previously-merged domain). */
   def domainLedger(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    spark.read.parquet(dir)
+      dir: String): DataFrame = {
+    // mergeSchema: a pre-version segment must surface as fold_version
+    // NULL rather than hiding behind whichever file schema wins
+    val raw = spark.read.option("mergeSchema", "true").parquet(dir)
+    val withVer =
+      if (raw.columns.contains("fold_version")) raw
+      else raw.withColumn("fold_version", lit(null).cast("string"))
+    val versions = withVer
+      .select(coalesce(col("fold_version"), lit("<unversioned>")).as("v"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(versions.length <= 1,
+      s"domain ledger $dir mixes fold versions ${versions.mkString(", ")}: " +
+        "the registrable-domain fold changed under the ledger; re-fold " +
+        "old segments instead of summing across incompatible keys")
+    withVer
       .groupBy("domain", "split")
       .agg(sum("n_docs").cast("long").as("n_docs"),
         sum("n_tokens").cast("long").as("n_tokens"))
+  }
 
   /** Compiled quality filter with an audit trail: `rules` are (name,
     * keep-predicate) pairs; the output gains `keep` (all predicates hold)

@@ -583,6 +583,50 @@ object Streaming {
       .start()
   }
 
+  /** Streaming SEMANTIC decontamination filter — the embedding-space
+    * twin of [[decontamFilterStream]] over the persisted eval-anchor
+    * index ([[graft.ops.VectorSim.writeEvalAnchorIndex]]): each
+    * micro-batch of (id, embedding) rows probes the index
+    * ([[graft.ops.VectorSim.incrementalSemanticDecontam]] — bit-equal
+    * to the batch broadcast path by construction) and splits into clean
+    * rows and a flagged audit trail (doc id, match count, strongest
+    * anchor), each under its own `batch=<incarnation>-<id>` partition —
+    * idempotent crash-retries, NO re-delivery gate needed (read-only
+    * index). Anchors change on eval-release cadence: append new suites
+    * between runs ([[graft.ops.VectorSim.appendEvalAnchorBatch]] +
+    * compaction) and restart.
+    */
+  def semanticDecontamFilterStream(vecs: DataFrame, indexDir: String,
+      cleanDir: String, flaggedDir: String, checkpoint: String,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.25): StreamingQuery = {
+    val key = runKey(checkpoint)
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist() // read twice: flagged probe + anti join
+        try {
+          val flagged = graft.ops.VectorSim.incrementalSemanticDecontam(
+            cached, idCol, vecCol, indexDir, threshold)
+          flagged.write.mode("overwrite")
+            .parquet(s"$flaggedDir/batch=$key-$batchId")
+          // anti-join against the JUST-WRITTEN flagged partition — one
+          // probe per batch, and the clean split can never disagree
+          // with its own audit trail (the decontamFilterStream rule)
+          val flaggedIds = cached.sparkSession.read
+            .parquet(s"$flaggedDir/batch=$key-$batchId")
+            .select(col("doc_id").as(idCol))
+          cached.join(flaggedIds, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$cleanDir/batch=$key-$batchId")
+        } finally {
+          cached.unpersist(false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming maintenance of the cross-source overlap ledger (the
     * q246/q247 contamination matrix, kept current under continuous
     * ingest). State is two stores: the DISTINCT (source, gram) index

@@ -822,24 +822,95 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3) == ((4L, 1L, 1L, d)))       // short doc intact
   }
 
-  test("registrableDomain: case/port/www folds; undotted hosts quarantine to ''") {
+  test("registrableDomain: PSL fold — multi-label suffixes, wildcards, exceptions, quarantines") {
     val fixtures = Seq(
-      "WWW.Example.COM:8080" -> "example.com", // all three rules at once
-      "sub12.shop4.com" -> "shop4.com",        // subdomain folds
+      // normalization: case + port + subdomain folds (the old contract)
+      "WWW.Example.COM:8080" -> "example.com",
+      "sub12.shop4.com" -> "shop4.com",
       "cdn.ads3.net" -> "ads3.net",
       "www.ref.org" -> "ref.org",
-      "wwwx.ref.org" -> "ref.org",             // 'www' must match a full label
+      "wwwx.ref.org" -> "ref.org",
       "EXAMPLE.com" -> "example.com",
-      "a.b.c.d.co" -> "d.co",                  // deep chains fold to two labels
+      "a.b.c.d.co" -> "d.co",
       "example.com:443" -> "example.com",
-      "localhost" -> "",                        // no dot: quarantine, not throw
-      "example.com." -> "")                     // trailing dot: quarantine
+      // multi-label public suffixes — the r14-verdict class the
+      // two-label fold broke (a.co.uk used to fold to co.uk)
+      "a.co.uk" -> "a.co.uk",
+      "Sub.Site9.co.uk:8443" -> "site9.co.uk",
+      "x.y.com.au" -> "y.com.au",
+      "news.co.jp" -> "news.co.jp",
+      "loja.com.br" -> "loja.com.br",
+      "co.uk" -> "",                    // a public suffix itself: quarantine
+      // private-section suffixes: two hosting users are two domains
+      "user.github.io" -> "user.github.io",
+      "cdn.user.github.io" -> "user.github.io",
+      "github.io" -> "",
+      "bucket.s3.amazonaws.com" -> "bucket.s3.amazonaws.com",
+      // wildcard rule *.ck and its exception !www.ck
+      "a.b.ck" -> "a.b.ck",             // b.ck is a public suffix under *.ck
+      "b.ck" -> "",
+      "www.ck" -> "www.ck",             // the exception makes www.ck registrable
+      "sub.www.ck" -> "www.ck",
+      // wildcard *.kawasaki.jp with exception !city.kawasaki.jp
+      "a.kawasaki.jp" -> "",
+      "x.a.kawasaki.jp" -> "x.a.kawasaki.jp",
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "sub.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // unknown TLD: the default `*` rule degrades to the two-label fold
+      "a.unknowntld" -> "a.unknowntld",
+      "x.y.unknowntld" -> "y.unknowntld",
+      // quarantines: bare host, trailing dot, IPv4, junk
+      "localhost" -> "",
+      "example.com." -> "",
+      "10.0.0.1" -> "",
+      "a..com" -> "",
+      "a.com:x" -> "")
     val df = fixtures.map(_._1).toDF("host")
       .select(col("host"), CorpusOps.registrableDomain(col("host")).as("dom"))
     val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     fixtures.foreach { case (h, want) =>
       assert(got(h) == want, s"host $h: got '${got(h)}', want '$want'")
     }
+    // interpreted eval agrees with codegen (the Expression's two paths)
+    fixtures.foreach { case (h, want) =>
+      assert(graft.ops.PublicSuffixList.registrable(h) == want,
+        s"JVM fold of $h")
+    }
+  }
+
+  test("domain ledger: fold-version stamped; mixed-version reads fail loudly") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledgerver").toString
+    val host = concat(lit("sub"), (col("doc_id") % 7).cast("string"),
+      lit(".site"), (col("doc_id") % 13).cast("string"), lit(".org"))
+    val toks = size(graft.core.Cols.wsTokens(col("text")))
+    CorpusOps.appendDomainLedgerBatch(
+      docs.filter(col("doc_id") % 2 === 0), host, toks, dir, "b0")
+    // same-version segments sum fine
+    CorpusOps.appendDomainLedgerBatch(
+      docs.filter(col("doc_id") % 2 === 1), host, toks, dir, "b1")
+    val served = CorpusOps.domainLedger(spark, dir)
+    assert(served.count() > 0)
+    assert(spark.read.parquet(dir).select("fold_version").distinct()
+      .collect().map(_.getString(0)).toSeq ==
+      Seq(graft.ops.PublicSuffixList.version))
+    // a segment folded under ANOTHER list version (simulated) wedges
+    // the read: the fold defines the grouping key, so cross-version
+    // sums would silently split one site's counts across two keys
+    spark.read.parquet(s"$dir/seg=b1")
+      .withColumn("fold_version", lit("psl-other-version"))
+      .write.mode("overwrite").parquet(s"$dir/seg=b2")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.domainLedger(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("mixes fold versions"))
+    // ...and so does a PRE-VERSION segment (no fold_version column)
+    spark.read.parquet(s"$dir/seg=b1").drop("fold_version")
+      .write.mode("overwrite").parquet(s"$dir/seg=b2")
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusOps.domainLedger(spark, dir).collect()
+    }
+    assert(e2.getMessage.contains("mixes fold versions"))
   }
 
   test("q236 domain split: leakage-safe (no domain straddles splits), both sides populated") {

@@ -260,6 +260,40 @@ class TextDedupSpec extends SparkSpec {
     assert(got(4L) == ((5L, 4L, "a")))
     assert(got(5L) == ((2L, 0L, "x y")))
   }
+
+  test("exact-substring spans: any-length >= L, cross+within doc, maximal merge, sub-L ignored") {
+    // L = 3; the planted 4-token shared span is the case every FIXED
+    // granularity can split or miss — here it must come out as ONE
+    // maximal [start, end] per occurrence
+    val docs = Seq(
+      (1L, "a b c d e f g h"),           // shares 'a b c d' with doc 2
+      (2L, "x y a b c d z w"),
+      (3L, "p q r s p q r s"),           // within-doc repeat: fully covered
+      (4L, "a b c m1 m2 m3 m4 m5 a b c"), // two disjoint occurrences
+      (5L, "a b q1 q2 q3 q4"),           // 'a b' repeats but 2 < L: ignored
+      (6L, "x y"),                       // shorter than L
+    ).toDF("doc_id", "text")
+    val spans = graft.ops.TextDedup
+      .exactSubstringSpans(docs, "text", "doc_id", minTokens = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (1L, 0L, 3L, 4L),   // the maximal 4-token span, not two 3-grams
+      (2L, 2L, 5L, 4L),
+      (3L, 0L, 7L, 8L),   // 'p q r s' twice: runs merge to the whole doc
+      (4L, 0L, 2L, 3L), (4L, 8L, 10L, 3L)), spans.toString)
+    val scrub = graft.ops.TextDedup
+      .exactSubstringScrub(docs, "text", "doc_id", minTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(scrub(1L) == ((8L, 4L, "e f g h")), scrub(1L).toString)
+    assert(scrub(2L) == ((8L, 4L, "x y z w")))
+    assert(scrub(3L) == ((8L, 8L, "")))   // every occurrence removed
+    assert(scrub(4L) == ((11L, 6L, "m1 m2 m3 m4 m5")))
+    assert(scrub(5L) == ((6L, 0L, "a b q1 q2 q3 q4")))
+    assert(scrub(6L) == ((2L, 0L, "x y")))
+  }
 }
 
 class VectorSimSpec extends SparkSpec {

@@ -562,4 +562,37 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"),
       "q246's gram self-join must stay an equi-join")
   }
+
+  test("no driver-facing projection emits DecimalType (playbook rule 14, q211 class)") {
+    // the q211 lesson (VERDICT r14 task 7): DECIMAL in a query's FINAL
+    // schema rides the driver's decimal128 hash channel, which disagreed
+    // between DuckDB→pandas and Spark-parquet→pyarrow for three rounds
+    // while every value compared equal. tools/check.py bans it
+    // driver-side; this is the same gate as an sbt contract no future
+    // query can dodge. Internal DECIMAL accumulation stays fine — only
+    // the driver-facing projection is audited. (The sibling §4.1b rule —
+    // no raw unrounded transcendental double — is not schema-visible
+    // and stays a per-query review rule.)
+    def decimalIn(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => decimalIn(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => decimalIn(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        decimalIn(m.keyType) || decimalIn(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sf001).schema.fields
+          .filter(f => decimalIn(f.dataType)).map(_.name)
+        // constructed frames may persist intermediates (LSH docs, CC
+        // labels, BPE vocab): drop them so 246 constructions don't
+        // stack cached state for the rest of the suite
+        spark.catalog.clearCache()
+        if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"driver-facing DECIMAL columns (cast to BIGINT or round to " +
+        s"double at the projection): ${offenders.mkString("; ")}")
+  }
 }

@@ -415,6 +415,42 @@ class StreamingDedupSpec extends SparkSpec {
     assert(scanAll.nonEmpty, "fixture phrase must occur for the test to mean anything")
   }
 
+  test("semantic decontam stream: clean+flagged partition the input, match the broadcast path") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val anchors = emb.filter(col("vec_id") % 40 === 0)
+    val ingest = emb.filter(col("vec_id") % 40 =!= 0)
+    val waves = (0 until 3).map(k => ingest.filter(col("vec_id") % 3 === k))
+    val work = java.nio.file.Files.createTempDirectory("graft_ssemdecon").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val clean = s"$work/clean"; val flagged = s"$work/flagged"
+    val ckpt = s"$work/ckpt"
+    graft.ops.VectorSim.writeEvalAnchorIndex(anchors, "vec_id", "embedding", idx)
+    waves.foreach { w =>
+      w.write.mode("append").parquet(raw)
+      val q = Streaming.semanticDecontamFilterStream(
+        spark.readStream.schema(emb.schema).parquet(raw),
+        idx, clean, flagged, ckpt, threshold = 0.25)
+      assert(q.awaitTermination(180000), "semantic decontam wave timed out")
+    }
+    val cleanIds = spark.read.parquet(clean)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val flaggedRows = spark.read.parquet(flagged)
+      .select("doc_id", "n_matches", "best_eval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val allIds = ingest.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((cleanIds & flaggedRows.map(_._1)).isEmpty,
+      "a vector cannot be both clean and flagged")
+    assert(cleanIds ++ flaggedRows.map(_._1) == allIds,
+      "stream must account for every vector")
+    assert(flaggedRows.nonEmpty, "fixture must actually flag something")
+    // bit-equality with the one-shot broadcast path over everything
+    val direct = graft.ops.VectorSim.semanticDecontam(
+      anchors, ingest, "vec_id", "embedding", 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flaggedRows == direct, "streamed flags != broadcast path")
+  }
+
   test("decontam stream: clean+flagged partition the input, match the batch probe, retries idempotent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val evalSet = docs.filter(col("doc_id") % 10 === 0)

@@ -503,4 +503,87 @@ class VectorIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(a == b)
   }
+
+  private def decontamRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("anchor index: probe == broadcast path bit-for-bit; appends+compaction idempotent; dim stamp loud") {
+    val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val anchors = emb.filter(pmod(col("vec_id"), lit(40)) === 0)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_anchoridx").toString
+    // split the eval set across a base build + one appended suite —
+    // the release-cadence lifecycle the index exists for
+    VectorSim.writeEvalAnchorIndex(
+      anchors.filter(pmod(col("vec_id"), lit(80)) === 0),
+      "vec_id", "embedding", idx)
+    VectorSim.appendEvalAnchorBatch(
+      anchors.filter(pmod(col("vec_id"), lit(80)) =!= 0),
+      "vec_id", "embedding", idx, "suite1")
+    val direct = decontamRows(VectorSim.semanticDecontam(
+      anchors, corpus, "vec_id", "embedding", 0.25))
+    val probed = decontamRows(VectorSim.incrementalSemanticDecontam(
+      corpus, "vec_id", "embedding", idx, 0.25))
+    assert(direct.nonEmpty, "fixture must flag something")
+    assert(probed == direct, "indexed probe must equal the broadcast path")
+    // re-appended suite (re-delivery) folds away in the DISTINCT read:
+    // match counts cannot double
+    VectorSim.appendEvalAnchorBatch(
+      anchors.filter(pmod(col("vec_id"), lit(80)) =!= 0),
+      "vec_id", "embedding", idx, "suite1-retry")
+    assert(decontamRows(VectorSim.incrementalSemanticDecontam(
+      corpus, "vec_id", "embedding", idx, 0.25)) == direct,
+      "duplicate anchor delivery must not change match counts")
+    // compaction: one batch=base partition, identical probe
+    VectorSim.compactEvalAnchorIndex(spark, idx)
+    val parts = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(parts == Set("batch=base"), parts.toString)
+    assert(decontamRows(VectorSim.incrementalSemanticDecontam(
+      corpus, "vec_id", "embedding", idx, 0.25)) == direct)
+    // degenerate anchors (zero-norm / NaN) are dropped at BUILD time
+    import spark.implicits._
+    val poisoned = Seq(
+      (9001L, Array.fill(64)(0.0f)),
+      (9002L, Array.fill(64)(Float.NaN))).toDF("vec_id", "embedding")
+    VectorSim.appendEvalAnchorBatch(poisoned, "vec_id", "embedding", idx,
+      "poison")
+    assert(decontamRows(VectorSim.incrementalSemanticDecontam(
+      corpus, "vec_id", "embedding", idx, 0.25)) == direct,
+      "degenerate anchors must be guarded out of the index")
+    // dim-mismatched append and probe both fail loudly
+    val wrongDim = Seq((9003L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorSim.appendEvalAnchorBatch(wrongDim, "vec_id", "embedding", idx,
+        "wrongdim")
+    }
+    assert(e.getMessage.contains("dim"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorSim.incrementalSemanticDecontam(wrongDim, "vec_id", "embedding",
+        idx, 0.25).collect()
+    }
+    assert(e2.getMessage.contains("dim"))
+  }
+
+  test("IVF decontam front: flags subset of exact, undercounted matches only, recall telemetry >= 0.9") {
+    val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val anchors = emb.filter(pmod(col("vec_id"), lit(40)) === 0)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(40)) =!= 0)
+    val exact = VectorSim.semanticDecontam(anchors, corpus,
+      "vec_id", "embedding", 0.25).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = VectorSim.semanticDecontamIvf(anchors, corpus,
+      "vec_id", "embedding", 0.25).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    // exact cosines on the candidate set: a flag can be MISSED, never
+    // invented, and a doc's match count can only undercount
+    ivf.foreach { case (doc, n) =>
+      assert(exact.contains(doc), s"IVF invented a flag for doc $doc")
+      assert(n <= exact(doc), s"IVF overcounted matches for doc $doc")
+    }
+    val recall = VectorSim.semanticDecontamIvfRecall(anchors, corpus,
+      "vec_id", "embedding", 0.25)
+    assert(recall >= 0.9, f"IVF decontam flag recall $recall%.3f < 0.9")
+  }
 }
