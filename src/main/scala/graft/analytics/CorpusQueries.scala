@@ -264,6 +264,155 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Gopher quality-rule pack (Rae et al. 2021 Appendix A): the
+    // canonical web-corpus document filter, integer-only (ratios by
+    // cross-multiplication). Docs are PLANTED into multi-line pages
+    // first (7-token lines; deterministic bullet '- ' / ellipsis ' ...'
+    // decoration; a stop-word line every 3rd doc, a '#'-symbol line
+    // every 11th) so every line- and symbol-rule is load-bearing on the
+    // single-line synthetic corpus — the q223/q225/q231 planting
+    // convention. The oracle replays planting AND every counter/flag.
+    QueryDef(
+      "q252_gopher_quality",
+      Some(raw"""
+        WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                   FROM documents),
+        l AS (SELECT doc_id,
+                list_transform(range(0, ((len(t) - 1) // 7) + 1), i ->
+                  (CASE WHEN (doc_id + i) % 4 = 0 OR doc_id % 13 = 0
+                        THEN '- ' ELSE '' END) ||
+                  array_to_string(t[i*7+1:i*7+7], ' ') ||
+                  (CASE WHEN (doc_id + i) % 5 = 0 THEN ' ...' ELSE '' END)) AS ls
+              FROM d),
+        p AS (SELECT doc_id,
+                array_to_string(ls, chr(10)) ||
+                (CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || 'that have with the' ELSE '' END) ||
+                (CASE WHEN doc_id % 11 = 0
+                      THEN chr(10) || '# end # #' ELSE '' END) ||
+                (CASE WHEN doc_id % 29 = 0
+                      THEN chr(10) || repeat('a ', 19) || 'a' ELSE '' END) AS t2
+              FROM l),
+        c AS (SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(len(lns) AS BIGINT) AS n_lines,
+                CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT)
+                  AS sum_word_len,
+                CAST(len(regexp_extract_all(t2, '#')) +
+                     len(regexp_extract_all(t2, '\.\.\.')) AS BIGINT)
+                  AS n_symbols,
+                CAST(len(list_filter(lns, x -> x LIKE '- %')) AS BIGINT)
+                  AS n_bullet_lines,
+                CAST(len(list_filter(lns, x -> x LIKE '%...')) AS BIGINT)
+                  AS n_ellipsis_lines,
+                CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+                CAST(len(list_intersect(list_distinct(ws),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS n_stop_words
+              FROM (SELECT doc_id, t2,
+                      string_split_regex(trim(t2), '\s+') AS ws,
+                      string_split(t2, chr(10)) AS lns FROM p)),
+        f AS (SELECT *,
+                CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                     THEN 1 ELSE 0 END AS BIGINT) AS f_word_count,
+                CAST(CASE WHEN 3*n_words <= sum_word_len
+                           AND sum_word_len <= 10*n_words
+                     THEN 1 ELSE 0 END AS BIGINT) AS f_mean_word_len,
+                CAST(CASE WHEN 10*n_symbols <= n_words
+                     THEN 1 ELSE 0 END AS BIGINT) AS f_symbol_ratio,
+                CAST(CASE WHEN 10*n_bullet_lines <= 9*n_lines
+                     THEN 1 ELSE 0 END AS BIGINT) AS f_bullet_lines,
+                CAST(CASE WHEN 10*n_ellipsis_lines <= 3*n_lines
+                     THEN 1 ELSE 0 END AS BIGINT) AS f_ellipsis_lines,
+                CAST(CASE WHEN 5*n_alpha_words >= 4*n_words
+                     THEN 1 ELSE 0 END AS BIGINT) AS f_alpha_words,
+                CAST(CASE WHEN n_stop_words >= 2
+                     THEN 1 ELSE 0 END AS BIGINT) AS f_stop_words
+              FROM c)
+        SELECT doc_id, n_words, n_lines, sum_word_len, n_symbols,
+               n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_words,
+               f_word_count, f_mean_word_len, f_symbol_ratio, f_bullet_lines,
+               f_ellipsis_lines, f_alpha_words, f_stop_words,
+               CAST(CASE WHEN f_word_count + f_mean_word_len + f_symbol_ratio
+                              + f_bullet_lines + f_ellipsis_lines
+                              + f_alpha_words + f_stop_words = 7
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM f ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val d0 = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.core.Cols.wsTokens(col("text")).as("_t"))
+      val lines = transform(expr("sequence(0, (size(_t) - 1) div 7)"), i =>
+        concat(
+          when((col("doc_id") + i) % 4 === 0 || col("doc_id") % 13 === 0,
+            lit("- ")).otherwise(lit("")),
+          concat_ws(" ", slice(col("_t"), i * lit(7) + 1, lit(7))),
+          when((col("doc_id") + i) % 5 === 0, lit(" ...")).otherwise(lit(""))))
+      val t2 = concat(array_join(lines, "\n"),
+        when(col("doc_id") % 3 === 0, lit("\nthat have with the"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\n# end # #"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 29 === 0, lit("\n" + Seq.fill(20)("a").mkString(" ")))
+          .otherwise(lit("")))
+      CorpusOps.gopherQuality(d0.select(col("doc_id"), t2.as("t2")),
+          "doc_id", "t2")
+        .orderBy("doc_id")
+    },
+
+    // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    // with >= 5 words ending in terminal punctuation; drop pages with
+    // '{', 'lorem ipsum', or < 3 kept lines. Planted pages add a '.'
+    // terminator to ~2/3 of lines, a '{ }' code line every 17th doc and
+    // a 'Lorem Ipsum dolor sit' line every 23rd — every rule
+    // load-bearing. Cleaned text hash-checked end to end.
+    QueryDef(
+      "q253_c4_line_filter",
+      Some(raw"""
+        WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                   FROM documents),
+        l AS (SELECT doc_id,
+                list_transform(range(0, ((len(t) - 1) // 7) + 1), i ->
+                  array_to_string(t[i*7+1:i*7+7], ' ') ||
+                  (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)) AS ls
+              FROM d),
+        p AS (SELECT doc_id,
+                array_to_string(ls, chr(10)) ||
+                (CASE WHEN doc_id % 17 = 0
+                      THEN chr(10) || 'if (x) { return y; }' ELSE '' END) ||
+                (CASE WHEN doc_id % 23 = 0
+                      THEN chr(10) || 'Lorem Ipsum dolor sit.' ELSE '' END) AS t2
+              FROM l),
+        k AS (SELECT doc_id, t2, lns,
+                list_filter(lns, x ->
+                  len(string_split_regex(trim(x), '\s+')) >= 5 AND
+                  (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR
+                   x LIKE '%"')) AS kept
+              FROM (SELECT doc_id, t2, string_split(t2, chr(10)) AS lns FROM p))
+        SELECT doc_id, CAST(len(lns) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               CAST(CASE WHEN contains(t2, '{')
+                           OR contains(lower(t2), 'lorem ipsum')
+                           OR len(kept) < 3
+                    THEN 1 ELSE 0 END AS BIGINT) AS doc_dropped,
+               array_to_string(kept, chr(10)) AS cleaned_text
+        FROM k ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val d0 = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.core.Cols.wsTokens(col("text")).as("_t"))
+      val lines = transform(expr("sequence(0, (size(_t) - 1) div 7)"), i =>
+        concat(concat_ws(" ", slice(col("_t"), i * lit(7) + 1, lit(7))),
+          when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+      val t2 = concat(array_join(lines, "\n"),
+        when(col("doc_id") % 17 === 0, lit("\nif (x) { return y; }"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 23 === 0, lit("\nLorem Ipsum dolor sit."))
+          .otherwise(lit("")))
+      CorpusOps.c4LineFilter(d0.select(col("doc_id"), t2.as("t2")),
+          "doc_id", "t2")
+        .orderBy("doc_id")
+    },
+
     // ---- vocabulary drift between two corpus slices: top shared terms
     // by per-term KL contribution |p_a·ln(p_a/p_b)| — the distribution-
     // shift monitor for a training mixture. Contributions rounded (ln's

@@ -437,6 +437,97 @@ object CorpusOps {
     df.withColumn("keep", kept).withColumn("drop_reasons", reasons)
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, Appendix A — the
+    * canonical public rule pack; q72's compile-the-rule-algebra applied
+    * to the standard web-corpus thresholds) over a possibly multi-line
+    * text column. Counters and flags are INTEGER-ONLY (ratios compared
+    * by cross-multiplication — 10·symbols ≤ words instead of
+    * symbols/words ≤ 0.1), so the whole surface hashes exactly:
+    *  - word count in [50, 100 000]
+    *  - mean word length in [3, 10] chars
+    *  - symbol-to-word ratio ≤ 0.1 (symbols: '#' and '...')
+    *  - ≤ 90% of lines start with a bullet ('- ')
+    *  - ≤ 30% of lines end with an ellipsis ('...')
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 distinct stop words present (default: Gopher's 8)
+    * One projection — every counter and flag evaluates in the same
+    * codegen stage; linear per doc, shuffle-free.
+    */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      stopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with")): DataFrame = {
+    require(stopWords.nonEmpty, "stop word list must be non-empty")
+    val base = df.select(col(idCol), col(textCol).as("_x"),
+      split(col(textCol), "\n").as("_l"),
+      graft.core.Cols.wsTokens(col(textCol)).as("_w"))
+    val counted = base.select(col(idCol),
+      size(col("_w")).cast("long").as("n_words"),
+      size(col("_l")).cast("long").as("n_lines"),
+      aggregate(col("_w"), lit(0L), (a, w) => a + length(w)).as("sum_word_len"),
+      (regexp_count(col("_x"), lit("#")) +
+        regexp_count(col("_x"), lit("\\.\\.\\."))).cast("long").as("n_symbols"),
+      size(filter(col("_l"), l => l.startsWith("- "))).cast("long")
+        .as("n_bullet_lines"),
+      size(filter(col("_l"), l => l.endsWith("..."))).cast("long")
+        .as("n_ellipsis_lines"),
+      size(filter(col("_w"), w => w.rlike("[A-Za-z]"))).cast("long")
+        .as("n_alpha_words"),
+      size(array_intersect(array_distinct(col("_w")),
+        array(stopWords.map(lit): _*))).cast("long").as("n_stop_words"))
+    val flags = Seq(
+      "f_word_count" ->
+        (col("n_words") >= 50 && col("n_words") <= 100000L),
+      "f_mean_word_len" ->
+        (lit(3L) * col("n_words") <= col("sum_word_len") &&
+          col("sum_word_len") <= lit(10L) * col("n_words")),
+      "f_symbol_ratio" -> (lit(10L) * col("n_symbols") <= col("n_words")),
+      "f_bullet_lines" ->
+        (lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines")),
+      "f_ellipsis_lines" ->
+        (lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines")),
+      "f_alpha_words" ->
+        (lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words")),
+      "f_stop_words" -> (col("n_stop_words") >= 2),
+    )
+    val withFlags = flags.foldLeft(counted) { case (acc, (nm, p)) =>
+      acc.withColumn(nm, when(p, 1L).otherwise(0L))
+    }
+    withFlags.withColumn("keep",
+      when(flags.map(f => col(f._1) === 1L).reduce(_ && _), 1L).otherwise(0L))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2 — the other
+    * canonical public rule pack; Gopher judges documents, C4 rewrites
+    * them): keep only lines with ≥ 5 words ending in terminal
+    * punctuation ('.', '!', '?', '"'), and flag the whole page for
+    * dropping when it contains code-smell '{' or the 'lorem ipsum'
+    * placeholder (case-insensitive) or keeps < 3 lines. Output:
+    * (idCol, n_lines, n_kept_lines, doc_dropped, cleaned_text) —
+    * cleaned text is the kept lines rejoined, emitted even for dropped
+    * docs so the audit trail shows what the filter saw. One projection,
+    * row-local.
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minKeptLines: Int = 3): DataFrame = {
+    val keptLine = (l: Column) =>
+      size(graft.core.Cols.wsTokens(l)) >= 5 &&
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+          l.endsWith("\""))
+    df.select(col(idCol), col(textCol).as("_x"),
+        split(col(textCol), "\n").as("_l"))
+      .select(col(idCol),
+        size(col("_l")).cast("long").as("n_lines"),
+        size(filter(col("_l"), keptLine)).cast("long").as("n_kept_lines"),
+        array_join(filter(col("_l"), keptLine), "\n").as("cleaned_text"),
+        (col("_x").contains("{") ||
+          lower(col("_x")).contains("lorem ipsum")).as("_bad"))
+      .withColumn("doc_dropped",
+        when(col("_bad") || col("n_kept_lines") < minKeptLines, 1L)
+          .otherwise(0L))
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"),
+        col("doc_dropped"), col("cleaned_text"))
+  }
+
   /** Vocabulary drift between two corpus slices (train vs eval, today vs
     * yesterday's crawl): the top-`topN` shared-support terms by per-term
     * KL contribution |p_a·ln(p_a/p_b)|, with the raw counts as evidence.

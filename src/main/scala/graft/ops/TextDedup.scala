@@ -1013,9 +1013,9 @@ object TextDedup {
     * semantics never need pairs at all.
     */
   def exactSubstringSpans(df: DataFrame, textCol: String, idCol: String,
-      minTokens: Int): DataFrame = {
+      minTokens: Int, hashGrams: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val marked = dupGramStarts(df, textCol, idCol, minTokens)
+    val marked = dupGramStarts(df, textCol, idCol, minTokens, hashGrams)
     val w = Window.partitionBy(idCol).orderBy("pos")
     marked
       .withColumn("_prev", lag("pos", 1).over(w))
@@ -1034,16 +1034,27 @@ object TextDedup {
 
   /** 0-based start positions of globally duplicated `L`-grams, per doc —
     * the shared core of [[exactSubstringSpans]]/[[exactSubstringScrub]].
-    * Gram keys are the exact strings (not hashes): no collision caveat,
-    * and the DuckDB oracle replays them verbatim. */
+    *
+    * Gram keys: exact strings by default (no collision caveat, and the
+    * DuckDB oracle replays them verbatim — the q249/q250 surface). At
+    * corpus scale the gram-count shuffle carries L tokens of text PER
+    * POSITION — `hashGrams = true` keys on xxhash64 instead (8 bytes per
+    * position, the q68/q90 representation trade): a 64-bit collision can
+    * only ADD a coverage mark, which for a duplicate-span REMOVER means
+    * at worst over-scrubbing one collision-hit span (~2^-64 per gram
+    * pair) — sound for dedup, same argument as hashed-gram
+    * decontamination; results are identical absent collisions
+    * (TextDedupSpec pins the agreement on the real corpus). */
   private def dupGramStarts(df: DataFrame, textCol: String, idCol: String,
-      minTokens: Int): DataFrame = {
+      minTokens: Int, hashGrams: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val grams = df
       .select(col(idCol), graft.core.Cols.wsTokens(col(textCol)).as("_t"))
       .select(col(idCol),
         posexplode(graft.functions.WordGramsExpr.wordGrams(col("_t"), minTokens))
-          .as(Seq("pos", "gram")))
+          .as(Seq("pos", "g0")))
+      .select(col(idCol), col("pos"),
+        (if (hashGrams) xxhash64(col("g0")) else col("g0")).as("gram"))
     val dup = grams.groupBy("gram").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("gram")
     grams.join(dup, Seq("gram"), "left_semi").select(col(idCol), col("pos"))
@@ -1058,8 +1069,8 @@ object TextDedup {
     * intact. One extra per-doc join of the (few) merged spans; the
     * token filter is row-local HOFs — O(len · spans_per_doc). */
   def exactSubstringScrub(df: DataFrame, textCol: String, idCol: String,
-      minTokens: Int): DataFrame = {
-    val spans = exactSubstringSpans(df, textCol, idCol, minTokens)
+      minTokens: Int, hashGrams: Boolean = false): DataFrame = {
+    val spans = exactSubstringSpans(df, textCol, idCol, minTokens, hashGrams)
       .groupBy(idCol)
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_sp"),
         sum(col("span_len")).as("_nc"))

@@ -878,6 +878,54 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: each flag trips on its planted violation, clean doc keeps") {
+    val sixty = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      // clean: 60 alpha words, sane lengths, stopwords present, no noise
+      (1L, s"the be $sixty"),
+      (2L, "the be only ten words live here now done ok"), // < 50 words
+      (3L, s"the be $sixty # # # # # # # # # #"),          // symbol flood
+      (4L, s"- the be bullets\n- $sixty\n- every line"),   // > 90% bullets
+      (5L, ("a " * 62).trim + " the be"),                  // mean len < 3
+      (6L, s"the be trail ...\nalso ...\nmore ...\n$sixty ..."), // ellipsis
+      (7L, s"the be $sixty " + (1 to 20).map(_.toString).mkString(" ")), // digits
+      (8L, sixty),                                          // no stopwords
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, name: String) = got(id).getAs[Long](name)
+    assert(f(1L, "keep") == 1L, got(1L).toString)
+    assert(f(2L, "f_word_count") == 0L && f(2L, "keep") == 0L)
+    assert(f(3L, "f_symbol_ratio") == 0L)
+    assert(f(4L, "f_bullet_lines") == 0L)
+    assert(f(5L, "f_mean_word_len") == 0L)
+    assert(f(6L, "f_ellipsis_lines") == 0L)
+    assert(f(7L, "f_alpha_words") == 0L)
+    assert(f(8L, "f_stop_words") == 0L)
+  }
+
+  test("c4 line filter: word-count + terminal-punct line rule, page-level drops") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta.\nshort one.\nno punct on this line here\nmore than five words again here!\nand a third keeper line here?"),
+      (2L, "curly brace code follows right here.\nif (x) { return }\nanother good line with words.\nthird keeper sentence is right here."),
+      (3L, "Lorem Ipsum dolor sit amet text.\nsecond fine line with five words.\nthird fine line with six words."),
+      (4L, "only two keeper lines in here.\nthis is the second keeper line.\nshort."),
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.c4LineFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: 5 lines, 3 kept ('short one.' < 5 words; bare line no punct)
+    assert(got(1L)._1 == 5L && got(1L)._2 == 3L && got(1L)._3 == 0L,
+      got(1L).toString)
+    assert(got(1L)._4 ==
+      "alpha beta gamma delta epsilon zeta.\n" +
+      "more than five words again here!\nand a third keeper line here?")
+    assert(got(2L)._3 == 1L, "a '{' page must be dropped")
+    assert(got(3L)._3 == 1L, "a lorem-ipsum page must be dropped")
+    assert(got(4L)._2 == 2L && got(4L)._3 == 1L,
+      "fewer than 3 kept lines must drop the page")
+  }
+
   test("domain ledger: fold-version stamped; mixed-version reads fail loudly") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft_ledgerver").toString

@@ -294,6 +294,19 @@ class TextDedupSpec extends SparkSpec {
     assert(scrub(5L) == ((6L, 0L, "a b q1 q2 q3 q4")))
     assert(scrub(6L) == ((2L, 0L, "x y")))
   }
+
+  test("exact-substring hashed-gram scale path agrees with the string path on the real corpus") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def spanSet(hashed: Boolean) = graft.ops.TextDedup
+      .exactSubstringSpans(docs, "text", "doc_id", minTokens = 8,
+        hashGrams = hashed)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val strings = spanSet(false)
+    assert(strings.nonEmpty, "corpus must hold duplicated spans")
+    assert(spanSet(true) == strings,
+      "hashed and string gram keys must agree absent xxh collisions")
+  }
 }
 
 class VectorSimSpec extends SparkSpec {
