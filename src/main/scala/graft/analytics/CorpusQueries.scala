@@ -312,7 +312,9 @@ object CorpusQueries {
                   AS BIGINT) AS n_stop_words
               FROM (SELECT doc_id, t2,
                       string_split_regex(trim(t2), '\s+') AS ws,
-                      string_split(t2, chr(10)) AS lns FROM p)),
+                      list_transform(string_split(t2, chr(10)),
+                        x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')) AS lns
+                    FROM p)),
         f AS (SELECT *,
                 CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
                      THEN 1 ELSE 0 END AS BIGINT) AS f_word_count,
@@ -388,7 +390,10 @@ object CorpusQueries {
                   len(string_split_regex(trim(x), '\s+')) >= 5 AND
                   (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR
                    x LIKE '%"')) AS kept
-              FROM (SELECT doc_id, t2, string_split(t2, chr(10)) AS lns FROM p))
+              FROM (SELECT doc_id, t2,
+                      list_transform(string_split(t2, chr(10)),
+                        x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')) AS lns
+                    FROM p))
         SELECT doc_id, CAST(len(lns) AS BIGINT) AS n_lines,
                CAST(len(kept) AS BIGINT) AS n_kept_lines,
                CAST(CASE WHEN contains(t2, '{')

@@ -397,20 +397,27 @@ object CorpusOps {
     * a PSL upgrade can split a previously-merged domain). */
   def domainLedger(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    // mergeSchema: a pre-version segment must surface as fold_version
-    // NULL rather than hiding behind whichever file schema wins
-    val raw = spark.read.option("mergeSchema", "true").parquet(dir)
-    val withVer =
-      if (raw.columns.contains("fold_version")) raw
-      else raw.withColumn("fold_version", lit(null).cast("string"))
-    val versions = withVer
-      .select(coalesce(col("fold_version"), lit("<unversioned>")).as("v"))
-      .distinct().collect().map(_.getString(0)).sorted
+    // version validation at SEGMENT grain, not a mergeSchema full scan:
+    // fold_version is constant within a segment by construction, so one
+    // row per segment proves the whole ledger — |segments| tiny reads
+    // instead of footer-merging and scanning every row per serve
+    // (review-r15 finding). A pre-version segment (no column) surfaces
+    // as <unversioned> rather than hiding behind a winning schema.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.toString).filter(_.contains("seg="))
+    val versions = segs.map { seg =>
+      val d = spark.read.parquet(seg)
+      if (!d.columns.contains("fold_version")) "<unversioned>"
+      else d.select("fold_version").limit(1).collect()
+        .headOption.map(_.getString(0)).getOrElse("<unversioned>")
+    }.distinct.sorted
     require(versions.length <= 1,
       s"domain ledger $dir mixes fold versions ${versions.mkString(", ")}: " +
         "the registrable-domain fold changed under the ledger; re-fold " +
         "old segments instead of summing across incompatible keys")
-    withVer
+    spark.read.parquet(dir)
       .groupBy("domain", "split")
       .agg(sum("n_docs").cast("long").as("n_docs"),
         sum("n_tokens").cast("long").as("n_tokens"))
@@ -457,8 +464,13 @@ object CorpusOps {
       stopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
         "have", "with")): DataFrame = {
     require(stopWords.nonEmpty, "stop word list must be non-empty")
+    // line rules evaluate on WHITESPACE-TRIMMED lines: a CRLF page
+    // leaves '\r' on every split line, which would blind the suffix
+    // rules ('...' never matches '...\r') — the review-r15 class; the
+    // reference implementations strip lines before judging them
     val base = df.select(col(idCol), col(textCol).as("_x"),
-      split(col(textCol), "\n").as("_l"),
+      transform(split(col(textCol), "\n"),
+        l => regexp_replace(l, "^\\s+|\\s+$", "")).as("_l"),
       graft.core.Cols.wsTokens(col(textCol)).as("_w"))
     val counted = base.select(col(idCol),
       size(col("_w")).cast("long").as("n_words"),
@@ -513,8 +525,12 @@ object CorpusOps {
       size(graft.core.Cols.wsTokens(l)) >= 5 &&
         (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
           l.endsWith("\""))
+    // judge (and emit) whitespace-trimmed lines: CRLF pages would
+    // otherwise keep ZERO lines ('.' never matches '.\r') and the whole
+    // CRLF share of a crawl would silently drop — the review-r15 class
     df.select(col(idCol), col(textCol).as("_x"),
-        split(col(textCol), "\n").as("_l"))
+        transform(split(col(textCol), "\n"),
+          l => regexp_replace(l, "^\\s+|\\s+$", "")).as("_l"))
       .select(col(idCol),
         size(col("_l")).cast("long").as("n_lines"),
         size(filter(col("_l"), keptLine)).cast("long").as("n_kept_lines"),

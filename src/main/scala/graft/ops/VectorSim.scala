@@ -146,15 +146,41 @@ object VectorSim {
     * anchors, exact cosine, threshold cut, per-doc attribution window.
     * Every decontam path (inline, indexed, streaming) funnels through
     * THIS — the probe==broadcast bit-equality contract holds because
-    * there is exactly one copy of the float expressions. */
+    * there is exactly one copy of the float expressions.
+    *
+    * `requireDim`: index-backed probes pass the stamp and EVERY row is
+    * dim-asserted in the scan itself (raise_error on mismatch) — a
+    * per-row `size()` compare, no extra pass, no sampled-row guard that
+    * mixed-dim batches could slip past. Null vectors skip the assert
+    * (they carry no dim claim) and fall to the norm guard. */
   private def decontamScore(anchors: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("cv"))
-      .withColumn("cn", sqrt(normSq(col("cv"))))
-      .filter(col("cn") > 0 && !isnan(col("cn")))
+      idCol: String, vecCol: String, threshold: Double,
+      requireDim: Option[Int] = None): DataFrame = {
+    val c = corpusSide(corpus, idCol, vecCol, requireDim)
     decontamRank(c.crossJoin(broadcast(anchors))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .filter(col("cosine") >= threshold))
+  }
+
+  /** (doc_id, cv, cn) corpus rows with the degenerate-norm guard and the
+    * optional loud per-row dim assert — DotProductF32 silently truncates
+    * to the shorter operand, so a dim mismatch must never reach it. */
+  private def corpusSide(corpus: DataFrame, idCol: String, vecCol: String,
+      requireDim: Option[Int]): DataFrame = {
+    val cvRaw = col(vecCol)
+    val cv = requireDim match {
+      case Some(d) =>
+        when(cvRaw.isNull || size(cvRaw) === d, cvRaw)
+          .otherwise(raise_error(concat(
+            lit(s"anchor index holds $d-dim vectors; corpus row carries "),
+            size(cvRaw).cast("string"),
+            lit("-dim — wrong index or wrong column")))
+            .cast(corpus.schema(vecCol).dataType))
+      case None => cvRaw
+    }
+    corpus.select(col(idCol).as("doc_id"), cv.as("cv"))
+      .withColumn("cn", sqrt(normSq(col("cv"))))
+      .filter(col("cn") > 0 && !isnan(col("cn")))
   }
 
   /** Per-doc attribution over (doc_id, eval_id, cosine) hits: strongest
@@ -186,11 +212,19 @@ object VectorSim {
   def writeEvalAnchorIndex(evalSet: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val spark = evalSet.sparkSession
+    val rows = anchorRows(evalSet, idCol, vecCol)
+      .withColumn("_dim", size(col("qv")))
+    // refuse a stampless empty build: an eval suite whose anchors ALL
+    // guard-filter (failed encode run) must fail HERE, not as a
+    // misleading "0 distinct dim stamps" on the first probe
+    require(rows.take(1).nonEmpty,
+      s"no usable anchors for $path: the eval set is empty or every " +
+        "vector is zero-norm/NaN (failed encode?) — refusing to build " +
+        "an empty index")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    anchorRows(evalSet, idCol, vecCol).withColumn("_dim", size(col("qv")))
-      .write.mode("overwrite").parquet(s"$path/batch=base")
+    rows.write.mode("overwrite").parquet(s"$path/batch=base")
   }
 
   /** Append one NEW eval suite's anchors idempotently under retries (the
@@ -256,12 +290,8 @@ object VectorSim {
   def incrementalSemanticDecontam(batch: DataFrame, idCol: String,
       vecCol: String, path: String, threshold: Double): DataFrame = {
     val spark = batch.sparkSession
-    val idxDim = evalAnchorIndexDim(spark, path)
-    val probe = batch.select(size(col(vecCol)).as("d")).limit(1).collect()
-    require(probe.isEmpty || probe.head.getInt(0) == idxDim,
-      s"anchor index at $path holds $idxDim-dim vectors; the batch " +
-        s"carries ${probe.head.getInt(0)}-dim — wrong index or wrong column")
-    decontamScore(readEvalAnchors(spark, path), batch, idCol, vecCol, threshold)
+    decontamScore(readEvalAnchors(spark, path), batch, idCol, vecCol,
+      threshold, requireDim = Some(evalAnchorIndexDim(spark, path)))
   }
 
   /** IVF candidate front for semantic decontam — the path for eval sets
@@ -285,13 +315,19 @@ object VectorSim {
   def incrementalSemanticDecontamIvf(batch: DataFrame, idCol: String,
       vecCol: String, path: String, threshold: Double,
       numCells: Int = 16, nprobe: Int = 8, sampleN: Int = 4096,
-      iters: Int = 10): DataFrame =
-    decontamScoreIvf(readEvalAnchors(batch.sparkSession, path), batch,
-      idCol, vecCol, threshold, numCells, nprobe, sampleN, iters)
+      iters: Int = 10): DataFrame = {
+    val spark = batch.sparkSession
+    // same loud dim guard as the broadcast probe — the IVF front must
+    // not be the one path where a mismatched batch truncates silently
+    decontamScoreIvf(readEvalAnchors(spark, path), batch,
+      idCol, vecCol, threshold, numCells, nprobe, sampleN, iters,
+      requireDim = Some(evalAnchorIndexDim(spark, path)))
+  }
 
   private def decontamScoreIvf(anchors: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
-      numCells: Int, nprobe: Int, sampleN: Int, iters: Int): DataFrame = {
+      numCells: Int, nprobe: Int, sampleN: Int, iters: Int,
+      requireDim: Option[Int] = None): DataFrame = {
     // clamp cells to the anchor count (limit+count short-circuits — no
     // full scan): a small eval suite is legitimate, and fewer cells only
     // RAISES recall (nprobe of them cover more of the anchor set)
@@ -302,9 +338,7 @@ object VectorSim {
     val q = anchors.withColumn("cell",
       element_at(graft.functions.IvfExprs.nearestCentroids(col("qv"),
         centroids, 1), 1))
-    val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("cv"))
-      .withColumn("cn", sqrt(normSq(col("cv"))))
-      .filter(col("cn") > 0 && !isnan(col("cn")))
+    val c = corpusSide(corpus, idCol, vecCol, requireDim)
       .select(col("doc_id"), col("cv"), col("cn"),
         explode(graft.functions.IvfExprs.nearestCentroids(col("cv"),
           centroids, nprobe)).as("cell"))

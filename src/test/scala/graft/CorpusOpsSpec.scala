@@ -924,6 +924,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3L)._3 == 1L, "a lorem-ipsum page must be dropped")
     assert(got(4L)._2 == 2L && got(4L)._3 == 1L,
       "fewer than 3 kept lines must drop the page")
+    // CRLF page: '\r' must not blind the terminal-punctuation rule —
+    // lines are whitespace-trimmed before judging (the review-r15 class)
+    val crlf = Seq((9L,
+      "first keeper line has five words.\r\nsecond keeper line has five words!\r\nthird keeper line has five words?\r")
+    ).toDF("doc_id", "text")
+    val g9 = CorpusOps.c4LineFilter(crlf, "doc_id", "text").collect().head
+    assert(g9.getLong(2) == 3L && g9.getLong(3) == 0L,
+      s"CRLF page must keep its lines: $g9")
+    val gq = CorpusOps.gopherQuality(Seq((9L,
+      "the be end ...\r\nthe be trail ...\r\nthe be more ...\r")
+    ).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(gq.getAs[Long]("n_ellipsis_lines") == 3L,
+      s"CRLF must not blind the ellipsis rule: $gq")
   }
 
   test("domain ledger: fold-version stamped; mixed-version reads fail loudly") {

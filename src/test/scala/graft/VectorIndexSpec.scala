@@ -551,18 +551,45 @@ class VectorIndexSpec extends SparkSpec {
     assert(decontamRows(VectorSim.incrementalSemanticDecontam(
       corpus, "vec_id", "embedding", idx, 0.25)) == direct,
       "degenerate anchors must be guarded out of the index")
-    // dim-mismatched append and probe both fail loudly
+    // dim-mismatched append and probe both fail loudly. The probe's
+    // guard is PER-ROW (raise_error in the scan): a mixed-dim batch
+    // cannot slip past a sampled-row check, and the error surfaces at
+    // execution wrapped by Spark — walk the chain for the message
     val wrongDim = Seq((9003L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
       VectorSim.appendEvalAnchorBatch(wrongDim, "vec_id", "embedding", idx,
         "wrongdim")
     }
     assert(e.getMessage.contains("dim"))
-    val e2 = intercept[IllegalArgumentException] {
-      VectorSim.incrementalSemanticDecontam(wrongDim, "vec_id", "embedding",
+    def chainHas(t: Throwable, needle: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(x => Option(x.getMessage).exists(_.contains(needle)))
+    val mixed = corpus.limit(3).unionByName(wrongDim) // mostly-good batch
+    val e2 = intercept[Throwable] {
+      VectorSim.incrementalSemanticDecontam(mixed, "vec_id", "embedding",
         idx, 0.25).collect()
     }
-    assert(e2.getMessage.contains("dim"))
+    assert(chainHas(e2, "-dim"), s"per-row dim guard must fire: $e2")
+    val e3 = intercept[Throwable] {
+      VectorSim.incrementalSemanticDecontamIvf(mixed, "vec_id", "embedding",
+        idx, 0.25).collect()
+    }
+    assert(chainHas(e3, "-dim"), "the IVF front must carry the same guard")
+    // a NULL embedding row is NOT a dim violation: it falls to the norm
+    // guard and is silently (correctly) dropped — a stream must not
+    // wedge on a row the batch path would filter
+    val withNull = corpus.limit(3).unionByName(
+      Seq((9004L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    VectorSim.incrementalSemanticDecontam(withNull, "vec_id", "embedding",
+      idx, 0.25).collect()
+    // an ALL-degenerate eval set refuses to build (no stampless indexes)
+    val e4 = intercept[IllegalArgumentException] {
+      VectorSim.writeEvalAnchorIndex(
+        Seq((9005L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        java.nio.file.Files.createTempDirectory("graft_emptyidx").toString)
+    }
+    assert(e4.getMessage.contains("no usable anchors"))
   }
 
   test("IVF decontam front: flags subset of exact, undercounted matches only, recall telemetry >= 0.9") {
