@@ -13,6 +13,104 @@ import graft.ops.CorpusOps
   */
 object CorpusQueries {
 
+  /** The q254 oracle, generated so the per-n CTEs (top {2,3,4}-gram
+    * mass, duplicate {5..10}-gram coverage) come from ONE loop — the 9
+    * n-values cannot drift apart. Replays the engine's planting, the
+    * line-duplicate counters, tie-to-smallest-gram top selection, and
+    * coverage-union char sums. */
+  private def gopherRepetitionOracle: String = {
+    val topPct = Map(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupPct = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    def gramCte(n: Int) =
+      s"""g$n AS (SELECT doc_id, i - 1 AS pos,
+             array_to_string(ws[i:i+${n - 1}], ' ') AS gram
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${n - 2})) AS i
+                 FROM w WHERE len(ws) >= $n))"""
+    val topCtes = (2 to 4).map { n =>
+      s"""${gramCte(n)},
+        t$n AS (SELECT doc_id,
+             CAST(cnt * greatest(len(gram) - ${n - 1}, 0) AS BIGINT) AS chars
+           FROM (SELECT doc_id, gram, count(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY count(*) DESC, gram) AS rn
+                 FROM g$n GROUP BY doc_id, gram)
+           WHERE rn = 1)"""
+    }
+    val dupCtes = (5 to 10).map { n =>
+      s"""${gramCte(n)},
+        d$n AS (SELECT cv.doc_id AS doc_id, CAST(SUM(len(tp.tok)) AS BIGINT) AS chars
+           FROM (SELECT DISTINCT c.doc_id, c.p FROM (
+                   SELECT doc_id, unnest(range(pos, pos + $n)) AS p
+                   FROM (SELECT doc_id, pos FROM g$n
+                         QUALIFY count(*) OVER (PARTITION BY doc_id, gram) >= 2)
+                 ) c) cv
+           JOIN (SELECT doc_id, unnest(ws) AS tok,
+                        generate_subscripts(ws, 1) - 1 AS p FROM w) tp
+             ON tp.doc_id = cv.doc_id AND tp.p = cv.p
+           GROUP BY cv.doc_id)"""
+    }
+    val topSel = (2 to 4).map(n =>
+      s"coalesce(t$n.chars, 0) AS chars_top${n}gram").mkString(",\n        ")
+    val dupSel = (5 to 10).map(n =>
+      s"coalesce(d$n.chars, 0) AS chars_dup${n}gram").mkString(",\n        ")
+    val joins = ((2 to 4).map(n => s"LEFT JOIN t$n USING (doc_id)") ++
+      (5 to 10).map(n => s"LEFT JOIN d$n USING (doc_id)")).mkString("\n        ")
+    val flagExprs = (Seq(
+      "CAST(CASE WHEN 100*n_dup_line_occ <= 30*n_lines THEN 1 ELSE 0 END AS BIGINT) AS f_dup_line_frac",
+      "CAST(CASE WHEN 100*chars_dup_lines <= 20*chars_lines THEN 1 ELSE 0 END AS BIGINT) AS f_dup_line_char_frac") ++
+      (2 to 4).map(n =>
+        s"CAST(CASE WHEN 100*chars_top${n}gram <= ${topPct(n)}*chars_words THEN 1 ELSE 0 END AS BIGINT) AS f_top${n}gram_char_frac") ++
+      (5 to 10).map(n =>
+        s"CAST(CASE WHEN 100*chars_dup${n}gram <= ${dupPct(n)}*chars_words THEN 1 ELSE 0 END AS BIGINT) AS f_dup${n}gram_char_frac"))
+      .mkString(",\n        ")
+    val flagNames = (Seq("f_dup_line_frac", "f_dup_line_char_frac") ++
+      (2 to 4).map(n => s"f_top${n}gram_char_frac") ++
+      (5 to 10).map(n => s"f_dup${n}gram_char_frac"))
+    raw"""
+      WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents),
+      l0 AS (SELECT doc_id,
+               list_transform(range(0, ((len(t) - 1) // 7) + 1), i ->
+                 array_to_string(t[i*7+1:i*7+7], ' ')) AS ls
+             FROM d),
+      p AS (SELECT doc_id,
+              array_to_string(ls, chr(10)) ||
+              (CASE WHEN doc_id % 4 = 0
+                    THEN chr(10) || ls[1] || chr(10) || ls[1] ||
+                         chr(10) || ls[1] ELSE '' END) AS t2
+            FROM l0),
+      w AS (SELECT doc_id,
+              list_transform(string_split(t2, chr(10)),
+                x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')) AS lns,
+              string_split_regex(trim(t2), '\s+') AS ws
+            FROM p),
+      lc AS (SELECT doc_id,
+               CAST(len(lns) AS BIGINT) AS n_lines,
+               CAST(list_sum(list_transform(lns, x -> len(x))) AS BIGINT)
+                 AS chars_lines,
+               CAST(len(lns) - len(list_distinct(lns)) AS BIGINT)
+                 AS n_dup_line_occ,
+               CAST(list_sum(list_transform(lns, x -> len(x))) -
+                    list_sum(list_transform(list_distinct(lns), x -> len(x)))
+                 AS BIGINT) AS chars_dup_lines,
+               CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT)
+                 AS chars_words
+             FROM w),
+      ${(topCtes ++ dupCtes).mkString(",\n      ")},
+      base AS (SELECT lc.doc_id, n_lines, chars_lines, n_dup_line_occ,
+               chars_dup_lines, chars_words,
+        $topSel,
+        $dupSel
+        FROM lc
+        $joins),
+      fl AS (SELECT *,
+        $flagExprs
+        FROM base)
+      SELECT *, CAST(CASE WHEN ${flagNames.map(f => s"$f = 1").mkString(" AND ")}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM fl ORDER BY doc_id"""
+  }
+
   /** The full-corpus source-overlap matrix in SQL — shared VERBATIM by
     * q246 (batch) and q247 (incremental): q247's whole contract is that
     * the incremental chain reproduces this exact matrix, so the two
@@ -359,6 +457,37 @@ object CorpusQueries {
           .otherwise(lit("")))
       CorpusOps.gopherQuality(d0.select(col("doc_id"), t2.as("t2")),
           "doc_id", "t2")
+        .orderBy("doc_id")
+    },
+
+    // ---- Gopher REPETITION rule pack (Rae et al. 2021 Table A1): the
+    // MassiveText within-doc repetition filter — duplicate-line count
+    // and char fractions, top {2,3,4}-gram char mass, duplicate
+    // {5..10}-gram coverage chars, 11 integer flags. Engine side is
+    // ENTIRELY row-local (sorted-gram HOFs, zero shuffles); the oracle
+    // replays every counter relationally (per-n CTEs generated from one
+    // loop). Pages planted as q252 lines plus a duplicated first line
+    // every 4th doc so the duplicate rules are load-bearing.
+    QueryDef(
+      "q254_gopher_repetition",
+      Some(gopherRepetitionOracle),
+    ) { (s, dir) =>
+      val d0 = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.core.Cols.wsTokens(col("text")).as("_t"))
+      val lines = transform(expr("sequence(0, (size(_t) - 1) div 7)"), i =>
+        concat_ws(" ", slice(col("_t"), i * lit(7) + 1, lit(7))))
+      val t2 = concat(array_join(lines, "\n"),
+        // duplicate the first line (twice) every 4th doc: dup-line AND
+        // dup-n-gram rules trip together, the repetition signature of a
+        // templated page
+        // three copies: the 14-token 'L1 L1' window then occurs twice,
+        // so even the 10-gram duplicate rule is load-bearing
+        when(col("doc_id") % 4 === 0,
+          concat(lit("\n"), element_at(lines, 1), lit("\n"),
+            element_at(lines, 1), lit("\n"),
+            element_at(lines, 1))).otherwise(lit("")))
+      CorpusOps.gopherRepetition(
+          d0.select(col("doc_id"), t2.as("t2")), "doc_id", "t2")
         .orderBy("doc_id")
     },
 

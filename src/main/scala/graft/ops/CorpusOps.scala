@@ -508,6 +508,118 @@ object CorpusOps {
       when(flags.map(f => col(f._1) === 1L).reduce(_ && _), 1L).otherwise(0L))
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021 Table A1 — the MassiveText
+    * within-document repetition filter that pairs with [[gopherQuality]]'s
+    * document rules): 11 flags over duplicate lines and n-gram mass,
+    * ENTIRELY ROW-LOCAL — sorted-gram HOFs per document, zero shuffles
+    * beyond the scan (the q125 machinery generalized), which is the
+    * 100 TB shape: repetition is a per-doc property and must never cost
+    * a corpus-keyed exchange.
+    *
+    * Counters (all integer; fractions compared by cross-multiplication
+    * against the paper's thresholds):
+    *  - duplicate line fraction ≤ 0.30 (occurrences beyond the first /
+    *    lines) and duplicate-line CHARACTER fraction ≤ 0.20 (their
+    *    chars / total line chars) — lines whitespace-trimmed first
+    *  - top {2,3,4}-gram character fraction ≤ {0.20, 0.18, 0.16}: the
+    *    most frequent word n-gram's char mass (freq × token chars, ties
+    *    to the lexicographically smallest gram) / total word chars
+    *  - duplicate {5..10}-gram character fraction ≤ {0.15 … 0.10}:
+    *    chars of token positions covered by ANY within-doc repeated
+    *    n-gram (coverage union — overlaps counted once) / total word
+    *    chars
+    * Paragraph-grain duplicates collapse to the line grain on
+    * single-newline pages; split on a blank-line separator upstream to
+    * get paragraph rules (documented substitution, not a gap).
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val trimLine = (l: Column) => regexp_replace(l, "^\\s+|\\s+$", "")
+    val sumLen = (a: Column) => aggregate(a, lit(0L), (s, x) => s + length(x))
+    val base = df.select(col(idCol),
+      transform(split(col(textCol), "\n"), trimLine).as("_l"),
+      graft.core.Cols.wsTokens(col(textCol)).as("_w"))
+    // ---- line duplicates: beyond-first occurrences and their chars
+    val withLines = base
+      .withColumn("n_lines", size(col("_l")).cast("long"))
+      .withColumn("chars_lines", sumLen(col("_l")))
+      .withColumn("n_dup_line_occ",
+        (size(col("_l")) - size(array_distinct(col("_l")))).cast("long"))
+      .withColumn("chars_dup_lines",
+        sumLen(col("_l")) - sumLen(array_distinct(col("_l"))))
+      .withColumn("chars_words", sumLen(col("_w")))
+    // ---- top n-gram char mass (n = 2..4): one sorted pass per n; the
+    // running (gram, run, best) state rides a struct through aggregate;
+    // strictly-greater comparison on an ASCENDING sort keeps the FIRST
+    // maximal run = the lexicographically smallest max-count gram (the
+    // oracle's ORDER BY cnt DESC, gram)
+    def topGramChars(n: Int): Column = {
+      val sorted = sort_array(wordGrams(col("_w"), n))
+      val init = struct(lit("").as("cg"), lit(0L).as("cc"),
+        lit("").as("bg"), lit(0L).as("bc"))
+      val st = aggregate(sorted, init, (s, g) => {
+        val cc = when(g === s.getField("cg"), s.getField("cc") + 1L)
+          .otherwise(lit(1L))
+        val isBest = cc > s.getField("bc")
+        struct(g.as("cg"), cc.as("cc"),
+          when(isBest, g).otherwise(s.getField("bg")).as("bg"),
+          when(isBest, cc).otherwise(s.getField("bc")).as("bc"))
+      })
+      // token chars of the gram = string length minus the n-1 separators
+      (st.getField("bc") *
+        greatest(length(st.getField("bg")) - lit(n - 1), lit(0))).cast("long")
+    }
+    // ---- duplicate n-gram coverage chars (n = 5..10): starts whose
+    // gram equals a sorted neighbor (≥ 2 occurrences), coverage union,
+    // then char sum of covered token positions. The sorted array is
+    // BOUND to a column first: element_at on an inlined sort_array
+    // expression would re-run the sort per element — the O(len²)
+    // footgun class WordGramsExpr documents (q125's binding rule).
+    def dupGramCoverageChars(n: Int): Column = {
+      val sg = col(s"_sg$n")
+      val starts = filter(transform(sg, (s, j) => {
+        val repeated =
+          (j > 0 && element_at(sg, j).getField("g") === s.getField("g")) ||
+          (j < size(sg) - 1 &&
+            element_at(sg, j + 2).getField("g") === s.getField("g"))
+        when(repeated, s.getField("i")).otherwise(lit(-1))
+      }), x => x >= 0)
+      val cov = array_distinct(flatten(
+        transform(starts, p => sequence(p, p + (n - 1)))))
+      aggregate(cov, lit(0L),
+        (a, i) => a + length(element_at(col("_w"), i + 1)))
+    }
+    val withGrams = (2 to 4).foldLeft(withLines) { (acc, n) =>
+      acc.withColumn(s"chars_top${n}gram", topGramChars(n))
+    }
+    val withDups = (5 to 10).foldLeft(withGrams) { (acc, n) =>
+      acc
+        .withColumn(s"_sg$n", sort_array(transform(wordGrams(col("_w"), n),
+          (g, i) => struct(g.as("g"), i.as("i")))))
+        .withColumn(s"chars_dup${n}gram", dupGramCoverageChars(n))
+        .drop(s"_sg$n")
+    }
+    // ---- flags: 100·x ≤ pct·denominator, all integers
+    val lineFlags = Seq(
+      ("f_dup_line_frac", col("n_dup_line_occ"), 30L, col("n_lines")),
+      ("f_dup_line_char_frac", col("chars_dup_lines"), 20L, col("chars_lines")))
+    val topPct = Map(2 -> 20L, 3 -> 18L, 4 -> 16L)
+    val dupPct = Map(5 -> 15L, 6 -> 14L, 7 -> 13L, 8 -> 12L, 9 -> 11L, 10 -> 10L)
+    val gramFlags =
+      (2 to 4).map(n => (s"f_top${n}gram_char_frac",
+        col(s"chars_top${n}gram"), topPct(n), col("chars_words"))) ++
+      (5 to 10).map(n => (s"f_dup${n}gram_char_frac",
+        col(s"chars_dup${n}gram"), dupPct(n), col("chars_words")))
+    val allFlags = lineFlags ++ gramFlags
+    val flagged = allFlags.foldLeft(withDups) { case (acc, (nm, x, pct, den)) =>
+      acc.withColumn(nm, when(lit(100L) * x <= lit(pct) * den, 1L).otherwise(0L))
+    }
+    flagged
+      .withColumn("keep",
+        when(allFlags.map(f => col(f._1) === 1L).reduce(_ && _), 1L)
+          .otherwise(0L))
+      .drop("_l", "_w")
+  }
+
   /** C4 line-level cleaning (Raffel et al. 2020 §2.2 — the other
     * canonical public rule pack; Gopher judges documents, C4 rewrites
     * them): keep only lines with ≥ 5 words ending in terminal

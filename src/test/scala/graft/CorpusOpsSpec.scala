@@ -904,6 +904,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(f(8L, "f_stop_words") == 0L)
   }
 
+  test("gopher repetition: duplicate-line and n-gram counters match hand computation") {
+    val docs = Seq(
+      // two identical 10-token lines: every duplicate rule trips
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10\nx1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+      // all-distinct 10-token doc: top-2-gram sits EXACTLY on the 0.20
+      // boundary (100·4 == 20·20, a pass — ≤), while top-3/4 rules
+      // legitimately reject so short a doc (one 3-gram is 30% of its
+      // chars) — the short-doc behavior Gopher's thresholds encode
+      (2L, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j0"),
+      // long all-distinct doc: every rule passes
+      (3L, (1 to 60).map(i => f"t$i%02d").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def g(id: Long, c: String) = got(id).getAs[Long](c)
+    assert(g(1L, "n_lines") == 2L && g(1L, "n_dup_line_occ") == 1L)
+    assert(g(1L, "chars_lines") == 60L && g(1L, "chars_dup_lines") == 30L)
+    assert(g(1L, "chars_words") == 42L)
+    // max-count 2-gram is 'x1 x2' (lex-smallest of the cnt-2 set):
+    // 2 occurrences x 4 token chars
+    assert(g(1L, "chars_top2gram") == 8L, got(1L).toString)
+    // the 10-token period repeats, so 5-gram coverage is the whole doc
+    assert(g(1L, "chars_dup5gram") == 42L)
+    assert(g(1L, "f_dup_line_frac") == 0L)      // 1/2 > 0.30
+    assert(g(1L, "f_dup_line_char_frac") == 0L) // 30/60 > 0.20
+    assert(g(1L, "f_dup5gram_char_frac") == 0L) // 42/42 > 0.15
+    assert(g(1L, "f_top2gram_char_frac") == 1L) // 8/42 <= 0.20
+    assert(g(1L, "keep") == 0L)
+    assert(g(2L, "n_dup_line_occ") == 0L && g(2L, "chars_dup5gram") == 0L)
+    assert(g(2L, "chars_top2gram") == 4L)
+    assert(g(2L, "f_top2gram_char_frac") == 1L,
+      "the exact-boundary case must pass (<=)")
+    assert(g(2L, "f_top3gram_char_frac") == 0L,
+      "a 10-word doc fails the 3-gram mass rule by construction")
+    assert(g(2L, "keep") == 0L)
+    assert(g(3L, "chars_words") == 180L)
+    assert(g(3L, "keep") == 1L, got(3L).toString)
+  }
+
   test("c4 line filter: word-count + terminal-punct line rule, page-level drops") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta.\nshort one.\nno punct on this line here\nmore than five words again here!\nand a third keeper line here?"),
