@@ -493,6 +493,50 @@ object DedupQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // ---- INCREMENTAL exact-substring spans — q249's per-ingest shape
+    // (the q79/q90-family completion): the old corpus's L-gram counts
+    // persist once, SATURATED AT 2 (only "duplicated" matters — bounded
+    // state per gram no matter how hot); the 20% batch probes
+    // batch∪index multiplicities. The oracle is q249's brute-force
+    // replay over the WHOLE corpus with the marked set restricted to
+    // batch docs — the hash proves incremental == full-over-old∪new.
+    QueryDef(
+      "q255_incremental_exact_substring",
+      Some(raw"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+              WHERE len(toks) >= 8),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+              WHERE g.doc_id % 5 = 0),
+        r AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS nw
+              FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        s AS (SELECT doc_id, pos, SUM(nw) OVER
+                (PARTITION BY doc_id ORDER BY pos) AS isl FROM r)
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+        FROM s GROUP BY doc_id, isl
+        ORDER BY doc_id, span_start"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // deterministic overwritten dir per sfDir (the q251 convention)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_gramcounts_" +
+        Integer.toHexString(dir.hashCode)
+      TextDedup.writeGramCountIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", "doc_id",
+        minTokens = 8, idxDir)
+      TextDedup.incrementalExactSubstringSpans(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id",
+          idxDir)
+        .orderBy("doc_id", "span_start")
+    },
+
     // ---- the ExactSubstr REMOVER over q249's spans: every covered
     // token dropped from every occurrence (the released tool's default;
     // keep-one variants are q125/q126), scrubbed text hash-checked end

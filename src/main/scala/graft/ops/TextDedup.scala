@@ -1013,9 +1013,15 @@ object TextDedup {
     * semantics never need pairs at all.
     */
   def exactSubstringSpans(df: DataFrame, textCol: String, idCol: String,
-      minTokens: Int, hashGrams: Boolean = false): DataFrame = {
+      minTokens: Int, hashGrams: Boolean = false): DataFrame =
+    spansFromStarts(dupGramStarts(df, textCol, idCol, minTokens, hashGrams),
+      idCol, minTokens)
+
+  /** Merge marked gram-start positions into maximal covered spans — the
+    * shared tail of the batch and incremental exact-substring paths. */
+  private def spansFromStarts(marked: DataFrame, idCol: String,
+      minTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val marked = dupGramStarts(df, textCol, idCol, minTokens, hashGrams)
     val w = Window.partitionBy(idCol).orderBy("pos")
     marked
       .withColumn("_prev", lag("pos", 1).over(w))
@@ -1047,17 +1053,175 @@ object TextDedup {
     * (TextDedupSpec pins the agreement on the real corpus). */
   private def dupGramStarts(df: DataFrame, textCol: String, idCol: String,
       minTokens: Int, hashGrams: Boolean = false): DataFrame = {
+    val grams = gramStarts(df, textCol, idCol, minTokens, hashGrams)
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("gram")
+    grams.join(dup, Seq("gram"), "left_semi").select(col(idCol), col("pos"))
+  }
+
+  /** (idCol, pos, gram) rows — every L-gram start of every doc, keyed by
+    * the exact string or its xxhash64 ([[dupGramStarts]]'s note). */
+  private def gramStarts(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Int, hashGrams: Boolean): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
-    val grams = df
-      .select(col(idCol), graft.core.Cols.wsTokens(col(textCol)).as("_t"))
+    df.select(col(idCol), graft.core.Cols.wsTokens(col(textCol)).as("_t"))
       .select(col(idCol),
         posexplode(graft.functions.WordGramsExpr.wordGrams(col("_t"), minTokens))
           .as(Seq("pos", "g0")))
       .select(col(idCol), col("pos"),
-        (if (hashGrams) xxhash64(col("g0")) else col("g0")).as("gram"))
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= 2).select("gram")
-    grams.join(dup, Seq("gram"), "left_semi").select(col(idCol), col("pos"))
+        (if (hashGrams) xxhash64(col("g0")).cast("string")
+         else col("g0")).as("gram"))
+  }
+
+  // --------------------------------------------------------------------
+  // Persisted gram-count index — the PER-INGEST shape of the
+  // exact-substring remover (q249's q79/q90-family completion): the
+  // corpus's L-gram multiplicities persist once, SATURATED AT 2 (only
+  // "duplicated" matters downstream, so a gram's state is one byte of
+  // information no matter how hot it is — saturating sums merge exactly:
+  // min(2, a+b) over capped values equals the capped true sum's
+  // threshold test), and each ingest batch probes batch∪index counts.
+  // A new-batch position is flagged iff its gram's total multiplicity
+  // across everything-so-far reaches 2 — IDENTICAL to running the full
+  // batch operator over old∪new and keeping the new rows (the
+  // equivalence contract in TextDedupSpec). Retro-coverage of OLD docs
+  // (a gram that was unique becoming duplicated) is inherently a batch
+  // job (Lee et al. run ES that way); the incremental path answers the
+  // ingest-time question: which spans of the NEW data duplicate
+  // anything seen so far.
+
+  /** Build (or rebuild) the index: per-gram counts capped at 2,
+    * params-stamped (L, hashed-vs-string — mirrors the q90 eval-gram
+    * stamp), `batch=base`. */
+  def writeGramCountIndex(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Int, path: String, hashGrams: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    gramCountRows(df, textCol, idCol, minTokens, hashGrams)
+      .write.mode("overwrite").parquet(s"$path/batch=base")
+  }
+
+  private def gramCountRows(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Int, hashGrams: Boolean): DataFrame =
+    gramStarts(df, textCol, idCol, minTokens, hashGrams)
+      .groupBy("gram")
+      .agg(least(count(lit(1)), lit(2L)).as("cnt"))
+      .withColumn("_n", lit(minTokens))
+      .withColumn("_hash_grams", lit(hashGrams))
+
+  /** Append one ingest batch's capped gram counts idempotently (the
+    * batch owns `path/batch=<key>`); params must match the stamp. */
+  def appendGramCountBatchKeyed(df: DataFrame, textCol: String, idCol: String,
+      path: String, batchKey: String): Unit = {
+    require(batchKey != "base",
+      "batch key 'base' is reserved for writeGramCountIndex/compaction output")
+    require(batchKey.nonEmpty && !batchKey.exists(c => c == '/' || c == '='),
+      s"batchKey must be a plain partition value, got '$batchKey'")
+    val (n, hashed) = gramCountIndexParams(df.sparkSession, path)
+    gramCountRows(df, textCol, idCol, n, hashed)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchKey")
+  }
+
+  /** The index's params stamp, validated unique across partitions. */
+  def gramCountIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Boolean) = {
+    val params = spark.read.parquet(path)
+      .select("_n", "_hash_grams").distinct().collect()
+    require(params.length == 1,
+      s"gram-count index at $path holds ${params.length} distinct param " +
+        "stamps (mixed-parameter batches?); rebuild with writeGramCountIndex")
+    (params.head.getInt(0), params.head.getBoolean(1))
+  }
+
+  /** Fold batch partitions into one `batch=base` of saturated sums
+    * (staged swap; probes identical before/after — capped sums merge
+    * exactly for the >= 2 test). */
+  def compactGramCountIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    compactGramCountIndexExcept(spark, path, Set.empty)
+
+  /** [[compactGramCountIndex]] carrying `keepBatches` through unfolded
+    * (byte-copied into the stage — the compactBatchedIndexExcept rule:
+    * a running stream's own possibly-crashed partition must stay
+    * excludable after compaction). The streaming loop's `_ids`
+    * re-delivery sidecar lives INSIDE the index dir (invisible to the
+    * gram reads — underscore prefix) and is byte-copied through the
+    * swap too: losing it would silently disarm the re-delivery gate. */
+  def compactGramCountIndexExcept(spark: org.apache.spark.sql.SparkSession,
+      path: String, keepBatches: Set[String]): Unit = {
+    require(!keepBatches.contains("base"), "the base partition is always folded")
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(live), s"no gram-count index at $path")
+    val stage = new org.apache.hadoop.fs.Path(path + "_compacting")
+    if (StagedSwap.recoverOrClearStage(fs, live, stage)) return
+    val (n, hashed) = gramCountIndexParams(spark, path)
+    val df = spark.read.parquet(path)
+    val folded =
+      if (keepBatches.isEmpty) df
+      else df.filter(!col("batch").cast("string").isin(keepBatches.toSeq: _*))
+    folded.groupBy("gram")
+      .agg(least(sum("cnt"), lit(2L)).as("cnt"))
+      .withColumn("_n", lit(n))
+      .withColumn("_hash_grams", lit(hashed))
+      .write.mode("overwrite").parquet(s"$stage/batch=base")
+    val carried = keepBatches.map(k => s"batch=$k") + "_ids"
+    carried.foreach { name =>
+      val src = new org.apache.hadoop.fs.Path(s"$path/$name")
+      if (fs.exists(src)) {
+        val ok = org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(s"$stage/$name"),
+          false, spark.sparkContext.hadoopConfiguration)
+        require(ok, s"copying $src into the compaction stage failed")
+      }
+    }
+    StagedSwap.swap(fs, live, stage)
+  }
+
+  /** First-batch seeding for [[graft.streaming.Streaming.exactSubstringSpanStream]]:
+    * like [[writeGramCountIndex]] but lands under the INCARNATION'S OWN
+    * batch key (so the crashed-retry exclusion contract holds from batch
+    * 0) and never wipes the path. */
+  def seedGramCountBatch(df: DataFrame, textCol: String, idCol: String,
+      path: String, batchKey: String, minTokens: Int,
+      hashGrams: Boolean): Unit = {
+    require(batchKey != "base", "base is reserved for compaction output")
+    gramCountRows(df, textCol, idCol, minTokens, hashGrams)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchKey")
+  }
+
+  /** Per-ingest-batch exact-substring spans against the persisted index:
+    * a batch position is flagged iff batch-internal + indexed
+    * multiplicity reaches 2 — equal to the FULL [[exactSubstringSpans]]
+    * over old∪batch restricted to batch docs. One batch gram pass, one
+    * gram-keyed count aggregate each side, one equi-join, the shared
+    * span merge. Gram shape rides the index stamp, so the probe cannot
+    * disagree with the build. */
+  def incrementalExactSubstringSpans(batch: DataFrame, textCol: String,
+      idCol: String, path: String,
+      excludeBatch: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val (n, hashed) = gramCountIndexParams(spark, path)
+    val grams = gramStarts(batch, textCol, idCol, n, hashed)
+    val batchCnt = grams.groupBy("gram")
+      .agg(least(count(lit(1)), lit(2L)).as("_bc"))
+    val idx0 = spark.read.parquet(path)
+    // streaming retry correctness: a crashed attempt's own appended
+    // partition must not make the retry see its own grams as "old"
+    // (cast FIRST — the legacy-layout int-coercion note in
+    // Streaming.incrementalDedupStream)
+    val idxDf = excludeBatch.fold(idx0)(k =>
+      idx0.filter(col("batch").cast("string") =!= lit(k)))
+    val idxCnt = idxDf.groupBy("gram")
+      .agg(least(sum("cnt"), lit(2L)).as("_ic"))
+    val dup = batchCnt.join(idxCnt, Seq("gram"), "left")
+      .filter(col("_bc") + coalesce(col("_ic"), lit(0L)) >= 2)
+      .select("gram")
+    spansFromStarts(
+      grams.join(dup, Seq("gram"), "left_semi").select(col(idCol), col("pos")),
+      idCol, n)
   }
 
   /** The ExactSubstr REMOVER over [[exactSubstringSpans]]: every token

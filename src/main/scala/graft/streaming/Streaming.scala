@@ -583,6 +583,79 @@ object Streaming {
       .start()
   }
 
+  /** Streaming exact-substring span detection — the continuous-ingest
+    * loop over the persisted gram-count index
+    * ([[graft.ops.TextDedup.writeGramCountIndex]]): each micro-batch's
+    * duplicate spans against everything-so-far land under
+    * `spansDir/batch=<incarnation>-<id>`
+    * ([[graft.ops.TextDedup.incrementalExactSubstringSpans]] — equal to
+    * the full batch operator over old∪new restricted to the batch),
+    * then the batch's saturated gram counts append as its own index
+    * partition. Family contract: incarnation-qualified keys, own-batch
+    * exclusion on retry, committed-parquet bootstrap gate, loud
+    * re-delivery gate (doc ids ride an `_ids` sidecar — underscore
+    * paths are invisible to the index's own parquet discovery, so the
+    * gram read never sees them). First-ever batch detects its
+    * batch-internal duplicates and seeds the index with the supplied
+    * (minTokens, hashGrams); later batches take the shape from the
+    * stamp, so probe and build cannot disagree.
+    */
+  def exactSubstringSpanStream(docs: DataFrame, indexDir: String,
+      spansDir: String, checkpoint: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      minTokens: Int = 8, hashGrams: Boolean = false,
+      compactEvery: Int = 0): StreamingQuery = {
+    val key = runKey(checkpoint)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        recoverStage(sp, indexDir, "_compacting")
+        val own = s"$key-$batchId"
+        val idxCommitted = hasCommittedParquet(sp, indexDir, Seq(spansDir), own)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+            idxCommitted)
+          graft.ops.TextDedup.compactGramCountIndexExcept(sp, indexDir,
+            Set(own))
+        val cached = batch.persist() // probe + ids gate + count append
+        try {
+          val spans =
+            if (idxCommitted) {
+              // re-delivered ids: the gram index holds no doc ids, so
+              // the `_ids` sidecar carries the gate — a re-crawled doc
+              // would inflate its own grams to "duplicated" and emit
+              // self-spans, corrupting the record silently
+              val prior = sp.read.parquet(s"$indexDir/_ids")
+                .filter(col("batch").cast("string") =!= lit(own))
+              val redelivered = prior.select("id").join(
+                cached.select(col(idCol).as("id")).distinct(), "id").take(1)
+              require(redelivered.isEmpty,
+                s"id ${redelivered.headOption.map(_.get(0)).orNull} was " +
+                  "already ingested by an earlier batch; dedup upstream " +
+                  "(dedupDocStream) or repair the index before appending")
+              graft.ops.TextDedup.incrementalExactSubstringSpans(
+                cached, textCol, idCol, indexDir, excludeBatch = Some(own))
+            } else // first ingest: only batch-internal duplication exists
+              graft.ops.TextDedup.exactSubstringSpans(
+                cached, textCol, idCol, minTokens, hashGrams)
+          spans.write.mode("overwrite").parquet(s"$spansDir/batch=$own")
+          cached.select(col(idCol).as("id"))
+            .write.mode("overwrite").parquet(s"$indexDir/_ids/batch=$own")
+          if (idxCommitted)
+            graft.ops.TextDedup.appendGramCountBatchKeyed(cached, textCol,
+              idCol, indexDir, own)
+          else // seed: the batch's counts ARE the index, stamped
+            graft.ops.TextDedup.seedGramCountBatch(cached, textCol, idCol,
+              indexDir, own, minTokens, hashGrams)
+        } finally {
+          cached.unpersist(false)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming SEMANTIC decontamination filter — the embedding-space
     * twin of [[decontamFilterStream]] over the persisted eval-anchor
     * index ([[graft.ops.VectorSim.writeEvalAnchorIndex]]): each

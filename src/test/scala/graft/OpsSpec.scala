@@ -295,6 +295,55 @@ class TextDedupSpec extends SparkSpec {
     assert(scrub(6L) == ((2L, 0L, "x y")))
   }
 
+  test("incremental exact-substring == full operator over old∪new restricted to the batch") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_gcidx").toString
+    graft.ops.TextDedup.writeGramCountIndex(old, "text", "doc_id", 8, idx)
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val inc = spans(graft.ops.TextDedup.incrementalExactSubstringSpans(
+      batch, "text", "doc_id", idx))
+    val fullRestricted = spans(graft.ops.TextDedup.exactSubstringSpans(
+      docs, "text", "doc_id", 8).filter(col("doc_id") % 5 === 0))
+    assert(fullRestricted.nonEmpty, "fixture must hold cross-slice spans")
+    assert(inc == fullRestricted,
+      "incremental probe must equal the full operator on old∪new")
+    // grow the corpus: append the batch, probe a SECOND wave — counts
+    // saturate at 2 and keep merging exactly
+    graft.ops.TextDedup.appendGramCountBatchKeyed(batch, "text", "doc_id",
+      idx, "b1")
+    val batch2 = docs.filter(col("doc_id") % 5 === 1)
+    val inc2 = spans(graft.ops.TextDedup.incrementalExactSubstringSpans(
+      batch2, "text", "doc_id", idx))
+    val full2 = spans(graft.ops.TextDedup.exactSubstringSpans(
+      old.unionByName(batch).unionByName(batch2), "text", "doc_id", 8)
+      .filter(col("doc_id") % 5 === 1))
+    assert(inc2 == full2, "second wave must see the appended counts")
+    // retry idempotence: re-append under the same key, nothing changes
+    graft.ops.TextDedup.appendGramCountBatchKeyed(batch, "text", "doc_id",
+      idx, "b1")
+    assert(spans(graft.ops.TextDedup.incrementalExactSubstringSpans(
+      batch2, "text", "doc_id", idx)) == full2)
+    // compaction folds to one base partition, probes identically
+    graft.ops.TextDedup.compactGramCountIndex(spark, idx)
+    assert(new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet == Set("batch=base"))
+    assert(spans(graft.ops.TextDedup.incrementalExactSubstringSpans(
+      batch2, "text", "doc_id", idx)) == full2)
+    // a probe against a mismatched-parameter index cannot happen: the
+    // gram shape rides the stamp; mixed stamps fail loudly
+    spark.read.parquet(s"$idx/batch=base").limit(5)
+      .withColumn("_n", org.apache.spark.sql.functions.lit(4))
+      .write.mode("overwrite").parquet(s"$idx/batch=rogue")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TextDedup.incrementalExactSubstringSpans(
+        batch2, "text", "doc_id", idx).collect()
+    }
+    assert(e.getMessage.contains("param"))
+  }
+
   test("exact-substring hashed-gram scale path agrees with the string path on the real corpus") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     def spanSet(hashed: Boolean) = graft.ops.TextDedup

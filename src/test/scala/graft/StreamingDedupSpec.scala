@@ -415,6 +415,54 @@ class StreamingDedupSpec extends SparkSpec {
     assert(scanAll.nonEmpty, "fixture phrase must occur for the test to mean anything")
   }
 
+  test("exact-substring stream: per-wave spans match the batch-by-batch probe; re-delivery loud") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val waves = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k))
+    val work = java.nio.file.Files.createTempDirectory("graft_sesspan").toString
+    val raw = s"$work/raw"; val idx = s"$work/idx"
+    val spansDir = s"$work/spans"; val ckpt = s"$work/ckpt"
+    def run(): Unit = {
+      val q = Streaming.exactSubstringSpanStream(
+        spark.readStream.schema(docs.schema).parquet(raw), idx, spansDir,
+        ckpt, minTokens = 8)
+      assert(q.awaitTermination(180000), "span wave timed out")
+    }
+    def spanSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "span_start", "span_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val key = graft.streaming.Streaming.runKey(ckpt)
+    waves.zipWithIndex.foreach { case (w, k) =>
+      w.write.mode("append").parquet(raw)
+      run()
+      // ground truth: the full operator over everything-so-far,
+      // restricted to this wave's docs
+      val soFar = waves.take(k + 1).reduce(_ unionByName _)
+      val expect = spanSet(TextDedup.exactSubstringSpans(
+        soFar, "text", "doc_id", 8)
+        .join(w.select("doc_id"), Seq("doc_id"), "left_semi"))
+      val got = spanSet(spark.read.parquet(s"$spansDir/batch=$key-$k"))
+      assert(got == expect, s"wave $k spans diverged from the batch probe")
+    }
+    assert(spark.read.parquet(spansDir).count() > 0,
+      "fixture must produce spans")
+    // re-delivering wave 1's docs as a new wave must fail LOUDLY: the
+    // gram index holds no ids, so the _ids sidecar is the only guard
+    // against self-duplication corrupting the record
+    waves(1).write.mode("append").parquet(raw)
+    val failed = try {
+      val q = Streaming.exactSubstringSpanStream(
+        spark.readStream.schema(docs.schema).parquet(raw), idx, spansDir,
+        ckpt, minTokens = 8)
+      q.awaitTermination(180000); false
+    } catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+          .exists(t => Option(t.getMessage)
+            .exists(_.contains("already ingested")))
+    }
+    assert(failed, "re-delivered ids must wedge the loop loudly")
+  }
+
   test("semantic decontam stream: clean+flagged partition the input, match the broadcast path") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
