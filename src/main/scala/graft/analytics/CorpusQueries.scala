@@ -57,13 +57,16 @@ object CorpusQueries {
       (5 to 10).map(n => s"LEFT JOIN d$n USING (doc_id)")).mkString("\n        ")
     val flagExprs = (Seq(
       "CAST(CASE WHEN 100*n_dup_line_occ <= 30*n_lines THEN 1 ELSE 0 END AS BIGINT) AS f_dup_line_frac",
-      "CAST(CASE WHEN 100*chars_dup_lines <= 20*chars_lines THEN 1 ELSE 0 END AS BIGINT) AS f_dup_line_char_frac") ++
+      "CAST(CASE WHEN 100*chars_dup_lines <= 20*chars_lines THEN 1 ELSE 0 END AS BIGINT) AS f_dup_line_char_frac",
+      "CAST(CASE WHEN 100*n_dup_para_occ <= 30*n_paras THEN 1 ELSE 0 END AS BIGINT) AS f_dup_para_frac",
+      "CAST(CASE WHEN 100*chars_dup_paras <= 20*chars_paras THEN 1 ELSE 0 END AS BIGINT) AS f_dup_para_char_frac") ++
       (2 to 4).map(n =>
         s"CAST(CASE WHEN 100*chars_top${n}gram <= ${topPct(n)}*chars_words THEN 1 ELSE 0 END AS BIGINT) AS f_top${n}gram_char_frac") ++
       (5 to 10).map(n =>
         s"CAST(CASE WHEN 100*chars_dup${n}gram <= ${dupPct(n)}*chars_words THEN 1 ELSE 0 END AS BIGINT) AS f_dup${n}gram_char_frac"))
       .mkString(",\n        ")
-    val flagNames = (Seq("f_dup_line_frac", "f_dup_line_char_frac") ++
+    val flagNames = (Seq("f_dup_line_frac", "f_dup_line_char_frac",
+      "f_dup_para_frac", "f_dup_para_char_frac") ++
       (2 to 4).map(n => s"f_top${n}gram_char_frac") ++
       (5 to 10).map(n => s"f_dup${n}gram_char_frac"))
     raw"""
@@ -73,15 +76,23 @@ object CorpusQueries {
                list_transform(range(0, ((len(t) - 1) // 7) + 1), i ->
                  array_to_string(t[i*7+1:i*7+7], ' ')) AS ls
              FROM d),
+      p0 AS (SELECT doc_id, ls,
+               list_transform(range(0, ((len(ls) - 1) // 3) + 1), j ->
+                 array_to_string(ls[j*3+1:j*3+3], chr(10))) AS ps
+             FROM l0),
       p AS (SELECT doc_id,
-              array_to_string(ls, chr(10)) ||
+              array_to_string(ps, chr(10) || chr(10)) ||
               (CASE WHEN doc_id % 4 = 0
                     THEN chr(10) || ls[1] || chr(10) || ls[1] ||
-                         chr(10) || ls[1] ELSE '' END) AS t2
-            FROM l0),
+                         chr(10) || ls[1] ELSE '' END) ||
+              (CASE WHEN doc_id % 6 = 0
+                    THEN chr(10) || chr(10) || ps[1] ELSE '' END) AS t2
+            FROM p0),
       w AS (SELECT doc_id,
               list_transform(string_split(t2, chr(10)),
                 x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')) AS lns,
+              list_transform(string_split(t2, chr(10) || chr(10)),
+                x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')) AS prs,
               string_split_regex(trim(t2), '\s+') AS ws
             FROM p),
       lc AS (SELECT doc_id,
@@ -93,12 +104,21 @@ object CorpusQueries {
                CAST(list_sum(list_transform(lns, x -> len(x))) -
                     list_sum(list_transform(list_distinct(lns), x -> len(x)))
                  AS BIGINT) AS chars_dup_lines,
+               CAST(len(prs) AS BIGINT) AS n_paras,
+               CAST(list_sum(list_transform(prs, x -> len(x))) AS BIGINT)
+                 AS chars_paras,
+               CAST(len(prs) - len(list_distinct(prs)) AS BIGINT)
+                 AS n_dup_para_occ,
+               CAST(list_sum(list_transform(prs, x -> len(x))) -
+                    list_sum(list_transform(list_distinct(prs), x -> len(x)))
+                 AS BIGINT) AS chars_dup_paras,
                CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT)
                  AS chars_words
              FROM w),
       ${(topCtes ++ dupCtes).mkString(",\n      ")},
       base AS (SELECT lc.doc_id, n_lines, chars_lines, n_dup_line_occ,
-               chars_dup_lines, chars_words,
+               chars_dup_lines, n_paras, chars_paras, n_dup_para_occ,
+               chars_dup_paras, chars_words,
         $topSel,
         $dupSel
         FROM lc
@@ -461,9 +481,10 @@ object CorpusQueries {
     },
 
     // ---- Gopher REPETITION rule pack (Rae et al. 2021 Table A1): the
-    // MassiveText within-doc repetition filter — duplicate-line count
-    // and char fractions, top {2,3,4}-gram char mass, duplicate
-    // {5..10}-gram coverage chars, 11 integer flags. Engine side is
+    // MassiveText within-doc repetition filter — duplicate line and
+    // paragraph count/char fractions, top {2,3,4}-gram char mass, duplicate
+    // {5..10}-gram coverage chars, duplicate-paragraph count+char
+    // fractions — all 13 Table-A1 flags, integer-only. Engine side is
     // ENTIRELY row-local (sorted-gram HOFs, zero shuffles); the oracle
     // replays every counter relationally (per-n CTEs generated from one
     // loop). Pages planted as q252 lines plus a duplicated first line
@@ -476,16 +497,23 @@ object CorpusQueries {
         .select(col("doc_id"), graft.core.Cols.wsTokens(col("text")).as("_t"))
       val lines = transform(expr("sequence(0, (size(_t) - 1) div 7)"), i =>
         concat_ws(" ", slice(col("_t"), i * lit(7) + 1, lit(7))))
-      val t2 = concat(array_join(lines, "\n"),
-        // duplicate the first line (twice) every 4th doc: dup-line AND
-        // dup-n-gram rules trip together, the repetition signature of a
-        // templated page
-        // three copies: the 14-token 'L1 L1' window then occurs twice,
-        // so even the 10-gram duplicate rule is load-bearing
+      // paragraphs of up to 3 lines, blank-line separated — the
+      // Table-A1 paragraph rules judge real paragraph structure
+      val paras = transform(expr("sequence(0, ((size(_t) - 1) div 7) div 3)"),
+        j => array_join(slice(lines, j * lit(3) + 1, lit(3)), "\n"))
+      val t2 = concat(array_join(paras, "\n\n"),
+        // duplicate the first line THREE times every 4th doc: dup-line
+        // AND dup-n-gram rules trip together (three copies make the
+        // 14-token 'L1 L1' window occur twice, so even the 10-gram
+        // duplicate rule is load-bearing)
         when(col("doc_id") % 4 === 0,
           concat(lit("\n"), element_at(lines, 1), lit("\n"),
             element_at(lines, 1), lit("\n"),
-            element_at(lines, 1))).otherwise(lit("")))
+            element_at(lines, 1))).otherwise(lit("")),
+        // a verbatim copy of the first paragraph every 6th doc: the
+        // duplicate-paragraph rules trip
+        when(col("doc_id") % 6 === 0,
+          concat(lit("\n\n"), element_at(paras, 1))).otherwise(lit("")))
       CorpusOps.gopherRepetition(
           d0.select(col("doc_id"), t2.as("t2")), "doc_id", "t2")
         .orderBy("doc_id")

@@ -510,7 +510,8 @@ object CorpusOps {
 
   /** Gopher REPETITION rules (Rae et al. 2021 Table A1 — the MassiveText
     * within-document repetition filter that pairs with [[gopherQuality]]'s
-    * document rules): 11 flags over duplicate lines and n-gram mass,
+    * document rules): all 13 Table-A1 flags over duplicate lines,
+    * duplicate paragraphs, and n-gram mass,
     * ENTIRELY ROW-LOCAL — sorted-gram HOFs per document, zero shuffles
     * beyond the scan (the q125 machinery generalized), which is the
     * 100 TB shape: repetition is a per-doc property and must never cost
@@ -528,17 +529,18 @@ object CorpusOps {
     *    chars of token positions covered by ANY within-doc repeated
     *    n-gram (coverage union — overlaps counted once) / total word
     *    chars
-    * Paragraph-grain duplicates collapse to the line grain on
-    * single-newline pages; split on a blank-line separator upstream to
-    * get paragraph rules (documented substitution, not a gap).
+    *  - duplicate PARAGRAPH fraction ≤ 0.30 and duplicate-paragraph
+    *    character fraction ≤ 0.20 — paragraphs split on a blank line
+    *    (the full Table A1, 13/13)
     */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val trimLine = (l: Column) => regexp_replace(l, "^\\s+|\\s+$", "")
     val sumLen = (a: Column) => aggregate(a, lit(0L), (s, x) => s + length(x))
     val base = df.select(col(idCol),
       transform(split(col(textCol), "\n"), trimLine).as("_l"),
+      transform(split(col(textCol), "\n\n"), trimLine).as("_p"),
       graft.core.Cols.wsTokens(col(textCol)).as("_w"))
-    // ---- line duplicates: beyond-first occurrences and their chars
+    // ---- line + paragraph duplicates: beyond-first occurrences + chars
     val withLines = base
       .withColumn("n_lines", size(col("_l")).cast("long"))
       .withColumn("chars_lines", sumLen(col("_l")))
@@ -546,6 +548,12 @@ object CorpusOps {
         (size(col("_l")) - size(array_distinct(col("_l")))).cast("long"))
       .withColumn("chars_dup_lines",
         sumLen(col("_l")) - sumLen(array_distinct(col("_l"))))
+      .withColumn("n_paras", size(col("_p")).cast("long"))
+      .withColumn("chars_paras", sumLen(col("_p")))
+      .withColumn("n_dup_para_occ",
+        (size(col("_p")) - size(array_distinct(col("_p")))).cast("long"))
+      .withColumn("chars_dup_paras",
+        sumLen(col("_p")) - sumLen(array_distinct(col("_p"))))
       .withColumn("chars_words", sumLen(col("_w")))
     // ---- top n-gram char mass (n = 2..4): one sorted pass per n; the
     // running (gram, run, best) state rides a struct through aggregate;
@@ -601,7 +609,9 @@ object CorpusOps {
     // ---- flags: 100·x ≤ pct·denominator, all integers
     val lineFlags = Seq(
       ("f_dup_line_frac", col("n_dup_line_occ"), 30L, col("n_lines")),
-      ("f_dup_line_char_frac", col("chars_dup_lines"), 20L, col("chars_lines")))
+      ("f_dup_line_char_frac", col("chars_dup_lines"), 20L, col("chars_lines")),
+      ("f_dup_para_frac", col("n_dup_para_occ"), 30L, col("n_paras")),
+      ("f_dup_para_char_frac", col("chars_dup_paras"), 20L, col("chars_paras")))
     val topPct = Map(2 -> 20L, 3 -> 18L, 4 -> 16L)
     val dupPct = Map(5 -> 15L, 6 -> 14L, 7 -> 13L, 8 -> 12L, 9 -> 11L, 10 -> 10L)
     val gramFlags =
@@ -617,7 +627,7 @@ object CorpusOps {
       .withColumn("keep",
         when(allFlags.map(f => col(f._1) === 1L).reduce(_ && _), 1L)
           .otherwise(0L))
-      .drop("_l", "_w")
+      .drop("_l", "_p", "_w")
   }
 
   /** C4 line-level cleaning (Raffel et al. 2020 §2.2 — the other

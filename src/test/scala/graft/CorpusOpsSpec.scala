@@ -915,6 +915,11 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, "a1 b2 c3 d4 e5 f6 g7 h8 i9 j0"),
       // long all-distinct doc: every rule passes
       (3L, (1 to 60).map(i => f"t$i%02d").mkString(" ")),
+      // duplicated PARAGRAPH (blank-line separated) with distinct lines:
+      // the paragraph rules trip while the line rules stay clean only if
+      // lines differ — here the paragraph repeats verbatim so both trip,
+      // but the PARA counters must see 1 dup of 2 paragraphs
+      (4L, "p1 p2 p3 p4 p5\np6 p7 p8 p9 p0\n\np1 p2 p3 p4 p5\np6 p7 p8 p9 p0"),
     ).toDF("doc_id", "text")
     val got = CorpusOps.gopherRepetition(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -941,6 +946,12 @@ class CorpusOpsSpec extends SparkSpec {
     assert(g(2L, "keep") == 0L)
     assert(g(3L, "chars_words") == 180L)
     assert(g(3L, "keep") == 1L, got(3L).toString)
+    // doc 4: 2 paragraphs, 1 duplicate occurrence, half the para chars
+    assert(g(4L, "n_paras") == 2L && g(4L, "n_dup_para_occ") == 1L)
+    assert(g(4L, "chars_dup_paras") * 2 == g(4L, "chars_paras"))
+    assert(g(4L, "f_dup_para_frac") == 0L)      // 1/2 > 0.30
+    assert(g(4L, "f_dup_para_char_frac") == 0L) // 1/2 > 0.20
+    assert(g(4L, "keep") == 0L)
   }
 
   test("c4 line filter: word-count + terminal-punct line rule, page-level drops") {
