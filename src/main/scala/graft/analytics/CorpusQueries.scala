@@ -18,6 +18,20 @@ object CorpusQueries {
     * n-values cannot drift apart. Replays the engine's planting, the
     * line-duplicate counters, tie-to-smallest-gram top selection, and
     * coverage-union char sums. */
+  /** Shared planted-page base for q252/q253/q254: documents tokenized
+    * and cut into 7-token lines, token and line arrays BOUND to columns
+    * so the per-query decorations (element_at, indexed transforms)
+    * never re-evaluate the construction chain per access — the
+    * q125/WordGramsExpr binding rule, and one copy of the planting the
+    * three oracles replay. */
+  private def plantedLineDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.core.Cols.wsTokens(col("text")).as("_t"))
+      .withColumn("_lines",
+        transform(expr("sequence(0, (size(_t) - 1) div 7)"),
+          i => concat_ws(" ", slice(col("_t"), i * lit(7) + 1, lit(7)))))
+
   private def gopherRepetitionOracle: String = {
     val topPct = Map(2 -> 20, 3 -> 18, 4 -> 16)
     val dupPct = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
@@ -89,10 +103,12 @@ object CorpusQueries {
                     THEN chr(10) || chr(10) || ps[1] ELSE '' END) AS t2
             FROM p0),
       w AS (SELECT doc_id,
-              list_transform(string_split(t2, chr(10)),
-                x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')) AS lns,
-              list_transform(string_split(t2, chr(10) || chr(10)),
-                x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')) AS prs,
+              list_filter(list_transform(string_split(t2, chr(10)),
+                x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')),
+                x -> x <> '') AS lns,
+              list_filter(list_transform(string_split(t2, chr(10) || chr(10)),
+                x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')),
+                x -> x <> '') AS prs,
               string_split_regex(trim(t2), '\s+') AS ws
             FROM p),
       lc AS (SELECT doc_id,
@@ -460,13 +476,11 @@ object CorpusQueries {
                     THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM f ORDER BY doc_id"""),
     ) { (s, dir) =>
-      val d0 = Tables.documents(s, dir)
-        .select(col("doc_id"), graft.core.Cols.wsTokens(col("text")).as("_t"))
-      val lines = transform(expr("sequence(0, (size(_t) - 1) div 7)"), i =>
+      val lines = transform(col("_lines"), (l, i) =>
         concat(
           when((col("doc_id") + i) % 4 === 0 || col("doc_id") % 13 === 0,
             lit("- ")).otherwise(lit("")),
-          concat_ws(" ", slice(col("_t"), i * lit(7) + 1, lit(7))),
+          l,
           when((col("doc_id") + i) % 5 === 0, lit(" ...")).otherwise(lit(""))))
       val t2 = concat(array_join(lines, "\n"),
         when(col("doc_id") % 3 === 0, lit("\nthat have with the"))
@@ -475,7 +489,8 @@ object CorpusQueries {
           .otherwise(lit("")),
         when(col("doc_id") % 29 === 0, lit("\n" + Seq.fill(20)("a").mkString(" ")))
           .otherwise(lit("")))
-      CorpusOps.gopherQuality(d0.select(col("doc_id"), t2.as("t2")),
+      CorpusOps.gopherQuality(
+          plantedLineDocs(s, dir).select(col("doc_id"), t2.as("t2")),
           "doc_id", "t2")
         .orderBy("doc_id")
     },
@@ -493,14 +508,15 @@ object CorpusQueries {
       "q254_gopher_repetition",
       Some(gopherRepetitionOracle),
     ) { (s, dir) =>
-      val d0 = Tables.documents(s, dir)
-        .select(col("doc_id"), graft.core.Cols.wsTokens(col("text")).as("_t"))
-      val lines = transform(expr("sequence(0, (size(_t) - 1) div 7)"), i =>
-        concat_ws(" ", slice(col("_t"), i * lit(7) + 1, lit(7))))
       // paragraphs of up to 3 lines, blank-line separated — the
-      // Table-A1 paragraph rules judge real paragraph structure
-      val paras = transform(expr("sequence(0, ((size(_t) - 1) div 7) div 3)"),
-        j => array_join(slice(lines, j * lit(3) + 1, lit(3)), "\n"))
+      // Table-A1 paragraph rules judge real paragraph structure; bound
+      // to a column (the element_at accesses below must not re-evaluate
+      // the construction per access)
+      val base = plantedLineDocs(s, dir).withColumn("_paras",
+        transform(expr("sequence(0, (size(_lines) - 1) div 3)"),
+          j => array_join(slice(col("_lines"), j * lit(3) + 1, lit(3)), "\n")))
+      val lines = col("_lines")
+      val paras = col("_paras")
       val t2 = concat(array_join(paras, "\n\n"),
         // duplicate the first line THREE times every 4th doc: dup-line
         // AND dup-n-gram rules trip together (three copies make the
@@ -515,7 +531,7 @@ object CorpusQueries {
         when(col("doc_id") % 6 === 0,
           concat(lit("\n\n"), element_at(paras, 1))).otherwise(lit("")))
       CorpusOps.gopherRepetition(
-          d0.select(col("doc_id"), t2.as("t2")), "doc_id", "t2")
+          base.select(col("doc_id"), t2.as("t2")), "doc_id", "t2")
         .orderBy("doc_id")
     },
 
@@ -560,17 +576,16 @@ object CorpusQueries {
                array_to_string(kept, chr(10)) AS cleaned_text
         FROM k ORDER BY doc_id"""),
     ) { (s, dir) =>
-      val d0 = Tables.documents(s, dir)
-        .select(col("doc_id"), graft.core.Cols.wsTokens(col("text")).as("_t"))
-      val lines = transform(expr("sequence(0, (size(_t) - 1) div 7)"), i =>
-        concat(concat_ws(" ", slice(col("_t"), i * lit(7) + 1, lit(7))),
+      val lines = transform(col("_lines"), (l, i) =>
+        concat(l,
           when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
       val t2 = concat(array_join(lines, "\n"),
         when(col("doc_id") % 17 === 0, lit("\nif (x) { return y; }"))
           .otherwise(lit("")),
         when(col("doc_id") % 23 === 0, lit("\nLorem Ipsum dolor sit."))
           .otherwise(lit("")))
-      CorpusOps.c4LineFilter(d0.select(col("doc_id"), t2.as("t2")),
+      CorpusOps.c4LineFilter(
+          plantedLineDocs(s, dir).select(col("doc_id"), t2.as("t2")),
           "doc_id", "t2")
         .orderBy("doc_id")
     },

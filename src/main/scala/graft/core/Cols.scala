@@ -21,4 +21,16 @@ object Cols {
   def wsTokens(text: Column): Column =
     org.apache.spark.sql.functions.split(
       org.apache.spark.sql.functions.trim(text), "\\s+")
+
+  /** Lines of a page, each whitespace-trimmed — the ONE definition the
+    * quality/cleaning operators (Gopher rules, C4 line filter) judge
+    * lines by: a CRLF page leaves '\r' on every raw split line, which
+    * blinds suffix rules ('...'/'.') — trimming is load-bearing, and
+    * divergent copies of this regex would make the operators disagree
+    * about what a line is. Oracles replay it as
+    * `regexp_replace(x, '^\s+|\s+$', '', 'g')` over `string_split`. */
+  def trimmedLines(text: Column, sep: String = "\n"): Column = {
+    import org.apache.spark.sql.functions._
+    transform(split(text, sep), l => regexp_replace(l, "^\\s+|\\s+$", ""))
+  }
 }

@@ -407,11 +407,26 @@ object CorpusOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segs = fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath.toString).filter(_.contains("seg="))
-    val versions = segs.map { seg =>
-      val d = spark.read.parquet(seg)
-      if (!d.columns.contains("fold_version")) "<unversioned>"
-      else d.select("fold_version").limit(1).collect()
-        .headOption.map(_.getString(0)).getOrElse("<unversioned>")
+    // a segment makes a version CLAIM only if it holds committed rows:
+    // an empty batch's zero-row segment contributes nothing additive and
+    // must not read as "<unversioned>", and a mid-write-crashed segment
+    // (only _temporary inside) is unreadable — skipping it here mirrors
+    // the aggregate read below, which sees no rows from it either (the
+    // round-14 crashed-dir class, at segment grain). A null-stamped row
+    // (hand-repaired segment) folds to "<unversioned>" rather than
+    // NPE-ing the sort.
+    val versions = segs.flatMap { seg =>
+      val rows =
+        try spark.read.parquet(seg).limit(1).collect()
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+                e.getMessage.contains("Unable to infer schema") => Array.empty[org.apache.spark.sql.Row]
+        }
+      rows.headOption.map { r =>
+        if (!r.schema.fieldNames.contains("fold_version")) "<unversioned>"
+        else Option(r.getAs[String]("fold_version")).getOrElse("<unversioned>")
+      }
     }.distinct.sorted
     require(versions.length <= 1,
       s"domain ledger $dir mixes fold versions ${versions.mkString(", ")}: " +
@@ -469,8 +484,7 @@ object CorpusOps {
     // rules ('...' never matches '...\r') — the review-r15 class; the
     // reference implementations strip lines before judging them
     val base = df.select(col(idCol), col(textCol).as("_x"),
-      transform(split(col(textCol), "\n"),
-        l => regexp_replace(l, "^\\s+|\\s+$", "")).as("_l"),
+      graft.core.Cols.trimmedLines(col(textCol)).as("_l"),
       graft.core.Cols.wsTokens(col(textCol)).as("_w"))
     val counted = base.select(col(idCol),
       size(col("_w")).cast("long").as("n_words"),
@@ -534,11 +548,16 @@ object CorpusOps {
     *    (the full Table A1, 13/13)
     */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val trimLine = (l: Column) => regexp_replace(l, "^\\s+|\\s+$", "")
     val sumLen = (a: Column) => aggregate(a, lit(0L), (s, x) => s + length(x))
+    // EMPTY lines/paragraphs are separators, not content: without the
+    // filter, a page whose sections sit between double blank lines
+    // would count its synthesized empties as duplicates of each other
+    // and reject zero-repetition documents (review r15); the reference
+    // implementations split on \n+ / blank-line runs for the same reason
+    val nonEmpty = (a: Column) => filter(a, l => l =!= "")
     val base = df.select(col(idCol),
-      transform(split(col(textCol), "\n"), trimLine).as("_l"),
-      transform(split(col(textCol), "\n\n"), trimLine).as("_p"),
+      nonEmpty(graft.core.Cols.trimmedLines(col(textCol))).as("_l"),
+      nonEmpty(graft.core.Cols.trimmedLines(col(textCol), "\n\n")).as("_p"),
       graft.core.Cols.wsTokens(col(textCol)).as("_w"))
     // ---- line + paragraph duplicates: beyond-first occurrences + chars
     val withLines = base
@@ -651,8 +670,7 @@ object CorpusOps {
     // otherwise keep ZERO lines ('.' never matches '.\r') and the whole
     // CRLF share of a crawl would silently drop — the review-r15 class
     df.select(col(idCol), col(textCol).as("_x"),
-        transform(split(col(textCol), "\n"),
-          l => regexp_replace(l, "^\\s+|\\s+$", "")).as("_l"))
+        graft.core.Cols.trimmedLines(col(textCol)).as("_l"))
       .select(col(idCol),
         size(col("_l")).cast("long").as("n_lines"),
         size(filter(col("_l"), keptLine)).cast("long").as("n_kept_lines"),

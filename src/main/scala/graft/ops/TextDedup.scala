@@ -1069,8 +1069,12 @@ object TextDedup {
         posexplode(graft.functions.WordGramsExpr.wordGrams(col("_t"), minTokens))
           .as(Seq("pos", "g0")))
       .select(col(idCol), col("pos"),
-        (if (hashGrams) xxhash64(col("g0")).cast("string")
-         else col("g0")).as("gram"))
+        // hashed grams stay LongType end-to-end: casting to string would
+        // inflate the per-position shuffle key from 8 bytes to a ~20-byte
+        // decimal string — the exact width the hashed path exists to
+        // save (review r15); the index schema records whichever type its
+        // stamp says
+        (if (hashGrams) xxhash64(col("g0")) else col("g0")).as("gram"))
   }
 
   // --------------------------------------------------------------------
@@ -1124,15 +1128,32 @@ object TextDedup {
       .write.mode("overwrite").parquet(s"$path/batch=$batchKey")
   }
 
-  /** The index's params stamp, validated unique across partitions. */
+  /** The index's params stamp, validated unique across partitions — at
+    * SEGMENT grain (one row per batch partition), not a full-index
+    * distinct scan: this runs on every probe AND append, and the stamp
+    * is constant per partition by construction (the domainLedger
+    * serve-cost rule). Unreadable partitions (a crashed append's
+    * _temporary-only dir) make no claim — the probe's own read skips
+    * them identically. */
   def gramCountIndexParams(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Boolean) = {
-    val params = spark.read.parquet(path)
-      .select("_n", "_hash_grams").distinct().collect()
-    require(params.length == 1,
-      s"gram-count index at $path holds ${params.length} distinct param " +
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.toString).filter(_.contains("batch="))
+    val stamps = parts.flatMap { b =>
+      try spark.read.parquet(b).select("_n", "_hash_grams")
+        .limit(1).collect().headOption
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.contains("Unable to infer schema") => None
+      }
+    }.map(r => (r.getInt(0), r.getBoolean(1))).distinct
+    require(stamps.length == 1,
+      s"gram-count index at $path holds ${stamps.length} distinct param " +
         "stamps (mixed-parameter batches?); rebuild with writeGramCountIndex")
-    (params.head.getInt(0), params.head.getBoolean(1))
+    stamps.head
   }
 
   /** Fold batch partitions into one `batch=base` of saturated sums

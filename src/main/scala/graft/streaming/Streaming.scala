@@ -623,15 +623,25 @@ object Streaming {
               // re-delivered ids: the gram index holds no doc ids, so
               // the `_ids` sidecar carries the gate — a re-crawled doc
               // would inflate its own grams to "duplicated" and emit
-              // self-spans, corrupting the record silently
-              val prior = sp.read.parquet(s"$indexDir/_ids")
-                .filter(col("batch").cast("string") =!= lit(own))
-              val redelivered = prior.select("id").join(
-                cached.select(col(idCol).as("id")).distinct(), "id").take(1)
-              require(redelivered.isEmpty,
-                s"id ${redelivered.headOption.map(_.get(0)).orNull} was " +
-                  "already ingested by an earlier batch; dedup upstream " +
-                  "(dedupDocStream) or repair the index before appending")
+              // self-spans, corrupting the record silently. An index
+              // seeded OUTSIDE the stream (writeGramCountIndex over a
+              // historical corpus — the documented q90 lifecycle) has
+              // no sidecar: the gate covers stream-delivered ids only,
+              // which is all it can know about (documented, not a bug
+              // — the historical base carries no id record to check).
+              val idsPath = new org.apache.hadoop.fs.Path(s"$indexDir/_ids")
+              val fsIds = idsPath.getFileSystem(
+                sp.sparkContext.hadoopConfiguration)
+              if (fsIds.exists(idsPath)) {
+                val prior = sp.read.parquet(s"$indexDir/_ids")
+                  .filter(col("batch").cast("string") =!= lit(own))
+                val redelivered = prior.select("id").join(
+                  cached.select(col(idCol).as("id")).distinct(), "id").take(1)
+                require(redelivered.isEmpty,
+                  s"id ${redelivered.headOption.map(_.get(0)).orNull} was " +
+                    "already ingested by an earlier batch; dedup upstream " +
+                    "(dedupDocStream) or repair the index before appending")
+              }
               graft.ops.TextDedup.incrementalExactSubstringSpans(
                 cached, textCol, idCol, indexDir, excludeBatch = Some(own))
             } else // first ingest: only batch-internal duplication exists
