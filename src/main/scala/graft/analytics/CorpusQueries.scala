@@ -106,7 +106,8 @@ object CorpusQueries {
               list_filter(list_transform(string_split(t2, chr(10)),
                 x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')),
                 x -> x <> '') AS lns,
-              list_filter(list_transform(string_split(t2, chr(10) || chr(10)),
+              list_filter(list_transform(
+                regexp_split_to_array(t2, '\r?\n[ \t]*\r?\n'),
                 x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')),
                 x -> x <> '') AS prs,
               string_split_regex(trim(t2), '\s+') AS ws

@@ -555,9 +555,14 @@ object CorpusOps {
     // and reject zero-repetition documents (review r15); the reference
     // implementations split on \n+ / blank-line runs for the same reason
     val nonEmpty = (a: Column) => filter(a, l => l =!= "")
+    // paragraph separator: a BLANK (whitespace-only) line, CRLF
+    // included — a literal "\n\n" split never matches '\r\n\r\n', which
+    // would silently pass the paragraph rules on the CRLF share of a
+    // crawl (the same class the line rules' trim fixed)
     val base = df.select(col(idCol),
       nonEmpty(graft.core.Cols.trimmedLines(col(textCol))).as("_l"),
-      nonEmpty(graft.core.Cols.trimmedLines(col(textCol), "\n\n")).as("_p"),
+      nonEmpty(graft.core.Cols.trimmedLines(col(textCol),
+        "\r?\n[ \t]*\r?\n")).as("_p"),
       graft.core.Cols.wsTokens(col(textCol)).as("_w"))
     // ---- line + paragraph duplicates: beyond-first occurrences + chars
     val withLines = base

@@ -1142,14 +1142,31 @@ object TextDedup {
     val parts = fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath.toString).filter(_.contains("batch="))
     val stamps = parts.flatMap { b =>
-      try spark.read.parquet(b).select("_n", "_hash_grams")
-        .limit(1).collect().headOption
-      catch {
+      val d = try Some(spark.read.parquet(b)) catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
               e.getMessage.contains("Unable to infer schema") => None
       }
-    }.map(r => (r.getInt(0), r.getBoolean(1))).distinct
+      d.flatMap { df =>
+        df.select("_n", "_hash_grams").limit(1).collect().headOption
+          .map { r =>
+            val hashed = r.getBoolean(1)
+            // the stamp alone does not pin the KEY type — a probe whose
+            // gram keys coerce against the index (string vs bigint →
+            // double under non-ANSI promotion) would collapse 64-bit
+            // hashes to 53-bit precision SILENTLY; check the schema here
+            val gt = df.schema("gram").dataType
+            val want =
+              if (hashed) org.apache.spark.sql.types.LongType
+              else org.apache.spark.sql.types.StringType
+            require(gt == want,
+              s"gram-count partition $b stamps hashGrams=$hashed but " +
+                s"stores gram as ${gt.simpleString} (want ${want.simpleString}): " +
+                "mixed-format index — rebuild with writeGramCountIndex")
+            (r.getInt(0), hashed)
+          }
+      }
+    }.distinct
     require(stamps.length == 1,
       s"gram-count index at $path holds ${stamps.length} distinct param " +
         "stamps (mixed-parameter batches?); rebuild with writeGramCountIndex")
@@ -1180,6 +1197,15 @@ object TextDedup {
     if (StagedSwap.recoverOrClearStage(fs, live, stage)) return
     val (n, hashed) = gramCountIndexParams(spark, path)
     val df = spark.read.parquet(path)
+    // maintenance-time FULL stamp scan: the per-probe segment check
+    // reads one row per partition (cost rule), which a hand-merged
+    // partition with internally mixed files could slip past — the
+    // compaction pays one full scan anyway, so it validates every row
+    // before folding corruption into base
+    val allStamps = df.select("_n", "_hash_grams").distinct().collect()
+    require(allStamps.length == 1,
+      s"gram-count index at $path holds ${allStamps.length} distinct " +
+        "row-level param stamps; repair the mixed partition before compacting")
     val folded =
       if (keepBatches.isEmpty) df
       else df.filter(!col("batch").cast("string").isin(keepBatches.toSeq: _*))

@@ -625,15 +625,39 @@ object Streaming {
               // would inflate its own grams to "duplicated" and emit
               // self-spans, corrupting the record silently. An index
               // seeded OUTSIDE the stream (writeGramCountIndex over a
-              // historical corpus — the documented q90 lifecycle) has
-              // no sidecar: the gate covers stream-delivered ids only,
-              // which is all it can know about (documented, not a bug
-              // — the historical base carries no id record to check).
-              val idsPath = new org.apache.hadoop.fs.Path(s"$indexDir/_ids")
+              // historical corpus, release-cadence appends — the q90
+              // lifecycle) has no sidecar: the gate covers
+              // stream-delivered ids only, all it can know about. An
+              // EXISTING-but-unreadable sidecar is either this batch's
+              // own crashed first write (only base + own partitions
+              // beside it — retry state, proceed) or data loss next to
+              // other stream batches (fail loudly) — the
+              // hasCommittedParquet discrimination applied to the
+              // sidecar.
+              val idsStr = s"$indexDir/_ids"
+              val idsPath = new org.apache.hadoop.fs.Path(idsStr)
               val fsIds = idsPath.getFileSystem(
                 sp.sparkContext.hadoopConfiguration)
-              if (fsIds.exists(idsPath)) {
-                val prior = sp.read.parquet(s"$indexDir/_ids")
+              val idsDf =
+                if (!fsIds.exists(idsPath)) None
+                else try Some(sp.read.parquet(idsStr)) catch {
+                  case e: org.apache.spark.sql.AnalysisException
+                      if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+                        e.getMessage.contains("Unable to infer schema") =>
+                    val others = fsIds.listStatus(
+                        new org.apache.hadoop.fs.Path(indexDir))
+                      .filter(_.isDirectory).map(_.getPath.getName)
+                      .filter(n => n.startsWith("batch=") &&
+                        n != "batch=base" && n != s"batch=$own")
+                    require(others.isEmpty,
+                      s"$idsStr holds no committed parquet but stream " +
+                        s"partitions ${others.mkString(", ")} exist: the " +
+                        "re-delivery sidecar lost data; repair it instead " +
+                        "of silently disarming the gate")
+                    None // own crashed first write: retry overwrites it
+                }
+              idsDf.foreach { ids =>
+                val prior = ids
                   .filter(col("batch").cast("string") =!= lit(own))
                 val redelivered = prior.select("id").join(
                   cached.select(col(idCol).as("id")).distinct(), "id").take(1)

@@ -946,6 +946,15 @@ class CorpusOpsSpec extends SparkSpec {
     assert(g(2L, "keep") == 0L)
     assert(g(3L, "chars_words") == 180L)
     assert(g(3L, "keep") == 1L, got(3L).toString)
+    // CRLF page with a duplicated paragraph: the separator must match
+    // '\r\n\r\n' blank lines too, or the CRLF share of a crawl passes
+    // the paragraph rules unfiltered (review-r15 class, second pass)
+    val crlfGot = CorpusOps.gopherRepetition(Seq((9L,
+      "pa pb pc pd pe\r\n\r\npa pb pc pd pe\r\n")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(crlfGot.getAs[Long]("n_paras") == 2L &&
+      crlfGot.getAs[Long]("n_dup_para_occ") == 1L,
+      s"CRLF paragraphs must split and dedupe: $crlfGot")
     // doc 4: 2 paragraphs, 1 duplicate occurrence, half the para chars
     assert(g(4L, "n_paras") == 2L && g(4L, "n_dup_para_occ") == 1L)
     assert(g(4L, "chars_dup_paras") * 2 == g(4L, "chars_paras"))
