@@ -573,5 +573,59 @@ object DedupQueries {
           "doc_id", minTokens = 8)
         .orderBy("doc_id")
     },
+
+    // ---- RETRO-coverage for the incremental exact-substring index
+    // (VERDICT r15 task 3): q255 flags the NEW batch's spans; this
+    // emits the post-ingest span sets of the OLD docs — prior spans for
+    // docs the batch didn't touch, FULL recomputation for docs holding
+    // a gram the batch pushed from 1 to 2 (the index's cnt-1 holder ids
+    // name them directly: no corpus re-scan). The oracle is q249's
+    // brute force over old∪new restricted to OLD docs, so the hash
+    // proves splice == full rerun; with q255 covering the batch side,
+    // q255 ∪ q256 == q249 over everything (the TextDedupSpec union
+    // contract).
+    QueryDef(
+      "q256_retro_exact_substring",
+      Some(raw"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+              WHERE len(toks) >= 8),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+              WHERE g.doc_id % 5 <> 0),
+        r AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS nw
+              FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        s AS (SELECT doc_id, pos, SUM(nw) OVER
+                (PARTITION BY doc_id ORDER BY pos) AS isl FROM r)
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len
+        FROM s GROUP BY doc_id, isl
+        ORDER BY doc_id, span_start"""),
+    ) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_retrogrm_" +
+        Integer.toHexString(dir.hashCode)
+      TextDedup.writeGramCountIndex(old, "text", "doc_id",
+        minTokens = 8, idxDir)
+      TextDedup.appendGramCountBatchKeyed(batch, "text", "doc_id",
+        idxDir, "ingest1")
+      // the prior ledger (persisted in production; recomputed here so
+      // the query is self-contained over sfDir)
+      val prior = TextDedup.exactSubstringSpans(old, "text", "doc_id",
+        minTokens = 8)
+      val retro = TextDedup.retroExactSubstringSpans(old, "text", "doc_id",
+        idxDir, "ingest1")
+      prior.join(retro.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .unionByName(retro)
+        .orderBy("doc_id", "span_start")
+    },
   )
 }

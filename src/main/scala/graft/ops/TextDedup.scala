@@ -1111,7 +1111,18 @@ object TextDedup {
       minTokens: Int, hashGrams: Boolean): DataFrame =
     gramStarts(df, textCol, idCol, minTokens, hashGrams)
       .groupBy("gram")
-      .agg(least(count(lit(1)), lit(2L)).as("cnt"))
+      // holder (r16, the retro-coverage completion): for a gram this
+      // slice saw exactly ONCE, the doc that holds it — the doc a later
+      // batch's duplicate makes retroactively duplicated
+      // ([[retroExactSubstringSpans]] re-scans exactly those docs). A
+      // gram at cnt 2 needs no holder (already duplicated — retro never
+      // fires for it), so per-gram state stays bounded: one byte of
+      // count information plus at most one id, no matter how hot the
+      // gram. Saturated merges stay exact: across batches a gram at
+      // total 1 has exactly one row with cnt 1, whose holder survives
+      // the null-skipping max; any total >= 2 nulls the holder.
+      .agg(least(count(lit(1)), lit(2L)).as("cnt"), min(col(idCol)).as("_h"))
+      .withColumn("holder", when(col("cnt") < 2, col("_h"))).drop("_h")
       .withColumn("_n", lit(minTokens))
       .withColumn("_hash_grams", lit(hashGrams))
 
@@ -1209,8 +1220,20 @@ object TextDedup {
     val folded =
       if (keepBatches.isEmpty) df
       else df.filter(!col("batch").cast("string").isin(keepBatches.toSeq: _*))
-    folded.groupBy("gram")
-      .agg(least(sum("cnt"), lit(2L)).as("cnt"))
+    // holder rides through the fold when the index has one (post-r16
+    // layout): a gram folding to total 1 has exactly one cnt-1 row whose
+    // holder the null-skipping max keeps; total >= 2 nulls it. A legacy
+    // index (no holder column) compacts to a legacy index — the retro
+    // probe's holder requirement then still fails loudly instead of
+    // silently seeing an all-null column
+    val base0 =
+      if (folded.columns.contains("holder"))
+        folded.groupBy("gram")
+          .agg(least(sum("cnt"), lit(2L)).as("cnt"), max("holder").as("_h"))
+          .withColumn("holder", when(col("cnt") < 2, col("_h"))).drop("_h")
+      else
+        folded.groupBy("gram").agg(least(sum("cnt"), lit(2L)).as("cnt"))
+    base0
       .withColumn("_n", lit(n))
       .withColumn("_hash_grams", lit(hashed))
       .write.mode("overwrite").parquet(s"$stage/batch=base")
@@ -1268,6 +1291,77 @@ object TextDedup {
       .select("gram")
     spansFromStarts(
       grams.join(dup, Seq("gram"), "left_semi").select(col(idCol), col("pos")),
+      idCol, n)
+  }
+
+  /** RETRO-coverage probe for the gram-count index (r15 verdict task 3):
+    * q255/[[incrementalExactSubstringSpans]] answers "which NEW spans
+    * duplicate anything seen"; this answers the other production half —
+    * "which OLD docs became duplicated when batch `batchKey` landed" —
+    * without a full [[exactSubstringSpans]] rerun. The index's cnt-1
+    * rows carry their sole holder doc id, so the grams the batch pushed
+    * from 1 to 2 NAME the affected docs directly: no corpus scan, no
+    * gram re-generation over unaffected data. Affected docs get their
+    * span set FULLY recomputed against old∪batch multiplicities (a new
+    * duplicate can extend or bridge pre-existing spans, so a delta-only
+    * answer would merge wrong); unaffected old docs' spans are untouched
+    * by construction — every gram they hold either was already >= 2 or
+    * still totals 1 — so callers splice this over the prior ledger:
+    * prior spans for unaffected docs ∪ this output (the q256 shape, and
+    * the TextDedupSpec union contract: that splice ∪ the incremental
+    * q255 output == the full batch operator over old∪new).
+    *
+    * Output: (idCol, span_start, span_end, span_len) for AFFECTED old
+    * docs only — each holds a newly-duplicated gram, so each has >= 1
+    * span.
+    *
+    * Shape at 100 TB: the index scan is pruned to the batch partition
+    * for new grams; the old-side count aggregate is SEMI-JOINED to the
+    * batch's grams first, so its shuffle carries batch-gram hits, not
+    * the corpus's gram space; the re-scan generates grams only for the
+    * affected docs. Cost tracks the newly-saturated set (the ScaleCurve
+    * retro cell: fixed batch, growing corpus, ~flat probe time), not
+    * the corpus.
+    */
+  def retroExactSubstringSpans(oldDocs: DataFrame, textCol: String,
+      idCol: String, path: String, batchKey: String): DataFrame = {
+    val spark = oldDocs.sparkSession
+    val (n, hashed) = gramCountIndexParams(spark, path)
+    val idx = spark.read.parquet(path)
+    require(idx.columns.contains("holder"),
+      s"gram-count index at $path has no holder column (pre-r16 layout): " +
+        "retro-coverage needs the cnt-1 holder ids — rebuild with " +
+        "writeGramCountIndex")
+    val isBatch = col("batch").cast("string") === lit(batchKey)
+    val batchGrams = idx.filter(isBatch).select("gram").distinct()
+    // only grams the batch touched can newly saturate: semi-join FIRST,
+    // so the old-side aggregate shuffles batch-gram hits, not the whole
+    // index
+    val oldCnt = idx.filter(!isBatch)
+      .join(batchGrams, Seq("gram"), "left_semi")
+      .groupBy("gram")
+      .agg(least(sum("cnt"), lit(2L)).as("_oc"), max("holder").as("_h"))
+    val affectedIds = oldCnt.filter(col("_oc") === 1)
+      // _oc == 1 guarantees exactly one old cnt-1 row, which always
+      // carries its holder in the post-r16 layout; a null here means a
+      // hand-mixed legacy partition slipped past the column check —
+      // corrupt retro data, never a silent skip
+      .select(when(col("_h").isNull, raise_error(lit(
+        s"gram-count index at $path: cnt-1 row with null holder " +
+          "(legacy partition mixed into a holder-layout index?)")))
+        .otherwise(col("_h")).as(idCol))
+      .distinct()
+    val affected = oldDocs.join(affectedIds, Seq(idCol), "left_semi")
+    val affG = gramStarts(affected, textCol, idCol, n, hashed)
+    // duplicated-now test for exactly the affected docs' gram space:
+    // total old∪batch multiplicity >= 2, aggregate input semi-joined
+    // down to the grams those docs hold
+    val dupNow = idx.join(affG.select("gram").distinct(),
+        Seq("gram"), "left_semi")
+      .groupBy("gram").agg(least(sum("cnt"), lit(2L)).as("_tc"))
+      .filter(col("_tc") >= 2).select("gram")
+    spansFromStarts(
+      affG.join(dupNow, Seq("gram"), "left_semi").select(col(idCol), col("pos")),
       idCol, n)
   }
 

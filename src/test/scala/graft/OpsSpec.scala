@@ -344,6 +344,63 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("param"))
   }
 
+  test("retro exact-substring: splice == full rerun over old docs; q255 ∪ q256 == full; cost-shape + legacy guards") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_rcidx").toString
+    graft.ops.TextDedup.writeGramCountIndex(old, "text", "doc_id", 8, idx)
+    graft.ops.TextDedup.appendGramCountBatchKeyed(batch, "text", "doc_id",
+      idx, "b1")
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val retro = spans(graft.ops.TextDedup.retroExactSubstringSpans(
+      old, "text", "doc_id", idx, "b1"))
+    val prior = spans(graft.ops.TextDedup.exactSubstringSpans(
+      old, "text", "doc_id", 8))
+    val full = spans(graft.ops.TextDedup.exactSubstringSpans(
+      docs, "text", "doc_id", 8))
+    val fullOld = full.filter(_._1 % 5 != 0)
+    // the production splice: prior ledger for unaffected docs, retro
+    // recomputation for affected — must equal the full rerun over old
+    val retroIds = retro.map(_._1)
+    val splice = prior.filter(s => !retroIds.contains(s._1)) ++ retro
+    assert(splice == fullOld,
+      "prior-unaffected ∪ retro must equal the full operator over old docs")
+    // ... and with the q255 incremental output covering the batch side,
+    // the two together ARE the full batch answer (the union contract)
+    val inc = spans(graft.ops.TextDedup.incrementalExactSubstringSpans(
+      batch, "text", "doc_id", idx, excludeBatch = Some("b1")))
+    assert(splice ++ inc == full, "q256 ∪ q255 must equal q249 over old∪new")
+    // cost shape: retro touched a PROPER subset of the old docs — docs
+    // whose spans predate the batch and gained nothing must not rescan
+    val priorOnlyIds = prior.map(_._1) -- retroIds
+    assert(retro.nonEmpty, "fixture must hold retro-affected old docs")
+    assert(priorOnlyIds.nonEmpty,
+      "fixture must hold old docs with old-only spans the retro probe skips")
+    // (a retro doc's span set need not differ from the prior ledger —
+    // the newly duplicated gram can land inside an already-covered
+    // span — but it must equal the full rerun, which splice == fullOld
+    // above already pins per doc)
+    // compaction carries holders: fold everything except the batch's
+    // own partition, retro answer identical
+    graft.ops.TextDedup.compactGramCountIndexExcept(spark, idx, Set("b1"))
+    assert(spans(graft.ops.TextDedup.retroExactSubstringSpans(
+      old, "text", "doc_id", idx, "b1")) == retro,
+      "retro must be invariant under compaction (holder rides the fold)")
+    // a legacy index (no holder column) fails loudly, never empty-retro
+    val legacy = java.nio.file.Files.createTempDirectory("graft_rcleg").toString
+    spark.read.parquet(s"$idx/batch=base").drop("holder")
+      .write.mode("overwrite").parquet(s"$legacy/batch=base")
+    spark.read.parquet(s"$idx/batch=b1").drop("holder")
+      .write.mode("overwrite").parquet(s"$legacy/batch=b1")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TextDedup.retroExactSubstringSpans(
+        old, "text", "doc_id", legacy, "b1").collect()
+    }
+    assert(e.getMessage.contains("holder"))
+  }
+
   test("exact-substring hashed-gram scale path agrees with the string path on the real corpus") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     def spanSet(hashed: Boolean) = graft.ops.TextDedup
