@@ -591,6 +591,103 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ---- the COMPLETE C4 §2.2 page-cleaning pack (VERDICT r15 task 4;
+    // q253 remains the documented line-rule subset): javascript line
+    // rule, bad-word page filter (versioned BadWords list, token
+    // equality — the oracle's IN-list interpolates from the SAME Scala
+    // set), and the >= 3 rule counting SENTENCES of the retained text
+    // ([.!?]-delimited segments with content), not kept lines. Plants:
+    // '"'-terminated lines every 11th doc (kept lines but ZERO
+    // sentences — only the sentence rule drops them), a 7-word
+    // '.'-terminated javascript line every 13th (only the javascript
+    // rule excludes it), a '{' line every 17th, a bad-word line every
+    // 19th (only the bad-word rule drops the page), lorem ipsum every
+    // 23rd — every new rule load-bearing, full counter/flag replay.
+    QueryDef(
+      "q257_c4_page_clean",
+      Some(raw"""
+        WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                   FROM documents),
+        l AS (SELECT doc_id,
+                list_transform(range(0, ((len(t) - 1) // 7) + 1), i ->
+                  array_to_string(t[i*7+1:i*7+7], ' ') ||
+                  (CASE WHEN (doc_id + i) % 3 <> 0
+                        THEN (CASE WHEN doc_id % 11 = 0 THEN '"'
+                                   ELSE '.' END)
+                        ELSE '' END)) AS ls
+              FROM d),
+        p AS (SELECT doc_id,
+                array_to_string(ls, chr(10)) ||
+                (CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                  'you must enable javascript to continue reading.'
+                  ELSE '' END) ||
+                (CASE WHEN doc_id % 17 = 0
+                      THEN chr(10) || 'if (x) { return y; }' ELSE '' END) ||
+                (CASE WHEN doc_id % 19 = 0 THEN chr(10) ||
+                  'hot xxx content awaits you here tonight.' ELSE '' END) ||
+                (CASE WHEN doc_id % 23 = 0
+                      THEN chr(10) || 'Lorem Ipsum dolor sit.' ELSE '' END)
+                  AS t2
+              FROM l),
+        k AS (SELECT doc_id, t2,
+                list_filter(lns, x ->
+                  len(string_split_regex(trim(x), '\s+')) >= 5 AND
+                  (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR
+                   x LIKE '%"') AND
+                  NOT list_contains(
+                    string_split_regex(lower(x), '[^a-z0-9]+'),
+                    'javascript')) AS kept,
+                lns
+              FROM (SELECT doc_id, t2,
+                      list_transform(string_split(t2, chr(10)),
+                        x -> regexp_replace(x, '^\s+|\s+$$', '', 'g')) AS lns
+                    FROM p)),
+        f AS (SELECT doc_id, t2, lns, kept,
+                array_to_string(kept, chr(10)) AS cleaned,
+                len(list_filter(
+                  string_split_regex(array_to_string(kept, chr(10)),
+                    '[.!?]+'),
+                  x -> regexp_matches(x, '[a-zA-Z0-9]'))) AS nsent
+              FROM k)
+        SELECT doc_id,
+               CAST(len(lns) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               CAST(nsent AS BIGINT) AS n_sentences,
+               CAST(CASE WHEN contains(t2, '{') THEN 1 ELSE 0 END
+                 AS BIGINT) AS f_brace,
+               CAST(CASE WHEN contains(lower(t2), 'lorem ipsum')
+                 THEN 1 ELSE 0 END AS BIGINT) AS f_lorem,
+               CAST(CASE WHEN ${CorpusOps.badWordHitSql("t2")}
+                 THEN 1 ELSE 0 END AS BIGINT) AS f_badword,
+               CAST(CASE WHEN contains(t2, '{')
+                           OR contains(lower(t2), 'lorem ipsum')
+                           OR ${CorpusOps.badWordHitSql("t2")}
+                           OR nsent < 3
+                    THEN 1 ELSE 0 END AS BIGINT) AS doc_dropped,
+               cleaned AS cleaned_text
+        FROM f ORDER BY doc_id"""),
+    ) { (s, dir) =>
+      val term = when(col("doc_id") % 11 === 0, lit("\"")).otherwise(lit("."))
+      val lines = transform(col("_lines"), (l, i) =>
+        concat(l,
+          when((col("doc_id") + i) % 3 =!= 0, term).otherwise(lit(""))))
+      val t2 = concat(array_join(lines, "\n"),
+        when(col("doc_id") % 13 === 0,
+          lit("\nyou must enable javascript to continue reading."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit("\nif (x) { return y; }"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0,
+          lit("\nhot xxx content awaits you here tonight."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 23 === 0, lit("\nLorem Ipsum dolor sit."))
+          .otherwise(lit("")))
+      CorpusOps.c4PageClean(
+          plantedLineDocs(s, dir).select(col("doc_id"), t2.as("t2")),
+          "doc_id", "t2")
+        .orderBy("doc_id")
+    },
+
     // ---- vocabulary drift between two corpus slices: top shared terms
     // by per-term KL contribution |p_a·ln(p_a/p_b)| — the distribution-
     // shift monitor for a training mixture. Contributions rounded (ln's

@@ -689,6 +689,74 @@ object CorpusOps {
         col("doc_dropped"), col("cleaned_text"))
   }
 
+  /** The COMPLETE C4 page-cleaning pack (Raffel et al. 2020 §2.2 — the
+    * r15 verdict's task 4; [[c4LineFilter]] is the documented line-rule
+    * subset and keeps its exact behavior for existing callers):
+    *  - keep lines with ≥ 5 words ending in terminal punctuation
+    *    ('.', '!', '?', '"'), judged whitespace-trimmed (CRLF-proof);
+    *  - ALSO drop any line containing the word "javascript"
+    *    (case-insensitive token match — the §2.2 boilerplate rule);
+    *  - drop the page when it contains '{', the phrase "lorem ipsum",
+    *    or ANY bad word from the versioned [[BadWords]] list (token
+    *    equality over non-alphanumeric splits of the lowercased page —
+    *    punctuation never shields a word, substrings never Scunthorpe);
+    *  - drop the page when the RETAINED text holds fewer than
+    *    `minSentences` sentences — §2.2 counts sentences, not kept
+    *    lines; a sentence here is a [.!?]-delimited segment of the
+    *    cleaned text containing at least one alphanumeric (deterministic
+    *    and SQL-replayable, unlike an NLP sentence splitter). A page of
+    *    quote-terminated lines keeps its lines but has no sentences —
+    *    exactly the class the kept-lines approximation passes wrongly.
+    *
+    * Output: (idCol, n_lines, n_kept_lines, n_sentences, f_brace,
+    * f_lorem, f_badword, doc_dropped, cleaned_text) — integer flags so
+    * the audit trail shows WHICH rule dropped a page. One row-local
+    * projection, zero shuffles beyond the scan (the per-doc-property
+    * scale shape).
+    */
+  def c4PageClean(df: DataFrame, idCol: String, textCol: String,
+      minSentences: Int = 3): DataFrame = {
+    val keptLine = (l: Column) =>
+      size(graft.core.Cols.wsTokens(l)) >= 5 &&
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+          l.endsWith("\"")) &&
+        !array_contains(split(lower(l), "[^a-z0-9]+"), "javascript")
+    val badWordArr = array(BadWords.words.toSeq.sorted.map(lit): _*)
+    df.select(col(idCol), col(textCol).as("_x"),
+        graft.core.Cols.trimmedLines(col(textCol)).as("_l"))
+      .select(col(idCol), col("_x"),
+        size(col("_l")).cast("long").as("n_lines"),
+        size(filter(col("_l"), keptLine)).cast("long").as("n_kept_lines"),
+        array_join(filter(col("_l"), keptLine), "\n").as("cleaned_text"))
+      .withColumn("n_sentences",
+        size(filter(split(col("cleaned_text"), "[.!?]+"),
+          s => s.rlike("[a-zA-Z0-9]"))).cast("long"))
+      .withColumn("f_brace",
+        when(col("_x").contains("{"), 1L).otherwise(0L))
+      .withColumn("f_lorem",
+        when(lower(col("_x")).contains("lorem ipsum"), 1L).otherwise(0L))
+      .withColumn("f_badword",
+        when(arrays_overlap(split(lower(col("_x")), "[^a-z0-9]+"),
+          badWordArr), 1L).otherwise(0L))
+      .withColumn("doc_dropped",
+        when(col("f_brace") === 1L || col("f_lorem") === 1L ||
+          col("f_badword") === 1L ||
+          col("n_sentences") < minSentences, 1L).otherwise(0L))
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"),
+        col("n_sentences"), col("f_brace"), col("f_lorem"),
+        col("f_badword"), col("doc_dropped"), col("cleaned_text"))
+  }
+
+  /** The [[c4PageClean]] bad-word leg's DuckDB replay, interpolated from
+    * the SAME [[BadWords.words]] set (one rule source, the PslSql
+    * pattern): true iff any non-alphanumeric-split token of the
+    * lowercased expression is on the list. */
+  def badWordHitSql(expr: String): String = {
+    val arr = BadWords.words.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+    s"len(list_intersect(string_split_regex(lower($expr), " +
+      s"'[^a-z0-9]+'), [$arr])) > 0"
+  }
+
   /** Vocabulary drift between two corpus slices (train vs eval, today vs
     * yesterday's crawl): the top-`topN` shared-support terms by per-term
     * KL contribution |p_a·ln(p_a/p_b)|, with the raw counts as evidence.

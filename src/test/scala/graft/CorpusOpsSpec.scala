@@ -856,6 +856,22 @@ class CorpusOpsSpec extends SparkSpec {
       "x.a.kawasaki.jp" -> "x.a.kawasaki.jp",
       "city.kawasaki.jp" -> "city.kawasaki.jp",
       "sub.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // full-list registries the curated r15 subset DEGRADED to the
+      // two-label fold (the r15-verdict task-1 fixture: these folding
+      // to co.ke/com.ng/com.pk would nuke a country's corpus under a
+      // blocklist entry and collapse its per-domain cap)
+      "shop.co.ke" -> "shop.co.ke",
+      "cdn.shop.co.ke" -> "shop.co.ke",
+      "news.com.ng" -> "news.com.ng",
+      "x.y.com.pk" -> "y.com.pk",
+      // full-list private wildcard *.compute.amazonaws.com: each VM
+      // hostname is its own registrable domain
+      "x.ec2-1-2-3-4.compute.amazonaws.com" ->
+        "x.ec2-1-2-3-4.compute.amazonaws.com",
+      // punycode rule (unicode 公司.cn converted at generation time):
+      // IDN registries fold at the right boundary in ASCII form
+      "foo.xn--55qx5d.cn" -> "foo.xn--55qx5d.cn",
+      "bar.foo.xn--55qx5d.cn" -> "foo.xn--55qx5d.cn",
       // unknown TLD: the default `*` rule degrades to the two-label fold
       "a.unknowntld" -> "a.unknowntld",
       "x.y.unknowntld" -> "y.unknowntld",
@@ -996,6 +1012,47 @@ class CorpusOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text"), "doc_id", "text").collect().head
     assert(gq.getAs[Long]("n_ellipsis_lines") == 3L,
       s"CRLF must not blind the ellipsis rule: $gq")
+  }
+
+  test("c4 page clean: javascript line rule, bad-word page drop, sentence-not-line counting") {
+    val docs = Seq(
+      // 3 keeper lines but the middle one contains 'Javascript' (token,
+      // case-insensitive, punctuation-adjacent) -> excluded; the 2
+      // surviving '.'-lines are 2 sentences -> page dropped by the
+      // SENTENCE rule
+      (1L, "first keeper line has five words.\nplease enable JavaScript, then reload now.\nsecond keeper line has six words."),
+      // 3 quote-terminated keeper lines: kept-lines rule would PASS the
+      // page (the old approximation), the sentence rule drops it
+      (2L, "alpha beta gamma delta epsilon one\"\nalpha beta gamma delta epsilon two\"\nalpha beta gamma delta epsilon three\""),
+      // bad word as a token ('xxx' punctuation-wrapped): page dropped
+      // even though all lines keep
+      (3L, "first keeper line has five words.\nmore (xxx) rated content right here.\nthird keeper line has six words."),
+      // 'scunthorpe' CONTAINS a listed word as a substring but is not a
+      // token hit -> clean; 3 '.'-sentences -> kept
+      (4L, "scunthorpe council met again on tuesday.\nsecond keeper line has five words.\nthird keeper line has six words."),
+      // one long kept line holding three '.'-sentences: kept-lines rule
+      // would DROP (1 < 3), the sentence rule keeps -> divergent in the
+      // other direction
+      (5L, "alpha beta gamma delta one. epsilon zeta eta theta two. iota kappa lambda mu three."),
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.c4PageClean(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = got(id).getAs[Long](c)
+    assert(f(1L, "n_kept_lines") == 2L, "javascript line must be excluded")
+    assert(f(1L, "n_sentences") == 2L && f(1L, "doc_dropped") == 1L)
+    assert(!got(1L).getAs[String]("cleaned_text").toLowerCase
+      .contains("javascript"))
+    assert(f(2L, "n_kept_lines") == 3L && f(2L, "n_sentences") == 1L &&
+      f(2L, "doc_dropped") == 1L,
+      "quote-terminated pages keep lines but one punctless segment " +
+        "is a single sentence — under the 3-sentence bar")
+    assert(f(3L, "f_badword") == 1L && f(3L, "doc_dropped") == 1L,
+      "a punctuation-wrapped bad token must hit")
+    assert(f(4L, "f_badword") == 0L && f(4L, "doc_dropped") == 0L,
+      "substring containment must NOT hit (token equality only)")
+    assert(f(5L, "n_kept_lines") == 1L && f(5L, "n_sentences") == 3L &&
+      f(5L, "doc_dropped") == 0L,
+      "sentences are counted across one kept line")
   }
 
   test("domain ledger: fold-version stamped; mixed-version reads fail loudly") {
