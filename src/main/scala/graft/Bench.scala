@@ -24,20 +24,35 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // speculative execution (VERDICT r14 task 2): the host's measured
-      // failure mode is a BIMODAL tail — one task of the biggest shuffle
-      // stalls at 35-55 s vs its usual seconds (bench_notes_r12/r14),
-      // exactly the class that dominates a 1000-executor run. A stalled
-      // copy re-launches once a task runs past 2x the stage's 75th
-      // percentile; healthy runs launch almost no copies (the multiplier
-      // is far above same-wave variance), so the A/B cost on clean runs
-      // is noise (tools/bench_notes_r15.md)
-      .config("spark.speculation", "true")
-      .config("spark.speculation.interval", "100ms")
-      .config("spark.speculation.quantile", "0.75")
-      .config("spark.speculation.multiplier", "2.0")
+      // NO spark.speculation here (r16, ADVICE r15): under master=local[N]
+      // Spark's TaskSchedulerImpl only starts the speculation thread when
+      // !isLocal, so the r15 configs were a silent no-op — the q38
+      // improvement the r15 notes attributed to them was host variance.
+      // The real local-harness mitigations are min-of-reps here and
+      // min-of-2 + one targeted retry in ScaleCurve; ON A CLUSTER the
+      // submitter should still set spark.speculation=true (the bimodal
+      // stalled-tail class in bench_notes_r12/r14 is exactly what it
+      // re-launches) — it just cannot be A/B'd locally.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ---- fixed-work calibration anchor (VERDICT r15 task 2): a constant
+    // synthetic query — no I/O, no shuffle variance — timed at session
+    // start. Its wall time moves with the HOST (CPU contention, thermal,
+    // noisy neighbors), not with the code, so anchor-normalized per-query
+    // times cancel uniform host drift and the drift-vs-regression
+    // question (manually adjudicated three rounds running) becomes
+    // mechanical: tools/bench_drift.py flags queries whose normalized
+    // time moved >1.3x round-over-round. min-of-3 for the same
+    // noise-floor reason as the queries themselves.
+    def anchorOnce(): Double = {
+      val t0 = System.nanoTime()
+      // pmod bounds the summand: a raw sum(xxhash64) overflows Long
+      // (ANSI) after ~2^32 rows
+      spark.range(0L, 600000000L, 1L, cpus.toInt)
+        .selectExpr("sum(pmod(xxhash64(id), 1000)) s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val anchor = (1 to 3).map(_ => anchorOnce()).min
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -62,10 +77,10 @@ object Bench {
     // survives tail-keeping capture; the full per-query record lives in
     // SPARK_GRAFT_BENCH_OUT either way.
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"anchor":$anchor,"sf":"$sfDir","reps":$reps}"""
     println(headline)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","anchor":$anchor,"queries":$qs,"sf":"$sfDir","reps":$reps}"""
     println(json)
     println(headline)
     // also write the JSON to a file: stdout tail capture truncates once the
@@ -78,6 +93,32 @@ object Bench {
       java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"bench: could not write $out: ${e.getMessage}")
+    }
+    // ---- per-query bench history (VERDICT r15 task 2): one appended TSV
+    // row per (session, query) — session labeled by SPARK_GRAFT_ROUND if
+    // the runner sets it, else a UTC timestamp — plus the session's
+    // anchor, so tools/bench_drift.py can compare ANCHOR-NORMALIZED times
+    // across sessions. Filtered (SPARK_GRAFT_BENCH_ONLY) runs don't
+    // append: a targeted A/B probe is not a session record.
+    if (only.isEmpty) {
+      val label = sys.env.getOrElse("SPARK_GRAFT_ROUND",
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now()))
+      val hist = java.nio.file.Paths.get("tools/bench_history.tsv")
+      try {
+        val header =
+          if (java.nio.file.Files.exists(hist)) ""
+          else "session\tquery\tseconds\tanchor\n"
+        val rows = results.map { case (k, v) =>
+          s"$label\t$k\t$v\t$anchor"
+        }.mkString("", "\n", "\n")
+        java.nio.file.Files.write(hist, (header + rows).getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case e: Exception =>
+        System.err.println(s"bench: could not append $hist: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

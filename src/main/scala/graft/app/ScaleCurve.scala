@@ -52,17 +52,13 @@ object ScaleCurve {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // speculative execution, same tuning as graft.Bench (VERDICT r14
-      // task 2): the q38 16x cell's documented failure mode is one
-      // stalled tail task in the biggest shuffle (48.9 s vs 4-7 s in
-      // targeted reruns, r14 record); a copy re-launches once a task
-      // runs past 2x the stage's 75th percentile, so a host stall costs
-      // one task re-run instead of the whole cell — the same mitigation
-      // a real cluster runs. A/B in tools/bench_notes_r15.md.
-      .config("spark.speculation", "true")
-      .config("spark.speculation.interval", "100ms")
-      .config("spark.speculation.quantile", "0.75")
-      .config("spark.speculation.multiplier", "2.0")
+      // NO spark.speculation (r16, ADVICE r15): it is a silent no-op
+      // under local[N] — TaskSchedulerImpl starts the speculation thread
+      // only when !isLocal — so the r15 A/B "improvement" was host
+      // variance. The mitigations that actually run in this harness are
+      // min-of-2 per cell plus the ONE targeted retry below; a real
+      // cluster submission should enable speculation (quantile 0.75 /
+      // multiplier 2.0) for the same bimodal stalled-tail class.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
