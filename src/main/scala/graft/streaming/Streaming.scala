@@ -704,16 +704,32 @@ object Streaming {
     * compaction) and restart.
     */
   def semanticDecontamFilterStream(vecs: DataFrame, indexDir: String,
-      cleanDir: String, flaggedDir: String, checkpoint: String,
+      cleanDir: String, flaggedDir: String, quarantineDir: String,
+      checkpoint: String,
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.25): StreamingQuery = {
     val key = runKey(checkpoint)
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cached = batch.persist() // read twice: flagged probe + anti join
+        // UNSCORABLE rows (ADVICE r15): a null / zero-norm / NaN
+        // embedding carries no similarity claim — the probe's
+        // degenerate-norm guard drops it, so letting it ride to the
+        // anti-join would certify a failed encode as "clean" with no
+        // audit trail. Split it out FIRST into its own quarantine
+        // partition: clean ∪ flagged ∪ quarantined == the batch, and a
+        // decontamination filter never silently passes what it could
+        // not examine. (!isnan is load-bearing: NaN > 0 is TRUE under
+        // Spark's NaN-greatest ordering — the VectorSim guard note.)
+        val nrm = sqrt(graft.ops.VectorSim.normSq(col(vecCol)))
+        val scorableP = col(vecCol).isNotNull && nrm > 0 && !isnan(nrm)
+        val cached = batch.persist() // read thrice: quarantine + probe + anti
         try {
+          cached.filter(!scorableP)
+            .write.mode("overwrite")
+            .parquet(s"$quarantineDir/batch=$key-$batchId")
+          val scorable = cached.filter(scorableP)
           val flagged = graft.ops.VectorSim.incrementalSemanticDecontam(
-            cached, idCol, vecCol, indexDir, threshold)
+            scorable, idCol, vecCol, indexDir, threshold)
           flagged.write.mode("overwrite")
             .parquet(s"$flaggedDir/batch=$key-$batchId")
           // anti-join against the JUST-WRITTEN flagged partition — one
@@ -722,7 +738,7 @@ object Streaming {
           val flaggedIds = cached.sparkSession.read
             .parquet(s"$flaggedDir/batch=$key-$batchId")
             .select(col("doc_id").as(idCol))
-          cached.join(flaggedIds, Seq(idCol), "left_anti")
+          scorable.join(flaggedIds, Seq(idCol), "left_anti")
             .write.mode("overwrite").parquet(s"$cleanDir/batch=$key-$batchId")
         } finally {
           cached.unpersist(false)

@@ -463,22 +463,37 @@ class StreamingDedupSpec extends SparkSpec {
     assert(failed, "re-delivered ids must wedge the loop loudly")
   }
 
-  test("semantic decontam stream: clean+flagged partition the input, match the broadcast path") {
+  test("semantic decontam stream: clean+flagged+quarantine partition the input, match the broadcast path") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")
     val anchors = emb.filter(col("vec_id") % 40 === 0)
     val ingest = emb.filter(col("vec_id") % 40 =!= 0)
-    val waves = (0 until 3).map(k => ingest.filter(col("vec_id") % 3 === k))
+    // plant UNSCORABLE rows (ADVICE r15): failed encodes — null, empty,
+    // zero-norm, and NaN embeddings — must land in quarantine, never be
+    // certified clean by a filter that could not score them
+    val dim = emb.head.getAs[scala.collection.Seq[Float]]("embedding").length
+    import spark.implicits._
+    val bad = Seq(
+      (-1L, null.asInstanceOf[Array[Float]]),
+      (-2L, Array.fill(dim)(0.0f)),
+      (-3L, Array.fill(dim)(Float.NaN)),
+      (-4L, Array.empty[Float]),
+    ).toDF("vec_id", "embedding")
+    val waves = (0 until 3).map { k =>
+      ingest.filter(col("vec_id") % 3 === k)
+        .unionByName(bad.filter(col("vec_id") === -(k + 1).toLong ||
+          (lit(k) === 0 && col("vec_id") === -4L)))
+    }
     val work = java.nio.file.Files.createTempDirectory("graft_ssemdecon").toString
     val raw = s"$work/raw"; val idx = s"$work/idx"
     val clean = s"$work/clean"; val flagged = s"$work/flagged"
-    val ckpt = s"$work/ckpt"
+    val quar = s"$work/quar"; val ckpt = s"$work/ckpt"
     graft.ops.VectorSim.writeEvalAnchorIndex(anchors, "vec_id", "embedding", idx)
     waves.foreach { w =>
       w.write.mode("append").parquet(raw)
       val q = Streaming.semanticDecontamFilterStream(
         spark.readStream.schema(emb.schema).parquet(raw),
-        idx, clean, flagged, ckpt, threshold = 0.25)
+        idx, clean, flagged, quar, ckpt, threshold = 0.25)
       assert(q.awaitTermination(180000), "semantic decontam wave timed out")
     }
     val cleanIds = spark.read.parquet(clean)
@@ -486,11 +501,17 @@ class StreamingDedupSpec extends SparkSpec {
     val flaggedRows = spark.read.parquet(flagged)
       .select("doc_id", "n_matches", "best_eval_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val quarIds = spark.read.parquet(quar)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
     val allIds = ingest.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(quarIds == Set(-1L, -2L, -3L, -4L),
+      s"unscorable rows must quarantine, got $quarIds")
+    assert((cleanIds & quarIds).isEmpty && (flaggedRows.map(_._1) & quarIds).isEmpty,
+      "a quarantined vector must appear in neither split")
     assert((cleanIds & flaggedRows.map(_._1)).isEmpty,
       "a vector cannot be both clean and flagged")
     assert(cleanIds ++ flaggedRows.map(_._1) == allIds,
-      "stream must account for every vector")
+      "stream must account for every scorable vector")
     assert(flaggedRows.nonEmpty, "fixture must actually flag something")
     // bit-equality with the one-shot broadcast path over everything
     val direct = graft.ops.VectorSim.semanticDecontam(
