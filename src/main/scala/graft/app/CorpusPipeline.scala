@@ -357,21 +357,39 @@ object CorpusPipeline {
     // every doc). Cross-checked two ways: the id-sequence lengths must
     // equal the independent tokenCompression counts doc-for-doc, and
     // every budgeted doc with at least one pre-token must encode.
+    // training folds to the driver when the vocabulary is dimension-sized
+    // (Bpe.trainBpeOnFreqs's threshold gate — 2 jobs instead of one per
+    // merge round), and the 16-merge segmentation chain checkpoints ONCE
+    // and is shared by the id dictionary, the encoder, and the
+    // compression crosscheck (r15 task 6: the ledger attributed 36% of
+    // funnel wall to this stage; the cost was the deep merge-expression
+    // plan re-analyzed/re-codegen'd by every consumer job, not the data)
     val bpeFreqs = graft.ops.Bpe.wordFreqs(budgeted, "text").persist()
     val bpeRules = graft.ops.Bpe.trainBpeOnFreqs(bpeFreqs, nMerges = 16)
-    val encoded = graft.ops.Bpe.encodeTokenIds(budgeted, "text", "doc_id",
-      bpeFreqs, bpeRules).persist()
-    val nEncoded = encoded.count()
-    val nCompressible = graft.ops.Bpe.tokenCompression(budgeted, "text",
-      "doc_id", bpeFreqs, bpeRules).persist()
-    val nLenMismatch = encoded
-      .join(nCompressible, "doc_id")
-      .filter(col("n_tokens").cast("long") =!= col("n_bpe_tokens")).count()
-    val nCompDocs = nCompressible.count()
-    stageDone("bpe_tokenize")
-    nCompressible.unpersist(false)
+    val bpeSeg = graft.ops.Bpe.segmentVocab(bpeFreqs, bpeRules)
+      .localCheckpoint(true)
+    stageDone("bpe_train")
+    // ONE crosscheck job (r16): encode counts, compression counts, and
+    // the doc-for-doc length equality fold into a single full-outer
+    // aggregate — a doc on one side only IS a mismatch, so the separate
+    // count jobs bought nothing but fixed job overhead
+    val encoded = graft.ops.Bpe.encodeTokenIdsOnSeg(budgeted, "text",
+      "doc_id", bpeSeg)
+    val nCompressible = graft.ops.Bpe.tokenCompressionOnSeg(budgeted, "text",
+      "doc_id", bpeSeg)
+    val chk = encoded
+      .select(col("doc_id"), col("n_tokens").cast("long").as("_ne"))
+      .join(nCompressible.select(col("doc_id"),
+        col("n_bpe_tokens").as("_nc")), Seq("doc_id"), "full_outer")
+      .agg(count(col("_ne")).as("n_enc"), count(col("_nc")).as("n_comp"),
+        sum(when(col("_ne").isNull || col("_nc").isNull ||
+          col("_ne") =!= col("_nc"), 1L).otherwise(0L)).as("mism"))
+      .head()
+    val nEncoded = chk.getLong(0)
+    val nCompDocs = chk.getLong(1)
+    val nLenMismatch = chk.getLong(2)
+    stageDone("bpe_encode+check")
     bpeFreqs.unpersist(false)
-    encoded.unpersist(false)
 
     ingest.unpersist()
     reps.unpersist(false)

@@ -63,12 +63,97 @@ object Bpe {
     trainBpeOnFreqs(wordFreqs(docs, textCol), nMerges, checkpointEvery)
   }
 
-  /** [[trainBpe]] over a precomputed (word, cnt) frequency table. */
+  /** [[trainBpe]] over a precomputed (word, cnt) frequency table.
+    *
+    * Driver-local fold (r15 verdict task 6): the merge loop is
+    * inherently sequential — each round's argmax depends on the last
+    * merge — so the distributed path pays one Spark job of fixed
+    * overhead PER ROUND over a table that is VOCABULARY-sized, not
+    * corpus-sized (the funnel's stage ledger measured that overhead at
+    * 36% of total wall: 16 rounds × job latency over a ~20k-row table).
+    * When the table is at most `localFoldThreshold` distinct words it
+    * is dimension-sized by definition: collect it once and run the loop
+    * in plain Scala — two jobs total (count + collect) instead of
+    * nMerges, bit-identical rules ([[trainBpeLocal]] replicates the
+    * kernel, the every-adjacent-pair count, and the UTF-8-byte
+    * tie-break; BpeSpec pins local == distributed on the real corpus).
+    * A 100 TB natural-language crawl's pre-token vocabulary (~10-100M
+    * words) stays above the threshold and keeps the distributed loop.
+    */
   def trainBpeOnFreqs(freqs: DataFrame, nMerges: Int,
-      checkpointEvery: Int = 8): Seq[MergeRule] =
-    // BPE's merge criterion IS the raw pair frequency
-    trainMergeLoop(freqs, nMerges, checkpointEvery)(
-      (pairs, _) => pairs.withColumn("ord", col("c")))
+      checkpointEvery: Int = 8,
+      localFoldThreshold: Long = 65536): Seq[MergeRule] = {
+    // checkpoint BEFORE the size probe so the corpus-sized aggregation
+    // behind freqs runs once, not once for count + once for the loop
+    val f = freqs.localCheckpoint(true)
+    if (nMerges > 0 && f.count() <= localFoldThreshold)
+      trainBpeLocal(
+        f.select("word", "cnt").collect()
+          .map(r => (r.getString(0), r.getLong(1))),
+        nMerges)
+    else
+      // BPE's merge criterion IS the raw pair frequency
+      trainMergeLoop(f, nMerges, checkpointEvery)(
+        (pairs, _) => pairs.withColumn("ord", col("c")))
+  }
+
+  /** The driver-local merge loop — same rules as the distributed path,
+    * proven by exact equality in BpeSpec. Symbols start as CODE POINTS
+    * (Spark's substr counts code points, so a surrogate pair is one
+    * symbol on both paths); ties break on (count desc, left asc, right
+    * asc) with string order compared on UTF-8 BYTES, unsigned — Spark
+    * string ordering is UTF8String.binaryCompare, which differs from
+    * Java's UTF-16 compareTo above the BMP. */
+  private[ops] def trainBpeLocal(freqs: Array[(String, Long)],
+      nMerges: Int): Seq[MergeRule] = {
+    def u8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var words: Array[(Array[String], Long)] = freqs.map { case (w, c) =>
+      (w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))), c)
+    }
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      // every adjacent pair counts, overlapping included — the explode
+      // in the distributed loop does exactly this
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, rt), c) = counts.reduceLeft { (a, b) =>
+          if (b._2 > a._2 ||
+            (b._2 == a._2 && (u8Lt(b._1._1, a._1._1) ||
+              (b._1._1 == a._1._1 && u8Lt(b._1._2, a._1._2))))) b else a
+        }
+        val rule = MergeRule(r + 1, l, rt, c)
+        rules += rule
+        words = words.map { case (syms, cnt) =>
+          (applyMergesLocal(syms, Seq(rule)), cnt)
+        }
+      }
+      r += 1
+    }
+    rules.toSeq
+  }
 
   /** The merge-training loop shared by BPE and WordPiece: per round,
     * count adjacent symbol pairs, let `score` attach an ordering column
@@ -129,8 +214,29 @@ object Bpe {
 
   /** The trained segmentation lookup: (word, n_bpe_tokens, tokens) for
     * every vocabulary entry after applying `rules` in rank order. */
-  def segmentVocab(freqs: DataFrame, rules: Seq[MergeRule]): DataFrame = {
-    val init = freqs.select(col("word"),
+  def segmentVocab(freqs: DataFrame, rules: Seq[MergeRule],
+      localFoldThreshold: Long = 65536): DataFrame = {
+    // dimension-sized vocabularies segment on the driver (r16, same
+    // gate as trainBpeOnFreqs): the distributed plan embeds one
+    // BpeMerge expression per rule and every consumer job pays that
+    // chain's analysis + codegen again — measured as the bulk of the
+    // funnel's bpe stage at small SF. applyMergesLocal IS the kernel
+    // (BpeSpec pins equality), so the routes are bit-identical.
+    val f = freqs.localCheckpoint(true)
+    if (f.count() <= localFoldThreshold) {
+      val spark = f.sparkSession
+      import spark.implicits._
+      val sorted = rules.sortBy(_.rank)
+      return f.select("word").collect().map(_.getString(0)).toSeq
+        .map { w =>
+          val syms = applyMergesLocal(
+            w.codePoints().toArray
+              .map(cp => new String(Character.toChars(cp))), sorted)
+          (w, syms.length, syms.toSeq)
+        }
+        .toDF("word", "n_bpe_tokens", "tokens")
+    }
+    val init = f.select(col("word"),
       transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))).as("syms"))
     val segmented = rules.sortBy(_.rank).zipWithIndex
@@ -144,6 +250,23 @@ object Bpe {
       col("syms").as("tokens"))
   }
 
+  /** The BpeMerge kernel on the driver: apply `rules` in rank order,
+    * each left-to-right non-overlapping. Shared by [[trainBpeLocal]]'s
+    * per-round merge and [[segmentVocab]]'s local route. */
+  private def applyMergesLocal(syms0: Array[String],
+      rules: Seq[MergeRule]): Array[String] =
+    rules.foldLeft(syms0) { (syms, rule) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == rule.left &&
+            syms(i + 1) == rule.right) {
+          out += rule.left + rule.right; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+
   /** Per-document compression under the trained vocabulary:
     * (idCol, n_pretokens, n_bpe_tokens). The corpus-sized pass is one
     * explode + one join against the (small, broadcast) segmentation
@@ -152,8 +275,20 @@ object Bpe {
     * segmentation.
     */
   def tokenCompression(docs: DataFrame, textCol: String, idCol: String,
-      freqs: DataFrame, rules: Seq[MergeRule]): DataFrame = {
-    val lookup = segmentVocab(freqs, rules).select("word", "n_bpe_tokens")
+      freqs: DataFrame, rules: Seq[MergeRule]): DataFrame =
+    tokenCompressionOnSeg(docs, textCol, idCol,
+      segmentVocab(freqs, rules).localCheckpoint(true))
+
+  /** [[tokenCompression]] over a precomputed (and ideally checkpointed)
+    * [[segmentVocab]] table — the multi-consumer shape (r16): the
+    * segmentation plan embeds one BpeMerge expression per merge rule,
+    * and every job that re-analyzes that chain pays its codegen again
+    * (the funnel's bpe stage ran it 4x across encode + crosscheck;
+    * measured, plan/codegen overhead dominated the stage at small SF).
+    * Checkpoint the segmentation once, share it everywhere. */
+  def tokenCompressionOnSeg(docs: DataFrame, textCol: String, idCol: String,
+      seg: DataFrame): DataFrame = {
+    val lookup = seg.select("word", "n_bpe_tokens")
     docs
       .select(col(idCol), explode(regexp_extract_all(col(textCol),
         lit(preTokenPattern), lit(0))).as("word"))
@@ -177,12 +312,17 @@ object Bpe {
     * vocabularies are 10k-100k entries), never the corpus — same
     * driver-scale argument as the trainer's argmax.
     */
-  def tokenVocab(freqs: DataFrame, rules: Seq[MergeRule]): DataFrame = {
+  def tokenVocab(freqs: DataFrame, rules: Seq[MergeRule]): DataFrame =
+    tokenVocabOnSeg(segmentVocab(freqs, rules))
+
+  /** [[tokenVocab]] over a precomputed [[segmentVocab]] table (the
+    * shared-checkpoint shape — see [[tokenCompressionOnSeg]]). */
+  def tokenVocabOnSeg(seg: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("token")
-    val learned = segmentVocab(freqs, rules)
+    val learned = seg
       .select(explode(col("tokens")).as("token")).distinct()
       .withColumn("token_id", row_number().over(w) - 1 + lit(ByteIdCount))
-    val bytes = freqs.sparkSession.range(ByteIdCount.toLong)
+    val bytes = seg.sparkSession.range(ByteIdCount.toLong)
       .select(
         concat(lit("<0x"), lpad(hex(col("id")), 2, "0"), lit(">")).as("token"),
         col("id").cast("int").as("token_id"))
@@ -227,9 +367,17 @@ object Bpe {
     */
   def encodeTokenIds(docs: DataFrame, textCol: String, idCol: String,
       freqs: DataFrame, rules: Seq[MergeRule],
-      byteFallback: Boolean = true): DataFrame = {
-    val vocab = tokenVocab(freqs, rules)
-    val wordIds = segmentVocab(freqs, rules)
+      byteFallback: Boolean = true): DataFrame =
+    encodeTokenIdsOnSeg(docs, textCol, idCol,
+      segmentVocab(freqs, rules).localCheckpoint(true), byteFallback)
+
+  /** [[encodeTokenIds]] over a precomputed [[segmentVocab]] table (the
+    * shared-checkpoint shape — see [[tokenCompressionOnSeg]]; encode
+    * alone consumes the segmentation twice, id dictionary + word→ids). */
+  def encodeTokenIdsOnSeg(docs: DataFrame, textCol: String, idCol: String,
+      seg: DataFrame, byteFallback: Boolean = true): DataFrame = {
+    val vocab = tokenVocabOnSeg(seg)
+    val wordIds = seg
       .select(col("word"), posexplode(col("tokens")).as(Seq("tpos", "token")))
       .join(vocab, "token")
       .groupBy("word")

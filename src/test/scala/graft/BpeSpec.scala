@@ -91,11 +91,41 @@ class BpeSpec extends SparkSpec {
     val freqsDf = Bpe.wordFreqs(docs, "text")
     val freqs = freqsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = 12 // crosses a checkpointEvery boundary (8)
-    val dist = Bpe.trainBpe(docs, "text", n)
+    // threshold 0 pins the DISTRIBUTED loop (the default would fold this
+    // dimension-sized vocab to the driver — covered by the next test)
+    val dist = Bpe.trainBpeOnFreqs(Bpe.wordFreqs(docs, "text"), n,
+        localFoldThreshold = 0L)
       .map(r => (r.left, r.right, r.count))
     val ref = referenceBpe(freqs, n)
     assert(dist == ref,
       s"divergence at rank ${dist.zip(ref).indexWhere(t => t._1 != t._2) + 1}: $dist vs $ref")
+  }
+
+  test("driver-local fold == distributed loop over the real corpus (threshold gate)") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = 12
+    val dist = Bpe.trainBpeOnFreqs(Bpe.wordFreqs(docs, "text"), n,
+      localFoldThreshold = 0L)
+    // the default threshold routes this vocabulary to the local fold
+    val local = Bpe.trainBpeOnFreqs(Bpe.wordFreqs(docs, "text"), n)
+    assert(local == dist,
+      s"local fold diverged at rank ${local.zip(dist)
+        .indexWhere(t => t._1 != t._2) + 1}: $local vs $dist")
+    // tie-break parity probe: equal counts forced onto every pair; both
+    // paths must pick the UTF-8-byte-minimal (l, r)
+    val ties = Seq(("ba", 3L), ("dc", 3L), ("fe", 3L)).toDF("word", "cnt")
+    assert(Bpe.trainBpeOnFreqs(ties, 1) ==
+      Bpe.trainBpeOnFreqs(Seq(("ba", 3L), ("dc", 3L), ("fe", 3L))
+        .toDF("word", "cnt"), 1, localFoldThreshold = 0L))
+    // the segmentation table folds to the driver under the same gate:
+    // both routes must emit identical (word, n, tokens) rows
+    def segSet(th: Long) = Bpe.segmentVocab(Bpe.wordFreqs(docs, "text"),
+        dist, localFoldThreshold = th)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        r.getSeq[String](2).toList)).toSet
+    assert(segSet(65536L) == segSet(0L),
+      "driver-local segmentation diverged from the BpeMerge plan route")
   }
 
   test("token compression is monotone and exact on in-vocabulary text") {
