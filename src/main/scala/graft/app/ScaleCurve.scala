@@ -552,6 +552,114 @@ object ScaleCurve {
     )
     r13Ops.foreach { case (_, f, at) => f(at(1)); () } // warmup
     r13Ops.foreach { case (name, f, at) => measure(name, f, at) }
+
+    // ---- round-16 cells, prepared + measured after the long-standing
+    // ones (the shared-JVM ordering rule above).
+
+    // (a) Iterative-graph family (VERDICT r15 task 5): q148/q138 are
+    // per-round join+agg chains over the SAME co-purchase edges as the
+    // q201 cell — replica-disjoint graphs, so each round's
+    // contribution join and degree agg must scale linearly in edges.
+    // Teleport/start sources sit in replica 0 (the global-3-smallest
+    // rule, exactly the registry query's shape): the scaling cost under
+    // test is the per-round full-edge join, not the frontier.
+    def bothDirs(d: DataFrame): DataFrame =
+      d.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(d.select(col("v").as("src"), col("u").as("dst")))
+    val graphIterOps: Seq[(String, DataFrame => Long)] = Seq(
+      "q148_personalized_pr(edges)" -> { d =>
+        val e = bothDirs(d)
+        val sources = e.select(col("src").as("node")).distinct()
+          .orderBy("node").limit(3).collect().map(_.getLong(0)).toSeq
+        val n = graft.ops.PageRank.personalizedPageRank(e, "src", "dst",
+          sources, iters = 3).count()
+        d.sparkSession.catalog.clearCache()
+        n
+      },
+      "q138_bfs_hops(edges)" -> { d =>
+        val e = bothDirs(d)
+        val start = e.agg(min("src")).head.getLong(0)
+        val n = graft.ops.Components.bfsHops(e, "src", "dst", start,
+          maxHops = 4).count()
+        d.sparkSession.catalog.clearCache()
+        n
+      },
+    )
+    graphIterOps.foreach { case (_, f) => f(edgesAt(1)); () } // warmup
+    graphIterOps.foreach { case (name, f) => measure(name, f, edgesAt) }
+
+    // (b) RETRO exact-substring probe (VERDICT r15 task 3's cell): the
+    // batch is FIXED (replica 0's %5 slice) while the corpus grows, so
+    // the newly-saturated gram set and the affected-doc re-scan are
+    // CONSTANT across scales — the probe's wall time must stay near
+    // flat (only the pruned index read grows), demonstrating cost
+    // tracks the saturated set, not the corpus. Index builds are prep,
+    // not billed to the measured cell.
+    val retroBatchP = col("doc_id") < 1000000000L &&
+      pmod(col("doc_id"), lit(5)) === 0
+    scales.foreach { k =>
+      val c = corpus(k)
+      TextDedup.writeGramCountIndex(c.filter(!retroBatchP), "text",
+        "doc_id", minTokens = 8, s"$work/gidx_x$k")
+      TextDedup.appendGramCountBatchKeyed(c.filter(retroBatchP), "text",
+        "doc_id", s"$work/gidx_x$k", "b1")
+      ()
+    }
+    val retroOps: Seq[(String, DataFrame => Long)] = Seq(
+      "q256_retro_probe(fixed batch)" -> { d =>
+        val k = d.agg(max(floor(col("doc_id") / 1000000000L)))
+          .head.getLong(0).toInt + 1
+        graft.ops.TextDedup.retroExactSubstringSpans(
+          d.filter(!retroBatchP), "text", "doc_id",
+          s"$work/gidx_x$k", "b1").count()
+      },
+    )
+    retroOps.foreach { case (_, f) => f(corpus(1)); () } // warmup
+    retroOps.foreach { case (name, f) => measure(name, f, corpus) }
+
+    // (c) IVF decontamination front at eval-suite scale (VERDICT r15
+    // task 8): anchors FIXED (an eval suite's size doesn't grow with
+    // the crawl), corpus k× — replicas offset ids and cyclically rotate
+    // embedding dims (intra-replica cosine structure preserved exactly;
+    // vectors stay unit-class). The nprobe-bounded candidate join must
+    // scale linearly in corpus vectors. Recall telemetry vs the exact
+    // path runs on the REAL sfDir vectors so the (numCells, nprobe)
+    // operating point is measured, not defaulted — quoted in the bench
+    // notes.
+    val baseVecs = graft.core.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val vecDim = baseVecs.head.getAs[scala.collection.Seq[Float]](1).length
+    val anchors = baseVecs.filter(col("vec_id") % 40 === 0)
+    graft.ops.VectorSim.writeEvalAnchorIndex(anchors, "vec_id",
+      "embedding", s"$work/aidx")
+    scales.foreach { k =>
+      (0 until k).map { i =>
+        baseVecs.select(
+          (col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+          transform(sequence(lit(0), lit(vecDim - 1)),
+            j => element_at(col("embedding"),
+              pmod(j + lit(i), lit(vecDim)) + 1)).as("embedding"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$work/vec_x$k")
+      ()
+    }
+    def vecsAt(k: Int): DataFrame = spark.read.parquet(s"$work/vec_x$k")
+    val ivfOps: Seq[(String, DataFrame => Long)] = Seq(
+      "q251_ivf_decontam(vectors)" -> { d =>
+        graft.ops.VectorSim.incrementalSemanticDecontamIvf(
+          d, "vec_id", "embedding", s"$work/aidx", threshold = 0.25).count()
+      },
+    )
+    ivfOps.foreach { case (_, f) => f(vecsAt(1)); () } // warmup
+    ivfOps.foreach { case (name, f) => measure(name, f, vecsAt) }
+    val recall = graft.ops.VectorSim.semanticDecontamIvfRecall(
+      anchors, baseVecs.filter(col("vec_id") % 40 =!= 0),
+      "vec_id", "embedding", threshold = 0.25)
+    println(f"q251 IVF front recall vs exact @ $sfDir (numCells=16, nprobe=8): $recall%.3f")
+    ok &&= recall >= 0.9
+    if (recall < 0.9)
+      println("  <-- RECALL GATE FAILED (>= 0.9 required)")
+
     spark.stop()
     if (!ok) sys.exit(2)
   }

@@ -595,4 +595,36 @@ class PlanAuditSpec extends SparkSpec {
       s"driver-facing DECIMAL columns (cast to BIGINT or round to " +
         s"double at the projection): ${offenders.mkString("; ")}")
   }
+
+  test("SURVEY §2.15 headline and no_oracle list match the registry (doc cannot drift)") {
+    // the r15 lesson (VERDICT r15 task 7): §2.15 bills itself as the
+    // mechanical audit index, and its intro went stale the moment the
+    // registry grew. Parse the ACTUAL documented numbers and the
+    // documented designed-terminal no_oracle id list out of SURVEY.md
+    // and assert them against SparkEntry — the doc now fails the build
+    // when it lies.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val headline = """(\d+)/(\d+) are DuckDB-oracle""".r
+      .findFirstMatchIn(survey)
+      .getOrElse(fail("SURVEY §2.15 headline 'N/M are DuckDB-oracle' missing"))
+    val total = SparkEntry.queries.size
+    val oracled = SparkEntry.oracleSql.size
+    assert(headline.group(1).toInt == oracled &&
+      headline.group(2).toInt == total,
+      s"SURVEY §2.15 headline says ${headline.matched}; registry has " +
+        s"$oracled/$total")
+    // the documented no_oracle set: the backticked qNN ids inside the
+    // intro sentence between the headline and 'designed-terminal'
+    val intro = survey.substring(headline.end,
+      survey.indexOf("designed-terminal"))
+    val documented = """`(q\d+)`""".r.findAllMatchIn(intro)
+      .map(_.group(1)).toSet
+    val actual = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+      .map(_.split("_")(0))
+    assert(documented == actual,
+      s"SURVEY no_oracle list drifted: documented-only " +
+        s"${(documented -- actual).toSeq.sorted.mkString(",")}; " +
+        s"registry-only ${(actual -- documented).toSeq.sorted.mkString(",")}")
+  }
 }
