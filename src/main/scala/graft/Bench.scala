@@ -43,7 +43,9 @@ object Bench {
     // question (manually adjudicated three rounds running) becomes
     // mechanical: tools/bench_drift.py flags queries whose normalized
     // time moved >1.3x round-over-round. min-of-3 for the same
-    // noise-floor reason as the queries themselves.
+    // noise-floor reason as the queries themselves. Skipped on filtered
+    // (SPARK_GRAFT_BENCH_ONLY) A/B probes — they never append history,
+    // so 3 x 600M rows of anchor work would buy nothing (review r16).
     def anchorOnce(): Double = {
       val t0 = System.nanoTime()
       // pmod bounds the summand: a raw sum(xxhash64) overflows Long
@@ -52,24 +54,31 @@ object Bench {
         .selectExpr("sum(pmod(xxhash64(id), 1000)) s").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val anchor = (1 to 3).map(_ => anchorOnce()).min
+    val anchor = if (only.isEmpty) (1 to 3).map(_ => anchorOnce()).min else 0.0
+    // `failed` marks a query whose fn threw on some rep: its time is
+    // time-to-exception, meaningless for drift — it stays in the JSON
+    // (the driver's record shape is load-bearing) but is excluded from
+    // the appended history, so a broken round can't poison the gate as
+    // a phantom improvement-then-regression (review r16)
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case _: Throwable => failed = true; -1L }
         // operators may persist intermediates (LSH docs, CC labels); drop
         // them so queries (and reps) are timed independently, not under
         // accumulated cache/GC pressure from earlier ones
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> ((times.min, failed))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // the headline on BOTH sides of the full JSON: the driver keeps a
     // bounded stdout tail, and once the registry outgrew it the one big
     // line got cut mid-JSON ("parsed": null in BENCH_r09/r11). A compact
@@ -107,11 +116,14 @@ object Bench {
           .format(java.time.Instant.now()))
       val hist = java.nio.file.Paths.get("tools/bench_history.tsv")
       try {
+        // sf + cpus ride along so the comparator can refuse sessions
+        // that measured different work (an sf0.01 smoke vs the sf0.1
+        // record would otherwise flag everything 10x — review r16)
         val header =
           if (java.nio.file.Files.exists(hist)) ""
-          else "session\tquery\tseconds\tanchor\n"
-        val rows = results.map { case (k, v) =>
-          s"$label\t$k\t$v\t$anchor"
+          else "session\tquery\tseconds\tanchor\tsf\tcpus\n"
+        val rows = results.filter(!_._2._2).map { case (k, v) =>
+          s"$label\t$k\t${v._1}\t$anchor\t$sfDir\t$cpus"
         }.mkString("", "\n", "\n")
         java.nio.file.Files.write(hist, (header + rows).getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,

@@ -364,7 +364,12 @@ object CorpusPipeline {
     // compression crosscheck (r15 task 6: the ledger attributed 36% of
     // funnel wall to this stage; the cost was the deep merge-expression
     // plan re-analyzed/re-codegen'd by every consumer job, not the data)
-    val bpeFreqs = graft.ops.Bpe.wordFreqs(budgeted, "text").persist()
+    // checkpoint the frequency table ONCE here; the trainer and the
+    // segmentation both detect the already-cut lineage and skip their
+    // own localCheckpoint (Bpe.checkpointOnce — review r16: the double
+    // checkpoint cost two extra materialization jobs in this stage)
+    val bpeFreqs = graft.ops.Bpe.wordFreqs(budgeted, "text")
+      .localCheckpoint(true)
     val bpeRules = graft.ops.Bpe.trainBpeOnFreqs(bpeFreqs, nMerges = 16)
     val bpeSeg = graft.ops.Bpe.segmentVocab(bpeFreqs, bpeRules)
       .localCheckpoint(true)

@@ -43,6 +43,15 @@ object Bpe {
     * weighted pair frequency that won the round. */
   final case class MergeRule(rank: Int, left: String, right: String, count: Long)
 
+  /** localCheckpoint unless `df` already IS one (review r16): the funnel
+    * checkpoints the frequency table once and passes it to both the
+    * trainer and the segmentation — re-checkpointing an already-cut
+    * lineage would re-materialize the table for nothing. */
+  private def checkpointOnce(df: DataFrame): DataFrame =
+    if (df.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
+    else df.localCheckpoint(true)
+
   /** The q62 pre-tokenization (letter runs | digit runs | punct runs) —
     * shared so the trainer and the token-count queries see one token
     * definition. */
@@ -85,7 +94,7 @@ object Bpe {
       localFoldThreshold: Long = 65536): Seq[MergeRule] = {
     // checkpoint BEFORE the size probe so the corpus-sized aggregation
     // behind freqs runs once, not once for count + once for the loop
-    val f = freqs.localCheckpoint(true)
+    val f = checkpointOnce(freqs)
     if (nMerges > 0 && f.count() <= localFoldThreshold)
       trainBpeLocal(
         f.select("word", "cnt").collect()
@@ -106,18 +115,12 @@ object Bpe {
     * Java's UTF-16 compareTo above the BMP. */
   private[ops] def trainBpeLocal(freqs: Array[(String, Long)],
       nMerges: Int): Seq[MergeRule] = {
-    def u8Lt(a: String, b: String): Boolean = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      val n = math.min(x.length, y.length)
-      while (i < n) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c < 0
-        i += 1
-      }
-      x.length < y.length
-    }
+    // Spark's string ordering BY DEFINITION, not a re-implementation
+    // of it (review r16): UTF8String.compareTo is the binary compare
+    // the distributed orderBy sorts with
+    def u8Lt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
     var words: Array[(Array[String], Long)] = freqs.map { case (w, c) =>
       (w.codePoints().toArray
         .map(cp => new String(Character.toChars(cp))), c)
@@ -222,7 +225,7 @@ object Bpe {
     // chain's analysis + codegen again — measured as the bulk of the
     // funnel's bpe stage at small SF. applyMergesLocal IS the kernel
     // (BpeSpec pins equality), so the routes are bit-identical.
-    val f = freqs.localCheckpoint(true)
+    val f = checkpointOnce(freqs)
     if (f.count() <= localFoldThreshold) {
       val spark = f.sparkSession
       import spark.implicits._
