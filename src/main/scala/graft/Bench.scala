@@ -24,6 +24,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // bounded plan-description strings (see core.HostAnchor)
+      .config("spark.sql.maxPlanStringLength",
+        graft.core.HostAnchor.maxPlanStringLength)
       // NO spark.speculation here (r16, ADVICE r15): under master=local[N]
       // Spark's TaskSchedulerImpl only starts the speculation thread when
       // !isLocal, so the r15 configs were a silent no-op — the q38
@@ -35,26 +38,18 @@ object Bench {
       // re-launches) — it just cannot be A/B'd locally.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // ---- fixed-work calibration anchor (VERDICT r15 task 2): a constant
-    // synthetic query — no I/O, no shuffle variance — timed at session
-    // start. Its wall time moves with the HOST (CPU contention, thermal,
-    // noisy neighbors), not with the code, so anchor-normalized per-query
-    // times cancel uniform host drift and the drift-vs-regression
-    // question (manually adjudicated three rounds running) becomes
-    // mechanical: tools/bench_drift.py flags queries whose normalized
-    // time moved >1.3x round-over-round. min-of-3 for the same
-    // noise-floor reason as the queries themselves. Skipped on filtered
-    // (SPARK_GRAFT_BENCH_ONLY) A/B probes — they never append history,
-    // so 3 x 600M rows of anchor work would buy nothing (review r16).
-    def anchorOnce(): Double = {
-      val t0 = System.nanoTime()
-      // pmod bounds the summand: a raw sum(xxhash64) overflows Long
-      // (ANSI) after ~2^32 rows
-      spark.range(0L, 600000000L, 1L, cpus.toInt)
-        .selectExpr("sum(pmod(xxhash64(id), 1000)) s").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val anchor = if (only.isEmpty) (1 to 3).map(_ => anchorOnce()).min else 0.0
+    // ---- fixed-work calibration anchor (VERDICT r15 task 2; shared
+    // with the funnel's budget gate — core.HostAnchor): timed at session
+    // start so tools/bench_drift.py can compare anchor-NORMALIZED
+    // per-query times, canceling uniform host drift; flags moves >1.3x
+    // round-over-round. min-of-3 for the same noise-floor reason as the
+    // queries themselves. Skipped on filtered (SPARK_GRAFT_BENCH_ONLY)
+    // A/B probes — they never append history, so 3 x 600M rows of
+    // anchor work would buy nothing (review r16).
+    val anchor =
+      if (only.isEmpty)
+        (1 to 3).map(_ => graft.core.HostAnchor.anchorOnce(spark, cpus.toInt)).min
+      else 0.0
     // `failed` marks a query whose fn threw on some rep: its time is
     // time-to-exception, meaningless for drift — it stays in the JSON
     // (the driver's record shape is load-bearing) but is excluded from

@@ -15,6 +15,9 @@ object BenchOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // bounded plan-description strings (see core.HostAnchor)
+      .config("spark.sql.maxPlanStringLength",
+        graft.core.HostAnchor.maxPlanStringLength)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,7 +11,11 @@ object EtlProfile {
     val n = args.headOption.map(_.toInt).getOrElse(50000)
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // bounded plan-description strings (see core.HostAnchor)
+      .config("spark.sql.maxPlanStringLength",
+        graft.core.HostAnchor.maxPlanStringLength)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

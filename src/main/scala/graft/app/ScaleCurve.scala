@@ -52,6 +52,9 @@ object ScaleCurve {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bounded plan-description strings (see core.HostAnchor)
+      .config("spark.sql.maxPlanStringLength",
+        graft.core.HostAnchor.maxPlanStringLength)
       // NO spark.speculation (r16, ADVICE r15): it is a silent no-op
       // under local[N] — TaskSchedulerImpl starts the speculation thread
       // only when !isLocal — so the r15 A/B "improvement" was host

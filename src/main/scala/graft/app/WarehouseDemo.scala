@@ -45,6 +45,9 @@ object WarehouseDemo {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bounded plan-description strings (see core.HostAnchor)
+      .config("spark.sql.maxPlanStringLength",
+        graft.core.HostAnchor.maxPlanStringLength)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ok = run(spark, sfDir, work, GateNotifier(
