@@ -27,6 +27,10 @@ object Bench {
       // bounded plan-description strings (see core.HostAnchor)
       .config("spark.sql.maxPlanStringLength",
         graft.core.HostAnchor.maxPlanStringLength)
+      // long-GC hardening, same rationale as ScaleCurve: a single-JVM
+      // measurement session must not RPC-self-destruct on a GC pause
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       // NO spark.speculation here (r16, ADVICE r15): under master=local[N]
       // Spark's TaskSchedulerImpl only starts the speculation thread when
       // !isLocal, so the r15 configs were a silent no-op — the q38

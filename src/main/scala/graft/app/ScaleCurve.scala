@@ -55,6 +55,14 @@ object ScaleCurve {
       // bounded plan-description strings (see core.HostAnchor)
       .config("spark.sql.maxPlanStringLength",
         graft.core.HostAnchor.maxPlanStringLength)
+      // long-GC hardening (r16): with a 64g heap and a bursty host, a
+      // stop-the-world pause can outlive the default heartbeat budget,
+      // and in local mode the "executor" then declares ITS OWN driver
+      // dead — an RPC self-destruct observed killing a mid-curve session
+      // (exit 56). A single-JVM harness has nothing to gain from tight
+      // liveness probes.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       // NO spark.speculation (r16, ADVICE r15): it is a silent no-op
       // under local[N] — TaskSchedulerImpl starts the speculation thread
       // only when !isLocal — so the r15 A/B "improvement" was host
