@@ -642,11 +642,15 @@ object AggQueries {
     ) { (s, dir) =>
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // checkpointed BEFORE the start probe (r16): the probe and the BFS
+      // loop share one materialization of the edge derivation instead of
+      // each replaying the li self-join + distinct
       val edges = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
+        .localCheckpoint(true)
       // the start scalar is one tiny agg (stat-broadcast class, SURVEY §4.1)
       val start = edges.agg(min("src")).head.getLong(0)
       graft.ops.Components.bfsHops(edges, "src", "dst", start, maxHops = 4)
@@ -693,11 +697,14 @@ object AggQueries {
     ) { (s, dir) =>
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // checkpointed BEFORE the sources probe (r16): the probe and the
+      // rank loop share one materialization of the edge derivation
       val edges = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
+        .localCheckpoint(true)
       val sources = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
         .orderBy("node").limit(3).collect().map(_.getLong(0)).toSeq

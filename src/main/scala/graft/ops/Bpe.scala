@@ -46,11 +46,11 @@ object Bpe {
   /** localCheckpoint unless `df` already IS one (review r16): the funnel
     * checkpoints the frequency table once and passes it to both the
     * trainer and the segmentation — re-checkpointing an already-cut
-    * lineage would re-materialize the table for nothing. */
+    * lineage would re-materialize the table for nothing. Shared as
+    * [[graft.core.Frames.checkpointOnce]] since r16's optimization round
+    * (the iterative graph ops need the same idempotence). */
   private def checkpointOnce(df: DataFrame): DataFrame =
-    if (df.queryExecution.logical
-        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
-    else df.localCheckpoint(true)
+    graft.core.Frames.checkpointOnce(df)
 
   /** The q62 pre-tokenization (letter runs | digit runs | punct runs) —
     * shared so the trainer and the token-count queries see one token

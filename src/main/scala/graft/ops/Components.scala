@@ -244,11 +244,27 @@ object Components extends org.apache.spark.internal.Logging {
       s"maxHops must be in [0, 64], got $maxHops")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
+    // lineage cut exactly once: the q138 fn probes the start scalar off
+    // the checkpointed edge list first — reuse it instead of paying a
+    // second materialization of identical data (r16)
+    val long2 = {
+      import org.apache.spark.sql.types.LongType
+      Seq(srcCol, dstCol).forall(edges.schema(_).dataType == LongType)
+    }
+    val e =
+      if (srcCol == "src" && dstCol == "dst" && long2 &&
+          edges.columns.sameElements(Array("src", "dst")))
+        graft.core.Frames.checkpointOnce(edges)
+      else edges
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .localCheckpoint(true)
     var visited = Seq((source, 0)).toDF("node", "hops").localCheckpoint(true)
+    // `visited` stays a LAZY union of the (checkpointed) per-level
+    // frontiers: each level's frame is already lineage-free, so the
+    // union's plan is k shallow leaves — checkpointing the union every
+    // level bought nothing but one extra materialization job per level
+    // (r16)
     var frontier = visited
     var k = 0
     while (k < maxHops && !frontier.isEmpty) {
@@ -258,7 +274,7 @@ object Components extends org.apache.spark.internal.Logging {
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hops", lit(k + 1))
         .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
+      visited = visited.unionByName(next)
       frontier = next
       k += 1
     }
@@ -285,20 +301,29 @@ object Components extends org.apache.spark.internal.Logging {
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // re-read every round; hash-partitioned on the round join key v
+    // BEFORE the lineage cut so each round's join reuses the edge-side
+    // layout and only the node-sized label frame moves (r16, guide §2.4)
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint(true) // re-read every round
+      .repartition(col("v"))
+      .localCheckpoint(true)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("lab", col("node"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("u").orderBy(col("c").desc, col("lab").asc)
     for (_ <- 1 to rounds) {
+      // per-node winner as ONE hash aggregate, not a row_number window:
+      // min(struct(-c, lab)) is exactly the (c DESC, lab ASC) argmin the
+      // window selected — count first (negated, c >= 1 so negation is
+      // safe), then the smallest label — but with map-side partials and
+      // no per-partition sort of the edge-sized (u, lab, c) frame (r16;
+      // guide §2.3 "aggregate before you shuffle"). Deterministic: the
+      // struct order is total, so ties cannot flip with partitioning.
       labels = sym
         .join(labels.withColumnRenamed("node", "v"), "v")
         .groupBy("u", "lab").agg(count(lit(1)).as("c"))
-        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("u").as("node"), col("lab"))
+        .groupBy("u")
+        .agg(min(struct((-col("c")).as("_nc"), col("lab").as("lab"))).as("_m"))
+        .select(col("u").as("node"), col("_m.lab").as("lab"))
         .localCheckpoint(true)
     }
     labels

@@ -161,6 +161,29 @@ object LinkPredict {
     // candidate generation sits firmly on this side because cn per
     // surviving pair is small (the minCommon >= 2 filter keeps the long
     // tail of cn = 1 pairs in the shuffle either way).
+    //
+    // Reduce-side parallelism (r16, guide §5 spill remedy): the pair
+    // aggregation's hash state is DISTINCT-PAIR-sized, and wedges barely
+    // repeat (measured at sf0.1: 148M wedges -> 101M distinct pairs,
+    // 1.46 wedges/pair), so at shuffle.partitions = cores each task
+    // builds a multi-million-entry map and falls back to sort-based
+    // aggregation — a measured 3.2 GB disk spill in the one stage that
+    // dominates this operator. Fan the ONE wedge exchange out over
+    // 5x defaultParallelism reducers instead: per-task state drops
+    // ~an order of magnitude below the execution-memory share and the
+    // reduce-side spill disappears. 5x, not more, because the MAP side
+    // of this exchange flips from the bypass writer to the sort-based
+    // writer past spark.shuffle.sort.bypassMergeThreshold (default 200),
+    // and 32 map tasks each sorting 4.6M-row partitions re-created the
+    // spill on the map side (A/B'd at 8x: reduce spill 0 but map spill
+    // 1.3 GB and 2.4x the map CPU). Scale-adaptive, not a local
+    // constant: defaultParallelism is total executor cores, so reducers
+    // stay proportional to the machine; the floor keeps a session whose
+    // shuffle.partitions is configured HIGHER than 5x cores at its own
+    // setting.
+    val aggParts = math.max(
+      e.sparkSession.sparkContext.defaultParallelism * 5,
+      e.sparkSession.sessionState.conf.numShufflePartitions)
     val unlinked = if (packable) {
       // projection collapses below the union, so the exchange carries
       // 16-byte (pk, _aa) rows only; the anti-join then runs ON the
@@ -170,7 +193,7 @@ object LinkPredict {
       // never moves for the anti-join on either path
       val cand = wedges.select((shiftleft(col("a").cast("long"), 32) +
           col("b").cast("long")).as("_pk"), col("_aa"))
-        .repartition(col("_pk"))
+        .repartition(aggParts, col("_pk"))
         .groupBy("_pk")
         .agg(count(lit(1)).as("cn"), sum("_aa").cast("long").as("aa_micro"))
         .filter(col("cn") >= minCommon)
@@ -186,7 +209,7 @@ object LinkPredict {
       // runtime packability probe); non-numeric ids — which can only
       // ever take this branch — keep their own type: a blanket long
       // cast would null/throw on every string id (review r13 x2)
-      val cand = wedges.repartition(col("a"), col("b")).groupBy("a", "b")
+      val cand = wedges.repartition(aggParts, col("a"), col("b")).groupBy("a", "b")
         .agg(count(lit(1)).as("cn"), sum("_aa").cast("long").as("aa_micro"))
         .filter(col("cn") >= minCommon)
       val unl = cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
